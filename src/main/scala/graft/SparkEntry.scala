@@ -1,13 +1,503 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.operators._
+import graft.text.{DedupApprox, TextAnalysis}
+import graft.ml.{Multimodal, Similarity}
+import graft.streaming.Pipeline
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry exercises one operator family from SURVEY §2
+  * through the graft library; `oracleSql` holds the DuckDB-equivalent SQL
+  * for the hash-match gate (omitted only for ops DuckDB can't express —
+  * those get the weaker rows-only check).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the Global-Binlog pipeline in batch form (SURVEY §3.1) on
+    * sf0.001 — filter → per-key txn assembly → TSO-ordered output. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Pipeline.globalBinlogBatch(Tables.events(spark, "/root/testdata/sf0.001"))
+
+  // ---- declared queries Q1–Q30 (SURVEY §2.11) + training-data ops ----
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1 scan: full-table aggregate, column-pruned scan.
+    "q01_scan" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(count(lit(1)).as("n"), sum("l_quantity").as("s"))),
+
+    // Q2 typed decode/projection (RowsLogBuffer value decode analog).
+    "q02_typed_projection" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("bigint").as("q"),
+          col("l_shipdate").cast("date").as("d"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")).limit(100)),
+
+    // Q3 ordered txn framing: aggregate the fat side FIRST, then join the
+    // slim dimension — at scale this shuffles pre-aggregated groups, not
+    // raw lineitems.
+    "q03_txn_framing" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"), min("l_linenumber").as("mn"),
+          max("l_linenumber").as("mx"))
+      li.join(broadcast(Tables.orders(s, d).select(col("o_orderkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("n"), col("mn"), col("mx"))
+        .orderBy(col("o_orderkey")).limit(100)
+    }),
+
+    // Q4 SHOW-command analog: catalog-style group count.
+    "q04_show_analog" -> ((s, d) =>
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n")).orderBy(col("event_type"))),
+
+    // Q5 start-position filter (MinTSOFilter) — predicate pushed to scan.
+    "q05_min_tso" -> ((s, d) =>
+      Filters.minTso(Tables.events(s, d), "event_id", 1000L)
+        .agg(count(lit(1)).as("n"))),
+
+    // Q6 replication filter (ReplicaFilter do/ignore semantics).
+    "q06_replica_filter" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view") &&
+          !(col("user_id") % 10 === 0))
+        .agg(count(lit(1)).as("n"))),
+
+    // Q7 projection/reshape (RowEventReformator analog).
+    "q07_reshape" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), upper(col("event_type")).as("et"),
+          (col("value") * 100).as("cents"))
+        .orderBy(col("event_id")).limit(100)),
+
+    // Q8 as-of/range join (schema-as-of-TSO analog): equi key drives the
+    // hash join, interval is residual — never a nested loop.
+    "q08_asof_range_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      AsOfJoin.rangeJoin(li, o, Seq("l_orderkey" -> "o_orderkey"),
+          col("l_shipdate"), col("o_orderdate"),
+          col("o_orderdate") + expr("INTERVAL '120' DAY"))
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")).limit(100)
+    }),
+
+    // Q9 equi hash join, small dim broadcast (token↔payload rendezvous).
+    "q09_hash_join" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))),
+
+    // Q10 group-merge by commit ts (XA fusion shape: groupBy actualTso).
+    "q10_group_by_commit" -> ((s, d) =>
+      Tables.orders(s, d).groupBy(col("o_orderdate"))
+        .agg(count(lit(1)).as("txns"), sum("o_totalprice").as("amt"))
+        .orderBy(col("o_orderdate")).limit(100)),
+
+    // Q11 diff join (validation missing-rows = left anti).
+    "q11_diff_join" -> ((s, d) =>
+      Validation.missingInDst(
+          Tables.customer(s, d).withColumnRenamed("c_custkey", "k"),
+          Tables.orders(s, d).withColumnRenamed("o_custkey", "k"), Seq("k"))
+        .agg(count(lit(1)).as("n"))),
+
+    // Q12 semi join (do-table whitelist shape).
+    "q12_semi_join" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 100000)
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n"))),
+
+    // Q13 flashback inversion (RecoveryApplier.reverseSQL).
+    "q13_flashback" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          Reshape.invertOp(col("event_type"), "insert", "delete").as("op"))
+        .orderBy(col("event_id")).limit(100)),
+
+    // Q14 transaction assembly aggregate (Sorter/TxnBuffer).
+    "q14_txn_assembly" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        .orderBy(col("l_orderkey")).limit(100)),
+
+    // Q15 checksum aggregate (ValSQLGenerator BIT_XOR/CRC32 family).
+    "q15_checksum" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .agg(expr("bit_xor(CAST(l_orderkey*31+l_linenumber AS BIGINT))")
+          .as("cksum"))),
+
+    // Q16 metrics aggregate (MergeMetrics shape).
+    "q16_metrics" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("s"),
+          round(avg("l_extendedprice"), 2).as("avg_price"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // Q17 last-image dedup (MergeApplier.mergeByTable).
+    "q17_last_image" -> ((s, d) =>
+      Dedup.lastImage(Tables.events(s, d), Seq("user_id"), "event_id")
+        .select(col("user_id"), col("event_type"))
+        .orderBy(col("user_id")).limit(100)),
+
+    // Q18 chunk bounds (full-copy split).
+    "q18_chunk_bounds" -> ((s, d) =>
+      Tables.orders(s, d).agg(min("o_orderkey").as("mn"),
+        max("o_orderkey").as("mx"), count(lit(1)).as("n"))),
+
+    // Q19 distinct.
+    "q19_distinct" -> ((s, d) =>
+      Tables.events(s, d).agg(countDistinct(col("user_id")).as("n"))),
+
+    // Q20 rollup (free via Catalyst; broadcast the tiny dims).
+    "q20_rollup" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("n_name"), col("r_name"), col("n"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)),
+
+    // Q21 per-source commit sort.
+    "q21_commit_sort" -> ((s, d) =>
+      Tables.events(s, d).select(col("event_id"), col("user_id"))
+        .orderBy(col("user_id"), col("event_id")).limit(100)),
+
+    // Q22 k-way merge: union of parallel streams + global order
+    // (LogEventMerger/BinlogKWayMerger).
+    "q22_kway_merge" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      MergeSort.kWayMerge(Seq(
+          e.filter(col("user_id") % 2 === 0).select(col("event_id")),
+          e.filter(col("user_id") % 2 === 1).select(col("event_id"))),
+        Seq("event_id")).limit(100)
+    }),
+
+    // Q23 top-k (TakeOrderedAndProject — no global sort materialized).
+    "q23_topk" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // Q24 heartbeat window (tumbling day windows).
+    "q24_heartbeat_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("w"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("u"))
+        .orderBy(col("w"))),
+
+    // Q25 analytic window (running sum per key).
+    "q25_analytic_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("value"),
+          sum(col("value")).over(w).as("run"))
+        .orderBy(col("event_id")).limit(100)
+    }),
+
+    // Q26 set ops (except = validation diff).
+    "q26_set_ops" -> ((s, d) =>
+      Tables.orders(s, d).select(col("o_custkey"))
+        .except(Tables.customer(s, d).select(col("c_custkey").as("o_custkey")))
+        .agg(count(lit(1)).as("n"))),
+
+    // Q27 string/date scalars.
+    "q27_scalars" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          concat_ws("-", col("event_type"),
+            year(col("ts")).cast("string")).as("tag"),
+          length(col("event_type")).cast("bigint").as("l"))
+        .orderBy(col("event_id")).limit(100)),
+
+    // Q28 stream hash partition (HashConfig.getStreamSeq distribution).
+    "q28_stream_hash" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(abs(col("user_id") * 1103515245L + 12345L).as("hash_val"))
+        .groupBy((col("hash_val") % 4).as("stream"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("stream"))),
+
+    // Q29 json scalar (JsonConversion analog).
+    "q29_json" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(get_json_object(col("props"), "$.k").cast("int") > 50)
+        .agg(count(lit(1)).as("n"))),
+
+    // Q30 session windows (gaps-and-islands).
+    "q30_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev", lag(col("ts"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev").isNull ||
+            col("ts") > col("prev") + expr("INTERVAL '30' MINUTE"), 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("is_new")).over(run))
+        .groupBy(col("user_id"), col("sid")).agg(count(lit(1)).as("events"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("sessions"))
+        .orderBy(col("user_id")).limit(100)
+    }),
+
+    // ---- training-data pipeline operators (beyond the reference) ----
+
+    // exact dedup: duplicate-group summary by full text.
+    "q31_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), Seq("text"), "doc_id")
+        .select(col("doc_id"), col("n"))
+        .orderBy(col("doc_id")).limit(200)),
+
+    // token counting (whitespace tokenizer).
+    "q32_token_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("tokens"))
+        .orderBy(col("doc_id")).limit(200)),
+
+    // text quality signals (integer-exact for oracle parity).
+    "q33_text_quality" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).cast("bigint").as("len"),
+          TextAnalysis.punctCount(col("text")).as("n_punct"),
+          length(regexp_replace(col("text"), "[^aeiou]", ""))
+            .cast("bigint").as("n_vowels"))
+        .orderBy(col("doc_id")).limit(200)),
+
+    // language ID heuristic (no SQL oracle — heuristic op).
+    "q34_lang_id" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id")).limit(200)),
+
+    // document fingerprint (rolling hash; deterministic, no oracle).
+    "q35_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.rollingFingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id")).limit(200)),
+
+    // MinHash+LSH near-dup candidate pairs (banded). The corpus has no
+    // organic near-dups (max background jaccard ≈ 0.14), so plant
+    // deterministic mutated copies (doc_id+1000000, first two words
+    // dropped) and recover them at the standard 0.5 threshold.
+    "q36_minhash_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val mutated = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 3, 1000000)).as("text"))
+      DedupApprox.minhashCandidatePairs(docs.unionByName(mutated),
+          "doc_id", "text", shingleN = 3, numHashes = 32, bands = 8,
+          jaccardThreshold = 0.5)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 3).as("jac"))
+        .orderBy(col("id1"), col("id2")).limit(500)
+    }),
+
+    // SimHash fingerprints (no oracle).
+    "q37_simhash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          DedupApprox.simhash(TextAnalysis.tokens(lower(col("text")))).as("fp"))
+        .orderBy(col("doc_id")).limit(200)),
+
+    // n-gram Jaccard similarity of adjacent docs (verification primitive):
+    // shingle once per doc in a projection, THEN join — each side's array
+    // is built once, and jaccard uses the size identity (no union array).
+    "q38_ngram_jaccard" -> ((s, d) => {
+      val sh = Tables.documents(s, d).select(col("doc_id"),
+        DedupApprox.hashedShingles(col("text"), 2).as("sh")).cache()
+      val a = sh.select(col("doc_id").as("id1"), col("sh").as("s1"))
+      val b = sh.select(col("doc_id").as("id2"), col("sh").as("s2"))
+      a.join(b, col("id2") === col("id1") + 1)
+        .select(col("id1"), col("id2"),
+          round(DedupApprox.jaccardFromShingles(col("s1"), col("s2")), 6).as("jac"))
+        .orderBy(col("id1")).limit(200)
+    }),
+
+    // brute-force cosine top-k ANN baseline (no oracle).
+    "q39_ann_brute" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("corpus_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN (scale path; no oracle).
+    "q40_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, numPlanes = 6, dim = 64)
+        .select(col("query_id"), col("corpus_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // multimodal: binary column plumbing — payload byte length.
+    "q41_media_bytes" -> ((s, d) =>
+      Multimodal.mediaFromText(Tables.documents(s, d), "doc_id", "text")
+        .select(col("media_id").as("doc_id"),
+          length(col("media")).cast("bigint").as("n_bytes"))
+        .orderBy(col("doc_id")).limit(200)),
+
+    // multimodal: stubbed decode via typed per-partition pipeline.
+    "q42_media_decode" -> ((s, d) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val media = Multimodal.mediaFromText(
+        Tables.documents(s, d), "doc_id", "text").as[Multimodal.MediaRecord]
+      Multimodal.decode(media).toDF()
+        .orderBy(col("media_id")).limit(200)
+    }),
+
+    // multimodal: frame sampling (bounded explode).
+    "q43_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(
+          Multimodal.mediaFromText(Tables.documents(s, d), "doc_id", "text"),
+          "media", chunkBytes = 64, everyK = 2)
+        .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+        .orderBy(col("media_id")).limit(200))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan" ->
+      "SELECT count(*) AS n, sum(l_quantity) AS s FROM lineitem",
+    "q02_typed_projection" ->
+      ("SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS q, " +
+        "CAST(l_shipdate AS DATE) AS d FROM lineitem " +
+        "ORDER BY l_orderkey, l_linenumber LIMIT 100"),
+    "q03_txn_framing" ->
+      ("SELECT o_orderkey, count(*) AS n, min(l_linenumber) AS mn, " +
+        "max(l_linenumber) AS mx FROM lineitem JOIN orders " +
+        "ON l_orderkey = o_orderkey GROUP BY o_orderkey " +
+        "ORDER BY o_orderkey LIMIT 100"),
+    "q04_show_analog" ->
+      ("SELECT event_type, count(*) AS n FROM events GROUP BY event_type " +
+        "ORDER BY event_type"),
+    "q05_min_tso" ->
+      "SELECT count(*) AS n FROM events WHERE event_id >= 1000",
+    "q06_replica_filter" ->
+      ("SELECT count(*) AS n FROM events WHERE event_type IN ('click','view') " +
+        "AND NOT (user_id % 10 = 0)"),
+    "q07_reshape" ->
+      ("SELECT event_id, upper(event_type) AS et, value * 100 AS cents " +
+        "FROM events ORDER BY event_id LIMIT 100"),
+    "q08_asof_range_join" ->
+      ("SELECT l.l_orderkey, l.l_linenumber FROM lineitem l " +
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey " +
+        "AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 120 DAY " +
+        "ORDER BY l.l_orderkey, l.l_linenumber LIMIT 100"),
+    "q09_hash_join" ->
+      ("SELECT c_mktsegment, count(*) AS n FROM orders JOIN customer " +
+        "ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "q10_group_by_commit" ->
+      ("SELECT o_orderdate, count(*) AS txns, sum(o_totalprice) AS amt " +
+        "FROM orders GROUP BY o_orderdate ORDER BY o_orderdate LIMIT 100"),
+    "q11_diff_join" ->
+      ("SELECT count(*) AS n FROM customer c LEFT JOIN orders o " +
+        "ON c.c_custkey = o.o_custkey WHERE o.o_orderkey IS NULL"),
+    "q12_semi_join" ->
+      ("SELECT count(*) AS n FROM customer WHERE c_custkey IN " +
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 100000)"),
+    "q13_flashback" ->
+      ("SELECT event_id, CASE event_type WHEN 'insert' THEN 'delete' " +
+        "WHEN 'delete' THEN 'insert' ELSE event_type END AS op " +
+        "FROM events ORDER BY event_id LIMIT 100"),
+    "q14_txn_assembly" ->
+      ("SELECT l_orderkey, count(*) AS n, " +
+        "sum(l_extendedprice*(1-l_discount)) AS rev FROM lineitem " +
+        "GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 100"),
+    "q15_checksum" ->
+      ("SELECT bit_xor(CAST(l_orderkey*31+l_linenumber AS BIGINT)) AS cksum " +
+        "FROM lineitem"),
+    "q16_metrics" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS s, " +
+        "round(avg(l_extendedprice),2) AS avg_price FROM lineitem " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q17_last_image" ->
+      ("SELECT user_id, event_type FROM (SELECT user_id, event_type, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn " +
+        "FROM events) t WHERE rn = 1 ORDER BY user_id LIMIT 100"),
+    "q18_chunk_bounds" ->
+      ("SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx, count(*) AS n " +
+        "FROM orders"),
+    "q19_distinct" ->
+      "SELECT count(DISTINCT user_id) AS n FROM events",
+    "q20_rollup" ->
+      ("SELECT n_name, r_name, count(*) AS n FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY ROLLUP(r_name, n_name) " +
+        "ORDER BY r_name NULLS FIRST, n_name NULLS FIRST"),
+    "q21_commit_sort" ->
+      ("SELECT event_id, user_id FROM events ORDER BY user_id, event_id " +
+        "LIMIT 100"),
+    "q22_kway_merge" ->
+      ("SELECT event_id FROM (SELECT event_id FROM events WHERE user_id % 2 = 0 " +
+        "UNION ALL SELECT event_id FROM events WHERE user_id % 2 = 1) t " +
+        "ORDER BY event_id LIMIT 100"),
+    "q23_topk" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+    "q24_heartbeat_window" ->
+      ("SELECT CAST(ts AS DATE) AS w, count(*) AS n, " +
+        "count(DISTINCT user_id) AS u FROM events GROUP BY CAST(ts AS DATE) " +
+        "ORDER BY w"),
+    "q25_analytic_window" ->
+      ("SELECT event_id, value, sum(value) OVER (PARTITION BY user_id " +
+        "ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS run FROM events ORDER BY event_id LIMIT 100"),
+    "q26_set_ops" ->
+      ("SELECT count(*) AS n FROM (SELECT o_custkey FROM orders " +
+        "EXCEPT SELECT c_custkey FROM customer) t"),
+    "q27_scalars" ->
+      ("SELECT event_id, concat_ws('-', event_type, " +
+        "CAST(year(ts) AS VARCHAR)) AS tag, length(event_type) AS l " +
+        "FROM events ORDER BY event_id LIMIT 100"),
+    "q28_stream_hash" ->
+      ("SELECT hash_val % 4 AS stream, count(*) AS n FROM " +
+        "(SELECT abs(user_id * 1103515245 + 12345) AS hash_val FROM events) t " +
+        "GROUP BY hash_val % 4 ORDER BY stream"),
+    "q29_json" ->
+      ("SELECT count(*) AS n FROM events " +
+        "WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50"),
+    "q30_sessionize" ->
+      ("SELECT user_id, count(*) AS sessions FROM (SELECT user_id, sid FROM ( " +
+        "SELECT user_id, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM (SELECT user_id, ts, CASE WHEN " +
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL OR " +
+        "ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE " +
+        "THEN 1 ELSE 0 END AS is_new FROM events) a) b GROUP BY user_id, sid) s " +
+        "GROUP BY user_id ORDER BY user_id LIMIT 100"),
+    "q31_dedup_exact" ->
+      ("SELECT min(doc_id) AS doc_id, count(*) AS n FROM documents " +
+        "GROUP BY text ORDER BY doc_id LIMIT 200"),
+    "q32_token_count" ->
+      ("SELECT doc_id, (length(text) - length(replace(text, ' ', '')) + 1) " +
+        "AS tokens FROM documents ORDER BY doc_id LIMIT 200"),
+    "q33_text_quality" ->
+      ("SELECT doc_id, length(text) AS len, " +
+        "length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct, " +
+        "length(regexp_replace(text, '[^aeiou]', '', 'g')) AS n_vowels " +
+        "FROM documents ORDER BY doc_id LIMIT 200"),
+    "q41_media_bytes" ->
+      ("SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents " +
+        "ORDER BY doc_id LIMIT 200")
+  )
 }

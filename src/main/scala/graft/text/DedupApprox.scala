@@ -1,0 +1,143 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate (near-duplicate) deduplication: MinHash+LSH, SimHash,
+  * n-gram Jaccard. Built for the 100 TB corpus case: everything is
+  * expression-level (codegen'd), candidate generation is a bucket
+  * equi-join (shuffle on band hash, never an all-pairs cross join), and
+  * verification runs only on bucket-collision candidates.
+  *
+  * Algorithms from the public literature (Broder 1997 minwise hashing;
+  * Charikar 2002 SimHash; Leskovec/Rajaraman/Ullman MMDS ch.3 banding).
+  */
+object DedupApprox {
+
+  /** Word-level shingles (n-grams) of a text column, distinct. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(trim(lower(text)), "\\s+")
+    array_distinct(
+      filter(
+        transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+          i => concat_ws(" ", slice(toks, i, lit(n)))),
+        s => length(s) > 0))
+  }
+
+  /** Shingle set hashed to longs — set operations (intersect/union) on
+    * long arrays are far cheaper than on strings, and 64-bit collisions
+    * are negligible at corpus scale. */
+  def hashedShingles(text: Column, n: Int): Column =
+    transform(shingles(text, n), s => xxhash64(s))
+
+  /** MinHash signature: k independent min-hashes of the shingle set.
+    * Hash family = xxhash64 seeded by position (seed literal mixed in). */
+  def minhashSignature(shinglesCol: Column, k: Int): Column =
+    array((0 until k).map { seed =>
+      array_min(transform(shinglesCol, s => xxhash64(lit(seed), s)))
+    }: _*)
+
+  /** LSH band hashes: signature split into b bands of r rows, each band
+    * hashed to one bucket id. b*r must equal the signature length. */
+  def bandHashes(sigCol: Column, b: Int, r: Int): Column =
+    array((0 until b).map { i =>
+      struct(lit(i).as("band"), hash(slice(sigCol, i * r + 1, r)).as("bucket"))
+    }: _*)
+
+  /** End-to-end MinHash LSH candidate pairs over (idCol, textCol):
+    * shingle → signature → band → explode → self-join per bucket →
+    * distinct (id1 < id2) pairs with exact Jaccard verification.
+    *
+    * The self-join shuffles on (band, bucket) — bounded bucket sizes keep
+    * it linear; `jaccardThreshold` filters false positives exactly.
+    */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    // Materialize the shingle+signature stage ONCE: Catalyst's projection
+    // collapse would otherwise inline the (expensive) shingle transform
+    // into every branch of the self-join and the verify joins, computing
+    // it 4×. At lake scale this stage is a written signature table; in a
+    // single plan, cache() is the materialization point.
+    val shingled = df
+      .select(col(idCol).as("id"),
+        hashedShingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .cache()
+    val banded = shingled
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("bh", explode(bandHashes(col("sig"), bands, rows)))
+      .select(col("id"), col("bh.band"), col("bh.bucket"))
+      .cache()
+    // Candidate ids first — the distinct shuffles only (id1, id2) pairs;
+    // shingle arrays join back once per UNIQUE pair for verification.
+    val candidates = banded.select(col("band"), col("bucket"), col("id").as("id1"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id2")),
+        Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+    candidates
+      .join(shingled.select(col("id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(shingled.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .select(col("id1"), col("id2"),
+        (col("inter").cast("double") /
+          (size(col("sh1")) + size(col("sh2")) - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= jaccardThreshold)
+  }
+
+  /** 64-bit SimHash of a token array: per-bit vote of token hashes,
+    * assembled with bitwise OR (no overflow possible). Bit masks are a
+    * 64-element literal array so every step stays codegen-friendly. */
+  def simhash(tokensCol: Column): Column = {
+    val masks = array((0 until 64).map(b => lit(1L << b)): _*)
+    val votes = aggregate(
+      tokensCol,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc, masks,
+        (a, m) => a + when(xxhash64(t).bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: fingerprints banded into 4×16-bit chunks —
+    * any pair within Hamming distance 3 shares at least one exact chunk
+    * (pigeonhole), so candidate generation is again an equi-join. */
+  def simhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fp = df.select(col(idCol).as("id"),
+      simhash(split(trim(lower(col(textCol))), "\\s+")).as("fp"))
+    val chunked = fp.withColumn("chunk", explode(array((0 until 4).map { i =>
+      struct(lit(i).as("ci"),
+        shiftright(col("fp"), i * 16).bitwiseAND(0xFFFFL).as("cv"))
+    }: _*)))
+    val a = chunked.select(col("chunk"), col("id").as("id1"), col("fp").as("fp1"))
+    val b = chunked.select(col("chunk"), col("id").as("id2"), col("fp").as("fp2"))
+    a.join(b, Seq("chunk"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), hamming(col("fp1"), col("fp2")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxHamming)
+  }
+
+  /** Jaccard of two pre-computed distinct shingle arrays, via
+    * |A∩B| / (|A|+|B|−|A∩B|) — one intersect, no union materialized. */
+  def jaccardFromShingles(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb))
+    val uni = size(sa) + size(sb) - inter
+    when(uni === 0, lit(0.0)).otherwise(inter.cast("double") / uni)
+  }
+
+  /** Exact n-gram Jaccard similarity for given pairs — the verification
+    * primitive, also usable standalone on a candidate list. Prefer
+    * shingling each side once in a projection and calling
+    * `jaccardFromShingles` when a document participates in many pairs. */
+  def ngramJaccard(aText: Column, bText: Column, n: Int): Column =
+    jaccardFromShingles(shingles(aText, n), shingles(bText, n))
+}
