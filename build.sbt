@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // JDK 17's posix_spawn helper is unreliable in this container and hangs
+  // Hadoop's Shell-based chmod (streaming checkpoint metadata log). The
+  // classic fork launch mechanism works.
+  "-Djdk.lang.Process.launchMechanism=fork",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

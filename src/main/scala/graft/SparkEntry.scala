@@ -372,7 +372,34 @@ object SparkEntry {
           Multimodal.mediaFromText(Tables.documents(s, d), "doc_id", "text"),
           "media", chunkBytes = 64, everyK = 2)
         .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
-        .orderBy(col("media_id")).limit(200))
+        .orderBy(col("media_id")).limit(200)),
+
+    // RPL MergeApplier batch merge: one effective action per key
+    // (events replayed as a change batch; signup=INSERT, error=DELETE).
+    "q44_applier_merge" -> ((s, d) => {
+      val ops = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        when(col("event_type") === "signup", "INSERT")
+          .when(col("event_type") === "error", "DELETE")
+          .otherwise("UPDATE").as("op"))
+      Appliers.mergeToFinalImages(ops, Seq("user_id"), "event_id", "op")
+        .select(col("user_id"), col("effective_op"))
+        .orderBy(col("user_id")).limit(200)
+    }),
+
+    // time-travel schema catalog: as-of resolution of events against a
+    // versioned DDL log (two versions split at event_id 5000).
+    "q45_schema_asof" -> ((s, d) => {
+      import s.implicits._
+      val ddlLog = Seq(
+        (0L, "app", "events", "v1"),
+        (5000L, "app", "events", "v2"))
+        .toDF("tso", "schemaName", "tableName", "schemaJson")
+      val ev = Tables.events(s, d).select(col("event_id").as("tso"),
+        lit("app").as("schemaName"), lit("events").as("tableName"))
+      SchemaCatalog.resolve(ev, ddlLog)
+        .select(col("tso").as("event_id"), col("schemaJson").as("schema_v"))
+        .orderBy(col("event_id")).limit(100)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -498,6 +525,19 @@ object SparkEntry {
         "FROM documents ORDER BY doc_id LIMIT 200"),
     "q41_media_bytes" ->
       ("SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents " +
-        "ORDER BY doc_id LIMIT 200")
+        "ORDER BY doc_id LIMIT 200"),
+    "q44_applier_merge" ->
+      ("SELECT user_id, CASE WHEN op = 'DELETE' THEN 'DELETE' " +
+        "WHEN has_insert = 1 THEN 'REPLACE' ELSE 'UPDATE' END AS effective_op " +
+        "FROM (SELECT user_id, op, " +
+        "max(CASE WHEN op = 'INSERT' THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY user_id) AS has_insert, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn " +
+        "FROM (SELECT user_id, event_id, CASE event_type WHEN 'signup' THEN 'INSERT' " +
+        "WHEN 'error' THEN 'DELETE' ELSE 'UPDATE' END AS op FROM events) t) w " +
+        "WHERE rn = 1 ORDER BY user_id LIMIT 200"),
+    "q45_schema_asof" ->
+      ("SELECT event_id, CASE WHEN event_id >= 5000 THEN 'v2' ELSE 'v1' END " +
+        "AS schema_v FROM events ORDER BY event_id LIMIT 100")
   )
 }

@@ -46,8 +46,13 @@ object MergeSort {
     * test-only tool; at scale run it per sorted run. */
   def disorderCount(df: DataFrame, orderCol: String): Long = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col(orderCol))
-    df.select(col(orderCol))
+    // Capture the frame's CURRENT physical row order first —
+    // monotonically_increasing_id is (partitionIndex << 33) + rowInPartition,
+    // so lag over it observes rows as they stand, not re-sorted.
+    val withIdx = df.select(col(orderCol))
+      .withColumn("__idx", monotonically_increasing_id())
+    val w = Window.orderBy(col("__idx"))
+    withIdx
       .withColumn("__prev", lag(col(orderCol), 1).over(w))
       .filter(col("__prev").isNotNull && col("__prev") > col(orderCol))
       .count()

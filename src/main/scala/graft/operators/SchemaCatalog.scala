@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-travel schema catalog: fold a DDL log into versioned table schemas
+  * and resolve each change event against the schema current at its TSO.
+  *
+  * Reference semantics: MemoryTableMeta replays DDL text to maintain the
+  * schema repository (polardbx-cdc-canal/.../tsdb/MemoryTableMeta.java:
+  * 82-147), PolarDbXTableMetaManager resolves row events against it as of
+  * their position (polardbx-cdc-meta/.../PolarDbXTableMetaManager.java:103),
+  * with snapshot + rollback modes (meta/RollbackMode.java).
+  *
+  * Spark restatement: the DDL log is data — (tso, schemaName, tableName,
+  * schemaJson). Versioning = a window: each DDL row's validity interval is
+  * [tso, next tso for the same table). Resolution = the as-of join from
+  * AsOfJoin (broadcast — schema catalogs are always small relative to the
+  * event stream, even with millions of DDLs).
+  */
+object SchemaCatalog {
+
+  /** Fold a DDL log into versioned dimension rows with validity intervals:
+    * (schemaName, tableName, schemaJson, valid_from, valid_to). */
+  def versions(ddlLog: DataFrame, tsoCol: String = "tso"): DataFrame = {
+    val w = Window.partitionBy(col("schemaName"), col("tableName"))
+      .orderBy(col(tsoCol))
+    ddlLog
+      .withColumn("valid_from", col(tsoCol))
+      .withColumn("valid_to",
+        coalesce(lead(col(tsoCol), 1).over(w), lit(Long.MaxValue)))
+      .drop(tsoCol)
+  }
+
+  /** Snapshot: the schema of every table as of a given TSO (RollbackMode
+    * SNAPSHOT_EXACTLY analog — used to bootstrap a restarted pipeline). */
+  def snapshotAt(ddlLog: DataFrame, tso: Long, tsoCol: String = "tso"): DataFrame = {
+    val w = Window.partitionBy(col("schemaName"), col("tableName"))
+      .orderBy(col(tsoCol).desc)
+    ddlLog.filter(col(tsoCol) <= tso)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Resolve events against their as-of schema version: broadcast range
+    * join on (schemaName, tableName) with tso ∈ [valid_from, valid_to). */
+  def resolve(events: DataFrame, ddlLog: DataFrame,
+      eventTsoCol: String = "tso"): DataFrame =
+    AsOfJoin.broadcastAsOf(events, versions(ddlLog),
+      Seq("schemaName", "tableName"), eventTsoCol, "valid_from", "valid_to")
+}

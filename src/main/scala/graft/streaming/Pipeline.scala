@@ -26,17 +26,21 @@ object Pipeline {
   final case class TxnEnvelope(txnId: Long, tso: Long, nEvents: Int,
       ops: Seq[String], tables: Seq[String])
 
-  private final case class TxnState(events: List[ChangeEvent])
+  /** Open-transaction buffer (public so Spark can derive its Encoder). */
+  final case class TxnState(events: Seq[ChangeEvent])
 
   /** Stateful transaction assembly: buffer per txnId, emit envelope on
     * COMMIT, discard on ROLLBACK, evict abandoned state on timeout
-    * (Sorter skip-whitelist semantics). */
+    * (Sorter skip-whitelist semantics). `timeout = None` disables eviction
+    * (no timeout-check micro-batches — right for replay/backfill runs);
+    * production streams pass a duration to drop lost-commit transactions. */
   def assembleTransactions(events: Dataset[ChangeEvent],
-      timeout: String = "30 seconds"): Dataset[TxnEnvelope] = {
+      timeout: Option[String] = Some("30 seconds")): Dataset[TxnEnvelope] = {
     import events.sparkSession.implicits._
+    val mode = if (timeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.txnId)
-      .flatMapGroupsWithState[TxnState, TxnEnvelope](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+      .flatMapGroupsWithState[TxnState, TxnEnvelope](OutputMode.Append, mode) {
         (txnId: Long, it: Iterator[ChangeEvent], state: GroupState[TxnState]) =>
           if (state.hasTimedOut) {
             state.remove() // lost commit — drop, like the skip whitelist
@@ -57,7 +61,7 @@ object Pipeline {
                 sorted.map(_.op), sorted.map(_.tableName).distinct))
             } else {
               state.update(TxnState(all))
-              state.setTimeoutDuration(timeout)
+              timeout.foreach(state.setTimeoutDuration)
               Iterator.empty
             }
           }

@@ -1,0 +1,66 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  test("cosine: identical=1, orthogonal=0, zero-safe") {
+    val df = Seq(
+      (vec(1, 2, 3), vec(1, 2, 3)),
+      (vec(1, 0), vec(0, 1)),
+      (vec(0, 0), vec(1, 1))).toDF("a", "b")
+    val got = df.select(Similarity.cosine($"a", $"b")).as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-6)
+    assert(math.abs(got(1)) < 1e-6)
+    assert(got(2) == 0.0)
+  }
+
+  test("bruteForceTopK returns the true nearest neighbors in order") {
+    val corpus = Seq(
+      (0L, vec(1, 0)), (1L, vec(0.9, 0.1)), (2L, vec(0, 1)),
+      (3L, vec(-1, 0)), (4L, vec(0.8, 0.6))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" === 0L)
+    val got = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 3)
+      .orderBy($"rank").select("corpus_id").as[Long].collect().toSeq
+    // nearest to (1,0): id1 (cos≈0.994), id4 (0.8), id2 (0)
+    assert(got == Seq(1L, 4L, 2L))
+  }
+
+  test("lshTopK results are a subset of brute-force candidates with matching sims") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 100L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 3L)
+    val lsh = Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
+      k = 5, numPlanes = 4, dim = 16)
+    val rows = lsh.select("query_id", "corpus_id", "sim")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    // every reported sim must equal the directly computed cosine
+    val all = corpus.as[(Long, Array[Float])].collect().toMap
+    rows.foreach { case (q, c, s) =>
+      val (a, b) = (all(q), all(c))
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      assert(math.abs(s - dot / (na * nb)) < 1e-6)
+    }
+  }
+
+  test("cosineNearDupPairs finds planted duplicate vectors") {
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 50L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    // plant: vector 50 = tiny perturbation of vector 0
+    val dup = (50L, base(0)._2.map(x => x + 0.001f))
+    val df = (base :+ dup).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+      threshold = 0.99, numPlanes = 4, dim = 16)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 50L)))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.model.ChangeEvent
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(tso: Long, txnId: Long, trace: String, op: String,
+      table: String = "t1", source: String = "dn1"): ChangeEvent =
+    ChangeEvent(tso, txnId, source, trace, op, "app", table,
+      new Timestamp(tso * 1000), Map.empty, Map("v" -> tso.toString),
+      None, 1L)
+
+  test("streaming txn assembly: emit on COMMIT, drop on ROLLBACK, hold open") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ChangeEvent]
+    val out = Pipeline.assembleTransactions(input.toDS(), timeout = None)
+    val q = out.writeStream.format("memory").queryName("txns")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // txn 10 commits; txn 11 rolls back; txn 12 stays open
+      input.addData(
+        ev(2, 10, "02", "UPDATE"), ev(1, 10, "01", "INSERT"),
+        ev(3, 11, "01", "DELETE"), ev(4, 12, "01", "INSERT"))
+      q.processAllAvailable()
+      input.addData(ev(5, 10, "03", "COMMIT"), ev(6, 11, "02", "ROLLBACK"))
+      q.processAllAvailable()
+      val got = spark.table("txns").as[Pipeline.TxnEnvelope].collect()
+      assert(got.map(_.txnId).toSet == Set(10L))
+      val t10 = got.find(_.txnId == 10L).get
+      assert(t10.nEvents == 2)
+      assert(t10.ops == Seq("INSERT", "UPDATE")) // trace order restored
+      // open txn 12 emits nothing yet
+      assert(!got.exists(_.txnId == 12L))
+    } finally q.stop()
+  }
+
+  test("heartbeat windows gate on all-sources-present") {
+    val df = Seq(
+      ("dn1", Timestamp.valueOf("2024-01-01 00:00:05")),
+      ("dn2", Timestamp.valueOf("2024-01-01 00:00:06")),
+      ("dn1", Timestamp.valueOf("2024-01-01 00:01:05"))
+    ).toDF("src", "ts")
+    val got = Pipeline.heartbeatWindows(df, "ts", "src", "1 minute", 2)
+      .orderBy($"w.start")
+      .select($"n_events", $"n_sources", $"complete")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq((2L, 2L, true), (1L, 1L, false)))
+  }
+
+  test("globalBinlogBatch produces ordered per-key envelopes") {
+    val events = graft.sources.Tables.events(spark, sf)
+    val out = Pipeline.globalBinlogBatch(events)
+    assert(out.count() > 0)
+    // commit_tso ordered ascending
+    val tsos = out.select("commit_tso").as[Long].collect()
+    assert(tsos.toSeq == tsos.sorted.toSeq)
+    // envelope event lists are sorted by event_id
+    val firstEvents = out.select($"events").limit(20)
+      .as[Seq[(Long, String, Double)]].collect()
+    firstEvents.foreach { evs =>
+      val ids = evs.map(_._1)
+      assert(ids == ids.sorted)
+    }
+  }
+}
