@@ -399,6 +399,31 @@ object SparkEntry {
       SchemaCatalog.resolve(ev, ddlLog)
         .select(col("tso").as("event_id"), col("schemaJson").as("schema_v"))
         .orderBy(col("event_id")).limit(100)
+    }),
+
+    // time-range flashback: inverted ops replayed newest-first.
+    "q46_flashback_range" -> ((s, d) =>
+      graft.jobs.FlashbackJob.build(
+          Tables.events(s, d).select(col("event_id"), col("event_type").as("op"),
+            map(lit("v"), col("value").cast("string")).as("before"),
+            map().as("after"), lit("events").as("tbl")),
+          "event_id", 2000L, 4000L, "op", "before", "after", "tbl",
+          insertLit = "insert", deleteLit = "delete")
+        .select(col("event_id"), col("op"))
+        .limit(100)),
+
+    // Binlog-X fan-out distribution (HashLevelTest analog; Spark-hash
+    // specific — rows-only check).
+    "q47_binlogx_dist" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id").as("tso"), lit("app").as("db"),
+          concat(lit("t"), col("user_id") % 7).as("tbl"),
+          col("user_id").as("pk"),
+          (col("event_type") === "signup").as("marker"))
+      graft.jobs.BinlogXJob.fanOut(ev, 4, StreamHash.ByRecord,
+          "db", "tbl", Seq("pk"), "tso", isMarker = col("marker"))
+        .groupBy(col("stream")).agg(count(lit(1)).as("n"))
+        .orderBy(col("stream"))
     })
   )
 
@@ -538,6 +563,11 @@ object SparkEntry {
         "WHERE rn = 1 ORDER BY user_id LIMIT 200"),
     "q45_schema_asof" ->
       ("SELECT event_id, CASE WHEN event_id >= 5000 THEN 'v2' ELSE 'v1' END " +
-        "AS schema_v FROM events ORDER BY event_id LIMIT 100")
+        "AS schema_v FROM events ORDER BY event_id LIMIT 100"),
+    "q46_flashback_range" ->
+      ("SELECT event_id, CASE event_type WHEN 'insert' THEN 'delete' " +
+        "WHEN 'delete' THEN 'insert' ELSE event_type END AS op FROM events " +
+        "WHERE event_id BETWEEN 2000 AND 4000 " +
+        "ORDER BY event_id DESC LIMIT 100")
   )
 }

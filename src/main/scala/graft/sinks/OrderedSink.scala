@@ -1,0 +1,71 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.operators.MergeSort
+
+/** Ordered sinks: the binlog-file analog.
+  *
+  * Reference semantics: LogFileGenerator consumes the ordered token/item
+  * stream and writes rotated binlog files, framing each transaction
+  * between generated BEGIN/COMMIT events and stamping a TSO mark
+  * (polardbx-cdc-dumper/.../logfile/LogFileGenerator.java:121-975;
+  * EventGenerator.makeBegin:71/makeCommit:109). ParallelWriter encodes in
+  * parallel but commits serially ordered (parallel/ParallelWriter.java:48).
+  *
+  * Spark restatement: global order = ONE range-repartition on the TSO key;
+  * "files rotated in order" = partition-indexed output files — readers
+  * that concatenate part files in index order observe the total order.
+  * Parallel-encode/serial-commit is Spark's native execution model
+  * (parallel tasks, driver-side ordered commit protocol). Never
+  * coalesce(1): a 100 TB log writes as thousands of ordered runs.
+  */
+object OrderedSink {
+
+  /** Frame a change-event stream into transaction envelopes and write them
+    * in TSO order: one row per transaction with its ordered events —
+    * the BEGIN...COMMIT framing as nested data. Returns the framed frame
+    * (also written if outDir is given). */
+  def writeTxnFramed(events: DataFrame, txnCol: String, tsoCol: String,
+      traceCol: String, payloadCols: Seq[String], numPartitions: Int,
+      outDir: Option[String]): DataFrame = {
+    val framed = events
+      .groupBy(col(txnCol))
+      .agg(
+        max(col(tsoCol)).as("commit_tso"),
+        count(lit(1)).as("n_events"),
+        sort_array(collect_list(
+          struct((traceCol +: payloadCols).map(col): _*))).as("events"))
+    val ordered = MergeSort.sortedRuns(framed, numPartitions, Seq("commit_tso"))
+    outDir.foreach(d => ordered.write.mode(SaveMode.Overwrite).parquet(d))
+    ordered
+  }
+
+  /** Recovery cursor: the max TSO present in an output directory — the
+    * restart position for exactly-once resume (the analog of binlog file
+    * recover + MinTSOFilter seek, dumper/.../BinlogFileRecoverBuilder.java). */
+  def recoverPosition(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, tsoCol: String): Option[Long] = {
+    if (!new java.io.File(outDir).exists()) None
+    else spark.read.parquet(outDir).agg(max(col(tsoCol))).head().get(0) match {
+      case null => None
+      case v: Long => Some(v)
+      case v => Some(v.toString.toLong)
+    }
+  }
+
+  /** Idempotent append for foreachBatch: only events past the recovered
+    * position are appended — replaying a batch after failure cannot
+    * duplicate rows (batch-id-free dedup by position). */
+  def appendSince(events: DataFrame, tsoCol: String, outDir: String,
+      numPartitions: Int): Unit = {
+    val start = recoverPosition(events.sparkSession, outDir, tsoCol)
+    val fresh = start match {
+      case Some(pos) => events.filter(col(tsoCol) > pos)
+      case None => events
+    }
+    MergeSort.sortedRuns(fresh, numPartitions, Seq(tsoCol))
+      .write.mode(SaveMode.Append).parquet(outDir)
+  }
+}

@@ -1,0 +1,139 @@
+package graft.jobs
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.{MergeSort, StreamHash}
+import graft.sinks.OrderedSink
+
+class JobsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- transfer invariant (polardbx-cdc-transfer Bank analog) ----
+
+  test("bank invariant: SUM(balance) constant at every complete-txn cut") {
+    val nAccounts = 20
+    val rnd = new scala.util.Random(42)
+    val initial = (0 until nAccounts).map(a => (a.toLong, 1000L))
+    // each txn t: debit account x by d, credit account y by d (paired rows)
+    val transfers = (1 to 200).flatMap { t =>
+      val x = rnd.nextInt(nAccounts); var y = rnd.nextInt(nAccounts)
+      if (y == x) y = (y + 1) % nAccounts
+      val d = 1 + rnd.nextInt(50)
+      Seq((t.toLong, 2L * t, x.toLong, -d.toLong),
+        (t.toLong, 2L * t + 1, y.toLong, d.toLong))
+    }
+    val ev = transfers.toDF("txnId", "tso", "account", "delta")
+    val total = initial.map(_._2).sum
+    // at each complete-transaction cut (every 50 txns), balances must sum
+    // to the invariant — applying a PREFIX of whole transactions only
+    Seq(50L, 100L, 150L, 200L).foreach { cut =>
+      val applied = ev.filter($"txnId" <= cut)
+        .groupBy($"account").agg(sum($"delta").as("d"))
+      val balances = initial.toDF("account", "balance")
+        .join(applied, Seq("account"), "left_outer")
+        .select(($"balance" + coalesce($"d", lit(0L))).as("b"))
+      assert(balances.agg(sum($"b")).head().getLong(0) == total,
+        s"invariant broken at cut $cut")
+      assert(balances.filter($"b" < 0).count() >= 0) // sanity: evaluable
+    }
+    // a HALF-transaction cut must break the invariant (shows the test bites)
+    val halfApplied = ev.filter($"tso" <= 100L) // includes debit of txn 50 only
+      .groupBy($"account").agg(sum($"delta").as("d"))
+    val halfSum = initial.toDF("account", "balance")
+      .join(halfApplied, Seq("account"), "left_outer")
+      .select(($"balance" + coalesce($"d", lit(0L))).as("b"))
+      .agg(sum($"b")).head().getLong(0)
+    assert(halfSum != total)
+  }
+
+  // ---- Binlog-X fan-out (HashLevelTest analog) ----
+
+  test("binlog-x fan-out: complete, balanced, per-stream ordered, markers everywhere") {
+    val events = graft.sources.Tables.events(spark, sf)
+      .select($"event_id".as("tso"), lit("app").as("db"),
+        concat(lit("t"), ($"user_id" % 7)).as("tbl"), $"user_id".as("pk"),
+        ($"event_type" === "signup").as("marker"))
+    val m = 4
+    val out = BinlogXJob.fanOut(events, m, StreamHash.ByRecord,
+      "db", "tbl", Seq("pk"), "tso", isMarker = col("marker"))
+    val nData = events.filter(!$"marker").count()
+    val nMarkers = events.filter($"marker").count()
+    // completeness: every data row exactly once, every marker M times
+    assert(out.filter(!$"marker").count() == nData)
+    assert(out.filter($"marker").count() == nMarkers * m)
+    // each stream sees every marker
+    val perStream = out.filter($"marker").groupBy($"stream").count()
+      .as[(Int, Long)].collect().toMap
+    assert(perStream.keySet == (0 until m).toSet)
+    assert(perStream.values.forall(_ == nMarkers))
+    // per-key locality: a pk's data rows all land in one stream
+    val keySpread = out.filter(!$"marker").groupBy($"pk")
+      .agg(countDistinct($"stream").as("s")).filter($"s" > 1).count()
+    assert(keySpread == 0)
+    // balance: no stream more than 3x the smallest (hash spread sanity)
+    val sizes = out.filter(!$"marker").groupBy($"stream").count()
+      .as[(Int, Long)].collect().map(_._2)
+    assert(sizes.max <= sizes.min * 3, s"skewed: ${sizes.toSeq}")
+    // per-stream order: within each partition, tso ascending
+    val disorder = out.select($"stream", $"tso").rdd.mapPartitions { it =>
+      val rows = it.map(r => (r.getInt(0), r.getLong(1))).toSeq
+      Iterator(rows.sliding(2).count {
+        case Seq((s1, t1), (s2, t2)) => s1 == s2 && t1 > t2
+        case _ => false
+      })
+    }.collect().sum
+    assert(disorder == 0)
+  }
+
+  // ---- ordered sink: framing, recovery, idempotent append ----
+
+  test("ordered sink: txn framing survives file-order reads; recovery + idempotent append") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val events = Seq(
+      (10L, 3L, "02", "U"), (10L, 2L, "01", "I"),
+      (11L, 5L, "01", "D"), (12L, 8L, "01", "I"))
+      .toDF("txnId", "tso", "traceId", "op")
+    val framed = OrderedSink.writeTxnFramed(events, "txnId", "tso", "traceId",
+      Seq("op"), numPartitions = 2, outDir = Some(s"$dir/framed"))
+    val got = spark.read.parquet(s"$dir/framed")
+    assert(got.count() == 3)
+    // intra-txn order restored by traceId
+    val t10 = got.filter($"txnId" === 10L).select($"events").head()
+      .getSeq[org.apache.spark.sql.Row](0).map(_.getString(1))
+    assert(t10 == Seq("I", "U"))
+    // recovery position = max tso
+    assert(OrderedSink.recoverPosition(spark, s"$dir/framed", "commit_tso")
+      .contains(8L))
+    // idempotent append: replaying the same flat events adds nothing
+    OrderedSink.appendSince(events.select($"tso", $"op"), "tso",
+      s"$dir/log", 2)
+    val n1 = spark.read.parquet(s"$dir/log").count()
+    OrderedSink.appendSince(events.select($"tso", $"op"), "tso",
+      s"$dir/log", 2)
+    assert(spark.read.parquet(s"$dir/log").count() == n1)
+    // new data past the cursor does append
+    OrderedSink.appendSince(Seq((9L, "I"), (3L, "stale")).toDF("tso", "op"),
+      "tso", s"$dir/log", 2)
+    assert(spark.read.parquet(s"$dir/log").count() == n1 + 1)
+  }
+
+  // ---- flashback ----
+
+  test("flashback: inverted ops, reversed order, scoped; inversion is involution") {
+    val events = Seq(
+      (1L, "INSERT", Map("k" -> "a"), Map("k" -> "b"), "t1"),
+      (2L, "UPDATE", Map("k" -> "b"), Map("k" -> "c"), "t1"),
+      (3L, "DELETE", Map("k" -> "c"), Map[String, String](), "t2"),
+      (9L, "INSERT", Map("k" -> "z"), Map("k" -> "z"), "t1"))
+      .toDF("tso", "op", "before", "after", "tbl")
+    val fb = FlashbackJob.build(events, "tso", 1L, 3L, "op", "before",
+      "after", "tbl", tables = Seq("t1"))
+    val rows = fb.select($"tso", $"op").as[(Long, String)].collect().toSeq
+    // newest-first, only t1 rows in [1,3]
+    assert(rows == Seq((2L, "UPDATE"), (1L, "DELETE")))
+    // involution: invert twice = identity
+    val twice = FlashbackJob.invertTwice(events, "op", "before", "after")
+    assert(twice.select($"tso", $"op", $"before", $"after").collect().toSet ==
+      events.select($"tso", $"op", $"before", $"after").collect().toSet)
+  }
+}
