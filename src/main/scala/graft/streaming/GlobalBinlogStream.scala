@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.sinks.OrderedSink
+
+/** The standing Global-Binlog query as a Structured Streaming job
+  * (SURVEY §3.1 restatement): file-based change source → filter/reshape →
+  * per-batch TSO-ordered idempotent append.
+  *
+  * Exactly-once: the streaming checkpoint gives at-least-once batch
+  * replay; OrderedSink.appendSince makes the replay idempotent by
+  * position (the reference's restart-from-TSO seek, MinTSOFilter.java:31 +
+  * BinlogFileRecoverBuilder). Trigger.AvailableNow drains everything
+  * currently in the source and stops — the batch-backfill mode; pass a
+  * processing-time trigger for continuous tailing.
+  */
+object GlobalBinlogStream {
+
+  def start(spark: SparkSession, sourceDir: String, sourceSchema: StructType,
+      tsoCol: String, outDir: String, checkpointDir: String,
+      numPartitions: Int, transform: DataFrame => DataFrame = identity,
+      continuous: Option[String] = None): StreamingQuery = {
+    val src = spark.readStream
+      .schema(sourceSchema)
+      .option("maxFilesPerTrigger", 16) // bounded micro-batches (backpressure)
+      .parquet(sourceDir)
+    val trigger = continuous match {
+      case Some(interval) => Trigger.ProcessingTime(interval)
+      case None => Trigger.AvailableNow()
+    }
+    transform(src).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        OrderedSink.appendSince(batch, tsoCol, outDir, numPartitions)
+      }
+      .start()
+  }
+}
