@@ -1,0 +1,274 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the sketch hot paths.
+  *
+  * Both replace k-pass/64-wide higher-order-function formulations with a
+  * single pass over the input array inside whole-stage codegen — the
+  * preference-(b) extension point (custom Expression) from the design
+  * guide, used only where built-ins genuinely can't express the work
+  * without repeated passes.
+  */
+
+/** k-slot MinHash signature of a long-hash array in ONE pass.
+  *
+  * Hash family: universal mixing h_j = h * A_j + B_j over the element's
+  * 64-bit hash (odd multipliers from splitmix64 of the slot index) — the
+  * standard one-strong-hash + k-cheap-mixes construction (Broder 1997
+  * minwise family). Input: array<bigint> (pre-hashed shingles). Output:
+  * array<bigint> of length k; null input → null, empty array → all
+  * Long.MaxValue slots.
+  */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k > 0 && k <= 1024, s"minhash k out of range: $k")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_signature needs array<bigint>, got ${other.sql}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  @transient private lazy val mults: Array[Long] = MinHashSignature.multipliers(k)
+  @transient private lazy val adds: Array[Long] = MinHashSignature.addends(k)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = h * mults(j) + adds(j)
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val multsRef = ctx.addReferenceObj("mults", mults, "long[]")
+    val addsRef = ctx.addReferenceObj("adds", adds, "long[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val out = ctx.freshName("out")
+      s"""
+        |final int $n = $arr.numElements();
+        |final long[] $out = new long[$k];
+        |java.util.Arrays.fill($out, Long.MAX_VALUE);
+        |for (int $i = 0; $i < $n; $i++) {
+        |  final long $h = $arr.getLong($i);
+        |  for (int $j = 0; $j < $k; $j++) {
+        |    final long $v = $h * $multsRef[$j] + $addsRef[$j];
+        |    if ($v < $out[$j]) $out[$j] = $v;
+        |  }
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  /** splitmix64 — deterministic per-slot parameters. */
+  private def splitmix(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  def multipliers(k: Int): Array[Long] =
+    Array.tabulate(k)(j => splitmix(j.toLong * 2 + 1) | 1L) // odd
+  def addends(k: Int): Array[Long] =
+    Array.tabulate(k)(j => splitmix(j.toLong * 2 + 2))
+}
+
+/** 64-bit SimHash of a long-hash array in ONE pass (Charikar 2002):
+  * per-bit ±1 votes of each element hash, sign-packed into a long.
+  * Input: array<bigint>; output: bigint; empty array → 0.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 needs array<bigint>, got ${other.sql}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(fp)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val votes = ctx.freshName("votes")
+      val fp = ctx.freshName("fp")
+      s"""
+        |final int $n = $arr.numElements();
+        |final int[] $votes = new int[64];
+        |for (int $i = 0; $i < $n; $i++) {
+        |  final long $h = $arr.getLong($i);
+        |  for (int $b = 0; $b < 64; $b++) {
+        |    if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+        |  }
+        |}
+        |long $fp = 0L;
+        |for (int $b = 0; $b < 64; $b++) {
+        |  if ($votes[$b] > 0) $fp |= (1L << $b);
+        |}
+        |${ev.value} = $fp;
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct hashed word n-grams of a string in ONE pass: tokenize on
+  * whitespace, hash each word (FNV-1a over its bytes), combine n
+  * consecutive word hashes polynomially, dedupe. Replaces the
+  * split→transform→concat_ws→array_distinct→xxhash64 chain — no
+  * intermediate string arrays are ever materialized.
+  * Input: string; output: array<bigint> (order of first occurrence).
+  */
+case class HashedShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0 && n <= 16, s"shingle n out of range: $n")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hashed_shingles needs string, got ${other.sql}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_shingles"
+
+  /** Single-pass kernel; public so generated code can call it. */
+  def compute(input: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val bytes = input.toLowerCase.getBytes
+    // 1. hash each whitespace-separated word with FNV-1a
+    val wordHashes = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var i = 0
+    var inWord = false
+    var h = HashedShingles.FnvOffset
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val ws = b == ' ' || b == '\t' || b == '\n' || b == '\r'
+      if (ws) {
+        if (inWord) { wordHashes += h; h = HashedShingles.FnvOffset; inWord = false }
+      } else {
+        h = (h ^ (b & 0xFF)) * HashedShingles.FnvPrime
+        inWord = true
+      }
+      i += 1
+    }
+    if (inWord) wordHashes += h
+    // 2. polynomial n-gram combine + dedupe (first-occurrence order)
+    val nWords = wordHashes.length
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](math.max(nWords - n + 1, 0))
+    var j = 0
+    while (j + n <= nWords) {
+      var acc = 1469598103934665603L
+      var t = 0
+      while (t < n) {
+        acc = acc * 1099511628211L + wordHashes(j + t)
+        t += 1
+      }
+      if (seen.add(acc)) out += acc
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hashedShingles", this,
+      classOf[HashedShingles].getName)
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s" $ref.compute($input);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashedShingles {
+  val FnvOffset: Long = 1469598103934665603L
+  val FnvPrime: Long = 1099511628211L
+}
+
+/** Column-level entry points. */
+object sketch {
+  /** One-pass distinct hashed word n-grams of a text column. */
+  def hashed_shingles(text: Column, n: Int): Column =
+    ColumnBridge.column(HashedShingles(ColumnBridge.expression(text), n))
+
+  /** One-pass k-slot MinHash signature over a pre-hashed shingle array. */
+  def minhash_signature(hashedShingles: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(hashedShingles), k))
+
+  /** One-pass 64-bit SimHash over a pre-hashed token array. */
+  def simhash64(hashedTokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(hashedTokens)))
+}

@@ -26,16 +26,24 @@ object DedupApprox {
 
   /** Shingle set hashed to longs — set operations (intersect/union) on
     * long arrays are far cheaper than on strings, and 64-bit collisions
-    * are negligible at corpus scale. */
+    * are negligible at corpus scale. One pass via the native
+    * HashedShingles expression (tokenize+hash+combine+dedupe fused). */
   def hashedShingles(text: Column, n: Int): Column =
-    transform(shingles(text, n), s => xxhash64(s))
+    graft.functions.sketch.hashed_shingles(text, n)
 
   /** MinHash signature: k independent min-hashes of the shingle set.
-    * Hash family = xxhash64 seeded by position (seed literal mixed in). */
+    * Hash family = xxhash64 seeded by position (seed literal mixed in).
+    * k-pass HOF formulation — prefer `minhashSignatureHashed` (native
+    * one-pass expression) on pre-hashed shingles in hot paths. */
   def minhashSignature(shinglesCol: Column, k: Int): Column =
     array((0 until k).map { seed =>
       array_min(transform(shinglesCol, s => xxhash64(lit(seed), s)))
     }: _*)
+
+  /** One-pass k-slot MinHash signature over hashed (long) shingles —
+    * native Catalyst expression with codegen (graft.functions). */
+  def minhashSignatureHashed(hashedShinglesCol: Column, k: Int): Column =
+    graft.functions.sketch.minhash_signature(hashedShinglesCol, k)
 
   /** LSH band hashes: signature split into b bands of r rows, each band
     * hashed to one bucket id. b*r must equal the signature length. */
@@ -66,7 +74,7 @@ object DedupApprox {
       .filter(size(col("sh")) > 0)
       .cache()
     val banded = shingled
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("sig", minhashSignatureHashed(col("sh"), numHashes))
       .withColumn("bh", explode(bandHashes(col("sig"), bands, rows)))
       .select(col("id"), col("bh.band"), col("bh.bucket"))
       .cache()
@@ -89,19 +97,9 @@ object DedupApprox {
   }
 
   /** 64-bit SimHash of a token array: per-bit vote of token hashes,
-    * assembled with bitwise OR (no overflow possible). Bit masks are a
-    * 64-element literal array so every step stays codegen-friendly. */
-  def simhash(tokensCol: Column): Column = {
-    val masks = array((0 until 64).map(b => lit(1L << b)): _*)
-    val votes = aggregate(
-      tokensCol,
-      array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(acc, masks,
-        (a, m) => a + when(xxhash64(t).bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+    * sign-packed — one pass via the native SimHash64 expression. */
+  def simhash(tokensCol: Column): Column =
+    graft.functions.sketch.simhash64(transform(tokensCol, t => xxhash64(t)))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
