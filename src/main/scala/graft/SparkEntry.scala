@@ -424,7 +424,24 @@ object SparkEntry {
           "db", "tbl", Seq("pk"), "tso", isMarker = col("marker"))
         .groupBy(col("stream")).agg(count(lit(1)).as("n"))
         .orderBy(col("stream"))
-    })
+    }),
+
+    // full-copy bootstrap: quantile chunking of the key space
+    // (keyset-pagination analog; approx cuts — rows-only check).
+    "q48_fullcopy_chunks" -> ((s, d) => {
+      val orders = Tables.orders(s, d)
+      val chunks = FullCopy.chunkedScan(orders, "o_orderkey", 8)
+      chunks.zipWithIndex.map { case (c, i) =>
+        c.agg(count(lit(1)).as("n")).select(lit(i).as("chunk"), col("n"))
+      }.reduce(_.unionByName(_)).orderBy(col("chunk"))
+    }),
+
+    // metrics tap: windowed events-per-second (MergeMetrics EPS analog).
+    "q49_metrics_eps" -> ((s, d) =>
+      Metrics.eps(Tables.events(s, d), "ts", "1 minute")
+        .select(col("w.start").as("ws"), col("events"),
+          round(col("eps"), 6).as("eps"))
+        .orderBy(col("ws")).limit(200))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -568,6 +585,10 @@ object SparkEntry {
       ("SELECT event_id, CASE event_type WHEN 'insert' THEN 'delete' " +
         "WHEN 'delete' THEN 'insert' ELSE event_type END AS op FROM events " +
         "WHERE event_id BETWEEN 2000 AND 4000 " +
-        "ORDER BY event_id DESC LIMIT 100")
+        "ORDER BY event_id DESC LIMIT 100"),
+    "q49_metrics_eps" ->
+      ("SELECT date_trunc('minute', ts) AS ws, count(*) AS events, " +
+        "round(count(*) / 60.0, 6) AS eps FROM events " +
+        "GROUP BY date_trunc('minute', ts) ORDER BY ws LIMIT 200")
   )
 }

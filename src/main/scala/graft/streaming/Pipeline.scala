@@ -22,6 +22,16 @@ import graft.model.ChangeEvent
   */
 object Pipeline {
 
+  /** Session configs for big-state pipelines: RocksDB-backed streaming
+    * state (the TxnBuffer→RocksDB spill analog, storage/LogEventStorage
+    * .java:51 — in Spark it's one provider switch; state no longer bounded
+    * by executor heap). Apply via SparkSession.builder.config(...). */
+  val rocksDbStateStore: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+      "true")
+
   /** One assembled transaction. */
   final case class TxnEnvelope(txnId: Long, tso: Long, nEvents: Int,
       ops: Seq[String], tables: Seq[String])

@@ -55,6 +55,34 @@ class PipelineSpec extends SparkSpec {
     assert(got == Seq((2L, 2L, true), (1L, 1L, false)))
   }
 
+  test("streaming heartbeat windows close with the watermark and gate on sources") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    val input = MemoryStream[(String, Timestamp)]
+    val df = input.toDF().toDF("src", "ts")
+    val out = Pipeline.heartbeatWindowsStream(df, "ts", "src",
+      windowLen = "1 minute", watermarkDelay = "30 seconds",
+      expectedSources = 2)
+    val q = out.writeStream.format("memory").queryName("hbw")
+      .outputMode("append").start()
+    try {
+      input.addData(("dn1", ts("00:00:05")), ("dn2", ts("00:00:10")))
+      q.processAllAvailable()
+      // nothing emitted yet: watermark hasn't passed the window end
+      assert(spark.table("hbw").count() == 0)
+      input.addData(("dn1", ts("00:05:00"))) // watermark → 00:04:30
+      q.processAllAvailable()
+      input.addData(("dn1", ts("00:10:00"))) // watermark → 00:09:30
+      q.processAllAvailable()
+      val got = spark.table("hbw")
+        .select($"w.start".cast("string"), $"n_events", $"n_sources", $"complete")
+        .as[(String, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+      assert(got == Seq(
+        ("2024-01-01 00:00:00", 2L, 2L, true),   // both sources reported
+        ("2024-01-01 00:05:00", 1L, 1L, false))) // dn2 missing → incomplete
+    } finally q.stop()
+  }
+
   test("globalBinlogBatch produces ordered per-key envelopes") {
     val events = graft.sources.Tables.events(spark, sf)
     val out = Pipeline.globalBinlogBatch(events)
