@@ -30,6 +30,14 @@ object Reshape {
   def dropHidden(df: DataFrame, hidden: Seq[String]): DataFrame =
     df.drop(hidden: _*)
 
+  /** Physical→logical DDL text normalization (DDLConverter analog,
+    * task/.../filter/rebuild/DDLConverter.java): strip physical group
+    * suffixes from identifiers in DDL text so the logical stream carries
+    * logical names. Pure string projection; no SQL parse needed at
+    * runtime (the schema catalog holds structure). */
+  def normalizeDdl(ddl: Column, suffixPattern: String = "(_[0-9]+)(\\b)"): Column =
+    regexp_replace(ddl, suffixPattern, "$2")
+
   /** Flashback op inversion as a Column expression. */
   def invertOp(op: Column, insertLit: String = "INSERT",
       deleteLit: String = "DELETE"): Column =

@@ -48,6 +48,14 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set("orders", "users", "meta"))
   }
 
+  test("normalizeDdl strips physical suffixes from DDL text") {
+    val df = Seq("CREATE TABLE orders_0001 (id INT)",
+      "ALTER TABLE users ADD COLUMN x INT").toDF("ddl")
+    val got = df.select(Reshape.normalizeDdl($"ddl")).as[String].collect()
+    assert(got(0) == "CREATE TABLE orders (id INT)")
+    assert(got(1) == "ALTER TABLE users ADD COLUMN x INT")
+  }
+
   test("flashback inversion swaps op and images; involution on ops") {
     val df = Seq(("INSERT", Map("a" -> "old"), Map("a" -> "new")))
       .toDF("op", "before", "after")
