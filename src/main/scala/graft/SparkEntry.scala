@@ -441,7 +441,21 @@ object SparkEntry {
       Metrics.eps(Tables.events(s, d), "ts", "1 minute")
         .select(col("w.start").as("ws"), col("events"),
           round(col("eps"), 6).as("eps"))
-        .orderBy(col("ws")).limit(200))
+        .orderBy(col("ws")).limit(200)),
+
+    // validation end-to-end: checksum pre-pass → chunk-narrowed row diff
+    // (dst = customers with every 100th key dropped and two corrupted).
+    "q50_validation" -> ((s, d) => {
+      val src = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+      val dst = src.filter(col("c_custkey") % 100 =!= 0)
+        .withColumn("c_name",
+          when(col("c_custkey").isin(7L, 42L), lit("CORRUPT"))
+            .otherwise(col("c_name")))
+      graft.jobs.ValidationJob.diffRows(src, dst, Seq("c_custkey"),
+          Seq("c_name"), chunkOf = pmod(col("c_custkey"), lit(32)))
+        .groupBy(col("diff_kind")).agg(count(lit(1)).as("n"))
+        .orderBy(col("diff_kind"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -589,6 +603,12 @@ object SparkEntry {
     "q49_metrics_eps" ->
       ("SELECT date_trunc('minute', ts) AS ws, count(*) AS events, " +
         "round(count(*) / 60.0, 6) AS eps FROM events " +
-        "GROUP BY date_trunc('minute', ts) ORDER BY ws LIMIT 200")
+        "GROUP BY date_trunc('minute', ts) ORDER BY ws LIMIT 200"),
+    "q50_validation" ->
+      ("SELECT diff_kind, count(*) AS n FROM (" +
+        "SELECT CASE WHEN c_custkey % 100 = 0 THEN 'missing' " +
+        "ELSE 'mismatched' END AS diff_kind FROM customer " +
+        "WHERE c_custkey % 100 = 0 OR c_custkey IN (7, 42)) t " +
+        "GROUP BY diff_kind ORDER BY diff_kind")
   )
 }

@@ -1,0 +1,89 @@
+package graft.jobs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Checksum, Validation}
+
+/** Source-vs-target validation + reconciliation, composed end-to-end.
+  *
+  * Reference pipeline: ValidationCoordinator → TableValidator chunk
+  * checksums → row-level recheck of mismatched chunks → persist diffs →
+  * ReconCoordinator re-sync (polardbx-cdc-rpl/.../validation/
+  * TableValidator.java:49,100-161; ValSQLGenerator.java:75-222;
+  * validation/reconciliation/).
+  *
+  * Scale shape: the checksum pre-pass reads both tables once and shuffles
+  * only (chunk, checksum) pairs; the expensive row-level join runs ONLY
+  * over chunks whose checksums disagree — at 100 TB with few diffs this
+  * is the difference between a full-table join and touching a handful of
+  * key ranges.
+  */
+object ValidationJob {
+
+  final case class Report(
+      chunksTotal: Long, chunksMismatched: Long,
+      missing: Long, orphans: Long, mismatched: Long)
+
+  /** Chunks whose checksums differ between src and dst. */
+  def mismatchedChunks(src: DataFrame, dst: DataFrame, chunkExpr: Column,
+      cols: Seq[String]): DataFrame = {
+    val cs = Checksum.chunkChecksums(src, chunkExpr, cols)
+      .withColumnRenamed("checksum", "src_checksum")
+      .withColumnRenamed("n", "src_n")
+    val cd = Checksum.chunkChecksums(dst, chunkExpr, cols)
+      .withColumnRenamed("checksum", "dst_checksum")
+      .withColumnRenamed("n", "dst_n")
+    cs.join(cd, Seq("chunk"), "full_outer")
+      .filter(!(col("src_checksum") <=> col("dst_checksum")) ||
+        !(col("src_n") <=> col("dst_n")))
+  }
+
+  /** Lazy diff frame: checksum pre-pass narrows to suspect chunks, then
+    * the row-level diff runs only there. `diff_kind` ∈ missing | orphan |
+    * mismatched — the reconciliation input. Fully declarative (no driver
+    * actions); the chunk list is broadcast. */
+  def diffRows(src: DataFrame, dst: DataFrame, keys: Seq[String],
+      valueCols: Seq[String], chunkOf: Column): DataFrame = {
+    val cols = keys ++ valueCols
+    val bad = mismatchedChunks(src, dst, chunkOf, cols)
+      .select(col("chunk")).distinct()
+    val srcBad = src.join(broadcast(bad), chunkOf === bad("chunk"), "left_semi")
+    val dstBad = dst.join(broadcast(bad), chunkOf === bad("chunk"), "left_semi")
+    val missing = Validation.missingInDst(srcBad, dstBad, keys)
+      .select((keys ++ valueCols).map(col): _*)
+      .withColumn("diff_kind", lit("missing"))
+    val orphans = Validation.orphansInDst(srcBad, dstBad, keys)
+      .select((keys ++ valueCols).map(col): _*)
+      .withColumn("diff_kind", lit("orphan"))
+    val mism = Validation.mismatched(srcBad, dstBad, keys, valueCols)
+      .select((keys ++ valueCols).map(col): _*)
+      .withColumn("diff_kind", lit("mismatched"))
+    missing.unionByName(orphans).unionByName(mism)
+  }
+
+  /** Full run with a driver-side report (counts materialize the diff). */
+  def run(src: DataFrame, dst: DataFrame, keys: Seq[String],
+      valueCols: Seq[String], chunkOf: Column): (Report, DataFrame) = {
+    val bad = mismatchedChunks(src, dst, chunkOf, keys ++ valueCols)
+      .select(col("chunk")).distinct()
+    val diffs = diffRows(src, dst, keys, valueCols, chunkOf).cache()
+    val report = Report(
+      chunksTotal = src.select(chunkOf.as("chunk")).distinct().count(),
+      chunksMismatched = bad.count(),
+      missing = diffs.filter(col("diff_kind") === "missing").count(),
+      orphans = diffs.filter(col("diff_kind") === "orphan").count(),
+      mismatched = diffs.filter(col("diff_kind") === "mismatched").count())
+    (report, diffs)
+  }
+
+  /** Reconciliation batch from the diff rows: the change stream that,
+    * applied to dst (Appliers.upsert semantics), converges it to src —
+    * missing→INSERT, mismatched→UPDATE, orphan→DELETE. */
+  def reconciliationBatch(diffs: DataFrame): DataFrame =
+    diffs.withColumn("op",
+      when(col("diff_kind") === "missing", "INSERT")
+        .when(col("diff_kind") === "orphan", "DELETE")
+        .otherwise("UPDATE"))
+      .drop("diff_kind")
+}
