@@ -41,13 +41,15 @@ object SparkEntry {
 
     // Q3 ordered txn framing: aggregate the fat side FIRST, then join the
     // slim dimension — at scale this shuffles pre-aggregated groups, not
-    // raw lineitems.
+    // raw lineitems. No broadcast hint: orders grows with the data (AQE
+    // broadcasts it at small SF; at 100 TB the agg output is already
+    // hash-partitioned on the key, so the join co-locates).
     "q03_txn_framing" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .groupBy(col("l_orderkey"))
         .agg(count(lit(1)).as("n"), min("l_linenumber").as("mn"),
           max("l_linenumber").as("mx"))
-      li.join(broadcast(Tables.orders(s, d).select(col("o_orderkey"))),
+      li.join(Tables.orders(s, d).select(col("o_orderkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_orderkey"), col("n"), col("mn"), col("mx"))
         .orderBy(col("o_orderkey")).limit(100)
@@ -89,10 +91,12 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber")).limit(100)
     }),
 
-    // Q9 equi hash join, small dim broadcast (token↔payload rendezvous).
+    // Q9 equi hash join (token↔payload rendezvous). customer scales with
+    // the data, so no forced broadcast — AQE broadcasts while it fits and
+    // falls back to a shuffled join beyond that.
     "q09_hash_join" -> ((s, d) =>
       Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)),
+        .join(Tables.customer(s, d),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
         .orderBy(col("c_mktsegment"))),
@@ -455,7 +459,15 @@ object SparkEntry {
           Seq("c_name"), chunkOf = pmod(col("c_custkey"), lit(32)))
         .groupBy(col("diff_kind")).agg(count(lit(1)).as("n"))
         .orderBy(col("diff_kind"))
-    })
+    }),
+
+    // approximate distinct (HLL sketch) — the scale path for cardinality
+    // (implementation-specific value; rows-only check).
+    "q51_approx_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("n_approx"))
+        .select((col("n_approx") > 0).as("positive"),
+          col("n_approx")))
   )
 
   def oracleSql: Map[String, String] = Map(

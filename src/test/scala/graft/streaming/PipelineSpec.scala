@@ -83,6 +83,37 @@ class PipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window agrees with the gaps-and-islands formulation") {
+    def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    // user 1: two sessions (gap > 30 min); user 2: one session
+    val df = Seq(
+      (1L, ts("00:00:00")), (1L, ts("00:10:00")), (1L, ts("01:00:00")),
+      (2L, ts("02:00:00")), (2L, ts("02:29:00"))).toDF("user_id", "ts")
+    val native = df.groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes"))
+      .count()
+      .groupBy(col("user_id")).count()
+      .as[(Long, Long)].collect().toMap
+    assert(native == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("oversized transaction group assembles without failure (spill path)") {
+    // one giant txn (200k events) through the batch assembly agg — the
+    // TxnBuffer-spill analog exercises the external sort/agg path
+    val big = spark.range(200000).select(
+      lit(1L).as("txnId"),
+      format_string("%09d", col("id")).as("traceId"),
+      lit("U").as("op"))
+    val env = graft.operators.TxnAssembly.assemble(big, "txnId", "traceId",
+      Seq("op"))
+    val row = env.head()
+    assert(row.getAs[Long]("n") == 200000L)
+    val events = row.getSeq[org.apache.spark.sql.Row](2)
+    assert(events.size == 200000)
+    assert(events.head.getString(0) == "000000000")
+    assert(events.last.getString(0) == "000199999")
+  }
+
   test("globalBinlogBatch produces ordered per-key envelopes") {
     val events = graft.sources.Tables.events(spark, sf)
     val out = Pipeline.globalBinlogBatch(events)
