@@ -467,7 +467,34 @@ object SparkEntry {
       Tables.events(s, d)
         .agg(approx_count_distinct(col("user_id"), 0.01).as("n_approx"))
         .select((col("n_approx") > 0).as("positive"),
-          col("n_approx")))
+          col("n_approx"))),
+
+    // the flagship §3.1 composition end-to-end: two DN streams (user
+    // parity), commit gate, assembly, XA fusion, day heartbeat windows
+    // (synthesized per DN per day → all complete), global TSO order.
+    "q52_global_binlog" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val changes = graft.sources.ChangeStream.withCommits(
+        graft.sources.ChangeStream.fromEvents(ev))
+      def dn(parity: Int, name: String) =
+        changes.filter(col("txnId") % 2 === parity)
+          .withColumn("partitionId", lit(name))
+      def heartbeats(name: String) =
+        ev.select(to_date(col("ts")).as("day")).distinct()
+          .select(lit(0L).as("tso"), lit(-1L).as("txnId"),
+            lit(name).as("partitionId"), lit("hb").as("traceId"),
+            lit("HEARTBEAT").as("op"), lit("app").as("schemaName"),
+            lit("events").as("tableName"),
+            col("day").cast("timestamp").as("tsoTime"),
+            map().cast("map<string,string>").as("before"),
+            map().cast("map<string,string>").as("after"),
+            lit(null).cast("string").as("ddl"), lit(1L).as("serverId"))
+      graft.jobs.GlobalBinlogJob.run(Seq(
+          dn(0, "dn1").unionByName(heartbeats("dn1")),
+          dn(1, "dn2").unionByName(heartbeats("dn2"))), "1 day")
+        .select(col("commit_tso"), col("n_events"))
+        .orderBy(col("commit_tso")).limit(100)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -621,6 +648,9 @@ object SparkEntry {
         "SELECT CASE WHEN c_custkey % 100 = 0 THEN 'missing' " +
         "ELSE 'mismatched' END AS diff_kind FROM customer " +
         "WHERE c_custkey % 100 = 0 OR c_custkey IN (7, 42)) t " +
-        "GROUP BY diff_kind ORDER BY diff_kind")
+        "GROUP BY diff_kind ORDER BY diff_kind"),
+    "q52_global_binlog" ->
+      ("SELECT max(event_id) AS commit_tso, count(*) AS n_events " +
+        "FROM events GROUP BY user_id ORDER BY commit_tso LIMIT 100")
   )
 }

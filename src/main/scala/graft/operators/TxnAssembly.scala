@@ -26,10 +26,16 @@ object TxnAssembly {
   def assemble(df: DataFrame, txnCol: String, traceCol: String,
       payloadCols: Seq[String]): DataFrame = {
     val item = struct((traceCol +: payloadCols).map(col): _*)
+    // array_sort with an explicit trace comparator: payloads may contain
+    // maps, which sort_array's struct ordering can't compare.
+    val byTrace = (l: Column, r: Column) =>
+      when(l.getField(traceCol) < r.getField(traceCol), -1)
+        .when(l.getField(traceCol) > r.getField(traceCol), 1)
+        .otherwise(0)
     df.groupBy(col(txnCol))
       .agg(
         count(lit(1)).as("n"),
-        sort_array(collect_list(item)).as("events"))
+        array_sort(collect_list(item), byTrace).as("events"))
   }
 
   /** Drop transactions whose commit marker never arrived (rollback / lost
