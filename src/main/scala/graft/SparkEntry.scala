@@ -353,6 +353,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF ANN (k-means coarse quantizer, cell-probed search; no oracle).
+    "q53_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = graft.ml.IvfIndex.train(emb, "embedding", nCells = 8)
+      graft.ml.IvfIndex.topK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, model, nProbe = 2)
+        .select(col("query_id"), col("corpus_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // multimodal: binary column plumbing — payload byte length.
     "q41_media_bytes" -> ((s, d) =>
       Multimodal.mediaFromText(Tables.documents(s, d), "doc_id", "text")

@@ -1,0 +1,84 @@
+package graft.ml
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor: a k-means coarse
+  * quantizer assigns every corpus vector to a cell; a query probes only
+  * its `nProbe` nearest cells. The candidate set shrinks from |corpus| to
+  * ~|corpus|·nProbe/nCells — the classic IVF-Flat scheme (Jégou et al.,
+  * product-quantization literature) on Spark primitives: MLlib KMeans for
+  * training, a literal centroid table for probing, and a cell equi-join
+  * for candidate generation.
+  *
+  * Scale notes: training samples the corpus (KMeans is iterative — do it
+  * once, persist centers); assignment is one model.transform pass; search
+  * is a broadcast-probe equi-join on cell id, never a cross product.
+  */
+object IvfIndex {
+
+  final case class Model(centers: Array[Array[Double]]) {
+    def nCells: Int = centers.length
+  }
+
+  /** Train the coarse quantizer (deterministic for a fixed seed). */
+  def train(corpus: DataFrame, vecCol: String, nCells: Int,
+      seed: Long = 42L, maxIter: Int = 10): Model = {
+    val feats = corpus.select(
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
+    val model = km.fit(feats)
+    Model(model.clusterCenters.map(_.toArray))
+  }
+
+  /** Nearest-cell id for a vector column (L2), via the literal centroid
+    * table — pure expressions, broadcast-free, codegen-friendly. */
+  def cellOf(vecCol: Column, model: Model): Column = {
+    val dists = model.centers.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.map(lit): _*)
+      struct(
+        aggregate(zip_with(vecCol, cLit,
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, x) => acc + x).as("d2"),
+        lit(i).as("cell"))
+    }
+    least(dists: _*).getField("cell")
+  }
+
+  /** The query side's probe list: its `nProbe` nearest cells. */
+  def probeCells(vecCol: Column, model: Model, nProbe: Int): Column = {
+    val dists = model.centers.zipWithIndex.map { case (c, i) =>
+      val cLit = array(c.map(lit): _*)
+      struct(
+        aggregate(zip_with(vecCol, cLit,
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, x) => acc + x).as("d2"),
+        lit(i).as("cell"))
+    }
+    transform(slice(array_sort(array(dists: _*)), 1, nProbe),
+      s => s.getField("cell"))
+  }
+
+  /** IVF top-k cosine search: corpus assigned once, queries probe nProbe
+    * cells, candidates ranked per query. */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, model: Model, nProbe: Int): DataFrame = {
+    val assigned = corpus.select(col(idCol).as("corpus_id"),
+      Similarity.normalize(col(vecCol)).as("cv"),
+      cellOf(col(vecCol), model).as("cell"))
+    val probes = queries.select(col(idCol).as("query_id"),
+        Similarity.normalize(col(vecCol)).as("qv"),
+        probeCells(col(vecCol), model, nProbe).as("cells"))
+      .withColumn("cell", explode(col("cells"))).drop("cells")
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        Similarity.dot(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}
