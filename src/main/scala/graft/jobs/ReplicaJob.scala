@@ -1,0 +1,50 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.{Appliers, Filters}
+
+/** Replica (RPL) apply, end-to-end: consume the change stream, filter by
+  * replication config, and apply each micro-batch to the target with
+  * last-image merging — SURVEY §3.3's standing query.
+  *
+  * Reference pipeline: MysqlBinlogExtractor → ReplicaFilter.ignoreEvent →
+  * SerialPipeline → MergeApplier (PK dedup + batch REPLACE/DELETE)
+  * (polardbx-cdc-rpl/.../extractor/MysqlBinlogExtractor.java:55;
+  * filter/ReplicaFilter.java:107-134; applier/MergeApplier.java:46-156).
+  *
+  * Spark restatement: the micro-batch is the parallel unit; each batch is
+  * collapsed to final images per key and upserted set-based. Replays are
+  * harmless: the merge is deterministic and the upsert idempotent for a
+  * repeated batch (same final images → same target state).
+  */
+object ReplicaJob {
+
+  def start(spark: SparkSession, sourceDir: String, sourceSchema: StructType,
+      spec: Filters.ReplicaSpec, dbCol: String, tableCol: String,
+      keyCols: Seq[String], seqCol: String, opCol: String,
+      targetDir: String, checkpointDir: String,
+      continuous: Option[String] = None): StreamingQuery = {
+    val src = spark.readStream
+      .schema(sourceSchema)
+      .option("maxFilesPerTrigger", 16)
+      .parquet(sourceDir)
+    val trigger = continuous match {
+      case Some(interval) => Trigger.ProcessingTime(interval)
+      case None => Trigger.AvailableNow()
+    }
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val filtered = Filters.replicaFilter(batch, spec, dbCol, tableCol)
+        if (!filtered.isEmpty) {
+          Appliers.applyBatchToParquet(filtered, keyCols, seqCol, opCol,
+            targetDir)
+        }
+      }
+      .start()
+  }
+}

@@ -1,0 +1,56 @@
+package graft.jobs
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.operators.Filters
+
+class ReplicaJobSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("db", StringType), StructField("tbl", StringType),
+    StructField("pk", LongType), StructField("seq", LongType),
+    StructField("op", StringType), StructField("v", StringType)))
+
+  test("stream → replica filter → merge apply converges the target") {
+    val root = Files.createTempDirectory("graft-rpl").toString
+    val srcDir = s"$root/src"; val target = s"$root/target"
+    new java.io.File(srcDir).mkdirs()
+    val spec = Filters.ReplicaSpec(doDbs = Seq("app"),
+      ignoreTables = Seq(("app", "skipme")))
+
+    // wave 1: inserts on app.t, noise on sys.x and app.skipme
+    Seq(
+      ("app", "t", 1L, 1L, "INSERT", "a1"),
+      ("app", "t", 2L, 2L, "INSERT", "b1"),
+      ("app", "skipme", 9L, 3L, "INSERT", "IGNORED"),
+      ("sys", "x", 8L, 4L, "INSERT", "IGNORED")
+    ).toDF("db", "tbl", "pk", "seq", "op", "v")
+      .write.parquet(s"$srcDir/w1.parquet")
+    val q1 = ReplicaJob.start(spark, s"$srcDir/*", schema, spec,
+      "db", "tbl", Seq("pk"), "seq", "op", target, s"$root/ckpt")
+    q1.awaitTermination(120000)
+    val t1 = spark.read.parquet(target).select($"pk", $"v")
+      .as[(Long, String)].collect().toSet
+    assert(t1 == Set((1L, "a1"), (2L, "b1")))
+
+    // wave 2: update pk1 twice (last image wins), delete pk2, insert pk3
+    Seq(
+      ("app", "t", 1L, 5L, "UPDATE", "a2"),
+      ("app", "t", 1L, 6L, "UPDATE", "a3"),
+      ("app", "t", 2L, 7L, "DELETE", "b1"),
+      ("app", "t", 3L, 8L, "INSERT", "c1")
+    ).toDF("db", "tbl", "pk", "seq", "op", "v")
+      .write.parquet(s"$srcDir/w2.parquet")
+    val q2 = ReplicaJob.start(spark, s"$srcDir/*", schema, spec,
+      "db", "tbl", Seq("pk"), "seq", "op", target, s"$root/ckpt")
+    q2.awaitTermination(120000)
+    val t2 = spark.read.parquet(target).select($"pk", $"v")
+      .as[(Long, String)].collect().toSet
+    assert(t2 == Set((1L, "a3"), (3L, "c1")))
+  }
+}
