@@ -262,9 +262,10 @@ object SparkEntry {
 
     // ---- training-data pipeline operators (beyond the reference) ----
 
-    // exact dedup: duplicate-group summary by full text.
+    // exact dedup: duplicate groups keyed by content hash (8-byte shuffle
+    // keys instead of whole documents — the 100 TB formulation).
     "q31_dedup_exact" -> ((s, d) =>
-      Dedup.exactGroups(Tables.documents(s, d), Seq("text"), "doc_id")
+      Dedup.exactGroupsByHash(Tables.documents(s, d), "text", "doc_id")
         .select(col("doc_id"), col("n"))
         .orderBy(col("doc_id")).limit(200)),
 

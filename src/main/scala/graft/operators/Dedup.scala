@@ -42,6 +42,16 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(tieBreaker)).as(tieBreaker), count(lit(1)).as("n"))
 
+  /** Content dedup at scale: group by a 64-bit content hash instead of
+    * the content itself, so the shuffle moves 8-byte keys rather than
+    * whole documents. Collision risk at 64 bits is negligible for corpus
+    * dedup (~N²/2⁶⁵); pair xxhash64 with crc32 for belt-and-braces. */
+  def exactGroupsByHash(df: DataFrame, contentCol: String,
+      tieBreaker: String): DataFrame =
+    df.groupBy(xxhash64(col(contentCol)).as("content_hash"),
+        crc32(col(contentCol)).as("content_crc"))
+      .agg(min(col(tieBreaker)).as(tieBreaker), count(lit(1)).as("n"))
+
   /** Exact dedup keeping representative row per content key. Implemented
     * as min-tiebreak + self-semi-join (not dropDuplicates, whose surviving
     * row is nondeterministic). */
