@@ -19,10 +19,11 @@ import graft.streaming.Pipeline
   */
 object SparkEntry {
 
-  /** Flagship: the Global-Binlog pipeline in batch form (SURVEY §3.1) on
-    * sf0.001 — filter → per-key txn assembly → TSO-ordered output. */
+  /** Flagship: the full Global-Binlog composition (SURVEY §3.1) on
+    * sf0.001 — two DN streams, commit gate, assembly, XA fusion,
+    * heartbeat-window gate, total TSO order. */
   def entry(spark: SparkSession): DataFrame =
-    Pipeline.globalBinlogBatch(Tables.events(spark, "/root/testdata/sf0.001"))
+    queries("q52_global_binlog")(spark, "/root/testdata/sf0.001")
 
   // ---- declared queries Q1–Q30 (SURVEY §2.11) + training-data ops ----
 

@@ -18,6 +18,13 @@ class GlobalBinlogJobSpec extends SparkSpec {
   private val cols = Seq("tso", "txnId", "partitionId", "traceId", "op",
     "schemaName", "tableName", "tsoTime", "before", "after", "ddl", "serverId")
 
+  test("SparkEntry.entry (flagship) yields rows on sf0.001") {
+    val out = graft.SparkEntry.entry(spark)
+    assert(out.count() > 0)
+    val tsos = out.select($"commit_tso").as[Long].collect()
+    assert(tsos.toSeq == tsos.sorted.toSeq)
+  }
+
   test("multi-DN merge: commit gate, XA fusion, heartbeat gate, total order") {
     // window 1 (00:00): complete on both DNs. window 2 (00:01): dn2 silent.
     val dn1 = Seq(
