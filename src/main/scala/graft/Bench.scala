@@ -18,18 +18,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JIT + parquet footers once with the cheapest query
-    try SparkEntry.queries("q01_scan")(spark, sfDir).write
-      .format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // warm run: JIT, codegen cache, parquet footers — report steady-state
+    // times (disable with SPARK_GRAFT_NO_WARMUP=1)
+    if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP")) {
+      ordered.foreach { case (n, f) => runOnce(n, f) }
+    }
+    val results = ordered.map { case (name, fn) => name -> runOnce(name, fn) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
