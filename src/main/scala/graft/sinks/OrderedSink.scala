@@ -68,4 +68,26 @@ object OrderedSink {
     MergeSort.sortedRuns(fresh, numPartitions, Seq(tsoCol))
       .write.mode(SaveMode.Append).parquet(outDir)
   }
+
+  /** Compaction: streaming appends accumulate one small sorted run per
+    * micro-batch; periodically rewrite the log as numPartitions balanced
+    * sorted runs (range-partitioned on the TSO, so the total order and
+    * file-level min/max pruning are restored). Atomic via staging +
+    * directory swap — readers see either the old or the new layout.
+    * The lake-side analog of binlog file rotation housekeeping. */
+  def compact(spark: org.apache.spark.sql.SparkSession, outDir: String,
+      tsoCol: String, numPartitions: Int): Unit = {
+    val staging = outDir + "__compacting"
+    MergeSort.sortedRuns(spark.read.parquet(outDir), numPartitions, Seq(tsoCol))
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    val dir = new java.io.File(outDir)
+    val old = new java.io.File(outDir + "__precompact")
+    if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+    if (!dir.renameTo(old)) sys.error(s"compact: cannot stage out $outDir")
+    if (!new java.io.File(staging).renameTo(dir)) {
+      old.renameTo(dir) // roll back
+      sys.error(s"compact: cannot swap in $staging")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(old)
+  }
 }

@@ -117,6 +117,34 @@ class JobsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/log").count() == n1 + 1)
   }
 
+  test("compaction merges small appended runs, preserving content and order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact")
+      .toString + "/log"
+    // 5 micro-batch appends → many small files
+    (0 until 5).foreach { b =>
+      OrderedSink.appendSince(
+        (b * 10 until (b + 1) * 10).map(i => (i.toLong, s"e$i"))
+          .toDF("tso", "op"), "tso", dir, 2)
+    }
+    val beforeTsos = spark.read.parquet(dir).select("tso")
+      .as[Long].collect().toSet
+    val filesBefore = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    OrderedSink.compact(spark, dir, "tso", 2)
+    val after = spark.read.parquet(dir)
+    val filesAfter = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesAfter < filesBefore)
+    assert(filesAfter == 2)
+    assert(after.count() == 50)
+    assert(after.select("tso").as[Long].collect().toSet == beforeTsos)
+    assert(MergeSort.disorderCount(
+      spark.read.parquet(dir).orderBy($"tso"), "tso") == 0)
+    // appends still work after compaction (cursor preserved)
+    OrderedSink.appendSince(Seq((99L, "new")).toDF("tso", "op"), "tso", dir, 2)
+    assert(spark.read.parquet(dir).count() == 51)
+  }
+
   // ---- flashback ----
 
   test("flashback: inverted ops, reversed order, scoped; inversion is involution") {
