@@ -29,12 +29,12 @@ object TextAnalysis {
       lit("[A-Za-z]{1,8}|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
 
   /** Character n-grams of a string as an array column (language-ID and
-    * fingerprint building block). */
+    * fingerprint building block); boundary-padded, distinct. */
   def charNgrams(text: Column, n: Int): Column = {
     val padded = concat(lit(" "), lower(text), lit(" "))
     array_distinct(transform(
       sequence(lit(1), greatest(length(padded) - (n - 1), lit(0))),
-      i => substring(padded, lit(1), lit(0)).substr(i, lit(n))))
+      i => padded.substr(i, lit(n))))
   }
 
   // Tiny per-language stopword profiles (public common-word lists).

@@ -20,6 +20,16 @@ class TextSpec extends SparkSpec {
     assert(got == 6L)
   }
 
+  test("charNgrams produces boundary-padded distinct n-grams") {
+    val got = Seq("ab ab").toDF("text")
+      .select(TextAnalysis.charNgrams($"text", 2)).as[Seq[String]].head()
+    // " ab ab " → " a","ab","b "," a"(dup),"ab"(dup),"b "(dup) distinct
+    assert(got == Seq(" a", "ab", "b "))
+    val empty = Seq("").toDF("text")
+      .select(TextAnalysis.charNgrams($"text", 3)).as[Seq[String]].head()
+    assert(empty == Seq("  ") || empty.forall(_.length <= 3))
+  }
+
   test("langId picks the profile with most stopword overlap") {
     val df = Seq(
       "the cat sat on the mat and it is a good day for the cat",
