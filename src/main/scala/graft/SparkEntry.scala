@@ -489,6 +489,20 @@ object SparkEntry {
         .select((col("n_approx") > 0).as("positive"),
           col("n_approx"))),
 
+    // embedding-cosine near-dup pairs (LSH-bucketed): planted perturbed
+    // copies (vec_id+100000, +0.001 on each component) recovered at the
+    // 0.999 threshold (rows-only — Spark-side vector math).
+    "q54_embed_neardup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.001f)).as("embedding"))
+      Similarity.cosineNearDupPairs(emb.unionByName(planted),
+          "vec_id", "embedding", threshold = 0.999, numPlanes = 4, dim = 64)
+        .select(col("id1"), col("id2"))
+        .orderBy(col("id1"), col("id2")).limit(200)
+    }),
+
     // the flagship §3.1 composition end-to-end: two DN streams (user
     // parity), commit gate, assembly, XA fusion, day heartbeat windows
     // (synthesized per DN per day → all complete), global TSO order.
