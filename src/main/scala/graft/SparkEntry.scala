@@ -489,6 +489,30 @@ object SparkEntry {
         .select((col("n_approx") > 0).as("positive"),
           col("n_approx"))),
 
+    // benchmark-contamination: docs sharing ≥3 5-gram shingles with a
+    // "benchmark" built from slices of the first 20 docs (rows-only).
+    "q55_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 5000L).as("bench_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 5, 40)).as("text"))
+      DedupApprox.contamination(docs, "doc_id", "text",
+          bench, "bench_id", "text", shingleN = 5, minOverlap = 3)
+        .select(col("doc_id"), col("bench_id"), col("n_overlap"))
+        .orderBy(col("doc_id"), col("bench_id")).limit(500)
+    }),
+
+    // repetition stats: total vs distinct bigrams per doc (Gopher-style
+    // repetition filter inputs; integer-exact for the oracle).
+    "q56_repetition" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          greatest(size(TextAnalysis.tokens(col("text"))) - 1, lit(0))
+            .cast("bigint").as("total_ngrams"),
+          size(DedupApprox.hashedShingles(col("text"), 2))
+            .cast("bigint").as("distinct_ngrams"))
+        .orderBy(col("doc_id")).limit(200)),
+
     // embedding-cosine near-dup pairs (LSH-bucketed): planted perturbed
     // copies (vec_id+100000, +0.001 on each component) recovered at the
     // 0.999 threshold (rows-only — Spark-side vector math).
@@ -685,6 +709,12 @@ object SparkEntry {
         "GROUP BY diff_kind ORDER BY diff_kind"),
     "q52_global_binlog" ->
       ("SELECT max(event_id) AS commit_tso, count(*) AS n_events " +
-        "FROM events GROUP BY user_id ORDER BY commit_tso LIMIT 100")
+        "FROM events GROUP BY user_id ORDER BY commit_tso LIMIT 100"),
+    "q56_repetition" ->
+      ("SELECT doc_id, greatest(len(string_split(text, ' ')) - 1, 0) " +
+        "AS total_ngrams, len(list_distinct([string_split(text, ' ')[i] || ' ' " +
+        "|| string_split(text, ' ')[i+1] " +
+        "for i in range(1, len(string_split(text, ' ')))])) AS distinct_ngrams " +
+        "FROM documents ORDER BY doc_id LIMIT 200")
   )
 }

@@ -124,6 +124,25 @@ object DedupApprox {
       .filter(col("dist") <= maxHamming)
   }
 
+  /** Benchmark-contamination detection: which corpus documents share at
+    * least `minOverlap` distinct n-grams with any benchmark document —
+    * the standard train/eval leakage check. Candidate generation is an
+    * equi-join on hashed n-grams (shuffle carries 8-byte keys), grouped
+    * back per (doc, benchmark) pair; never an all-pairs product. At
+    * 100 TB the benchmark side is tiny — AQE broadcasts it. */
+  def contamination(corpus: DataFrame, corpusId: String, corpusText: String,
+      benchmark: DataFrame, benchId: String, benchText: String,
+      shingleN: Int = 5, minOverlap: Int = 3): DataFrame = {
+    val c = corpus.select(col(corpusId).as("doc_id"),
+        explode(hashedShingles(col(corpusText), shingleN)).as("h"))
+    val b = benchmark.select(col(benchId).as("bench_id"),
+        explode(hashedShingles(col(benchText), shingleN)).as("h"))
+    c.join(b, Seq("h"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   /** Jaccard of two pre-computed distinct shingle arrays, via
     * |A∩B| / (|A|+|B|−|A∩B|) — one intersect, no union materialized. */
   def jaccardFromShingles(sa: Column, sb: Column): Column = {

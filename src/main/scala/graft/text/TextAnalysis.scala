@@ -96,6 +96,17 @@ object TextAnalysis {
     round((lenScore + punctScore + stopScore + caseScore) / 4.0, 6)
   }
 
+  /** Intra-document repetition: 1 − |distinct n-grams| / |n-grams| —
+    * boilerplate/loop detection (Gopher-style repetition filters).
+    * 0 = no repetition; →1 = highly repetitive. */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val toks = tokens(lower(text))
+    val total = greatest(size(toks) - (n - 1), lit(0))
+    val distinctN = size(graft.functions.sketch.hashed_shingles(lower(text), n))
+    when(total === 0, lit(0.0))
+      .otherwise(lit(1.0) - distinctN.cast("double") / total)
+  }
+
   /** Rolling polynomial fingerprint over tokens, mod a 31-bit prime so the
     * accumulator can never overflow (ANSI-safe): a stable document
     * fingerprint for content-defined chunking / shift-tolerant dedup. */

@@ -86,6 +86,33 @@ class TextSpec extends SparkSpec {
     assert(dist <= 8, s"near-dup hamming too large: $dist")
   }
 
+  test("contamination finds docs overlapping the benchmark set") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "totally unrelated words nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "xx alpha beta gamma delta epsilon zeta yy"))
+      .toDF("bench_id", "text")
+    val hits = DedupApprox.contamination(corpus, "doc_id", "text",
+        bench, "bench_id", "text", shingleN = 3, minOverlap = 2)
+      .select($"doc_id", $"bench_id").as[(Long, Long)].collect().toSet
+    assert(hits == Set((1L, 100L)))
+  }
+
+  test("repetitionRatio: 0 for unique text, high for loops, empty-safe") {
+    val df = Seq(
+      "a b c d e f g h i j",
+      "spam spam spam spam spam spam spam spam",
+      "").toDF("text")
+    val got = df.select(TextAnalysis.repetitionRatio($"text", 2))
+      .as[Double].collect()
+    assert(got(0) == 0.0)
+    assert(got(1) > 0.8)
+    assert(got(2) == 0.0)
+  }
+
   test("jaccard identities: self=1, disjoint=0, known overlap") {
     val df = Seq(("a b c d", "a b c d"), ("a b c", "x y z"),
       ("a b c d e", "c d e f g")).toDF("t1", "t2")
