@@ -42,4 +42,33 @@ object BinlogXJob {
   def writeStreams(fannedOut: DataFrame, outDir: String): Unit =
     fannedOut.write.mode(SaveMode.Overwrite)
       .partitionBy("stream").parquet(outDir)
+
+  /** Continuous form: fan each micro-batch out and append per-stream,
+    * idempotently by position per stream (the relay-store + per-stream
+    * dumper loop of SURVEY §3.2 under one streaming query). */
+  def startStream(spark: org.apache.spark.sql.SparkSession, sourceDir: String,
+      sourceSchema: org.apache.spark.sql.types.StructType, m: Int,
+      level: StreamHash.HashLevel, dbCol: String, tableCol: String,
+      pkCols: Seq[String], tsoCol: String,
+      isMarker: org.apache.spark.sql.Column, outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val src = spark.readStream.schema(sourceSchema)
+      .option("maxFilesPerTrigger", 16).parquet(sourceDir)
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // materialize the fan-out once; every stream slice reads the cache
+        val fanned = fanOut(batch, m, level, dbCol, tableCol, pkCols,
+          tsoCol, isMarker).persist()
+        try {
+          (0 until m).foreach { stream =>
+            graft.sinks.OrderedSink.appendSince(
+              fanned.filter(col("stream") === stream).drop("stream"),
+              tsoCol, s"$outDir/stream=$stream", 1)
+          }
+        } finally fanned.unpersist()
+      }
+      .start()
+  }
 }

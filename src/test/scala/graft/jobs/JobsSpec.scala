@@ -85,6 +85,44 @@ class JobsSpec extends SparkSpec {
     assert(disorder == 0)
   }
 
+  test("streaming binlog-x: per-stream dirs, markers everywhere, replay-safe") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-bx").toString
+    val srcDir = s"$root/src"
+    new java.io.File(srcDir).mkdirs()
+    val schema = StructType(Seq(
+      StructField("tso", LongType), StructField("db", StringType),
+      StructField("tbl", StringType), StructField("pk", LongType),
+      StructField("marker", BooleanType)))
+    (1 to 40).map(i => (i.toLong, "app", s"t${i % 5}", (i % 7).toLong,
+        i % 10 == 0))
+      .toDF("tso", "db", "tbl", "pk", "marker")
+      .write.parquet(s"$srcDir/w1.parquet")
+    def run() = {
+      val q = BinlogXJob.startStream(spark, s"$srcDir/*", schema, m = 3,
+        StreamHash.ByRecord, "db", "tbl", Seq("pk"), "tso",
+        isMarker = col("marker"), s"$root/out", s"$root/ckpt")
+      q.awaitTermination(120000)
+    }
+    run()
+    val streams = (0 until 3).map(i =>
+      spark.read.parquet(s"$root/out/stream=$i"))
+    // data completeness: 36 data rows exactly once across streams
+    assert(streams.map(_.filter(!$"marker").count()).sum == 36)
+    // markers in every stream
+    streams.foreach(s => assert(s.filter($"marker").count() == 4))
+    // per-stream order
+    streams.foreach { s =>
+      assert(MergeSort.disorderCount(s.orderBy($"tso"), "tso") == 0)
+    }
+    // replay after checkpoint loss: no duplicates (position idempotence)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$root/ckpt"))
+    run()
+    assert((0 until 3).map(i =>
+      spark.read.parquet(s"$root/out/stream=$i").count()).sum == 48)
+  }
+
   // ---- ordered sink: framing, recovery, idempotent append ----
 
   test("ordered sink: txn framing survives file-order reads; recovery + idempotent append") {
