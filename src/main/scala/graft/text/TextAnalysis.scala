@@ -45,14 +45,25 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "nicht"),
     "zh" -> Seq("的", "了", "是", "我", "不", "在", "有", "他", "这", "中"))
 
-  /** Stopword-overlap language ID: score = |tokens ∩ profile| per language,
-    * argmax wins, 'und' (undetermined) when no profile matches. A CJK
+  // diacritics that strongly indicate one language (cheap evidence the
+  // stopword overlap can miss on short texts)
+  private val diacritics: Map[String, String] = Map(
+    "es" -> "ñ¡¿", "fr" -> "àâçêëîïôœ", "de" -> "äöüß")
+
+  /** Language ID: stopword overlap + diacritic evidence per language,
+    * argmax wins, 'und' (undetermined) when nothing matches. A CJK
     * character-range check short-circuits zh. */
   def langId(text: Column): Column = {
     val toks = tokens(lower(text))
     val scores: Seq[(String, Column)] = profiles.toSeq.sortBy(_._1).map {
       case (lang, words) =>
-        lang -> size(array_intersect(toks, array(words.map(lit): _*)))
+        val stop = size(array_intersect(toks, array(words.map(lit): _*)))
+        val dia = diacritics.get(lang) match {
+          case Some(chars) =>
+            length(regexp_replace(lower(text), s"[^$chars]", "")) * 2
+          case None => lit(0)
+        }
+        lang -> (stop + dia)
     }
     val best = scores.map { case (lang, s) =>
       struct(s.as("score"), lit(lang).as("lang"))

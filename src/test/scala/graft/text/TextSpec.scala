@@ -40,6 +40,11 @@ class TextSpec extends SparkSpec {
       "zzz qqq xxx").toDF("text")
     val got = df.select(TextAnalysis.langId($"text")).as[String].collect()
     assert(got.toSeq == Seq("en", "es", "fr", "de", "zh", "und"))
+    // diacritics decide when stopwords are absent
+    val dia = Seq("señor espaÑa mañana", "garçon français très",
+      "straße müller größe").toDF("text")
+      .select(TextAnalysis.langId($"text")).as[String].collect()
+    assert(dia.toSeq == Seq("es", "fr", "de"))
   }
 
   test("quality score is in [0,1] and favors punctuated prose") {
