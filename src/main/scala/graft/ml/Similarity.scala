@@ -96,8 +96,10 @@ object Similarity {
     * the embedding-space member of the dedup family. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPlanes: Int, dim: Int): DataFrame = {
+    // materialize normalize+bucket once: projection collapse would inline
+    // the vector math into both self-join branches (cf. DedupApprox)
     val n = df.select(col(idCol).as("id"), normalize(col(vecCol)).as("v"),
-      lshBucket(col(vecCol), numPlanes, dim).as("bucket"))
+      lshBucket(col(vecCol), numPlanes, dim).as("bucket")).cache()
     val a = n.select(col("bucket"), col("id").as("id1"), col("v").as("v1"))
     val b = n.select(col("bucket"), col("id").as("id2"), col("v").as("v2"))
     a.join(b, Seq("bucket"))
