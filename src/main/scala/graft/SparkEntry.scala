@@ -451,13 +451,14 @@ object SparkEntry {
     }),
 
     // full-copy bootstrap: quantile chunking of the key space
-    // (keyset-pagination analog; approx cuts — rows-only check).
+    // (keyset-pagination analog; approx cuts — rows-only check). One
+    // grouped pass over the table, not one job per chunk.
     "q48_fullcopy_chunks" -> ((s, d) => {
       val orders = Tables.orders(s, d)
-      val chunks = FullCopy.chunkedScan(orders, "o_orderkey", 8)
-      chunks.zipWithIndex.map { case (c, i) =>
-        c.agg(count(lit(1)).as("n")).select(lit(i).as("chunk"), col("n"))
-      }.reduce(_.unionByName(_)).orderBy(col("chunk"))
+      val bounds = FullCopy.chunkBounds(orders, "o_orderkey", 8)
+      orders.groupBy(FullCopy.chunkIdColumn("o_orderkey", bounds).as("chunk"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("chunk"))
     }),
 
     // metrics tap: windowed events-per-second (MergeMetrics EPS analog).

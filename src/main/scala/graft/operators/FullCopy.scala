@@ -55,6 +55,15 @@ object FullCopy {
       df.filter(chunkPredicate(keyCol, lo, hi))
     }
 
+  /** Chunk-id assignment column from precomputed bounds — lets a
+    * distribution/monitoring query count all chunks in ONE pass instead
+    * of one job per chunk. */
+  def chunkIdColumn(keyCol: String,
+      bounds: Seq[(Int, Option[Double], Option[Double])]): Column =
+    bounds.foldLeft(lit(-1)) { case (acc, (i, lo, hi)) =>
+      when(chunkPredicate(keyCol, lo, hi), lit(i)).otherwise(acc)
+    }
+
   /** JDBC-style predicate strings for parallel partitioned reads
     * (spark.read.jdbc(url, table, predicates, ...)). */
   def jdbcPredicates(df: DataFrame, keyCol: String, numChunks: Int): Array[String] =

@@ -20,6 +20,18 @@ class FullCopyMetricsSpec extends SparkSpec {
     assert(counts.max <= counts.min * 2, s"unbalanced: $counts")
   }
 
+  test("chunkIdColumn agrees with chunkedScan per-chunk counts") {
+    val orders = Tables.orders(spark, sf)
+    val bounds = FullCopy.chunkBounds(orders, "o_orderkey", 4)
+    val onePass = orders
+      .groupBy(FullCopy.chunkIdColumn("o_orderkey", bounds).as("chunk"))
+      .count().as[(Int, Long)].collect().toMap
+    val perChunk = FullCopy.chunkedScan(orders, "o_orderkey", 4)
+      .zipWithIndex.map { case (c, i) => i -> c.count() }.toMap
+    assert(onePass == perChunk)
+    assert(!onePass.contains(-1)) // every row assigned
+  }
+
   test("jdbcPredicates produce full coverage predicates") {
     val preds = FullCopy.jdbcPredicates(Tables.orders(spark, sf),
       "o_orderkey", 3)
