@@ -83,6 +83,25 @@ class PipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("txn id reused after rollback assembles fresh (no ghost state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ChangeEvent]
+    val out = Pipeline.assembleTransactions(input.toDS(), timeout = None)
+    val q = out.writeStream.format("memory").queryName("reuse")
+      .outputMode("append").start()
+    try {
+      // txn 7: event then ROLLBACK; later the same id is reused and commits
+      input.addData(ev(1, 7, "01", "INSERT"), ev(2, 7, "02", "ROLLBACK"))
+      q.processAllAvailable()
+      input.addData(ev(10, 7, "01", "UPDATE"), ev(11, 7, "02", "COMMIT"))
+      q.processAllAvailable()
+      val got = spark.table("reuse").as[Pipeline.TxnEnvelope].collect()
+      assert(got.length == 1)
+      assert(got.head.nEvents == 1) // only the post-rollback event
+      assert(got.head.ops == Seq("UPDATE"))
+    } finally q.stop()
+  }
+
   test("session_window agrees with the gaps-and-islands formulation") {
     def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
     // user 1: two sessions (gap > 30 min); user 2: one session

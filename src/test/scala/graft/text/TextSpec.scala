@@ -128,6 +128,30 @@ class TextSpec extends SparkSpec {
     assert(math.abs(got(2) - 3.0 / 7.0) < 1e-9)
   }
 
+  test("unicode text flows through the native kernels correctly") {
+    val cases = Seq(
+      "你好 世界 你好 世界 测试",          // CJK, with a repeated bigram
+      "café münchen señor émigré naïve",   // diacritics
+      "🎉 emoji 🎉 emoji tokens 🚀 here",  // surrogate pairs
+      "mixed 中文 and english текст")      // mixed scripts
+    val df = cases.toDF("text")
+    val got = df.select(
+      TextAnalysis.tokenCount($"text").as("toks"),
+      size(DedupApprox.hashedShingles($"text", 2)).as("sh"))
+      .as[(Long, Int)].collect()
+    // naive reference per case
+    cases.zip(got).foreach { case (text, (toks, sh)) =>
+      val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      assert(toks == words.length, s"tokens for: $text")
+      assert(sh == words.sliding(2).toSeq.distinct.length, s"shingles for: $text")
+    }
+    // identical unicode texts → identical simhash
+    val fps = Seq(cases.head, cases.head).toDF("text")
+      .select(DedupApprox.simhash(TextAnalysis.tokens(lower($"text"))))
+      .as[Long].collect()
+    assert(fps(0) == fps(1))
+  }
+
   test("hashedShingles preserves jaccard vs string shingles") {
     val df = Seq(("a b c d e f", "c d e f g h")).toDF("t1", "t2")
     val viaStrings = df.select(DedupApprox.jaccardFromShingles(
