@@ -528,6 +528,29 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2")).limit(200)
     }),
 
+    // raw DDL-text schema evolution: parse + fold a log of CREATE/ALTER
+    // statements (MemoryTableMeta.apply analog) and resolve each event's
+    // column layout as of its TSO. Exercises CREATE, ADD COLUMN with
+    // default schema, multi-action ALTER (DROP + ADD), and CHANGE COLUMN.
+    "q57_ddl_schema" -> ((s, d) => {
+      import s.implicits._
+      val rawDdl = Seq(
+        (0L, "app",
+          "CREATE TABLE app.events (event_id BIGINT PRIMARY KEY, value DOUBLE)"),
+        (50L, "app",
+          "ALTER TABLE events ADD COLUMN note VARCHAR(32)"),
+        (120L, "app",
+          "ALTER TABLE `app`.`events` DROP COLUMN value, ADD COLUMN tag TEXT"),
+        (160L, "app",
+          "ALTER TABLE app.events CHANGE COLUMN note note2 TEXT"))
+        .toDF("tso", "schemaName", "ddl")
+      val ev = Tables.events(s, d).select(col("event_id").as("tso"),
+        lit("app").as("schemaName"), lit("events").as("tableName"))
+      SchemaCatalog.resolveDdlText(ev, rawDdl)
+        .select(col("tso").as("event_id"), col("colNames").as("cols"))
+        .orderBy(col("event_id")).limit(200)
+    }),
+
     // the flagship §3.1 composition end-to-end: two DN streams (user
     // parity), commit gate, assembly, XA fusion, day heartbeat windows
     // (synthesized per DN per day → all complete), global TSO order.
@@ -711,6 +734,13 @@ object SparkEntry {
     "q52_global_binlog" ->
       ("SELECT max(event_id) AS commit_tso, count(*) AS n_events " +
         "FROM events GROUP BY user_id ORDER BY commit_tso LIMIT 100"),
+    "q57_ddl_schema" ->
+      ("SELECT event_id, CASE " +
+        "WHEN event_id >= 160 THEN 'event_id,note2,tag' " +
+        "WHEN event_id >= 120 THEN 'event_id,note,tag' " +
+        "WHEN event_id >= 50 THEN 'event_id,value,note' " +
+        "ELSE 'event_id,value' END AS cols " +
+        "FROM events ORDER BY event_id LIMIT 200"),
     "q56_repetition" ->
       ("SELECT doc_id, greatest(len(string_split(text, ' ')) - 1, 0) " +
         "AS total_ngrams, len(list_distinct([string_split(text, ' ')[i] || ' ' " +

@@ -1,0 +1,498 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Minimal MySQL-dialect DDL parser + schema-state fold: turn a log of raw
+  * DDL *text* into versioned table schemas.
+  *
+  * Reference semantics: MemoryTableMeta.apply feeds each DDL string from the
+  * binlog through a SQL repository to maintain the time-versioned schema
+  * store (polardbx-cdc-canal/.../tsdb/MemoryTableMeta.java:122-147); row
+  * events then resolve their column layout as of their position
+  * (polardbx-cdc-meta/.../PolarDbXTableMetaManager.java:103). The repo's
+  * SchemaCatalog consumed pre-structured schema rows; this parser closes the
+  * gap so a raw `CREATE TABLE` / `ALTER TABLE` log folds directly.
+  *
+  * Spark shape: the DDL log is data — (tso, defaultSchema, ddlText). Parsing
+  * is a pure per-row function; the *fold* is order-dependent per schema, so
+  * it runs as groupByKey(schemaName).flatMapGroups — distributed across
+  * schemas, sequential within one (a single schema's DDL history is tiny
+  * relative to the event stream, exactly the reference's in-memory-repository
+  * assumption). Output rows feed SchemaCatalog.versions/resolve unchanged.
+  *
+  * Supported statements (case-insensitive, backtick identifiers, column
+  * flags NOT NULL / DEFAULT / AUTO_INCREMENT / COMMENT skipped):
+  *   CREATE TABLE [IF NOT EXISTS] [s.]t (col type ..., PRIMARY KEY (c,...))
+  *   ALTER TABLE [s.]t ADD [COLUMN] c type [FIRST|AFTER c] | DROP [COLUMN] c
+  *     | MODIFY [COLUMN] c type | CHANGE [COLUMN] old new type
+  *     | RENAME COLUMN old TO new | RENAME TO t2 | ADD PRIMARY KEY (...)
+  *     | DROP PRIMARY KEY | (ADD INDEX/KEY/UNIQUE/CONSTRAINT → ignored)
+  *     — multiple comma-separated actions per statement
+  *   DROP TABLE [IF EXISTS] [s.]t   RENAME TABLE a TO b[, ...]
+  *   TRUNCATE [TABLE] t (schema no-op)   CREATE/DROP INDEX (no-op)
+  *   CREATE/DROP DATABASE|SCHEMA s
+  */
+object DdlParser {
+
+  case class ColumnDef(name: String, dataType: String)
+
+  /** Folded table state; json is the deterministic schemaJson emitted into
+    * the catalog (stable key order, definition-ordered columns). */
+  case class TableState(columns: Vector[ColumnDef], pk: Vector[String]) {
+    def json: String = {
+      val cols = columns
+        .map(c => s"""{"name":"${c.name}","type":"${c.dataType}"}""")
+        .mkString("[", ",", "]")
+      val pkj = pk.map(p => s""""$p"""").mkString("[", ",", "]")
+      s"""{"columns":$cols,"pk":$pkj}"""
+    }
+    def colNames: String = columns.map(_.name).mkString(",")
+  }
+
+  // ---- statement model ----
+
+  sealed trait Stmt
+  case class CreateTable(schema: String, table: String, cols: Vector[ColumnDef],
+      pk: Vector[String], ifNotExists: Boolean) extends Stmt
+  case class DropTable(schema: String, table: String) extends Stmt
+  case class RenameTable(pairs: Seq[((String, String), (String, String))]) extends Stmt
+  case class AlterTable(schema: String, table: String, actions: Seq[AlterAction]) extends Stmt
+  case class DropSchema(schema: String) extends Stmt
+  case object Noop extends Stmt
+
+  sealed trait AlterAction
+  case class AddColumn(col: ColumnDef, first: Boolean, after: Option[String]) extends AlterAction
+  case class DropColumn(name: String) extends AlterAction
+  case class ModifyColumn(col: ColumnDef, first: Boolean, after: Option[String]) extends AlterAction
+  case class ChangeColumn(oldName: String, col: ColumnDef, first: Boolean,
+      after: Option[String]) extends AlterAction
+  case class RenameColumn(oldName: String, newName: String) extends AlterAction
+  case class RenameTo(schema: Option[String], table: String) extends AlterAction
+  case class AddPrimaryKey(cols: Vector[String]) extends AlterAction
+  case object DropPrimaryKey extends AlterAction
+  case object IgnoredAction extends AlterAction
+
+  // ---- tokenizer ----
+
+  /** Tokens: identifiers/keywords (backticks stripped), numbers, 'strings'
+    * (kept quoted so flag-skipping can recognize them), and punctuation
+    * `( ) , . ;`. Comments (--, #, /* */) removed. */
+  private[operators] def tokenize(sql: String): Vector[String] = {
+    val s = sql
+    val out = Vector.newBuilder[String]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '-' && i + 1 < n && s(i + 1) == '-') {
+        while (i < n && s(i) != '\n') i += 1
+      } else if (c == '#') {
+        while (i < n && s(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && s(i + 1) == '*') {
+        i += 2
+        while (i + 1 < n && !(s(i) == '*' && s(i + 1) == '/')) i += 1
+        i = math.min(i + 2, n)
+      } else if (c == '`') {
+        val j = s.indexOf('`', i + 1)
+        val end = if (j < 0) n else j
+        out += s.substring(i + 1, end)
+        i = end + 1
+      } else if (c == '\'' || c == '"') {
+        val sb = new StringBuilder
+        sb += c
+        i += 1
+        while (i < n && s(i) != c) {
+          if (s(i) == '\\' && i + 1 < n) { sb += s(i); i += 1 }
+          sb += s(i); i += 1
+        }
+        sb += c
+        i += 1
+        out += sb.result()
+      } else if (c == '(' || c == ')' || c == ',' || c == '.' || c == ';') {
+        out += c.toString
+        i += 1
+      } else if (c.isLetterOrDigit || c == '_' || c == '$') {
+        val start = i
+        while (i < n && (s(i).isLetterOrDigit || s(i) == '_' || s(i) == '$')) i += 1
+        out += s.substring(start, i)
+      } else i += 1 // operators (= etc.) irrelevant to DDL shape
+    }
+    out.result()
+  }
+
+  // ---- type normalization (public MySQL → Spark-ish canonical names) ----
+
+  private[operators] def normalizeType(raw: String, args: Seq[String]): String = {
+    val t = raw.toLowerCase
+    t match {
+      case "bigint" | "int8" | "serial" => "bigint"
+      case "int" | "integer" | "mediumint" | "int4" | "int3" | "year" => "int"
+      case "smallint" | "int2" => "smallint"
+      case "tinyint" | "int1" =>
+        if (args.headOption.contains("1")) "boolean" else "tinyint"
+      case "bool" | "boolean" => "boolean"
+      case "decimal" | "numeric" | "dec" | "fixed" =>
+        val p = args.headOption.getOrElse("10")
+        val sc = args.drop(1).headOption.getOrElse("0")
+        s"decimal($p,$sc)"
+      case "double" | "real" | "float8" => "double"
+      case "float" | "float4" => "float"
+      case "datetime" | "timestamp" => "timestamp"
+      case "date" => "date"
+      case "char" | "varchar" | "tinytext" | "text" | "mediumtext" | "longtext" |
+           "enum" | "set" | "json" | "time" | "uuid" | "nchar" | "nvarchar" => "string"
+      case "binary" | "varbinary" | "tinyblob" | "blob" | "mediumblob" |
+           "longblob" | "bit" | "geometry" | "point" | "linestring" | "polygon" => "binary"
+      case other => other // pass through unknowns rather than fail the fold
+    }
+  }
+
+  // ---- parser ----
+
+  /** Parse one DDL statement. Unparseable/irrelevant statements return Noop
+    * (the reference's ignoreApplyError path: log-and-continue,
+    * MemoryTableMeta.java:142-146). */
+  def parse(ddl: String, defaultSchema: String): Stmt = {
+    val toks = tokenize(ddl)
+    if (toks.isEmpty) return Noop
+    val kw = toks.map(_.toLowerCase)
+
+    def qualified(at: Int): (String, String, Int) = {
+      // [schema .] table → (schema, table, nextIndex)
+      if (at + 2 < toks.length && toks(at + 1) == ".")
+        (toks(at).toLowerCase, toks(at + 2).toLowerCase, at + 3)
+      else (defaultSchema, toks(at).toLowerCase, at + 1)
+    }
+
+    try {
+      kw.head match {
+        case "create" if kw.lift(1).contains("table") =>
+          var i = 2
+          var ifNotExists = false
+          if (kw.lift(i).contains("if")) { ifNotExists = true; i += 3 } // IF NOT EXISTS
+          val (sch, tbl, afterName) = qualified(i)
+          parseCreateBody(toks, kw, afterName) match {
+            case Some((cols, pk)) => CreateTable(sch, tbl, cols, pk, ifNotExists)
+            case None => Noop // CREATE TABLE ... LIKE / AS SELECT — unsupported
+          }
+        case "create" if kw.lift(1).exists(Set("database", "schema")) => Noop
+        case "create" => Noop // CREATE INDEX / VIEW / USER ...
+        case "drop" if kw.lift(1).contains("table") =>
+          var i = 2
+          if (kw.lift(i).contains("if")) i += 2 // IF EXISTS
+          val (sch, tbl, _) = qualified(i)
+          DropTable(sch, tbl)
+        case "drop" if kw.lift(1).exists(Set("database", "schema")) =>
+          var i = 2
+          if (kw.lift(i).contains("if")) i += 2
+          DropSchema(toks.lift(i).map(_.toLowerCase).getOrElse(defaultSchema))
+        case "drop" => Noop
+        case "truncate" => Noop
+        case "rename" if kw.lift(1).contains("table") =>
+          // RENAME TABLE a TO b [, c TO d]*
+          val pairs = Seq.newBuilder[((String, String), (String, String))]
+          var i = 2
+          while (i < toks.length) {
+            val (s1, t1, j) = qualified(i)
+            if (kw.lift(j).contains("to")) {
+              val (s2, t2, k) = qualified(j + 1)
+              pairs += (((s1, t1), (s2, t2)))
+              i = if (kw.lift(k).contains(",")) k + 1 else toks.length
+            } else i = toks.length
+          }
+          RenameTable(pairs.result())
+        case "alter" if kw.lift(1).contains("table") =>
+          val (sch, tbl, at) = qualified(2)
+          AlterTable(sch, tbl, parseAlterActions(toks, kw, at))
+        case _ => Noop // DML / FLUSH / GRANT / SET ...
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => Noop
+    }
+  }
+
+  /** Column body of CREATE TABLE: top-level comma split inside the outermost
+    * parens; PRIMARY KEY captured, KEY/INDEX/UNIQUE/CONSTRAINT/FOREIGN
+    * clauses skipped. Returns None when there is no paren body. */
+  private def parseCreateBody(toks: Vector[String], kw: Vector[String],
+      from: Int): Option[(Vector[ColumnDef], Vector[String])] = {
+    val open = toks.indexOf("(", from)
+    if (open < 0) return None
+    var depth = 0
+    var i = open
+    val groups = Vector.newBuilder[Vector[Int]] // token-index runs per item
+    var cur = Vector.newBuilder[Int]
+    var done = false
+    while (i < toks.length && !done) {
+      toks(i) match {
+        case "(" =>
+          if (depth > 0) cur += i
+          depth += 1
+        case ")" =>
+          depth -= 1
+          if (depth == 0) { groups += cur.result(); done = true }
+          else cur += i
+        case "," if depth == 1 =>
+          groups += cur.result(); cur = Vector.newBuilder[Int]
+        case _ => if (depth >= 1) cur += i
+      }
+      i += 1
+    }
+    val cols = Vector.newBuilder[ColumnDef]
+    var pk = Vector.empty[String]
+    groups.result().filter(_.nonEmpty).foreach { idxs =>
+      val head = kw(idxs.head)
+      if (head == "primary" && idxs.length > 1 && kw(idxs(1)) == "key") {
+        pk = idxs.drop(2).map(toks).filterNot(Set("(", ")", ",")).map(_.toLowerCase).toVector
+      } else if (Set("key", "index", "unique", "constraint", "foreign",
+          "fulltext", "spatial", "check").contains(head)) {
+        // non-column clause — no schema effect
+      } else {
+        val name = toks(idxs.head).toLowerCase
+        val (tpe, rest) = parseTypeAt(toks, kw, idxs.drop(1))
+        cols += ColumnDef(name, tpe)
+        // inline PRIMARY KEY flag
+        val restKw = rest.map(kw)
+        restKw.zipWithIndex.foreach { case (w, j) =>
+          if (w == "primary" && restKw.lift(j + 1).contains("key")) pk = Vector(name)
+        }
+      }
+    }
+    Some((cols.result(), pk))
+  }
+
+  /** Type word + optional (args) [+ unsigned/zerofill] → normalized type.
+    * Returns (type, remaining flag token indices). */
+  private def parseTypeAt(toks: Vector[String], kw: Vector[String],
+      idxs: Vector[Int]): (String, Vector[Int]) = {
+    if (idxs.isEmpty) return ("string", Vector.empty)
+    val typeWord = kw(idxs.head)
+    var rest = idxs.drop(1)
+    var args = Seq.empty[String]
+    if (rest.nonEmpty && toks(rest.head) == "(") {
+      val close = rest.indexWhere(i => toks(i) == ")")
+      if (close >= 0) {
+        args = rest.slice(1, close).map(toks).filterNot(_ == ",")
+        rest = rest.drop(close + 1)
+      }
+    }
+    // double precision → one type; unsigned/zerofill are flags
+    if (typeWord == "double" && rest.nonEmpty && kw(rest.head) == "precision")
+      rest = rest.drop(1)
+    while (rest.nonEmpty && Set("unsigned", "zerofill").contains(kw(rest.head)))
+      rest = rest.drop(1)
+    (normalizeType(typeWord, args), rest)
+  }
+
+  /** Comma-separated ALTER actions. */
+  private def parseAlterActions(toks: Vector[String], kw: Vector[String],
+      from: Int): Seq[AlterAction] = {
+    // split on top-level commas
+    val items = Vector.newBuilder[Vector[Int]]
+    var cur = Vector.newBuilder[Int]
+    var depth = 0
+    var i = from
+    while (i < toks.length) {
+      toks(i) match {
+        case "(" => depth += 1; cur += i
+        case ")" => depth -= 1; cur += i
+        case "," if depth == 0 => items += cur.result(); cur = Vector.newBuilder[Int]
+        case ";" => // end
+        case _ => cur += i
+      }
+      i += 1
+    }
+    items += cur.result()
+
+    items.result().filter(_.nonEmpty).map { idxs =>
+      def word(j: Int): String = idxs.lift(j).map(kw).getOrElse("")
+      def tok(j: Int): String = idxs.lift(j).map(toks).getOrElse("")
+      def positionOf(rest: Vector[Int]): (Boolean, Option[String]) = {
+        val restKw = rest.map(kw)
+        val first = restKw.contains("first")
+        val afterIdx = restKw.indexOf("after")
+        val after = if (afterIdx >= 0 && afterIdx + 1 < rest.length)
+          Some(toks(rest(afterIdx + 1)).toLowerCase) else None
+        (first, after)
+      }
+      word(0) match {
+        case "add" =>
+          val base = if (word(1) == "column") 2 else 1
+          if (word(base) == "primary" && word(base + 1) == "key") {
+            val cols = idxs.drop(base + 2).map(toks)
+              .filterNot(Set("(", ")", ",")).map(_.toLowerCase).toVector
+            AddPrimaryKey(cols)
+          } else if (Set("index", "key", "unique", "constraint", "foreign",
+              "fulltext", "spatial", "check", "partition").contains(word(base))) {
+            IgnoredAction
+          } else {
+            val name = tok(base).toLowerCase
+            val (tpe, rest) = parseTypeAt(toks, kw, idxs.drop(base + 1))
+            val (first, after) = positionOf(rest)
+            AddColumn(ColumnDef(name, tpe), first, after)
+          }
+        case "drop" =>
+          if (word(1) == "primary" && word(2) == "key") DropPrimaryKey
+          else if (word(1) == "column") DropColumn(tok(2).toLowerCase)
+          else if (Set("index", "key", "constraint", "foreign", "partition",
+              "check").contains(word(1))) IgnoredAction
+          else DropColumn(tok(1).toLowerCase)
+        case "modify" =>
+          val base = if (word(1) == "column") 2 else 1
+          val name = tok(base).toLowerCase
+          val (tpe, rest) = parseTypeAt(toks, kw, idxs.drop(base + 1))
+          val (first, after) = positionOf(rest)
+          ModifyColumn(ColumnDef(name, tpe), first, after)
+        case "change" =>
+          val base = if (word(1) == "column") 2 else 1
+          val oldName = tok(base).toLowerCase
+          val newName = tok(base + 1).toLowerCase
+          val (tpe, rest) = parseTypeAt(toks, kw, idxs.drop(base + 2))
+          val (first, after) = positionOf(rest)
+          ChangeColumn(oldName, ColumnDef(newName, tpe), first, after)
+        case "rename" =>
+          if (word(1) == "column") RenameColumn(tok(2).toLowerCase, tok(4).toLowerCase)
+          else {
+            val base = if (word(1) == "to" || word(1) == "as") 2 else 1
+            if (idxs.length > base + 1 && tok(base + 1) == ".")
+              RenameTo(Some(tok(base).toLowerCase), tok(base + 2).toLowerCase)
+            else RenameTo(None, tok(base).toLowerCase)
+          }
+        case _ => IgnoredAction // ENGINE=, CHARSET=, ALGORITHM=, partition ops
+      }
+    }
+  }
+
+  // ---- fold ----
+
+  /** Apply one ALTER action to a table state. Unknown/ignored actions and
+    * references to missing columns are no-ops (log-and-continue semantics). */
+  private def applyAction(st: TableState, a: AlterAction): TableState = a match {
+    case AddColumn(c, first, after) =>
+      if (st.columns.exists(_.name == c.name)) st
+      else st.copy(columns = insertAt(st.columns, c, first, after))
+    case DropColumn(n) =>
+      st.copy(columns = st.columns.filterNot(_.name == n),
+        pk = st.pk.filterNot(_ == n))
+    case ModifyColumn(c, first, after) =>
+      val without = st.columns.filterNot(_.name == c.name)
+      if (without.length == st.columns.length) st // unknown column
+      else if (!first && after.isEmpty)
+        st.copy(columns = st.columns.map(x => if (x.name == c.name) c else x))
+      else st.copy(columns = insertAt(without, c, first, after))
+    case ChangeColumn(oldN, c, first, after) =>
+      if (!st.columns.exists(_.name == oldN)) st
+      else {
+        val renamedPk = st.pk.map(p => if (p == oldN) c.name else p)
+        if (!first && after.isEmpty)
+          st.copy(columns = st.columns.map(x => if (x.name == oldN) c else x),
+            pk = renamedPk)
+        else st.copy(
+          columns = insertAt(st.columns.filterNot(_.name == oldN), c, first, after),
+          pk = renamedPk)
+      }
+    case RenameColumn(oldN, newN) =>
+      st.copy(
+        columns = st.columns.map(x =>
+          if (x.name == oldN) x.copy(name = newN) else x),
+        pk = st.pk.map(p => if (p == oldN) newN else p))
+    case AddPrimaryKey(cols) => st.copy(pk = cols)
+    case DropPrimaryKey => st.copy(pk = Vector.empty)
+    case _: RenameTo | IgnoredAction => st
+  }
+
+  private def insertAt(cols: Vector[ColumnDef], c: ColumnDef, first: Boolean,
+      after: Option[String]): Vector[ColumnDef] =
+    if (first) c +: cols
+    else after match {
+      case Some(a) =>
+        val i = cols.indexWhere(_.name == a)
+        if (i < 0) cols :+ c else (cols.take(i + 1) :+ c) ++ cols.drop(i + 1)
+      case None => cols :+ c
+    }
+
+  /** Fold a sorted per-schema DDL history into catalog version rows.
+    * Emits one row per (statement, affected table): (tso, schemaName,
+    * tableName, schemaJson, colNames); DROP TABLE emits null schemaJson so
+    * as-of resolution yields no schema past the drop. */
+  def foldSchema(defaultSchema: String,
+      history: Seq[(Long, String)]): Seq[(Long, String, String, String, String)] = {
+    val tables = mutable.LinkedHashMap[(String, String), TableState]()
+    val out = Seq.newBuilder[(Long, String, String, String, String)]
+    def emit(tso: Long, key: (String, String)): Unit = {
+      val st = tables.get(key)
+      out += ((tso, key._1, key._2,
+        st.map(_.json).orNull, st.map(_.colNames).orNull))
+    }
+    history.sortBy(_._1).foreach { case (tso, ddl) =>
+      parse(ddl, defaultSchema) match {
+        case CreateTable(s, t, cols, pk, ifNotExists) =>
+          val key = (s, t)
+          if (!(ifNotExists && tables.contains(key))) {
+            tables(key) = TableState(cols, pk)
+            emit(tso, key)
+          }
+        case DropTable(s, t) =>
+          if (tables.remove((s, t)).isDefined) emit(tso, (s, t))
+        case DropSchema(s) =>
+          val dropped = tables.keys.filter(_._1 == s).toVector
+          dropped.foreach { k => tables.remove(k); emit(tso, k) }
+        case RenameTable(pairs) =>
+          pairs.foreach { case (from, to) =>
+            tables.remove(from).foreach { st =>
+              emit(tso, from)
+              tables(to) = st
+              emit(tso, to)
+            }
+          }
+        case AlterTable(s, t, actions) =>
+          val key = (s, t)
+          tables.get(key).foreach { st0 =>
+            // RENAME TO inside ALTER moves the state to a new key
+            val renameTo = actions.collectFirst { case RenameTo(rs, rt) =>
+              (rs.getOrElse(s), rt)
+            }
+            val st1 = actions.foldLeft(st0)(applyAction)
+            renameTo match {
+              case Some(newKey) if newKey != key =>
+                tables.remove(key)
+                emit(tso, key)
+                tables(newKey) = st1
+                emit(tso, newKey)
+              case _ =>
+                if (st1 != st0) { tables(key) = st1; emit(tso, key) }
+            }
+          }
+        case Noop => // no schema effect
+      }
+    }
+    out.result()
+  }
+
+  /** Fold a raw DDL-text log DataFrame (tsoCol, schemaCol = default schema
+    * of the session that issued the DDL, ddlCol = statement text) into
+    * SchemaCatalog-compatible version rows: (tso, schemaName, tableName,
+    * schemaJson, colNames).
+    *
+    * Distribution: grouped by default schema (DDL for one logical database
+    * replays in order on one executor — bounded state, the
+    * MemoryTableMeta assumption); schemas fold in parallel. */
+  def foldDdlLog(ddlLog: DataFrame, tsoCol: String = "tso",
+      schemaCol: String = "schemaName", ddlCol: String = "ddl"): DataFrame = {
+    val spark = ddlLog.sparkSession
+    import spark.implicits._
+    ddlLog
+      .select(col(tsoCol).cast("long"), col(schemaCol).cast("string"),
+        col(ddlCol).cast("string"))
+      .as[(Long, String, String)]
+      .groupByKey(_._2)
+      .flatMapGroups { (schema, it) =>
+        foldSchema(schema, it.map(r => (r._1, r._3)).toSeq).iterator
+      }
+      .toDF("tso", "schemaName", "tableName", "schemaJson", "colNames")
+  }
+}

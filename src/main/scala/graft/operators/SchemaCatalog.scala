@@ -50,4 +50,13 @@ object SchemaCatalog {
       eventTsoCol: String = "tso"): DataFrame =
     AsOfJoin.broadcastAsOf(events, versions(ddlLog),
       Seq("schemaName", "tableName"), eventTsoCol, "valid_from", "valid_to")
+
+  /** Resolve events against a *raw DDL-text* log — the MemoryTableMeta.apply
+    * path end-to-end (canal/.../tsdb/MemoryTableMeta.java:122-147): parse +
+    * fold the DDL strings into versioned schemas (DdlParser.foldDdlLog),
+    * then as-of join. rawDdlLog columns: (tso, schemaName = session default
+    * schema, ddl = statement text). */
+  def resolveDdlText(events: DataFrame, rawDdlLog: DataFrame,
+      eventTsoCol: String = "tso"): DataFrame =
+    resolve(events, DdlParser.foldDdlLog(rawDdlLog), eventTsoCol)
 }

@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.operators.DdlParser._
+
+class DdlParserSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- parse ----
+
+  test("CREATE TABLE: columns, types, table-level PK, backticks, flags") {
+    val s = parse(
+      """CREATE TABLE `app`.`users` (
+        |  `id` BIGINT UNSIGNED NOT NULL AUTO_INCREMENT,
+        |  name VARCHAR(64) DEFAULT 'anon' COMMENT 'display, name',
+        |  balance DECIMAL(10,2),
+        |  flag TINYINT(1),
+        |  created DATETIME,
+        |  PRIMARY KEY (id),
+        |  KEY idx_name (name)
+        |)""".stripMargin, "dflt")
+    assert(s == CreateTable("app", "users", Vector(
+      ColumnDef("id", "bigint"), ColumnDef("name", "string"),
+      ColumnDef("balance", "decimal(10,2)"), ColumnDef("flag", "boolean"),
+      ColumnDef("created", "timestamp")), Vector("id"), ifNotExists = false))
+  }
+
+  test("CREATE TABLE: inline PRIMARY KEY, default schema, IF NOT EXISTS") {
+    val s = parse(
+      "create table if not exists t (a int primary key, b text)", "db1")
+    assert(s == CreateTable("db1", "t",
+      Vector(ColumnDef("a", "int"), ColumnDef("b", "string")),
+      Vector("a"), ifNotExists = true))
+  }
+
+  test("ALTER TABLE: multi-action add/drop/modify/change with positions") {
+    val s = parse(
+      "ALTER TABLE app.t ADD COLUMN c1 INT AFTER a, DROP COLUMN b, " +
+        "MODIFY c2 BIGINT, CHANGE COLUMN old_c new_c VARCHAR(10) FIRST, " +
+        "ADD INDEX idx (c1)", "x")
+    assert(s == AlterTable("app", "t", Seq(
+      AddColumn(ColumnDef("c1", "int"), first = false, after = Some("a")),
+      DropColumn("b"),
+      ModifyColumn(ColumnDef("c2", "bigint"), first = false, after = None),
+      ChangeColumn("old_c", ColumnDef("new_c", "string"), first = true, after = None),
+      IgnoredAction)))
+  }
+
+  test("ALTER TABLE: rename-to, rename column, pk add/drop") {
+    assert(parse("ALTER TABLE t RENAME TO t2", "s") ==
+      AlterTable("s", "t", Seq(RenameTo(None, "t2"))))
+    assert(parse("ALTER TABLE t RENAME COLUMN a TO b", "s") ==
+      AlterTable("s", "t", Seq(RenameColumn("a", "b"))))
+    assert(parse("ALTER TABLE t ADD PRIMARY KEY (a, b)", "s") ==
+      AlterTable("s", "t", Seq(AddPrimaryKey(Vector("a", "b")))))
+    assert(parse("ALTER TABLE t DROP PRIMARY KEY", "s") ==
+      AlterTable("s", "t", Seq(DropPrimaryKey)))
+  }
+
+  test("DROP / RENAME TABLE / TRUNCATE / noise statements") {
+    assert(parse("DROP TABLE IF EXISTS app.t", "s") == DropTable("app", "t"))
+    assert(parse("RENAME TABLE a TO b, s2.c TO s3.d", "s1") ==
+      RenameTable(Seq((("s1", "a"), ("s1", "b")), (("s2", "c"), ("s3", "d")))))
+    assert(parse("TRUNCATE TABLE t", "s") == Noop)
+    assert(parse("FLUSH PRIVILEGES", "s") == Noop)
+    assert(parse("CREATE INDEX i ON t (a)", "s") == Noop)
+    assert(parse("-- just a comment", "s") == Noop)
+    assert(parse("not even sql (", "s") == Noop)
+  }
+
+  test("type normalization covers the MySQL families") {
+    assert(normalizeType("INT", Nil) == "int")
+    assert(normalizeType("tinyint", Seq("1")) == "boolean")
+    assert(normalizeType("tinyint", Seq("4")) == "tinyint")
+    assert(normalizeType("ENUM", Seq("'a'", "'b'")) == "string")
+    assert(normalizeType("NUMERIC", Seq("12", "4")) == "decimal(12,4)")
+    assert(normalizeType("longblob", Nil) == "binary")
+    assert(normalizeType("datetime", Nil) == "timestamp")
+  }
+
+  // ---- fold ----
+
+  test("foldSchema: create → add → drop → change column lifecycle") {
+    val hist = Seq(
+      (1L, "CREATE TABLE t (a BIGINT PRIMARY KEY, b DOUBLE)"),
+      (2L, "ALTER TABLE t ADD COLUMN c VARCHAR(8) AFTER a"),
+      (3L, "ALTER TABLE t DROP COLUMN b"),
+      (4L, "ALTER TABLE t CHANGE COLUMN c c2 TEXT"))
+    val out = foldSchema("s", hist).map(r => (r._1, r._5))
+    assert(out == Seq(
+      (1L, "a,b"), (2L, "a,c,b"), (3L, "a,c"), (4L, "a,c2")))
+  }
+
+  test("foldSchema: rename table moves state; drop emits null version") {
+    val hist = Seq(
+      (1L, "CREATE TABLE t (a INT)"),
+      (2L, "RENAME TABLE t TO t2"),
+      (3L, "ALTER TABLE t2 ADD COLUMN b INT"),
+      (4L, "DROP TABLE t2"))
+    val out = foldSchema("s", hist)
+    assert(out.map(r => (r._1, r._3, r._5)) == Seq(
+      (1L, "t", "a"),
+      (2L, "t", null), (2L, "t2", "a"),
+      (3L, "t2", "a,b"),
+      (4L, "t2", null)))
+  }
+
+  test("foldSchema: pk follows CHANGE rename; unknown refs are no-ops") {
+    val hist = Seq(
+      (1L, "CREATE TABLE t (a INT PRIMARY KEY, b INT)"),
+      (2L, "ALTER TABLE t CHANGE a a2 BIGINT"),
+      (3L, "ALTER TABLE t DROP COLUMN nope"),     // unknown column: no-op
+      (4L, "ALTER TABLE missing ADD COLUMN x INT")) // unknown table: no-op
+    val out = foldSchema("s", hist)
+    assert(out.length == 2)
+    assert(out.last._4 ==
+      """{"columns":[{"name":"a2","type":"bigint"},{"name":"b","type":"int"}],"pk":["a2"]}""")
+  }
+
+  test("foldSchema: IF NOT EXISTS does not clobber an existing table") {
+    val hist = Seq(
+      (1L, "CREATE TABLE t (a INT)"),
+      (2L, "ALTER TABLE t ADD COLUMN b INT"),
+      (3L, "CREATE TABLE IF NOT EXISTS t (z INT)"))
+    val out = foldSchema("s", hist)
+    assert(out.map(_._5) == Seq("a", "a,b")) // tso=3 emits nothing
+  }
+
+  test("foldDdlLog + resolveDdlText: as-of resolution over raw DDL text") {
+    val rawDdl = Seq(
+      (10L, "app", "CREATE TABLE events (id BIGINT, v DOUBLE)"),
+      (20L, "app", "ALTER TABLE events ADD COLUMN note TEXT"))
+      .toDF("tso", "schemaName", "ddl")
+    val events = Seq((15L, "app", "events"), (25L, "app", "events"),
+      (5L, "app", "events")).toDF("tso", "schemaName", "tableName")
+    val got = SchemaCatalog.resolveDdlText(events, rawDdl)
+      .select("tso", "colNames").as[(Long, Option[String])].collect().toMap
+    assert(got(15L).contains("id,v"))
+    assert(got(25L).contains("id,v,note"))
+    assert(got(5L).isEmpty)
+  }
+}
