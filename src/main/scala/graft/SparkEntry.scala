@@ -341,20 +341,28 @@ object SparkEntry {
         .orderBy(col("id1")).limit(200)
     }),
 
-    // brute-force cosine top-k ANN baseline (no oracle).
+    // brute-force cosine top-k ANN baseline. Oracle: DuckDB
+    // list_cosine_similarity over the same parquet — exact membership and
+    // rank (smallest rank-5/6 sim margin at sf0.01 is ~2e-4, far above
+    // float/double rounding skew between the engines).
     "q39_ann_brute" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
           "vec_id", "embedding", k = 5)
-        .select(col("query_id"), col("corpus_id"), col("rank"))
+        .select(col("query_id"), col("corpus_id"),
+          col("rank").cast("bigint").as("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // LSH-bucketed ANN (scale path; no oracle).
+    // LSH-bucketed ANN (scale path; rows-only — recall@5 vs the exact
+    // baseline is gated in AnnRecallSpec with these exact parameters).
+    // 16 tables × 4 planes: OR-amplification lifts recall to ~0.9 even on
+    // this adversarially-uniform corpus (top cosine sims ~0.3).
     "q40_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8),
-          "vec_id", "embedding", k = 5, numPlanes = 6, dim = 64)
+          "vec_id", "embedding", k = 5, numPlanes = 4, dim = 64,
+          numTables = 16)
         .select(col("query_id"), col("corpus_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -700,6 +708,45 @@ object SparkEntry {
         "length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct, " +
         "length(regexp_replace(text, '[^aeiou]', '', 'g')) AS n_vowels " +
         "FROM documents ORDER BY doc_id LIMIT 200"),
+    // exact all-pairs 3-gram Jaccard over the same planted mutations: equal
+    // to the LSH+verify output iff banding recall is 100% for pairs above
+    // the 0.5 threshold (planted dups sit at jac >~ 0.9 → certain at b=8).
+    "q36_minhash_pairs" ->
+      ("WITH base AS (SELECT doc_id, text FROM documents), " +
+        "mut AS (SELECT doc_id + 1000000 AS doc_id, " +
+        "array_to_string(string_split(text, ' ')[3:], ' ') AS text " +
+        "FROM base WHERE doc_id % 10 = 0), " +
+        "all_docs AS (SELECT * FROM base UNION ALL SELECT * FROM mut), " +
+        "sh AS (SELECT doc_id, list_distinct([string_split(text,' ')[i] || ' ' " +
+        "|| string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] " +
+        "for i in range(1, len(string_split(text,' ')) - 1)]) AS s FROM all_docs), " +
+        "pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, " +
+        "len(list_intersect(a.s, b.s)) AS i, " +
+        "len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) " +
+        "SELECT id1, id2, round(CAST(i AS DOUBLE)/u, 3) AS jac FROM pairs " +
+        "WHERE u > 0 AND CAST(i AS DOUBLE)/u >= 0.5 " +
+        "ORDER BY id1, id2 LIMIT 500"),
+    "q38_ngram_jaccard" ->
+      ("WITH sh AS (SELECT doc_id, list_distinct([string_split(text,' ')[i] " +
+        "|| ' ' || string_split(text,' ')[i+1] " +
+        "for i in range(1, len(string_split(text,' ')))]) AS s FROM documents) " +
+        "SELECT a.doc_id AS id1, b.doc_id AS id2, " +
+        "round(CAST(len(list_intersect(a.s,b.s)) AS DOUBLE) / " +
+        "(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))), 6) AS jac " +
+        "FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 " +
+        "ORDER BY id1 LIMIT 200"),
+    "q39_ann_brute" ->
+      ("WITH q AS (SELECT vec_id AS query_id, embedding AS qe " +
+        "FROM embeddings WHERE vec_id < 8), " +
+        "scored AS (SELECT q.query_id, c.vec_id AS corpus_id, " +
+        "list_cosine_similarity(q.qe, c.embedding) AS sim " +
+        "FROM q JOIN embeddings c ON c.vec_id <> q.query_id), " +
+        "ranked AS (SELECT query_id, corpus_id, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS rank " +
+        "FROM scored) " +
+        "SELECT query_id, corpus_id, rank FROM ranked WHERE rank <= 5 " +
+        "ORDER BY query_id, rank"),
     "q41_media_bytes" ->
       ("SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents " +
         "ORDER BY doc_id LIMIT 200"),

@@ -72,20 +72,46 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** LSH-accelerated top-k: bucket both sides, join on bucket id, rank
-    * within query. Recall is tunable via numPlanes (fewer planes = bigger
-    * buckets = higher recall, more work). At 100 TB the bucket join
-    * replaces the corpus-×-queries product with |colliding pairs|. */
+  /** Multi-table LSH bucket ids: `numTables` independent sign-LSH tables
+    * (OR-amplification), each from `numPlanes` hyperplanes with a distinct
+    * seed. Returns array<struct<table,bucket>> for explode+equi-join.
+    * Recall for a pair at cosine-angle θ: 1 − (1 − (1−θ/π)^planes)^tables —
+    * tables raise recall, planes shrink buckets (candidate count). */
+  def lshTables(vecCol: Column, numTables: Int, numPlanes: Int, dim: Int,
+      seed: Long = 42L): Column =
+    array((0 until numTables).map { t =>
+      struct(lit(t).as("table"),
+        lshBucket(vecCol, numPlanes, dim, seed + t).as("bucket"))
+    }: _*)
+
+  /** LSH-accelerated top-k: bucket both sides into `numTables` independent
+    * hash tables, join on (table, bucket), dedupe candidate pairs, rank
+    * within query. Single-table sign-LSH has poor recall for moderate
+    * cosine (collision prob (1−θ/π)^planes); the OR over tables is the
+    * standard amplification (MMDS ch.3). At 100 TB the bucket join
+    * replaces the corpus-×-queries product with |colliding pairs| —
+    * the shuffle carries (table,bucket) keys, never all pairs. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, numPlanes: Int, dim: Int): DataFrame = {
-    val qn = queries.select(col(idCol).as("query_id"),
-      normalize(col(vecCol)).as("qv"),
-      lshBucket(col(vecCol), numPlanes, dim).as("bucket"))
-    val cn = corpus.select(col(idCol).as("corpus_id"),
-      normalize(col(vecCol)).as("cv"),
-      lshBucket(col(vecCol), numPlanes, dim).as("bucket"))
-    val scored = cn.join(broadcast(qn), Seq("bucket"))
+      vecCol: String, k: Int, numPlanes: Int, dim: Int,
+      numTables: Int = 1): DataFrame = {
+    // ids-only candidate generation: the (table,bucket) join shuffles
+    // 8-byte ids, never vectors; vectors join back once per UNIQUE pair
+    // (cf. minhashCandidatePairs — same written-signature shape at scale)
+    val qIds = queries.select(col(idCol).as("query_id"),
+      explode(lshTables(col(vecCol), numTables, numPlanes, dim)).as("tb"))
+    val cIds = corpus.select(col(idCol).as("corpus_id"),
+      explode(lshTables(col(vecCol), numTables, numPlanes, dim)).as("tb"))
+    val candidates = cIds.join(broadcast(qIds), Seq("tb"))
       .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"))
+      .distinct()
+    val qv = queries.select(col(idCol).as("query_id"),
+      normalize(col(vecCol)).as("qv"))
+    val cv = corpus.select(col(idCol).as("corpus_id"),
+      normalize(col(vecCol)).as("cv"))
+    val scored = candidates
+      .join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("corpus_id"))
       .select(col("query_id"), col("corpus_id"), dot(col("qv"), col("cv")).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("corpus_id"))

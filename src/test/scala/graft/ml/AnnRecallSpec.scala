@@ -1,0 +1,64 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Recall gates for the approximate ANN paths, measured against the exact
+  * brute-force ground truth (the q39 baseline, itself oracle-checked
+  * against DuckDB list_cosine_similarity). The scale paths (LSH, IVF,
+  * embedding near-dup) must *measure* ≥ a pinned recall on the driver's
+  * own testdata — not merely return rows. Parameters mirror the driver
+  * queries q40/q53/q54 exactly.
+  */
+class AnnRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+  private lazy val queries = emb.filter($"vec_id" < 8)
+
+  private lazy val truth: Map[Long, Set[Long]] =
+    Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  private def recallAt5(got: Array[(Long, Long)]): Double = {
+    val byQ = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val hits = truth.map { case (q, t) =>
+      (t intersect byQ.getOrElse(q, Set.empty)).size
+    }.sum
+    hits.toDouble / truth.map(_._2.size).sum
+  }
+
+  test("LSH top-k (q40 params) recall@5 >= 0.6 vs exact ground truth") {
+    val got = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+        k = 5, numPlanes = 4, dim = 64, numTables = 16)
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect()
+    val r = recallAt5(got)
+    info(f"LSH recall@5 = $r%.3f")
+    assert(r >= 0.6, f"LSH recall@5 $r%.3f below gate")
+  }
+
+  test("IVF top-k (q53 params) recall@5 >= 0.45 vs exact ground truth") {
+    val model = IvfIndex.train(emb, "embedding", nCells = 8)
+    val got = IvfIndex.topK(emb, queries, "vec_id", "embedding",
+        k = 5, model, nProbe = 2)
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect()
+    val r = recallAt5(got)
+    info(f"IVF recall@5 = $r%.3f")
+    assert(r >= 0.45, f"IVF recall@5 $r%.3f below gate")
+  }
+
+  test("embedding near-dup (q54 params) recovers exactly the planted pairs") {
+    val base = emb.select($"vec_id", $"embedding")
+    val planted = base.filter($"vec_id" < 20)
+      .select(($"vec_id" + 100000L).as("vec_id"),
+        transform($"embedding", x => x + lit(0.001f)).as("embedding"))
+    val pairs = Similarity.cosineNearDupPairs(base.unionByName(planted),
+        "vec_id", "embedding", threshold = 0.999, numPlanes = 4, dim = 64)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val expected = (0L until 20L).map(i => (i, i + 100000L)).toSet
+    assert(pairs == expected,
+      s"planted-pair recovery mismatch: missing=${expected -- pairs} extra=${pairs -- expected}")
+  }
+}
