@@ -22,11 +22,15 @@ import graft.operators.{Appliers, Filters}
   */
 object ReplicaJob {
 
+  /** @param nBuckets 0 = flat target (full rewrite per batch, fine for
+    *   small targets); > 0 = key-hash-bucketed target where a batch
+    *   rewrites only touched buckets — the shape for targets that outgrow
+    *   a per-batch rewrite (see Appliers.applyBatchToBucketedParquet). */
   def start(spark: SparkSession, sourceDir: String, sourceSchema: StructType,
       spec: Filters.ReplicaSpec, dbCol: String, tableCol: String,
       keyCols: Seq[String], seqCol: String, opCol: String,
       targetDir: String, checkpointDir: String,
-      continuous: Option[String] = None): StreamingQuery = {
+      continuous: Option[String] = None, nBuckets: Int = 0): StreamingQuery = {
     val src = spark.readStream
       .schema(sourceSchema)
       .option("maxFilesPerTrigger", 16)
@@ -41,8 +45,12 @@ object ReplicaJob {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val filtered = Filters.replicaFilter(batch, spec, dbCol, tableCol)
         if (!filtered.isEmpty) {
-          Appliers.applyBatchToParquet(filtered, keyCols, seqCol, opCol,
-            targetDir)
+          if (nBuckets > 0)
+            Appliers.applyBatchToBucketedParquet(filtered, keyCols, seqCol,
+              opCol, targetDir, nBuckets)
+          else
+            Appliers.applyBatchToParquet(filtered, keyCols, seqCol, opCol,
+              targetDir)
         }
       }
       .start()

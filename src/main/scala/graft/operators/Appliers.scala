@@ -43,6 +43,44 @@ object Appliers {
     batch.withColumn("pk_changed",
       beforeKey.isNotNull && afterKey.isNotNull && !(beforeKey <=> afterKey))
 
+  /** SplitApplier WITH the serial fallback: every key that participates in
+    * any PK-change row (either as before- or after-image) routes through
+    * one serial lane, so the delete-half and insert-half of a key change
+    * can never reorder across lanes; unaffected keys keep their parallel
+    * hash lanes (reference: SplitApplier.java:95-146 falls back to serial
+    * apply exactly when serialExecute is triggered by a PK change).
+    *
+    * PK changes are rare, so the affected-key set is tiny and broadcast;
+    * the output contract matches splitByKey: per-partition iteration sees
+    * each key's rows contiguous and seq-ordered, and all PK-change-affected
+    * rows land in one lane in global seq order. */
+  def splitByKeyWithSerialFallback(batch: DataFrame, beforeKey: Column,
+      afterKey: Column, seqCol: String, lanes: Int): DataFrame = {
+    val flagged = flagKeyChanges(batch, beforeKey, afterKey)
+    val affectedKeys = flagged.filter(col("pk_changed"))
+      .select(explode(array(beforeKey, afterKey)).as("__affected_key"))
+      .filter(col("__affected_key").isNotNull)
+      .distinct()
+    // semi/anti split (never a plain left join: a PK-change row matches
+    // BOTH its keys and would duplicate)
+    val touchCond = beforeKey <=> col("__affected_key") ||
+      afterKey <=> col("__affected_key")
+    val serial = flagged.join(broadcast(affectedKeys), touchCond, "left_semi")
+      .withColumn("__lane", lit(lanes))
+    val parallel = flagged.join(broadcast(affectedKeys), touchCond, "left_anti")
+      .withColumn("__lane", pmod(hash(coalesce(afterKey, beforeKey)), lit(lanes)))
+    val marked = serial.unionByName(parallel)
+    // serial lane sorts by seq alone (strict log order across keys, the
+    // point of the fallback); parallel lanes sort (key, seq) for per-key
+    // contiguity. Expressed as one sort: the key component is null-ed out
+    // for serial rows, so they collate purely by seq.
+    val keyOrder = when(col("__lane") === lanes, lit(null).cast("string"))
+      .otherwise(coalesce(afterKey, beforeKey).cast("string"))
+    marked.repartition(lanes + 1, col("__lane"))
+      .sortWithinPartitions(col("__lane"), keyOrder, col(seqCol))
+      .drop("__lane")
+  }
+
   /** MergeApplier semantics: collapse a change batch to one final action
     * per key. Input rows: (key, seq, op, payload...). Output: last image
     * per key with its effective op — UPDATE seen first after an INSERT in
@@ -78,10 +116,10 @@ object Appliers {
     untouched.unionByName(upserts)
   }
 
-  /** Full MergeApplier batch cycle against a parquet target directory —
-    * the foreachBatch body of the streaming RPL pipeline. Reads the
-    * current snapshot, merges, writes back (idempotent per batch since
-    * the merge is deterministic). */
+  /** Full MergeApplier batch cycle against a FLAT parquet target — reads
+    * the whole snapshot, merges, rewrites. Correct and atomic, but a full
+    * target rewrite per batch: use `applyBatchToBucketedParquet` for
+    * targets that outgrow a single rewrite (the 100 TB path). */
   def applyBatchToParquet(batch: DataFrame, keyCols: Seq[String],
       seqCol: String, opCol: String, targetDir: String): Unit = {
     val spark = batch.sparkSession
@@ -94,16 +132,85 @@ object Appliers {
         finalImages.filter(col("effective_op") =!= "DELETE")
           .drop("effective_op")
       }
-    // write-to-temp + atomic swap keeps readers consistent
+    // write-to-temp + checked atomic swap (mirrors OrderedSink.compact):
+    // never delete the only surviving copy on a failed rename
     val tmp = targetDir + "__staging"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
     val t = new java.io.File(tmp)
     val d = new java.io.File(targetDir)
     if (d.exists()) {
       val old = new java.io.File(targetDir + "__old")
-      d.renameTo(old)
-      t.renameTo(d)
-      org.apache.commons.io.FileUtils.deleteQuietly(old)
-    } else t.renameTo(d)
+      if (old.exists()) // stale leftover from a crashed run: target is
+        org.apache.commons.io.FileUtils.deleteDirectory(old) // authoritative
+      if (!d.renameTo(old)) sys.error(s"apply: cannot stage out $targetDir")
+      if (!t.renameTo(d)) {
+        old.renameTo(d) // roll back — target stays the pre-batch snapshot
+        sys.error(s"apply: cannot swap in $tmp")
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(old)
+    } else if (!t.renameTo(d)) sys.error(s"apply: cannot move $tmp to $targetDir")
   }
+
+  /** Key-hash bucket id — the bucketed target's partition column. Stable
+    * across batches/sessions (Murmur3, fixed seed), so a key always lands
+    * in the same bucket directory. */
+  def bucketOf(keyCols: Seq[String], nBuckets: Int): Column =
+    pmod(hash(keyCols.map(col): _*), lit(nBuckets))
+
+  /** MergeApplier batch cycle against a BUCKETED parquet target: the
+    * target is partitioned by key-hash bucket (`__bucket=k/` directories)
+    * and a batch rewrites ONLY the buckets containing touched keys —
+    * MERGE INTO semantics at lake scale (reference batch-merge:
+    * MergeApplier.java:46-156). Cost per batch is
+    * O(touched_buckets × bucket_size), not O(target): at a 100 TB target
+    * with 4096 buckets, a batch touching 1% of buckets reads and rewrites
+    * ~1 TB instead of everything. Untouched bucket files are never opened
+    * (partition pruning) nor replaced (dynamic partition overwrite).
+    *
+    * Idempotent per batch: replaying the same batch re-derives the same
+    * bucket contents. Readers see per-bucket directory replaces; a reader
+    * spanning the commit observes a consistent pre/post state per bucket
+    * (same guarantee granularity as the reference's per-batch REPLACE). */
+  def applyBatchToBucketedParquet(batch: DataFrame, keyCols: Seq[String],
+      seqCol: String, opCol: String, targetDir: String,
+      nBuckets: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    val finalImages = mergeToFinalImages(batch, keyCols, seqCol, opCol)
+      .withColumn("__bucket", bucketOf(keyCols, nBuckets))
+    if (!new java.io.File(targetDir).exists()) {
+      finalImages.filter(col("effective_op") =!= "DELETE")
+        .drop("effective_op")
+        .write.partitionBy("__bucket").mode(SaveMode.Overwrite)
+        .parquet(targetDir)
+    } else {
+      // touched bucket ids: bounded by nBuckets, safe to collect
+      val touched = finalImages.select("__bucket").distinct()
+        .collect().map(_.getInt(0))
+      if (touched.nonEmpty) {
+        val target = spark.read.parquet(targetDir)
+          .filter(col("__bucket").isin(touched.map(Integer.valueOf): _*))
+        val merged = upsert(target, finalImages, keyCols)
+        // dynamic overwrite only replaces partitions PRESENT in the output:
+        // a touched bucket whose keys were all deleted emits no rows, so its
+        // stale directory must be dropped explicitly (idempotent on replay —
+        // the same batch re-derives the same empty set). Computed BEFORE the
+        // write: merged's plan reads the pre-write target files.
+        val survivors = merged.select("__bucket").distinct()
+          .collect().map(_.getInt(0)).toSet
+        merged.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__bucket").parquet(targetDir)
+        (touched.toSet -- survivors).foreach { b =>
+          val dir = new java.io.File(targetDir, s"__bucket=$b")
+          if (dir.exists())
+            org.apache.commons.io.FileUtils.deleteDirectory(dir)
+        }
+      }
+    }
+  }
+
+  /** Read a bucketed target as a plain table (partition column dropped). */
+  def readBucketed(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String): DataFrame =
+    spark.read.parquet(targetDir).drop("__bucket")
 }
