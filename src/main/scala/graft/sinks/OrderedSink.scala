@@ -42,22 +42,59 @@ object OrderedSink {
     ordered
   }
 
-  /** Recovery cursor: the max TSO present in an output directory — the
-    * restart position for exactly-once resume (the analog of binlog file
-    * recover + MinTSOFilter seek, dumper/.../BinlogFileRecoverBuilder.java). */
+  /** Sidecar cursor file: the committed max TSO, one line of text, named
+    * with a leading underscore so parquet readers skip it (like _SUCCESS).
+    * Written atomically (tmp + rename) after every appendSince commit. */
+  private def cursorFile(outDir: String) = new java.io.File(outDir, "_graft_cursor")
+
+  private def readCursor(outDir: String): Option[Long] = {
+    val f = cursorFile(outDir)
+    if (!f.isFile) None
+    else scala.util.Try(
+      new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.toLong).toOption
+  }
+
+  private[sinks] def writeCursor(outDir: String, tso: Long): Unit = {
+    val f = cursorFile(outDir)
+    val tmp = new java.io.File(outDir, "._graft_cursor.tmp")
+    java.nio.file.Files.write(tmp.toPath, tso.toString.getBytes)
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Recovery cursor: the restart position for exactly-once resume (the
+    * analog of binlog file recover + MinTSOFilter seek,
+    * dumper/.../BinlogFileRecoverBuilder.java). O(1): reads the sidecar
+    * cursor committed with each append — at a 100 TB ordered log, restart
+    * must not scan the log. Falls back to a one-time full max() scan only
+    * for directories written before the cursor existed (and repairs the
+    * cursor so the scan never repeats). */
   def recoverPosition(spark: org.apache.spark.sql.SparkSession,
       outDir: String, tsoCol: String): Option[Long] = {
     if (!new java.io.File(outDir).exists()) None
-    else spark.read.parquet(outDir).agg(max(col(tsoCol))).head().get(0) match {
-      case null => None
-      case v: Long => Some(v)
-      case v => Some(v.toString.toLong)
+    else readCursor(outDir).orElse {
+      val scanned =
+        spark.read.parquet(outDir).agg(max(col(tsoCol))).head().get(0) match {
+          case null => None
+          case v: Long => Some(v)
+          case v => Some(v.toString.toLong)
+        }
+      scanned.foreach(writeCursor(outDir, _)) // repair: next restart is O(1)
+      scanned
     }
   }
 
   /** Idempotent append for foreachBatch: only events past the recovered
     * position are appended — replaying a batch after failure cannot
-    * duplicate rows (batch-id-free dedup by position). */
+    * duplicate rows (batch-id-free dedup by position). Commits the cursor
+    * sidecar after the append so the next recoverPosition is O(1).
+    *
+    * CONTRACT: `tsoCol` must be strictly increasing and UNIQUE across the
+    * stream (the reference's virtual TSO is exactly this — Model.scala
+    * VirtualTso packs (physicalTime, logicalSeq, shard) into one ordered
+    * long). With a non-unique order key, events sharing the recovered max
+    * TSO but arriving in a later batch would be dropped as replays. */
   def appendSince(events: DataFrame, tsoCol: String, outDir: String,
       numPartitions: Int): Unit = {
     val start = recoverPosition(events.sparkSession, outDir, tsoCol)
@@ -67,6 +104,10 @@ object OrderedSink {
     }
     MergeSort.sortedRuns(fresh, numPartitions, Seq(tsoCol))
       .write.mode(SaveMode.Append).parquet(outDir)
+    val batchMax = fresh.agg(max(col(tsoCol))).head().get(0)
+    (Option(batchMax).map(_.toString.toLong).toSeq ++ start)
+      .reduceOption(_ max _)
+      .foreach(writeCursor(outDir, _))
   }
 
   /** Compaction: streaming appends accumulate one small sorted run per
@@ -78,6 +119,7 @@ object OrderedSink {
   def compact(spark: org.apache.spark.sql.SparkSession, outDir: String,
       tsoCol: String, numPartitions: Int): Unit = {
     val staging = outDir + "__compacting"
+    val cursor = readCursor(outDir) // carry the recovery cursor across the swap
     MergeSort.sortedRuns(spark.read.parquet(outDir), numPartitions, Seq(tsoCol))
       .write.mode(SaveMode.Overwrite).parquet(staging)
     val dir = new java.io.File(outDir)
@@ -89,5 +131,6 @@ object OrderedSink {
       sys.error(s"compact: cannot swap in $staging")
     }
     org.apache.commons.io.FileUtils.deleteDirectory(old)
+    cursor.foreach(writeCursor(outDir, _))
   }
 }

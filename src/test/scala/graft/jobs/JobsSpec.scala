@@ -155,6 +155,27 @@ class JobsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/log").count() == n1 + 1)
   }
 
+  test("recovery cursor is the O(1) sidecar, not a log scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cursor")
+      .toString + "/log"
+    OrderedSink.appendSince(Seq((1L, "a"), (5L, "b")).toDF("tso", "op"),
+      "tso", dir, 2)
+    // appendSince committed a cursor sidecar
+    val cf = new java.io.File(dir, "_graft_cursor")
+    assert(cf.isFile)
+    assert(OrderedSink.recoverPosition(spark, dir, "tso").contains(5L))
+    // recovery must come FROM the sidecar: plant a sentinel value the data
+    // does not contain — a scanning implementation would return 5
+    java.nio.file.Files.write(cf.toPath, "777".getBytes)
+    assert(OrderedSink.recoverPosition(spark, dir, "tso").contains(777L))
+    // legacy dir without a cursor: one-time scan, then self-repairs
+    assert(cf.delete())
+    assert(OrderedSink.recoverPosition(spark, dir, "tso").contains(5L))
+    assert(cf.isFile, "fallback scan should repair the cursor sidecar")
+    // the sidecar must not break plain parquet readers
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
   test("compaction merges small appended runs, preserving content and order") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact")
       .toString + "/log"
