@@ -92,16 +92,27 @@ object Pipeline {
 
   /** Streaming heartbeat gate with watermark: late data beyond the
     * watermark is dropped (the force-complete analog — a window that
-    * closed without all sources is surfaced as complete=false). */
+    * closed without all sources is surfaced as complete=false).
+    *
+    * The source count is EXACT, via two-phase distinct: pre-aggregate per
+    * (window, source), then count rows per window — chained streaming
+    * aggregations, supported since multiple-stateful-operator support.
+    * The reference's barrier is exact (HeartBeatWindow.isComplete,
+    * merge/HeartBeatWindow.java:30); an approx_count_distinct gate could
+    * mark an incomplete window complete on HLL error, and a correctness
+    * barrier must not be probabilistic. The per-(window,source) state is
+    * bounded: sources × open windows rows. */
   def heartbeatWindowsStream(df: DataFrame, tsCol: String, sourceCol: String,
       windowLen: String, watermarkDelay: String,
       expectedSources: Int): DataFrame =
     df.withWatermark(tsCol, watermarkDelay)
-      .groupBy(window(col(tsCol), windowLen).as("w"))
+      .groupBy(window(col(tsCol), windowLen).as("w"), col(sourceCol).as("__src"))
+      .agg(count(lit(1)).as("__n_src_events"))
+      .groupBy(col("w"))
       .agg(
-        count(lit(1)).as("n_events"),
-        approx_count_distinct(col(sourceCol)).as("n_sources"))
-      .withColumn("complete", col("n_sources") >= expectedSources)
+        sum(col("__n_src_events")).as("n_events"),
+        count(lit(1)).as("n_sources"))
+      .withColumn("complete", col("n_sources") === expectedSources)
 
   /** The batch restatement of the whole Global-Binlog flow over the
     * `events` fixture (event_id=TSO, user_id=PK): filter system rows →

@@ -83,6 +83,32 @@ class PipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming gate is exact: 3 sources, one silent → complete=false") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    val input = MemoryStream[(String, Timestamp)]
+    val df = input.toDF().toDF("src", "ts")
+    val out = Pipeline.heartbeatWindowsStream(df, "ts", "src",
+      windowLen = "1 minute", watermarkDelay = "30 seconds",
+      expectedSources = 3)
+    val q = out.writeStream.format("memory").queryName("hbw3")
+      .outputMode("append").start()
+    try {
+      // dn3 never reports; dn1 floods the window (an approximate distinct
+      // could drift on repeated values — exact must count 2, not 3)
+      input.addData(
+        (1 to 50).map(i => ("dn1", ts(f"00:00:${i % 60}%02d"))) ++
+          Seq(("dn2", ts("00:00:10"))): _*)
+      q.processAllAvailable()
+      input.addData(("dn1", ts("00:05:00"))) // advance watermark
+      q.processAllAvailable()
+      val got = spark.table("hbw3")
+        .select($"n_events", $"n_sources", $"complete")
+        .as[(Long, Long, Boolean)].collect().toSeq
+      assert(got == Seq((51L, 2L, false)))
+    } finally q.stop()
+  }
+
   test("txn id reused after rollback assembles fresh (no ghost state)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[ChangeEvent]
