@@ -315,7 +315,8 @@ object SparkEntry {
           concat_ws(" ", slice(split(col("text"), " "), 3, 1000000)).as("text"))
       DedupApprox.minhashCandidatePairs(docs.unionByName(mutated),
           "doc_id", "text", shingleN = 3, numHashes = 32, bands = 8,
-          jaccardThreshold = 0.5)
+          jaccardThreshold = 0.5,
+          stagingDir = Some(graft.operators.Staged.tempDir("q36")))
         .select(col("id1"), col("id2"), round(col("jaccard"), 3).as("jac"))
         .orderBy(col("id1"), col("id2")).limit(500)
     }),
@@ -331,8 +332,10 @@ object SparkEntry {
     // shingle once per doc in a projection, THEN join — each side's array
     // is built once, and jaccard uses the size identity (no union array).
     "q38_ngram_jaccard" -> ((s, d) => {
-      val sh = Tables.documents(s, d).select(col("doc_id"),
-        DedupApprox.hashedShingles(col("text"), 2).as("sh")).cache()
+      val sh = graft.operators.Staged.parquetStage(
+        Tables.documents(s, d).select(col("doc_id"),
+          DedupApprox.hashedShingles(col("text"), 2).as("sh")),
+        graft.operators.Staged.tempDir("q38"))
       val a = sh.select(col("doc_id").as("id1"), col("sh").as("s1"))
       val b = sh.select(col("doc_id").as("id2"), col("sh").as("s2"))
       a.join(b, col("id2") === col("id1") + 1)
@@ -531,7 +534,8 @@ object SparkEntry {
         .select((col("vec_id") + 100000L).as("vec_id"),
           transform(col("embedding"), x => x + lit(0.001f)).as("embedding"))
       Similarity.cosineNearDupPairs(emb.unionByName(planted),
-          "vec_id", "embedding", threshold = 0.999, numPlanes = 4, dim = 64)
+          "vec_id", "embedding", threshold = 0.999, numPlanes = 4, dim = 64,
+          stagingDir = Some(graft.operators.Staged.tempDir("q54")))
         .select(col("id1"), col("id2"))
         .orderBy(col("id1"), col("id2")).limit(200)
     }),

@@ -121,11 +121,19 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs: bucket join + threshold —
     * the embedding-space member of the dedup family. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, numPlanes: Int, dim: Int): DataFrame = {
+      threshold: Double, numPlanes: Int, dim: Int,
+      stagingDir: Option[String] = None): DataFrame = {
     // materialize normalize+bucket once: projection collapse would inline
-    // the vector math into both self-join branches (cf. DedupApprox)
-    val n = df.select(col(idCol).as("id"), normalize(col(vecCol)).as("v"),
-      lshBucket(col(vecCol), numPlanes, dim).as("bucket")).cache()
+    // the vector math into both self-join branches (cf. DedupApprox).
+    // stagingDir → written stage (zero cached blocks, the lake shape);
+    // None → cache(), caller owns the lifecycle.
+    val prepared = df.select(col(idCol).as("id"), normalize(col(vecCol)).as("v"),
+      lshBucket(col(vecCol), numPlanes, dim).as("bucket"))
+    val n = stagingDir match {
+      case Some(dir) =>
+        graft.operators.Staged.parquetStage(prepared, dir + "/cosine_buckets")
+      case None => prepared.cache()
+    }
     val a = n.select(col("bucket"), col("id").as("id1"), col("v").as("v1"))
     val b = n.select(col("bucket"), col("id").as("id2"), col("v").as("v2"))
     a.join(b, Seq("bucket"))

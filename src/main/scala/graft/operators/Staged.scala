@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Stage materialization for multi-consumer intermediate frames.
+  *
+  * Self-join pipelines (minhash signatures, normalized embeddings) need
+  * their prepared stage computed ONCE: Catalyst's projection collapse
+  * would otherwise inline the expensive expressions into every join
+  * branch. `cache()` solves the recompute but pins executor blocks for
+  * the session lifetime unless the caller unpersists — a leak in a
+  * long-lived curation driver. Writing the stage to parquet is the
+  * lake-scale shape anyway (at 100 TB the signature table IS a table,
+  * reused across runs and pruned columnar), and leaves zero cached RDDs.
+  */
+object Staged {
+
+  /** Write `df` to `dir` as parquet and read it back — a materialization
+    * point with no cache footprint. The staging table is left on disk;
+    * callers own the directory lifecycle (a temp dir, or a real lake
+    * path when the stage is worth keeping). */
+  def parquetStage(df: DataFrame, dir: String): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).parquet(dir)
+    df.sparkSession.read.parquet(dir)
+  }
+
+  /** A per-purpose temp staging dir (under java.io.tmpdir). */
+  def tempDir(purpose: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-stage-$purpose")
+      .resolve("stage").toString
+}

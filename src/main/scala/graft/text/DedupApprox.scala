@@ -61,23 +61,31 @@ object DedupApprox {
     */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      jaccardThreshold: Double = 0.5): DataFrame = {
+      jaccardThreshold: Double = 0.5,
+      stagingDir: Option[String] = None): DataFrame = {
     val rows = numHashes / bands
     // Materialize the shingle+signature stage ONCE: Catalyst's projection
     // collapse would otherwise inline the (expensive) shingle transform
     // into every branch of the self-join and the verify joins, computing
-    // it 4×. At lake scale this stage is a written signature table; in a
-    // single plan, cache() is the materialization point.
-    val shingled = df
+    // it 4×. With `stagingDir` the stage is a WRITTEN signature table
+    // (the lake-scale shape; zero cached blocks — see Staged); without,
+    // cache() is the materialization point and the CALLER owns the
+    // lifecycle (unpersist via the returned plan's cached leaves).
+    val prepared = df
       .select(col(idCol).as("id"),
         hashedShingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-      .cache()
-    val banded = shingled
       .withColumn("sig", minhashSignatureHashed(col("sh"), numHashes))
+    val shingled = stagingDir match {
+      case Some(dir) =>
+        graft.operators.Staged.parquetStage(prepared, dir + "/minhash_signatures")
+      case None => prepared.cache()
+    }
+    // band hashes derive from the materialized signature for pennies — no
+    // second materialization needed
+    val banded = shingled
       .withColumn("bh", explode(bandHashes(col("sig"), bands, rows)))
       .select(col("id"), col("bh.band"), col("bh.bucket"))
-      .cache()
     // Candidate ids first — the distinct shuffles only (id1, id2) pairs;
     // shingle arrays join back once per UNIQUE pair for verification.
     val candidates = banded.select(col("band"), col("bucket"), col("id").as("id1"))

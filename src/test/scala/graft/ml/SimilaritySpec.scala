@@ -51,6 +51,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("staged near-dup pairing leaves zero new cached RDD blocks") {
+    val rnd = new scala.util.Random(13)
+    val df = (0L until 40L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val n = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+      threshold = 0.9, numPlanes = 4, dim = 16,
+      stagingDir = Some(graft.operators.Staged.tempDir("simspec"))).count()
+    assert(n >= 0)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"staged path must not cache: new persistent RDDs ${after -- before}")
+  }
+
   test("cosineNearDupPairs finds planted duplicate vectors") {
     val rnd = new scala.util.Random(11)
     val base = (0L until 50L).map(i =>

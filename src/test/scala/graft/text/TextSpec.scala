@@ -72,11 +72,16 @@ class TextSpec extends SparkSpec {
       // docs 0..18 distinct; doc 19 = near-copy of doc 0 with a tail
       if (i == 19L) (i, text(0) + " extra tail") else (i, text(i))
     }.toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val pairs = DedupApprox.minhashCandidatePairs(docs, "doc_id", "text",
-      shingleN = 3, numHashes = 32, bands = 8, jaccardThreshold = 0.5)
+      shingleN = 3, numHashes = 32, bands = 8, jaccardThreshold = 0.5,
+      stagingDir = Some(graft.operators.Staged.tempDir("textspec")))
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 19L)))
     assert(pairs.size <= 2, s"unexpected false positives: $pairs")
+    // the staged path must leave zero new cached RDD blocks behind
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty)
   }
 
   test("simhash: identical texts equal, near texts within small hamming") {
