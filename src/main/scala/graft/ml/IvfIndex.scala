@@ -62,16 +62,79 @@ object IvfIndex {
       s => s.getField("cell"))
   }
 
+  /** Literal-path cutoff: beyond this many cells the codebook no longer
+    * belongs in the expression tree (plan size O(nCells·dim) breaks
+    * codegen around ~1k cells) — assignment switches to a broadcast
+    * centroid join. */
+  val LiteralMaxCells = 64
+
+  private def centroidDf(spark: org.apache.spark.sql.SparkSession,
+      model: Model): DataFrame = {
+    import spark.implicits._
+    model.centers.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("__cell", "__centroid")
+  }
+
+  private def l2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Nearest-cell assignment as a DataFrame transform. Small codebooks
+    * (≤ `literalMax`) stay in the expression tree (cellOf — zero shuffle,
+    * codegen'd); larger ones run a broadcast cross-probe join against the
+    * centroid table and keep the winner per row — plan size O(1) in
+    * nCells, the quantization work distributed instead of compiled. */
+  def assignCells(df: DataFrame, vecCol: String, model: Model,
+      outCol: String = "cell", literalMax: Int = LiteralMaxCells): DataFrame =
+    if (model.nCells <= literalMax)
+      df.withColumn(outCol, cellOf(col(vecCol), model))
+    else {
+      val spark = df.sparkSession
+      val withId = df.withColumn("__rid", monotonically_increasing_id())
+      val best = withId.select(col("__rid"), col(vecCol).as("__v"))
+        .crossJoin(broadcast(centroidDf(spark, model)))
+        .select(col("__rid"),
+          struct(l2(col("__v"), col("__centroid")).as("d2"),
+            col("__cell").as("cell")).as("dc"))
+        .groupBy(col("__rid"))
+        .agg(min(col("dc")).getField("cell").as(outCol))
+      withId.join(best, Seq("__rid")).drop("__rid")
+    }
+
+  /** nProbe-nearest-cells assignment as a DataFrame transform (query
+    * side); same literal/broadcast strategy switch as assignCells. */
+  def assignProbes(df: DataFrame, vecCol: String, model: Model, nProbe: Int,
+      outCol: String = "cells", literalMax: Int = LiteralMaxCells): DataFrame =
+    if (model.nCells <= literalMax)
+      df.withColumn(outCol, probeCells(col(vecCol), model, nProbe))
+    else {
+      val spark = df.sparkSession
+      val withId = df.withColumn("__rid", monotonically_increasing_id())
+      val best = withId.select(col("__rid"), col(vecCol).as("__v"))
+        .crossJoin(broadcast(centroidDf(spark, model)))
+        .select(col("__rid"),
+          struct(l2(col("__v"), col("__centroid")).as("d2"),
+            col("__cell").as("cell")).as("dc"))
+        .groupBy(col("__rid"))
+        .agg(transform(slice(array_sort(collect_list(col("dc"))), 1, nProbe),
+          s => s.getField("cell")).as(outCol))
+      withId.join(best, Seq("__rid")).drop("__rid")
+    }
+
   /** IVF top-k cosine search: corpus assigned once, queries probe nProbe
     * cells, candidates ranked per query. */
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, model: Model, nProbe: Int): DataFrame = {
-    val assigned = corpus.select(col(idCol).as("corpus_id"),
-      Similarity.normalize(col(vecCol)).as("cv"),
-      cellOf(col(vecCol), model).as("cell"))
-    val probes = queries.select(col(idCol).as("query_id"),
-        Similarity.normalize(col(vecCol)).as("qv"),
-        probeCells(col(vecCol), model, nProbe).as("cells"))
+    val assigned = assignCells(
+      corpus.select(col(idCol).as("corpus_id"),
+        Similarity.normalize(col(vecCol)).as("cv"),
+        col(vecCol).as("__vec")),
+      "__vec", model).drop("__vec")
+    val probes = assignProbes(
+        queries.select(col(idCol).as("query_id"),
+          Similarity.normalize(col(vecCol)).as("qv"),
+          col(vecCol).as("__vec")),
+        "__vec", model, nProbe).drop("__vec")
       .withColumn("cell", explode(col("cells"))).drop("cells")
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))

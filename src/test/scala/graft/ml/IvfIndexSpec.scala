@@ -43,6 +43,38 @@ class IvfIndexSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("broadcast-join assignment equals the literal-expression assignment") {
+    val model = IvfIndex.train(corpus, "embedding", nCells = 4)
+    val lit = IvfIndex.assignCells(corpus, "embedding", model, "cell")
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    val bc = IvfIndex.assignCells(corpus, "embedding", model, "cell",
+        literalMax = 0) // force the broadcast path on the same model
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    assert(bc == lit)
+    val litP = IvfIndex.assignProbes(corpus, "embedding", model, 2, "cells")
+      .select($"vec_id", $"cells").as[(Long, Seq[Int])].collect().toMap
+    val bcP = IvfIndex.assignProbes(corpus, "embedding", model, 2, "cells",
+        literalMax = 0)
+      .select($"vec_id", $"cells").as[(Long, Seq[Int])].collect().toMap
+    assert(bcP == litP)
+  }
+
+  test("large codebook (nCells=256) keeps the plan compact and search working") {
+    val model = IvfIndex.train(corpus, "embedding", nCells = 256, maxIter = 2)
+    assert(model.nCells == 256)
+    val assigned = IvfIndex.assignCells(corpus, "embedding", model)
+    // the codebook must NOT be embedded in the plan: no least(...) over
+    // 256 struct literals — plan stays O(1) in nCells via the join
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("least("), "literal codebook leaked into the plan")
+    assert(plan.length < 50000, s"plan blew up: ${plan.length} chars")
+    val queries = corpus.filter($"vec_id" < 2L)
+    val got = IvfIndex.topK(corpus, queries, "vec_id", "embedding",
+      k = 3, model, nProbe = 8)
+    assert(got.groupBy($"query_id").count().as[(Long, Long)].collect()
+      .forall(_._2 == 3))
+  }
+
   test("probeCells returns nProbe distinct cells nearest-first") {
     val model = IvfIndex.train(corpus, "embedding", nCells = 4)
     val probes = corpus.filter($"vec_id" === 0L)
