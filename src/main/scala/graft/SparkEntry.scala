@@ -391,13 +391,17 @@ object SparkEntry {
           length(col("media")).cast("bigint").as("n_bytes"))
         .orderBy(col("doc_id")).limit(200)),
 
-    // multimodal: stubbed decode via typed per-partition pipeline.
+    // multimodal: REAL header decode via the typed per-partition pipeline —
+    // each doc becomes a valid BMP whose dims derive from the row, so the
+    // parsed (width, height, channels) are oracle-predictable.
     "q42_media_decode" -> ((s, d) => {
       implicit val sp: SparkSession = s
-      import s.implicits._
-      val media = Multimodal.mediaFromText(
-        Tables.documents(s, d), "doc_id", "text").as[Multimodal.MediaRecord]
+      val media = Multimodal.bmpFromDocs(Tables.documents(s, d), "doc_id", "text")
       Multimodal.decode(media).toDF()
+        .select(col("media_id"), col("n_bytes"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          col("channels").cast("bigint").as("channels"))
         .orderBy(col("media_id")).limit(200)
     }),
 
@@ -754,6 +758,14 @@ object SparkEntry {
     "q41_media_bytes" ->
       ("SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents " +
         "ORDER BY doc_id LIMIT 200"),
+    // the BMP fixture's header fields, predicted from the same row data the
+    // Spark side built them from — a real header parse must reproduce these
+    "q42_media_decode" ->
+      ("SELECT doc_id AS media_id, " +
+        "54 + octet_length(encode(text)) AS n_bytes, " +
+        "16 + octet_length(encode(text)) % 512 AS width, " +
+        "16 + doc_id % 256 AS height, 3 AS channels " +
+        "FROM documents ORDER BY doc_id LIMIT 200"),
     "q44_applier_merge" ->
       ("SELECT user_id, CASE WHEN op = 'DELETE' THEN 'DELETE' " +
         "WHEN has_insert = 1 THEN 'REPLACE' ELSE 'UPDATE' END AS effective_op " +

@@ -33,13 +33,102 @@ object Multimodal {
       lit("synthetic").as("source"))
 
   /** STUB decode: derives plausible (width, height, channels) metadata
-    * deterministically from the payload bytes. A real implementation reads
-    * the codec header; everything around it is the production path. */
+    * deterministically from the payload bytes — the fallback for formats
+    * with no pure-JVM parser in this environment. */
   private def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
     val h = java.util.Arrays.hashCode(bytes)
     val w = 64 + math.floorMod(h, 1024)
     val ht = 64 + math.floorMod(h >> 10, 1024)
     (w, ht, 3)
+  }
+
+  /** REAL header decode for BMP and WAV/RIFF (pure JVM — no codec libs
+    * needed for header metadata; format layouts are public):
+    *  - BMP: 'BM' magic; BITMAPINFOHEADER width/height as LE int32 at
+    *    offsets 18/22, bits-per-pixel LE int16 at 28 → channels = bpp/8.
+    *  - WAV: 'RIFF'+'WAVE' magic; fmt chunk → (sampleRate, bitsPerSample,
+    *    channels) reported as (width, height, channels).
+    * Unknown formats fall back to the deterministic stub (clearly the
+    * place a JNI/vectorized codec plugs in). */
+  private[ml] def parseHeader(bytes: Array[Byte]): (Int, Int, Int) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M') {
+      val w = bb.getInt(18)
+      val h = bb.getInt(22)
+      val bpp = bb.getShort(28)
+      (w, math.abs(h), math.max(1, bpp / 8)) // negative h = top-down BMP
+    } else if (bytes.length >= 44 &&
+        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') {
+      val channels = bb.getShort(22).toInt
+      val sampleRate = bb.getInt(24)
+      val bits = bb.getShort(34).toInt
+      (sampleRate, bits, channels)
+    } else decodeStub(bytes)
+  }
+
+  /** Build a minimal valid BMP (54-byte BITMAPINFOHEADER, 24bpp) with the
+    * given dimensions and `payload` standing in for pixel data. */
+  def bmpBytes(width: Int, height: Int, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(54 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+    bb.putInt(54 + payload.length) // file size
+    bb.putInt(0)                   // reserved
+    bb.putInt(54)                  // pixel-data offset
+    bb.putInt(40)                  // DIB header size
+    bb.putInt(width)
+    bb.putInt(height)
+    bb.putShort(1)                 // planes
+    bb.putShort(24)                // bpp
+    bb.putInt(0)                   // compression: BI_RGB
+    bb.putInt(payload.length)      // image size
+    bb.putInt(2835).putInt(2835)   // 72 dpi
+    bb.putInt(0).putInt(0)         // palette
+    bb.put(payload)
+    bb.array()
+  }
+
+  /** Build a minimal valid WAV header (44 bytes, PCM) + payload. */
+  def wavBytes(sampleRate: Int, bitsPerSample: Int, channels: Int,
+      payload: Array[Byte]): Array[Byte] = {
+    val byteRate = sampleRate * channels * bitsPerSample / 8
+    val bb = java.nio.ByteBuffer.allocate(44 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes)
+    bb.putInt(36 + payload.length)
+    bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes)
+    bb.putInt(16)                        // PCM fmt chunk size
+    bb.putShort(1)                       // PCM
+    bb.putShort(channels.toShort)
+    bb.putInt(sampleRate)
+    bb.putInt(byteRate)
+    bb.putShort((channels * bitsPerSample / 8).toShort) // block align
+    bb.putShort(bitsPerSample.toShort)
+    bb.put("data".getBytes)
+    bb.putInt(payload.length)
+    bb.put(payload)
+    bb.array()
+  }
+
+  /** Deterministic BMP media fixture from a documents-like frame: each
+    * row becomes a real BMP whose dimensions derive from the row
+    * (width = 16 + len(text) mod 512, height = 16 + id mod 256) and whose
+    * pixel payload is the text bytes — giving decode() a header a real
+    * parser must read, with dimensions an external oracle can predict. */
+  def bmpFromDocs(df: DataFrame, idCol: String, textCol: String)(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        MediaRecord(id,
+          bmpBytes(16 + payload.length % 512, 16 + (id % 256).toInt, payload),
+          "image/bmp", "synthetic")
+      }
   }
 
   /** STUB feature extraction: `dim` floats derived from a rolling hash of
@@ -67,9 +156,10 @@ object Multimodal {
   def decode(media: Dataset[MediaRecord])(implicit spark: SparkSession): Dataset[MediaMeta] = {
     import spark.implicits._
     media.mapPartitions { it =>
-      // real impl: open codec context here, close on iterator end
+      // BMP/WAV headers parse for real; other formats hit the stub — a
+      // full codec (JNI/vectorized) initializes here, once per partition
       it.map { r =>
-        val (w, h, c) = decodeStub(r.media)
+        val (w, h, c) = parseHeader(r.media)
         MediaMeta(r.media_id, r.media.length.toLong, w, h, c)
       }
     }

@@ -27,6 +27,34 @@ class MultimodalSpec extends SparkSpec {
     assert(a(0).n_bytes == "hello world".length)
   }
 
+  test("BMP header round-trip: build then parse recovers the dimensions") {
+    val payload = "pixels".getBytes
+    val bmp = Multimodal.bmpBytes(640, 480, payload)
+    assert(Multimodal.parseHeader(bmp) == ((640, 480, 3)))
+    // top-down BMP (negative height) normalizes
+    val bb = java.nio.ByteBuffer.wrap(bmp.clone())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -480)
+    assert(Multimodal.parseHeader(bb.array()) == ((640, 480, 3)))
+  }
+
+  test("WAV header round-trip: sampleRate/bits/channels recovered") {
+    val wav = Multimodal.wavBytes(44100, 16, 2, Array.fill(10)(0.toByte))
+    assert(Multimodal.parseHeader(wav) == ((44100, 16, 2)))
+    assert(Multimodal.parseHeader(Multimodal.wavBytes(8000, 8, 1,
+      Array.empty)) == ((8000, 8, 1)))
+  }
+
+  test("decode parses real BMP fixtures end-to-end") {
+    val docs = Seq((7L, "abc"), (300L, "a longer text body here"))
+      .toDF("doc_id", "text")
+    val metas = Multimodal.decode(Multimodal.bmpFromDocs(docs, "doc_id", "text"))
+      .collect().sortBy(_.media_id)
+    assert(metas(0).width == 16 + 3 && metas(0).height == 16 + 7)
+    assert(metas(0).n_bytes == 54 + 3 && metas(0).channels == 3)
+    assert(metas(1).height == 16 + (300 % 256))
+  }
+
   test("extractFeatures yields fixed-dim deterministic vectors in batches") {
     val f1 = Multimodal.extractFeatures(media, dim = 8, batchSize = 1)
       .collect().sortBy(_.media_id)
