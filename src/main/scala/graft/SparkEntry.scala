@@ -291,7 +291,7 @@ object SparkEntry {
             .cast("bigint").as("n_vowels"))
         .orderBy(col("doc_id")).limit(200)),
 
-    // language ID heuristic (no SQL oracle — heuristic op).
+    // language ID heuristic (oracle: the same scoring restated in DuckDB).
     "q34_lang_id" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -405,7 +405,7 @@ object SparkEntry {
         .orderBy(col("media_id")).limit(200)
     }),
 
-    // multimodal: frame sampling (bounded explode).
+    // multimodal: frame sampling (bounded explode; count-arithmetic oracle).
     "q43_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(
           Multimodal.mediaFromText(Tables.documents(s, d), "doc_id", "text"),
@@ -506,7 +506,8 @@ object SparkEntry {
           col("n_approx"))),
 
     // benchmark-contamination: docs sharing ≥3 5-gram shingles with a
-    // "benchmark" built from slices of the first 20 docs (rows-only).
+    // "benchmark" built from slices of the first 20 docs (oracle: exact
+    // distinct-n-gram intersection in DuckDB).
     "q55_contamination" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val bench = docs.filter(col("doc_id") < 20)
@@ -758,6 +759,50 @@ object SparkEntry {
     "q41_media_bytes" ->
       ("SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents " +
         "ORDER BY doc_id LIMIT 200"),
+    // the langId heuristic restated in DuckDB: distinct-stopword overlap +
+    // doubled diacritic evidence per language, struct-sort tie-break
+    // (greatest-of-structs == last of list_sort), CJK short-circuit
+    "q34_lang_id" ->
+      ("WITH base AS (SELECT doc_id, text, " +
+        "list_distinct(string_split(trim(lower(text)), ' ')) AS toks FROM documents), " +
+        "scored AS (SELECT doc_id, text, " +
+        "len(list_intersect(toks, ['der','die','und','das','ist','von','mit','den','ein','nicht'])) " +
+        "+ 2*length(regexp_replace(lower(text), '[^äöüß]', '', 'g')) AS s_de, " +
+        "len(list_intersect(toks, ['the','a','and','of','to','in','is','that','it','for'])) AS s_en, " +
+        "len(list_intersect(toks, ['el','la','de','que','y','en','un','por','con','los'])) " +
+        "+ 2*length(regexp_replace(lower(text), '[^ñ¡¿]', '', 'g')) AS s_es, " +
+        "len(list_intersect(toks, ['le','la','de','et','les','des','un','une','que','pour'])) " +
+        "+ 2*length(regexp_replace(lower(text), '[^àâçêëîïôœ]', '', 'g')) AS s_fr, " +
+        "len(list_intersect(toks, ['的','了','是','我','不','在','有','他','这','中'])) AS s_zh, " +
+        "3*length(regexp_replace(text, '[^\\p{Han}]', '', 'g')) AS cjk FROM base), " +
+        "top AS (SELECT doc_id, cjk, list_sort([" +
+        "{'score': s_de, 'lang': 'de'}, {'score': s_en, 'lang': 'en'}, " +
+        "{'score': s_es, 'lang': 'es'}, {'score': s_fr, 'lang': 'fr'}, " +
+        "{'score': s_zh, 'lang': 'zh'}])[-1] AS t FROM scored) " +
+        "SELECT doc_id, CASE WHEN cjk > t.score THEN 'zh' " +
+        "WHEN t.score > 0 THEN t.lang ELSE 'und' END AS lang_pred " +
+        "FROM top ORDER BY doc_id LIMIT 200"),
+    // frame sampling is pure arithmetic on payload length: ceil(nChunks/2)
+    // sampled frames per media (chunk=64B, every 2nd)
+    "q43_frame_sample" ->
+      ("SELECT doc_id AS media_id, " +
+        "CAST(ceil(greatest(ceil(octet_length(encode(text))/64.0),1)/2.0) AS BIGINT) " +
+        "AS n_frames FROM documents ORDER BY media_id LIMIT 200"),
+    // exact distinct-5-gram overlap between each doc and the sliced
+    // benchmark docs — equals the hashed-shingle equi-join count
+    "q55_contamination" ->
+      ("WITH sh AS (SELECT doc_id, " +
+        "list_distinct([array_to_string(string_split(text,' ')[i:i+4],' ') " +
+        "for i in range(1, len(string_split(text,' ')) - 3)]) AS s FROM documents), " +
+        "bsh AS (SELECT doc_id + 5000 AS bench_id, " +
+        "list_distinct([array_to_string(toks[i:i+4],' ') " +
+        "for i in range(1, len(toks) - 3)]) AS s " +
+        "FROM (SELECT doc_id, string_split(text,' ')[5:44] AS toks " +
+        "FROM documents WHERE doc_id < 20)), " +
+        "ov AS (SELECT a.doc_id, b.bench_id, " +
+        "len(list_intersect(a.s, b.s)) AS n_overlap FROM sh a CROSS JOIN bsh b) " +
+        "SELECT doc_id, bench_id, n_overlap FROM ov WHERE n_overlap >= 3 " +
+        "ORDER BY doc_id, bench_id LIMIT 500"),
     // the BMP fixture's header fields, predicted from the same row data the
     // Spark side built them from — a real header parse must reproduce these
     "q42_media_decode" ->
