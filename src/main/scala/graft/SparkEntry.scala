@@ -316,7 +316,7 @@ object SparkEntry {
       DedupApprox.minhashCandidatePairs(docs.unionByName(mutated),
           "doc_id", "text", shingleN = 3, numHashes = 32, bands = 8,
           jaccardThreshold = 0.5,
-          stagingDir = Some(graft.operators.Staged.tempDir("q36")))
+          stagingDir = Some(graft.operators.Staged.processDir("q36-mh32b8s3", d)))
         .select(col("id1"), col("id2"), round(col("jaccard"), 3).as("jac"))
         .orderBy(col("id1"), col("id2")).limit(500)
     }),
@@ -332,10 +332,10 @@ object SparkEntry {
     // shingle once per doc in a projection, THEN join — each side's array
     // is built once, and jaccard uses the size identity (no union array).
     "q38_ngram_jaccard" -> ((s, d) => {
-      val sh = graft.operators.Staged.parquetStage(
+      val sh = graft.operators.Staged.parquetStageOnce(
         Tables.documents(s, d).select(col("doc_id"),
           DedupApprox.hashedShingles(col("text"), 2).as("sh")),
-        graft.operators.Staged.tempDir("q38"))
+        graft.operators.Staged.processDir("q38-bigram-shingles", d))
       val a = sh.select(col("doc_id").as("id1"), col("sh").as("s1"))
       val b = sh.select(col("doc_id").as("id2"), col("sh").as("s2"))
       a.join(b, col("id2") === col("id1") + 1)
@@ -540,7 +540,7 @@ object SparkEntry {
           transform(col("embedding"), x => x + lit(0.001f)).as("embedding"))
       Similarity.cosineNearDupPairs(emb.unionByName(planted),
           "vec_id", "embedding", threshold = 0.999, numPlanes = 4, dim = 64,
-          stagingDir = Some(graft.operators.Staged.tempDir("q54")))
+          stagingDir = Some(graft.operators.Staged.processDir("q54-lsh4d64", d)))
         .select(col("id1"), col("id2"))
         .orderBy(col("id1"), col("id2")).limit(200)
     }),
@@ -567,6 +567,16 @@ object SparkEntry {
         .select(col("tso").as("event_id"), col("colNames").as("cols"))
         .orderBy(col("event_id")).limit(200)
     }),
+
+    // sliding (hopping) windows: 2-minute length, 1-minute slide — each
+    // event lands in two overlapping windows (the HOPPING analog of the
+    // q24 tumbling gate; free via window(ts, len, slide)).
+    "q58_sliding_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "2 minutes", "1 minute").as("w"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("u"))
+        .select(col("w.start").as("ws"), col("n"), col("u"))
+        .orderBy(col("ws")).limit(200)),
 
     // the flagship §3.1 composition end-to-end: two DN streams (user
     // parity), commit gate, assembly, XA fusion, day heartbeat windows
@@ -842,6 +852,16 @@ object SparkEntry {
     "q52_global_binlog" ->
       ("SELECT max(event_id) AS commit_tso, count(*) AS n_events " +
         "FROM events GROUP BY user_id ORDER BY commit_tso LIMIT 100"),
+    // every event contributes to its own minute-slot window and the one
+    // starting a minute earlier (2-min length, 1-min slide)
+    "q58_sliding_window" ->
+      ("WITH slots AS (" +
+        "SELECT date_trunc('minute', ts) AS ws, user_id FROM events " +
+        "UNION ALL " +
+        "SELECT date_trunc('minute', ts) - INTERVAL 1 MINUTE AS ws, user_id " +
+        "FROM events) " +
+        "SELECT ws, count(*) AS n, count(DISTINCT user_id) AS u " +
+        "FROM slots GROUP BY ws ORDER BY ws LIMIT 200"),
     "q57_ddl_schema" ->
       ("SELECT event_id, CASE " +
         "WHEN event_id >= 160 THEN 'event_id,note2,tag' " +

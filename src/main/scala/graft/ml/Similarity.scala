@@ -131,7 +131,7 @@ object Similarity {
       lshBucket(col(vecCol), numPlanes, dim).as("bucket"))
     val n = stagingDir match {
       case Some(dir) =>
-        graft.operators.Staged.parquetStage(prepared, dir + "/cosine_buckets")
+        graft.operators.Staged.parquetStageOnce(prepared, dir + "/cosine_buckets")
       case None => prepared.cache()
     }
     val a = n.select(col("bucket"), col("id").as("id1"), col("v").as("v1"))

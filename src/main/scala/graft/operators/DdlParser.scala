@@ -308,7 +308,7 @@ object DdlParser {
     }
     items += cur.result()
 
-    items.result().filter(_.nonEmpty).map { idxs =>
+    items.result().filter(_.nonEmpty).flatMap { idxs =>
       def word(j: Int): String = idxs.lift(j).map(kw).getOrElse("")
       def tok(j: Int): String = idxs.lift(j).map(toks).getOrElse("")
       def positionOf(rest: Vector[Int]): (Boolean, Option[String]) = {
@@ -325,44 +325,68 @@ object DdlParser {
           if (word(base) == "primary" && word(base + 1) == "key") {
             val cols = idxs.drop(base + 2).map(toks)
               .filterNot(Set("(", ")", ",")).map(_.toLowerCase).toVector
-            AddPrimaryKey(cols)
+            Seq(AddPrimaryKey(cols))
           } else if (Set("index", "key", "unique", "constraint", "foreign",
               "fulltext", "spatial", "check", "partition").contains(word(base))) {
-            IgnoredAction
+            Seq(IgnoredAction)
+          } else if (tok(base) == "(") {
+            // MySQL paren-group form: ADD [COLUMN] (a INT, b DECIMAL(10,2))
+            // — split on commas at group depth only (type-arg parens nest)
+            val groups = Vector.newBuilder[Vector[Int]]
+            var cur2 = Vector.newBuilder[Int]
+            var d = 1
+            idxs.drop(base + 1).foreach { i =>
+              toks(i) match {
+                case "(" => d += 1; cur2 += i
+                case ")" =>
+                  d -= 1
+                  if (d == 0) { groups += cur2.result(); cur2 = Vector.newBuilder[Int] }
+                  else cur2 += i
+                case "," if d == 1 =>
+                  groups += cur2.result(); cur2 = Vector.newBuilder[Int]
+                case _ => if (d >= 1) cur2 += i
+              }
+            }
+            groups.result().filter(_.nonEmpty).map { g =>
+              val name = toks(g.head).toLowerCase
+              val (tpe, _) = parseTypeAt(toks, kw, g.drop(1))
+              AddColumn(ColumnDef(name, tpe), first = false, after = None)
+            }
           } else {
             val name = tok(base).toLowerCase
             val (tpe, rest) = parseTypeAt(toks, kw, idxs.drop(base + 1))
             val (first, after) = positionOf(rest)
-            AddColumn(ColumnDef(name, tpe), first, after)
+            Seq(AddColumn(ColumnDef(name, tpe), first, after))
           }
         case "drop" =>
-          if (word(1) == "primary" && word(2) == "key") DropPrimaryKey
-          else if (word(1) == "column") DropColumn(tok(2).toLowerCase)
+          if (word(1) == "primary" && word(2) == "key") Seq(DropPrimaryKey)
+          else if (word(1) == "column") Seq(DropColumn(tok(2).toLowerCase))
           else if (Set("index", "key", "constraint", "foreign", "partition",
-              "check").contains(word(1))) IgnoredAction
-          else DropColumn(tok(1).toLowerCase)
+              "check").contains(word(1))) Seq(IgnoredAction)
+          else Seq(DropColumn(tok(1).toLowerCase))
         case "modify" =>
           val base = if (word(1) == "column") 2 else 1
           val name = tok(base).toLowerCase
           val (tpe, rest) = parseTypeAt(toks, kw, idxs.drop(base + 1))
           val (first, after) = positionOf(rest)
-          ModifyColumn(ColumnDef(name, tpe), first, after)
+          Seq(ModifyColumn(ColumnDef(name, tpe), first, after))
         case "change" =>
           val base = if (word(1) == "column") 2 else 1
           val oldName = tok(base).toLowerCase
           val newName = tok(base + 1).toLowerCase
           val (tpe, rest) = parseTypeAt(toks, kw, idxs.drop(base + 2))
           val (first, after) = positionOf(rest)
-          ChangeColumn(oldName, ColumnDef(newName, tpe), first, after)
+          Seq(ChangeColumn(oldName, ColumnDef(newName, tpe), first, after))
         case "rename" =>
-          if (word(1) == "column") RenameColumn(tok(2).toLowerCase, tok(4).toLowerCase)
+          if (word(1) == "column")
+            Seq(RenameColumn(tok(2).toLowerCase, tok(4).toLowerCase))
           else {
             val base = if (word(1) == "to" || word(1) == "as") 2 else 1
             if (idxs.length > base + 1 && tok(base + 1) == ".")
-              RenameTo(Some(tok(base).toLowerCase), tok(base + 2).toLowerCase)
-            else RenameTo(None, tok(base).toLowerCase)
+              Seq(RenameTo(Some(tok(base).toLowerCase), tok(base + 2).toLowerCase))
+            else Seq(RenameTo(None, tok(base).toLowerCase))
           }
-        case _ => IgnoredAction // ENGINE=, CHARSET=, ALGORITHM=, partition ops
+        case _ => Seq(IgnoredAction) // ENGINE=, CHARSET=, ALGORITHM=, partition ops
       }
     }
   }

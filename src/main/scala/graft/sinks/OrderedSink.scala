@@ -110,6 +110,21 @@ object OrderedSink {
       .foreach(writeCursor(outDir, _))
   }
 
+  /** SHOW BINLOG EVENTS analog (dumper/.../CdcServer.java:100-136): the
+    * metadata surface over the ordered log — one row per output file (the
+    * "binlog file" unit) with its TSO range and event count. File-level
+    * min/max come from the sorted-run layout, so the listing doubles as a
+    * seek index (which file serves a given TSO). */
+  def showBinlogEvents(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, tsoCol: String): DataFrame =
+    spark.read.parquet(outDir)
+      .groupBy(input_file_name().as("log_file"))
+      .agg(
+        min(col(tsoCol)).as("start_tso"),
+        max(col(tsoCol)).as("end_tso"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("start_tso"), col("log_file"))
+
   /** Compaction: streaming appends accumulate one small sorted run per
     * micro-batch; periodically rewrite the log as numPartitions balanced
     * sorted runs (range-partitioned on the TSO, so the total order and

@@ -78,7 +78,7 @@ object DedupApprox {
       .withColumn("sig", minhashSignatureHashed(col("sh"), numHashes))
     val shingled = stagingDir match {
       case Some(dir) =>
-        graft.operators.Staged.parquetStage(prepared, dir + "/minhash_signatures")
+        graft.operators.Staged.parquetStageOnce(prepared, dir + "/minhash_signatures")
       case None => prepared.cache()
     }
     // band hashes derive from the materialized signature for pennies — no

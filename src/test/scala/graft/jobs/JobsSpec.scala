@@ -155,6 +155,26 @@ class JobsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/log").count() == n1 + 1)
   }
 
+  test("showBinlogEvents lists per-file TSO ranges over the ordered log") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-show")
+      .toString + "/log"
+    (0 until 3).foreach { b =>
+      OrderedSink.appendSince(
+        (b * 10 until (b + 1) * 10).map(i => (i.toLong, s"e$i"))
+          .toDF("tso", "op"), "tso", dir, 2)
+    }
+    val listing = OrderedSink.showBinlogEvents(spark, dir, "tso")
+      .as[(String, Long, Long, Long)].collect()
+    // counts cover the log; every file's range is internally consistent
+    assert(listing.map(_._4).sum == 30L)
+    assert(listing.forall(r => r._2 <= r._3))
+    // the listing is a seek index: ordered by start_tso
+    val starts = listing.map(_._2).toSeq
+    assert(starts == starts.sorted)
+    // a point lookup (tso=15) is served by at least one listed file range
+    assert(listing.exists(r => r._2 <= 15L && 15L <= r._3))
+  }
+
   test("recovery cursor is the O(1) sidecar, not a log scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cursor")
       .toString + "/log"

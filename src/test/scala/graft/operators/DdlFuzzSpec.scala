@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Round-trip fuzz for the DDL parser+fold: drive a simple in-memory
+  * schema model with random operations, render each operation to MySQL
+  * DDL text with randomized formatting (case, backticks, whitespace,
+  * noise flags), fold the rendered log through DdlParser, and require the
+  * folded final state to equal the model — the qatest/random analog for
+  * the MemoryTableMeta path (reference: polardbx-cdc-test DDL suites). */
+class DdlFuzzSpec extends SparkSpec {
+
+  private val types = Vector(
+    "INT" -> "int", "BIGINT" -> "bigint", "VARCHAR(32)" -> "string",
+    "TEXT" -> "string", "DOUBLE" -> "double", "DECIMAL(10,2)" -> "decimal(10,2)",
+    "DATETIME" -> "timestamp", "TINYINT(1)" -> "boolean", "BLOB" -> "binary")
+
+  private def fmtIdent(rnd: scala.util.Random, s: String): String =
+    if (rnd.nextBoolean()) s"`$s`" else s
+
+  private def fmtKw(rnd: scala.util.Random, s: String): String =
+    if (rnd.nextBoolean()) s.toLowerCase else s
+
+  test("random DDL histories: fold == model (30 rounds, seed-fixed)") {
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 30).foreach { round =>
+      // model: table -> ordered columns (name -> normalized type)
+      var model = Map.empty[String, Vector[(String, String)]]
+      val ddl = Vector.newBuilder[(Long, String)]
+      var tso = 0L
+      var colSeq = 0
+
+      def freshCol(): (String, String, String) = {
+        colSeq += 1
+        val (raw, norm) = types(rnd.nextInt(types.length))
+        (s"c$colSeq", raw, norm)
+      }
+
+      (1 to 40).foreach { _ =>
+        tso += 1
+        val tables = model.keys.toVector.sorted
+        val choice = rnd.nextInt(10)
+        if (tables.isEmpty || choice == 0) {
+          // CREATE TABLE
+          val t = s"t${tso}"
+          val cols = (0 to rnd.nextInt(3)).map(_ => freshCol()).toVector
+          val rendered = cols.map { case (n, raw, _) =>
+            s"${fmtIdent(rnd, n)} $raw NOT NULL" }.mkString(", ")
+          ddl += ((tso,
+            s"${fmtKw(rnd, "CREATE TABLE")}  ${fmtIdent(rnd, t)} ($rendered)"))
+          model += t -> cols.map(c => (c._1, c._3))
+        } else {
+          val t = tables(rnd.nextInt(tables.length))
+          val cols = model(t)
+          rnd.nextInt(6) match {
+            case 0 => // DROP TABLE
+              ddl += ((tso, s"${fmtKw(rnd, "DROP TABLE IF EXISTS")} $t"))
+              model -= t
+            case 1 => // ADD COLUMN (possibly positioned)
+              val (n, raw, norm) = freshCol()
+              val pos =
+                if (cols.isEmpty) ""
+                else rnd.nextInt(3) match {
+                  case 0 => " FIRST"
+                  case 1 => s" AFTER ${cols(rnd.nextInt(cols.length))._1}"
+                  case _ => ""
+                }
+              ddl += ((tso,
+                s"ALTER TABLE ${fmtIdent(rnd, t)} ${fmtKw(rnd, "ADD COLUMN")} $n $raw$pos"))
+              model += t -> (pos match {
+                case " FIRST" => (n, norm) +: cols
+                case "" => cols :+ ((n, norm))
+                case p =>
+                  val a = p.stripPrefix(" AFTER ")
+                  val i = cols.indexWhere(_._1 == a)
+                  (cols.take(i + 1) :+ ((n, norm))) ++ cols.drop(i + 1)
+              })
+            case 2 if cols.nonEmpty => // DROP COLUMN
+              val (n, _) = cols(rnd.nextInt(cols.length))
+              ddl += ((tso, s"ALTER TABLE $t ${fmtKw(rnd, "DROP COLUMN")} ${fmtIdent(rnd, n)}"))
+              model += t -> cols.filterNot(_._1 == n)
+            case 3 if cols.nonEmpty => // CHANGE COLUMN rename+retype
+              val (n, _) = cols(rnd.nextInt(cols.length))
+              colSeq += 1
+              val n2 = s"r$colSeq"
+              val (raw, norm) = types(rnd.nextInt(types.length))
+              ddl += ((tso, s"ALTER TABLE $t CHANGE COLUMN $n $n2 $raw"))
+              model += t -> cols.map(c => if (c._1 == n) (n2, norm) else c)
+            case 4 if cols.nonEmpty => // MODIFY retype in place
+              val (n, _) = cols(rnd.nextInt(cols.length))
+              val (raw, norm) = types(rnd.nextInt(types.length))
+              ddl += ((tso, s"alter table $t modify $n $raw"))
+              model += t -> cols.map(c => if (c._1 == n) (n, norm) else c)
+            case 5 => // RENAME TABLE
+              val t2 = s"rn$tso"
+              ddl += ((tso, s"RENAME TABLE $t TO $t2"))
+              model = model - t + (t2 -> cols)
+            case _ => // noise statement with no schema effect
+              ddl += ((tso, "FLUSH LOGS"))
+          }
+        }
+      }
+
+      // fold the rendered log; compare the final state per table
+      val folded = DdlParser.foldSchema("db", ddl.result())
+      val finalState = folded.groupBy(_._3).map { case (t, rows) =>
+        t -> rows.maxBy(_._1)
+      }.collect { case (t, (_, _, _, json, colNames)) if json != null =>
+        t -> colNames
+      }
+      val expected = model.map { case (t, cols) =>
+        t -> cols.map(_._1).mkString(",")
+      }
+      assert(finalState == expected,
+        s"round $round diverged (seed-fixed):\n got=$finalState\n exp=$expected")
+      // and types survive: spot-check the json of every live table
+      model.foreach { case (t, cols) =>
+        val json = folded.filter(r => r._3 == t).maxBy(_._1)._4
+        cols.foreach { case (n, norm) =>
+          assert(json.contains(s""""name":"$n","type":"$norm""""),
+            s"round $round table $t: column $n:$norm missing in $json")
+        }
+      }
+    }
+  }
+}

@@ -46,6 +46,20 @@ class DdlParserSpec extends SparkSpec {
       IgnoredAction)))
   }
 
+  test("ALTER TABLE: paren-group ADD COLUMN (a, b) with nested type parens") {
+    val s = parse(
+      "ALTER TABLE t ADD COLUMN (a INT, b DECIMAL(10,2), c VARCHAR(8))", "s")
+    assert(s == AlterTable("s", "t", Seq(
+      AddColumn(ColumnDef("a", "int"), first = false, after = None),
+      AddColumn(ColumnDef("b", "decimal(10,2)"), first = false, after = None),
+      AddColumn(ColumnDef("c", "string"), first = false, after = None))))
+    // and the fold applies all three
+    val out = foldSchema("s", Seq(
+      (1L, "CREATE TABLE t (id BIGINT)"),
+      (2L, "ALTER TABLE t ADD (a INT, b DECIMAL(10,2))")))
+    assert(out.last._5 == "id,a,b")
+  }
+
   test("ALTER TABLE: rename-to, rename column, pk add/drop") {
     assert(parse("ALTER TABLE t RENAME TO t2", "s") ==
       AlterTable("s", "t", Seq(RenameTo(None, "t2"))))
