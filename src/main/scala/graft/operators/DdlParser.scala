@@ -52,6 +52,24 @@ object DdlParser {
     def colNames: String = columns.map(_.name).mkString(",")
   }
 
+  object TableState {
+    private val ColRe = """\{"name":"([^"]+)","type":"([^"]+)"\}""".r
+    private val PkRe = """"pk":\[([^\]]*)\]""".r
+
+    /** Parse the catalog's own schemaJson back into a state — the
+      * snapshot-bootstrap entry point (the format is ours and
+      * deterministic, so a targeted parse suffices). */
+    def fromJson(json: String): TableState = {
+      val cols = ColRe.findAllMatchIn(json)
+        .map(m => ColumnDef(m.group(1), m.group(2))).toVector
+      val pk = PkRe.findFirstMatchIn(json)
+        .map(_.group(1).split(",").map(_.trim.stripPrefix("\"")
+          .stripSuffix("\"")).filter(_.nonEmpty).toVector)
+        .getOrElse(Vector.empty)
+      TableState(cols, pk)
+    }
+  }
+
   // ---- statement model ----
 
   sealed trait Stmt
@@ -444,8 +462,11 @@ object DdlParser {
     * tableName, schemaJson, colNames); DROP TABLE emits null schemaJson so
     * as-of resolution yields no schema past the drop. */
   def foldSchema(defaultSchema: String,
-      history: Seq[(Long, String)]): Seq[(Long, String, String, String, String)] = {
+      history: Seq[(Long, String)],
+      base: Map[(String, String), TableState] = Map.empty)
+      : Seq[(Long, String, String, String, String)] = {
     val tables = mutable.LinkedHashMap[(String, String), TableState]()
+    tables ++= base
     val out = Seq.newBuilder[(Long, String, String, String, String)]
     def emit(tso: Long, key: (String, String)): Unit = {
       val st = tables.get(key)
@@ -518,5 +539,44 @@ object DdlParser {
         foldSchema(schema, it.map(r => (r._1, r._3)).toSeq).iterator
       }
       .toDF("tso", "schemaName", "tableName", "schemaJson", "colNames")
+  }
+
+  /** Snapshot-bootstrapped fold — the restart path (the reference's
+    * RollbackMode.SNAPSHOT_EXACTLY: build meta from the latest snapshot ≤
+    * the start position, then replay only the DDL since,
+    * meta/.../RollbackMode.java + PolarDbXTableMetaManager.rollback).
+    * At a 100 TB history this replays hours of DDL, not years.
+    *
+    * `snapshot` rows: (schemaName, tableName, schemaJson) as written by
+    * this catalog (snapshotAt output shape). Emits the snapshot state as
+    * version rows at `snapTso`, then folds DDL rows with tso > snapTso on
+    * top of it — per schema in parallel via cogroup. */
+  def foldDdlLogFrom(snapshot: DataFrame, snapTso: Long, ddlLog: DataFrame,
+      tsoCol: String = "tso", schemaCol: String = "schemaName",
+      tableCol: String = "tableName", jsonCol: String = "schemaJson",
+      ddlCol: String = "ddl"): DataFrame = {
+    val spark = ddlLog.sparkSession
+    import spark.implicits._
+    val snap = snapshot
+      .select(col(schemaCol).cast("string"), col(tableCol).cast("string"),
+        col(jsonCol).cast("string"))
+      .as[(String, String, String)]
+      .groupByKey(_._1)
+    val ddl = ddlLog
+      .select(col(tsoCol).cast("long"), col(schemaCol).cast("string"),
+        col(ddlCol).cast("string"))
+      .filter(col(tsoCol) > snapTso)
+      .as[(Long, String, String)]
+      .groupByKey(_._2)
+    snap.cogroup(ddl) { (schema, snapIt, ddlIt) =>
+      val base = snapIt
+        .map(r => (schema, r._2.toLowerCase) -> TableState.fromJson(r._3))
+        .toMap
+      val baseRows = base.iterator.map { case ((s, t), st) =>
+        (snapTso, s, t, st.json, st.colNames)
+      }
+      baseRows ++
+        foldSchema(schema, ddlIt.map(r => (r._1, r._3)).toSeq, base).iterator
+    }.toDF("tso", "schemaName", "tableName", "schemaJson", "colNames")
   }
 }

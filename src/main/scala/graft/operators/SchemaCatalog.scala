@@ -59,4 +59,15 @@ object SchemaCatalog {
   def resolveDdlText(events: DataFrame, rawDdlLog: DataFrame,
       eventTsoCol: String = "tso"): DataFrame =
     resolve(events, DdlParser.foldDdlLog(rawDdlLog), eventTsoCol)
+
+  /** Restart-path resolution (RollbackMode.SNAPSHOT_EXACTLY analog):
+    * bootstrap the catalog from a schema snapshot taken at `snapTso` and
+    * replay only the raw DDL text issued after it — never the full
+    * history. Events with tso < snapTso resolve to no schema (they
+    * precede the bootstrap), matching a restarted pipeline's horizon. */
+  def resolveFromSnapshot(events: DataFrame, snapshot: DataFrame,
+      snapTso: Long, rawDdlSince: DataFrame,
+      eventTsoCol: String = "tso"): DataFrame =
+    resolve(events, DdlParser.foldDdlLogFrom(snapshot, snapTso, rawDdlSince),
+      eventTsoCol)
 }

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.SchemaCatalog
+import graft.sinks.OrderedSink
+
+/** In-stream schema evolution: a CDC stream carries BOTH row events and
+  * raw DDL statements; rows must decode against the schema current at
+  * their position — including a DDL that arrived earlier in the same
+  * micro-batch.
+  *
+  * Reference semantics: MemoryTableMeta.apply consumes each DDL from the
+  * log as it is encountered and subsequent row events resolve against the
+  * updated repository (canal/.../tsdb/MemoryTableMeta.java:122-147;
+  * PolarDbXTableMetaManager.java:103).
+  *
+  * Spark restatement: the DDL sub-stream is persisted to an append-only
+  * DDL log (idempotent by TSO cursor — replays cannot duplicate), and
+  * each micro-batch's row events resolve via the as-of join against the
+  * full accumulated log. Correctness does not depend on batch boundaries:
+  * resolution is by TSO interval, so a row lands on the right schema
+  * version whether its DDL arrived in this batch or a previous one. The
+  * DDL log is O(DDL statements) — always tiny next to the event stream —
+  * so the per-batch re-fold is a broadcast-sized job. */
+object SchemaStream {
+
+  /** Start the evolving-schema resolution stream.
+    *
+    * Source rows: (tso, schemaName, tableName, kind, ddl, payload...) —
+    * kind ∈ {"row", "ddl"}; `ddl` holds statement text for DDL rows.
+    * DDL accumulates under `ddlLogDir`; resolved row events append to
+    * `outDir` with their as-of `colNames`/`schemaJson`. */
+  def start(spark: SparkSession, sourceDir: String, sourceSchema: StructType,
+      ddlLogDir: String, outDir: String, checkpointDir: String): StreamingQuery = {
+    spark.readStream
+      .schema(sourceSchema)
+      .option("maxFilesPerTrigger", 16)
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyBatch(batch, ddlLogDir, outDir)
+      }
+      .start()
+  }
+
+  /** One micro-batch: persist the DDL sub-stream, then resolve the row
+    * sub-stream against the accumulated log (exposed for batch replay and
+    * tests). */
+  def applyBatch(batch: DataFrame, ddlLogDir: String, outDir: String): Unit = {
+    val spark = batch.sparkSession
+    val ddl = batch.filter(col("kind") === "ddl")
+      .select(col("tso"), col("schemaName"), col("ddl"))
+    if (!ddl.isEmpty)
+      OrderedSink.appendSince(ddl, "tso", ddlLogDir, numPartitions = 1)
+    val rows = batch.filter(col("kind") === "row").drop("kind", "ddl")
+    if (!rows.isEmpty) {
+      val resolved =
+        if (new java.io.File(ddlLogDir).exists())
+          SchemaCatalog.resolveDdlText(rows, spark.read.parquet(ddlLogDir))
+        else rows.withColumn("schemaJson", lit(null).cast("string"))
+          .withColumn("colNames", lit(null).cast("string"))
+      resolved.write.mode("append").parquet(outDir)
+    }
+  }
+}

@@ -140,6 +140,46 @@ class DdlParserSpec extends SparkSpec {
     assert(out.map(_._5) == Seq("a", "a,b")) // tso=3 emits nothing
   }
 
+  test("TableState.fromJson round-trips the catalog's own json") {
+    val st = TableState(Vector(ColumnDef("id", "bigint"),
+      ColumnDef("v", "decimal(10,2)")), Vector("id"))
+    assert(TableState.fromJson(st.json) == st)
+    assert(TableState.fromJson(
+      TableState(Vector.empty, Vector.empty).json) ==
+      TableState(Vector.empty, Vector.empty))
+  }
+
+  test("foldSchema with a snapshot base replays only the delta") {
+    val base = Map(("s", "t") ->
+      TableState(Vector(ColumnDef("a", "int")), Vector.empty))
+    val out = foldSchema("s",
+      Seq((10L, "ALTER TABLE t ADD COLUMN b BIGINT")), base)
+    assert(out == Seq((10L, "s", "t",
+      """{"columns":[{"name":"a","type":"int"},{"name":"b","type":"bigint"}],"pk":[]}""",
+      "a,b")))
+  }
+
+  test("resolveFromSnapshot: snapshot + DDL-since restart path") {
+    val snapshot = Seq(
+      ("app", "t1", """{"columns":[{"name":"id","type":"bigint"}],"pk":["id"]}"""))
+      .toDF("schemaName", "tableName", "schemaJson")
+    val ddlSince = Seq(
+      (50L, "app", "ALTER TABLE t1 ADD COLUMN v DOUBLE"), // after snapshot
+      (5L, "app", "ALTER TABLE t1 ADD COLUMN ignored INT"), // BEFORE: excluded
+      (80L, "app", "CREATE TABLE t2 (x INT)"))
+      .toDF("tso", "schemaName", "ddl")
+    val events = Seq(
+      (20L, "app", "t1"), (60L, "app", "t1"), (90L, "app", "t2"),
+      (5L, "app", "t1")) // precedes the bootstrap horizon
+      .toDF("tso", "schemaName", "tableName")
+    val got = SchemaCatalog.resolveFromSnapshot(events, snapshot, 10L, ddlSince)
+      .select("tso", "colNames").as[(Long, Option[String])].collect().toMap
+    assert(got(20L).contains("id"))       // snapshot state
+    assert(got(60L).contains("id,v"))     // snapshot + replayed ALTER
+    assert(got(90L).contains("x"))        // table created after snapshot
+    assert(got(5L).isEmpty)               // before the bootstrap horizon
+  }
+
   test("foldDdlLog + resolveDdlText: as-of resolution over raw DDL text") {
     val rawDdl = Seq(
       (10L, "app", "CREATE TABLE events (id BIGINT, v DOUBLE)"),
