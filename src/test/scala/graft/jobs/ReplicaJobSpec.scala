@@ -53,4 +53,40 @@ class ReplicaJobSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     assert(t2 == Set((1L, "a3"), (3L, "c1")))
   }
+
+  test("bucketed mode (nBuckets>0) converges to the same state as flat") {
+    val root = Files.createTempDirectory("graft-rplb").toString
+    val srcDir = s"$root/src"; val target = s"$root/target"
+    new java.io.File(srcDir).mkdirs()
+    val spec = Filters.ReplicaSpec(doDbs = Seq("app"))
+
+    Seq(
+      ("app", "t", 1L, 1L, "INSERT", "a1"),
+      ("app", "t", 2L, 2L, "INSERT", "b1"),
+      ("app", "t", 3L, 3L, "INSERT", "c1")
+    ).toDF("db", "tbl", "pk", "seq", "op", "v")
+      .write.parquet(s"$srcDir/w1.parquet")
+    ReplicaJob.start(spark, s"$srcDir/*", schema, spec,
+      "db", "tbl", Seq("pk"), "seq", "op", target, s"$root/ckpt",
+      nBuckets = 4).awaitTermination(120000)
+
+    Seq(
+      ("app", "t", 1L, 5L, "UPDATE", "a2"),
+      ("app", "t", 2L, 6L, "DELETE", "b1"),
+      ("app", "t", 7L, 7L, "INSERT", "g1")
+    ).toDF("db", "tbl", "pk", "seq", "op", "v")
+      .write.parquet(s"$srcDir/w2.parquet")
+    ReplicaJob.start(spark, s"$srcDir/*", schema, spec,
+      "db", "tbl", Seq("pk"), "seq", "op", target, s"$root/ckpt",
+      nBuckets = 4).awaitTermination(120000)
+
+    // the bucketed target reads back to the same converged state
+    val got = graft.operators.Appliers.readBucketed(spark, target)
+      .select($"pk", $"v").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a2"), (3L, "c1"), (7L, "g1")))
+    // and the layout is actually bucketed (partition dirs on disk)
+    val dirs = new java.io.File(target).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("__bucket="))
+    assert(dirs.nonEmpty)
+  }
 }
