@@ -568,6 +568,23 @@ object SparkEntry {
         .orderBy(col("event_id")).limit(200)
     }),
 
+    // the composed curation pipeline — what a 100 TB training-data run
+    // chains: language filter → quality scoring → exact dedup (min doc_id
+    // per identical text) → per-doc stats. Every stage is a library op;
+    // the whole pipeline is one declarative plan (one shuffle for the
+    // dedup, everything else codegen'd projections).
+    "q59_curation" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.langId(col("text")).as("lang"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          TextAnalysis.tokenCount(col("text")).as("tokens"))
+        .filter(col("lang") === "en")
+      Dedup.firstImage(scored, Seq("text"), "doc_id")
+        .select(col("doc_id"), col("tokens"), col("quality"))
+        .orderBy(col("doc_id")).limit(200)
+    }),
+
     // sliding (hopping) windows: 2-minute length, 1-minute slide — each
     // event lands in two overlapping windows (the HOPPING analog of the
     // q24 tumbling gate; free via window(ts, len, slide)).
@@ -852,6 +869,35 @@ object SparkEntry {
     "q52_global_binlog" ->
       ("SELECT max(event_id) AS commit_tso, count(*) AS n_events " +
         "FROM events GROUP BY user_id ORDER BY commit_tso LIMIT 100"),
+    // the full curation pipeline restated: en-language gate (q34 scoring),
+    // exact quality formula (same op order), dedup by min doc_id per text
+    "q59_curation" ->
+      ("WITH base AS (SELECT doc_id, text, " +
+        "string_split(trim(lower(text)), ' ') AS t FROM documents), " +
+        "lang AS (SELECT doc_id, CASE WHEN cjk > tp.score THEN 'zh' " +
+        "WHEN tp.score > 0 THEN tp.lang ELSE 'und' END AS lp FROM (" +
+        "SELECT doc_id, 3*length(regexp_replace(text, '[^\\p{Han}]', '', 'g')) AS cjk, " +
+        "list_sort([" +
+        "{'score': len(list_intersect(list_distinct(t), ['der','die','und','das','ist','von','mit','den','ein','nicht'])) " +
+        "+ 2*length(regexp_replace(lower(text), '[^äöüß]', '', 'g')), 'lang': 'de'}, " +
+        "{'score': len(list_intersect(list_distinct(t), ['the','a','and','of','to','in','is','that','it','for'])), 'lang': 'en'}, " +
+        "{'score': len(list_intersect(list_distinct(t), ['el','la','de','que','y','en','un','por','con','los'])) " +
+        "+ 2*length(regexp_replace(lower(text), '[^ñ¡¿]', '', 'g')), 'lang': 'es'}, " +
+        "{'score': len(list_intersect(list_distinct(t), ['le','la','de','et','les','des','un','une','que','pour'])) " +
+        "+ 2*length(regexp_replace(lower(text), '[^àâçêëîïôœ]', '', 'g')), 'lang': 'fr'}, " +
+        "{'score': len(list_intersect(list_distinct(t), ['的','了','是','我','不','在','有','他','这','中'])), 'lang': 'zh'}" +
+        "])[-1] AS tp FROM base)), " +
+        "qual AS (SELECT b.doc_id, b.text, " +
+        "(length(b.text) - length(replace(b.text, ' ', '')) + 1) AS tokens, " +
+        "round((least(length(b.text)/500.0, 1.0) " +
+        "+ least(length(regexp_replace(b.text, '[^.!?,;:]', '', 'g'))/5.0, 1.0) " +
+        "+ least((CAST(len(list_filter(b.t, x -> list_contains(['the','a','and','of','to','in','is','that','it','for'], x))) AS DOUBLE) / len(b.t)) * 5.0, 1.0) " +
+        "+ (1.0 - least((CAST(length(regexp_replace(b.text, '[^A-Z]', '', 'g')) AS DOUBLE)/length(b.text)) * 3.0, 1.0)))/4.0, 6) AS quality " +
+        "FROM base b JOIN lang l ON b.doc_id = l.doc_id WHERE l.lp = 'en'), " +
+        "dedup AS (SELECT doc_id, tokens, quality, " +
+        "row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM qual) " +
+        "SELECT doc_id, tokens, quality FROM dedup WHERE rn = 1 " +
+        "ORDER BY doc_id LIMIT 200"),
     // every event contributes to its own minute-slot window and the one
     // starting a minute earlier (2-min length, 1-min slide)
     "q58_sliding_window" ->
