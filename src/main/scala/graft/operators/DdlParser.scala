@@ -193,7 +193,11 @@ object DdlParser {
           var ifNotExists = false
           if (kw.lift(i).contains("if")) { ifNotExists = true; i += 3 } // IF NOT EXISTS
           val (sch, tbl, afterName) = qualified(i)
-          parseCreateBody(toks, kw, afterName) match {
+          // the column body must open IMMEDIATELY after the name: a paren
+          // later in the statement (CREATE TABLE t AS SELECT f(x)...)
+          // is not a definition body
+          if (!toks.lift(afterName).contains("(")) Noop
+          else parseCreateBody(toks, kw, afterName) match {
             case Some((cols, pk)) => CreateTable(sch, tbl, cols, pk, ifNotExists)
             case None => Noop // CREATE TABLE ... LIKE / AS SELECT — unsupported
           }

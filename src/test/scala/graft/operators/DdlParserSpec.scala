@@ -80,6 +80,9 @@ class DdlParserSpec extends SparkSpec {
     assert(parse("CREATE INDEX i ON t (a)", "s") == Noop)
     assert(parse("-- just a comment", "s") == Noop)
     assert(parse("not even sql (", "s") == Noop)
+    // a paren later in the statement is not a column body
+    assert(parse("CREATE TABLE t2 AS SELECT f(x) FROM t", "s") == Noop)
+    assert(parse("CREATE TABLE t2 LIKE t", "s") == Noop)
   }
 
   test("type normalization covers the MySQL families") {
