@@ -96,6 +96,21 @@ class AppliersSpec extends SparkSpec {
       after.keys.filter(_.contains(s"__bucket=$bucket3")).toSet)
   }
 
+  test("bucketed target reads prune partitions (plan-level proof)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bprune")
+      .resolve("target").toString
+    Appliers.applyBatchToBucketedParquet(batch, Seq("pk"), "seq", "op", dir, 8)
+    // the exact read the next batch performs: filter on the partition col
+    val read = spark.read.parquet(dir).filter(col("__bucket").isin(1, 2))
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+    assert(plan.contains("__bucket"), plan.take(500))
+    // and no pushed data filter needed — pruning happens at the dir level
+    val scanned = read.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(scanned.contains("__bucket"), "partition column absent from scan")
+  }
+
   test("bucketed apply handles DELETE and new-key INSERT across batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bapply2")
       .resolve("target").toString
