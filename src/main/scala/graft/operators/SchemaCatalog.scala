@@ -70,4 +70,28 @@ object SchemaCatalog {
       eventTsoCol: String = "tso"): DataFrame =
     resolve(events, DdlParser.foldDdlLogFrom(snapshot, snapTso, rawDdlSince),
       eventTsoCol)
+
+  /** Consistency check (meta/ConsistencyChecker.java analog): compare the
+    * catalog's folded state as of `tso` against an authoritative snapshot
+    * (the reference compares MemoryTableMeta to information_schema).
+    * Returns one row per disagreeing table: status ∈ missing_in_fold /
+    * missing_in_auth / mismatch — empty means the fold replayed the DDL
+    * history faithfully. A full outer join on (schemaName, tableName);
+    * both sides are catalog-sized (bounded), never event-stream-sized. */
+  def consistencyDiff(ddlLog: DataFrame, authoritative: DataFrame,
+      tso: Long, tsoCol: String = "tso"): DataFrame = {
+    val fold = snapshotAt(ddlLog, tso, tsoCol)
+      .filter(col("schemaJson").isNotNull)
+      .select(col("schemaName"), col("tableName"),
+        col("schemaJson").as("fold_json"))
+    val auth = authoritative
+      .select(col("schemaName"), col("tableName"),
+        col("schemaJson").as("auth_json"))
+    fold.join(auth, Seq("schemaName", "tableName"), "full_outer")
+      .withColumn("status",
+        when(col("auth_json").isNull, lit("missing_in_auth"))
+          .when(col("fold_json").isNull, lit("missing_in_fold"))
+          .when(col("fold_json") =!= col("auth_json"), lit("mismatch")))
+      .filter(col("status").isNotNull)
+  }
 }

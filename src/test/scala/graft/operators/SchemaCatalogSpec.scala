@@ -27,6 +27,23 @@ class SchemaCatalogSpec extends SparkSpec {
     assert(snap == Set(("t1", """{"cols":["a"]}"""), ("t2", """{"cols":["x"]}""")))
   }
 
+  test("consistencyDiff: faithful fold is empty; divergence is classified") {
+    // authoritative snapshot agreeing with the fold at tso=180
+    val agree = Seq(
+      ("app", "t1", """{"cols":["a"]}"""), ("app", "t2", """{"cols":["x"]}"""))
+      .toDF("schemaName", "tableName", "schemaJson")
+    assert(SchemaCatalog.consistencyDiff(ddlLog, agree, 180L).isEmpty)
+    // diverging snapshot: t1 drifted, t2 missing, t9 unknown to the fold
+    val drift = Seq(
+      ("app", "t1", """{"cols":["a","GHOST"]}"""),
+      ("app", "t9", """{"cols":["z"]}"""))
+      .toDF("schemaName", "tableName", "schemaJson")
+    val got = SchemaCatalog.consistencyDiff(ddlLog, drift, 180L)
+      .select("tableName", "status").as[(String, String)].collect().toMap
+    assert(got == Map("t1" -> "mismatch", "t2" -> "missing_in_auth",
+      "t9" -> "missing_in_fold"))
+  }
+
   test("resolve attaches the schema current at each event TSO") {
     val events = Seq(
       (120L, "app", "t1"), (250L, "app", "t1"), (90L, "app", "t1"))
