@@ -466,12 +466,15 @@ object SparkEntry {
     }),
 
     // full-copy bootstrap: quantile chunking of the key space
-    // (keyset-pagination analog; approx cuts — rows-only check). One
-    // grouped pass over the table, not one job per chunk.
+    // (keyset-pagination analog). relErr=0 → exact order-statistic cuts,
+    // so the chunk histogram is oracle-checkable; production copies pass
+    // relErr>0 for the one-pass sketch. One grouped pass over the table,
+    // not one job per chunk.
     "q48_fullcopy_chunks" -> ((s, d) => {
       val orders = Tables.orders(s, d)
-      val bounds = FullCopy.chunkBounds(orders, "o_orderkey", 8)
-      orders.groupBy(FullCopy.chunkIdColumn("o_orderkey", bounds).as("chunk"))
+      val bounds = FullCopy.chunkBounds(orders, "o_orderkey", 8, relErr = 0.0)
+      orders.groupBy(FullCopy.chunkIdColumn("o_orderkey", bounds)
+          .cast("bigint").as("chunk"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("chunk"))
     }),
@@ -786,6 +789,14 @@ object SparkEntry {
     "q41_media_bytes" ->
       ("SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents " +
         "ORDER BY doc_id LIMIT 200"),
+    // exact order-statistic cuts == quantile_disc; chunk id = number of
+    // cuts at or below the key
+    "q48_fullcopy_chunks" ->
+      ("WITH c AS (SELECT quantile_disc(o_orderkey, " +
+        "[0.125,0.25,0.375,0.5,0.625,0.75,0.875]) AS cuts FROM orders) " +
+        "SELECT len(list_filter(c.cuts, x -> o.o_orderkey >= x)) AS chunk, " +
+        "count(*) AS n FROM orders o CROSS JOIN c " +
+        "GROUP BY 1 ORDER BY chunk"),
     // the langId heuristic restated in DuckDB: distinct-stopword overlap +
     // doubled diacritic evidence per language, struct-sort tie-break
     // (greatest-of-structs == last of list_sort), CJK short-circuit
