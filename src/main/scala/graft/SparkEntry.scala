@@ -297,7 +297,7 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id")).limit(200)),
 
-    // document fingerprint (rolling hash; deterministic, no oracle).
+    // document fingerprint (Rabin-Karp char polynomial; list_reduce oracle).
     "q35_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -789,6 +789,12 @@ object SparkEntry {
     "q41_media_bytes" ->
       ("SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents " +
         "ORDER BY doc_id LIMIT 200"),
+    // the same Rabin-Karp char-polynomial fold, via list_reduce
+    "q35_fingerprint" ->
+      ("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "[CAST(ord(c) AS BIGINT) for c in string_split(text, '')]), " +
+        "(acc, x) -> (acc * 31 + x) % 2147483629) AS fp " +
+        "FROM documents ORDER BY doc_id LIMIT 200"),
     // exact order-statistic cuts == quantile_disc; chunk id = number of
     // cuts at or below the key
     "q48_fullcopy_chunks" ->

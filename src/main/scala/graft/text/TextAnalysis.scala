@@ -118,12 +118,15 @@ object TextAnalysis {
       .otherwise(lit(1.0) - distinctN.cast("double") / total)
   }
 
-  /** Rolling polynomial fingerprint over tokens, mod a 31-bit prime so the
-    * accumulator can never overflow (ANSI-safe): a stable document
-    * fingerprint for content-defined chunking / shift-tolerant dedup. */
+  /** Rolling polynomial (Rabin–Karp) fingerprint over characters, mod a
+    * 31-bit prime so the accumulator can never overflow (ANSI-safe): a
+    * stable, engine-independent document fingerprint for content-defined
+    * chunking / shift-tolerant dedup — fp = fold (acc·31 + codepoint) mod p.
+    * Defined on code points; astral-plane text may differ across engines
+    * that split by UTF-16 unit vs code point. */
   def rollingFingerprint(text: Column): Column = {
     val p = lit(2147483629L) // largest prime < 2^31
-    aggregate(tokens(text), lit(0L),
-      (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), p), p))
+    aggregate(split(text, ""), lit(0L),
+      (acc, c) => pmod(acc * 31L + ascii(c).cast("long"), p))
   }
 }
