@@ -177,7 +177,13 @@ object Appliers {
     val spark = batch.sparkSession
     val finalImages = mergeToFinalImages(batch, keyCols, seqCol, opCol)
       .withColumn("__bucket", bucketOf(keyCols, nBuckets))
-    if (!new java.io.File(targetDir).exists()) {
+    // a target with no bucket directories (e.g. a bootstrap batch that was
+    // all deletes wrote only _SUCCESS) has no schema to read — treat it as
+    // absent and bootstrap again
+    val targetFile = new java.io.File(targetDir)
+    val hasData = targetFile.exists() && Option(targetFile.listFiles())
+      .exists(_.exists(f => f.isDirectory && f.getName.startsWith("__bucket=")))
+    if (!hasData) {
       finalImages.filter(col("effective_op") =!= "DELETE")
         .drop("effective_op")
         .write.partitionBy("__bucket").mode(SaveMode.Overwrite)
