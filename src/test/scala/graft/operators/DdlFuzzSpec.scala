@@ -95,6 +95,11 @@ class DdlFuzzSpec extends SparkSpec {
               val t2 = s"rn$tso"
               ddl += ((tso, s"RENAME TABLE $t TO $t2"))
               model = model - t + (t2 -> cols)
+            case _ if rnd.nextBoolean() => // paren-group multi-ADD
+              val adds = (0 to rnd.nextInt(2)).map(_ => freshCol()).toVector
+              val body = adds.map { case (n, raw, _) => s"$n $raw" }.mkString(", ")
+              ddl += ((tso, s"ALTER TABLE db.$t ADD COLUMN ($body)"))
+              model += t -> (cols ++ adds.map(c => (c._1, c._3)))
             case _ => // noise statement with no schema effect
               ddl += ((tso, "FLUSH LOGS"))
           }
