@@ -183,6 +183,23 @@ class DdlParserSpec extends SparkSpec {
     assert(got(5L).isEmpty)               // before the bootstrap horizon
   }
 
+  test("physical DDL normalizes then folds (DDLConverter → MemoryTableMeta)") {
+    import org.apache.spark.sql.functions.col
+    // physical-shard DDL (suffixed table names) → logical DDL → fold:
+    // the reference's DDLConverter feeds SchemaRepository the same way
+    val physical = Seq(
+      (1L, "app", "CREATE TABLE `orders_00001` (id BIGINT, v DOUBLE)"),
+      (2L, "app", "ALTER TABLE orders_00001 ADD COLUMN note TEXT"))
+      .toDF("tso", "schemaName", "ddl")
+    val logical = physical.withColumn("ddl",
+      Reshape.normalizeDdl(col("ddl")))
+    val folded = DdlParser.foldDdlLog(logical)
+      .select("tso", "tableName", "colNames")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(folded.toSeq == Seq(
+      (1L, "orders", "id,v"), (2L, "orders", "id,v,note")))
+  }
+
   test("foldDdlLog + resolveDdlText: as-of resolution over raw DDL text") {
     val rawDdl = Seq(
       (10L, "app", "CREATE TABLE events (id BIGINT, v DOUBLE)"),
