@@ -62,18 +62,25 @@ object ValidationJob {
     missing.unionByName(orphans).unionByName(mism)
   }
 
-  /** Full run with a driver-side report (counts materialize the diff). */
+  /** Full run with a driver-side report. The per-kind counts come from ONE
+    * grouped aggregation over the diff (a single materialization), not
+    * three filtered counts off a cached frame — a long-lived validation
+    * driver must pin no executor blocks between runs. The returned diff
+    * frame is lazy; callers that iterate it further should stage it
+    * (Staged.parquetStage) rather than re-materialize. */
   def run(src: DataFrame, dst: DataFrame, keys: Seq[String],
       valueCols: Seq[String], chunkOf: Column): (Report, DataFrame) = {
     val bad = mismatchedChunks(src, dst, chunkOf, keys ++ valueCols)
       .select(col("chunk")).distinct()
-    val diffs = diffRows(src, dst, keys, valueCols, chunkOf).cache()
+    val diffs = diffRows(src, dst, keys, valueCols, chunkOf)
+    val byKind = diffs.groupBy(col("diff_kind")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val report = Report(
       chunksTotal = src.select(chunkOf.as("chunk")).distinct().count(),
       chunksMismatched = bad.count(),
-      missing = diffs.filter(col("diff_kind") === "missing").count(),
-      orphans = diffs.filter(col("diff_kind") === "orphan").count(),
-      mismatched = diffs.filter(col("diff_kind") === "mismatched").count())
+      missing = byKind.getOrElse("missing", 0L),
+      orphans = byKind.getOrElse("orphan", 0L),
+      mismatched = byKind.getOrElse("mismatched", 0L))
     (report, diffs)
   }
 

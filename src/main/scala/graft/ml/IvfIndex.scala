@@ -90,7 +90,14 @@ object IvfIndex {
       df.withColumn(outCol, cellOf(col(vecCol), model))
     else {
       val spark = df.sparkSession
+      // the generated id correlates the probe branch with the join-back
+      // branch of a self-join: materialize it ONCE (localCheckpoint) —
+      // re-computing monotonically_increasing_id in each branch is only
+      // deterministic if the whole upstream is (a shuffle retry or
+      // round-robin repartition upstream would silently mis-join rows to
+      // another row's cell assignment)
       val withId = df.withColumn("__rid", monotonically_increasing_id())
+        .localCheckpoint()
       val best = withId.select(col("__rid"), col(vecCol).as("__v"))
         .crossJoin(broadcast(centroidDf(spark, model)))
         .select(col("__rid"),
@@ -109,7 +116,9 @@ object IvfIndex {
       df.withColumn(outCol, probeCells(col(vecCol), model, nProbe))
     else {
       val spark = df.sparkSession
+      // materialized once for the same reason as assignCells
       val withId = df.withColumn("__rid", monotonically_increasing_id())
+        .localCheckpoint()
       val best = withId.select(col("__rid"), col(vecCol).as("__v"))
         .crossJoin(broadcast(centroidDf(spark, model)))
         .select(col("__rid"),

@@ -189,28 +189,46 @@ object Appliers {
         .write.partitionBy("__bucket").mode(SaveMode.Overwrite)
         .parquet(targetDir)
     } else {
-      // touched bucket ids: bounded by nBuckets, safe to collect
-      val touched = finalImages.select("__bucket").distinct()
-        .collect().map(_.getInt(0))
-      if (touched.nonEmpty) {
-        val target = spark.read.parquet(targetDir)
-          .filter(col("__bucket").isin(touched.map(Integer.valueOf): _*))
-        val merged = upsert(target, finalImages, keyCols)
-        // dynamic overwrite only replaces partitions PRESENT in the output:
-        // a touched bucket whose keys were all deleted emits no rows, so its
-        // stale directory must be dropped explicitly (idempotent on replay —
-        // the same batch re-derives the same empty set). Computed BEFORE the
-        // write: merged's plan reads the pre-write target files.
-        val survivors = merged.select("__bucket").distinct()
-          .collect().map(_.getInt(0)).toSet
-        merged.write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__bucket").parquet(targetDir)
-        (touched.toSet -- survivors).foreach { b =>
-          val dir = new java.io.File(targetDir, s"__bucket=$b")
-          if (dir.exists())
-            org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      // the batch's merge plan feeds three actions (touched-bucket list,
+      // survivor list, final write): stage each expensive frame ONCE so the
+      // window agg over the batch and the touched-bucket target read each
+      // execute exactly once per batch — re-deriving them per action is
+      // 2-3× read amplification on the hot RPL path at scale. Staging also
+      // removes the lazy-plan re-read trap (a plan collected after the
+      // write would re-read the replaced target files).
+      val staging = new java.io.File(targetDir + "__batchstage")
+      if (staging.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(staging)
+      try {
+        val fi = Staged.parquetStage(finalImages,
+          new java.io.File(staging, "final_images").toString)
+        // touched bucket ids: bounded by nBuckets, safe to collect
+        val touched = fi.select("__bucket").distinct()
+          .collect().map(_.getInt(0))
+        if (touched.nonEmpty) {
+          val target = spark.read.parquet(targetDir)
+            .filter(col("__bucket").isin(touched.map(Integer.valueOf): _*))
+          val merged = Staged.parquetStage(upsert(target, fi, keyCols),
+            new java.io.File(staging, "merged").toString)
+          // dynamic overwrite only replaces partitions PRESENT in the
+          // output: a touched bucket whose keys were all deleted emits no
+          // rows, so its stale directory must be dropped explicitly
+          // (idempotent on replay — the same batch re-derives the same
+          // empty set)
+          val survivors = merged.select("__bucket").distinct()
+            .collect().map(_.getInt(0)).toSet
+          merged.write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__bucket").parquet(targetDir)
+          (touched.toSet -- survivors).foreach { b =>
+            val dir = new java.io.File(targetDir, s"__bucket=$b")
+            if (dir.exists())
+              org.apache.commons.io.FileUtils.deleteDirectory(dir)
+          }
         }
+      } finally {
+        if (staging.exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(staging)
       }
     }
   }

@@ -42,22 +42,41 @@ object OrderedSink {
     ordered
   }
 
-  /** Sidecar cursor file: the committed max TSO, one line of text, named
+  /** Sidecar cursor file: `<maxTso>,<nDataFiles>`, one line of text, named
     * with a leading underscore so parquet readers skip it (like _SUCCESS).
-    * Written atomically (tmp + rename) after every appendSince commit. */
+    * Written atomically (tmp + rename) after every appendSince commit. The
+    * data-file count makes the cursor SELF-VERIFYING: the parquet append
+    * commits before the cursor write, so a crash in that window leaves a
+    * cursor whose recorded file count no longer matches the directory —
+    * recovery detects the mismatch and falls back to the max() scan instead
+    * of trusting a stale position (which would re-append the whole last
+    * batch on replay). */
   private def cursorFile(outDir: String) = new java.io.File(outDir, "_graft_cursor")
 
-  private def readCursor(outDir: String): Option[Long] = {
+  /** Data files the cursor guards (excludes _SUCCESS, the cursor itself,
+    * hidden temps). One directory listing — O(files) metadata, no data IO. */
+  private def dataFileCount(outDir: String): Long =
+    Option(new java.io.File(outDir).listFiles()).map(_.count(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .toLong).getOrElse(0L)
+
+  private def readCursor(outDir: String): Option[(Long, Long)] = {
     val f = cursorFile(outDir)
     if (!f.isFile) None
-    else scala.util.Try(
-      new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.toLong).toOption
+    else scala.util.Try {
+      val parts = new String(java.nio.file.Files.readAllBytes(f.toPath))
+        .trim.split(",")
+      // legacy single-field cursors carry no file count → unverifiable,
+      // recorded as count -1 so recovery re-scans once and upgrades
+      (parts(0).toLong, if (parts.length > 1) parts(1).toLong else -1L)
+    }.toOption
   }
 
   private[sinks] def writeCursor(outDir: String, tso: Long): Unit = {
     val f = cursorFile(outDir)
     val tmp = new java.io.File(outDir, "._graft_cursor.tmp")
-    java.nio.file.Files.write(tmp.toPath, tso.toString.getBytes)
+    java.nio.file.Files.write(tmp.toPath,
+      s"$tso,${dataFileCount(outDir)}".getBytes)
     java.nio.file.Files.move(tmp.toPath, f.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -66,22 +85,30 @@ object OrderedSink {
   /** Recovery cursor: the restart position for exactly-once resume (the
     * analog of binlog file recover + MinTSOFilter seek,
     * dumper/.../BinlogFileRecoverBuilder.java). O(1): reads the sidecar
-    * cursor committed with each append — at a 100 TB ordered log, restart
-    * must not scan the log. Falls back to a one-time full max() scan only
-    * for directories written before the cursor existed (and repairs the
-    * cursor so the scan never repeats). */
+    * cursor committed with each append and trusts it ONLY when its
+    * recorded data-file count matches the directory listing — an append
+    * that committed without its cursor update (crash between the two)
+    * fails the check and falls back to a one-time full max() scan, which
+    * repairs the cursor so the scan never repeats. At a 100 TB ordered
+    * log the happy path is one footer-free directory listing. */
   def recoverPosition(spark: org.apache.spark.sql.SparkSession,
       outDir: String, tsoCol: String): Option[Long] = {
     if (!new java.io.File(outDir).exists()) None
-    else readCursor(outDir).orElse {
-      val scanned =
-        spark.read.parquet(outDir).agg(max(col(tsoCol))).head().get(0) match {
-          case null => None
-          case v: Long => Some(v)
-          case v => Some(v.toString.toLong)
-        }
-      scanned.foreach(writeCursor(outDir, _)) // repair: next restart is O(1)
-      scanned
+    else {
+      val nFiles = dataFileCount(outDir)
+      readCursor(outDir) match {
+        case Some((tso, cnt)) if cnt == nFiles => Some(tso)
+        case _ if nFiles == 0L => None // nothing durable yet
+        case _ => // absent, legacy, or desynced cursor: scan + repair
+          val scanned =
+            spark.read.parquet(outDir).agg(max(col(tsoCol))).head().get(0) match {
+              case null => None
+              case v: Long => Some(v)
+              case v => Some(v.toString.toLong)
+            }
+          scanned.foreach(writeCursor(outDir, _)) // next restart is O(1)
+          scanned
+      }
     }
   }
 
@@ -112,10 +139,61 @@ object OrderedSink {
 
   /** SHOW BINLOG EVENTS analog (dumper/.../CdcServer.java:100-136): the
     * metadata surface over the ordered log — one row per output file (the
-    * "binlog file" unit) with its TSO range and event count. File-level
-    * min/max come from the sorted-run layout, so the listing doubles as a
-    * seek index (which file serves a given TSO). */
+    * "binlog file" unit) with its TSO range and event count. Served from
+    * parquet FOOTER row-group statistics, the lake analog of the
+    * reference serving SHOW from file headers: per file, one footer read
+    * (a few KB at the tail) — never a data page. At a 100 TB log the
+    * listing costs O(files) small reads, distributed across executors,
+    * instead of a full scan. File-level min/max come from the sorted-run
+    * layout, so the listing doubles as a seek index (which file serves a
+    * given TSO). */
   def showBinlogEvents(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, tsoCol: String): DataFrame = {
+    import spark.implicits._
+    val files = Option(new java.io.File(outDir).listFiles()).toSeq.flatten
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .map(_.getAbsolutePath).sorted
+    val stats = spark.createDataset(files).mapPartitions { paths =>
+      // executor-side footer reads: default Hadoop conf suffices for any
+      // FS the session itself can read (local/HDFS); no data pages opened
+      val conf = new org.apache.hadoop.conf.Configuration()
+      paths.map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = reader.getFooter.getBlocks
+          var lo = Option.empty[Long]
+          var hi = Option.empty[Long]
+          var n = 0L
+          blocks.forEach { b =>
+            n += b.getRowCount
+            b.getColumns.forEach { c =>
+              if (c.getPath.toDotString == tsoCol) {
+                val st = c.getStatistics
+                if (st != null && !st.isEmpty) {
+                  val mn = st.genericGetMin.asInstanceOf[Number].longValue()
+                  val mx = st.genericGetMax.asInstanceOf[Number].longValue()
+                  lo = Some(lo.fold(mn)(math.min(_, mn)))
+                  hi = Some(hi.fold(mx)(math.max(_, mx)))
+                }
+              }
+            }
+          }
+          (p, lo, hi, n)
+        } finally reader.close()
+      }
+    }
+    stats.toDF("log_file", "start_tso", "end_tso", "n_events")
+      .orderBy(col("start_tso"), col("log_file"))
+  }
+
+  /** The scan-based listing (the pre-footer-stats implementation): reads
+    * every data page. Kept as the ground-truth cross-check for the footer
+    * path — correctness spec only, never the serving surface. */
+  private[graft] def showBinlogEventsByScan(
+      spark: org.apache.spark.sql.SparkSession,
       outDir: String, tsoCol: String): DataFrame =
     spark.read.parquet(outDir)
       .groupBy(input_file_name().as("log_file"))
@@ -146,6 +224,6 @@ object OrderedSink {
       sys.error(s"compact: cannot swap in $staging")
     }
     org.apache.commons.io.FileUtils.deleteDirectory(old)
-    cursor.foreach(writeCursor(outDir, _))
+    cursor.foreach { case (tso, _) => writeCursor(outDir, tso) } // re-counts files
   }
 }

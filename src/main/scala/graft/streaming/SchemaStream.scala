@@ -65,7 +65,12 @@ object SchemaStream {
           SchemaCatalog.resolveDdlText(rows, spark.read.parquet(ddlLogDir))
         else rows.withColumn("schemaJson", lit(null).cast("string"))
           .withColumn("colNames", lit(null).cast("string"))
-      resolved.write.mode("append").parquet(outDir)
+      // the row output gets the same TSO-cursor idempotence as the DDL log:
+      // a batch replay (checkpoint loss, or a crash after this write but
+      // before the checkpoint commit) re-resolves the same rows and
+      // appendSince drops everything at or below the recovered position —
+      // no duplicates in outDir (the stream's tso is unique per contract)
+      OrderedSink.appendSince(resolved, "tso", outDir, numPartitions = 4)
     }
   }
 }

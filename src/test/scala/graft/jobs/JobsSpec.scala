@@ -173,6 +173,14 @@ class JobsSpec extends SparkSpec {
     assert(starts == starts.sorted)
     // a point lookup (tso=15) is served by at least one listed file range
     assert(listing.exists(r => r._2 <= 15L && 15L <= r._3))
+    // the footer-stats listing must agree with a full-scan ground truth
+    // per file (the serving path itself opens no data pages — row-group
+    // statistics only)
+    val byScan = OrderedSink.showBinlogEventsByScan(spark, dir, "tso")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1.split('/').last, r._2, r._3, r._4)).toSet
+    assert(listing.map(r => (r._1.split('/').last, r._2, r._3, r._4))
+      .toSet == byScan)
   }
 
   test("recovery cursor is the O(1) sidecar, not a log scan") {
@@ -185,15 +193,42 @@ class JobsSpec extends SparkSpec {
     assert(cf.isFile)
     assert(OrderedSink.recoverPosition(spark, dir, "tso").contains(5L))
     // recovery must come FROM the sidecar: plant a sentinel value the data
-    // does not contain — a scanning implementation would return 5
-    java.nio.file.Files.write(cf.toPath, "777".getBytes)
+    // does not contain (keeping the recorded file count valid) — a
+    // scanning implementation would return 5
+    val nFiles = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    java.nio.file.Files.write(cf.toPath, s"777,$nFiles".getBytes)
     assert(OrderedSink.recoverPosition(spark, dir, "tso").contains(777L))
+    // a DESYNCED cursor (recorded file count != directory) must NOT be
+    // trusted: the crash-between-append-and-cursor-write window — fall
+    // back to the scan and repair
+    java.nio.file.Files.write(cf.toPath, s"777,${nFiles + 9}".getBytes)
+    assert(OrderedSink.recoverPosition(spark, dir, "tso").contains(5L))
+    assert(new String(java.nio.file.Files.readAllBytes(cf.toPath))
+      .startsWith("5,"), "desync fallback should repair the cursor")
+    // legacy single-field cursors are unverifiable: re-scan once, upgrade
+    java.nio.file.Files.write(cf.toPath, "777".getBytes)
+    assert(OrderedSink.recoverPosition(spark, dir, "tso").contains(5L))
     // legacy dir without a cursor: one-time scan, then self-repairs
     assert(cf.delete())
     assert(OrderedSink.recoverPosition(spark, dir, "tso").contains(5L))
     assert(cf.isFile, "fallback scan should repair the cursor sidecar")
     // the sidecar must not break plain parquet readers
     assert(spark.read.parquet(dir).count() == 2)
+    // crash window end-to-end: append a batch, then roll the cursor back
+    // to the pre-batch state (as if the process died after the parquet
+    // commit but before the cursor write) — replaying the same batch must
+    // not duplicate rows
+    val preCursor = new String(java.nio.file.Files.readAllBytes(cf.toPath))
+    OrderedSink.appendSince(Seq((8L, "c"), (9L, "d")).toDF("tso", "op"),
+      "tso", dir, 2)
+    assert(spark.read.parquet(dir).count() == 4)
+    java.nio.file.Files.write(cf.toPath, preCursor.getBytes) // stale cursor
+    OrderedSink.appendSince(Seq((8L, "c"), (9L, "d")).toDF("tso", "op"),
+      "tso", dir, 2)
+    assert(spark.read.parquet(dir).count() == 4,
+      "stale-cursor replay must not duplicate the batch")
   }
 
   test("compaction merges small appended runs, preserving content and order") {

@@ -14,6 +14,7 @@ class ValidationJobSpec extends SparkSpec {
     (2000L, "orphan")).toDF("k", "v")
 
   test("checksum pre-pass narrows row diff to suspect chunks; report correct") {
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val (report, diffs) = ValidationJob.run(src, dst, Seq("k"), Seq("v"),
       chunkOf = pmod($"k", lit(50)))
     assert(report.chunksTotal == 50)
@@ -25,6 +26,9 @@ class ValidationJobSpec extends SparkSpec {
     val kinds = diffs.groupBy($"diff_kind").count()
       .as[(String, Long)].collect().toMap
     assert(kinds == Map("missing" -> 3L, "orphan" -> 1L, "mismatched" -> 2L))
+    // a long-lived validation driver must pin no executor blocks per run
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore).isEmpty,
+      "ValidationJob.run leaked cached blocks")
   }
 
   test("applying the reconciliation batch converges dst to src") {

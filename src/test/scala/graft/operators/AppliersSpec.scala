@@ -123,6 +123,34 @@ class AppliersSpec extends SparkSpec {
     assert(got == Set((3L, "c9"), (4L, "d2"), (7L, "g1")))
   }
 
+  test("bucketed apply evaluates the batch merge plan exactly once (staged)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bstage")
+      .resolve("target").toString
+    Appliers.applyBatchToBucketedParquet(batch, Seq("pk"), "seq", "op", dir, 4)
+    // instrument the second batch: an accumulator counts every evaluation
+    // of its rows. The touched-list, survivor-list, and final write used
+    // to each re-derive the merge from the batch (3× evaluation); staging
+    // must bring it to exactly one pass.
+    val acc = spark.sparkContext.longAccumulator("batch-evals")
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, 20L, "UPDATE", "a9"),
+      org.apache.spark.sql.Row(7L, 21L, "INSERT", "g1"))
+    val rdd = spark.sparkContext.parallelize(rows, 2).map { r => acc.add(1); r }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pk", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("seq", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val b2 = spark.createDataFrame(rdd, schema)
+    Appliers.applyBatchToBucketedParquet(b2, Seq("pk"), "seq", "op", dir, 4)
+    assert(acc.value == rows.size.toLong,
+      s"batch rows evaluated ${acc.value} times for ${rows.size} rows — " +
+        "the merge plan must execute once (staged), not per action")
+    val got = Appliers.readBucketed(spark, dir).select("pk", "v")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a9"), (3L, "c1"), (4L, "d2"), (7L, "g1")))
+  }
+
   test("splitByKeyWithSerialFallback: affected keys serialize in seq order") {
     // pk change 2→5 at seq 3: keys 2 and 5 must share a lane in seq order
     val b = Seq(
