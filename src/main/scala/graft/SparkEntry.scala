@@ -623,6 +623,41 @@ object SparkEntry {
           dn(1, "dn2").unionByName(heartbeats("dn2"))), "1 day")
         .select(col("commit_tso"), col("n_events"))
         .orderBy(col("commit_tso")).limit(100)
+    }),
+
+    // transaction-preserving apply (TransactionApplier analog): a bank
+    // ledger derived from orders — each order = one transfer txn (two
+    // UPDATE after-images sharing a commit tso), applied whole-txn in TSO
+    // order against a manifest-versioned target. The oracle checks the
+    // final committed state (= initial + net per account); the per-version
+    // invariant (SUM constant at EVERY observable state) is TxnApplierSpec.
+    "q60_txn_apply" -> ((s, d) => {
+      val accounts = Tables.customer(s, d).filter(col("c_custkey") <= 10)
+        .select(col("c_custkey").as("acct"), lit(0L).as("seq"),
+          lit("INSERT").as("op"), lit(1000L).as("balance"))
+      val transfers = Tables.orders(s, d).filter(col("o_orderkey") <= 128)
+        .select(col("o_orderkey").as("tso"),
+          (col("o_custkey") % 10 + 1).as("from_acct"),
+          (col("o_orderkey") % 10 + 1).as("to_acct"),
+          (col("o_orderkey") % 97).as("amount"))
+        .filter(col("from_acct") =!= col("to_acct"))
+      val deltas = transfers.select(col("tso"), (col("tso") * 2).as("seq"),
+          col("from_acct").as("acct"), (-col("amount")).as("delta"))
+        .unionByName(transfers.select(col("tso"),
+          (col("tso") * 2 + 1).as("seq"),
+          col("to_acct").as("acct"), col("amount").as("delta")))
+      val w = Window.partitionBy(col("acct")).orderBy(col("seq"))
+      val batch = deltas.select(col("acct"), col("seq"),
+        lit("UPDATE").as("op"),
+        (lit(1000L) + sum(col("delta")).over(w)).as("balance"), col("tso"))
+      val dir = Staged.tempDir("q60-txn") // fresh target per invocation
+      TxnApplier.bootstrap(accounts, Seq("acct"), dir, nBuckets = 4)
+      TxnApplier.applyBatch(batch, Seq("acct"), "seq", "op", "tso", dir,
+        nBuckets = 4, txnsPerCommit = 8)
+      TxnApplier.readCurrent(s, dir)
+        .select(col("acct").cast("bigint").as("account_id"),
+          col("balance").cast("bigint").as("balance"))
+        .orderBy(col("account_id"))
     })
   )
 
@@ -937,6 +972,19 @@ object SparkEntry {
         "AS total_ngrams, len(list_distinct([string_split(text, ' ')[i] || ' ' " +
         "|| string_split(text, ' ')[i+1] " +
         "for i in range(1, len(string_split(text, ' ')))])) AS distinct_ngrams " +
-        "FROM documents ORDER BY doc_id LIMIT 200")
+        "FROM documents ORDER BY doc_id LIMIT 200"),
+    // final committed state after whole-txn apply = initial + net transfer
+    // sum per account (intermediate-state atomicity is spec-gated)
+    "q60_txn_apply" ->
+      ("WITH t AS (SELECT o_orderkey AS tso, (o_custkey % 10) + 1 AS from_acct, " +
+        "(o_orderkey % 10) + 1 AS to_acct, o_orderkey % 97 AS amount " +
+        "FROM orders WHERE o_orderkey <= 128), " +
+        "tt AS (SELECT * FROM t WHERE from_acct <> to_acct), " +
+        "deltas AS (SELECT from_acct AS acct, -amount AS d FROM tt " +
+        "UNION ALL SELECT to_acct AS acct, amount AS d FROM tt) " +
+        "SELECT c.c_custkey AS account_id, " +
+        "CAST(1000 + COALESCE(SUM(d.d), 0) AS BIGINT) AS balance " +
+        "FROM customer c LEFT JOIN deltas d ON d.acct = c.c_custkey " +
+        "WHERE c.c_custkey <= 10 GROUP BY c.c_custkey ORDER BY account_id")
   )
 }

@@ -233,6 +233,19 @@ object Appliers {
     }
   }
 
+  /** Transaction-preserving apply (TransactionApplier /
+    * SplitTransactionApplier analog — see TxnApplier): whole transactions
+    * in TSO order against a manifest-versioned target, `txnsPerCommit`
+    * per atomic commit, so readers only ever observe transaction-boundary
+    * states. Use when downstream audits transactional consistency; use
+    * `applyBatchToBucketedParquet` (merge semantics) when eventual
+    * per-batch convergence suffices. */
+  def applyBatchTxnPreserving(batch: DataFrame, keyCols: Seq[String],
+      seqCol: String, opCol: String, tsoCol: String, targetDir: String,
+      nBuckets: Int = 64, txnsPerCommit: Int = 1): Seq[TxnApplier.Commit] =
+    TxnApplier.applyBatch(batch, keyCols, seqCol, opCol, tsoCol, targetDir,
+      nBuckets, txnsPerCommit)
+
   /** Read a bucketed target as a plain table (partition column dropped). */
   def readBucketed(spark: org.apache.spark.sql.SparkSession,
       targetDir: String): DataFrame =
