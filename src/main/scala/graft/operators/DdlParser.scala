@@ -75,7 +75,11 @@ object DdlParser {
   sealed trait Stmt
   case class CreateTable(schema: String, table: String, cols: Vector[ColumnDef],
       pk: Vector[String], ifNotExists: Boolean) extends Stmt
-  case class DropTable(schema: String, table: String) extends Stmt
+  case class DropTable(tables: Seq[(String, String)]) extends Stmt
+  object DropTable {
+    def apply(schema: String, table: String): DropTable =
+      DropTable(Seq((schema, table)))
+  }
   case class RenameTable(pairs: Seq[((String, String), (String, String))]) extends Stmt
   case class AlterTable(schema: String, table: String, actions: Seq[AlterAction]) extends Stmt
   case class DropSchema(schema: String) extends Stmt
@@ -204,10 +208,17 @@ object DdlParser {
         case "create" if kw.lift(1).exists(Set("database", "schema")) => Noop
         case "create" => Noop // CREATE INDEX / VIEW / USER ...
         case "drop" if kw.lift(1).contains("table") =>
+          // DROP TABLE [IF EXISTS] a[, b.c, ...] [CASCADE|RESTRICT]
           var i = 2
           if (kw.lift(i).contains("if")) i += 2 // IF EXISTS
-          val (sch, tbl, _) = qualified(i)
-          DropTable(sch, tbl)
+          val tabs = Seq.newBuilder[(String, String)]
+          var more = true
+          while (i < toks.length && more) {
+            val (sch, tbl, j) = qualified(i)
+            tabs += ((sch, tbl))
+            if (toks.lift(j).contains(",")) i = j + 1 else more = false
+          }
+          DropTable(tabs.result())
         case "drop" if kw.lift(1).exists(Set("database", "schema")) =>
           var i = 2
           if (kw.lift(i).contains("if")) i += 2
@@ -235,6 +246,37 @@ object DdlParser {
     } catch {
       case scala.util.control.NonFatal(_) => Noop
     }
+  }
+
+  /** Column names inside a PRIMARY KEY (...) list: identifiers within the
+    * paren group only — collection STOPS at the closing paren, so trailing
+    * index options (`USING BTREE`) are never captured as key columns — and
+    * numeric index-prefix lengths (`name(10)`) plus ASC/DESC markers are
+    * skipped. Parenless input (nonstandard) falls back to all
+    * non-punctuation tokens. */
+  private def pkColumns(toks: Vector[String], idxs: Vector[Int]): Vector[String] = {
+    val open = idxs.indexWhere(i => toks(i) == "(")
+    if (open < 0)
+      return idxs.map(toks)
+        .filterNot(t => Set("(", ")", ",").contains(t) || t.forall(_.isDigit))
+        .map(_.toLowerCase).filterNot(Set("asc", "desc"))
+    var depth = 0
+    var j = open
+    val out = Vector.newBuilder[String]
+    var done = false
+    while (j < idxs.length && !done) {
+      toks(idxs(j)) match {
+        case "(" => depth += 1
+        case ")" => depth -= 1; if (depth == 0) done = true
+        case "," => ()
+        case t =>
+          if (depth >= 1 && !t.forall(_.isDigit) &&
+            !Set("asc", "desc").contains(t.toLowerCase))
+            out += t.toLowerCase
+      }
+      j += 1
+    }
+    out.result()
   }
 
   /** Column body of CREATE TABLE: top-level comma split inside the outermost
@@ -269,7 +311,7 @@ object DdlParser {
     groups.result().filter(_.nonEmpty).foreach { idxs =>
       val head = kw(idxs.head)
       if (head == "primary" && idxs.length > 1 && kw(idxs(1)) == "key") {
-        pk = idxs.drop(2).map(toks).filterNot(Set("(", ")", ",")).map(_.toLowerCase).toVector
+        pk = pkColumns(toks, idxs.drop(2))
       } else if (Set("key", "index", "unique", "constraint", "foreign",
           "fulltext", "spatial", "check").contains(head)) {
         // non-column clause — no schema effect
@@ -345,9 +387,7 @@ object DdlParser {
         case "add" =>
           val base = if (word(1) == "column") 2 else 1
           if (word(base) == "primary" && word(base + 1) == "key") {
-            val cols = idxs.drop(base + 2).map(toks)
-              .filterNot(Set("(", ")", ",")).map(_.toLowerCase).toVector
-            Seq(AddPrimaryKey(cols))
+            Seq(AddPrimaryKey(pkColumns(toks, idxs.drop(base + 2))))
           } else if (Set("index", "key", "unique", "constraint", "foreign",
               "fulltext", "spatial", "check", "partition").contains(word(base))) {
             Seq(IgnoredAction)
@@ -461,12 +501,23 @@ object DdlParser {
       case None => cols :+ c
     }
 
-  /** Fold a sorted per-schema DDL history into catalog version rows.
+  /** Fold a sorted DDL history (one default schema for every statement)
+    * into catalog version rows — see foldHistory. */
+  def foldSchema(defaultSchema: String,
+      history: Seq[(Long, String)],
+      base: Map[(String, String), TableState] = Map.empty)
+      : Seq[(Long, String, String, String, String)] =
+    foldHistory(history.map { case (tso, ddl) => (tso, defaultSchema, ddl) },
+      base)
+
+  /** Fold a sorted DDL history into catalog version rows; each statement
+    * carries the default schema of the session that ISSUED it (used only
+    * to resolve unqualified names — a qualified `ALTER TABLE app.t` folds
+    * against app.t whatever the issuing session's default was).
     * Emits one row per (statement, affected table): (tso, schemaName,
     * tableName, schemaJson, colNames); DROP TABLE emits null schemaJson so
     * as-of resolution yields no schema past the drop. */
-  def foldSchema(defaultSchema: String,
-      history: Seq[(Long, String)],
+  def foldHistory(history: Seq[(Long, String, String)],
       base: Map[(String, String), TableState] = Map.empty)
       : Seq[(Long, String, String, String, String)] = {
     val tables = mutable.LinkedHashMap[(String, String), TableState]()
@@ -477,7 +528,7 @@ object DdlParser {
       out += ((tso, key._1, key._2,
         st.map(_.json).orNull, st.map(_.colNames).orNull))
     }
-    history.sortBy(_._1).foreach { case (tso, ddl) =>
+    history.sortBy(_._1).foreach { case (tso, defaultSchema, ddl) =>
       parse(ddl, defaultSchema) match {
         case CreateTable(s, t, cols, pk, ifNotExists) =>
           val key = (s, t)
@@ -485,8 +536,10 @@ object DdlParser {
             tables(key) = TableState(cols, pk)
             emit(tso, key)
           }
-        case DropTable(s, t) =>
-          if (tables.remove((s, t)).isDefined) emit(tso, (s, t))
+        case DropTable(tabs) =>
+          tabs.foreach { case (s, t) =>
+            if (tables.remove((s, t)).isDefined) emit(tso, (s, t))
+          }
         case DropSchema(s) =>
           val dropped = tables.keys.filter(_._1 == s).toVector
           dropped.foreach { k => tables.remove(k); emit(tso, k) }
@@ -522,25 +575,89 @@ object DdlParser {
     out.result()
   }
 
+  /** Schemas a parsed statement can affect — its fold routing key(s). */
+  private[operators] def targetSchemas(stmt: Stmt): Seq[String] = stmt match {
+    case CreateTable(s, _, _, _, _) => Seq(s)
+    case DropTable(tabs) => tabs.map(_._1).distinct
+    case DropSchema(s) => Seq(s)
+    case RenameTable(pairs) =>
+      pairs.flatMap { case ((s1, _), (s2, _)) => Seq(s1, s2) }.distinct
+    case AlterTable(s, _, actions) =>
+      (s +: actions.collect { case RenameTo(Some(rs), _) => rs }).distinct
+    case Noop => Seq.empty
+  }
+
+  /** Union-find over cross-schema edges → representative per schema.
+    * Statements spanning two schemas (RENAME TABLE a.x TO b.y) force both
+    * schemas' histories into one sequential fold group; everything else
+    * keeps its own group. The edge set is tiny (distinct schema pairs in
+    * the DDL log), so this is driver-side. */
+  private def componentsOf(edges: Seq[(String, String)]): Map[String, String] = {
+    val parent = mutable.Map[String, String]()
+    def find(x: String): String = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  /** Internal routed row: (tso, sessionDefault, ddl, primary target). */
+  private def routeByTarget(ddlLog: DataFrame, tsoCol: String,
+      schemaCol: String, ddlCol: String)
+      : (org.apache.spark.sql.Dataset[(Long, String, String, String)],
+         Map[String, String]) = {
+    val spark = ddlLog.sparkSession
+    import spark.implicits._
+    // route each statement by its PARSED target schema — an
+    // `ALTER TABLE app.t` issued under session default 'other' must fold
+    // where app.t's state lives; the session default is only the
+    // unqualified-name fallback (the reference keeps ONE repository and
+    // applies every DDL regardless of session default,
+    // MemoryTableMeta.java:122-147). Parsing here is a cheap per-row
+    // pre-pass; the fold re-parses inside its group.
+    val routed = ddlLog
+      .select(col(tsoCol).cast("long"), col(schemaCol).cast("string"),
+        col(ddlCol).cast("string"))
+      .as[(Long, String, String)]
+      .map { case (tso, default, ddl) =>
+        val targets = targetSchemas(parse(ddl, default))
+        (tso, default, ddl, targets.headOption.getOrElse(default))
+      }
+    val edges = ddlLog
+      .select(col(tsoCol).cast("long"), col(schemaCol).cast("string"),
+        col(ddlCol).cast("string"))
+      .as[(Long, String, String)]
+      .flatMap { case (_, default, ddl) =>
+        val ts = targetSchemas(parse(ddl, default))
+        if (ts.length > 1) ts.combinations(2).map(p => (p(0), p(1))).toSeq
+        else Nil
+      }.distinct().collect().toSeq
+    (routed, componentsOf(edges))
+  }
+
   /** Fold a raw DDL-text log DataFrame (tsoCol, schemaCol = default schema
     * of the session that issued the DDL, ddlCol = statement text) into
     * SchemaCatalog-compatible version rows: (tso, schemaName, tableName,
     * schemaJson, colNames).
     *
-    * Distribution: grouped by default schema (DDL for one logical database
-    * replays in order on one executor — bounded state, the
-    * MemoryTableMeta assumption); schemas fold in parallel. */
+    * Distribution: grouped by the statement's parsed TARGET schema
+    * (cross-schema statements union their schemas into one group), so DDL
+    * for one logical database replays in order on one executor — bounded
+    * state, the MemoryTableMeta assumption — and schemas fold in
+    * parallel. */
   def foldDdlLog(ddlLog: DataFrame, tsoCol: String = "tso",
       schemaCol: String = "schemaName", ddlCol: String = "ddl"): DataFrame = {
     val spark = ddlLog.sparkSession
     import spark.implicits._
-    ddlLog
-      .select(col(tsoCol).cast("long"), col(schemaCol).cast("string"),
-        col(ddlCol).cast("string"))
-      .as[(Long, String, String)]
-      .groupByKey(_._2)
-      .flatMapGroups { (schema, it) =>
-        foldSchema(schema, it.map(r => (r._1, r._3)).toSeq).iterator
+    val (routed, comp) = routeByTarget(ddlLog, tsoCol, schemaCol, ddlCol)
+    routed
+      .groupByKey { case (_, _, _, primary) => comp.getOrElse(primary, primary) }
+      .flatMapGroups { (_, it) =>
+        foldHistory(it.map(r => (r._1, r._2, r._3)).toSeq).iterator
       }
       .toDF("tso", "schemaName", "tableName", "schemaJson", "colNames")
   }
@@ -561,26 +678,25 @@ object DdlParser {
       ddlCol: String = "ddl"): DataFrame = {
     val spark = ddlLog.sparkSession
     import spark.implicits._
+    val since = ddlLog.filter(col(tsoCol) > snapTso)
+    val (routed, comp) = routeByTarget(since, tsoCol, schemaCol, ddlCol)
     val snap = snapshot
       .select(col(schemaCol).cast("string"), col(tableCol).cast("string"),
         col(jsonCol).cast("string"))
       .as[(String, String, String)]
-      .groupByKey(_._1)
-    val ddl = ddlLog
-      .select(col(tsoCol).cast("long"), col(schemaCol).cast("string"),
-        col(ddlCol).cast("string"))
-      .filter(col(tsoCol) > snapTso)
-      .as[(Long, String, String)]
-      .groupByKey(_._2)
-    snap.cogroup(ddl) { (schema, snapIt, ddlIt) =>
+      .groupByKey(r => comp.getOrElse(r._1.toLowerCase, r._1.toLowerCase))
+    val ddl = routed
+      .groupByKey { case (_, _, _, primary) => comp.getOrElse(primary, primary) }
+    snap.cogroup(ddl) { (_, snapIt, ddlIt) =>
       val base = snapIt
-        .map(r => (schema, r._2.toLowerCase) -> TableState.fromJson(r._3))
+        .map(r => (r._1.toLowerCase, r._2.toLowerCase) ->
+          TableState.fromJson(r._3))
         .toMap
       val baseRows = base.iterator.map { case ((s, t), st) =>
         (snapTso, s, t, st.json, st.colNames)
       }
-      baseRows ++
-        foldSchema(schema, ddlIt.map(r => (r._1, r._3)).toSeq, base).iterator
+      baseRows ++ foldHistory(
+        ddlIt.map(r => (r._1, r._2, r._3)).toSeq, base).iterator
     }.toDF("tso", "schemaName", "tableName", "schemaJson", "colNames")
   }
 }

@@ -24,8 +24,9 @@ class DdlFuzzSpec extends SparkSpec {
   test("random DDL histories: fold == model (30 rounds, seed-fixed)") {
     val rnd = new scala.util.Random(20260812L)
     (1 to 30).foreach { round =>
-      // model: table -> ordered columns (name -> normalized type)
+      // model: table -> ordered columns (name -> normalized type); pk list
       var model = Map.empty[String, Vector[(String, String)]]
+      var modelPk = Map.empty[String, Vector[String]]
       val ddl = Vector.newBuilder[(Long, String)]
       var tso = 0L
       var colSeq = 0
@@ -36,19 +37,42 @@ class DdlFuzzSpec extends SparkSpec {
         (s"c$colSeq", raw, norm)
       }
 
+      // dialect noise the parser must digest WITHOUT schema effect:
+      // column charset/collation/comment, table options incl. a partition
+      // clause, online-DDL ALGORITHM/LOCK suffixes
+      def colNoise(): String = rnd.nextInt(4) match {
+        case 0 => " CHARACTER SET utf8mb4 COLLATE utf8mb4_bin"
+        case 1 => " COMMENT 'fuzz, (col)'"
+        case _ => ""
+      }
+      def tableNoise(): String =
+        if (rnd.nextBoolean())
+          " ENGINE=InnoDB DEFAULT CHARSET=utf8mb4 COLLATE=utf8mb4_unicode_ci" +
+            " PARTITION BY HASH(c1) PARTITIONS 4"
+        else ""
+      def alterNoise(): String =
+        if (rnd.nextBoolean()) ", ALGORITHM=INPLACE, LOCK=NONE" else ""
+
       (1 to 40).foreach { _ =>
         tso += 1
         val tables = model.keys.toVector.sorted
         val choice = rnd.nextInt(10)
         if (tables.isEmpty || choice == 0) {
-          // CREATE TABLE
+          // CREATE TABLE — sometimes with an index-prefixed USING BTREE
+          // primary key and table/partition options
           val t = s"t${tso}"
           val cols = (0 to rnd.nextInt(3)).map(_ => freshCol()).toVector
           val rendered = cols.map { case (n, raw, _) =>
-            s"${fmtIdent(rnd, n)} $raw NOT NULL" }.mkString(", ")
+            s"${fmtIdent(rnd, n)} $raw NOT NULL${colNoise()}" }.mkString(", ")
+          val pk = if (rnd.nextBoolean()) Vector(cols.head._1) else Vector.empty
+          val pkClause =
+            if (pk.isEmpty) ""
+            else s", ${fmtKw(rnd, "PRIMARY KEY")} (${pk.head}(10)) USING BTREE"
           ddl += ((tso,
-            s"${fmtKw(rnd, "CREATE TABLE")}  ${fmtIdent(rnd, t)} ($rendered)"))
+            s"${fmtKw(rnd, "CREATE TABLE")}  ${fmtIdent(rnd, t)} " +
+              s"($rendered$pkClause)${tableNoise()}"))
           model += t -> cols.map(c => (c._1, c._3))
+          modelPk += t -> pk
         } else {
           val t = tables(rnd.nextInt(tables.length))
           val cols = model(t)
@@ -56,7 +80,8 @@ class DdlFuzzSpec extends SparkSpec {
             case 0 => // DROP TABLE
               ddl += ((tso, s"${fmtKw(rnd, "DROP TABLE IF EXISTS")} $t"))
               model -= t
-            case 1 => // ADD COLUMN (possibly positioned)
+              modelPk -= t
+            case 1 => // ADD COLUMN (possibly positioned, with noise flags)
               val (n, raw, norm) = freshCol()
               val pos =
                 if (cols.isEmpty) ""
@@ -66,7 +91,8 @@ class DdlFuzzSpec extends SparkSpec {
                   case _ => ""
                 }
               ddl += ((tso,
-                s"ALTER TABLE ${fmtIdent(rnd, t)} ${fmtKw(rnd, "ADD COLUMN")} $n $raw$pos"))
+                s"ALTER TABLE ${fmtIdent(rnd, t)} ${fmtKw(rnd, "ADD COLUMN")} " +
+                  s"$n $raw${colNoise()}$pos${alterNoise()}"))
               model += t -> (pos match {
                 case " FIRST" => (n, norm) +: cols
                 case "" => cols :+ ((n, norm))
@@ -75,26 +101,30 @@ class DdlFuzzSpec extends SparkSpec {
                   val i = cols.indexWhere(_._1 == a)
                   (cols.take(i + 1) :+ ((n, norm))) ++ cols.drop(i + 1)
               })
-            case 2 if cols.nonEmpty => // DROP COLUMN
+            case 2 if cols.nonEmpty => // DROP COLUMN (pk member drops out)
               val (n, _) = cols(rnd.nextInt(cols.length))
-              ddl += ((tso, s"ALTER TABLE $t ${fmtKw(rnd, "DROP COLUMN")} ${fmtIdent(rnd, n)}"))
+              ddl += ((tso, s"ALTER TABLE $t ${fmtKw(rnd, "DROP COLUMN")} ${fmtIdent(rnd, n)}${alterNoise()}"))
               model += t -> cols.filterNot(_._1 == n)
+              modelPk += t -> modelPk.getOrElse(t, Vector.empty).filterNot(_ == n)
             case 3 if cols.nonEmpty => // CHANGE COLUMN rename+retype
               val (n, _) = cols(rnd.nextInt(cols.length))
               colSeq += 1
               val n2 = s"r$colSeq"
               val (raw, norm) = types(rnd.nextInt(types.length))
-              ddl += ((tso, s"ALTER TABLE $t CHANGE COLUMN $n $n2 $raw"))
+              ddl += ((tso, s"ALTER TABLE $t CHANGE COLUMN $n $n2 $raw${colNoise()}"))
               model += t -> cols.map(c => if (c._1 == n) (n2, norm) else c)
+              modelPk += t -> modelPk.getOrElse(t, Vector.empty)
+                .map(p => if (p == n) n2 else p)
             case 4 if cols.nonEmpty => // MODIFY retype in place
               val (n, _) = cols(rnd.nextInt(cols.length))
               val (raw, norm) = types(rnd.nextInt(types.length))
-              ddl += ((tso, s"alter table $t modify $n $raw"))
+              ddl += ((tso, s"alter table $t modify $n $raw${colNoise()}${alterNoise()}"))
               model += t -> cols.map(c => if (c._1 == n) (n, norm) else c)
             case 5 => // RENAME TABLE
               val t2 = s"rn$tso"
               ddl += ((tso, s"RENAME TABLE $t TO $t2"))
               model = model - t + (t2 -> cols)
+              modelPk = modelPk - t + (t2 -> modelPk.getOrElse(t, Vector.empty))
             case _ if rnd.nextBoolean() => // paren-group multi-ADD
               val adds = (0 to rnd.nextInt(2)).map(_ => freshCol()).toVector
               val body = adds.map { case (n, raw, _) => s"$n $raw" }.mkString(", ")
@@ -125,6 +155,12 @@ class DdlFuzzSpec extends SparkSpec {
           assert(json.contains(s""""name":"$n","type":"$norm""""),
             s"round $round table $t: column $n:$norm missing in $json")
         }
+        // pk tracked through prefix-length/USING BTREE rendering, DROP
+        // COLUMN and CHANGE renames — never polluted by index options
+        val pkJson = modelPk.getOrElse(t, Vector.empty)
+          .map(p => s""""$p"""").mkString("[", ",", "]")
+        assert(json.contains(s""""pk":$pkJson"""),
+          s"round $round table $t: pk mismatch, want $pkJson in $json")
       }
     }
   }

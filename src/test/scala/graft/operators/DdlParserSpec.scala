@@ -71,8 +71,45 @@ class DdlParserSpec extends SparkSpec {
       AlterTable("s", "t", Seq(DropPrimaryKey)))
   }
 
+  test("pk column capture stops at the paren list; index options never leak") {
+    assert(parse("ALTER TABLE t ADD PRIMARY KEY (a) USING BTREE", "s") ==
+      AlterTable("s", "t", Seq(AddPrimaryKey(Vector("a")))))
+    // index-prefix lengths and ASC/DESC are not key columns
+    assert(parse("ALTER TABLE t ADD PRIMARY KEY (name(10), id DESC)", "s") ==
+      AlterTable("s", "t", Seq(AddPrimaryKey(Vector("name", "id")))))
+    assert(parse(
+      "CREATE TABLE t (a INT, b INT, PRIMARY KEY (a(4), b) USING HASH)", "s") ==
+      CreateTable("s", "t",
+        Vector(ColumnDef("a", "int"), ColumnDef("b", "int")),
+        Vector("a", "b"), ifNotExists = false))
+  }
+
+  test("dialect noise digests without schema effect") {
+    // column charset/collation/comment; table options incl. partition
+    val c = parse("CREATE TABLE t (a VARCHAR(20) CHARACTER SET utf8mb4 " +
+      "COLLATE utf8mb4_bin COMMENT 'x, (y)', b INT) ENGINE=InnoDB " +
+      "DEFAULT CHARSET=utf8mb4 PARTITION BY HASH(b) PARTITIONS 4", "s")
+    assert(c == CreateTable("s", "t",
+      Vector(ColumnDef("a", "string"), ColumnDef("b", "int")),
+      Vector.empty, ifNotExists = false))
+    // online-DDL clauses parse as ignored actions, not Noop statements
+    assert(parse("ALTER TABLE t ADD COLUMN c INT, ALGORITHM=INPLACE, LOCK=NONE", "s") ==
+      AlterTable("s", "t", Seq(
+        AddColumn(ColumnDef("c", "int"), first = false, after = None),
+        IgnoredAction, IgnoredAction)))
+    assert(parse("ALTER TABLE t CONVERT TO CHARACTER SET utf8mb4", "s") ==
+      AlterTable("s", "t", Seq(IgnoredAction)))
+    // generated column keeps its name and type
+    assert(parse("ALTER TABLE t ADD COLUMN g INT GENERATED ALWAYS AS (a+b) STORED", "s") ==
+      AlterTable("s", "t", Seq(
+        AddColumn(ColumnDef("g", "int"), first = false, after = None))))
+  }
+
   test("DROP / RENAME TABLE / TRUNCATE / noise statements") {
     assert(parse("DROP TABLE IF EXISTS app.t", "s") == DropTable("app", "t"))
+    // multi-table drop, mixed qualification, trailing RESTRICT ignored
+    assert(parse("DROP TABLE a, app.b, c RESTRICT", "s") ==
+      DropTable(Seq(("s", "a"), ("app", "b"), ("s", "c"))))
     assert(parse("RENAME TABLE a TO b, s2.c TO s3.d", "s1") ==
       RenameTable(Seq((("s1", "a"), ("s1", "b")), (("s2", "c"), ("s3", "d")))))
     assert(parse("TRUNCATE TABLE t", "s") == Noop)
@@ -198,6 +235,28 @@ class DdlParserSpec extends SparkSpec {
       .as[(Long, String, String)].collect().sortBy(_._1)
     assert(folded.toSeq == Seq(
       (1L, "orders", "id,v"), (2L, "orders", "id,v,note")))
+  }
+
+  test("foldDdlLog routes by parsed target schema, not session default") {
+    // ALTER TABLE app.t issued under session default 'other' must fold
+    // where app.t's state lives (one repository regardless of session,
+    // MemoryTableMeta semantics); a cross-schema RENAME unions its two
+    // schemas into one ordered fold group
+    val log = Seq(
+      (1L, "app", "CREATE TABLE app.t (a INT)"),
+      (2L, "other", "ALTER TABLE app.t ADD COLUMN b INT"),
+      (3L, "other", "RENAME TABLE app.t TO legacy.t2"),
+      (4L, "legacy", "ALTER TABLE t2 ADD COLUMN c INT"))
+      .toDF("tso", "schemaName", "ddl")
+    val folded = DdlParser.foldDdlLog(log)
+      .select("tso", "schemaName", "tableName", "colNames")
+      .as[(Long, String, String, Option[String])].collect().toSet
+    assert(folded == Set(
+      (1L, "app", "t", Some("a")),
+      (2L, "app", "t", Some("a,b")), // NOT silently dropped in 'other'
+      (3L, "app", "t", None), // moved out
+      (3L, "legacy", "t2", Some("a,b")), // moved in, state intact
+      (4L, "legacy", "t2", Some("a,b,c"))))
   }
 
   test("foldDdlLog + resolveDdlText: as-of resolution over raw DDL text") {
