@@ -17,5 +17,14 @@ echo "== duckdb selfcheck =="
 python3 scripts/selfcheck.py /root/testdata/sf0.01 "$OUT"
 
 echo "== bench @ sf0.1 =="
+BENCH_OUT=$(mktemp)
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS="$CPUS" \
-  sbt -batch "runMain graft.Bench" | grep -F '"metric"'
+  sbt -batch "runMain graft.Bench" | grep -F '"metric"' | tee "$BENCH_OUT"
+
+echo "== bench guardrail vs last recorded round =="
+LAST_BENCH=$(ls BENCH_r*.json 2>/dev/null | sort | tail -1 || true)
+if [ -n "$LAST_BENCH" ]; then
+  scripts/bench_compare.sh "$LAST_BENCH" "$BENCH_OUT"
+else
+  echo "no recorded BENCH_r*.json baseline — skipping compare"
+fi

@@ -573,18 +573,21 @@ object SparkEntry {
 
     // the composed curation pipeline — what a 100 TB training-data run
     // chains: language filter → quality scoring → exact dedup (min doc_id
-    // per identical text) → per-doc stats. Every stage is a library op;
-    // the whole pipeline is one declarative plan (one shuffle for the
-    // dedup, everything else codegen'd projections).
+    // per identical text) → per-doc stats. Every stage is a library op in
+    // one declarative plan, and the dedup is HASH-KEYED: the shuffle
+    // carries (xxhash64, crc32, doc_id) after partial aggregation and the
+    // semi join carries numeric rows — the document text itself never
+    // enters an exchange (TextSpec asserts this at the plan level).
     "q59_curation" -> ((s, d) => {
-      val scored = Tables.documents(s, d)
+      def scored = Tables.documents(s, d)
         .select(col("doc_id"), col("text"),
           TextAnalysis.langId(col("text")).as("lang"),
           TextAnalysis.qualityScore(col("text")).as("quality"),
           TextAnalysis.tokenCount(col("text")).as("tokens"))
         .filter(col("lang") === "en")
-      Dedup.firstImage(scored, Seq("text"), "doc_id")
-        .select(col("doc_id"), col("tokens"), col("quality"))
+      val reps = Dedup.representativeIds(scored, "text", "doc_id")
+      scored.select(col("doc_id"), col("tokens"), col("quality"))
+        .join(reps, Seq("doc_id"), "left_semi")
         .orderBy(col("doc_id")).limit(200)
     }),
 

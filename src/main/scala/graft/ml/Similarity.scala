@@ -84,16 +84,30 @@ object Similarity {
         lshBucket(vecCol, numPlanes, dim, seed + t).as("bucket"))
     }: _*)
 
+  /** Query sides at or below this row count broadcast by default in
+    * lshTopK (the ANN-serving shape: small query set vs huge corpus). */
+  val QueryBroadcastLimit = 100000L
+
   /** LSH-accelerated top-k: bucket both sides into `numTables` independent
     * hash tables, join on (table, bucket), dedupe candidate pairs, rank
     * within query. Single-table sign-LSH has poor recall for moderate
     * cosine (collision prob (1−θ/π)^planes); the OR over tables is the
     * standard amplification (MMDS ch.3). At 100 TB the bucket join
     * replaces the corpus-×-queries product with |colliding pairs| —
-    * the shuffle carries (table,bucket) keys, never all pairs. */
+    * the shuffle carries (table,bucket) keys, never all pairs.
+    *
+    * `queryBroadcast`: Some(true) forces the serving shape (query side
+    * broadcast — it must fit the driver), Some(false) the corpus-vs-corpus
+    * shape (shuffled equi-joins; AQE still broadcasts at runtime if the
+    * side turns out small), None counts the query side once and gates on
+    * QueryBroadcastLimit — an unconditional broadcast would OOM the driver
+    * the first time someone passes a corpus as the query set. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, numPlanes: Int, dim: Int,
-      numTables: Int = 1): DataFrame = {
+      numTables: Int = 1, queryBroadcast: Option[Boolean] = None): DataFrame = {
+    val small = queryBroadcast.getOrElse(queries.count() <= QueryBroadcastLimit)
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df
     // ids-only candidate generation: the (table,bucket) join shuffles
     // 8-byte ids, never vectors; vectors join back once per UNIQUE pair
     // (cf. minhashCandidatePairs — same written-signature shape at scale)
@@ -101,7 +115,7 @@ object Similarity {
       explode(lshTables(col(vecCol), numTables, numPlanes, dim)).as("tb"))
     val cIds = corpus.select(col(idCol).as("corpus_id"),
       explode(lshTables(col(vecCol), numTables, numPlanes, dim)).as("tb"))
-    val candidates = cIds.join(broadcast(qIds), Seq("tb"))
+    val candidates = cIds.join(maybeBroadcast(qIds), Seq("tb"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"))
       .distinct()
@@ -110,7 +124,7 @@ object Similarity {
     val cv = corpus.select(col(idCol).as("corpus_id"),
       normalize(col(vecCol)).as("cv"))
     val scored = candidates
-      .join(broadcast(qv), Seq("query_id"))
+      .join(maybeBroadcast(qv), Seq("query_id"))
       .join(cv, Seq("corpus_id"))
       .select(col("query_id"), col("corpus_id"), dot(col("qv"), col("cv")).as("sim"))
     val w = Window.partitionBy(col("query_id"))

@@ -52,6 +52,18 @@ object Dedup {
         crc32(col(contentCol)).as("content_crc"))
       .agg(min(col(tieBreaker)).as(tieBreaker), count(lit(1)).as("n"))
 
+  /** Representative ids of content dedup: the min-tieBreaker id per
+    * distinct content (by 64+32-bit hash pair). The join-back side for
+    * dedup at scale — semi-join these ids against a CONTENT-FREE
+    * projection of the corpus, so the heavy content column never enters a
+    * shuffle at all: this aggregation moves (hash, crc, id) after partial
+    * combine, and the semi join moves ids. Contrast firstImage on the
+    * content column, whose window shuffles every full row keyed by the
+    * content itself. */
+  def representativeIds(df: DataFrame, contentCol: String,
+      tieBreaker: String): DataFrame =
+    exactGroupsByHash(df, contentCol, tieBreaker).select(col(tieBreaker))
+
   /** Exact dedup keeping representative row per content key. Implemented
     * as min-tiebreak + self-semi-join (not dropDuplicates, whose surviving
     * row is nondeterministic). */

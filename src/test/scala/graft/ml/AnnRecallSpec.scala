@@ -39,6 +39,32 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.6, f"LSH recall@5 $r%.3f below gate")
   }
 
+  test("corpus-vs-corpus LSH: no forced query broadcast, recall holds") {
+    // every corpus vector is a query — the shape that would OOM the
+    // driver under an unconditional broadcast hint
+    val all = emb.select($"vec_id", $"embedding")
+    val plan = Similarity.lshTopK(all, all, "vec_id", "embedding",
+      k = 5, numPlanes = 4, dim = 64, numTables = 16,
+      queryBroadcast = Some(false))
+    // no broadcast HINT on any branch (AQE may still pick a broadcast
+    // join at runtime from actual sizes — that is its call, not a
+    // driver-side collect of the full query set)
+    assert(!plan.queryExecution.analyzed.toString.toLowerCase
+      .contains("hint"), "corpus-vs-corpus path must not hint broadcast")
+    // recall measured on the original 8 probes' rows of the full result
+    val got = plan.filter($"query_id" < 8)
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect()
+    val r = recallAt5(got)
+    info(f"corpus-vs-corpus LSH recall@5 = $r%.3f")
+    assert(r >= 0.6, f"recall@5 $r%.3f below gate without query broadcast")
+    // the serving shape still hints the broadcast explicitly
+    val served = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+      k = 5, numPlanes = 4, dim = 64, numTables = 16,
+      queryBroadcast = Some(true))
+    assert(served.queryExecution.analyzed.toString.toLowerCase
+      .contains("hint"), "serving path should hint the query broadcast")
+  }
+
   test("IVF top-k (q53 params) recall@5 >= 0.45 vs exact ground truth") {
     val model = IvfIndex.train(emb, "embedding", nCells = 8)
     val got = IvfIndex.topK(emb, queries, "vec_id", "embedding",

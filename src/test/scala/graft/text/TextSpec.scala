@@ -167,4 +167,22 @@ class TextSpec extends SparkSpec {
       .as[Double].head()
     assert(viaStrings == viaHashes)
   }
+
+  test("q59 curation plan: document text never enters a shuffle") {
+    // the dedup is hash-keyed — every exchange in the plan carries hashes
+    // and numeric per-doc columns; shuffling the text column itself (as a
+    // window over text would) is the scale bug this pins down
+    val q59 = graft.SparkEntry.queries("q59_curation")(spark, sf)
+    val exchanges = q59.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, "expected shuffles in the dedup plan")
+    exchanges.foreach { e =>
+      val cols = e.output.map(_.name.toLowerCase)
+      assert(!cols.contains("text"),
+        s"shuffle carries the document text: ${cols.mkString(",")}")
+    }
+    // and the result is non-degenerate
+    assert(q59.count() > 0)
+  }
 }
