@@ -28,7 +28,12 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // SPARK_GRAFT_ONLY=q59_curation,q60_txn_apply → time just those
+    // (local iteration aid; the driver runs the full suite)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // warm run: JIT, codegen cache, parquet footers — report steady-state
     // times (disable with SPARK_GRAFT_NO_WARMUP=1)
     if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP")) {

@@ -573,19 +573,25 @@ object SparkEntry {
 
     // the composed curation pipeline — what a 100 TB training-data run
     // chains: language filter → quality scoring → exact dedup (min doc_id
-    // per identical text) → per-doc stats. Every stage is a library op in
-    // one declarative plan, and the dedup is HASH-KEYED: the shuffle
-    // carries (xxhash64, crc32, doc_id) after partial aggregation and the
-    // semi join carries numeric rows — the document text itself never
-    // enters an exchange (TextSpec asserts this at the plan level).
+    // per identical text) → per-doc stats. The corpus text is scanned
+    // exactly ONCE: the scan projects per-doc stats plus the (xxhash64,
+    // crc32) content fingerprint and stages that CONTENT-FREE table, so
+    // both dedup sides derive from one pass and the text never enters a
+    // shuffle — or even a second materialization (TextSpec asserts the
+    // shuffle property at the executed-plan level).
     "q59_curation" -> ((s, d) => {
-      def scored = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"),
-          TextAnalysis.langId(col("text")).as("lang"),
-          TextAnalysis.qualityScore(col("text")).as("quality"),
-          TextAnalysis.tokenCount(col("text")).as("tokens"))
-        .filter(col("lang") === "en")
-      val reps = Dedup.representativeIds(scored, "text", "doc_id")
+      val scored = Staged.parquetStageOnce(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            TextAnalysis.langId(col("text")).as("lang"),
+            TextAnalysis.qualityScore(col("text")).as("quality"),
+            TextAnalysis.tokenCount(col("text")).as("tokens"),
+            xxhash64(col("text")).as("content_hash"),
+            crc32(col("text")).as("content_crc"))
+          .filter(col("lang") === "en"),
+        Staged.processDir("q59-scored", d))
+      val reps = Dedup.representativeIdsFromHashes(scored,
+        Seq("content_hash", "content_crc"), "doc_id")
       scored.select(col("doc_id"), col("tokens"), col("quality"))
         .join(reps, Seq("doc_id"), "left_semi")
         .orderBy(col("doc_id")).limit(200)
@@ -656,7 +662,7 @@ object SparkEntry {
       val dir = Staged.tempDir("q60-txn") // fresh target per invocation
       TxnApplier.bootstrap(accounts, Seq("acct"), dir, nBuckets = 4)
       TxnApplier.applyBatch(batch, Seq("acct"), "seq", "op", "tso", dir,
-        nBuckets = 4, txnsPerCommit = 8)
+        nBuckets = 4, txnsPerCommit = 32)
       TxnApplier.readCurrent(s, dir)
         .select(col("acct").cast("bigint").as("account_id"),
           col("balance").cast("bigint").as("balance"))

@@ -64,6 +64,18 @@ object Dedup {
       tieBreaker: String): DataFrame =
     exactGroupsByHash(df, contentCol, tieBreaker).select(col(tieBreaker))
 
+  /** Representative ids when the content fingerprint is ALREADY a column
+    * (a staged scan that hashed the text on the way in): group by the
+    * hash columns, min-tiebreak. Lets a pipeline scan the corpus once,
+    * stage a content-free (hash, stats) table, and run dedup plus every
+    * downstream consumer off that stage — the content column is read
+    * exactly once per corpus, not once per consumer. */
+  def representativeIdsFromHashes(df: DataFrame, hashCols: Seq[String],
+      tieBreaker: String): DataFrame =
+    df.groupBy(hashCols.map(col): _*)
+      .agg(min(col(tieBreaker)).as(tieBreaker))
+      .select(col(tieBreaker))
+
   /** Exact dedup keeping representative row per content key. Implemented
     * as min-tiebreak + self-semi-join (not dropDuplicates, whose surviving
     * row is nondeterministic). */

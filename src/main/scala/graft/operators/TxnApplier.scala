@@ -1,6 +1,8 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Transaction-preserving apply: the target only ever exposes states that
@@ -26,101 +28,131 @@ import org.apache.spark.sql.functions._
   *   target/
   *     data/v00000007/__bucket=k/...   immutable parquet, written once
   *     _manifests/v00000007.manifest   bucket -> data dir, one per commit
-  *     _current                        "version,lastTso" — atomic rename
+  *     _current                        "version,lastTso" — pointer swap
   * }}}
   *
-  * A commit rewrites ONLY the buckets its transactions touch (new files
-  * under a fresh version dir), writes a manifest mapping every bucket to
-  * its current data dir (touched -> new, untouched -> carried over), and
-  * atomically renames the `_current` pointer. Readers resolve `_current`
-  * once and read that manifest's files — they observe exactly one
-  * committed version, never a torn mix, and in-flight commits are
-  * invisible until the pointer lands. Per commit the work is
-  * O(touched buckets), the write is fully parallel across buckets
-  * (SplitTransactionApplier's intra-txn parallelism for free), and the
-  * observable-state granularity is the transaction group — the
-  * TransactionApplier contract at lake scale.
+  * A commit covers ONLY the buckets its transactions touch (fresh files
+  * under the commit's version dir), a manifest maps every bucket to its
+  * current data dir (touched -> new, untouched -> carried over), and the
+  * `_current` pointer swap publishes it. Readers resolve `_current` once
+  * and read that manifest's files — they observe exactly one committed
+  * version, never a torn mix, and in-flight commits are invisible until
+  * the pointer lands.
   *
-  * The driver-side loop over commit groups is the semantics, not an
-  * accident: transaction order IS serial (the reference's tranApply loop).
-  * `txnsPerCommit` > 1 is the reference's own small-transaction merging —
-  * every commit boundary is still a transaction boundary.
+  * The batch apply is TWO distributed jobs + a metadata-only commit loop:
+  * job 1 collapses the batch to per-transaction final images (staged);
+  * job 2 computes EVERY commit's rewritten-bucket contents in one
+  * cumulative pass (for commit group g and bucket b, each key's newest
+  * image at-or-before g, else its carried target row) and writes them
+  * `partitionBy(group, bucket)`. The driver then publishes commits in TSO
+  * order by renaming each group's staged dir into place and swinging the
+  * pointer — serial transaction order lives in O(#commits) metadata
+  * renames, not O(#commits) serial Spark jobs, so a 10k-transaction
+  * micro-batch is still two shuffles. `txnsPerCommit` > 1 is the
+  * reference's own small-transaction merging — every commit boundary is
+  * still a transaction boundary.
+  *
+  * All target IO goes through the Hadoop FileSystem API: `dir` may be any
+  * configured scheme (file://, hdfs://, s3a://, oss://). The pointer swap
+  * is write-temp + delete + rename — atomic on HDFS-like stores; readers
+  * retry once across the delete→rename window.
   */
 object TxnApplier {
 
   /** A committed target version and the last TSO it covers. */
   final case class Commit(version: Long, lastTso: Long)
 
-  private def manifestDir(dir: String) = new java.io.File(dir, "_manifests")
-  private def currentFile(dir: String) = new java.io.File(dir, "_current")
-  private def manifestFile(dir: String, v: Long) =
-    new java.io.File(manifestDir(dir), f"v$v%08d.manifest")
-  private def dataDir(dir: String, v: Long) =
-    new java.io.File(dir, f"data/v$v%08d")
+  private def hconf: org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def fsOf(p: Path): FileSystem = p.getFileSystem(hconf)
+
+  private def manifestDir(root: Path) = new Path(root, "_manifests")
+  private def currentFile(root: Path) = new Path(root, "_current")
+  private def manifestFile(root: Path, v: Long) =
+    new Path(manifestDir(root), f"v$v%08d.manifest")
+  private def versionRel(v: Long): String = f"data/v$v%08d"
+
+  private def readString(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** Write-temp + delete + rename: atomic publication on rename-atomic
+    * stores; the delete→rename window is covered by reader retry. */
+  private def writeSwap(fs: FileSystem, tmp: Path, dst: Path, body: String): Unit = {
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) sys.error(s"txn target: rename $tmp -> $dst failed")
+  }
 
   /** The committed version pointer, or None for an un-bootstrapped dir. */
   def currentCommit(dir: String): Option[Commit] = {
-    val f = currentFile(dir)
-    if (!f.isFile) None
-    else {
-      val parts = new String(java.nio.file.Files.readAllBytes(f.toPath))
-        .trim.split(",")
-      Some(Commit(parts(0).toLong, parts(1).toLong))
-    }
+    val root = new Path(dir)
+    val fs = fsOf(root)
+    def readOnce: Option[Commit] =
+      try {
+        val parts = readString(fs, currentFile(root)).trim.split(",")
+        Some(Commit(parts(0).toLong, parts(1).toLong))
+      } catch { case _: java.io.FileNotFoundException => None }
+    if (!fs.exists(currentFile(root))) readOnce // retry across a swap
+    else readOnce.orElse(readOnce)
   }
 
   /** All committed versions, oldest first (the observable-state history —
     * each was `_current` for some interval). */
-  def versions(dir: String): Seq[Long] =
-    Option(manifestDir(dir).listFiles()).toSeq.flatten
-      .filter(_.getName.endsWith(".manifest"))
-      .map(_.getName.stripPrefix("v").stripSuffix(".manifest").toLong)
+  def versions(dir: String): Seq[Long] = {
+    val root = new Path(dir)
+    val fs = fsOf(root)
+    if (!fs.exists(manifestDir(root))) Seq.empty
+    else fs.listStatus(manifestDir(root)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".manifest"))
+      .map(_.stripPrefix("v").stripSuffix(".manifest").toLong)
       .sorted
+  }
 
-  private def readManifest(dir: String, v: Long): Map[Int, String] = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.readAllLines(manifestFile(dir, v).toPath).asScala
+  private def readManifest(root: Path, v: Long): Map[Int, String] = {
+    val fs = fsOf(root)
+    readString(fs, manifestFile(root, v)).split("\n").toSeq
       .filter(_.nonEmpty).map { line =>
         val Array(b, p) = line.split("\t", 2)
         b.toInt -> p
       }.toMap
   }
 
-  private def writeManifest(dir: String, v: Long, entries: Map[Int, String]): Unit = {
-    manifestDir(dir).mkdirs()
+  private def writeManifest(root: Path, v: Long, entries: Map[Int, String]): Unit = {
+    val fs = fsOf(root)
+    fs.mkdirs(manifestDir(root))
     val body = entries.toSeq.sortBy(_._1)
       .map { case (b, p) => s"$b\t$p" }.mkString("\n")
-    val tmp = new java.io.File(manifestDir(dir), s".v$v.tmp")
-    java.nio.file.Files.write(tmp.toPath, body.getBytes)
-    java.nio.file.Files.move(tmp.toPath, manifestFile(dir, v).toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    writeSwap(fs, new Path(manifestDir(root), s".v$v.tmp"),
+      manifestFile(root, v), body)
   }
 
-  /** The atomic commit point: everything before this rename is invisible
+  /** The atomic commit point: everything before this swap is invisible
     * to readers; a crash before it leaves the previous version current
     * (orphan data files, reclaimed by vacuum). */
-  private def commitPointer(dir: String, c: Commit): Unit = {
-    val tmp = new java.io.File(dir, "._current.tmp")
-    java.nio.file.Files.write(tmp.toPath, s"${c.version},${c.lastTso}".getBytes)
-    java.nio.file.Files.move(tmp.toPath, currentFile(dir).toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-  }
+  private def commitPointer(root: Path, c: Commit): Unit =
+    writeSwap(fsOf(root), new Path(root, "._current.tmp"),
+      currentFile(root), s"${c.version},${c.lastTso}")
 
-  private def listBucketDirs(d: java.io.File): Map[Int, java.io.File] =
-    Option(d.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
-      .map(f => f.getName.stripPrefix("__bucket=").toInt -> f).toMap
-
-  private def relativize(dir: String, f: java.io.File): String =
-    new java.io.File(dir).toPath.toAbsolutePath
-      .relativize(f.toPath.toAbsolutePath).toString
+  private def listBucketDirs(fs: FileSystem, d: Path): Map[Int, Path] =
+    if (!fs.exists(d)) Map.empty
+    else fs.listStatus(d).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__bucket="))
+      .map(s => s.getPath.getName.stripPrefix("__bucket=").toInt -> s.getPath)
+      .toMap
 
   /** Read one committed version (time travel over observable states). */
   def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
-    val paths = readManifest(dir, v).values.toSeq.sorted
-      .map(rel => new java.io.File(dir, rel).toString)
+    val root = new Path(dir)
+    val paths = readManifest(root, v).values.toSeq.sorted
+      .map(rel => new Path(root, rel).toString)
     if (paths.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(paths: _*)
   }
@@ -139,15 +171,17 @@ object TxnApplier {
       nBuckets: Int, initialTso: Long = 0L): Unit = {
     if (currentCommit(dir).isDefined)
       sys.error(s"txn target $dir: already bootstrapped")
+    val root = new Path(dir)
+    val fs = fsOf(root)
     val v = 1L
-    val d = dataDir(dir, v)
+    val d = new Path(root, versionRel(v))
     initial.withColumn("__bucket", Appliers.bucketOf(keyCols, nBuckets))
       .write.partitionBy("__bucket").mode(SaveMode.Overwrite)
       .parquet(d.toString)
-    val entries = listBucketDirs(d)
-      .map { case (b, f) => b -> relativize(dir, f) }
-    writeManifest(dir, v, entries)
-    commitPointer(dir, Commit(v, initialTso))
+    val entries = listBucketDirs(fs, d)
+      .map { case (b, _) => b -> s"${versionRel(v)}/__bucket=$b" }
+    writeManifest(root, v, entries)
+    commitPointer(root, Commit(v, initialTso))
   }
 
   /** Apply a change batch preserving transaction atomicity: transactions
@@ -158,96 +192,139 @@ object TxnApplier {
     * crash resumes at the first unapplied transaction — a half-applied
     * batch never doubles.
     *
-    * Cost shape: the per-group final images come from ONE staged window
-    * agg over the whole batch; each commit then reads and rewrites only
-    * its touched buckets. The commit loop is driver-side by design
-    * (transactions are ordered); its length is the batch's transaction
-    * count / txnsPerCommit, bounded by the micro-batch size. */
+    * Cost shape (see object doc): one staged image job + one cumulative
+    * per-commit-contents job, then metadata-only publication per commit.
+    * A crash mid-publication leaves a committed prefix of whole commit
+    * groups; the rest replays. */
   def applyBatch(batch: DataFrame, keyCols: Seq[String], seqCol: String,
       opCol: String, tsoCol: String, dir: String, nBuckets: Int = 64,
       txnsPerCommit: Int = 1): Seq[Commit] = {
     val spark = batch.sparkSession
     val start = currentCommit(dir)
       .getOrElse(sys.error(s"txn target $dir: bootstrap first"))
+    val root = new Path(dir)
+    val fs = fsOf(root)
     val fresh = batch.filter(col(tsoCol) > start.lastTso)
-    // distinct commit TSOs in order — bounded by the batch's txn count
-    val tsos = fresh.select(col(tsoCol).cast("long").as("__tso")).distinct()
-      .orderBy(col("__tso")).collect().map(_.getLong(0))
-    if (tsos.isEmpty) return Seq.empty
-    val groups = tsos.grouped(math.max(1, txnsPerCommit)).toVector
-    import spark.implicits._
-    val grpDf = groups.zipWithIndex
-      .flatMap { case (g, i) => g.map(t => (t, i)) }.toDF("__gtso", "__grp")
-    // ONE window agg derives every group's final images (partitioned by
-    // (group, key) so a key updated in txn 2 and txn 7 keeps one image per
-    // group); staged so the per-group filters below don't re-derive it
-    val staging = new java.io.File(dir, "_batchstage")
-    if (staging.exists())
-      org.apache.commons.io.FileUtils.deleteDirectory(staging)
-    try {
-      val images = Staged.parquetStage(
-        Appliers.mergeToFinalImages(
-          fresh.join(broadcast(grpDf), col(tsoCol) === col("__gtso"))
-            .drop("__gtso"),
-          "__grp" +: keyCols, seqCol, opCol)
-          .withColumn("__bucket", Appliers.bucketOf(keyCols, nBuckets)),
-        new java.io.File(staging, "images").toString)
-      val commits = Seq.newBuilder[Commit]
-      groups.zipWithIndex.foreach { case (g, i) =>
-        val gi = images.filter(col("__grp") === i).drop("__grp")
-        commits += applyImagesAsCommit(spark, dir, gi, keyCols, nBuckets,
-          lastTso = g.last)
+    val staging = new Path(root, "_batchstage")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    // phase timing to stderr when GRAFT_PROF is set (perf triage aid)
+    def timed[T](label: String)(body: => T): T =
+      if (!sys.env.contains("GRAFT_PROF")) body
+      else {
+        val t0 = System.nanoTime(); val r = body
+        System.err.println(
+          f"[txnapplier] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
       }
-      commits.result()
-    } finally {
-      if (staging.exists())
-        org.apache.commons.io.FileUtils.deleteDirectory(staging)
-    }
-  }
+    try {
+      // job 1 — ONE scan of the source batch: final image per
+      // (transaction, key), staged so everything below reads the small
+      // image table, never the source again
+      val imagesPath = new Path(staging, "images").toString
+      timed("stage-images") {
+        Appliers.mergeToFinalImages(fresh, tsoCol +: keyCols, seqCol, opCol)
+          .withColumn("__bucket", Appliers.bucketOf(keyCols, nBuckets))
+          .write.mode(SaveMode.Overwrite).parquet(imagesPath)
+      }
+      val images = spark.read.parquet(imagesPath)
 
-  /** One atomic commit: merge a group's final images into its touched
-    * buckets under a fresh version dir, carry untouched buckets over in
-    * the manifest, swing the pointer. */
-  private def applyImagesAsCommit(spark: SparkSession, dir: String,
-      images: DataFrame, keyCols: Seq[String], nBuckets: Int,
-      lastTso: Long): Commit = {
-    val cur = currentCommit(dir).get
-    val manifest = readManifest(dir, cur.version)
-    val touched = images.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).toSet
-    val v = cur.version + 1
-    val out = dataDir(dir, v)
-    val touchedPaths = touched.toSeq.sorted.flatMap(manifest.get)
-      .map(rel => new java.io.File(dir, rel).toString)
-    val merged =
-      if (touchedPaths.nonEmpty) {
-        val target = spark.read.parquet(touchedPaths: _*)
-        Appliers.upsert(target, images, keyCols)
-      } else {
-        // all-new buckets: nothing to merge with — but keep the TARGET's
-        // column set (a batch may carry extra plumbing columns like the
-        // commit TSO that the stored rows must not accrete)
-        val inserts = images.filter(col("effective_op") =!= "DELETE")
+      // commit-group assignment — distinct TSOs in order, off the staged
+      // images (bounded by the batch's txn count)
+      val tsos = timed("tsos") {
+        images.select(col(tsoCol).cast("long").as("__tso"))
+          .distinct().orderBy(col("__tso")).collect().map(_.getLong(0))
+      }
+      if (tsos.isEmpty) return Seq.empty
+      val groups = tsos.grouped(math.max(1, txnsPerCommit)).toVector
+      import spark.implicits._
+      val grpDf = groups.zipWithIndex
+        .flatMap { case (g, i) => g.map(t => (t, i)) }.toDF("__gtso", "__grp")
+      val imagesG = images
+        .join(broadcast(grpDf), col(tsoCol).cast("long") === col("__gtso"))
+        .drop("__gtso")
+
+      // ONE probe: every commit group's touched-bucket set
+      val touchedByGrp = timed("probe") {
+        imagesG.select(col("__grp"), col("__bucket"))
+          .distinct().collect()
+          .groupBy(_.getInt(0)).map { case (g, rows) =>
+            g -> rows.map(_.getInt(1)).toSet
+          }
+      }
+
+      // job 2 — every commit's rewritten-bucket contents in one pass.
+      // Rows in play: the touched buckets' current target rows (pseudo
+      // txn order -1) plus all image rows. A (bucket, writing-group) pair
+      // list replicates each row to every commit that rewrites its bucket
+      // and could see it (group <= writer); per (writer, key) the newest
+      // txn wins; DELETE images erase.
+      val manifest = readManifest(root, start.version)
+      val allTouched = touchedByGrp.values.flatten.toSet
+      val targetPaths = allTouched.toSeq.sorted.flatMap(manifest.get)
+        .map(rel => new Path(root, rel).toString)
+      val targetCols: Seq[String] =
         manifest.values.toSeq.sorted.headOption match {
           case Some(rel) => // footer-only schema probe of any current file
-            val cols = spark.read
-              .parquet(new java.io.File(dir, rel).toString).columns
-            inserts.select(cols.map(col).toSeq: _*)
-          case None => inserts.drop("effective_op", "__bucket")
+            spark.read.parquet(new Path(root, rel).toString).columns.toSeq
+          case None =>
+            images.columns.toSeq.filterNot(Set("effective_op", "__bucket"))
         }
+      val imgSide = imagesG.select(
+        targetCols.map(col) ++ Seq(col("effective_op"), col("__grp"),
+          col(tsoCol).cast("long").as("__tso_ord"), col("__bucket")): _*)
+      val unioned =
+        if (targetPaths.isEmpty) imgSide
+        else imgSide.unionByName(
+          spark.read.parquet(targetPaths: _*)
+            .withColumn("__bucket", Appliers.bucketOf(keyCols, nBuckets))
+            .select(targetCols.map(col) ++ Seq(
+              lit("KEEP").as("effective_op"), lit(-1).as("__grp"),
+              lit(-1L).as("__tso_ord"), col("__bucket")): _*))
+      val writersOfBucket = touchedByGrp.toSeq
+        .flatMap { case (g, bs) => bs.map(b => (b, g)) }
+        .toDF("__bucket", "__wv")
+      val w = Window
+        .partitionBy(col("__wv") +: keyCols.map(col): _*)
+        .orderBy(col("__tso_ord").desc)
+      val outPath = new Path(staging, "out")
+      timed("bulk-write") {
+        unioned.join(broadcast(writersOfBucket), Seq("__bucket"))
+          .filter(col("__grp") <= col("__wv"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1 && col("effective_op") =!= "DELETE")
+          .select(targetCols.map(col) ++ Seq(col("__wv"), col("__bucket")): _*)
+          .repartition(col("__wv"), col("__bucket"))
+          .write.partitionBy("__wv", "__bucket").mode(SaveMode.Overwrite)
+          .parquet(outPath.toString)
       }
-    merged.withColumn("__bucket", Appliers.bucketOf(keyCols, nBuckets))
-      .write.partitionBy("__bucket").mode(SaveMode.Overwrite)
-      .parquet(out.toString)
-    // survivors discovered from the written layout — no extra job; the
-    // old version's files are immutable, so there is no read-after-
-    // replace hazard anywhere in this path
-    val newDirs = listBucketDirs(out)
-      .map { case (b, f) => b -> relativize(dir, f) }
-    val entries = (manifest -- touched) ++ newDirs
-    writeManifest(dir, v, entries)
-    commitPointer(dir, Commit(v, lastTso))
-    Commit(v, lastTso)
+
+      // publication — metadata only, in TSO order: rename each group's
+      // staged dir into place, write its manifest, swing the pointer
+      var entries = manifest
+      val commits = Seq.newBuilder[Commit]
+      timed("publish") {
+      groups.zipWithIndex.foreach { case (g, i) =>
+        val v = start.version + 1 + i
+        val dst = new Path(root, versionRel(v))
+        fs.mkdirs(dst.getParent)
+        if (fs.exists(dst)) fs.delete(dst, true) // uncommitted crash debris
+        val src = new Path(outPath, s"__wv=$i")
+        if (fs.exists(src)) {
+          if (!fs.rename(src, dst))
+            sys.error(s"txn target: rename $src -> $dst failed")
+        } else fs.mkdirs(dst) // group deleted every row it touched
+        val newDirs = listBucketDirs(fs, dst)
+          .map { case (b, _) => b -> s"${versionRel(v)}/__bucket=$b" }
+        entries = (entries -- touchedByGrp.getOrElse(i, Set.empty)) ++ newDirs
+        writeManifest(root, v, entries)
+        val c = Commit(v, g.last)
+        commitPointer(root, c)
+        commits += c
+      } }
+      commits.result()
+    } finally {
+      if (fs.exists(staging)) fs.delete(staging, true)
+    }
   }
 
   /** Reclaim data dirs no manifest ≥ `keepFrom` references (default: only
@@ -255,17 +332,21 @@ object TxnApplier {
     * are the observable-state history and cost O(nBuckets) text each. */
   def vacuum(dir: String, keepFrom: Option[Long] = None): Unit = {
     val cur = currentCommit(dir).map(_.version).getOrElse(return)
+    val root = new Path(dir)
+    val fs = fsOf(root)
     val from = keepFrom.getOrElse(cur)
+    // qualify both sides: listStatus returns scheme-qualified paths,
+    // manifest-derived ones may be bare
     val referenced = versions(dir).filter(_ >= from)
-      .flatMap(v => readManifest(dir, v).values)
-      .map(rel => new java.io.File(dir, rel).getCanonicalPath).toSet
-    val dataRoot = new java.io.File(dir, "data")
-    Option(dataRoot.listFiles()).toSeq.flatten
-      .filter(_.isDirectory).foreach { vd =>
-        listBucketDirs(vd).values
-          .filterNot(f => referenced.contains(f.getCanonicalPath))
-          .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
-        if (Option(vd.listFiles()).exists(_.isEmpty)) vd.delete()
-      }
+      .flatMap(v => readManifest(root, v).values)
+      .map(rel => fs.makeQualified(new Path(root, rel)).toString).toSet
+    val dataRoot = new Path(root, "data")
+    if (!fs.exists(dataRoot)) return
+    fs.listStatus(dataRoot).toSeq.filter(_.isDirectory).foreach { vd =>
+      listBucketDirs(fs, vd.getPath).values
+        .filterNot(p => referenced.contains(fs.makeQualified(p).toString))
+        .foreach(p => fs.delete(p, true))
+      if (fs.listStatus(vd.getPath).isEmpty) fs.delete(vd.getPath, false)
+    }
   }
 }

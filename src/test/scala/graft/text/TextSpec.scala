@@ -171,18 +171,26 @@ class TextSpec extends SparkSpec {
   test("q59 curation plan: document text never enters a shuffle") {
     // the dedup is hash-keyed — every exchange in the plan carries hashes
     // and numeric per-doc columns; shuffling the text column itself (as a
-    // window over text would) is the scale bug this pins down
-    val q59 = graft.SparkEntry.queries("q59_curation")(spark, sf)
-    val exchanges = q59.queryExecution.sparkPlan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-    }
-    assert(exchanges.nonEmpty, "expected shuffles in the dedup plan")
-    exchanges.foreach { e =>
-      val cols = e.output.map(_.name.toLowerCase)
-      assert(!cols.contains("text"),
-        s"shuffle carries the document text: ${cols.mkString(",")}")
-    }
-    // and the result is non-degenerate
-    assert(q59.count() > 0)
+    // window over text would) is the scale bug this pins down. Exchanges
+    // are inserted by EnsureRequirements during executedPlan preparation
+    // (sparkPlan never contains them), and AQE wraps materialized stages
+    // in leaf QueryStageExec nodes a plain collect can't see through — so
+    // assert with AQE off against the executed plan.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q59 = graft.SparkEntry.queries("q59_curation")(spark, sf)
+      val exchanges = q59.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty, "expected shuffles in the dedup plan")
+      exchanges.foreach { e =>
+        val cols = e.output.map(_.name.toLowerCase)
+        assert(!cols.contains("text"),
+          s"shuffle carries the document text: ${cols.mkString(",")}")
+      }
+      // and the result is non-degenerate
+      assert(q59.count() > 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 }
