@@ -1,8 +1,11 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.util.HadoopIo
 
 /** RPL appliers: apply a change batch to a target table, preserving
   * per-key order, with the reference's applier strategies re-expressed as
@@ -124,8 +127,10 @@ object Appliers {
       seqCol: String, opCol: String, targetDir: String): Unit = {
     val spark = batch.sparkSession
     val finalImages = mergeToFinalImages(batch, keyCols, seqCol, opCol)
+    val d = new Path(targetDir)
+    val fs = HadoopIo.fsOf(d)
     val merged =
-      if (new java.io.File(targetDir).exists()) {
+      if (fs.exists(d)) {
         val target = spark.read.parquet(targetDir)
         upsert(target, finalImages, keyCols)
       } else {
@@ -134,21 +139,18 @@ object Appliers {
       }
     // write-to-temp + checked atomic swap (mirrors OrderedSink.compact):
     // never delete the only surviving copy on a failed rename
-    val tmp = targetDir + "__staging"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val t = new java.io.File(tmp)
-    val d = new java.io.File(targetDir)
-    if (d.exists()) {
-      val old = new java.io.File(targetDir + "__old")
-      if (old.exists()) // stale leftover from a crashed run: target is
-        org.apache.commons.io.FileUtils.deleteDirectory(old) // authoritative
-      if (!d.renameTo(old)) sys.error(s"apply: cannot stage out $targetDir")
-      if (!t.renameTo(d)) {
-        old.renameTo(d) // roll back — target stays the pre-batch snapshot
-        sys.error(s"apply: cannot swap in $tmp")
+    val t = new Path(targetDir + "__staging")
+    merged.write.mode(SaveMode.Overwrite).parquet(t.toString)
+    if (fs.exists(d)) {
+      val old = new Path(targetDir + "__old")
+      HadoopIo.deleteIfExists(old) // stale leftover: target is authoritative
+      if (!fs.rename(d, old)) sys.error(s"apply: cannot stage out $targetDir")
+      if (!fs.rename(t, d)) {
+        fs.rename(old, d) // roll back — target stays the pre-batch snapshot
+        sys.error(s"apply: cannot swap in $t")
       }
-      org.apache.commons.io.FileUtils.deleteDirectory(old)
-    } else if (!t.renameTo(d)) sys.error(s"apply: cannot move $tmp to $targetDir")
+      fs.delete(old, true)
+    } else if (!fs.rename(t, d)) sys.error(s"apply: cannot move $t to $targetDir")
   }
 
   /** Key-hash bucket id — the bucketed target's partition column. Stable
@@ -180,9 +182,11 @@ object Appliers {
     // a target with no bucket directories (e.g. a bootstrap batch that was
     // all deletes wrote only _SUCCESS) has no schema to read — treat it as
     // absent and bootstrap again
-    val targetFile = new java.io.File(targetDir)
-    val hasData = targetFile.exists() && Option(targetFile.listFiles())
-      .exists(_.exists(f => f.isDirectory && f.getName.startsWith("__bucket=")))
+    val targetPath = new Path(targetDir)
+    val targetFs = HadoopIo.fsOf(targetPath)
+    val hasData = targetFs.exists(targetPath) &&
+      targetFs.listStatus(targetPath).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("__bucket="))
     if (!hasData) {
       finalImages.filter(col("effective_op") =!= "DELETE")
         .drop("effective_op")
@@ -196,12 +200,11 @@ object Appliers {
       // 2-3× read amplification on the hot RPL path at scale. Staging also
       // removes the lazy-plan re-read trap (a plan collected after the
       // write would re-read the replaced target files).
-      val staging = new java.io.File(targetDir + "__batchstage")
-      if (staging.exists())
-        org.apache.commons.io.FileUtils.deleteDirectory(staging)
+      val staging = new Path(targetDir + "__batchstage")
+      HadoopIo.deleteIfExists(staging)
       try {
         val fi = Staged.parquetStage(finalImages,
-          new java.io.File(staging, "final_images").toString)
+          new Path(staging, "final_images").toString)
         // touched bucket ids: bounded by nBuckets, safe to collect
         val touched = fi.select("__bucket").distinct()
           .collect().map(_.getInt(0))
@@ -209,7 +212,7 @@ object Appliers {
           val target = spark.read.parquet(targetDir)
             .filter(col("__bucket").isin(touched.map(Integer.valueOf): _*))
           val merged = Staged.parquetStage(upsert(target, fi, keyCols),
-            new java.io.File(staging, "merged").toString)
+            new Path(staging, "merged").toString)
           // dynamic overwrite only replaces partitions PRESENT in the
           // output: a touched bucket whose keys were all deleted emits no
           // rows, so its stale directory must be dropped explicitly
@@ -221,14 +224,11 @@ object Appliers {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__bucket").parquet(targetDir)
           (touched.toSet -- survivors).foreach { b =>
-            val dir = new java.io.File(targetDir, s"__bucket=$b")
-            if (dir.exists())
-              org.apache.commons.io.FileUtils.deleteDirectory(dir)
+            HadoopIo.deleteIfExists(new Path(targetPath, s"__bucket=$b"))
           }
         }
       } finally {
-        if (staging.exists())
-          org.apache.commons.io.FileUtils.deleteDirectory(staging)
+        HadoopIo.deleteIfExists(staging)
       }
     }
   }

@@ -62,12 +62,7 @@ object TxnApplier {
   /** A committed target version and the last TSO it covers. */
   final case class Commit(version: Long, lastTso: Long)
 
-  private def hconf: org.apache.hadoop.conf.Configuration =
-    SparkSession.getActiveSession
-      .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
-
-  private def fsOf(p: Path): FileSystem = p.getFileSystem(hconf)
+  private def fsOf(p: Path): FileSystem = graft.util.HadoopIo.fsOf(p)
 
   private def manifestDir(root: Path) = new Path(root, "_manifests")
   private def currentFile(root: Path) = new Path(root, "_current")
@@ -75,20 +70,11 @@ object TxnApplier {
     new Path(manifestDir(root), f"v$v%08d.manifest")
   private def versionRel(v: Long): String = f"data/v$v%08d"
 
-  private def readString(fs: FileSystem, p: Path): String = {
-    val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-  }
+  private def readString(fs: FileSystem, p: Path): String =
+    graft.util.HadoopIo.readString(p)
 
-  /** Write-temp + delete + rename: atomic publication on rename-atomic
-    * stores; the delete→rename window is covered by reader retry. */
-  private def writeSwap(fs: FileSystem, tmp: Path, dst: Path, body: String): Unit = {
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(dst)) fs.delete(dst, false)
-    if (!fs.rename(tmp, dst)) sys.error(s"txn target: rename $tmp -> $dst failed")
-  }
+  private def writeSwap(fs: FileSystem, tmp: Path, dst: Path, body: String): Unit =
+    graft.util.HadoopIo.writeSwap(tmp, dst, body)
 
   /** The committed version pointer, or None for an un-bootstrapped dir. */
   def currentCommit(dir: String): Option[Commit] = {

@@ -1,9 +1,11 @@
 package graft.sinks
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 import graft.operators.MergeSort
+import graft.util.HadoopIo
 
 /** Ordered sinks: the binlog-file analog.
   *
@@ -48,38 +50,59 @@ object OrderedSink {
     * data-file count makes the cursor SELF-VERIFYING: the parquet append
     * commits before the cursor write, so a crash in that window leaves a
     * cursor whose recorded file count no longer matches the directory —
-    * recovery detects the mismatch and falls back to the max() scan instead
-    * of trusting a stale position (which would re-append the whole last
-    * batch on replay). */
-  private def cursorFile(outDir: String) = new java.io.File(outDir, "_graft_cursor")
+    * recovery detects the mismatch and resolves it from the trusted
+    * cursor position (quarantining torn-append files) instead of trusting
+    * a stale position (which would re-append the whole last batch on
+    * replay). */
+  private def cursorFile(outDir: String) = new Path(outDir, "_graft_cursor")
 
   /** Data files the cursor guards (excludes _SUCCESS, the cursor itself,
     * hidden temps). One directory listing — O(files) metadata, no data IO. */
-  private def dataFileCount(outDir: String): Long =
-    Option(new java.io.File(outDir).listFiles()).map(_.count(f =>
-      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      .toLong).getOrElse(0L)
+  private def dataFiles(outDir: String): Seq[Path] = {
+    val root = new Path(outDir)
+    val fs = HadoopIo.fsOf(root)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath)
+  }
 
-  private def readCursor(outDir: String): Option[(Long, Long)] = {
-    val f = cursorFile(outDir)
-    if (!f.isFile) None
-    else scala.util.Try {
-      val parts = new String(java.nio.file.Files.readAllBytes(f.toPath))
-        .trim.split(",")
+  private def dataFileCount(outDir: String): Long = dataFiles(outDir).size.toLong
+
+  private def readCursor(outDir: String): Option[(Long, Long)] =
+    scala.util.Try {
+      val parts = HadoopIo.readString(cursorFile(outDir)).trim.split(",")
       // legacy single-field cursors carry no file count → unverifiable,
       // recorded as count -1 so recovery re-scans once and upgrades
       (parts(0).toLong, if (parts.length > 1) parts(1).toLong else -1L)
     }.toOption
-  }
 
-  private[sinks] def writeCursor(outDir: String, tso: Long): Unit = {
-    val f = cursorFile(outDir)
-    val tmp = new java.io.File(outDir, "._graft_cursor.tmp")
-    java.nio.file.Files.write(tmp.toPath,
-      s"$tso,${dataFileCount(outDir)}".getBytes)
-    java.nio.file.Files.move(tmp.toPath, f.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  private[sinks] def writeCursor(outDir: String, tso: Long): Unit =
+    HadoopIo.writeSwap(new Path(outDir, "._graft_cursor.tmp"),
+      cursorFile(outDir), s"$tso,${dataFileCount(outDir)}")
+
+  /** File-level min of `tsoCol` from the parquet footer (row-group
+    * statistics only — no data pages). */
+  private def footerMinTso(p: Path, tsoCol: String): Option[Long] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(p, HadoopIo.conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      var lo = Option.empty[Long]
+      reader.getFooter.getBlocks.forEach { b =>
+        b.getColumns.forEach { c =>
+          if (c.getPath.toDotString == tsoCol) {
+            val st = c.getStatistics
+            if (st != null && !st.isEmpty) {
+              val mn = st.genericGetMin.asInstanceOf[Number].longValue()
+              lo = Some(lo.fold(mn)(math.min(_, mn)))
+            }
+          }
+        }
+      }
+      lo
+    } finally reader.close()
   }
 
   /** Recovery cursor: the restart position for exactly-once resume (the
@@ -88,18 +111,42 @@ object OrderedSink {
     * cursor committed with each append and trusts it ONLY when its
     * recorded data-file count matches the directory listing — an append
     * that committed without its cursor update (crash between the two)
-    * fails the check and falls back to a one-time full max() scan, which
-    * repairs the cursor so the scan never repeats. At a 100 TB ordered
-    * log the happy path is one footer-free directory listing. */
+    * fails the check and recovers to the last TRUSTED position. At a
+    * 100 TB ordered log the happy path is one footer-free directory
+    * listing.
+    *
+    * Torn-append handling: EXTRA files beyond the cursor's recorded count
+    * are a batch whose append committed (fully or partially) without its
+    * cursor update. The cursor TSO is the last position the sink ever
+    * acknowledged; every appended file's rows are strictly beyond it
+    * (appendSince filters > position before writing), so those files are
+    * identified by footer min-TSO > cursor and QUARANTINED (deleted) —
+    * the foreachBatch source replays the whole batch against the trusted
+    * position. Advancing the cursor to max(tso) over the torn files
+    * instead would permanently lose the batch's unwritten tail (the
+    * replay would filter everything at or below the torn max). MISSING
+    * files (count below the record) or an unverifiable legacy cursor
+    * fall back to a one-time full max() scan + repair. */
   def recoverPosition(spark: org.apache.spark.sql.SparkSession,
       outDir: String, tsoCol: String): Option[Long] = {
-    if (!new java.io.File(outDir).exists()) None
+    val root = new Path(outDir)
+    if (!HadoopIo.fsOf(root).exists(root)) None
     else {
       val nFiles = dataFileCount(outDir)
       readCursor(outDir) match {
         case Some((tso, cnt)) if cnt == nFiles => Some(tso)
         case _ if nFiles == 0L => None // nothing durable yet
-        case _ => // absent, legacy, or desynced cursor: scan + repair
+        case Some((tso, cnt)) if cnt >= 0 && nFiles > cnt =>
+          // torn append past the trusted position: quarantine its files
+          // (footer-stat reads only), resume at the cursor — the source
+          // replays the batch in full
+          val fs = HadoopIo.fsOf(root)
+          dataFiles(outDir)
+            .filter(p => footerMinTso(p, tsoCol).exists(_ > tso))
+            .foreach(p => fs.delete(p, false))
+          writeCursor(outDir, tso) // re-records the surviving file count
+          Some(tso)
+        case _ => // absent or legacy cursor, or files vanished: scan + repair
           val scanned =
             spark.read.parquet(outDir).agg(max(col(tsoCol))).head().get(0) match {
               case null => None
@@ -150,14 +197,12 @@ object OrderedSink {
   def showBinlogEvents(spark: org.apache.spark.sql.SparkSession,
       outDir: String, tsoCol: String): DataFrame = {
     import spark.implicits._
-    val files = Option(new java.io.File(outDir).listFiles()).toSeq.flatten
-      .filter(f => f.isFile && !f.getName.startsWith("_") &&
-        !f.getName.startsWith("."))
-      .map(_.getAbsolutePath).sorted
+    val files = dataFiles(outDir).map(_.toString).sorted
+    val confMap = HadoopIo.confMap // session conf (credentials, endpoints)
     val stats = spark.createDataset(files).mapPartitions { paths =>
-      // executor-side footer reads: default Hadoop conf suffices for any
-      // FS the session itself can read (local/HDFS); no data pages opened
-      val conf = new org.apache.hadoop.conf.Configuration()
+      // executor-side footer reads with the SESSION's Hadoop conf, so any
+      // scheme the session can read works here too; no data pages opened
+      val conf = HadoopIo.confFrom(confMap)
       paths.map { p =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(new org.apache.hadoop.fs.Path(p), conf)
@@ -211,19 +256,20 @@ object OrderedSink {
     * The lake-side analog of binlog file rotation housekeeping. */
   def compact(spark: org.apache.spark.sql.SparkSession, outDir: String,
       tsoCol: String, numPartitions: Int): Unit = {
-    val staging = outDir + "__compacting"
+    val staging = new Path(outDir + "__compacting")
     val cursor = readCursor(outDir) // carry the recovery cursor across the swap
     MergeSort.sortedRuns(spark.read.parquet(outDir), numPartitions, Seq(tsoCol))
-      .write.mode(SaveMode.Overwrite).parquet(staging)
-    val dir = new java.io.File(outDir)
-    val old = new java.io.File(outDir + "__precompact")
-    if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
-    if (!dir.renameTo(old)) sys.error(s"compact: cannot stage out $outDir")
-    if (!new java.io.File(staging).renameTo(dir)) {
-      old.renameTo(dir) // roll back
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val dir = new Path(outDir)
+    val fs = HadoopIo.fsOf(dir)
+    val old = new Path(outDir + "__precompact")
+    HadoopIo.deleteIfExists(old)
+    if (!fs.rename(dir, old)) sys.error(s"compact: cannot stage out $outDir")
+    if (!fs.rename(staging, dir)) {
+      fs.rename(old, dir) // roll back
       sys.error(s"compact: cannot swap in $staging")
     }
-    org.apache.commons.io.FileUtils.deleteDirectory(old)
+    fs.delete(old, true)
     cursor.foreach { case (tso, _) => writeCursor(outDir, tso) } // re-counts files
   }
 }

@@ -35,7 +35,8 @@ object SchemaStream {
     * DDL accumulates under `ddlLogDir`; resolved row events append to
     * `outDir` with their as-of `colNames`/`schemaJson`. */
   def start(spark: SparkSession, sourceDir: String, sourceSchema: StructType,
-      ddlLogDir: String, outDir: String, checkpointDir: String): StreamingQuery = {
+      ddlLogDir: String, outDir: String, checkpointDir: String,
+      seqCol: Option[String] = None): StreamingQuery = {
     spark.readStream
       .schema(sourceSchema)
       .option("maxFilesPerTrigger", 16)
@@ -44,15 +45,26 @@ object SchemaStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(batch, ddlLogDir, outDir)
+        applyBatch(batch, ddlLogDir, outDir, seqCol)
       }
       .start()
   }
 
   /** One micro-batch: persist the DDL sub-stream, then resolve the row
     * sub-stream against the accumulated log (exposed for batch replay and
-    * tests). */
-  def applyBatch(batch: DataFrame, ddlLogDir: String, outDir: String): Unit = {
+    * tests).
+    *
+    * Row-output idempotence: appendSince's cursor contract needs a
+    * PER-ROW-unique ordered key, but in the CDC model every row event of
+    * a transaction shares its commit TSO — a transaction split across
+    * micro-batches would have its later rows silently dropped as replays
+    * of the recovered max. With `seqCol` the intra-transaction sequence
+    * is packed into the key ((tso << 20) | seq — the reference's
+    * VirtualTso move, Model.scala; requires seq < 2^20 and tso < 2^43);
+    * without one, duplicate commit TSOs in a batch are REJECTED loudly
+    * rather than half-applied. */
+  def applyBatch(batch: DataFrame, ddlLogDir: String, outDir: String,
+      seqCol: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val ddl = batch.filter(col("kind") === "ddl")
       .select(col("tso"), col("schemaName"), col("ddl"))
@@ -61,16 +73,32 @@ object SchemaStream {
     val rows = batch.filter(col("kind") === "row").drop("kind", "ddl")
     if (!rows.isEmpty) {
       val resolved =
-        if (new java.io.File(ddlLogDir).exists())
+        if (ddlLogExists(ddlLogDir))
           SchemaCatalog.resolveDdlText(rows, spark.read.parquet(ddlLogDir))
         else rows.withColumn("schemaJson", lit(null).cast("string"))
           .withColumn("colNames", lit(null).cast("string"))
-      // the row output gets the same TSO-cursor idempotence as the DDL log:
       // a batch replay (checkpoint loss, or a crash after this write but
       // before the checkpoint commit) re-resolves the same rows and
-      // appendSince drops everything at or below the recovered position —
-      // no duplicates in outDir (the stream's tso is unique per contract)
-      OrderedSink.appendSince(resolved, "tso", outDir, numPartitions = 4)
+      // appendSince drops everything at or below the recovered position
+      seqCol match {
+        case Some(sc) =>
+          val keyed = resolved.withColumn("__vtso",
+            shiftleft(col("tso"), 20) + col(sc).cast("long"))
+          OrderedSink.appendSince(keyed, "__vtso", outDir, numPartitions = 4)
+        case None =>
+          val r = resolved.agg(count(lit(1)), countDistinct(col("tso"))).head()
+          val (n, distinct) = (r.getLong(0), r.getLong(1))
+          require(n == distinct,
+            s"SchemaStream: $n row events share ${n - distinct} duplicate " +
+              "commit TSOs; pass seqCol so the idempotence key is per-row " +
+              "unique (a split transaction would otherwise lose rows)")
+          OrderedSink.appendSince(resolved, "tso", outDir, numPartitions = 4)
+      }
     }
+  }
+
+  private def ddlLogExists(dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    graft.util.HadoopIo.fsOf(p).exists(p)
   }
 }

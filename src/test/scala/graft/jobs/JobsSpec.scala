@@ -231,6 +231,28 @@ class JobsSpec extends SparkSpec {
       "stale-cursor replay must not duplicate the batch")
   }
 
+  test("torn append: recovery quarantines past-cursor files, never advances") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tornapp")
+      .toString + "/log"
+    OrderedSink.appendSince(Seq((1L, "a"), (5L, "b")).toDF("tso", "op"),
+      "tso", dir, 2)
+    // a torn append: SOME of a batch's files commit (tso 8) but the batch
+    // dies before finishing — its sibling row (tso 9) never hit disk and
+    // no cursor update happened
+    Seq((8L, "c")).toDF("tso", "op").coalesce(1)
+      .write.mode("append").parquet(dir)
+    // recovery resumes at the TRUSTED position — advancing to max(8)
+    // would lose tso 9 forever (replay filters > 8)
+    assert(OrderedSink.recoverPosition(spark, dir, "tso").contains(5L))
+    // and the torn file is quarantined: the log is exactly the trusted prefix
+    assert(spark.read.parquet(dir).count() == 2)
+    // the source replays the WHOLE batch; both rows land exactly once
+    OrderedSink.appendSince(Seq((8L, "c"), (9L, "d")).toDF("tso", "op"),
+      "tso", dir, 2)
+    assert(spark.read.parquet(dir).select("tso").as[Long].collect().toSet ==
+      Set(1L, 5L, 8L, 9L))
+  }
+
   test("compaction merges small appended runs, preserving content and order") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact")
       .toString + "/log"

@@ -46,6 +46,38 @@ class SchemaStreamSpec extends SparkSpec {
     assert(versions.length == 1)
   }
 
+  test("a transaction split across micro-batches keeps its tail (seqCol)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-schsplit").toString
+    val (ddlLog, out) = (s"$dir/ddl", s"$dir/out")
+    def mk(rows: Seq[(Long, Long, String, String, String, String, String)]) =
+      rows.toDF("tso", "seq", "schemaName", "tableName", "kind", "ddl", "payload")
+    // txn at commit tso 20 SPLIT across batches: seq 0 lands in batch 1,
+    // seq 1 in batch 2 — without a per-row key, batch 2's row would be
+    // dropped as a replay of the recovered max tso
+    SchemaStream.applyBatch(mk(Seq(
+      (10L, 0L, "app", "t1", "ddl", "CREATE TABLE t1 (id BIGINT)", null),
+      (20L, 0L, "app", "t1", "row", null, "p20a"))), ddlLog, out,
+      seqCol = Some("seq"))
+    val batch2 = mk(Seq(
+      (20L, 1L, "app", "t1", "row", null, "p20b"),
+      (30L, 0L, "app", "t1", "row", null, "p30")))
+    SchemaStream.applyBatch(batch2, ddlLog, out, seqCol = Some("seq"))
+    assert(spark.read.parquet(out).select("payload").as[String]
+      .collect().toSet == Set("p20a", "p20b", "p30"))
+    // and a replay of batch 2 still cannot duplicate
+    SchemaStream.applyBatch(batch2, ddlLog, out, seqCol = Some("seq"))
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
+  test("duplicate commit TSOs without seqCol are rejected, not half-applied") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-schdup").toString
+    intercept[IllegalArgumentException] {
+      SchemaStream.applyBatch(mkBatch(Seq(
+        (20L, "app", "t1", "row", null, "a"),
+        (20L, "app", "t1", "row", null, "b"))), s"$dir/ddl", s"$dir/out")
+    }
+  }
+
   test("file-source streaming end-to-end with AvailableNow") {
     val dir = java.nio.file.Files.createTempDirectory("graft-schs-e2e").toString
     val src = s"$dir/src"
