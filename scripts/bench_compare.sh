@@ -14,12 +14,26 @@ python3 - "$BASE" "$CUR" "$TRADES" <<'PY'
 import json, sys, os
 
 def load_queries(path):
-    # bench files may hold one JSON object or one-JSON-line-among-logs
+    # Accepted shapes: a bare bench object; the driver's BENCH_r*.json
+    # wrapper (bench line embedded in its "tail" log string); or
+    # one-JSON-line-among-logs (raw/sbt-prefixed bench output).
     with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if line.startswith("{") and '"queries"' in line:
-                return json.loads(line)["queries"]
+        text = f.read()
+    try:
+        obj = json.loads(text)
+        if isinstance(obj, dict):
+            if "queries" in obj:
+                return obj["queries"]
+            for line in (obj.get("tail") or "").splitlines():
+                i = line.find("{")
+                if i >= 0 and '"queries"' in line:
+                    return json.loads(line[i:])["queries"]
+    except json.JSONDecodeError:
+        pass
+    for line in text.splitlines():
+        i = line.find("{")
+        if i >= 0 and '"queries"' in line:
+            return json.loads(line[i:])["queries"]
     raise SystemExit(f"no bench JSON line in {path}")
 
 base = load_queries(sys.argv[1])

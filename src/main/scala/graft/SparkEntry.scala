@@ -641,24 +641,7 @@ object SparkEntry {
     // final committed state (= initial + net per account); the per-version
     // invariant (SUM constant at EVERY observable state) is TxnApplierSpec.
     "q60_txn_apply" -> ((s, d) => {
-      val accounts = Tables.customer(s, d).filter(col("c_custkey") <= 10)
-        .select(col("c_custkey").as("acct"), lit(0L).as("seq"),
-          lit("INSERT").as("op"), lit(1000L).as("balance"))
-      val transfers = Tables.orders(s, d).filter(col("o_orderkey") <= 128)
-        .select(col("o_orderkey").as("tso"),
-          (col("o_custkey") % 10 + 1).as("from_acct"),
-          (col("o_orderkey") % 10 + 1).as("to_acct"),
-          (col("o_orderkey") % 97).as("amount"))
-        .filter(col("from_acct") =!= col("to_acct"))
-      val deltas = transfers.select(col("tso"), (col("tso") * 2).as("seq"),
-          col("from_acct").as("acct"), (-col("amount")).as("delta"))
-        .unionByName(transfers.select(col("tso"),
-          (col("tso") * 2 + 1).as("seq"),
-          col("to_acct").as("acct"), col("amount").as("delta")))
-      val w = Window.partitionBy(col("acct")).orderBy(col("seq"))
-      val batch = deltas.select(col("acct"), col("seq"),
-        lit("UPDATE").as("op"),
-        (lit(1000L) + sum(col("delta")).over(w)).as("balance"), col("tso"))
+      val (accounts, _, batch) = bankLedger(s, d)
       val dir = Staged.tempDir("q60-txn") // fresh target per invocation
       TxnApplier.bootstrap(accounts, Seq("acct"), dir, nBuckets = 4)
       TxnApplier.applyBatch(batch, Seq("acct"), "seq", "op", "tso", dir,
@@ -667,8 +650,59 @@ object SparkEntry {
         .select(col("acct").cast("bigint").as("account_id"),
           col("balance").cast("bigint").as("balance"))
         .orderBy(col("account_id"))
+    }),
+
+    // full-copy → incremental handoff (HandoffJob / FSMMetaManager
+    // analog, batch core): bootstrap the target from the AS-OF-tso-64
+    // snapshot — the copy and its position commit atomically — then offer
+    // the WHOLE change history; only tso > 64 applies. Same oracle as
+    // q60: nothing at or below the snapshot position doubles, nothing
+    // past it is lost. The streaming wrapper + replica filter + restart
+    // re-entry are HandoffJobSpec.
+    "q61_handoff" -> ((s, d) => {
+      val (accounts0, deltas, batch) = bankLedger(s, d)
+      val net64 = deltas.filter(col("tso") <= 64)
+        .groupBy(col("acct")).agg(sum(col("delta")).as("net"))
+      val snapshot = accounts0.drop("balance")
+        .join(net64, Seq("acct"), "left")
+        .select(col("acct"), col("seq"), col("op"),
+          (lit(1000L) + coalesce(col("net"), lit(0L))).as("balance"))
+      val dir = Staged.tempDir("q61-handoff")
+      TxnApplier.bootstrap(snapshot, Seq("acct"), dir, nBuckets = 4,
+        initialTso = 64L)
+      TxnApplier.applyBatch(batch, Seq("acct"), "seq", "op", "tso", dir,
+        nBuckets = 4, txnsPerCommit = 32)
+      TxnApplier.readCurrent(s, dir)
+        .select(col("acct").cast("bigint").as("account_id"),
+          col("balance").cast("bigint").as("balance"))
+        .orderBy(col("account_id"))
     })
   )
+
+  /** Shared bank-ledger construction for q60/q61: accounts, per-account
+    * deltas, and the change batch (running-balance after-images). */
+  private def bankLedger(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val accounts = Tables.customer(s, d).filter(col("c_custkey") <= 10)
+      .select(col("c_custkey").as("acct"), lit(0L).as("seq"),
+        lit("INSERT").as("op"), lit(1000L).as("balance"))
+    val transfers = Tables.orders(s, d).filter(col("o_orderkey") <= 128)
+      .select(col("o_orderkey").as("tso"),
+        (col("o_custkey") % 10 + 1).as("from_acct"),
+        (col("o_orderkey") % 10 + 1).as("to_acct"),
+        (col("o_orderkey") % 97).as("amount"))
+      .filter(col("from_acct") =!= col("to_acct"))
+    val deltas = transfers.select(col("tso"), (col("tso") * 2).as("seq"),
+        col("from_acct").as("acct"), (-col("amount")).as("delta"))
+      .unionByName(transfers.select(col("tso"),
+        (col("tso") * 2 + 1).as("seq"),
+        col("to_acct").as("acct"), col("amount").as("delta")))
+    val w = Window.partitionBy(col("acct")).orderBy(col("seq"))
+    val batch = deltas.select(col("acct"), col("seq"),
+      lit("UPDATE").as("op"),
+      (lit(1000L) + sum(col("delta")).over(w)).as("balance"), col("tso"))
+    (accounts, deltas, batch)
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_scan" ->
@@ -985,6 +1019,18 @@ object SparkEntry {
     // final committed state after whole-txn apply = initial + net transfer
     // sum per account (intermediate-state atomicity is spec-gated)
     "q60_txn_apply" ->
+      ("WITH t AS (SELECT o_orderkey AS tso, (o_custkey % 10) + 1 AS from_acct, " +
+        "(o_orderkey % 10) + 1 AS to_acct, o_orderkey % 97 AS amount " +
+        "FROM orders WHERE o_orderkey <= 128), " +
+        "tt AS (SELECT * FROM t WHERE from_acct <> to_acct), " +
+        "deltas AS (SELECT from_acct AS acct, -amount AS d FROM tt " +
+        "UNION ALL SELECT to_acct AS acct, amount AS d FROM tt) " +
+        "SELECT c.c_custkey AS account_id, " +
+        "CAST(1000 + COALESCE(SUM(d.d), 0) AS BIGINT) AS balance " +
+        "FROM customer c LEFT JOIN deltas d ON d.acct = c.c_custkey " +
+        "WHERE c.c_custkey <= 10 GROUP BY c.c_custkey ORDER BY account_id"),
+    // handoff must land on the SAME final state as replaying everything
+    "q61_handoff" ->
       ("WITH t AS (SELECT o_orderkey AS tso, (o_custkey % 10) + 1 AS from_acct, " +
         "(o_orderkey % 10) + 1 AS to_acct, o_orderkey % 97 AS amount " +
         "FROM orders WHERE o_orderkey <= 128), " +

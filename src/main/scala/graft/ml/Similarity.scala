@@ -84,9 +84,11 @@ object Similarity {
         lshBucket(vecCol, numPlanes, dim, seed + t).as("bucket"))
     }: _*)
 
-  /** Query sides at or below this row count broadcast by default in
-    * lshTopK (the ANN-serving shape: small query set vs huge corpus). */
-  val QueryBroadcastLimit = 100000L
+  /** Query sides whose PLAN-estimated size is at or below this many bytes
+    * broadcast by default in lshTopK (the ANN-serving shape: small query
+    * set vs huge corpus). Statistics-based, so the default decision costs
+    * zero jobs on the serving path. */
+  val QueryBroadcastBytes: BigInt = BigInt(64L << 20)
 
   /** LSH-accelerated top-k: bucket both sides into `numTables` independent
     * hash tables, join on (table, bucket), dedupe candidate pairs, rank
@@ -99,13 +101,16 @@ object Similarity {
     * `queryBroadcast`: Some(true) forces the serving shape (query side
     * broadcast — it must fit the driver), Some(false) the corpus-vs-corpus
     * shape (shuffled equi-joins; AQE still broadcasts at runtime if the
-    * side turns out small), None counts the query side once and gates on
-    * QueryBroadcastLimit — an unconditional broadcast would OOM the driver
-    * the first time someone passes a corpus as the query set. */
+    * side turns out small), None gates on the optimizer's size estimate
+    * vs QueryBroadcastBytes — statistics only, NO extra job (an earlier
+    * revision ran a count() per search call here), and an unconditional
+    * broadcast would OOM the driver the first time someone passes a
+    * corpus as the query set. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, numPlanes: Int, dim: Int,
       numTables: Int = 1, queryBroadcast: Option[Boolean] = None): DataFrame = {
-    val small = queryBroadcast.getOrElse(queries.count() <= QueryBroadcastLimit)
+    val small = queryBroadcast.getOrElse(
+      queries.queryExecution.optimizedPlan.stats.sizeInBytes <= QueryBroadcastBytes)
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (small) broadcast(df) else df
     // ids-only candidate generation: the (table,bucket) join shuffles

@@ -73,6 +73,8 @@ object DdlParser {
   // ---- statement model ----
 
   sealed trait Stmt
+  case class CreateTableLike(schema: String, table: String,
+      srcSchema: String, srcTable: String, ifNotExists: Boolean) extends Stmt
   case class CreateTable(schema: String, table: String, cols: Vector[ColumnDef],
       pk: Vector[String], ifNotExists: Boolean) extends Stmt
   case class DropTable(tables: Seq[(String, String)]) extends Stmt
@@ -200,10 +202,25 @@ object DdlParser {
           // the column body must open IMMEDIATELY after the name: a paren
           // later in the statement (CREATE TABLE t AS SELECT f(x)...)
           // is not a definition body
-          if (!toks.lift(afterName).contains("(")) Noop
-          else parseCreateBody(toks, kw, afterName) match {
-            case Some((cols, pk)) => CreateTable(sch, tbl, cols, pk, ifNotExists)
-            case None => Noop // CREATE TABLE ... LIKE / AS SELECT — unsupported
+          // CREATE TABLE t LIKE src | CREATE TABLE t (LIKE src) — clone
+          // the source table's schema (common in operational MySQL; a
+          // Noop here would leave the new table schemaless and every
+          // subsequent row event on it unresolvable)
+          val likeAt =
+            if (kw.lift(afterName).contains("like")) Some(afterName + 1)
+            else if (toks.lift(afterName).contains("(") &&
+              kw.lift(afterName + 1).contains("like")) Some(afterName + 2)
+            else None
+          likeAt match {
+            case Some(at) =>
+              val (ss, st, _) = qualified(at)
+              CreateTableLike(sch, tbl, ss, st, ifNotExists)
+            case None =>
+              if (!toks.lift(afterName).contains("(")) Noop
+              else parseCreateBody(toks, kw, afterName) match {
+                case Some((cols, pk)) => CreateTable(sch, tbl, cols, pk, ifNotExists)
+                case None => Noop // CREATE TABLE ... AS SELECT — unsupported
+              }
           }
         case "create" if kw.lift(1).exists(Set("database", "schema")) => Noop
         case "create" => Noop // CREATE INDEX / VIEW / USER ...
@@ -536,6 +553,15 @@ object DdlParser {
             tables(key) = TableState(cols, pk)
             emit(tso, key)
           }
+        case CreateTableLike(s, t, ss, st, ifNotExists) =>
+          val key = (s, t)
+          if (!(ifNotExists && tables.contains(key)))
+            // unknown source: log-and-continue (the reference's
+            // ignoreApplyError path), no phantom empty schema
+            tables.get((ss, st)).foreach { src =>
+              tables(key) = src
+              emit(tso, key)
+            }
         case DropTable(tabs) =>
           tabs.foreach { case (s, t) =>
             if (tables.remove((s, t)).isDefined) emit(tso, (s, t))
@@ -578,6 +604,7 @@ object DdlParser {
   /** Schemas a parsed statement can affect — its fold routing key(s). */
   private[operators] def targetSchemas(stmt: Stmt): Seq[String] = stmt match {
     case CreateTable(s, _, _, _, _) => Seq(s)
+    case CreateTableLike(s, _, ss, _, _) => Seq(s, ss).distinct
     case DropTable(tabs) => tabs.map(_._1).distinct
     case DropSchema(s) => Seq(s)
     case RenameTable(pairs) =>

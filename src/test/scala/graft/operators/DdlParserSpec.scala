@@ -119,7 +119,9 @@ class DdlParserSpec extends SparkSpec {
     assert(parse("not even sql (", "s") == Noop)
     // a paren later in the statement is not a column body
     assert(parse("CREATE TABLE t2 AS SELECT f(x) FROM t", "s") == Noop)
-    assert(parse("CREATE TABLE t2 LIKE t", "s") == Noop)
+    // LIKE is supported (schema clone), not a Noop
+    assert(parse("CREATE TABLE t2 LIKE t", "s") ==
+      CreateTableLike("s", "t2", "s", "t", ifNotExists = false))
   }
 
   test("type normalization covers the MySQL families") {
@@ -157,6 +159,29 @@ class DdlParserSpec extends SparkSpec {
       (2L, "t", null), (2L, "t2", "a"),
       (3L, "t2", "a,b"),
       (4L, "t2", null)))
+  }
+
+  test("CREATE TABLE LIKE clones the source schema (both syntaxes)") {
+    val hist = Seq(
+      (1L, "CREATE TABLE src (id BIGINT PRIMARY KEY, v DOUBLE)"),
+      (2L, "CREATE TABLE c1 LIKE src"),
+      (3L, "CREATE TABLE c2 (LIKE src)"),
+      // the clone is a COPY: evolving it must not touch the source
+      (4L, "ALTER TABLE c1 ADD COLUMN note TEXT"),
+      // IF NOT EXISTS against an existing table: no clobber
+      (5L, "CREATE TABLE IF NOT EXISTS c1 LIKE src"),
+      // unknown source: log-and-continue, no phantom schema
+      (6L, "CREATE TABLE c3 LIKE ghost"))
+    val out = foldSchema("s", hist).map(r => (r._1, r._3, r._5))
+    assert(out == Seq(
+      (1L, "src", "id,v"),
+      (2L, "c1", "id,v"),
+      (3L, "c2", "id,v"),
+      (4L, "c1", "id,v,note")))
+    // cross-schema LIKE routes both schemas into one fold group
+    assert(DdlParser.targetSchemas(
+      DdlParser.parse("CREATE TABLE a.copy LIKE b.orig", "s")) ==
+      Seq("a", "b"))
   }
 
   test("foldSchema: pk follows CHANGE rename; unknown refs are no-ops") {
