@@ -89,4 +89,48 @@ class ReplicaJobSpec extends SparkSpec {
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("__bucket="))
     assert(dirs.nonEmpty)
   }
+
+  test("txn-preserving mode: replica from nothing, txn-boundary states only") {
+    val root = Files.createTempDirectory("graft-rplt").toString
+    val srcDir = s"$root/src"; val target = s"$root/target"
+    new java.io.File(srcDir).mkdirs()
+    val spec = Filters.ReplicaSpec(doDbs = Seq("app"))
+    val tschema = StructType(schema.fields :+ StructField("tso", LongType))
+
+    // txn 10 inserts pks 1,2; txn 20 updates pk1 + inserts pk3
+    Seq(
+      ("app", "t", 1L, 1L, "INSERT", "a1", 10L),
+      ("app", "t", 2L, 2L, "INSERT", "b1", 10L),
+      ("app", "t", 1L, 3L, "UPDATE", "a2", 20L),
+      ("app", "t", 3L, 4L, "INSERT", "c1", 20L),
+      ("sys", "x", 9L, 5L, "INSERT", "IGNORED", 20L)
+    ).toDF("db", "tbl", "pk", "seq", "op", "v", "tso")
+      .write.parquet(s"$srcDir/w1.parquet")
+    ReplicaJob.start(spark, s"$srcDir/*", tschema, spec,
+      "db", "tbl", Seq("pk"), "seq", "op", target, s"$root/ckpt",
+      nBuckets = 4, txnPreserving = Some("tso")).awaitTermination(120000)
+    import graft.operators.TxnApplier
+    val got = TxnApplier.readCurrent(spark, target)
+      .select($"pk", $"v").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a2"), (2L, "b1"), (3L, "c1")))
+    // every observable state is a transaction boundary: empty bootstrap,
+    // after txn 10, after txn 20 — never a half-txn mix
+    val states = TxnApplier.versions(target).map { v =>
+      val df = TxnApplier.readVersion(spark, target, v)
+      // the empty bootstrap version has no files, hence no schema
+      if (df.columns.isEmpty) Set.empty[(Long, String)]
+      else df.select($"pk", $"v").as[(Long, String)].collect().toSet
+    }
+    assert(states == Seq(
+      Set.empty,
+      Set((1L, "a1"), (2L, "b1")),
+      Set((1L, "a2"), (2L, "b1"), (3L, "c1"))))
+    assert(TxnApplier.currentCommit(target).exists(_.lastTso == 20L))
+
+    // a replay (fresh checkpoint, same source) is exactly-once
+    ReplicaJob.start(spark, s"$srcDir/*", tschema, spec,
+      "db", "tbl", Seq("pk"), "seq", "op", target, s"$root/ckpt2",
+      nBuckets = 4, txnPreserving = Some("tso")).awaitTermination(120000)
+    assert(TxnApplier.versions(target).size == 3)
+  }
 }
