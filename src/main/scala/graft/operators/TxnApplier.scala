@@ -214,29 +214,27 @@ object TxnApplier {
       }
       val images = spark.read.parquet(imagesPath)
 
-      // commit-group assignment — distinct TSOs in order, off the staged
-      // images (bounded by the batch's txn count)
-      val tsos = timed("tsos") {
-        images.select(col(tsoCol).cast("long").as("__tso"))
-          .distinct().orderBy(col("__tso")).collect().map(_.getLong(0))
+      // ONE metadata collect off the staged images serves both driver
+      // decisions: the distinct (tso, bucket) pairs give the ordered
+      // commit groups AND each group's touched-bucket set — bounded by
+      // txns x buckets-per-txn, never row count
+      val tsoBuckets = timed("probe") {
+        images.select(col(tsoCol).cast("long").as("__tso"), col("__bucket"))
+          .distinct().collect().map(r => (r.getLong(0), r.getInt(1)))
       }
-      if (tsos.isEmpty) return Seq.empty
+      if (tsoBuckets.isEmpty) return Seq.empty
+      val tsos = tsoBuckets.map(_._1).distinct.sorted
       val groups = tsos.grouped(math.max(1, txnsPerCommit)).toVector
       import spark.implicits._
-      val grpDf = groups.zipWithIndex
-        .flatMap { case (g, i) => g.map(t => (t, i)) }.toDF("__gtso", "__grp")
+      val grpOfTso = groups.zipWithIndex
+        .flatMap { case (g, i) => g.map(t => (t, i)) }.toMap
+      val grpDf = grpOfTso.toSeq.toDF("__gtso", "__grp")
       val imagesG = images
         .join(broadcast(grpDf), col(tsoCol).cast("long") === col("__gtso"))
         .drop("__gtso")
-
-      // ONE probe: every commit group's touched-bucket set
-      val touchedByGrp = timed("probe") {
-        imagesG.select(col("__grp"), col("__bucket"))
-          .distinct().collect()
-          .groupBy(_.getInt(0)).map { case (g, rows) =>
-            g -> rows.map(_.getInt(1)).toSet
-          }
-      }
+      val touchedByGrp = tsoBuckets
+        .groupBy { case (t, _) => grpOfTso(t) }
+        .map { case (g, pairs) => g -> pairs.map(_._2).toSet }
 
       // job 2 — every commit's rewritten-bucket contents in one pass.
       // Rows in play: the touched buckets' current target rows (pseudo

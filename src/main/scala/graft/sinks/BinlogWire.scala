@@ -1,0 +1,460 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Byte-exact MySQL binlog wire encoding: field codecs, row images and
+  * v4 event/file framing — so a downstream that speaks the MySQL
+  * replication wire format can consume the engine's output.
+  *
+  * Reference semantics: polardbx-cdc-format's field codec family —
+  * `format/field/Field.java` + 20 per-type subclasses created by
+  * `MakeFieldFactory.java` — encodes typed values into binlog row-image
+  * bytes, and the dumper frames them into TABLE_MAP / ROWS events
+  * (`dumper/.../logfile/LogFileGenerator.java`, `EventGenerator.java`).
+  * The byte layouts implemented here are the publicly documented MySQL
+  * binary log formats (binlog event header v4, table-map column
+  * metadata, row-image null bitmaps, and the per-type cell encodings
+  * including the packed NEWDECIMAL and DATETIME2/TIMESTAMP2 formats).
+  *
+  * Spark placement: encoding is SINK-side work on already-ordered rows
+  * (the reference's ParallelWriter encodes in parallel worker threads,
+  * commits in order) — so the surface here is pure byte functions used
+  * from `mapPartitions` over sorted-run partitions: parallel encode,
+  * partition-indexed ordered output, no driver involvement. Cell
+  * encoders are self-inverse-tested (a decoder ships alongside) and
+  * golden-byte-verified in BinlogWireSpec; full consumability by a live
+  * MySQL server is not testable in this container and is NOT claimed.
+  */
+object BinlogWire {
+
+  // ---- wire column types (MySQL type codes + table-map metadata) ----
+
+  sealed trait Wire { def typeCode: Int; def meta: Array[Byte] = Array.empty }
+  case object Tiny extends Wire { val typeCode = 1 }
+  case object Short extends Wire { val typeCode = 2 }
+  case object Int24 extends Wire { val typeCode = 9 }
+  case object Long4 extends Wire { val typeCode = 3 }
+  case object LongLong extends Wire { val typeCode = 8 }
+  case object Float4 extends Wire {
+    val typeCode = 4; override def meta = Array(4.toByte)
+  }
+  case object Double8 extends Wire {
+    val typeCode = 5; override def meta = Array(8.toByte)
+  }
+  case object Year extends Wire { val typeCode = 13 }
+  case object Date3 extends Wire { val typeCode = 10 }
+  /** fsp=0 variants of the 5.6+ temporal formats. */
+  case object Time2 extends Wire {
+    val typeCode = 19; override def meta = Array(0.toByte)
+  }
+  case object DateTime2 extends Wire {
+    val typeCode = 18; override def meta = Array(0.toByte)
+  }
+  case object Timestamp2 extends Wire {
+    val typeCode = 17; override def meta = Array(0.toByte)
+  }
+  final case class VarChar(maxLen: Int) extends Wire {
+    val typeCode = 15
+    override def meta = Array((maxLen & 0xFF).toByte, ((maxLen >> 8) & 0xFF).toByte)
+  }
+  final case class Blob(lenBytes: Int) extends Wire {
+    require(lenBytes >= 1 && lenBytes <= 4)
+    val typeCode = 252
+    override def meta = Array(lenBytes.toByte)
+  }
+  final case class NewDecimal(precision: Int, scale: Int) extends Wire {
+    require(precision >= 1 && precision <= 65 && scale >= 0 && scale <= precision)
+    val typeCode = 246
+    override def meta = Array(precision.toByte, scale.toByte)
+  }
+
+  final case class ColSpec(name: String, wire: Wire)
+
+  // ---- primitive writers ----
+
+  private def le(v: Long, n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((v >> (8 * i)) & 0xFF).toByte)
+
+  private def be(v: Long, n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((v >> (8 * (n - 1 - i))) & 0xFF).toByte)
+
+  /** MySQL packed "length-encoded integer". */
+  def lenEnc(v: Long): Array[Byte] =
+    if (v < 251) Array(v.toByte)
+    else if (v <= 0xFFFFL) 0xFC.toByte +: le(v, 2)
+    else if (v <= 0xFFFFFFL) 0xFD.toByte +: le(v, 3)
+    else 0xFE.toByte +: le(v, 8)
+
+  // ---- cell codecs (row-image encoding per wire type) ----
+
+  /** Encode one non-null cell. Accepted runtime types follow the Spark
+    * row values the sink sees: numbers as Long/Int/Short/Byte, Float,
+    * Double, String, Array[Byte], java.sql.Date/Timestamp,
+    * java.math.BigDecimal / scala BigDecimal. */
+  def encodeCell(wire: Wire, value: Any): Array[Byte] = wire match {
+    case Tiny => le(num(value), 1)
+    case Short => le(num(value), 2)
+    case Int24 => le(num(value), 3)
+    case Long4 => le(num(value), 4)
+    case LongLong => le(num(value), 8)
+    case Float4 =>
+      le(java.lang.Float.floatToIntBits(value match {
+        case f: Float => f
+        case d: Double => d.toFloat
+        case n: Number => n.floatValue()
+      }).toLong & 0xFFFFFFFFL, 4)
+    case Double8 =>
+      le(java.lang.Double.doubleToLongBits(value match {
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }), 8)
+    case Year => le(num(value) - 1900, 1)
+    case Date3 =>
+      val d = value match {
+        case d: java.sql.Date => d.toLocalDate
+        case d: java.time.LocalDate => d
+        case t: java.time.LocalDateTime => t.toLocalDate
+      }
+      le((d.getYear.toLong << 9) | (d.getMonthValue.toLong << 5) | d.getDayOfMonth, 3)
+    case Time2 =>
+      val t = value match {
+        case t: java.sql.Time => t.toLocalTime
+        case t: java.time.LocalTime => t
+      }
+      be(0x800000L + ((t.getHour.toLong << 12) | (t.getMinute << 6) | t.getSecond), 3)
+    case DateTime2 =>
+      val dt = value match {
+        case t: java.sql.Timestamp => t.toLocalDateTime
+        case t: java.time.LocalDateTime => t
+        case i: java.time.Instant =>
+          java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+      }
+      val ym = dt.getYear.toLong * 13 + dt.getMonthValue
+      be(0x8000000000L + ((ym << 22) | (dt.getDayOfMonth.toLong << 17) |
+        (dt.getHour.toLong << 12) | (dt.getMinute.toLong << 6) | dt.getSecond), 5)
+    case Timestamp2 =>
+      val epoch = value match {
+        case t: java.sql.Timestamp => t.getTime / 1000
+        case t: java.time.Instant => t.getEpochSecond
+        case n: Number => n.longValue()
+      }
+      be(epoch, 4)
+    case VarChar(maxLen) =>
+      val bytes = strBytes(value)
+      (if (maxLen < 256) le(bytes.length.toLong, 1)
+       else le(bytes.length.toLong, 2)) ++ bytes
+    case Blob(lenBytes) =>
+      val bytes = strBytes(value)
+      le(bytes.length.toLong, lenBytes) ++ bytes
+    case NewDecimal(p, s) => encodeDecimal(dec(value), p, s)
+  }
+
+  private def num(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: scala.Short => s.toLong
+    case b: Byte => b.toLong
+    case n: Number => n.longValue()
+  }
+
+  private def strBytes(v: Any): Array[Byte] = v match {
+    case s: String => s.getBytes(UTF_8)
+    case b: Array[Byte] => b
+  }
+
+  private def dec(v: Any): BigDecimal = v match {
+    case d: BigDecimal => d
+    case d: java.math.BigDecimal => BigDecimal(d)
+    case s: String => BigDecimal(s)
+    case n: Number => BigDecimal(n.toString)
+  }
+
+  // ---- NEWDECIMAL: MySQL packed decimal (strings/decimal.c layout) ----
+
+  /** Bytes needed for `d` leading/trailing digits of one group. */
+  private def digitsToBytes(d: Int): Int = d match {
+    case 0 => 0
+    case 1 | 2 => 1
+    case 3 | 4 => 2
+    case 5 | 6 => 3
+    case _ => 4 // 7..9
+  }
+
+  /** MySQL NEWDECIMAL: digits packed base-10^9 into 4-byte big-endian
+    * groups, partial leading/trailing groups in the minimum byte count,
+    * sign folded in by flipping the first byte's MSB (positive) or
+    * complementing every byte (negative). Example from the public MySQL
+    * internals docs: DECIMAL(14,4) 1234567890.1234 → 81 0D FB 38 D2 04 D2
+    * (golden-verified in BinlogWireSpec). */
+  def encodeDecimal(value: BigDecimal, precision: Int, scale: Int): Array[Byte] = {
+    val neg = value.signum < 0
+    val abs = value.abs.setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+    val intDigits = precision - scale
+    val unscaled = abs.underlying.unscaledValue // abs * 10^scale as BigInt
+    val digits = unscaled.toString.reverse.padTo(precision, '0').reverse // exactly precision digits
+    require(digits.length == precision,
+      s"decimal $value overflows DECIMAL($precision,$scale)")
+    val (intPart, fracPart) = digits.splitAt(intDigits)
+
+    val out = Array.newBuilder[Byte]
+    // integer side: leading partial group first, then full 9-digit groups
+    val intLead = intDigits % 9
+    if (intLead > 0)
+      out ++= be(intPart.take(intLead).foldLeft(0L)(_ * 10 + _ - '0'), digitsToBytes(intLead))
+    intPart.drop(intLead).grouped(9).foreach { g =>
+      out ++= be(g.foldLeft(0L)(_ * 10 + _ - '0'), 4)
+    }
+    // fraction side: full groups, then trailing partial group
+    val fracFull = (scale / 9) * 9
+    fracPart.take(fracFull).grouped(9).foreach { g =>
+      out ++= be(g.foldLeft(0L)(_ * 10 + _ - '0'), 4)
+    }
+    val fracTail = scale - fracFull
+    if (fracTail > 0)
+      out ++= be(fracPart.drop(fracFull).foldLeft(0L)(_ * 10 + _ - '0'), digitsToBytes(fracTail))
+
+    // sign fold (decimal2bin): negative complements every byte; both
+    // signs then flip the first byte's MSB — so positive has it set,
+    // negative clear
+    val bytes = out.result()
+    val signed = if (neg) bytes.map(b => (~b).toByte) else bytes
+    signed(0) = (signed(0) ^ 0x80).toByte
+    signed
+  }
+
+  /** Inverse of encodeDecimal (spec roundtrip witness). */
+  def decodeDecimal(bytes0: Array[Byte], precision: Int, scale: Int): BigDecimal = {
+    val neg = (bytes0(0) & 0x80) == 0
+    val bytes = if (neg) bytes0.map(b => (~b).toByte) else bytes0.clone()
+    bytes(0) = (bytes(0) ^ 0x80).toByte
+    val intDigits = precision - scale
+    val intLead = intDigits % 9
+    var pos = 0
+    val sb = new StringBuilder
+    def readGroup(nBytes: Int, nDigits: Int): Unit = {
+      var v = 0L
+      (0 until nBytes).foreach { i => v = (v << 8) | (bytes(pos + i) & 0xFF) }
+      pos += nBytes
+      sb ++= v.toString.reverse.padTo(nDigits, '0').reverse
+    }
+    if (intLead > 0) readGroup(digitsToBytes(intLead), intLead)
+    (0 until intDigits / 9).foreach(_ => readGroup(4, 9))
+    (0 until scale / 9).foreach(_ => readGroup(4, 9))
+    val fracTail = scale % 9
+    if (fracTail > 0) readGroup(digitsToBytes(fracTail), fracTail)
+    val digits = sb.toString()
+    val (i, f) = digits.splitAt(intDigits)
+    val s = (if (neg) "-" else "") + (if (i.isEmpty) "0" else i) +
+      (if (f.nonEmpty) "." + f else "")
+    BigDecimal(s)
+  }
+
+  // ---- row images ----
+
+  /** Null bitmap over `n` columns: bit i of byte i/8 is (1 << (i%8)). */
+  def nullBitmap(nulls: Seq[Boolean]): Array[Byte] = {
+    val bm = new Array[Byte]((nulls.length + 7) / 8)
+    nulls.zipWithIndex.foreach { case (isNull, i) =>
+      if (isNull) bm(i / 8) = (bm(i / 8) | (1 << (i % 8))).toByte
+    }
+    bm
+  }
+
+  /** One row image: null bitmap + concatenated non-null cells. */
+  def rowImage(specs: Seq[ColSpec], values: Seq[Option[Any]]): Array[Byte] = {
+    require(specs.length == values.length, "row arity != column specs")
+    nullBitmap(values.map(_.isEmpty)) ++
+      specs.zip(values).flatMap {
+        case (spec, Some(v)) => encodeCell(spec.wire, v)
+        case (_, None) => Array.empty[Byte]
+      }
+  }
+
+  // ---- event framing (binlog v4) ----
+
+  val HeaderLength = 19
+  val FormatDescriptionEvent = 15
+  val TableMapEvent = 19
+  val WriteRowsEventV2 = 30
+  val UpdateRowsEventV2 = 31
+  val DeleteRowsEventV2 = 32
+
+  private def header(timestamp: Long, typeCode: Int, serverId: Long,
+      eventLen: Int, nextPos: Long, flags: Int = 0): Array[Byte] =
+    le(timestamp, 4) ++ Array(typeCode.toByte) ++ le(serverId, 4) ++
+      le(eventLen.toLong, 4) ++ le(nextPos, 4) ++ le(flags.toLong, 2)
+
+  /** An event body before position assignment. */
+  final case class Event(timestamp: Long, typeCode: Int, serverId: Long,
+      body: Array[Byte]) {
+    def length: Int = HeaderLength + body.length
+  }
+
+  def tableMap(timestamp: Long, serverId: Long, tableId: Long,
+      schemaName: String, tableName: String, specs: Seq[ColSpec]): Event = {
+    val sn = schemaName.getBytes(UTF_8)
+    val tn = tableName.getBytes(UTF_8)
+    val metaBlock = specs.flatMap(_.wire.meta).toArray
+    val body =
+      le(tableId, 6) ++ le(1L, 2) ++ // flags: TM_BIT_HAS_... none → 1? keep 1 (end-of-stmt)
+        Array(sn.length.toByte) ++ sn ++ Array(0.toByte) ++
+        Array(tn.length.toByte) ++ tn ++ Array(0.toByte) ++
+        lenEnc(specs.length.toLong) ++
+        specs.map(_.wire.typeCode.toByte).toArray ++
+        lenEnc(metaBlock.length.toLong) ++ metaBlock ++
+        nullBitmap(specs.map(_ => true)) // all columns nullable at the wire
+    Event(timestamp, TableMapEvent, serverId, body)
+  }
+
+  /** WRITE/DELETE rows event: one image per row. UPDATE: (before, after)
+    * pairs flattened — pass rows as consecutive images with
+    * `imagesPerRow = 2`. */
+  def rowsEvent(timestamp: Long, serverId: Long, typeCode: Int,
+      tableId: Long, specs: Seq[ColSpec],
+      images: Seq[Array[Byte]]): Event = {
+    val present = {
+      val bm = new Array[Byte]((specs.length + 7) / 8)
+      specs.indices.foreach(i => bm(i / 8) = (bm(i / 8) | (1 << (i % 8))).toByte)
+      bm
+    }
+    val bitmaps =
+      if (typeCode == UpdateRowsEventV2) present ++ present else present
+    val body =
+      le(tableId, 6) ++ le(1L, 2) ++
+        le(2L, 2) ++ // v2 extra-data length (2 = none)
+        lenEnc(specs.length.toLong) ++ bitmaps ++
+        images.flatten.toArray
+    Event(timestamp, typeCode, serverId, body)
+  }
+
+  def formatDescription(timestamp: Long, serverId: Long,
+      serverVersion: String = "8.0.32-graft"): Event = {
+    // post-header length table for v4 event types 1..38 (the standard
+    // 8.0 values for the types we emit; 0 for the rest is tolerated by
+    // readers because the table is length-prefixed by the event size)
+    val postHeader = new Array[Byte](39)
+    postHeader(FormatDescriptionEvent - 1) = 84.toByte
+    postHeader(TableMapEvent - 1) = 8.toByte
+    postHeader(WriteRowsEventV2 - 1) = 10.toByte
+    postHeader(UpdateRowsEventV2 - 1) = 10.toByte
+    postHeader(DeleteRowsEventV2 - 1) = 10.toByte
+    val ver = serverVersion.getBytes(UTF_8).take(50).padTo(50, 0.toByte)
+    val body = le(4L, 2) ++ ver ++ le(timestamp, 4) ++
+      Array(HeaderLength.toByte) ++ postHeader ++
+      Array(0.toByte) // checksum_alg = OFF
+    Event(timestamp, FormatDescriptionEvent, serverId, body)
+  }
+
+  val Magic: Array[Byte] = Array(0xFE, 0x62, 0x69, 0x6E).map(_.toByte)
+
+  /** Assemble a binlog file: magic + events with chained next_position.
+    * `startPos` supports continuation files (rotate semantics). */
+  def assembleFile(events: Seq[Event], startPos: Long = 4L): Array[Byte] = {
+    var pos = startPos
+    val out = Array.newBuilder[Byte]
+    out ++= Magic
+    events.foreach { e =>
+      pos += e.length
+      out ++= header(e.timestamp, e.typeCode, e.serverId, e.length, pos)
+      out ++= e.body
+    }
+    out.result()
+  }
+
+  /** Incremental event writer: streams events to `out` with the chained
+    * next_position, so a partition of any size encodes without buffering
+    * the whole file (the LogFileGenerator write loop). */
+  final class FileWriter(out: java.io.OutputStream, startPos: Long = 4L) {
+    private var pos = startPos
+    out.write(Magic)
+    def write(e: Event): Unit = {
+      pos += e.length
+      out.write(header(e.timestamp, e.typeCode, e.serverId, e.length, pos))
+      out.write(e.body)
+    }
+    def position: Long = pos
+  }
+
+  /** Encode an ORDERED DataFrame into rotated binlog files — one file per
+    * partition, named by partition index so concatenating files in name
+    * order preserves the total order (OrderedSink's sorted-run
+    * convention; the reference rotates `binlog.000001…` the same way).
+    * Parallel encode, no driver involvement: each task streams its
+    * partition through a FileWriter onto the Hadoop FS (ParallelWriter's
+    * parallel-encode/ordered-commit, with Spark's committer as the
+    * serial part).
+    *
+    * Ops: INSERT → WRITE_ROWS, DELETE → DELETE_ROWS, UPDATE →
+    * WRITE_ROWS full-image replace (the reference MergeApplier's
+    * REPLACE-mode wire shape; before-image UPDATE framing needs the
+    * before columns, which this one-image surface does not carry).
+    * Returns the number of files written. */
+  def writeBinlogFiles(df: org.apache.spark.sql.DataFrame,
+      specs: Seq[ColSpec], schemaName: String, tableName: String,
+      opCol: String, timestampCol: String, outDir: String,
+      serverId: Long = 1L, tableId: Long = 1L,
+      rowsPerEvent: Int = 1024): Int = {
+    val names = specs.map(_.name)
+    val confMap = graft.util.HadoopIo.confMap
+    val counter = df.sparkSession.sparkContext.longAccumulator("binlogFiles")
+    df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val conf = graft.util.HadoopIo.confFrom(confMap)
+        val path = new org.apache.hadoop.fs.Path(outDir, f"binlog.$pid%06d")
+        val fs = path.getFileSystem(conf)
+        val out = fs.create(path, true)
+        try {
+          val w = new FileWriter(out)
+          var wroteHeader = false
+          it.grouped(rowsPerEvent).foreach { chunk =>
+            val ts = chunk.head.getAs[Number](timestampCol).longValue()
+            if (!wroteHeader) {
+              w.write(formatDescription(ts, serverId))
+              w.write(tableMap(ts, serverId, tableId, schemaName, tableName, specs))
+              wroteHeader = true
+            }
+            // consecutive same-op runs — order must survive the framing
+            val runs = scala.collection.mutable.ArrayBuffer
+              .empty[(Boolean, scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row])]
+            chunk.foreach { r =>
+              val d = r.getAs[String](opCol) == "DELETE"
+              if (runs.isEmpty || runs.last._1 != d)
+                runs += ((d, scala.collection.mutable.ArrayBuffer(r)))
+              else runs.last._2 += r
+            }
+            runs.foreach { case (isDelete, rows) =>
+              val images = rows.toSeq.map { r =>
+                rowImage(specs, names.map(n => Option(r.getAs[Any](n))))
+              }
+              w.write(rowsEvent(ts, serverId,
+                if (isDelete) DeleteRowsEventV2 else WriteRowsEventV2,
+                tableId, specs, images))
+            }
+          }
+        } finally out.close()
+        counter.add(1)
+      }
+    }
+    counter.value.toInt
+  }
+
+  /** Split a file's bytes back into (typeCode, nextPos, body) frames —
+    * the spec's structural witness. */
+  def parseFile(bytes: Array[Byte]): Seq[(Int, Long, Array[Byte])] = {
+    require(bytes.take(4).sameElements(Magic), "bad magic")
+    var i = 4
+    val out = Seq.newBuilder[(Int, Long, Array[Byte])]
+    while (i < bytes.length) {
+      val typeCode = bytes(i + 4) & 0xFF
+      var len = 0L
+      (0 until 4).foreach(k => len |= (bytes(i + 9 + k) & 0xFFL) << (8 * k))
+      var nextPos = 0L
+      (0 until 4).foreach(k => nextPos |= (bytes(i + 13 + k) & 0xFFL) << (8 * k))
+      out += ((typeCode, nextPos,
+        bytes.slice(i + HeaderLength, i + len.toInt)))
+      i += len.toInt
+    }
+    out.result()
+  }
+}

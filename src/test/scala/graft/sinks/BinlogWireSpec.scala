@@ -1,0 +1,134 @@
+package graft.sinks
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.BinlogWire._
+
+/** Field-codec and framing evidence: golden bytes hand-derived from the
+  * public MySQL binary-log layouts, plus decode roundtrips. */
+class BinlogWireSpec extends AnyFunSuite {
+
+  private def hex(b: Array[Byte]): String =
+    b.map(x => f"${x & 0xFF}%02X").mkString(" ")
+
+  test("integer cells are little-endian two's complement") {
+    assert(hex(encodeCell(Long4, 1)) == "01 00 00 00")
+    assert(hex(encodeCell(Long4, -1)) == "FF FF FF FF")
+    assert(hex(encodeCell(Long4, 0x12345678)) == "78 56 34 12")
+    assert(hex(encodeCell(Short, 258)) == "02 01")
+    assert(hex(encodeCell(Tiny, -2)) == "FE")
+    assert(hex(encodeCell(Int24, 0x00ABCDEF)) == "EF CD AB")
+    assert(hex(encodeCell(LongLong, 0x1122334455667788L)) ==
+      "88 77 66 55 44 33 22 11")
+  }
+
+  test("float/double cells are IEEE little-endian") {
+    assert(hex(encodeCell(Double8, 1.0)) == "00 00 00 00 00 00 F0 3F")
+    assert(hex(encodeCell(Float4, 1.0f)) == "00 00 80 3F")
+  }
+
+  test("varchar length prefix: 1 byte under 256 max, else 2") {
+    assert(hex(encodeCell(VarChar(255), "ab")) == "02 61 62")
+    assert(hex(encodeCell(VarChar(1000), "ab")) == "02 00 61 62")
+    // blob with explicit length-byte count
+    assert(hex(encodeCell(Blob(3), Array[Byte](1, 2))) == "02 00 00 01 02")
+  }
+
+  test("temporal cells: DATE, TIME2, DATETIME2, TIMESTAMP2 packings") {
+    // DATE: (y<<9 | m<<5 | d) little-endian 3 bytes
+    // 2024-03-05 → 2024*512 + 3*32 + 5 = 1036389 = 0x0FD065
+    assert(hex(encodeCell(Date3, java.time.LocalDate.of(2024, 3, 5))) ==
+      "65 D0 0F")
+    // TIME2 fsp=0: big-endian 0x800000 + (h<<12|m<<6|s)
+    // 13:14:15 → 0x800000 + 13*4096 + 14*64 + 15 = 0x80D38F
+    assert(hex(encodeCell(Time2, java.time.LocalTime.of(13, 14, 15))) ==
+      "80 D3 8F")
+    // DATETIME2 fsp=0: 0x8000000000 + (ym<<22 | d<<17 | h<<12 | m<<6 | s)
+    // 1970-01-01 00:00:00: ym = 1970*13+1 = 25611, day = 1
+    val dt = encodeCell(DateTime2,
+      java.time.LocalDateTime.of(1970, 1, 1, 0, 0, 0))
+    assert(hex(dt) == hex(
+      Array.tabulate(5)(i => (((0x8000000000L + (25611L << 22) + (1L << 17)) >>
+        (8 * (4 - i))) & 0xFF).toByte)))
+    // TIMESTAMP2 fsp=0: big-endian epoch seconds
+    assert(hex(encodeCell(Timestamp2, 0x01020304L)) == "01 02 03 04")
+  }
+
+  test("NEWDECIMAL golden bytes: the documented DECIMAL(14,4) example") {
+    // The canonical example from the MySQL internals documentation:
+    // DECIMAL(14,4) value 1234567890.1234 → 81 0D FB 38 D2 04 D2
+    assert(hex(encodeDecimal(BigDecimal("1234567890.1234"), 14, 4)) ==
+      "81 0D FB 38 D2 04 D2")
+    // negative: every byte complemented, MSB then flipped
+    assert(hex(encodeDecimal(BigDecimal("-1234567890.1234"), 14, 4)) ==
+      "7E F2 04 C7 2D FB 2D")
+  }
+
+  test("NEWDECIMAL roundtrips across precisions, scales and signs") {
+    val cases = Seq(
+      ("0", 1, 0), ("0.00", 5, 2), ("1", 1, 0), ("-1", 1, 0),
+      ("99999", 5, 0), ("-99999", 5, 0),
+      ("123456789", 9, 0), ("1234567890.1234", 14, 4),
+      ("-0.000000001", 10, 9), ("123456789012345678901234567890", 30, 0),
+      ("-9999999999999999999999999.99999", 30, 5),
+      ("3.14159265358979", 16, 14))
+    cases.foreach { case (s, p, sc) =>
+      val v = BigDecimal(s).setScale(sc)
+      val enc = encodeDecimal(v, p, sc)
+      assert(decodeDecimal(enc, p, sc) == v, s"roundtrip $s DECIMAL($p,$sc)")
+      // byte length matches the MySQL size formula
+      val intd = p - sc
+      val expLen = (intd / 9) * 4 + Seq(0, 1, 1, 2, 2, 3, 3, 4, 4, 4)(intd % 9) +
+        (sc / 9) * 4 + Seq(0, 1, 1, 2, 2, 3, 3, 4, 4, 4)(sc % 9)
+      assert(enc.length == expLen, s"length $s DECIMAL($p,$sc)")
+    }
+  }
+
+  test("null bitmap sets bit i of byte i/8") {
+    assert(hex(nullBitmap(Seq(true, false, false, true))) == "09")
+    assert(hex(nullBitmap(Seq.fill(8)(false) ++ Seq(true))) == "00 01")
+  }
+
+  test("row image: bitmap + cells, null cells contribute no bytes") {
+    val specs = Seq(ColSpec("id", Long4), ColSpec("v", VarChar(10)),
+      ColSpec("n", Tiny))
+    val img = rowImage(specs, Seq(Some(7), None, Some(1)))
+    // bitmap 0x02 (col 1 null), then 07 00 00 00, then 01
+    assert(hex(img) == "02 07 00 00 00 01")
+  }
+
+  test("lenEnc thresholds") {
+    assert(hex(lenEnc(250)) == "FA")
+    assert(hex(lenEnc(251)) == "FC FB 00")
+    assert(hex(lenEnc(0x10000)) == "FD 00 00 01")
+  }
+
+  test("file assembly: magic, chained positions, parse-back") {
+    val specs = Seq(ColSpec("id", Long4), ColSpec("v", VarChar(16)))
+    val fde = formatDescription(1000L, serverId = 7)
+    val tm = tableMap(1000L, 7, tableId = 42, "app", "t", specs)
+    val rows = rowsEvent(1000L, 7, WriteRowsEventV2, 42, specs, Seq(
+      rowImage(specs, Seq(Some(1), Some("a"))),
+      rowImage(specs, Seq(Some(2), None))))
+    val file = assembleFile(Seq(fde, tm, rows))
+    val frames = parseFile(file)
+    assert(frames.map(_._1) ==
+      Seq(FormatDescriptionEvent, TableMapEvent, WriteRowsEventV2))
+    // next_position chain: cumulative event lengths from the magic
+    val lens = Seq(fde, tm, rows).map(_.length)
+    assert(frames.map(_._2) == lens.scanLeft(4L)(_ + _).tail)
+    // the table map body carries both column type codes
+    val tmBody = frames(1)._3
+    assert(tmBody.containsSlice(Array(Long4.typeCode.toByte,
+      VarChar(16).typeCode.toByte)))
+    // total size is exactly magic + sum of events
+    assert(file.length == 4 + lens.sum)
+  }
+
+  test("update rows event carries two present bitmaps; write carries one") {
+    val specs = Seq(ColSpec("id", Long4))
+    val w = rowsEvent(0L, 1, WriteRowsEventV2, 1, specs, Seq.empty)
+    val u = rowsEvent(0L, 1, UpdateRowsEventV2, 1, specs, Seq.empty)
+    assert(u.body.length == w.body.length + 1)
+  }
+}
