@@ -687,6 +687,39 @@ object SparkEntry {
       }.toDF("log_file", "n_frames", "n_bytes").orderBy(col("log_file"))
     }),
 
+    // the §3.1 output surface ON THE WIRE: the CDC change stream
+    // (string-image before/after maps) becomes transaction-framed,
+    // multi-table MySQL binlog files — mark/BEGIN/rows/XID envelopes,
+    // per-table TABLE_MAPs, files rotated by sorted-run partition
+    // (LogFileGenerator's layout). Rows-only gate (wire bytes have no
+    // SQL oracle); framing order, xids and golden field bytes are
+    // BinlogWireSpec / BinlogWireSinkSpec.
+    "q63_wire_stream" -> ((s, d) => {
+      import graft.sinks.BinlogWire
+      val changes = graft.sources.ChangeStream.fromEvents(
+          Tables.events(s, d).filter(col("event_id") <= 2000))
+        .withColumn("tableName",
+          when(col("txnId") % 2 === 0, lit("events")).otherwise(lit("audit")))
+      val ordered = MergeSort.sortedRuns(changes, 4, Seq("txnId", "tso"))
+      val dir = Staged.tempDir("q63-wire")
+      BinlogWire.writeChangeStreamBinlogFiles(ordered,
+        Map(("app", "events") -> Seq("value"),
+          ("app", "audit") -> Seq("value")), dir)
+      import s.implicits._
+      val files = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("binlog."))
+        .map(_.getAbsolutePath).sorted
+      s.createDataset(files).map { path =>
+        val bytes = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path))
+        val frames = BinlogWire.parseFile(bytes)
+        (path.split('/').last, frames.size.toLong,
+          frames.count(_._1 == BinlogWire.XidEvent).toLong,
+          bytes.length.toLong)
+      }.toDF("log_file", "n_frames", "n_txns", "n_bytes")
+        .orderBy(col("log_file"))
+    }),
+
     // full-copy → incremental handoff (HandoffJob / FSMMetaManager
     // analog, batch core): bootstrap the target from the AS-OF-tso-64
     // snapshot — the copy and its position commit atomically — then offer

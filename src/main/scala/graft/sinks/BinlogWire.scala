@@ -273,8 +273,12 @@ object BinlogWire {
   // ---- event framing (binlog v4) ----
 
   val HeaderLength = 19
+  val QueryEvent = 2
+  val RotateEvent = 4
   val FormatDescriptionEvent = 15
+  val XidEvent = 16
   val TableMapEvent = 19
+  val RowsQueryEvent = 29
   val WriteRowsEventV2 = 30
   val UpdateRowsEventV2 = 31
   val DeleteRowsEventV2 = 32
@@ -327,12 +331,41 @@ object BinlogWire {
     Event(timestamp, typeCode, serverId, body)
   }
 
+  /** BEGIN as a QUERY event (EventGenerator.makeBegin semantics): empty
+    * schema, no status vars, statement text "BEGIN". */
+  def beginEvent(timestamp: Long, serverId: Long): Event = {
+    val body = le(0L, 4) ++ le(0L, 4) ++ // thread id, exec time
+      Array(0.toByte) ++ le(0L, 2) ++ le(0L, 2) ++ // schema len, errcode, status len
+      Array(0.toByte) ++ // schema terminator
+      "BEGIN".getBytes(UTF_8)
+    Event(timestamp, QueryEvent, serverId, body)
+  }
+
+  /** COMMIT as an XID event: 8-byte transaction id. */
+  def commitEvent(timestamp: Long, serverId: Long, xid: Long): Event =
+    Event(timestamp, XidEvent, serverId, le(xid, 8))
+
+  /** Positional mark as a ROWS_QUERY event (EventGenerator.makeMarkEvent
+    * semantics — the reference stamps its TSO, e.g. "CTS::<tso>", here). */
+  def markEvent(timestamp: Long, serverId: Long, content: String): Event = {
+    val bytes = content.getBytes(UTF_8)
+    Event(timestamp, RowsQueryEvent, serverId, Array(1.toByte) ++ bytes)
+  }
+
+  /** ROTATE: position + next file name (file chain across partitions). */
+  def rotateEvent(timestamp: Long, serverId: Long, nextFile: String,
+      pos: Long = 4L): Event =
+    Event(timestamp, RotateEvent, serverId,
+      le(pos, 8) ++ nextFile.getBytes(UTF_8))
+
   def formatDescription(timestamp: Long, serverId: Long,
       serverVersion: String = "8.0.32-graft"): Event = {
     // post-header length table for v4 event types 1..38 (the standard
     // 8.0 values for the types we emit; 0 for the rest is tolerated by
     // readers because the table is length-prefixed by the event size)
     val postHeader = new Array[Byte](39)
+    postHeader(QueryEvent - 1) = 13.toByte
+    postHeader(RotateEvent - 1) = 8.toByte
     postHeader(FormatDescriptionEvent - 1) = 84.toByte
     postHeader(TableMapEvent - 1) = 8.toByte
     postHeader(WriteRowsEventV2 - 1) = 10.toByte
@@ -432,6 +465,165 @@ object BinlogWire {
                 tableId, specs, images))
             }
           }
+        } finally out.close()
+        counter.add(1)
+      }
+    }
+    counter.value.toInt
+  }
+
+  /** Transaction-framed encode: each transaction's rows land between a
+    * TSO mark (ROWS_QUERY "CTS::<tso>"), a BEGIN query event, and an XID
+    * commit — the LogFileGenerator envelope (writeDml:636-729 frames DML
+    * between makeBegin/makeCommit with the TSO mark). Rows must arrive
+    * ordered by (tso, seq) — feed sorted runs. UPDATE rows emit proper
+    * before+after image pairs when `beforeCols` names the before-image
+    * columns (same order as `specs`); otherwise full-image WRITE_ROWS
+    * (replace semantics). Returns files written. */
+  def writeTxnFramedBinlogFiles(df: org.apache.spark.sql.DataFrame,
+      specs: Seq[ColSpec], schemaName: String, tableName: String,
+      opCol: String, timestampCol: String, tsoCol: String, outDir: String,
+      serverId: Long = 1L, tableId: Long = 1L,
+      beforeCols: Option[Seq[String]] = None): Int = {
+    val names = specs.map(_.name)
+    require(beforeCols.forall(_.length == names.length),
+      "beforeCols arity must match specs")
+    val confMap = graft.util.HadoopIo.confMap
+    val counter = df.sparkSession.sparkContext.longAccumulator("binlogTxnFiles")
+    df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val conf = graft.util.HadoopIo.confFrom(confMap)
+        val path = new org.apache.hadoop.fs.Path(outDir, f"binlog.$pid%06d")
+        val fs = path.getFileSystem(conf)
+        val out = fs.create(path, true)
+        try {
+          val w = new FileWriter(out)
+          var openTso = Option.empty[Long]
+          var headerDone = false
+          def image(r: org.apache.spark.sql.Row, cols: Seq[String]) =
+            rowImage(specs, cols.map(n => Option(r.getAs[Any](n))))
+          def rowsFor(r: org.apache.spark.sql.Row, ts: Long): Event =
+            r.getAs[String](opCol) match {
+              case "DELETE" =>
+                rowsEvent(ts, serverId, DeleteRowsEventV2, tableId, specs,
+                  Seq(image(r, names)))
+              case "UPDATE" if beforeCols.isDefined =>
+                rowsEvent(ts, serverId, UpdateRowsEventV2, tableId, specs,
+                  Seq(image(r, beforeCols.get), image(r, names)))
+              case _ =>
+                rowsEvent(ts, serverId, WriteRowsEventV2, tableId, specs,
+                  Seq(image(r, names)))
+            }
+          it.foreach { r =>
+            val ts = r.getAs[Number](timestampCol).longValue()
+            val tso = r.getAs[Number](tsoCol).longValue()
+            if (!headerDone) {
+              w.write(formatDescription(ts, serverId))
+              w.write(tableMap(ts, serverId, tableId, schemaName,
+                tableName, specs))
+              headerDone = true
+            }
+            if (!openTso.contains(tso)) {
+              openTso.foreach(x => w.write(commitEvent(ts, serverId, x)))
+              w.write(markEvent(ts, serverId, s"CTS::$tso"))
+              w.write(beginEvent(ts, serverId))
+              openTso = Some(tso)
+            }
+            w.write(rowsFor(r, ts))
+          }
+          openTso.foreach(x => w.write(commitEvent(0L, serverId, x)))
+        } finally out.close()
+        counter.add(1)
+      }
+    }
+    counter.value.toInt
+  }
+
+  /** Multi-table txn-framed encode from a CDC change stream in the
+    * model's STRING-IMAGE shape (`before`/`after` map<string,string> —
+    * ChangeEvent): each table's columns become VarChar cells in the
+    * declared order, with a TABLE_MAP emitted before every rows event
+    * (MySQL re-sends table maps per statement; readers bind rows events
+    * to the last map with that table id). Transactions frame as
+    * mark/BEGIN/rows/XID in arrival order — feed runs sorted by
+    * (commit order, intra-txn seq). INSERT/UPDATE images come from
+    * `after`; DELETE from `before` (falling back to `after` when the
+    * stream carries no before-images); UPDATE emits before+after pairs
+    * when the before image is present. String-image mode is the
+    * variable-width subset of the codec family — byte-exact TYPED cells
+    * are `writeTxnFramedBinlogFiles` with explicit ColSpecs. */
+  def writeChangeStreamBinlogFiles(df: org.apache.spark.sql.DataFrame,
+      tableCols: Map[(String, String), Seq[String]], outDir: String,
+      opCol: String = "op", timestampCol: String = "tsoTime",
+      txnCol: String = "txnId", tsoCol: String = "tso",
+      schemaCol: String = "schemaName", tableCol: String = "tableName",
+      beforeCol: String = "before", afterCol: String = "after",
+      serverId: Long = 1L): Int = {
+    val tableIds: Map[(String, String), Long] =
+      tableCols.keys.toSeq.sorted.zipWithIndex
+        .map { case (k, i) => k -> (i + 1L) }.toMap
+    val specsOf: Map[(String, String), Seq[ColSpec]] =
+      tableCols.map { case (k, cols) =>
+        k -> cols.map(c => ColSpec(c, VarChar(65535)))
+      }
+    val confMap = graft.util.HadoopIo.confMap
+    val counter = df.sparkSession.sparkContext.longAccumulator("binlogCdcFiles")
+    df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val conf = graft.util.HadoopIo.confFrom(confMap)
+        val path = new org.apache.hadoop.fs.Path(outDir, f"binlog.$pid%06d")
+        val fs = path.getFileSystem(conf)
+        val out = fs.create(path, true)
+        try {
+          val w = new FileWriter(out)
+          var openTxn = Option.empty[Long]
+          var headerDone = false
+          it.foreach { r =>
+            val ts = r.getAs[Any](timestampCol) match {
+              case t: java.sql.Timestamp => t.getTime / 1000
+              case t: java.time.Instant => t.getEpochSecond
+              case t: java.time.LocalDateTime =>
+                t.toEpochSecond(java.time.ZoneOffset.UTC)
+              case n: Number => n.longValue()
+            }
+            if (!headerDone) {
+              w.write(formatDescription(ts, serverId)); headerDone = true
+            }
+            val txn = r.getAs[Number](txnCol).longValue()
+            if (!openTxn.contains(txn)) {
+              openTxn.foreach(x => w.write(commitEvent(ts, serverId, x)))
+              w.write(markEvent(ts, serverId,
+                s"CTS::${r.getAs[Number](tsoCol).longValue()}"))
+              w.write(beginEvent(ts, serverId))
+              openTxn = Some(txn)
+            }
+            val key = (r.getAs[String](schemaCol), r.getAs[String](tableCol))
+            val specs = specsOf.getOrElse(key,
+              sys.error(s"no column spec for table $key"))
+            val cols = tableCols(key)
+            val tid = tableIds(key)
+            def img(m: Map[String, String]) =
+              rowImage(specs, cols.map(m.get))
+            val before = Option(r.getAs[Map[String, String]](beforeCol))
+              .getOrElse(Map.empty)
+            val after = Option(r.getAs[Map[String, String]](afterCol))
+              .getOrElse(Map.empty)
+            w.write(tableMap(ts, serverId, tid, key._1, key._2, specs))
+            w.write(r.getAs[String](opCol) match {
+              case "DELETE" =>
+                rowsEvent(ts, serverId, DeleteRowsEventV2, tid, specs,
+                  Seq(img(if (before.nonEmpty) before else after)))
+              case "UPDATE" if before.nonEmpty =>
+                rowsEvent(ts, serverId, UpdateRowsEventV2, tid, specs,
+                  Seq(img(before), img(after)))
+              case _ =>
+                rowsEvent(ts, serverId, WriteRowsEventV2, tid, specs,
+                  Seq(img(after)))
+            })
+          }
+          openTxn.foreach(x => w.write(commitEvent(0L, serverId, x)))
         } finally out.close()
         counter.add(1)
       }

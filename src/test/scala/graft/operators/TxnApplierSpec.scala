@@ -129,6 +129,40 @@ class TxnApplierSpec extends SparkSpec {
       stateBefore)
   }
 
+  test("crash between a commit's manifest and pointer: replay converges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-txncrash")
+      .resolve("target").toString
+    TxnApplier.bootstrap(accounts, Seq("acct"), dir, nBuckets = 4)
+    TxnApplier.applyBatch(transferBatch, Seq("acct"), "seq", "op", "tso",
+      dir, 4, txnsPerCommit = 4) // versions 2,3,4 (tso 4, 8, 12)
+    // simulate the publication crash window: version 4's data+manifest
+    // landed but the pointer never swung past version 3 — roll it back
+    val cur = TxnApplier.currentCommit(dir).get
+    assert(cur.version == 4 && cur.lastTso == 12L)
+    val pointer = new java.io.File(dir, "_current")
+    java.nio.file.Files.write(pointer.toPath, "3,8".getBytes)
+    // replay of the same batch resumes at tso > 8, REUSES version 4's
+    // slot (the orphan data dir and stale manifest are overwritten), and
+    // lands on the same final state
+    val resumed = TxnApplier.applyBatch(transferBatch, Seq("acct"), "seq",
+      "op", "tso", dir, 4, txnsPerCommit = 4)
+    assert(resumed.map(_.lastTso) == Seq(12L))
+    assert(TxnApplier.currentCommit(dir).contains(TxnApplier.Commit(4, 12L)))
+    TxnApplier.versions(dir).foreach { v =>
+      assert(sumAt(dir, v) == total, s"invariant broken at version $v")
+    }
+    val net = (1L to 12L)
+      .map(t => (t, (t % nAccounts) + 1, ((t + 3) % nAccounts) + 1, t * 10))
+      .foldLeft(Map.empty[Long, Long].withDefaultValue(0L)) {
+        case (m, (_, f, to, amt)) => m.updated(f, m(f) - amt).updated(to, m(to) + amt)
+      }
+    val finalState = TxnApplier.readCurrent(spark, dir)
+      .select($"acct", $"balance").as[(Long, Long)].collect().toMap
+    (1L to nAccounts).foreach { a =>
+      assert(finalState(a) == 1000L + net(a), s"acct $a after crash replay")
+    }
+  }
+
   test("commits touch only their buckets; untouched files carry over; vacuum reclaims") {
     val dir = java.nio.file.Files.createTempDirectory("graft-txnvac")
       .resolve("target").toString

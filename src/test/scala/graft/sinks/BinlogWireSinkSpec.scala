@@ -56,4 +56,91 @@ class BinlogWireSinkSpec extends SparkSpec {
     assert(allIds.sorted == (1L to 100L))
     assert(deletes >= 1) // delete runs framed as DELETE_ROWS events
   }
+
+  test("txn framing: mark + BEGIN + rows + XID per transaction, update pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wiretxn").toString
+    val specs = Seq(ColSpec("id", LongLong), ColSpec("v", VarChar(32)))
+    // txn 100: insert 1, insert 2; txn 200: update 1 (with before image),
+    // delete 2
+    val df = Seq(
+        (1L, "a1", null.asInstanceOf[String], "INSERT", 100L, 1L),
+        (2L, "b1", null.asInstanceOf[String], "INSERT", 100L, 2L),
+        (1L, "a2", "a1", "UPDATE", 200L, 3L),
+        (2L, "b1", "b1", "DELETE", 200L, 4L))
+      .toDF("id", "v", "v_before", "op", "tso", "seq")
+      .withColumn("ts", lit(1700000000L))
+      .coalesce(1).sortWithinPartitions("tso", "seq")
+    val n = writeTxnFramedBinlogFiles(df, specs, "app", "t", "op", "ts",
+      "tso", dir, beforeCols = Some(Seq("id", "v_before")))
+    assert(n == 1)
+    val bytes = java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "binlog.000000").toPath)
+    val frames = parseFile(bytes)
+    assert(frames.map(_._1) == Seq(
+      FormatDescriptionEvent, TableMapEvent,
+      RowsQueryEvent, QueryEvent, WriteRowsEventV2, WriteRowsEventV2,
+      XidEvent,
+      RowsQueryEvent, QueryEvent, UpdateRowsEventV2, DeleteRowsEventV2,
+      XidEvent))
+    // the marks carry the TSOs; the XIDs are the txn ids little-endian
+    val marks = frames.filter(_._1 == RowsQueryEvent)
+      .map(f => new String(f._3.drop(1), "UTF-8"))
+    assert(marks == Seq("CTS::100", "CTS::200"))
+    val xids = frames.filter(_._1 == XidEvent).map { f =>
+      (0 until 8).map(k => (f._3(k) & 0xFFL) << (8 * k)).sum
+    }
+    assert(xids == Seq(100L, 200L))
+    // BEGIN body ends with the statement text
+    val begin = frames(3)._3
+    assert(new String(begin.takeRight(5), "UTF-8") == "BEGIN")
+    // the update event carries TWO images (before shows the old value)
+    val upd = frames(9)._3
+    assert(new String(upd, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .contains("a1"))
+    assert(new String(upd, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .contains("a2"))
+  }
+
+  test("multi-table change stream: per-table maps inside txn envelopes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wirecdc").toString
+    val ev = Seq(
+      // txn 7 at tso 100: one insert per table
+      (100L, 7L, "INSERT", "app", "t1", Map.empty[String, String],
+        Map("id" -> "1", "v" -> "x"), 1700000000L),
+      (101L, 7L, "INSERT", "app", "t2", Map.empty[String, String],
+        Map("k" -> "a"), 1700000000L),
+      // txn 8 at tso 200: update with a before image, then a delete
+      (200L, 8L, "UPDATE", "app", "t1", Map("id" -> "1", "v" -> "x"),
+        Map("id" -> "1", "v" -> "y"), 1700000001L),
+      (201L, 8L, "DELETE", "app", "t2", Map("k" -> "a"),
+        Map.empty[String, String], 1700000001L))
+      .toDF("tso", "txnId", "op", "schemaName", "tableName", "before",
+        "after", "tsoTime")
+      .coalesce(1).sortWithinPartitions("tso")
+    val n = BinlogWire.writeChangeStreamBinlogFiles(ev,
+      Map(("app", "t1") -> Seq("id", "v"), ("app", "t2") -> Seq("k")), dir)
+    assert(n == 1)
+    val frames = parseFile(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "binlog.000000").toPath))
+    assert(frames.map(_._1) == Seq(
+      FormatDescriptionEvent,
+      RowsQueryEvent, QueryEvent,
+      TableMapEvent, WriteRowsEventV2, TableMapEvent, WriteRowsEventV2,
+      XidEvent,
+      RowsQueryEvent, QueryEvent,
+      TableMapEvent, UpdateRowsEventV2, TableMapEvent, DeleteRowsEventV2,
+      XidEvent))
+    // table maps carry distinct table ids; xids are the txn ids
+    val tmIds = frames.filter(_._1 == TableMapEvent)
+      .map(f => (0 until 6).map(k => (f._3(k) & 0xFFL) << (8 * k)).sum)
+    assert(tmIds.distinct.size == 2)
+    val xids = frames.filter(_._1 == XidEvent).map { f =>
+      (0 until 8).map(k => (f._3(k) & 0xFFL) << (8 * k)).sum
+    }
+    assert(xids == Seq(7L, 8L))
+    // the delete's image comes from the BEFORE map
+    val del = new String(frames(13)._3,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(del.contains("a"))
+  }
 }
