@@ -720,6 +720,40 @@ object SparkEntry {
         .orderBy(col("log_file"))
     }),
 
+    // encode∘decode = identity, ORACLE-CHECKED: a lineitem slice goes to
+    // MySQL wire bytes (txn-framed, one txn per order) and back through
+    // the decoder, and the decoded string images aggregate to the same
+    // numbers DuckDB computes from the original parquet — the field
+    // codecs preserve values, not merely structure.
+    "q64_wire_roundtrip" -> ((s, d) => {
+      import graft.sinks.BinlogWire
+      import graft.sinks.BinlogWire._
+      val specs = Seq(ColSpec("l_orderkey", LongLong),
+        ColSpec("l_linenumber", Long4),
+        ColSpec("l_quantity", NewDecimal(12, 2)), ColSpec("l_shipdate", Date3))
+      val rows = Tables.lineitem(s, d).filter(col("l_orderkey") <= 200)
+        .select(col("l_orderkey"), col("l_linenumber").cast("int"),
+          col("l_quantity").cast("decimal(12,2)"),
+          col("l_shipdate").cast("date"),
+          lit("INSERT").as("op"), col("l_orderkey").as("tso"),
+          lit(1700000000L).as("ts"))
+      val ordered = MergeSort.sortedRuns(rows, 4, Seq("tso", "l_linenumber"))
+      val dir = Staged.tempDir("q64-wire")
+      BinlogWire.writeTxnFramedBinlogFiles(ordered, specs, "app", "lineitem",
+        "op", "ts", "tso", dir)
+      BinlogWire.readBinlogFiles(s, dir,
+          Map(("app", "lineitem") -> specs.map(_.name)))
+        .select(
+          element_at(col("after"), "l_orderkey").cast("bigint").as("okey"),
+          element_at(col("after"), "l_quantity")
+            .cast("decimal(12,2)").as("qty"),
+          element_at(col("after"), "l_shipdate").cast("date").as("sd"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("qty")).cast("double").as("sum_qty"),
+          min(col("okey")).as("min_okey"), max(col("okey")).as("max_okey"),
+          min(col("sd")).as("min_sd"), max(col("sd")).as("max_sd"))
+    }),
+
     // full-copy → incremental handoff (HandoffJob / FSMMetaManager
     // analog, batch core): bootstrap the target from the AS-OF-tso-64
     // snapshot — the copy and its position commit atomically — then offer
@@ -1102,6 +1136,13 @@ object SparkEntry {
         "CAST(1000 + COALESCE(SUM(d.d), 0) AS BIGINT) AS balance " +
         "FROM customer c LEFT JOIN deltas d ON d.acct = c.c_custkey " +
         "WHERE c.c_custkey <= 10 GROUP BY c.c_custkey ORDER BY account_id"),
+    "q64_wire_roundtrip" ->
+      ("SELECT COUNT(*) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, " +
+        "MIN(l_orderkey) AS min_okey, MAX(l_orderkey) AS max_okey, " +
+        "CAST(MIN(l_shipdate) AS DATE) AS min_sd, " +
+        "CAST(MAX(l_shipdate) AS DATE) AS max_sd " +
+        "FROM lineitem WHERE l_orderkey <= 200"),
     // handoff must land on the SAME final state as replaying everything
     "q61_handoff" ->
       ("WITH t AS (SELECT o_orderkey AS tso, (o_custkey % 10) + 1 AS from_acct, " +

@@ -559,7 +559,7 @@ object BinlogWire {
       txnCol: String = "txnId", tsoCol: String = "tso",
       schemaCol: String = "schemaName", tableCol: String = "tableName",
       beforeCol: String = "before", afterCol: String = "after",
-      serverId: Long = 1L): Int = {
+      serverId: Long = 1L, filePrefix: String = "binlog."): Int = {
     val tableIds: Map[(String, String), Long] =
       tableCols.keys.toSeq.sorted.zipWithIndex
         .map { case (k, i) => k -> (i + 1L) }.toMap
@@ -573,7 +573,7 @@ object BinlogWire {
       if (it.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val conf = graft.util.HadoopIo.confFrom(confMap)
-        val path = new org.apache.hadoop.fs.Path(outDir, f"binlog.$pid%06d")
+        val path = new org.apache.hadoop.fs.Path(outDir, f"$filePrefix$pid%06d")
         val fs = path.getFileSystem(conf)
         val out = fs.create(path, true)
         try {
@@ -629,6 +629,188 @@ object BinlogWire {
       }
     }
     counter.value.toInt
+  }
+
+  // ---- decode side (the canal/binlog-parse analog) ----
+
+  /** A decoded change row: string images keyed by column name (or "@i"
+    * ordinals when the table map carries no names — MySQL's do not), the
+    * transaction's TSO mark and XID once its commit is seen. */
+  final case class DecodedRow(schemaName: String, tableName: String,
+      op: String, before: Map[String, String], after: Map[String, String],
+      tso: Option[Long], xid: Option[Long])
+
+  private final class ByteReader(b: Array[Byte], var pos: Int = 0) {
+    def u8(): Int = { val v = b(pos) & 0xFF; pos += 1; v }
+    def le(n: Int): Long = {
+      var v = 0L; (0 until n).foreach(i => v |= (b(pos + i) & 0xFFL) << (8 * i))
+      pos += n; v
+    }
+    def be(n: Int): Long = {
+      var v = 0L
+      (0 until n).foreach { i => v = (v << 8) | (b(pos + i) & 0xFFL) }
+      pos += n
+      v
+    }
+    def bytes(n: Int): Array[Byte] = { val r = b.slice(pos, pos + n); pos += n; r }
+    def lenEnc(): Long = u8() match {
+      case 0xFC => le(2)
+      case 0xFD => le(3)
+      case 0xFE => le(8)
+      case v => v.toLong
+    }
+    def remaining: Int = b.length - pos
+  }
+
+  private def wireFromTableMap(typeCode: Int, meta: ByteReader): Wire =
+    typeCode match {
+      case 1 => Tiny
+      case 2 => Short
+      case 3 => Long4
+      case 4 => { meta.u8(); Float4 }
+      case 5 => { meta.u8(); Double8 }
+      case 8 => LongLong
+      case 9 => Int24
+      case 10 => Date3
+      case 13 => Year
+      case 15 => VarChar(meta.le(2).toInt)
+      case 17 => { require(meta.u8() == 0, "fsp>0 unsupported"); Timestamp2 }
+      case 18 => { require(meta.u8() == 0, "fsp>0 unsupported"); DateTime2 }
+      case 19 => { require(meta.u8() == 0, "fsp>0 unsupported"); Time2 }
+      case 246 => NewDecimal(meta.u8(), meta.u8())
+      case 252 => Blob(meta.u8())
+      case other => sys.error(s"unsupported wire type $other")
+    }
+
+  /** Decode one cell to its canonical string image (the model's
+    * string-image convention; TypeMatrixSpec's codec family). */
+  private def decodeCell(wire: Wire, r: ByteReader): String = wire match {
+    case Tiny => r.le(1).toByte.toString
+    case Short => r.le(2).toShort.toString
+    case Int24 => { val v = r.le(3); (((v << 40) >> 40)).toString } // sign-extend
+    case Long4 => r.le(4).toInt.toString
+    case LongLong => r.le(8).toString
+    case Float4 => java.lang.Float.intBitsToFloat(r.le(4).toInt).toString
+    case Double8 => java.lang.Double.longBitsToDouble(r.le(8)).toString
+    case Year => (r.le(1) + 1900).toString
+    case Date3 =>
+      val v = r.le(3)
+      f"${v >> 9}%04d-${(v >> 5) & 0xF}%02d-${v & 0x1F}%02d"
+    case Time2 =>
+      val v = r.be(3) - 0x800000L
+      f"${v >> 12}%02d:${(v >> 6) & 0x3F}%02d:${v & 0x3F}%02d"
+    case DateTime2 =>
+      val v = r.be(5) - 0x8000000000L
+      val ym = v >> 22
+      f"${ym / 13}%04d-${ym % 13}%02d-${(v >> 17) & 0x1F}%02d " +
+        f"${(v >> 12) & 0x1F}%02d:${(v >> 6) & 0x3F}%02d:${v & 0x3F}%02d"
+    case Timestamp2 => r.be(4).toString
+    case VarChar(maxLen) =>
+      val n = (if (maxLen < 256) r.le(1) else r.le(2)).toInt
+      new String(r.bytes(n), UTF_8)
+    case Blob(lenBytes) =>
+      val n = r.le(lenBytes).toInt
+      new String(r.bytes(n), UTF_8)
+    case NewDecimal(p, s) =>
+      val len = (p - s) / 9 * 4 + digitsToBytes((p - s) % 9) +
+        s / 9 * 4 + digitsToBytes(s % 9)
+      decodeDecimal(r.bytes(len), p, s).toString
+  }
+
+  /** Decode a binlog file produced by the writers above back into change
+    * rows — the parse direction the reference's canal layer implements
+    * over real MySQL logs. `colNames` maps (schema, table) to column
+    * names; tables absent from it decode with "@1"-style ordinals
+    * (TABLE_MAP carries no names). Supports checksum-off files with the
+    * event types this object emits; skips unknown frames. */
+  def decodeFile(bytes: Array[Byte],
+      colNames: Map[(String, String), Seq[String]] = Map.empty): Seq[DecodedRow] = {
+    val tables = scala.collection.mutable.Map
+      .empty[Long, (String, String, Seq[Wire])]
+    var tso = Option.empty[Long]
+    val pending = scala.collection.mutable.ArrayBuffer.empty[DecodedRow]
+    val out = Seq.newBuilder[DecodedRow]
+    parseFile(bytes).foreach { case (typeCode, _, body) =>
+      typeCode match {
+        case TableMapEvent =>
+          val r = new ByteReader(body)
+          val tid = r.le(6); r.le(2) // flags
+          val sn = new String(r.bytes(r.u8()), UTF_8); r.u8() // terminator
+          val tn = new String(r.bytes(r.u8()), UTF_8); r.u8()
+          val nCols = r.lenEnc().toInt
+          val typeCodes = (0 until nCols).map(_ => r.u8())
+          val metaLen = r.lenEnc().toInt
+          val meta = new ByteReader(r.bytes(metaLen))
+          tables(tid) = (sn, tn, typeCodes.map(tc => wireFromTableMap(tc, meta)))
+        case RowsQueryEvent =>
+          val s = new String(body.drop(1), UTF_8)
+          if (s.startsWith("CTS::")) tso = Some(s.stripPrefix("CTS::").toLong)
+        case XidEvent =>
+          val xid = new ByteReader(body).le(8)
+          pending.foreach(p => out += p.copy(xid = Some(xid)))
+          pending.clear()
+        case tc if tc == WriteRowsEventV2 || tc == UpdateRowsEventV2 ||
+            tc == DeleteRowsEventV2 =>
+          val r = new ByteReader(body)
+          val tid = r.le(6); r.le(2) // flags
+          val extraLen = r.le(2).toInt
+          if (extraLen > 2) r.bytes(extraLen - 2)
+          val nCols = r.lenEnc().toInt
+          r.bytes((nCols + 7) / 8) // present bitmap (all set by our writers)
+          if (tc == UpdateRowsEventV2) r.bytes((nCols + 7) / 8)
+          val (sn, tn, wires) = tables.getOrElse(tid,
+            sys.error(s"rows event for unmapped table $tid"))
+          val names = colNames.getOrElse((sn, tn),
+            (1 to nCols).map(i => s"@$i"))
+          def image(): Map[String, String] = {
+            val nb = r.bytes((nCols + 7) / 8)
+            wires.zipWithIndex.flatMap { case (w, i) =>
+              if ((nb(i / 8) & (1 << (i % 8))) != 0) None
+              else Some(names(i) -> decodeCell(w, r))
+            }.toMap
+          }
+          while (r.remaining > 0) {
+            val (op, before, after) = tc match {
+              case WriteRowsEventV2 => ("INSERT", Map.empty[String, String], image())
+              case DeleteRowsEventV2 => ("DELETE", image(), Map.empty[String, String])
+              case _ => val b = image(); ("UPDATE", b, image())
+            }
+            pending += DecodedRow(sn, tn, op, before, after, tso, None)
+          }
+        case _ => // FDE / QUERY(BEGIN) / ROTATE: no row payload
+      }
+    }
+    out ++= pending // unterminated tail (no XID seen)
+    out.result()
+  }
+
+  /** Read a directory of binlog files into a DataFrame of decoded change
+    * rows — the engine-side source over its own wire output (and any
+    * checksum-off file limited to the supported event/type set). */
+  def readBinlogFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
+      colNames: Map[(String, String), Seq[String]] = Map.empty)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val confMap = graft.util.HadoopIo.confMap
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val files = graft.util.HadoopIo.fsOf(root).listStatus(root).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("binlog."))
+      .map(_.getPath.toString).sorted
+    spark.createDataset(files).flatMap { path =>
+      val conf = graft.util.HadoopIo.confFrom(confMap)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val in = fs.open(p)
+      val bytes = try {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val buf = new Array[Byte](len)
+        in.readFully(0, buf)
+        buf
+      } finally in.close()
+      decodeFile(bytes, colNames).map(d => (path.split('/').last,
+        d.schemaName, d.tableName, d.op, d.before, d.after, d.tso, d.xid))
+    }.toDF("log_file", "schemaName", "tableName", "op", "before", "after",
+      "tso", "xid")
   }
 
   /** Split a file's bytes back into (typeCode, nextPos, body) frames —

@@ -40,4 +40,40 @@ object GlobalBinlogStream {
       }
       .start()
   }
+
+  /** The standing query with the MYSQL WIRE sink: each micro-batch's
+    * change rows (string-image CDC shape) become transaction-framed
+    * binlog files named `binlog.<batch>.<partition>` — file rotation
+    * over time IS the batch sequence, and name order preserves the total
+    * order (the reference's LogFileGenerator rotation). Idempotent under
+    * batch replay: a replayed batch rewrites the same file names with
+    * the same bytes — no duplicate log segments, the file IS the commit.
+    * `BinlogWire.readBinlogFiles(outDir)` reads the log back. */
+  def startWire(spark: SparkSession, sourceDir: String,
+      sourceSchema: StructType,
+      tableCols: Map[(String, String), Seq[String]], outDir: String,
+      checkpointDir: String, numPartitions: Int,
+      transform: DataFrame => DataFrame = identity,
+      continuous: Option[String] = None): StreamingQuery = {
+    val src = spark.readStream
+      .schema(sourceSchema)
+      .option("maxFilesPerTrigger", 16)
+      .parquet(sourceDir)
+    val trigger = continuous match {
+      case Some(interval) => Trigger.ProcessingTime(interval)
+      case None => Trigger.AvailableNow()
+    }
+    transform(src).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ordered = graft.operators.MergeSort.sortedRuns(
+          batch, numPartitions, Seq("txnId", "tso"))
+        graft.sinks.BinlogWire.writeChangeStreamBinlogFiles(
+          ordered, tableCols, outDir,
+          filePrefix = f"binlog.$batchId%06d.")
+        ()
+      }
+      .start()
+  }
 }

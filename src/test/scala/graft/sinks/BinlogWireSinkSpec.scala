@@ -143,4 +143,60 @@ class BinlogWireSinkSpec extends SparkSpec {
       java.nio.charset.StandardCharsets.ISO_8859_1)
     assert(del.contains("a"))
   }
+
+  test("decode roundtrip: typed cells survive encode∘decode exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wirerd").toString
+    val specs = Seq(ColSpec("id", LongLong), ColSpec("sm", Short),
+      ColSpec("v", VarChar(32)), ColSpec("amt", NewDecimal(10, 3)),
+      ColSpec("d", Date3), ColSpec("f", Double8))
+    val df = Seq(
+        (1L, 7, "alpha", BigDecimal("12.345"),
+          java.sql.Date.valueOf("2024-03-05"), 2.5, "INSERT", 100L, 1L),
+        (2L, -3, "βeta", BigDecimal("-0.001"),
+          java.sql.Date.valueOf("1999-12-31"), -1.25, "INSERT", 100L, 2L),
+        (1L, 7, "alpha", BigDecimal("12.345"),
+          java.sql.Date.valueOf("2024-03-05"), 2.5, "DELETE", 200L, 3L))
+      .toDF("id", "sm", "v", "amt", "d", "f", "op", "tso", "seq")
+      .withColumn("ts", lit(1700000100L))
+      .coalesce(1).sortWithinPartitions("tso", "seq")
+    writeTxnFramedBinlogFiles(df, specs, "app", "t", "op", "ts", "tso", dir)
+    val decoded = decodeFile(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "binlog.000000").toPath),
+      Map(("app", "t") -> specs.map(_.name)))
+    assert(decoded.length == 3)
+    val first = decoded.head
+    assert(first.op == "INSERT" && first.tso.contains(100L) &&
+      first.xid.contains(100L))
+    assert(first.after == Map("id" -> "1", "sm" -> "7", "v" -> "alpha",
+      "amt" -> "12.345", "d" -> "2024-03-05", "f" -> "2.5"))
+    assert(decoded(1).after("v") == "βeta")
+    assert(decoded(1).after("amt") == "-0.001")
+    assert(decoded(1).after("sm") == "-3")
+    assert(decoded(1).after("f") == "-1.25")
+    // the delete decodes as a BEFORE image with the same cells
+    assert(decoded(2).op == "DELETE" && decoded(2).tso.contains(200L))
+    assert(decoded(2).before("amt") == "12.345")
+  }
+
+  test("readBinlogFiles: the wire output reads back as a change frame") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wiresrc").toString
+    val ev = Seq(
+      (100L, 7L, "INSERT", "app", "t1", Map.empty[String, String],
+        Map("id" -> "1"), 1700000000L),
+      (200L, 8L, "UPDATE", "app", "t1", Map("id" -> "1"),
+        Map("id" -> "2"), 1700000001L))
+      .toDF("tso", "txnId", "op", "schemaName", "tableName", "before",
+        "after", "tsoTime")
+      .coalesce(1).sortWithinPartitions("tso")
+    BinlogWire.writeChangeStreamBinlogFiles(ev,
+      Map(("app", "t1") -> Seq("id")), dir)
+    val back = BinlogWire.readBinlogFiles(spark, dir,
+      Map(("app", "t1") -> Seq("id")))
+      .select($"op", $"before", $"after", $"tso", $"xid")
+      .as[(String, Map[String, String], Map[String, String],
+        Option[Long], Option[Long])].collect().toSeq
+    assert(back == Seq(
+      ("INSERT", Map.empty, Map("id" -> "1"), Some(100L), Some(7L)),
+      ("UPDATE", Map("id" -> "1"), Map("id" -> "2"), Some(200L), Some(8L))))
+  }
 }
