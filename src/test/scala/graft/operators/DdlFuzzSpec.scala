@@ -120,11 +120,19 @@ class DdlFuzzSpec extends SparkSpec {
               val (raw, norm) = types(rnd.nextInt(types.length))
               ddl += ((tso, s"alter table $t modify $n $raw${colNoise()}${alterNoise()}"))
               model += t -> cols.map(c => if (c._1 == n) (n, norm) else c)
-            case 5 => // RENAME TABLE
+            case 5 if rnd.nextBoolean() => // RENAME TABLE
               val t2 = s"rn$tso"
               ddl += ((tso, s"RENAME TABLE $t TO $t2"))
               model = model - t + (t2 -> cols)
               modelPk = modelPk - t + (t2 -> modelPk.getOrElse(t, Vector.empty))
+            case 5 => // CREATE TABLE LIKE (both syntaxes) — clone schema
+              val t2 = s"lk$tso"
+              val stmt =
+                if (rnd.nextBoolean()) s"CREATE TABLE ${fmtIdent(rnd, t2)} ${fmtKw(rnd, "LIKE")} $t"
+                else s"create table $t2 (LIKE ${fmtIdent(rnd, t)})"
+              ddl += ((tso, stmt))
+              model += t2 -> cols
+              modelPk += t2 -> modelPk.getOrElse(t, Vector.empty)
             case _ if rnd.nextBoolean() => // paren-group multi-ADD
               val adds = (0 to rnd.nextInt(2)).map(_ => freshCol()).toVector
               val body = adds.map { case (n, raw, _) => s"$n $raw" }.mkString(", ")

@@ -20,4 +20,26 @@ class BackupSpec extends SparkSpec {
     assert(n2 == n1)
     assert(spark.read.parquet(s"$root/archive/binlog_000001").count() == 2)
   }
+
+  test("archived ordered log serves scans, recovery and the SHOW surface") {
+    val root = Files.createTempDirectory("graft-backscan").toString
+    val log = s"$root/log"
+    OrderedSink.appendSince(Seq((1L, "a"), (5L, "b"), (9L, "c"))
+      .toDF("tso", "op"), "tso", log, 2)
+    Backup.archive(spark, log, s"$root/archive")
+    val archived = s"$root/archive/log"
+    // the archive is a fully serving copy: scan, O(1) cursor recovery
+    // (the sidecar traveled with the files), footer-stats listing
+    assert(spark.read.parquet(archived).count() == 3)
+    assert(OrderedSink.recoverPosition(spark, archived, "tso").contains(9L))
+    val listing = OrderedSink.showBinlogEvents(spark, archived, "tso")
+      .select($"start_tso", $"end_tso", $"n_events")
+      .as[(Long, Long, Long)].collect()
+    assert(listing.map(_._3).sum == 3)
+    assert(listing.map(_._1).min == 1L && listing.map(_._2).max == 9L)
+    // and appends continue against the archived copy from its cursor
+    OrderedSink.appendSince(Seq((9L, "stale"), (12L, "d")).toDF("tso", "op"),
+      "tso", archived, 2)
+    assert(spark.read.parquet(archived).count() == 4)
+  }
 }
