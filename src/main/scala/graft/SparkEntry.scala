@@ -700,7 +700,8 @@ object SparkEntry {
           Tables.events(s, d).filter(col("event_id") <= 2000))
         .withColumn("tableName",
           when(col("txnId") % 2 === 0, lit("events")).otherwise(lit("audit")))
-      val ordered = MergeSort.sortedRuns(changes, 4, Seq("txnId", "tso"))
+      val ordered = MergeSort.sortedRunsGrouped(changes, 4, "txnId",
+        Seq("tso")) // txns never split across wire files
       val dir = Staged.tempDir("q63-wire")
       BinlogWire.writeChangeStreamBinlogFiles(ordered,
         Map(("app", "events") -> Seq("value"),

@@ -75,6 +75,13 @@ object DdlParser {
   sealed trait Stmt
   case class CreateTableLike(schema: String, table: String,
       srcSchema: String, srcTable: String, ifNotExists: Boolean) extends Stmt
+  /** CREATE TABLE t AS SELECT — bare column lists / * only (expression
+    * selects have no derivable schema and stay Noop). `cols` None = "*".
+    * MySQL CTAS copies column definitions from the result set but NOT
+    * keys — the folded clone drops the primary key accordingly. */
+  case class CreateTableAsSelect(schema: String, table: String,
+      srcSchema: String, srcTable: String, cols: Option[Seq[String]],
+      ifNotExists: Boolean) extends Stmt
   case class CreateTable(schema: String, table: String, cols: Vector[ColumnDef],
       pk: Vector[String], ifNotExists: Boolean) extends Stmt
   case class DropTable(tables: Seq[(String, String)]) extends Stmt
@@ -211,16 +218,58 @@ object DdlParser {
             else if (toks.lift(afterName).contains("(") &&
               kw.lift(afterName + 1).contains("like")) Some(afterName + 2)
             else None
+          // CREATE TABLE t [AS] SELECT <bare cols|*> FROM src — clone the
+          // selected columns' definitions (keys are NOT copied, matching
+          // MySQL CTAS); expression selects stay Noop
+          val selectAt =
+            if (kw.lift(afterName).contains("as") &&
+              kw.lift(afterName + 1).contains("select")) Some(afterName + 2)
+            else if (kw.lift(afterName).contains("select")) Some(afterName + 1)
+            else None
+          def parseCtas(at: Int): Option[Stmt] = {
+            val fromIdx = kw.indexOf("from", at)
+            if (fromIdx < 0) return None
+            // bare-identifier list only, validated by comma alternation:
+            // the tokenizer drops operator characters, so `a+b` arrives
+            // as two adjacent identifiers — rejected here (expression),
+            // and a dropped `*` leaves an EMPTY valid list → clone-all
+            val items = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = at
+            var bare = true
+            var expectItem = true
+            while (i < fromIdx && bare) {
+              toks(i) match {
+                case "," =>
+                  if (expectItem) bare = false else expectItem = true
+                case "(" | ")" => bare = false
+                case "." => // qualified t.c → the column ident replaces t
+                  if (items.isEmpty) bare = false
+                  else { items.remove(items.length - 1); expectItem = true }
+                case id =>
+                  if (!expectItem) bare = false
+                  else { items += id.toLowerCase; expectItem = false }
+              }
+              i += 1
+            }
+            if (expectItem && items.nonEmpty) bare = false // trailing comma
+            if (!bare) None
+            else {
+              val (ss, st, _) = qualified(fromIdx + 1)
+              val cols = if (items.isEmpty) None else Some(items.toSeq)
+              Some(CreateTableAsSelect(sch, tbl, ss, st, cols, ifNotExists))
+            }
+          }
           likeAt match {
             case Some(at) =>
               val (ss, st, _) = qualified(at)
               CreateTableLike(sch, tbl, ss, st, ifNotExists)
-            case None =>
+            case None => selectAt.flatMap(parseCtas).getOrElse {
               if (!toks.lift(afterName).contains("(")) Noop
               else parseCreateBody(toks, kw, afterName) match {
                 case Some((cols, pk)) => CreateTable(sch, tbl, cols, pk, ifNotExists)
-                case None => Noop // CREATE TABLE ... AS SELECT — unsupported
+                case None => Noop // CREATE TABLE ... AS <expr select>
               }
+            }
           }
         case "create" if kw.lift(1).exists(Set("database", "schema")) => Noop
         case "create" => Noop // CREATE INDEX / VIEW / USER ...
@@ -562,6 +611,20 @@ object DdlParser {
               tables(key) = src
               emit(tso, key)
             }
+        case CreateTableAsSelect(s, t, ss, st, cols, ifNotExists) =>
+          val key = (s, t)
+          if (!(ifNotExists && tables.contains(key)))
+            tables.get((ss, st)).foreach { src =>
+              val projected = cols match {
+                case None => src.columns
+                case Some(names) => // selected order; unknown names skipped
+                  names.flatMap(n => src.columns.find(_.name == n)).toVector
+              }
+              if (projected.nonEmpty) {
+                tables(key) = TableState(projected, Vector.empty) // CTAS: no keys
+                emit(tso, key)
+              }
+            }
         case DropTable(tabs) =>
           tabs.foreach { case (s, t) =>
             if (tables.remove((s, t)).isDefined) emit(tso, (s, t))
@@ -605,6 +668,7 @@ object DdlParser {
   private[operators] def targetSchemas(stmt: Stmt): Seq[String] = stmt match {
     case CreateTable(s, _, _, _, _) => Seq(s)
     case CreateTableLike(s, _, ss, _, _) => Seq(s, ss).distinct
+    case CreateTableAsSelect(s, _, ss, _, _, _) => Seq(s, ss).distinct
     case DropTable(tabs) => tabs.map(_._1).distinct
     case DropSchema(s) => Seq(s)
     case RenameTable(pairs) =>

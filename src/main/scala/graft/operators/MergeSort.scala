@@ -40,6 +40,17 @@ object MergeSort {
     df.repartitionByRange(numPartitions, orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
 
+  /** Sorted runs that keep every GROUP whole: range-partition on the
+    * group key alone (equal keys always land together — a range boundary
+    * can only fall between groups), then fully order within partitions.
+    * The wire-dumper shape: a transaction must never split across binlog
+    * files (MySQL rotates only at transaction boundaries), while plain
+    * sortedRuns on (txn, seq) may cut between two rows of one txn. */
+  def sortedRunsGrouped(df: DataFrame, numPartitions: Int,
+      groupCol: String, orderCols: Seq[String]): DataFrame =
+    df.repartitionByRange(numPartitions, col(groupCol))
+      .sortWithinPartitions((groupCol +: orderCols).map(col): _*)
+
   /** Disorder detection over an allegedly-ordered frame (LogEventMerger's
     * "monotonia" check :136-141): count of positions where the key moves
     * backwards. 0 = totally ordered. Windows over the whole frame are a

@@ -359,7 +359,8 @@ object BinlogWire {
       le(pos, 8) ++ nextFile.getBytes(UTF_8))
 
   def formatDescription(timestamp: Long, serverId: Long,
-      serverVersion: String = "8.0.32-graft"): Event = {
+      serverVersion: String = "8.0.32-graft",
+      checksummed: Boolean = false): Event = {
     // post-header length table for v4 event types 1..38 (the standard
     // 8.0 values for the types we emit; 0 for the rest is tolerated by
     // readers because the table is length-prefixed by the event size)
@@ -374,22 +375,34 @@ object BinlogWire {
     val ver = serverVersion.getBytes(UTF_8).take(50).padTo(50, 0.toByte)
     val body = le(4L, 2) ++ ver ++ le(timestamp, 4) ++
       Array(HeaderLength.toByte) ++ postHeader ++
-      Array(0.toByte) // checksum_alg = OFF
+      Array((if (checksummed) 1 else 0).toByte) // checksum_alg OFF/CRC32
     Event(timestamp, FormatDescriptionEvent, serverId, body)
   }
 
   val Magic: Array[Byte] = Array(0xFE, 0x62, 0x69, 0x6E).map(_.toByte)
 
   /** Assemble a binlog file: magic + events with chained next_position.
-    * `startPos` supports continuation files (rotate semantics). */
-  def assembleFile(events: Seq[Event], startPos: Long = 4L): Array[Byte] = {
+    * `startPos` supports continuation files (rotate semantics). With
+    * `checksummed`, every event carries the MySQL CRC32 trailer (alg 1 —
+    * what 5.6+ servers emit by default; the FDE must have been built with
+    * checksummed = true so readers see the alg byte). */
+  def assembleFile(events: Seq[Event], startPos: Long = 4L,
+      checksummed: Boolean = false): Array[Byte] = {
     var pos = startPos
     val out = Array.newBuilder[Byte]
     out ++= Magic
     events.foreach { e =>
-      pos += e.length
-      out ++= header(e.timestamp, e.typeCode, e.serverId, e.length, pos)
+      val extra = if (checksummed) 4 else 0
+      pos += e.length + extra
+      val hdr = header(e.timestamp, e.typeCode, e.serverId,
+        e.length + extra, pos)
+      out ++= hdr
       out ++= e.body
+      if (checksummed) {
+        val crc = new java.util.zip.CRC32()
+        crc.update(hdr); crc.update(e.body)
+        out ++= le(crc.getValue, 4)
+      }
     }
     out.result()
   }
@@ -397,13 +410,22 @@ object BinlogWire {
   /** Incremental event writer: streams events to `out` with the chained
     * next_position, so a partition of any size encodes without buffering
     * the whole file (the LogFileGenerator write loop). */
-  final class FileWriter(out: java.io.OutputStream, startPos: Long = 4L) {
+  final class FileWriter(out: java.io.OutputStream, startPos: Long = 4L,
+      checksummed: Boolean = false) {
     private var pos = startPos
     out.write(Magic)
     def write(e: Event): Unit = {
-      pos += e.length
-      out.write(header(e.timestamp, e.typeCode, e.serverId, e.length, pos))
+      val extra = if (checksummed) 4 else 0
+      pos += e.length + extra
+      val hdr = header(e.timestamp, e.typeCode, e.serverId,
+        e.length + extra, pos)
+      out.write(hdr)
       out.write(e.body)
+      if (checksummed) {
+        val crc = new java.util.zip.CRC32()
+        crc.update(hdr); crc.update(e.body)
+        out.write(le(crc.getValue, 4))
+      }
     }
     def position: Long = pos
   }
@@ -426,7 +448,7 @@ object BinlogWire {
       specs: Seq[ColSpec], schemaName: String, tableName: String,
       opCol: String, timestampCol: String, outDir: String,
       serverId: Long = 1L, tableId: Long = 1L,
-      rowsPerEvent: Int = 1024): Int = {
+      rowsPerEvent: Int = 1024, checksummed: Boolean = false): Int = {
     val names = specs.map(_.name)
     val confMap = graft.util.HadoopIo.confMap
     val counter = df.sparkSession.sparkContext.longAccumulator("binlogFiles")
@@ -438,12 +460,12 @@ object BinlogWire {
         val fs = path.getFileSystem(conf)
         val out = fs.create(path, true)
         try {
-          val w = new FileWriter(out)
+          val w = new FileWriter(out, checksummed = checksummed)
           var wroteHeader = false
           it.grouped(rowsPerEvent).foreach { chunk =>
             val ts = chunk.head.getAs[Number](timestampCol).longValue()
             if (!wroteHeader) {
-              w.write(formatDescription(ts, serverId))
+              w.write(formatDescription(ts, serverId, checksummed = checksummed))
               w.write(tableMap(ts, serverId, tableId, schemaName, tableName, specs))
               wroteHeader = true
             }
@@ -484,7 +506,8 @@ object BinlogWire {
       specs: Seq[ColSpec], schemaName: String, tableName: String,
       opCol: String, timestampCol: String, tsoCol: String, outDir: String,
       serverId: Long = 1L, tableId: Long = 1L,
-      beforeCols: Option[Seq[String]] = None): Int = {
+      beforeCols: Option[Seq[String]] = None,
+      checksummed: Boolean = false): Int = {
     val names = specs.map(_.name)
     require(beforeCols.forall(_.length == names.length),
       "beforeCols arity must match specs")
@@ -498,7 +521,7 @@ object BinlogWire {
         val fs = path.getFileSystem(conf)
         val out = fs.create(path, true)
         try {
-          val w = new FileWriter(out)
+          val w = new FileWriter(out, checksummed = checksummed)
           var openTso = Option.empty[Long]
           var headerDone = false
           def image(r: org.apache.spark.sql.Row, cols: Seq[String]) =
@@ -519,7 +542,7 @@ object BinlogWire {
             val ts = r.getAs[Number](timestampCol).longValue()
             val tso = r.getAs[Number](tsoCol).longValue()
             if (!headerDone) {
-              w.write(formatDescription(ts, serverId))
+              w.write(formatDescription(ts, serverId, checksummed = checksummed))
               w.write(tableMap(ts, serverId, tableId, schemaName,
                 tableName, specs))
               headerDone = true
@@ -559,7 +582,8 @@ object BinlogWire {
       txnCol: String = "txnId", tsoCol: String = "tso",
       schemaCol: String = "schemaName", tableCol: String = "tableName",
       beforeCol: String = "before", afterCol: String = "after",
-      serverId: Long = 1L, filePrefix: String = "binlog."): Int = {
+      serverId: Long = 1L, filePrefix: String = "binlog.",
+      checksummed: Boolean = false): Int = {
     val tableIds: Map[(String, String), Long] =
       tableCols.keys.toSeq.sorted.zipWithIndex
         .map { case (k, i) => k -> (i + 1L) }.toMap
@@ -577,7 +601,7 @@ object BinlogWire {
         val fs = path.getFileSystem(conf)
         val out = fs.create(path, true)
         try {
-          val w = new FileWriter(out)
+          val w = new FileWriter(out, checksummed = checksummed)
           var openTxn = Option.empty[Long]
           var headerDone = false
           it.foreach { r =>
@@ -589,7 +613,7 @@ object BinlogWire {
               case n: Number => n.longValue()
             }
             if (!headerDone) {
-              w.write(formatDescription(ts, serverId)); headerDone = true
+              w.write(formatDescription(ts, serverId, checksummed = checksummed)); headerDone = true
             }
             val txn = r.getAs[Number](txnCol).longValue()
             if (!openTxn.contains(txn)) {
@@ -818,6 +842,7 @@ object BinlogWire {
   def parseFile(bytes: Array[Byte]): Seq[(Int, Long, Array[Byte])] = {
     require(bytes.take(4).sameElements(Magic), "bad magic")
     var i = 4
+    var checksummed = false
     val out = Seq.newBuilder[(Int, Long, Array[Byte])]
     while (i < bytes.length) {
       val typeCode = bytes(i + 4) & 0xFF
@@ -825,8 +850,23 @@ object BinlogWire {
       (0 until 4).foreach(k => len |= (bytes(i + 9 + k) & 0xFFL) << (8 * k))
       var nextPos = 0L
       (0 until 4).foreach(k => nextPos |= (bytes(i + 13 + k) & 0xFFL) << (8 * k))
-      out += ((typeCode, nextPos,
-        bytes.slice(i + HeaderLength, i + len.toInt)))
+      var body = bytes.slice(i + HeaderLength, i + len.toInt)
+      // the FDE's checksum-alg byte governs the whole file: with CRC32
+      // every event (the FDE included) carries a 4-byte trailer, covered
+      // bytes = header + body — verify and strip
+      if (typeCode == FormatDescriptionEvent && body.length >= 5)
+        checksummed = body(body.length - 5) == 1
+      if (checksummed) {
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes, i, len.toInt - 4)
+        var stored = 0L
+        (0 until 4).foreach(k =>
+          stored |= (bytes(i + len.toInt - 4 + k) & 0xFFL) << (8 * k))
+        require(crc.getValue == stored,
+          f"CRC mismatch in event type $typeCode at offset $i")
+        body = body.dropRight(4)
+      }
+      out += ((typeCode, nextPos, body))
       i += len.toInt
     }
     out.result()

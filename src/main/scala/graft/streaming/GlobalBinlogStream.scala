@@ -67,8 +67,10 @@ object GlobalBinlogStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val ordered = graft.operators.MergeSort.sortedRuns(
-          batch, numPartitions, Seq("txnId", "tso"))
+        // a transaction must never split across wire files: group-whole
+        // runs (range on txnId only), ordered by tso within
+        val ordered = graft.operators.MergeSort.sortedRunsGrouped(
+          batch, numPartitions, "txnId", Seq("tso"))
         graft.sinks.BinlogWire.writeChangeStreamBinlogFiles(
           ordered, tableCols, outDir,
           filePrefix = f"binlog.$batchId%06d.")

@@ -184,6 +184,30 @@ class DdlParserSpec extends SparkSpec {
       Seq("a", "b"))
   }
 
+  test("CREATE TABLE AS SELECT: bare projections clone, expressions stay Noop") {
+    val hist = Seq(
+      (1L, "CREATE TABLE src (id BIGINT PRIMARY KEY, a INT, b TEXT)"),
+      (2L, "CREATE TABLE c1 AS SELECT * FROM src"),
+      (3L, "CREATE TABLE c2 AS SELECT b, id FROM src"),
+      (4L, "CREATE TABLE c3 SELECT a FROM src"), // AS is optional in MySQL
+      (5L, "CREATE TABLE c4 AS SELECT f(a) FROM src"), // expression → Noop
+      (6L, "CREATE TABLE c5 AS SELECT ghost FROM src")) // no known cols
+    val out = foldSchema("s", hist).map(r => (r._1, r._3, r._5))
+    assert(out == Seq(
+      (1L, "src", "id,a,b"),
+      (2L, "c1", "id,a,b"),
+      (3L, "c2", "b,id"),   // selected order, not source order
+      (4L, "c3", "a")))
+    // CTAS does not copy keys (MySQL semantics): the clone has no pk
+    val parsed = DdlParser.parse("CREATE TABLE c2 AS SELECT b, id FROM src", "s")
+    assert(parsed == CreateTableAsSelect("s", "c2", "s", "src",
+      Some(Seq("b", "id")), ifNotExists = false))
+    // qualified source + cross-schema fold routing
+    assert(DdlParser.targetSchemas(
+      DdlParser.parse("CREATE TABLE a.c AS SELECT * FROM b.src", "s")) ==
+      Seq("a", "b"))
+  }
+
   test("foldSchema: pk follows CHANGE rename; unknown refs are no-ops") {
     val hist = Seq(
       (1L, "CREATE TABLE t (a INT PRIMARY KEY, b INT)"),

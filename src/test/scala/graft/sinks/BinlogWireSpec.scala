@@ -125,6 +125,33 @@ class BinlogWireSpec extends AnyFunSuite {
     assert(file.length == 4 + lens.sum)
   }
 
+  test("CRC32 checksums: verified trailers, corruption detected") {
+    val specs = Seq(ColSpec("id", LongLong))
+    val events = Seq(
+      formatDescription(1000L, 7, checksummed = true),
+      tableMap(1000L, 7, 1, "app", "t", specs),
+      rowsEvent(1000L, 7, WriteRowsEventV2, 1, specs,
+        Seq(rowImage(specs, Seq(Some(42L))))))
+    val file = assembleFile(events, checksummed = true)
+    // four extra bytes per event vs the unchecksummed assembly
+    val plain = assembleFile(Seq(
+      formatDescription(1000L, 7),
+      tableMap(1000L, 7, 1, "app", "t", specs),
+      rowsEvent(1000L, 7, WriteRowsEventV2, 1, specs,
+        Seq(rowImage(specs, Seq(Some(42L)))))))
+    assert(file.length == plain.length + 3 * 4)
+    // parse verifies + strips the trailers: same frame bodies either way
+    val fcs = parseFile(file)
+    val fpl = parseFile(plain)
+    assert(fcs.map(_._1) == fpl.map(_._1))
+    assert(fcs(1)._3.sameElements(fpl(1)._3)) // table map body identical
+    assert(fcs(2)._3.sameElements(fpl(2)._3))
+    // flip one payload byte → CRC verification must fail loudly
+    val corrupted = file.clone()
+    corrupted(file.length - 7) = (corrupted(file.length - 7) ^ 0x01).toByte
+    intercept[IllegalArgumentException] { parseFile(corrupted) }
+  }
+
   test("update rows event carries two present bitmaps; write carries one") {
     val specs = Seq(ColSpec("id", Long4))
     val w = rowsEvent(0L, 1, WriteRowsEventV2, 1, specs, Seq.empty)
