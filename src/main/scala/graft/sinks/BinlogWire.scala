@@ -43,15 +43,22 @@ object BinlogWire {
   }
   case object Year extends Wire { val typeCode = 13 }
   case object Date3 extends Wire { val typeCode = 10 }
-  /** fsp=0 variants of the 5.6+ temporal formats. */
-  case object Time2 extends Wire {
-    val typeCode = 19; override def meta = Array(0.toByte)
+  /** 5.6+ temporal formats; `fsp` = fractional-second precision 0..6
+    * (DATETIME(3)/(6) are routine in operational MySQL). The fractional
+    * part packs into ceil(fsp/2) extra big-endian bytes holding the
+    * fraction scaled to 2*ceil(fsp/2) digits. Negative TIME is out of
+    * scope (offset-binary whole-value packing). */
+  final case class Time2(fsp: Int = 0) extends Wire {
+    require(fsp >= 0 && fsp <= 6)
+    val typeCode = 19; override def meta = Array(fsp.toByte)
   }
-  case object DateTime2 extends Wire {
-    val typeCode = 18; override def meta = Array(0.toByte)
+  final case class DateTime2(fsp: Int = 0) extends Wire {
+    require(fsp >= 0 && fsp <= 6)
+    val typeCode = 18; override def meta = Array(fsp.toByte)
   }
-  case object Timestamp2 extends Wire {
-    val typeCode = 17; override def meta = Array(0.toByte)
+  final case class Timestamp2(fsp: Int = 0) extends Wire {
+    require(fsp >= 0 && fsp <= 6)
+    val typeCode = 17; override def meta = Array(fsp.toByte)
   }
   final case class VarChar(maxLen: Int) extends Wire {
     val typeCode = 15
@@ -77,6 +84,18 @@ object BinlogWire {
 
   private def be(v: Long, n: Int): Array[Byte] =
     Array.tabulate(n)(i => ((v >> (8 * (n - 1 - i))) & 0xFF).toByte)
+
+  private val Pow10 = Array(1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L)
+
+  private def fracByteCount(fsp: Int): Int = (fsp + 1) / 2
+
+  /** Fractional seconds: micros scaled to 2*ceil(fsp/2) digits, BE. */
+  private def encodeFrac(micros: Long, fsp: Int): Array[Byte] =
+    if (fsp == 0) Array.empty
+    else {
+      val digits = 2 * fracByteCount(fsp)
+      be(micros / Pow10(6 - digits), fracByteCount(fsp))
+    }
 
   /** MySQL packed "length-encoded integer". */
   def lenEnc(v: Long): Array[Byte] =
@@ -116,13 +135,14 @@ object BinlogWire {
         case t: java.time.LocalDateTime => t.toLocalDate
       }
       le((d.getYear.toLong << 9) | (d.getMonthValue.toLong << 5) | d.getDayOfMonth, 3)
-    case Time2 =>
+    case Time2(fsp) =>
       val t = value match {
         case t: java.sql.Time => t.toLocalTime
         case t: java.time.LocalTime => t
       }
-      be(0x800000L + ((t.getHour.toLong << 12) | (t.getMinute << 6) | t.getSecond), 3)
-    case DateTime2 =>
+      be(0x800000L + ((t.getHour.toLong << 12) | (t.getMinute << 6) | t.getSecond), 3) ++
+        encodeFrac(t.getNano / 1000L, fsp)
+    case DateTime2(fsp) =>
       val dt = value match {
         case t: java.sql.Timestamp => t.toLocalDateTime
         case t: java.time.LocalDateTime => t
@@ -131,14 +151,15 @@ object BinlogWire {
       }
       val ym = dt.getYear.toLong * 13 + dt.getMonthValue
       be(0x8000000000L + ((ym << 22) | (dt.getDayOfMonth.toLong << 17) |
-        (dt.getHour.toLong << 12) | (dt.getMinute.toLong << 6) | dt.getSecond), 5)
-    case Timestamp2 =>
-      val epoch = value match {
-        case t: java.sql.Timestamp => t.getTime / 1000
-        case t: java.time.Instant => t.getEpochSecond
-        case n: Number => n.longValue()
+        (dt.getHour.toLong << 12) | (dt.getMinute.toLong << 6) | dt.getSecond), 5) ++
+        encodeFrac(dt.getNano / 1000L, fsp)
+    case Timestamp2(fsp) =>
+      val (epoch, micros) = value match {
+        case t: java.sql.Timestamp => (t.getTime / 1000, t.getNanos / 1000L)
+        case i: java.time.Instant => (i.getEpochSecond, i.getNano / 1000L)
+        case n: Number => (n.longValue(), 0L)
       }
-      be(epoch, 4)
+      be(epoch, 4) ++ encodeFrac(micros, fsp)
     case VarChar(maxLen) =>
       val bytes = strBytes(value)
       (if (maxLen < 256) le(bytes.length.toLong, 1)
@@ -344,6 +365,18 @@ object BinlogWire {
   /** COMMIT as an XID event: 8-byte transaction id. */
   def commitEvent(timestamp: Long, serverId: Long, xid: Long): Event =
     Event(timestamp, XidEvent, serverId, le(xid, 8))
+
+  /** A DDL statement as a QUERY event with its default schema (the
+    * dumper's writeDdl framing — DDL travels as statement text). */
+  def ddlEvent(timestamp: Long, serverId: Long, schemaName: String,
+      statement: String): Event = {
+    val sb = schemaName.getBytes(UTF_8)
+    val body = le(0L, 4) ++ le(0L, 4) ++ // thread id, exec time
+      Array(sb.length.toByte) ++ le(0L, 2) ++ le(0L, 2) ++
+      sb ++ Array(0.toByte) ++
+      statement.getBytes(UTF_8)
+    Event(timestamp, QueryEvent, serverId, body)
+  }
 
   /** Positional mark as a ROWS_QUERY event (EventGenerator.makeMarkEvent
     * semantics — the reference stamps its TSO, e.g. "CTS::<tso>", here). */
@@ -592,6 +625,7 @@ object BinlogWire {
         k -> cols.map(c => ColSpec(c, VarChar(65535)))
       }
     val confMap = graft.util.HadoopIo.confMap
+    val hasDdlCol = df.columns.contains("ddl")
     val counter = df.sparkSession.sparkContext.longAccumulator("binlogCdcFiles")
     df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       if (it.hasNext) {
@@ -623,6 +657,13 @@ object BinlogWire {
               w.write(beginEvent(ts, serverId))
               openTxn = Some(txn)
             }
+            val op = r.getAs[String](opCol)
+            if (op == "DDL") {
+              // DDL travels as statement text, not a row image
+              val stmt = if (!hasDdlCol) ""
+                else Option(r.getAs[String]("ddl")).getOrElse("")
+              w.write(ddlEvent(ts, serverId, r.getAs[String](schemaCol), stmt))
+            } else {
             val key = (r.getAs[String](schemaCol), r.getAs[String](tableCol))
             val specs = specsOf.getOrElse(key,
               sys.error(s"no column spec for table $key"))
@@ -635,7 +676,7 @@ object BinlogWire {
             val after = Option(r.getAs[Map[String, String]](afterCol))
               .getOrElse(Map.empty)
             w.write(tableMap(ts, serverId, tid, key._1, key._2, specs))
-            w.write(r.getAs[String](opCol) match {
+            w.write(op match {
               case "DELETE" =>
                 rowsEvent(ts, serverId, DeleteRowsEventV2, tid, specs,
                   Seq(img(if (before.nonEmpty) before else after)))
@@ -646,6 +687,7 @@ object BinlogWire {
                 rowsEvent(ts, serverId, WriteRowsEventV2, tid, specs,
                   Seq(img(after)))
             })
+            }
           }
           openTxn.foreach(x => w.write(commitEvent(0L, serverId, x)))
         } finally out.close()
@@ -662,7 +704,7 @@ object BinlogWire {
     * transaction's TSO mark and XID once its commit is seen. */
   final case class DecodedRow(schemaName: String, tableName: String,
       op: String, before: Map[String, String], after: Map[String, String],
-      tso: Option[Long], xid: Option[Long])
+      tso: Option[Long], xid: Option[Long], ddl: Option[String] = None)
 
   private final class ByteReader(b: Array[Byte], var pos: Int = 0) {
     def u8(): Int = { val v = b(pos) & 0xFF; pos += 1; v }
@@ -698,12 +740,22 @@ object BinlogWire {
       case 10 => Date3
       case 13 => Year
       case 15 => VarChar(meta.le(2).toInt)
-      case 17 => { require(meta.u8() == 0, "fsp>0 unsupported"); Timestamp2 }
-      case 18 => { require(meta.u8() == 0, "fsp>0 unsupported"); DateTime2 }
-      case 19 => { require(meta.u8() == 0, "fsp>0 unsupported"); Time2 }
+      case 17 => Timestamp2(meta.u8())
+      case 18 => DateTime2(meta.u8())
+      case 19 => Time2(meta.u8())
       case 246 => NewDecimal(meta.u8(), meta.u8())
       case 252 => Blob(meta.u8())
       case other => sys.error(s"unsupported wire type $other")
+    }
+
+  /** ".<fsp digits>" suffix, or "" at fsp 0. */
+  private def decodeFracStr(r: ByteReader, fsp: Int): String =
+    if (fsp == 0) ""
+    else {
+      val digits = 2 * fracByteCount(fsp)
+      val stored = r.be(fracByteCount(fsp))
+      val shown = stored / Pow10(digits - fsp)
+      "." + ("%0" + fsp + "d").format(shown)
     }
 
   /** Decode one cell to its canonical string image (the model's
@@ -720,15 +772,17 @@ object BinlogWire {
     case Date3 =>
       val v = r.le(3)
       f"${v >> 9}%04d-${(v >> 5) & 0xF}%02d-${v & 0x1F}%02d"
-    case Time2 =>
+    case Time2(fsp) =>
       val v = r.be(3) - 0x800000L
-      f"${v >> 12}%02d:${(v >> 6) & 0x3F}%02d:${v & 0x3F}%02d"
-    case DateTime2 =>
+      f"${v >> 12}%02d:${(v >> 6) & 0x3F}%02d:${v & 0x3F}%02d" +
+        decodeFracStr(r, fsp)
+    case DateTime2(fsp) =>
       val v = r.be(5) - 0x8000000000L
       val ym = v >> 22
       f"${ym / 13}%04d-${ym % 13}%02d-${(v >> 17) & 0x1F}%02d " +
-        f"${(v >> 12) & 0x1F}%02d:${(v >> 6) & 0x3F}%02d:${v & 0x3F}%02d"
-    case Timestamp2 => r.be(4).toString
+        f"${(v >> 12) & 0x1F}%02d:${(v >> 6) & 0x3F}%02d:${v & 0x3F}%02d" +
+        decodeFracStr(r, fsp)
+    case Timestamp2(fsp) => r.be(4).toString + decodeFracStr(r, fsp)
     case VarChar(maxLen) =>
       val n = (if (maxLen < 256) r.le(1) else r.le(2)).toInt
       new String(r.bytes(n), UTF_8)
@@ -773,6 +827,17 @@ object BinlogWire {
           val xid = new ByteReader(body).le(8)
           pending.foreach(p => out += p.copy(xid = Some(xid)))
           pending.clear()
+        case QueryEvent =>
+          val r = new ByteReader(body)
+          r.le(4); r.le(4) // thread id, exec time
+          val schemaLen = r.u8()
+          r.le(2); val statusLen = r.le(2).toInt // error code, status vars
+          r.bytes(statusLen)
+          val sn = new String(r.bytes(schemaLen), UTF_8); r.u8() // 0x00
+          val stmt = new String(r.bytes(r.remaining), UTF_8)
+          if (stmt != "BEGIN") // BEGIN frames a txn; anything else is DDL
+            pending += DecodedRow(sn, "", "DDL", Map.empty, Map.empty,
+              tso, None, ddl = Some(stmt))
         case tc if tc == WriteRowsEventV2 || tc == UpdateRowsEventV2 ||
             tc == DeleteRowsEventV2 =>
           val r = new ByteReader(body)
@@ -832,9 +897,10 @@ object BinlogWire {
         buf
       } finally in.close()
       decodeFile(bytes, colNames).map(d => (path.split('/').last,
-        d.schemaName, d.tableName, d.op, d.before, d.after, d.tso, d.xid))
+        d.schemaName, d.tableName, d.op, d.before, d.after, d.tso, d.xid,
+        d.ddl))
     }.toDF("log_file", "schemaName", "tableName", "op", "before", "after",
-      "tso", "xid")
+      "tso", "xid", "ddl")
   }
 
   /** Split a file's bytes back into (typeCode, nextPos, body) frames —

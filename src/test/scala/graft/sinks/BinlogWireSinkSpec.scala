@@ -144,6 +144,32 @@ class BinlogWireSinkSpec extends SparkSpec {
     assert(del.contains("a"))
   }
 
+  test("DDL rows travel as QUERY statement events and decode back") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wireddl").toString
+    val ev = Seq(
+      (100L, 7L, "INSERT", "app", "t1", Map.empty[String, String],
+        Map("id" -> "1"), null.asInstanceOf[String], 1700000000L),
+      (150L, 8L, "DDL", "app", "t1", Map.empty[String, String],
+        Map.empty[String, String],
+        "ALTER TABLE t1 ADD COLUMN note TEXT", 1700000001L),
+      (200L, 9L, "INSERT", "app", "t1", Map.empty[String, String],
+        Map("id" -> "2"), null.asInstanceOf[String], 1700000002L))
+      .toDF("tso", "txnId", "op", "schemaName", "tableName", "before",
+        "after", "ddl", "tsoTime")
+      .coalesce(1).sortWithinPartitions("tso")
+    BinlogWire.writeChangeStreamBinlogFiles(ev,
+      Map(("app", "t1") -> Seq("id")), dir, checksummed = true)
+    val decoded = BinlogWire.readBinlogFiles(spark, dir,
+        Map(("app", "t1") -> Seq("id")))
+      .select($"op", $"after", $"tso", $"ddl")
+      .as[(String, Map[String, String], Option[Long], Option[String])]
+      .collect().toSeq
+    assert(decoded.map(_._1) == Seq("INSERT", "DDL", "INSERT"))
+    assert(decoded(1)._4.contains("ALTER TABLE t1 ADD COLUMN note TEXT"))
+    assert(decoded(1)._3.contains(150L)) // the DDL's TSO mark survived
+    assert(decoded(2)._2 == Map("id" -> "2"))
+  }
+
   test("decode roundtrip: typed cells survive encode∘decode exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wirerd").toString
     val specs = Seq(ColSpec("id", LongLong), ColSpec("sm", Short),

@@ -41,17 +41,17 @@ class BinlogWireSpec extends AnyFunSuite {
       "65 D0 0F")
     // TIME2 fsp=0: big-endian 0x800000 + (h<<12|m<<6|s)
     // 13:14:15 → 0x800000 + 13*4096 + 14*64 + 15 = 0x80D38F
-    assert(hex(encodeCell(Time2, java.time.LocalTime.of(13, 14, 15))) ==
+    assert(hex(encodeCell(Time2(), java.time.LocalTime.of(13, 14, 15))) ==
       "80 D3 8F")
     // DATETIME2 fsp=0: 0x8000000000 + (ym<<22 | d<<17 | h<<12 | m<<6 | s)
     // 1970-01-01 00:00:00: ym = 1970*13+1 = 25611, day = 1
-    val dt = encodeCell(DateTime2,
+    val dt = encodeCell(DateTime2(),
       java.time.LocalDateTime.of(1970, 1, 1, 0, 0, 0))
     assert(hex(dt) == hex(
       Array.tabulate(5)(i => (((0x8000000000L + (25611L << 22) + (1L << 17)) >>
         (8 * (4 - i))) & 0xFF).toByte)))
     // TIMESTAMP2 fsp=0: big-endian epoch seconds
-    assert(hex(encodeCell(Timestamp2, 0x01020304L)) == "01 02 03 04")
+    assert(hex(encodeCell(Timestamp2(), 0x01020304L)) == "01 02 03 04")
   }
 
   test("NEWDECIMAL golden bytes: the documented DECIMAL(14,4) example") {
@@ -123,6 +123,40 @@ class BinlogWireSpec extends AnyFunSuite {
       VarChar(16).typeCode.toByte)))
     // total size is exactly magic + sum of events
     assert(file.length == 4 + lens.sum)
+  }
+
+  test("fractional temporals: fsp packing sizes and byte layout") {
+    // DATETIME2(3): 5 base + 2 frac bytes; .123 stored as 4-digit 1230
+    val dt3 = encodeCell(DateTime2(3),
+      java.time.LocalDateTime.of(2024, 1, 2, 3, 4, 5, 123000000))
+    assert(dt3.length == 7)
+    assert(((dt3(5) & 0xFF) << 8 | (dt3(6) & 0xFF)) == 1230)
+    // TIME2(6): 3 base + 3 frac bytes carrying full microseconds
+    val t6 = encodeCell(Time2(6),
+      java.time.LocalTime.of(1, 2, 3, 456789000))
+    assert(t6.length == 6)
+    assert(((t6(3) & 0xFF) << 16 | (t6(4) & 0xFF) << 8 | (t6(5) & 0xFF)) ==
+      456789)
+    // TIMESTAMP2(2): 4 base + 1 frac byte (centiseconds)
+    val ts2 = encodeCell(Timestamp2(2),
+      java.time.Instant.ofEpochSecond(1000L, 250000000L))
+    assert(ts2.length == 5 && (ts2(4) & 0xFF) == 25)
+  }
+
+  test("fsp survives the table-map metadata roundtrip") {
+    val specs = Seq(ColSpec("id", LongLong), ColSpec("dt", DateTime2(3)),
+      ColSpec("t", Time2(6)))
+    val img = rowImage(specs, Seq(Some(5L),
+      Some(java.time.LocalDateTime.of(2024, 1, 2, 3, 4, 5, 123000000)),
+      Some(java.time.LocalTime.of(1, 2, 3, 456789000))))
+    val file = assembleFile(Seq(
+      formatDescription(0L, 1),
+      tableMap(0L, 1, 9, "app", "t", specs),
+      rowsEvent(0L, 1, WriteRowsEventV2, 9, specs, Seq(img))))
+    val rows = decodeFile(file, Map(("app", "t") -> specs.map(_.name)))
+    assert(rows.head.after("dt") == "2024-01-02 03:04:05.123")
+    assert(rows.head.after("t") == "01:02:03.456789")
+    assert(rows.head.after("id") == "5")
   }
 
   test("CRC32 checksums: verified trailers, corruption detected") {
