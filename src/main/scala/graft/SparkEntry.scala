@@ -675,16 +675,9 @@ object SparkEntry {
       val dir = Staged.tempDir("q62-wire")
       BinlogWire.writeBinlogFiles(ordered, specs, "app", "lineitem",
         "op", "ts", dir)
-      import s.implicits._
-      val files = Option(new java.io.File(dir).listFiles()).toSeq.flatten
-        .filter(_.getName.startsWith("binlog."))
-        .map(_.getAbsolutePath).sorted
-      s.createDataset(files).map { path =>
-        val bytes = java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(path))
-        val frames = BinlogWire.parseFile(bytes)
-        (path.split('/').last, frames.size.toLong, bytes.length.toLong)
-      }.toDF("log_file", "n_frames", "n_bytes").orderBy(col("log_file"))
+      wireFileStats(s, dir)
+        .select(col("log_file"), col("n_frames"), col("n_bytes"))
+        .orderBy(col("log_file"))
     }),
 
     // the §3.1 output surface ON THE WIRE: the CDC change stream
@@ -700,25 +693,17 @@ object SparkEntry {
           Tables.events(s, d).filter(col("event_id") <= 2000))
         .withColumn("tableName",
           when(col("txnId") % 2 === 0, lit("events")).otherwise(lit("audit")))
-      val ordered = MergeSort.sortedRunsGrouped(changes, 4, "txnId",
-        Seq("tso")) // txns never split across wire files
+      // commit-order wire: key txns by commit TSO (max tso per txn),
+      // txns whole per file, rows tso-ordered within
+      val wtxn = Window.partitionBy(col("txnId"))
+      val ordered = MergeSort.sortedRunsGrouped(
+        changes.withColumn("__commit_tso", max(col("tso")).over(wtxn)),
+        4, Seq("__commit_tso", "txnId"), Seq("tso")).drop("__commit_tso")
       val dir = Staged.tempDir("q63-wire")
       BinlogWire.writeChangeStreamBinlogFiles(ordered,
         Map(("app", "events") -> Seq("value"),
           ("app", "audit") -> Seq("value")), dir)
-      import s.implicits._
-      val files = Option(new java.io.File(dir).listFiles()).toSeq.flatten
-        .filter(_.getName.startsWith("binlog."))
-        .map(_.getAbsolutePath).sorted
-      s.createDataset(files).map { path =>
-        val bytes = java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(path))
-        val frames = BinlogWire.parseFile(bytes)
-        (path.split('/').last, frames.size.toLong,
-          frames.count(_._1 == BinlogWire.XidEvent).toLong,
-          bytes.length.toLong)
-      }.toDF("log_file", "n_frames", "n_txns", "n_bytes")
-        .orderBy(col("log_file"))
+      wireFileStats(s, dir).orderBy(col("log_file"))
     }),
 
     // encode∘decode = identity, ORACLE-CHECKED: a lineitem slice goes to
@@ -738,7 +723,8 @@ object SparkEntry {
           col("l_shipdate").cast("date"),
           lit("INSERT").as("op"), col("l_orderkey").as("tso"),
           lit(1700000000L).as("ts"))
-      val ordered = MergeSort.sortedRuns(rows, 4, Seq("tso", "l_linenumber"))
+      val ordered = MergeSort.sortedRunsGrouped(rows, 4, Seq("tso"),
+        Seq("l_linenumber")) // per-order txns stay whole per file
       val dir = Staged.tempDir("q64-wire")
       BinlogWire.writeTxnFramedBinlogFiles(ordered, specs, "app", "lineitem",
         "op", "ts", "tso", dir)
@@ -781,6 +767,31 @@ object SparkEntry {
         .orderBy(col("account_id"))
     })
   )
+
+  /** Per-file structural stats over a wire log (q62/q63): frames listed
+    * and read through the Hadoop FS API — same any-scheme reach as the
+    * writers. */
+  private def wireFileStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sinks.BinlogWire
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = graft.util.HadoopIo.fsOf(root)
+    val files = fs.listStatus(root).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("binlog."))
+      .map(_.getPath.toString).sorted
+    val confMap = graft.util.HadoopIo.confMap
+    s.createDataset(files).map { path =>
+      val p = new org.apache.hadoop.fs.Path(path)
+      val pfs = p.getFileSystem(graft.util.HadoopIo.confFrom(confMap))
+      val len = pfs.getFileStatus(p).getLen.toInt
+      val bytes = new Array[Byte](len)
+      val in = pfs.open(p)
+      try in.readFully(0, bytes) finally in.close()
+      val frames = BinlogWire.parseFile(bytes)
+      (p.getName, frames.size.toLong,
+        frames.count(_._1 == BinlogWire.XidEvent).toLong, len.toLong)
+    }.toDF("log_file", "n_frames", "n_txns", "n_bytes")
+  }
 
   /** Shared bank-ledger construction for q60/q61: accounts, per-account
     * deltas, and the change batch (running-balance after-images). */

@@ -213,10 +213,19 @@ object DdlParser {
           // the source table's schema (common in operational MySQL; a
           // Noop here would leave the new table schemaless and every
           // subsequent row event on it unresolvable)
+          // the paren form must be EXACTLY "( LIKE <name> )": a column
+          // body whose first column happens to be named `like`
+          // (backtick-quoted) would otherwise be eaten as a clone and
+          // the real schema silently dropped
+          def parenIsExactlyLike: Boolean =
+            toks.lift(afterName).contains("(") &&
+              kw.lift(afterName + 1).contains("like") && {
+                val (_, _, after) = qualified(afterName + 2)
+                toks.lift(after).contains(")")
+              }
           val likeAt =
             if (kw.lift(afterName).contains("like")) Some(afterName + 1)
-            else if (toks.lift(afterName).contains("(") &&
-              kw.lift(afterName + 1).contains("like")) Some(afterName + 2)
+            else if (parenIsExactlyLike) Some(afterName + 2)
             else None
           // CREATE TABLE t [AS] SELECT <bare cols|*> FROM src — clone the
           // selected columns' definitions (keys are NOT copied, matching

@@ -41,15 +41,18 @@ object MergeSort {
       .sortWithinPartitions(orderCols.map(col): _*)
 
   /** Sorted runs that keep every GROUP whole: range-partition on the
-    * group key alone (equal keys always land together — a range boundary
-    * can only fall between groups), then fully order within partitions.
-    * The wire-dumper shape: a transaction must never split across binlog
-    * files (MySQL rotates only at transaction boundaries), while plain
-    * sortedRuns on (txn, seq) may cut between two rows of one txn. */
+    * group key(s) alone (equal keys always land together — a range
+    * boundary can only fall between groups), then fully order within
+    * partitions. The wire-dumper shape: a transaction must never split
+    * across binlog files (MySQL rotates only at transaction boundaries),
+    * while plain sortedRuns on (txn, seq) may cut between two rows of
+    * one txn. Pass the COMMIT-ORDER key first (e.g. the txn's commit
+    * TSO, then txnId): file/name order then preserves commit order
+    * across the log, not arrival or id order. */
   def sortedRunsGrouped(df: DataFrame, numPartitions: Int,
-      groupCol: String, orderCols: Seq[String]): DataFrame =
-    df.repartitionByRange(numPartitions, col(groupCol))
-      .sortWithinPartitions((groupCol +: orderCols).map(col): _*)
+      groupCols: Seq[String], orderCols: Seq[String]): DataFrame =
+    df.repartitionByRange(numPartitions, groupCols.map(col): _*)
+      .sortWithinPartitions((groupCols ++ orderCols).map(col): _*)
 
   /** Disorder detection over an allegedly-ordered frame (LogEventMerger's
     * "monotonia" check :136-141): count of positions where the key moves

@@ -70,11 +70,6 @@ object TxnApplier {
     new Path(manifestDir(root), f"v$v%08d.manifest")
   private def versionRel(v: Long): String = f"data/v$v%08d"
 
-  private def readString(fs: FileSystem, p: Path): String =
-    graft.util.HadoopIo.readString(p)
-
-  private def writeSwap(fs: FileSystem, tmp: Path, dst: Path, body: String): Unit =
-    graft.util.HadoopIo.writeSwap(tmp, dst, body)
 
   /** The committed version pointer, or None for an un-bootstrapped dir. */
   def currentCommit(dir: String): Option[Commit] = {
@@ -82,7 +77,7 @@ object TxnApplier {
     val fs = fsOf(root)
     def readOnce: Option[Commit] =
       try {
-        val parts = readString(fs, currentFile(root)).trim.split(",")
+        val parts = graft.util.HadoopIo.readString(currentFile(root)).trim.split(",")
         Some(Commit(parts(0).toLong, parts(1).toLong))
       } catch { case _: java.io.FileNotFoundException => None }
     if (!fs.exists(currentFile(root))) readOnce // retry across a swap
@@ -104,7 +99,7 @@ object TxnApplier {
 
   private def readManifest(root: Path, v: Long): Map[Int, String] = {
     val fs = fsOf(root)
-    readString(fs, manifestFile(root, v)).split("\n").toSeq
+    graft.util.HadoopIo.readString(manifestFile(root, v)).split("\n").toSeq
       .filter(_.nonEmpty).map { line =>
         val Array(b, p) = line.split("\t", 2)
         b.toInt -> p
@@ -116,7 +111,7 @@ object TxnApplier {
     fs.mkdirs(manifestDir(root))
     val body = entries.toSeq.sortBy(_._1)
       .map { case (b, p) => s"$b\t$p" }.mkString("\n")
-    writeSwap(fs, new Path(manifestDir(root), s".v$v.tmp"),
+    graft.util.HadoopIo.writeSwap(new Path(manifestDir(root), s".v$v.tmp"),
       manifestFile(root, v), body)
   }
 
@@ -124,7 +119,7 @@ object TxnApplier {
     * to readers; a crash before it leaves the previous version current
     * (orphan data files, reclaimed by vacuum). */
   private def commitPointer(root: Path, c: Commit): Unit =
-    writeSwap(fsOf(root), new Path(root, "._current.tmp"),
+    graft.util.HadoopIo.writeSwap(new Path(root, "._current.tmp"),
       currentFile(root), s"${c.version},${c.lastTso}")
 
   private def listBucketDirs(fs: FileSystem, d: Path): Map[Int, Path] =

@@ -162,10 +162,17 @@ object BinlogWire {
       be(epoch, 4) ++ encodeFrac(micros, fsp)
     case VarChar(maxLen) =>
       val bytes = strBytes(value)
+      val prefixMax = if (maxLen < 256) 255 else 65535
+      require(bytes.length <= prefixMax,
+        s"varchar value of ${bytes.length} bytes overflows the " +
+          s"$prefixMax-byte length prefix — a wrapped length would " +
+          "misframe every event after it")
       (if (maxLen < 256) le(bytes.length.toLong, 1)
        else le(bytes.length.toLong, 2)) ++ bytes
     case Blob(lenBytes) =>
       val bytes = strBytes(value)
+      require(lenBytes >= 8 / 2 || bytes.length < (1L << (8 * lenBytes)),
+        s"blob value of ${bytes.length} bytes overflows a $lenBytes-byte length")
       le(bytes.length.toLong, lenBytes) ++ bytes
     case NewDecimal(p, s) => encodeDecimal(dec(value), p, s)
   }
@@ -382,7 +389,11 @@ object BinlogWire {
     * semantics — the reference stamps its TSO, e.g. "CTS::<tso>", here). */
   def markEvent(timestamp: Long, serverId: Long, content: String): Event = {
     val bytes = content.getBytes(UTF_8)
-    Event(timestamp, RowsQueryEvent, serverId, Array(1.toByte) ++ bytes)
+    // the leading byte is the query LENGTH capped at 255 (length-honoring
+    // parsers read exactly that many bytes; full text still spans to the
+    // event end for readers that use the event size)
+    Event(timestamp, RowsQueryEvent, serverId,
+      Array(math.min(bytes.length, 255).toByte) ++ bytes)
   }
 
   /** ROTATE: position + next file name (file chain across partitions). */
@@ -827,6 +838,7 @@ object BinlogWire {
           val xid = new ByteReader(body).le(8)
           pending.foreach(p => out += p.copy(xid = Some(xid)))
           pending.clear()
+          tso = None // the mark scopes ONE txn; the next must carry its own
         case QueryEvent =>
           val r = new ByteReader(body)
           r.le(4); r.le(4) // thread id, exec time

@@ -67,10 +67,16 @@ object GlobalBinlogStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // a transaction must never split across wire files: group-whole
-        // runs (range on txnId only), ordered by tso within
+        // wire order is COMMIT order: key each txn by its commit TSO
+        // (max tso over the txn), keep txns whole (range boundaries only
+        // between (commitTso, txnId) groups), order rows by tso within
+        val wtxn = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("txnId"))
+        val keyed = batch.withColumn("__commit_tso",
+          max(col("tso")).over(wtxn))
         val ordered = graft.operators.MergeSort.sortedRunsGrouped(
-          batch, numPartitions, "txnId", Seq("tso"))
+          keyed, numPartitions, Seq("__commit_tso", "txnId"), Seq("tso"))
+          .drop("__commit_tso")
         graft.sinks.BinlogWire.writeChangeStreamBinlogFiles(
           ordered, tableCols, outDir,
           filePrefix = f"binlog.$batchId%06d.")

@@ -83,7 +83,9 @@ object SchemaStream {
       seqCol match {
         case Some(sc) =>
           val keyed = resolved.withColumn("__vtso",
-            shiftleft(col("tso"), 20) + col(sc).cast("long"))
+            // cast BEFORE the shift: an IntegerType tso would wrap at 32
+            // bits and corrupt the idempotence key
+            shiftleft(col("tso").cast("long"), 20) + col(sc).cast("long"))
           OrderedSink.appendSince(keyed, "__vtso", outDir, numPartitions = 4)
         case None =>
           val r = resolved.agg(count(lit(1)), countDistinct(col("tso"))).head()

@@ -44,7 +44,7 @@ class WireReplicaSpec extends SparkSpec {
     val specs = Seq(ColSpec("acct", LongLong), ColSpec("seq", LongLong),
       ColSpec("balance", LongLong))
     val ordered = graft.operators.MergeSort.sortedRunsGrouped(
-      batch, 2, "tso", Seq("seq"))
+      batch, 2, Seq("tso"), Seq("seq"))
     BinlogWire.writeTxnFramedBinlogFiles(ordered, specs, "bank", "accounts",
       "op", "ts", "tso", wireDir, checksummed = true)
     val decoded = BinlogWire.readBinlogFiles(spark, wireDir,

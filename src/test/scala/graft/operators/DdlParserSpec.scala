@@ -182,6 +182,12 @@ class DdlParserSpec extends SparkSpec {
     assert(DdlParser.targetSchemas(
       DdlParser.parse("CREATE TABLE a.copy LIKE b.orig", "s")) ==
       Seq("a", "b"))
+    // a REAL column body whose first column is named `like` is a body,
+    // not a clone — the paren form must be exactly "(LIKE name)"
+    assert(parse("CREATE TABLE t (`like` INT, id INT)", "s") ==
+      CreateTable("s", "t",
+        Vector(ColumnDef("like", "int"), ColumnDef("id", "int")),
+        Vector.empty, ifNotExists = false))
   }
 
   test("CREATE TABLE AS SELECT: bare projections clone, expressions stay Noop") {

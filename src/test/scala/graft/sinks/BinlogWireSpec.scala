@@ -97,6 +97,41 @@ class BinlogWireSpec extends AnyFunSuite {
     assert(hex(img) == "02 07 00 00 00 01")
   }
 
+  test("oversized varchar values fail loudly instead of wrapping the length") {
+    intercept[IllegalArgumentException] {
+      encodeCell(VarChar(100), "x" * 300) // 1-byte prefix, 300-byte value
+    }
+    intercept[IllegalArgumentException] {
+      encodeCell(VarChar(65535), "x" * 70000) // 2-byte prefix overflow
+    }
+    // within bounds still fine
+    assert(encodeCell(VarChar(65535), "x" * 300).length == 302)
+  }
+
+  test("mark event leading byte is the capped query length") {
+    val short = markEvent(0L, 1, "CTS::42")
+    assert((short.body(0) & 0xFF) == 7)
+    val long = markEvent(0L, 1, "x" * 300)
+    assert((long.body(0) & 0xFF) == 255) // capped; full text to event end
+    assert(long.body.length == 301)
+  }
+
+  test("a transaction without its own mark decodes with tso=None") {
+    val specs = Seq(ColSpec("id", LongLong))
+    def row(v: Long) = rowsEvent(0L, 1, WriteRowsEventV2, 9, specs,
+      Seq(rowImage(specs, Seq(Some(v)))))
+    val file = assembleFile(Seq(
+      formatDescription(0L, 1),
+      tableMap(0L, 1, 9, "app", "t", specs),
+      markEvent(0L, 1, "CTS::100"), beginEvent(0L, 1), row(1),
+      commitEvent(0L, 1, 100L),
+      // second txn arrives WITHOUT a CTS mark (plain MySQL logs have none)
+      beginEvent(0L, 1), row(2), commitEvent(0L, 1, 200L)))
+    val rows = decodeFile(file, Map(("app", "t") -> Seq("id")))
+    assert(rows.map(_.tso) == Seq(Some(100L), None))
+    assert(rows.map(_.xid) == Seq(Some(100L), Some(200L)))
+  }
+
   test("lenEnc thresholds") {
     assert(hex(lenEnc(250)) == "FA")
     assert(hex(lenEnc(251)) == "FC FB 00")
