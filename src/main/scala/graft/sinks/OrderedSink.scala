@@ -82,15 +82,19 @@ object OrderedSink {
     HadoopIo.writeSwap(new Path(outDir, "._graft_cursor.tmp"),
       cursorFile(outDir), s"$tso,${dataFileCount(outDir)}")
 
-  /** File-level min of `tsoCol` from the parquet footer (row-group
-    * statistics only — no data pages). */
-  private def footerMinTso(p: Path, tsoCol: String): Option[Long] = {
+  /** File-level (rowCount, min of `tsoCol`) from the parquet footer
+    * (row-group statistics only — no data pages). The min is None when
+    * the file carries no `tsoCol` statistics — an empty file, or one a
+    * foreign writer produced. */
+  private def footerStats(p: Path, tsoCol: String): (Long, Option[Long]) = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(p, HadoopIo.conf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       var lo = Option.empty[Long]
+      var rows = 0L
       reader.getFooter.getBlocks.forEach { b =>
+        rows += b.getRowCount
         b.getColumns.forEach { c =>
           if (c.getPath.toDotString == tsoCol) {
             val st = c.getStatistics
@@ -101,7 +105,7 @@ object OrderedSink {
           }
         }
       }
-      lo
+      (rows, lo)
     } finally reader.close()
   }
 
@@ -139,11 +143,24 @@ object OrderedSink {
         case Some((tso, cnt)) if cnt >= 0 && nFiles > cnt =>
           // torn append past the trusted position: quarantine its files
           // (footer-stat reads only), resume at the cursor — the source
-          // replays the batch in full
+          // replays the batch in full. A non-empty file WITHOUT tsoCol
+          // statistics cannot be classified (pre-existing vs torn): it is
+          // a foreign write into the log directory, and retaining it
+          // silently would both duplicate its rows under replay and bake
+          // it into the re-recorded file count — fail loudly instead.
           val fs = HadoopIo.fsOf(root)
-          dataFiles(outDir)
-            .filter(p => footerMinTso(p, tsoCol).exists(_ > tso))
-            .foreach(p => fs.delete(p, false))
+          dataFiles(outDir).foreach { p =>
+            footerStats(p, tsoCol) match {
+              case (_, Some(mn)) if mn > tso => fs.delete(p, false) // torn
+              case (_, Some(_)) => // at/below cursor: pre-existing, keep
+              case (0L, None) => fs.delete(p, false) // rowless orphan
+              case (rows, None) => sys.error(
+                s"recoverPosition: $p holds $rows rows but no '$tsoCol' " +
+                  "footer statistics — not written by this sink; refusing " +
+                  "to classify it during torn-append recovery (remove or " +
+                  "repair the file)")
+            }
+          }
           writeCursor(outDir, tso) // re-records the surviving file count
           Some(tso)
         case _ => // absent or legacy cursor, or files vanished: scan + repair

@@ -67,6 +67,20 @@ object GlobalBinlogStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // replay idempotence is PREFIX-scoped, not file-scoped: a retried
+        // batch can range-partition differently (RangePartitioner sampling
+        // is not stable across attempts), so files from the prior attempt
+        // that the retry doesn't overwrite would survive as duplicate log
+        // segments — delete every `binlog.<batchId>.` file first so the
+        // replay fully supersedes the attempt it replaces
+        val prefix = f"binlog.$batchId%06d."
+        val root = new org.apache.hadoop.fs.Path(outDir)
+        val fs = graft.util.HadoopIo.fsOf(root)
+        if (fs.exists(root))
+          fs.listStatus(root).foreach { st =>
+            if (st.isFile && st.getPath.getName.startsWith(prefix))
+              fs.delete(st.getPath, false)
+          }
         // wire order is COMMIT order: key each txn by its commit TSO
         // (max tso over the txn), keep txns whole (range boundaries only
         // between (commitTso, txnId) groups), order rows by tso within

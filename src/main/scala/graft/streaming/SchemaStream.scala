@@ -82,10 +82,22 @@ object SchemaStream {
       // appendSince drops everything at or below the recovered position
       seqCol match {
         case Some(sc) =>
+          // cast BEFORE the shift: an IntegerType tso would wrap at 32
+          // bits and corrupt the idempotence key
+          val tsoL = col("tso").cast("long")
+          val seqL = col(sc).cast("long")
           val keyed = resolved.withColumn("__vtso",
-            // cast BEFORE the shift: an IntegerType tso would wrap at 32
-            // bits and corrupt the idempotence key
-            shiftleft(col("tso").cast("long"), 20) + col(sc).cast("long"))
+            // the packing is only injective for seq in [0, 2^20) and tso
+            // in [0, 2^43); out of range must FAIL, not bleed into a
+            // neighboring transaction's key range (which would corrupt
+            // the appendSince cursor and the row order silently)
+            when(seqL < 0L || seqL >= (1L << 20) ||
+                 tsoL < 0L || tsoL >= (1L << 43),
+              raise_error(format_string(
+                "SchemaStream: (tso=%d, seq=%d) outside the vtso packing " +
+                  "range (need 0 <= seq < 2^20 and 0 <= tso < 2^43)",
+                tsoL, seqL)))
+              .otherwise(shiftleft(tsoL, 20) + seqL))
           OrderedSink.appendSince(keyed, "__vtso", outDir, numPartitions = 4)
         case None =>
           val r = resolved.agg(count(lit(1)), countDistinct(col("tso"))).head()

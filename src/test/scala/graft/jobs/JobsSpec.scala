@@ -253,6 +253,22 @@ class JobsSpec extends SparkSpec {
       Set(1L, 5L, 8L, 9L))
   }
 
+  test("torn recovery refuses a foreign file it cannot classify") {
+    // a parquet file WITHOUT tsoCol footer stats (foreign writer) cannot
+    // be proven pre-existing or torn — retaining it silently would both
+    // duplicate rows under replay and bake it into the cursor file count
+    val dir = java.nio.file.Files.createTempDirectory("graft-tornfgn")
+      .toString + "/log"
+    OrderedSink.appendSince(Seq((1L, "a"), (5L, "b")).toDF("tso", "op"),
+      "tso", dir, 2)
+    Seq(("x", 1L)).toDF("other", "v").coalesce(1)
+      .write.mode("append").parquet(dir) // foreign schema: no tso column
+    val e = intercept[RuntimeException] {
+      OrderedSink.recoverPosition(spark, dir, "tso")
+    }
+    assert(e.getMessage.contains("no 'tso' footer statistics"))
+  }
+
   test("compaction merges small appended runs, preserving content and order") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact")
       .toString + "/log"

@@ -85,9 +85,14 @@ class GlobalBinlogStreamSpec extends SparkSpec {
       assert(ops.map(_._2).sorted.toSeq == Seq("INSERT", "UPDATE"))
     }
     // replay from scratch (checkpoint wiped): same file names rewritten,
-    // no duplicate log segments
+    // no duplicate log segments — INCLUDING an orphan from a prior
+    // attempt whose partitioning differed (replay must supersede the
+    // whole batch prefix, not just the file names it happens to rewrite)
     val filesBefore = new java.io.File(outDir).listFiles()
       .map(_.getName).toSet
+    val orphan = new java.io.File(outDir, "binlog.000000.000099")
+    java.nio.file.Files.write(orphan.toPath,
+      graft.sinks.BinlogWire.Magic)
     org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(s"$root/ckpt"))
     GlobalBinlogStream.startWire(spark, s"$srcDir/*", cdcSchema, tables,

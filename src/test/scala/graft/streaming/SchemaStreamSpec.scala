@@ -71,6 +71,29 @@ class SchemaStreamSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 3)
   }
 
+  test("vtso packing range is enforced, not silently wrapped") {
+    // seq >= 2^20 would bleed into the NEXT tso's key range — the cursor
+    // and row order would corrupt silently; it must fail loudly instead
+    val dir = java.nio.file.Files.createTempDirectory("graft-schrange").toString
+    def mk(rows: Seq[(Long, Long, String, String, String, String, String)]) =
+      rows.toDF("tso", "seq", "schemaName", "tableName", "kind", "ddl", "payload")
+    val e = intercept[Exception] {
+      SchemaStream.applyBatch(mk(Seq(
+        (20L, 1L << 20, "app", "t1", "row", null, "p"))),
+        s"$dir/ddl", s"$dir/out", seqCol = Some("seq"))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("vtso packing range")))
+    // and an over-range tso likewise
+    val e2 = intercept[Exception] {
+      SchemaStream.applyBatch(mk(Seq(
+        (1L << 43, 0L, "app", "t1", "row", null, "p"))),
+        s"$dir/ddl2", s"$dir/out2", seqCol = Some("seq"))
+    }
+    assert(msgs(e2).exists(_.contains("vtso packing range")))
+  }
+
   test("duplicate commit TSOs without seqCol are rejected, not half-applied") {
     val dir = java.nio.file.Files.createTempDirectory("graft-schdup").toString
     intercept[IllegalArgumentException] {
