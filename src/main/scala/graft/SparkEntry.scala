@@ -783,13 +783,20 @@ object SparkEntry {
     s.createDataset(files).map { path =>
       val p = new org.apache.hadoop.fs.Path(path)
       val pfs = p.getFileSystem(graft.util.HadoopIo.confFrom(confMap))
-      val len = pfs.getFileStatus(p).getLen.toInt
-      val bytes = new Array[Byte](len)
+      val len = pfs.getFileStatus(p).getLen
+      // stream the frames — never the whole file as one array (a file
+      // past 2 GiB would overflow an Int-sized buffer)
       val in = pfs.open(p)
-      try in.readFully(0, bytes) finally in.close()
-      val frames = BinlogWire.parseFile(bytes)
-      (p.getName, frames.size.toLong,
-        frames.count(_._1 == BinlogWire.XidEvent).toLong, len.toLong)
+      val (nFrames, nTxns) = try {
+        var frames = 0L
+        var txns = 0L
+        BinlogWire.parseStream(in).foreach { case (tc, _, _) =>
+          frames += 1
+          if (tc == BinlogWire.XidEvent) txns += 1
+        }
+        (frames, txns)
+      } finally in.close()
+      (p.getName, nFrames, nTxns, len)
     }.toDF("log_file", "n_frames", "n_txns", "n_bytes")
   }
 

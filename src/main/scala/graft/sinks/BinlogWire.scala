@@ -74,6 +74,70 @@ object BinlogWire {
     val typeCode = 246
     override def meta = Array(precision.toByte, scale.toByte)
   }
+  /** BIT(n): value big-endian in ceil(n/8) bytes; meta = (n%8, n/8). */
+  final case class Bit(bits: Int) extends Wire {
+    require(bits >= 1 && bits <= 64)
+    val typeCode = 16
+    override def meta = Array((bits % 8).toByte, (bits / 8).toByte)
+  }
+  /** CHAR(n) rides MYSQL_TYPE_STRING with the byte length folded into the
+    * two metadata bytes (high two bits XOR-packed into meta0's 0x30
+    * bits — the documented STRING metadata packing all public binlog
+    * readers implement). Row image: length-prefixed like VARCHAR. */
+  final case class CharW(maxBytes: Int) extends Wire {
+    require(maxBytes >= 0 && maxBytes <= 1023, "CHAR is at most 255 chars / 1020 bytes")
+    val typeCode = 254
+    override def meta = Array(
+      (0xFE ^ (((maxBytes >> 8) & 0x3) << 4)).toByte, (maxBytes & 0xFF).toByte)
+  }
+  /** ENUM rides MYSQL_TYPE_STRING; meta0 = real type 247, meta1 = pack
+    * length (1 byte under 256 members, else 2). The wire carries the
+    * 1-BASED ORDINAL — member names live in the table schema, exactly as
+    * in MySQL — so decode yields the ordinal; `values` (when known at the
+    * encode site) lets the encoder accept the member string. */
+  final case class EnumW(values: Seq[String] = Nil, packLen: Int = 1) extends Wire {
+    require(packLen == 1 || packLen == 2)
+    require(values.isEmpty || values.size < (1 << (8 * packLen)),
+      s"${values.size} enum members overflow a $packLen-byte ordinal")
+    val typeCode = 254
+    override def meta = Array(247.toByte, packLen.toByte)
+  }
+  object EnumW {
+    def of(values: String*): EnumW =
+      EnumW(values.toSeq, if (values.size < 256) 1 else 2)
+  }
+  /** SET rides MYSQL_TYPE_STRING; meta0 = real type 248, meta1 = pack
+    * length 1..8. The wire carries the member BITMASK (bit i = member i
+    * present), little-endian. */
+  final case class SetW(values: Seq[String] = Nil, packLen: Int = 1) extends Wire {
+    require(packLen >= 1 && packLen <= 8)
+    require(values.isEmpty || values.size <= 8 * packLen,
+      s"${values.size} set members overflow $packLen bitmask bytes")
+    val typeCode = 254
+    override def meta = Array(248.toByte, packLen.toByte)
+  }
+  object SetW {
+    def of(values: String*): SetW = SetW(values.toSeq, (values.size + 7) / 8)
+  }
+  /** GEOMETRY: opaque WKB payload behind a 4-byte length (the engine
+    * never interprets the bytes — the reference's GeometryField is the
+    * same pass-through). String image = lowercase hex. */
+  case object Geometry extends Wire {
+    val typeCode = 255; override def meta = Array(4.toByte)
+  }
+  /** JSON: MySQL binary-JSON document behind a 4-byte length (JsonB
+    * implements the jsonb encoding). */
+  case object Json extends Wire {
+    val typeCode = 245; override def meta = Array(4.toByte)
+  }
+  /** Pre-5.6 temporal formats (the reference keeps their codecs for old
+    * masters — DatetimeField/TimeField/TimestampField/NewDateField):
+    * DATETIME as packed decimal YYYYMMDDHHMMSS in a LE uint64, TIME as
+    * decimal HHMMSS in a LE int24, TIMESTAMP as a LE uint32 epoch,
+    * NEWDATE sharing DATE's bitfield layout (handled by Date3). */
+  case object DatetimeLegacy extends Wire { val typeCode = 12 }
+  case object TimeLegacy extends Wire { val typeCode = 11 }
+  case object TimestampLegacy extends Wire { val typeCode = 7 }
 
   final case class ColSpec(name: String, wire: Wire)
 
@@ -175,7 +239,83 @@ object BinlogWire {
         s"blob value of ${bytes.length} bytes overflows a $lenBytes-byte length")
       le(bytes.length.toLong, lenBytes) ++ bytes
     case NewDecimal(p, s) => encodeDecimal(dec(value), p, s)
+    case Bit(bits) =>
+      val v = num(value)
+      require(bits == 64 || (v >= 0 && v < (1L << bits)),
+        s"bit value $v overflows BIT($bits)")
+      be(v, (bits + 7) / 8)
+    case CharW(maxBytes) =>
+      val bytes = strBytes(value)
+      require(bytes.length <= maxBytes,
+        s"char value of ${bytes.length} bytes overflows CHAR($maxBytes)")
+      (if (maxBytes < 256) le(bytes.length.toLong, 1)
+       else le(bytes.length.toLong, 2)) ++ bytes
+    case EnumW(values, packLen) =>
+      val ord = value match {
+        case s: String if values.nonEmpty =>
+          val i = values.indexOf(s)
+          require(i >= 0, s"'$s' is not an enum member of $values")
+          i + 1L
+        case n => num(n)
+      }
+      require(ord >= 1 && ord < (1L << (8 * packLen)),
+        s"enum ordinal $ord outside a $packLen-byte wire slot")
+      le(ord, packLen)
+    case SetW(values, packLen) =>
+      val mask = value match {
+        case s: String if values.nonEmpty => // comma-joined member list
+          s.split(',').filter(_.nonEmpty).foldLeft(0L) { (m, v) =>
+            val i = values.indexOf(v)
+            require(i >= 0, s"'$v' is not a set member of $values")
+            m | (1L << i)
+          }
+        case n => num(n)
+      }
+      require(packLen == 8 || (mask >= 0 && mask < (1L << (8 * packLen))),
+        s"set bitmask $mask outside $packLen wire bytes")
+      le(mask, packLen)
+    case Geometry =>
+      val bytes = value match {
+        case b: Array[Byte] => b
+        case s: String => hexToBytes(s)
+      }
+      le(bytes.length.toLong, 4) ++ bytes
+    case Json =>
+      val doc = value match {
+        case s: String => JsonB.encode(s)
+        case b: Array[Byte] => b // pre-encoded jsonb
+      }
+      le(doc.length.toLong, 4) ++ doc
+    case DatetimeLegacy =>
+      val dt = value match {
+        case t: java.sql.Timestamp => t.toLocalDateTime
+        case t: java.time.LocalDateTime => t
+      }
+      le(dt.getYear.toLong * 10000000000L + dt.getMonthValue * 100000000L +
+        dt.getDayOfMonth * 1000000L + dt.getHour * 10000L +
+        dt.getMinute * 100L + dt.getSecond, 8)
+    case TimeLegacy =>
+      val t = value match {
+        case t: java.sql.Time => t.toLocalTime
+        case t: java.time.LocalTime => t
+      }
+      le(t.getHour * 10000L + t.getMinute * 100L + t.getSecond, 3)
+    case TimestampLegacy =>
+      le(value match {
+        case t: java.sql.Timestamp => t.getTime / 1000
+        case i: java.time.Instant => i.getEpochSecond
+        case n: Number => n.longValue()
+      }, 4)
   }
+
+  private def hexToBytes(s: String): Array[Byte] = {
+    require(s.length % 2 == 0, "odd-length hex string")
+    Array.tabulate(s.length / 2)(i =>
+      Integer.parseInt(s.substring(2 * i, 2 * i + 2), 16).toByte)
+  }
+
+  private def bytesToHex(b: Array[Byte]): String =
+    b.map(x => f"${x & 0xFF}%02x").mkString
 
   private def num(v: Any): Long = v match {
     case l: Long => l
@@ -310,6 +450,8 @@ object BinlogWire {
   val WriteRowsEventV2 = 30
   val UpdateRowsEventV2 = 31
   val DeleteRowsEventV2 = 32
+  val GtidEvent = 33
+  val PreviousGtidsEvent = 35
 
   private def header(timestamp: Long, typeCode: Int, serverId: Long,
       eventLen: Int, nextPos: Long, flags: Int = 0): Array[Byte] =
@@ -401,6 +543,34 @@ object BinlogWire {
       pos: Long = 4L): Event =
     Event(timestamp, RotateEvent, serverId,
       le(pos, 8) ++ nextFile.getBytes(UTF_8))
+
+  private def uuidBytes(sid: java.util.UUID): Array[Byte] =
+    be(sid.getMostSignificantBits, 8) ++ be(sid.getLeastSignificantBits, 8)
+
+  /** GTID preceding a transaction (5.6 layout: commit flag + SID + GNO —
+    * later servers append logical timestamps; readers use the event
+    * length). The engine assigns GNO := the transaction's TSO, so the
+    * GTID sequence inherits the log's total order and a position maps
+    * 1:1 to a GTID set. */
+  def gtidEvent(timestamp: Long, serverId: Long, sid: java.util.UUID,
+      gno: Long): Event =
+    Event(timestamp, GtidEvent, serverId,
+      Array(1.toByte) ++ uuidBytes(sid) ++ le(gno, 8))
+
+  /** PREVIOUS_GTIDS at file start: the GTID sets fully contained in
+    * earlier files — per set, SID + [start, end) intervals. */
+  def previousGtidsEvent(timestamp: Long, serverId: Long,
+      sets: Seq[(java.util.UUID, Seq[(Long, Long)])]): Event = {
+    val out = Array.newBuilder[Byte]
+    out ++= le(sets.length.toLong, 8)
+    sets.foreach { case (sid, intervals) =>
+      out ++= uuidBytes(sid) ++ le(intervals.length.toLong, 8)
+      intervals.foreach { case (start, end) =>
+        out ++= le(start, 8) ++ le(end, 8)
+      }
+    }
+    Event(timestamp, PreviousGtidsEvent, serverId, out.result())
+  }
 
   def formatDescription(timestamp: Long, serverId: Long,
       serverVersion: String = "8.0.32-graft",
@@ -551,14 +721,19 @@ object BinlogWire {
       opCol: String, timestampCol: String, tsoCol: String, outDir: String,
       serverId: Long = 1L, tableId: Long = 1L,
       beforeCols: Option[Seq[String]] = None,
-      checksummed: Boolean = false): Int = {
+      checksummed: Boolean = false,
+      gtidSid: Option[java.util.UUID] = None,
+      rotateChain: Boolean = false): Int = {
     val names = specs.map(_.name)
     require(beforeCols.forall(_.length == names.length),
       "beforeCols arity must match specs")
     val confMap = graft.util.HadoopIo.confMap
     val counter = df.sparkSession.sparkContext.longAccumulator("binlogTxnFiles")
     df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-      if (it.hasNext) {
+      // in rotate-chain mode an EMPTY partition still writes its
+      // header-only file, so the chain is dense and a missing file is
+      // always a LOST segment, never a legitimately skipped one
+      if (it.hasNext || rotateChain) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val conf = graft.util.HadoopIo.confFrom(confMap)
         val path = new org.apache.hadoop.fs.Path(outDir, f"binlog.$pid%06d")
@@ -587,12 +762,19 @@ object BinlogWire {
             val tso = r.getAs[Number](tsoCol).longValue()
             if (!headerDone) {
               w.write(formatDescription(ts, serverId, checksummed = checksummed))
+              // the authoritative previous-set index is the TSO cursor;
+              // the event is emitted (empty) so GTID-aware readers see
+              // the expected file preamble
+              gtidSid.foreach(_ =>
+                w.write(previousGtidsEvent(ts, serverId, Seq.empty)))
               w.write(tableMap(ts, serverId, tableId, schemaName,
                 tableName, specs))
               headerDone = true
             }
             if (!openTso.contains(tso)) {
               openTso.foreach(x => w.write(commitEvent(ts, serverId, x)))
+              gtidSid.foreach(sid =>
+                w.write(gtidEvent(ts, serverId, sid, gno = tso)))
               w.write(markEvent(ts, serverId, s"CTS::$tso"))
               w.write(beginEvent(ts, serverId))
               openTso = Some(tso)
@@ -600,6 +782,11 @@ object BinlogWire {
             w.write(rowsFor(r, ts))
           }
           openTso.foreach(x => w.write(commitEvent(0L, serverId, x)))
+          if (rotateChain) {
+            if (!headerDone)
+              w.write(formatDescription(0L, serverId, checksummed = checksummed))
+            w.write(rotateEvent(0L, serverId, f"binlog.${pid + 1}%06d"))
+          }
         } finally out.close()
         counter.add(1)
       }
@@ -627,7 +814,9 @@ object BinlogWire {
       schemaCol: String = "schemaName", tableCol: String = "tableName",
       beforeCol: String = "before", afterCol: String = "after",
       serverId: Long = 1L, filePrefix: String = "binlog.",
-      checksummed: Boolean = false): Int = {
+      checksummed: Boolean = false,
+      gtidSid: Option[java.util.UUID] = None,
+      rotateChain: Boolean = false): Int = {
     val tableIds: Map[(String, String), Long] =
       tableCols.keys.toSeq.sorted.zipWithIndex
         .map { case (k, i) => k -> (i + 1L) }.toMap
@@ -639,7 +828,9 @@ object BinlogWire {
     val hasDdlCol = df.columns.contains("ddl")
     val counter = df.sparkSession.sparkContext.longAccumulator("binlogCdcFiles")
     df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-      if (it.hasNext) {
+      // rotate-chain mode: empty partitions write header-only files so
+      // the chain stays dense (missing file = lost segment, always)
+      if (it.hasNext || rotateChain) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val conf = graft.util.HadoopIo.confFrom(confMap)
         val path = new org.apache.hadoop.fs.Path(outDir, f"$filePrefix$pid%06d")
@@ -658,11 +849,16 @@ object BinlogWire {
               case n: Number => n.longValue()
             }
             if (!headerDone) {
-              w.write(formatDescription(ts, serverId, checksummed = checksummed)); headerDone = true
+              w.write(formatDescription(ts, serverId, checksummed = checksummed))
+              gtidSid.foreach(_ =>
+                w.write(previousGtidsEvent(ts, serverId, Seq.empty)))
+              headerDone = true
             }
             val txn = r.getAs[Number](txnCol).longValue()
             if (!openTxn.contains(txn)) {
               openTxn.foreach(x => w.write(commitEvent(ts, serverId, x)))
+              gtidSid.foreach(sid => w.write(gtidEvent(ts, serverId, sid,
+                gno = r.getAs[Number](tsoCol).longValue())))
               w.write(markEvent(ts, serverId,
                 s"CTS::${r.getAs[Number](tsoCol).longValue()}"))
               w.write(beginEvent(ts, serverId))
@@ -701,6 +897,11 @@ object BinlogWire {
             }
           }
           openTxn.foreach(x => w.write(commitEvent(0L, serverId, x)))
+          if (rotateChain) {
+            if (!headerDone)
+              w.write(formatDescription(0L, serverId, checksummed = checksummed))
+            w.write(rotateEvent(0L, serverId, f"$filePrefix${pid + 1}%06d"))
+          }
         } finally out.close()
         counter.add(1)
       }
@@ -715,7 +916,8 @@ object BinlogWire {
     * transaction's TSO mark and XID once its commit is seen. */
   final case class DecodedRow(schemaName: String, tableName: String,
       op: String, before: Map[String, String], after: Map[String, String],
-      tso: Option[Long], xid: Option[Long], ddl: Option[String] = None)
+      tso: Option[Long], xid: Option[Long], ddl: Option[String] = None,
+      gtid: Option[String] = None)
 
   private final class ByteReader(b: Array[Byte], var pos: Int = 0) {
     def u8(): Int = { val v = b(pos) & 0xFF; pos += 1; v }
@@ -746,16 +948,30 @@ object BinlogWire {
       case 3 => Long4
       case 4 => { meta.u8(); Float4 }
       case 5 => { meta.u8(); Double8 }
+      case 7 => TimestampLegacy
       case 8 => LongLong
       case 9 => Int24
-      case 10 => Date3
+      case 10 | 14 => Date3 // NEWDATE shares DATE's bitfield layout
+      case 11 => TimeLegacy
+      case 12 => DatetimeLegacy
       case 13 => Year
       case 15 => VarChar(meta.le(2).toInt)
+      case 16 => { val lo = meta.u8(); Bit(meta.u8() * 8 + lo) }
       case 17 => Timestamp2(meta.u8())
       case 18 => DateTime2(meta.u8())
       case 19 => Time2(meta.u8())
+      case 245 => { meta.u8(); Json }
       case 246 => NewDecimal(meta.u8(), meta.u8())
       case 252 => Blob(meta.u8())
+      case 254 => // STRING carrier: CHAR, ENUM or SET per meta0
+        meta.u8() match {
+          case 247 => EnumW(Nil, meta.u8())
+          case 248 => SetW(Nil, meta.u8())
+          case b0 => // CHAR: high length bits XOR-packed into meta0's 0x30
+            val b1 = meta.u8()
+            CharW(b1 | (((b0 & 0x30) ^ 0x30) << 4))
+        }
+      case 255 => { meta.u8(); Geometry }
       case other => sys.error(s"unsupported wire type $other")
     }
 
@@ -804,6 +1020,23 @@ object BinlogWire {
       val len = (p - s) / 9 * 4 + digitsToBytes((p - s) % 9) +
         s / 9 * 4 + digitsToBytes(s % 9)
       decodeDecimal(r.bytes(len), p, s).toString
+    case Bit(bits) => r.be((bits + 7) / 8).toString
+    case CharW(maxBytes) =>
+      val n = (if (maxBytes < 256) r.le(1) else r.le(2)).toInt
+      new String(r.bytes(n), UTF_8)
+    case EnumW(_, packLen) => r.le(packLen).toString // 1-based ordinal
+    case SetW(_, packLen) => r.le(packLen).toString  // member bitmask
+    case Geometry => bytesToHex(r.bytes(r.le(4).toInt))
+    case Json => JsonB.decodeToString(r.bytes(r.le(4).toInt))
+    case DatetimeLegacy =>
+      val v = r.le(8)
+      val (d, t) = (v / 1000000L, v % 1000000L)
+      f"${d / 10000}%04d-${d / 100 % 100}%02d-${d % 100}%02d " +
+        f"${t / 10000}%02d:${t / 100 % 100}%02d:${t % 100}%02d"
+    case TimeLegacy =>
+      val v = r.le(3)
+      f"${v / 10000}%02d:${v / 100 % 100}%02d:${v % 100}%02d"
+    case TimestampLegacy => r.le(4).toString
   }
 
   /** Decode a binlog file produced by the writers above back into change
@@ -813,14 +1046,33 @@ object BinlogWire {
     * (TABLE_MAP carries no names). Supports checksum-off files with the
     * event types this object emits; skips unknown frames. */
   def decodeFile(bytes: Array[Byte],
-      colNames: Map[(String, String), Seq[String]] = Map.empty): Seq[DecodedRow] = {
-    val tables = scala.collection.mutable.Map
+      colNames: Map[(String, String), Seq[String]] = Map.empty): Seq[DecodedRow] =
+    decodeStream(parseFile(bytes).iterator, colNames).toSeq
+
+  /** Streaming decode: turns a frame iterator into change rows, holding
+    * at most one OPEN transaction's rows in memory (rows publish when
+    * their XID commit is seen — the reference's parse-then-commit
+    * visibility). This is the form `readBinlogFiles` runs per partition,
+    * so an unbounded log file decodes in bounded memory. */
+  def decodeStream(frames: Iterator[(Int, Long, Array[Byte])],
+      colNames: Map[(String, String), Seq[String]] = Map.empty)
+      : Iterator[DecodedRow] = new Iterator[DecodedRow] {
+    private val tables = scala.collection.mutable.Map
       .empty[Long, (String, String, Seq[Wire])]
-    var tso = Option.empty[Long]
-    val pending = scala.collection.mutable.ArrayBuffer.empty[DecodedRow]
-    val out = Seq.newBuilder[DecodedRow]
-    parseFile(bytes).foreach { case (typeCode, _, body) =>
+    private var tso = Option.empty[Long]
+    private var gtid = Option.empty[String]
+    private val pending = scala.collection.mutable.ArrayBuffer.empty[DecodedRow]
+    private var emit: Iterator[DecodedRow] = Iterator.empty
+    private var drained = false
+
+    private def consume(typeCode: Int, body: Array[Byte]): Unit =
       typeCode match {
+        case GtidEvent =>
+          val r = new ByteReader(body)
+          r.u8() // commit flag
+          val msb = r.be(8); val lsb = r.be(8)
+          val gno = r.le(8)
+          gtid = Some(s"${new java.util.UUID(msb, lsb)}:$gno")
         case TableMapEvent =>
           val r = new ByteReader(body)
           val tid = r.le(6); r.le(2) // flags
@@ -836,9 +1088,10 @@ object BinlogWire {
           if (s.startsWith("CTS::")) tso = Some(s.stripPrefix("CTS::").toLong)
         case XidEvent =>
           val xid = new ByteReader(body).le(8)
-          pending.foreach(p => out += p.copy(xid = Some(xid)))
+          emit = pending.toList.map(_.copy(xid = Some(xid))).iterator
           pending.clear()
           tso = None // the mark scopes ONE txn; the next must carry its own
+          gtid = None
         case QueryEvent =>
           val r = new ByteReader(body)
           r.le(4); r.le(4) // thread id, exec time
@@ -849,7 +1102,7 @@ object BinlogWire {
           val stmt = new String(r.bytes(r.remaining), UTF_8)
           if (stmt != "BEGIN") // BEGIN frames a txn; anything else is DDL
             pending += DecodedRow(sn, "", "DDL", Map.empty, Map.empty,
-              tso, None, ddl = Some(stmt))
+              tso, None, ddl = Some(stmt), gtid = gtid)
         case tc if tc == WriteRowsEventV2 || tc == UpdateRowsEventV2 ||
             tc == DeleteRowsEventV2 =>
           val r = new ByteReader(body)
@@ -876,13 +1129,29 @@ object BinlogWire {
               case DeleteRowsEventV2 => ("DELETE", image(), Map.empty[String, String])
               case _ => val b = image(); ("UPDATE", b, image())
             }
-            pending += DecodedRow(sn, tn, op, before, after, tso, None)
+            pending += DecodedRow(sn, tn, op, before, after, tso, None,
+              gtid = gtid)
           }
-        case _ => // FDE / QUERY(BEGIN) / ROTATE: no row payload
+        case _ => // FDE / QUERY(BEGIN) / ROTATE / PREVIOUS_GTIDS: no rows
+      }
+
+    private def advance(): Unit = {
+      while (!emit.hasNext && frames.hasNext) {
+        val (typeCode, _, body) = frames.next()
+        consume(typeCode, body)
+      }
+      if (!emit.hasNext && !drained) { // unterminated tail (no XID seen)
+        emit = pending.toList.iterator
+        pending.clear()
+        drained = true
       }
     }
-    out ++= pending // unterminated tail (no XID seen)
-    out.result()
+
+    def hasNext: Boolean = { advance(); emit.hasNext }
+    def next(): DecodedRow = {
+      advance()
+      emit.next()
+    }
   }
 
   /** Read a directory of binlog files into a DataFrame of decoded change
@@ -901,52 +1170,126 @@ object BinlogWire {
       val conf = graft.util.HadoopIo.confFrom(confMap)
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(conf)
+      // stream the file through the incremental parser — a file of any
+      // size (the writers support unbounded partitions) decodes in
+      // bounded memory; the task-completion listener closes the stream
+      // whether the iterator drains or the task dies mid-way
       val in = fs.open(p)
-      val bytes = try {
-        val len = fs.getFileStatus(p).getLen.toInt
-        val buf = new Array[Byte](len)
-        in.readFully(0, buf)
-        buf
-      } finally in.close()
-      decodeFile(bytes, colNames).map(d => (path.split('/').last,
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+      decodeStream(parseStream(in), colNames).map(d => (path.split('/').last,
         d.schemaName, d.tableName, d.op, d.before, d.after, d.tso, d.xid,
-        d.ddl))
+        d.ddl, d.gtid))
     }.toDF("log_file", "schemaName", "tableName", "op", "before", "after",
-      "tso", "xid", "ddl")
+      "tso", "xid", "ddl", "gtid")
+  }
+
+  /** Verify the ROTATE chain over a directory of binlog files written
+    * with `rotateChain = true`: each file's trailing ROTATE must name
+    * EXACTLY the next existing file — the chain is dense by construction
+    * (empty partitions write header-only files), so any gap is a LOST
+    * segment and fails loudly (the reference's binlog-file sequence
+    * check when serving a dump: a hole in the rotation chain means lost
+    * log). Returns the verified chain as (log_file, rotate_target)
+    * pairs; the final file's dangling target (its successor was never
+    * written — the "active file" state) is allowed. */
+  def verifyRotateChain(spark: org.apache.spark.sql.SparkSession,
+      dir: String, filePrefix: String = "binlog.")
+      : Seq[(String, Option[String])] = {
+    import spark.implicits._
+    val confMap = graft.util.HadoopIo.confMap
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val files = graft.util.HadoopIo.fsOf(root).listStatus(root).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(filePrefix))
+      .map(_.getPath.toString).sorted
+    val targets = spark.createDataset(files).map { path =>
+      val conf = graft.util.HadoopIo.confFrom(confMap)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val in = p.getFileSystem(conf).open(p)
+      val t = try {
+        parseStream(in).foldLeft(Option.empty[String]) {
+          case (_, (RotateEvent, _, body)) =>
+            Some(new String(body.drop(8), UTF_8))
+          case (acc, _) => acc
+        }
+      } finally in.close()
+      (p.getName, t)
+    }.collect().sortBy(_._1).toSeq
+    targets.sliding(2).foreach {
+      case Seq((file, target), (next, _)) =>
+        val t = target.getOrElse(sys.error(
+          s"rotate chain broken: $file carries no ROTATE but $next follows"))
+        require(t == next,
+          s"rotate chain broken: $file rotates to $t but the next file " +
+            s"present is $next — a log segment is missing")
+      case _ => // single file: nothing to chain
+    }
+    targets
   }
 
   /** Split a file's bytes back into (typeCode, nextPos, body) frames —
-    * the spec's structural witness. */
-  def parseFile(bytes: Array[Byte]): Seq[(Int, Long, Array[Byte])] = {
-    require(bytes.take(4).sameElements(Magic), "bad magic")
-    var i = 4
-    var checksummed = false
-    val out = Seq.newBuilder[(Int, Long, Array[Byte])]
-    while (i < bytes.length) {
-      val typeCode = bytes(i + 4) & 0xFF
-      var len = 0L
-      (0 until 4).foreach(k => len |= (bytes(i + 9 + k) & 0xFFL) << (8 * k))
-      var nextPos = 0L
-      (0 until 4).foreach(k => nextPos |= (bytes(i + 13 + k) & 0xFFL) << (8 * k))
-      var body = bytes.slice(i + HeaderLength, i + len.toInt)
-      // the FDE's checksum-alg byte governs the whole file: with CRC32
-      // every event (the FDE included) carries a 4-byte trailer, covered
-      // bytes = header + body — verify and strip
-      if (typeCode == FormatDescriptionEvent && body.length >= 5)
-        checksummed = body(body.length - 5) == 1
-      if (checksummed) {
-        val crc = new java.util.zip.CRC32()
-        crc.update(bytes, i, len.toInt - 4)
-        var stored = 0L
-        (0 until 4).foreach(k =>
-          stored |= (bytes(i + len.toInt - 4 + k) & 0xFFL) << (8 * k))
-        require(crc.getValue == stored,
-          f"CRC mismatch in event type $typeCode at offset $i")
-        body = body.dropRight(4)
+    * the spec's structural witness over in-memory bytes. Unbounded files
+    * go through `parseStream` (one event in memory at a time). */
+  def parseFile(bytes: Array[Byte]): Seq[(Int, Long, Array[Byte])] =
+    parseStream(new java.io.ByteArrayInputStream(bytes)).toSeq
+
+  /** Incremental frame parser: decodes (typeCode, nextPos, body) events
+    * one at a time off the stream — the read-side dual of FileWriter's
+    * incremental encode, so a multi-GB binlog file (the writers support
+    * unbounded partitions) never needs to be materialized as one array.
+    * Verifies + strips the CRC32 trailer when the FDE declares alg 1. */
+  def parseStream(in: java.io.InputStream)
+      : Iterator[(Int, Long, Array[Byte])] = {
+    val din = new java.io.DataInputStream(in)
+    val magic = new Array[Byte](4)
+    din.readFully(magic)
+    require(magic.sameElements(Magic), "bad magic")
+    new Iterator[(Int, Long, Array[Byte])] {
+      private var checksummed = false
+      private var nextFrame: Option[(Int, Long, Array[Byte])] = None
+      private var eof = false
+      private def fetch(): Unit = if (nextFrame.isEmpty && !eof) {
+        val hdr = new Array[Byte](HeaderLength)
+        val first = din.read()
+        if (first < 0) { eof = true }
+        else {
+          hdr(0) = first.toByte
+          din.readFully(hdr, 1, HeaderLength - 1)
+          val typeCode = hdr(4) & 0xFF
+          var len = 0L
+          (0 until 4).foreach(k => len |= (hdr(9 + k) & 0xFFL) << (8 * k))
+          var nextPos = 0L
+          (0 until 4).foreach(k => nextPos |= (hdr(13 + k) & 0xFFL) << (8 * k))
+          require(len >= HeaderLength && len <= Int.MaxValue.toLong,
+            s"event type $typeCode declares invalid length $len")
+          var body = new Array[Byte](len.toInt - HeaderLength)
+          din.readFully(body)
+          // the FDE's checksum-alg byte governs the whole file: with CRC32
+          // every event (the FDE included) carries a 4-byte trailer,
+          // covered bytes = header + body — verify and strip
+          if (typeCode == FormatDescriptionEvent && body.length >= 5)
+            checksummed = body(body.length - 5) == 1
+          if (checksummed) {
+            val crc = new java.util.zip.CRC32()
+            crc.update(hdr)
+            crc.update(body, 0, body.length - 4)
+            var stored = 0L
+            (0 until 4).foreach(k =>
+              stored |= (body(body.length - 4 + k) & 0xFFL) << (8 * k))
+            require(crc.getValue == stored,
+              s"CRC mismatch in event type $typeCode")
+            body = body.dropRight(4)
+          }
+          nextFrame = Some((typeCode, nextPos, body))
+        }
       }
-      out += ((typeCode, nextPos, body))
-      i += len.toInt
+      def hasNext: Boolean = { fetch(); nextFrame.isDefined }
+      def next(): (Int, Long, Array[Byte]) = {
+        fetch()
+        val f = nextFrame.getOrElse(throw new NoSuchElementException)
+        nextFrame = None
+        f
+      }
     }
-    out.result()
   }
 }

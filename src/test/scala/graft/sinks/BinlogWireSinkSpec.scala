@@ -101,6 +101,42 @@ class BinlogWireSinkSpec extends SparkSpec {
       .contains("a2"))
   }
 
+  test("GTID mode + rotate chain: sid:tso gtids per txn, verifiable file chain") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wiregtid").toString
+    val sid = java.util.UUID.fromString("3E11FA47-71CA-11E1-9E33-C80AA9429562")
+    val specs = Seq(ColSpec("id", LongLong))
+    val df = (1L to 40L).map(i => (i, "INSERT", i, 1700000000L))
+      .toDF("id", "op", "tso", "ts")
+    val ordered = graft.operators.MergeSort.sortedRuns(df, 4, Seq("tso"))
+    val n = writeTxnFramedBinlogFiles(ordered, specs, "app", "t", "op",
+      "ts", "tso", dir, gtidSid = Some(sid), rotateChain = true)
+    assert(n == 4)
+    // every decoded row carries its transaction's gtid, gno = tso
+    val rows = BinlogWire.readBinlogFiles(spark, dir,
+      Map(("app", "t") -> Seq("id")))
+      .select($"tso", $"gtid").as[(Option[Long], Option[String])]
+      .collect()
+    assert(rows.length == 40)
+    rows.foreach { case (tso, gtid) =>
+      assert(gtid.contains(s"${sid.toString.toLowerCase}:${tso.get}"))
+    }
+    // the rotate chain verifies: each file names its successor
+    val chain = BinlogWire.verifyRotateChain(spark, dir)
+    assert(chain.length == 4)
+    assert(chain.init.map(_._2.get) == chain.tail.map(_._1))
+    // PREVIOUS_GTIDS opens every file (after the FDE)
+    val bytes = java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "binlog.000000").toPath)
+    assert(parseFile(bytes).map(_._1).take(2) ==
+      Seq(FormatDescriptionEvent, PreviousGtidsEvent))
+    // a lost middle segment is DETECTED
+    assert(new java.io.File(dir, "binlog.000001").delete())
+    val e = intercept[IllegalArgumentException] {
+      BinlogWire.verifyRotateChain(spark, dir)
+    }
+    assert(e.getMessage.contains("log segment is missing"))
+  }
+
   test("multi-table change stream: per-table maps inside txn envelopes") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wirecdc").toString
     val ev = Seq(

@@ -221,6 +221,131 @@ class BinlogWireSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { parseFile(corrupted) }
   }
 
+  test("parseStream: incremental decode matches parseFile; truncation is loud") {
+    val specs = Seq(ColSpec("id", LongLong))
+    val file = assembleFile(Seq(
+      formatDescription(1000L, 7, checksummed = true),
+      tableMap(1000L, 7, 1, "app", "t", specs),
+      rowsEvent(1000L, 7, WriteRowsEventV2, 1, specs,
+        Seq(rowImage(specs, Seq(Some(42L)))))), checksummed = true)
+    // the streaming parser sees exactly what the whole-buffer parser does
+    val streamed = parseStream(new java.io.ByteArrayInputStream(file)).toSeq
+    val buffered = parseFile(file)
+    assert(streamed.map(_._1) == buffered.map(_._1))
+    streamed.zip(buffered).foreach { case (s, b) =>
+      assert(s._2 == b._2 && s._3.sameElements(b._3))
+    }
+    // a file cut mid-event (a crashed writer's tail) fails loudly — a
+    // silent partial decode would drop the tail of a committed batch
+    intercept[java.io.EOFException] {
+      parseStream(new java.io.ByteArrayInputStream(
+        file.dropRight(3))).toSeq
+    }
+  }
+
+  test("BIT/ENUM/SET/CHAR/GEOMETRY/JSON cells: layout and meta") {
+    // BIT(10) → 2 bytes big-endian; meta (bits%8, bits/8)
+    assert(encodeCell(Bit(10), 0x2ABL).sameElements(Array(0x02, 0xAB).map(_.toByte)))
+    assert(Bit(10).meta.sameElements(Array(2.toByte, 1.toByte)))
+    // ENUM: 1-based ordinal in packLen bytes; member string accepted
+    val e = EnumW.of("red", "green", "blue")
+    assert(encodeCell(e, "green").sameElements(Array(2.toByte)))
+    assert(encodeCell(e, 3L).sameElements(Array(3.toByte)))
+    intercept[IllegalArgumentException] { encodeCell(e, "mauve") }
+    // SET: member bitmask LE; comma list accepted
+    val s = SetW.of("a", "b", "c", "d")
+    assert(encodeCell(s, "a,c").sameElements(Array(5.toByte)))
+    assert(encodeCell(s, 9L).sameElements(Array(9.toByte)))
+    // CHAR: length-prefixed like varchar; meta folds length's high bits
+    assert(encodeCell(CharW(20), "hi").sameElements(
+      Array(2.toByte, 'h'.toByte, 'i'.toByte)))
+    assert(CharW(772).meta.sameElements( // 772 = 0x304
+      Array((0xFE ^ 0x30).toByte, 0x04.toByte)))
+    // GEOMETRY: 4-byte LE length + opaque payload
+    assert(encodeCell(Geometry, Array[Byte](1, 2, 3)).sameElements(
+      Array(3, 0, 0, 0, 1, 2, 3).map(_.toByte)))
+    // JSON: 4-byte LE length + jsonb document
+    val j = encodeCell(Json, """{"a":2}""")
+    assert(j.take(4).sameElements(Array(13, 0, 0, 0).map(_.toByte)))
+    assert((j(4) & 0xFF) == 0x00) // small-object tag
+  }
+
+  test("legacy temporal cells: packed-decimal DATETIME, HHMMSS TIME, epoch TIMESTAMP") {
+    val dt = java.time.LocalDateTime.of(2024, 3, 7, 9, 5, 2)
+    // YYYYMMDDHHMMSS as a decimal number, LE uint64
+    val enc = encodeCell(DatetimeLegacy, dt)
+    var v = 0L
+    (0 until 8).foreach(i => v |= (enc(i) & 0xFFL) << (8 * i))
+    assert(v == 20240307090502L)
+    val t = encodeCell(TimeLegacy, java.time.LocalTime.of(23, 59, 58))
+    assert((t(0) & 0xFF | (t(1) & 0xFF) << 8 | (t(2) & 0xFF) << 16) == 235958)
+    val ts = encodeCell(TimestampLegacy, java.time.Instant.ofEpochSecond(1700000000L))
+    var tv = 0L
+    (0 until 4).foreach(i => tv |= (ts(i) & 0xFFL) << (8 * i))
+    assert(tv == 1700000000L)
+  }
+
+  test("new wire types survive the full file framing roundtrip") {
+    val specs = Seq(
+      ColSpec("b", Bit(12)), ColSpec("e", EnumW.of("x", "y", "z")),
+      ColSpec("s", SetW.of("p", "q", "r")), ColSpec("c", CharW(16)),
+      ColSpec("g", Geometry), ColSpec("j", Json),
+      ColSpec("dl", DatetimeLegacy), ColSpec("tl", TimeLegacy),
+      ColSpec("sl", TimestampLegacy))
+    val row = rowImage(specs, Seq(
+      Some(0x5AL), Some("y"), Some("p,r"), Some("hello"),
+      Some(Array[Byte](0, 1, 2, 3)), Some("""{"k":[1,"two"]}"""),
+      Some(java.time.LocalDateTime.of(2024, 1, 2, 3, 4, 5)),
+      Some(java.time.LocalTime.of(6, 7, 8)),
+      Some(java.time.Instant.ofEpochSecond(1700000123L))))
+    val file = assembleFile(Seq(
+      formatDescription(1000L, 7, checksummed = true),
+      tableMap(1000L, 7, 1, "app", "t", specs),
+      rowsEvent(1000L, 7, WriteRowsEventV2, 1, specs, Seq(row))),
+      checksummed = true)
+    val decoded = decodeFile(file,
+      Map(("app", "t") -> specs.map(_.name)))
+    assert(decoded.length == 1)
+    val img = decoded.head.after
+    assert(img("b") == 0x5A.toString)
+    assert(img("e") == "2")            // ordinal of "y" — names live in the schema
+    assert(img("s") == "5")            // bitmask of {p, r}
+    assert(img("c") == "hello")
+    assert(img("g") == "00010203")
+    assert(img("j") == """{"k":[1,"two"]}""")
+    assert(img("dl") == "2024-01-02 03:04:05")
+    assert(img("tl") == "06:07:08")
+    assert(img("sl") == "1700000123")
+  }
+
+  test("GTID events: SID+GNO roundtrip, txn-scoped, cleared at commit") {
+    val sid = java.util.UUID.fromString("3E11FA47-71CA-11E1-9E33-C80AA9429562")
+    val specs = Seq(ColSpec("id", LongLong))
+    def txn(tso: Long, v: Long) = Seq(
+      gtidEvent(1000L, 7, sid, gno = tso),
+      markEvent(1000L, 7, s"CTS::$tso"),
+      beginEvent(1000L, 7),
+      rowsEvent(1000L, 7, WriteRowsEventV2, 1, specs,
+        Seq(rowImage(specs, Seq(Some(v))))),
+      commitEvent(1000L, 7, xid = tso))
+    val file = assembleFile(
+      Seq(formatDescription(1000L, 7),
+        previousGtidsEvent(1000L, 7, Seq(sid -> Seq((1L, 5L)))),
+        tableMap(1000L, 7, 1, "app", "t", specs)) ++
+        txn(5L, 50L) ++ txn(6L, 60L))
+    val rows = decodeFile(file, Map(("app", "t") -> Seq("id")))
+    assert(rows.length == 2)
+    // each txn carries ITS OWN gtid — sid:gno with gno = tso
+    assert(rows.map(_.gtid) == Seq(
+      Some(s"${sid.toString.toLowerCase}:5"),
+      Some(s"${sid.toString.toLowerCase}:6")))
+    assert(rows.map(_.tso) == Seq(Some(5L), Some(6L)))
+    // PREVIOUS_GTIDS parses structurally (no rows out of it)
+    val frames = parseFile(file)
+    assert(frames.count(_._1 == PreviousGtidsEvent) == 1)
+    assert(frames.count(_._1 == GtidEvent) == 2)
+  }
+
   test("update rows event carries two present bitmaps; write carries one") {
     val specs = Seq(ColSpec("id", Long4))
     val w = rowsEvent(0L, 1, WriteRowsEventV2, 1, specs, Seq.empty)
