@@ -741,6 +741,52 @@ object SparkEntry {
           min(col("sd")).as("min_sd"), max(col("sd")).as("max_sd"))
     }),
 
+    // the round-5 field-type family on the wire, ORACLE-CHECKED: BIT,
+    // CHAR (STRING metadata packing), binary-JSON documents (jsonb) and
+    // GTID framing (GNO := TSO) roundtrip a part-table slice through
+    // encode∘decode; the decoded images, the json-extracted values and
+    // the per-txn gtids aggregate to DuckDB's numbers from the original
+    // parquet. The rotate chain is verified before reading.
+    "q65_wire_typed" -> ((s, d) => {
+      import graft.sinks.BinlogWire
+      import graft.sinks.BinlogWire._
+      val specs = Seq(ColSpec("p_partkey", LongLong),
+        ColSpec("p_brand", CharW(16)), ColSpec("p_size", Bit(10)),
+        ColSpec("p_retailprice", NewDecimal(12, 2)), ColSpec("meta", Json))
+      val rows = Tables.part(s, d).filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"), col("p_brand"),
+          col("p_size").cast("long"),
+          col("p_retailprice").cast("decimal(12,2)"),
+          to_json(struct(col("p_size"), col("p_type"))).as("meta"),
+          lit("INSERT").as("op"), col("p_partkey").as("tso"),
+          lit(1700000000L).as("ts"))
+      val ordered = MergeSort.sortedRuns(rows, 4, Seq("tso"))
+      val dir = Staged.tempDir("q65-wire")
+      val sid = java.util.UUID.fromString(
+        "3e11fa47-71ca-11e1-9e33-c80aa9429562")
+      BinlogWire.writeTxnFramedBinlogFiles(ordered, specs, "app", "part",
+        "op", "ts", "tso", dir, checksummed = true, gtidSid = Some(sid),
+        rotateChain = true)
+      BinlogWire.verifyRotateChain(s, dir) // lost-segment gate
+      BinlogWire.readBinlogFiles(s, dir,
+          Map(("app", "part") -> specs.map(_.name)))
+        .select(
+          element_at(col("after"), "p_brand").as("brand"),
+          element_at(col("after"), "p_size").cast("bigint").as("size"),
+          element_at(col("after"), "p_retailprice")
+            .cast("decimal(12,2)").as("price"),
+          get_json_object(element_at(col("after"), "meta"), "$.p_size")
+            .cast("bigint").as("jsize"),
+          col("gtid"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("gtid")).as("n_gtids"),
+          sum(col("size")).as("sum_size"),
+          sum(col("jsize")).as("sum_jsize"),
+          sum(col("price")).cast("double").as("sum_price"),
+          min(col("brand")).as("min_brand"),
+          max(col("brand")).as("max_brand"))
+    }),
+
     // full-copy → incremental handoff (HandoffJob / FSMMetaManager
     // analog, batch core): bootstrap the target from the AS-OF-tso-64
     // snapshot — the copy and its position commit atomically — then offer
@@ -1162,6 +1208,16 @@ object SparkEntry {
         "CAST(MIN(l_shipdate) AS DATE) AS min_sd, " +
         "CAST(MAX(l_shipdate) AS DATE) AS max_sd " +
         "FROM lineitem WHERE l_orderkey <= 200"),
+    // gtids are sid:tso with one txn per part key, so COUNT(DISTINCT
+    // gtid) must equal the key count; the jsonb roundtrip must preserve
+    // p_size inside the document as well as in its BIT cell
+    "q65_wire_typed" ->
+      ("SELECT COUNT(*) AS n, COUNT(DISTINCT p_partkey) AS n_gtids, " +
+        "CAST(SUM(p_size) AS BIGINT) AS sum_size, " +
+        "CAST(SUM(p_size) AS BIGINT) AS sum_jsize, " +
+        "CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price, " +
+        "MIN(p_brand) AS min_brand, MAX(p_brand) AS max_brand " +
+        "FROM part WHERE p_partkey <= 200"),
     // handoff must land on the SAME final state as replaying everything
     "q61_handoff" ->
       ("WITH t AS (SELECT o_orderkey AS tso, (o_custkey % 10) + 1 AS from_acct, " +
