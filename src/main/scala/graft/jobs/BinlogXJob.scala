@@ -43,6 +43,33 @@ object BinlogXJob {
     fannedOut.write.mode(SaveMode.Overwrite)
       .partitionBy("stream").parquet(outDir)
 
+  /** The WIRE form of the per-stream dumper: each logical stream becomes
+    * its own rotated MySQL binlog file set under `out/stream=<i>/` — the
+    * reference's Binlog-X mode runs one dumper (one binlog file
+    * sequence) per stream, and replicated markers (DDL) appear in every
+    * stream's log (SURVEY §3.2 / the TxnTag broadcast). Each stream's
+    * files are transaction-framed in commit order, rotate-chained, and
+    * independently consumable by `BinlogWire.readBinlogFiles`. */
+  def writeStreamWire(fannedOut: DataFrame, m: Int,
+      tableCols: Map[(String, String), Seq[String]], outDir: String,
+      filesPerStream: Int = 1,
+      gtidSid: Option[java.util.UUID] = None): Unit = {
+    val wtxn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("txnId"))
+    (0 until m).foreach { stream =>
+      // wire order is COMMIT order per stream: txns keyed by commit TSO,
+      // kept whole per file, rows tso-ordered within
+      val keyed = fannedOut.filter(col("stream") === stream).drop("stream")
+        .withColumn("__commit_tso", max(col("tso")).over(wtxn))
+      val ordered = graft.operators.MergeSort.sortedRunsGrouped(
+        keyed, filesPerStream, Seq("__commit_tso", "txnId"), Seq("tso"))
+        .drop("__commit_tso")
+      graft.sinks.BinlogWire.writeChangeStreamBinlogFiles(ordered,
+        tableCols, s"$outDir/stream=$stream", gtidSid = gtidSid,
+        rotateChain = true)
+    }
+  }
+
   /** Continuous form: fan each micro-batch out and append per-stream,
     * idempotently by position per stream (the relay-store + per-stream
     * dumper loop of SURVEY §3.2 under one streaming query). */

@@ -54,7 +54,8 @@ object GlobalBinlogStream {
       tableCols: Map[(String, String), Seq[String]], outDir: String,
       checkpointDir: String, numPartitions: Int,
       transform: DataFrame => DataFrame = identity,
-      continuous: Option[String] = None): StreamingQuery = {
+      continuous: Option[String] = None,
+      gtidSid: Option[java.util.UUID] = None): StreamingQuery = {
     val src = spark.readStream
       .schema(sourceSchema)
       .option("maxFilesPerTrigger", 16)
@@ -93,7 +94,7 @@ object GlobalBinlogStream {
           .drop("__commit_tso")
         graft.sinks.BinlogWire.writeChangeStreamBinlogFiles(
           ordered, tableCols, outDir,
-          filePrefix = f"binlog.$batchId%06d.")
+          filePrefix = f"binlog.$batchId%06d.", gtidSid = gtidSid)
         ()
       }
       .start()

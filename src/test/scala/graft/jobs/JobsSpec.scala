@@ -85,6 +85,46 @@ class JobsSpec extends SparkSpec {
     assert(disorder == 0)
   }
 
+  test("binlog-x wire: per-stream rotated binlog sets, DDL in every stream's log") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bxwire").toString
+    val m = 3
+    // 30 single-row txns over two tables, plus one DDL marker
+    val data = (1L to 30L).map { i =>
+      (i, i, "INSERT", "app", if (i % 2 == 0) "t0" else "t1",
+        Map.empty[String, String], Map("id" -> i.toString),
+        1700000000L, null.asInstanceOf[String], false)
+    }
+    val ddl = Seq((31L, 31L, "DDL", "app", "t0", Map.empty[String, String],
+      Map.empty[String, String], 1700000000L,
+      "ALTER TABLE t0 ADD COLUMN x INT", true))
+    val events = (data ++ ddl).toDF("tso", "txnId", "op", "schemaName",
+      "tableName", "before", "after", "tsoTime", "ddl", "marker")
+    val fanned = BinlogXJob.fanOut(events, m, StreamHash.ByTable,
+      "schemaName", "tableName", Seq("tso"), "tso", isMarker = $"marker")
+    val tables = Map(("app", "t0") -> Seq("id"), ("app", "t1") -> Seq("id"))
+    BinlogXJob.writeStreamWire(fanned, m, tables, dir, filesPerStream = 2)
+    val perStream = (0 until m).map { s =>
+      graft.sinks.BinlogWire.readBinlogFiles(spark, s"$dir/stream=$s", tables)
+    }
+    // every data row exactly once ACROSS streams; tables stay whole
+    val ids = perStream.flatMap(_.filter($"op" =!= "DDL")
+      .select($"after.id").as[String].collect().map(_.toLong))
+    assert(ids.sorted == (1L to 30L))
+    perStream.foreach { df =>
+      assert(df.filter($"op" =!= "DDL")
+        .select($"tableName").distinct().count() <= 1)
+      // the DDL marker is in EVERY stream's log, exactly once
+      assert(df.filter($"op" === "DDL").select($"ddl").as[String]
+        .collect().toSeq == Seq("ALTER TABLE t0 ADD COLUMN x INT"))
+    }
+    // each stream's file chain verifies independently (a 1-row stream —
+    // the marker-only one — may legitimately range-partition to 1 file)
+    (0 until m).foreach { s =>
+      assert(graft.sinks.BinlogWire
+        .verifyRotateChain(spark, s"$dir/stream=$s").nonEmpty)
+    }
+  }
+
   test("streaming binlog-x: per-stream dirs, markers everywhere, replay-safe") {
     import org.apache.spark.sql.types._
     val root = java.nio.file.Files.createTempDirectory("graft-bx").toString
