@@ -75,12 +75,18 @@ object DdlParser {
   sealed trait Stmt
   case class CreateTableLike(schema: String, table: String,
       srcSchema: String, srcTable: String, ifNotExists: Boolean) extends Stmt
-  /** CREATE TABLE t AS SELECT — bare column lists / * only (expression
-    * selects have no derivable schema and stay Noop). `cols` None = "*".
-    * MySQL CTAS copies column definitions from the result set but NOT
-    * keys — the folded clone drops the primary key accordingly. */
+  /** CREATE TABLE t AS SELECT — `cols` None = "*"; otherwise each item is
+    * (output column name, source column it carries the type of). A bare
+    * ref `a` is ("a", Some("a")); an aliased single column `b AS x` is
+    * ("x", Some("b")) — the clone carries b's type under the new name; an
+    * aliased expression `f(a) AS n` is ("n", None) — MySQL derives its
+    * type from the result set, which a log-side parser cannot, so the
+    * folded column is typed "unknown". Un-aliased expressions have no
+    * derivable NAME and keep the whole statement Noop. MySQL CTAS copies
+    * column definitions but NOT keys — the folded clone drops the pk. */
   case class CreateTableAsSelect(schema: String, table: String,
-      srcSchema: String, srcTable: String, cols: Option[Seq[String]],
+      srcSchema: String, srcTable: String,
+      cols: Option[Seq[(String, Option[String])]],
       ifNotExists: Boolean) extends Stmt
   case class CreateTable(schema: String, table: String, cols: Vector[ColumnDef],
       pk: Vector[String], ifNotExists: Boolean) extends Stmt
@@ -236,37 +242,71 @@ object DdlParser {
             else if (kw.lift(afterName).contains("select")) Some(afterName + 1)
             else None
           def parseCtas(at: Int): Option[Stmt] = {
-            val fromIdx = kw.indexOf("from", at)
-            if (fromIdx < 0) return None
-            // bare-identifier list only, validated by comma alternation:
-            // the tokenizer drops operator characters, so `a+b` arrives
-            // as two adjacent identifiers — rejected here (expression),
-            // and a dropped `*` leaves an EMPTY valid list → clone-all
-            val items = scala.collection.mutable.ArrayBuffer.empty[String]
-            var i = at
-            var bare = true
-            var expectItem = true
-            while (i < fromIdx && bare) {
-              toks(i) match {
-                case "," =>
-                  if (expectItem) bare = false else expectItem = true
-                case "(" | ")" => bare = false
-                case "." => // qualified t.c → the column ident replaces t
-                  if (items.isEmpty) bare = false
-                  else { items.remove(items.length - 1); expectItem = true }
-                case id =>
-                  if (!expectItem) bare = false
-                  else { items += id.toLowerCase; expectItem = false }
+            // top-level FROM only — a subquery's FROM sits inside parens
+            var fromIdx = -1
+            var d = 0
+            var j = at
+            while (j < toks.length && fromIdx < 0) {
+              toks(j) match {
+                case "(" => d += 1
+                case ")" => d -= 1
+                case _ if d == 0 && kw(j) == "from" => fromIdx = j
+                case _ =>
               }
-              i += 1
+              j += 1
             }
-            if (expectItem && items.nonEmpty) bare = false // trailing comma
-            if (!bare) None
-            else {
-              val (ss, st, _) = qualified(fromIdx + 1)
-              val cols = if (items.isEmpty) None else Some(items.toSeq)
-              Some(CreateTableAsSelect(sch, tbl, ss, st, cols, ifNotExists))
+            if (fromIdx < 0) return None
+            // split the select list on top-level commas; each item is a
+            // bare (possibly qualified) ref, or `expr AS alias`. The
+            // tokenizer drops operator characters, so `a+b` arrives as
+            // two adjacent identifiers — no derivable name without an
+            // alias → the whole statement stays Noop. A dropped `*`
+            // leaves an EMPTY list → clone-all.
+            val ranges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+            var s0 = at
+            d = 0
+            (at until fromIdx).foreach { i =>
+              toks(i) match {
+                case "(" => d += 1
+                case ")" => d -= 1
+                case "," if d == 0 => ranges += ((s0, i)); s0 = i + 1
+                case _ =>
+              }
             }
+            if (s0 < fromIdx) ranges += ((s0, fromIdx))
+            val punct = Set("(", ")", ",", ".")
+            def bareRef(s: Int, e: Int): Option[String] = (e - s) match {
+              case 1 if !punct.contains(toks(s)) => Some(kw(s))
+              case 3 if toks(s + 1) == "." && !punct.contains(toks(s + 2)) =>
+                Some(kw(s + 2)) // qualified t.c → the column ident
+              case _ => None
+            }
+            val items = ranges.toSeq.map { case (s, e) =>
+              if (e <= s) return None // empty item (stray comma)
+              // the LAST top-level AS marks the alias (CAST(x AS t) sits
+              // inside parens and never matches)
+              var asAt = -1
+              var dd = 0
+              (s until e).foreach { i =>
+                toks(i) match {
+                  case "(" => dd += 1
+                  case ")" => dd -= 1
+                  case _ if dd == 0 && kw(i) == "as" => asAt = i
+                  case _ =>
+                }
+              }
+              if (asAt >= 0) {
+                if (asAt != e - 2 || punct.contains(toks(e - 1)))
+                  return None // alias must be exactly one identifier
+                (kw(e - 1), bareRef(s, asAt))
+              } else bareRef(s, e) match {
+                case Some(id) => (id, Some(id))
+                case None => return None // unaliased expression: no name
+              }
+            }
+            val (ss, st, _) = qualified(fromIdx + 1)
+            val cols = if (items.isEmpty) None else Some(items)
+            Some(CreateTableAsSelect(sch, tbl, ss, st, cols, ifNotExists))
           }
           likeAt match {
             case Some(at) =>
@@ -626,8 +666,16 @@ object DdlParser {
             tables.get((ss, st)).foreach { src =>
               val projected = cols match {
                 case None => src.columns
-                case Some(names) => // selected order; unknown names skipped
-                  names.flatMap(n => src.columns.find(_.name == n)).toVector
+                case Some(items) => // selected order; unknown refs skipped
+                  items.flatMap {
+                    case (out, Some(srcName)) =>
+                      src.columns.find(_.name == srcName)
+                        .map(c => c.copy(name = out))
+                    case (out, None) => // aliased expression: the result
+                      // set defines its type server-side; log-side it is
+                      // a named column of unknown type
+                      Some(ColumnDef(out, "unknown"))
+                  }.toVector
               }
               if (projected.nonEmpty) {
                 tables(key) = TableState(projected, Vector.empty) // CTAS: no keys

@@ -207,11 +207,36 @@ class DdlParserSpec extends SparkSpec {
     // CTAS does not copy keys (MySQL semantics): the clone has no pk
     val parsed = DdlParser.parse("CREATE TABLE c2 AS SELECT b, id FROM src", "s")
     assert(parsed == CreateTableAsSelect("s", "c2", "s", "src",
-      Some(Seq("b", "id")), ifNotExists = false))
+      Some(Seq(("b", Some("b")), ("id", Some("id")))), ifNotExists = false))
     // qualified source + cross-schema fold routing
     assert(DdlParser.targetSchemas(
       DdlParser.parse("CREATE TABLE a.c AS SELECT * FROM b.src", "s")) ==
       Seq("a", "b"))
+  }
+
+  test("CTAS aliased expressions: alias names the column, type from source when derivable") {
+    val hist = Seq(
+      (1L, "CREATE TABLE src (id BIGINT PRIMARY KEY, a INT, b TEXT)"),
+      // aliased single column: new name, b's type travels with it
+      (2L, "CREATE TABLE c1 AS SELECT b AS label, id FROM src"),
+      // aliased expressions: named columns; the server derives their
+      // types from the result set, log-side they are "unknown"
+      (3L, "CREATE TABLE c2 AS SELECT count(a) AS n, concat(a, b) AS ab FROM src"),
+      // CAST's inner AS sits in parens — the top-level alias still wins
+      (4L, "CREATE TABLE c3 AS SELECT CAST(id AS UNSIGNED) AS uid FROM src"),
+      // unaliased expression: no derivable NAME → whole statement Noop
+      (5L, "CREATE TABLE c4 AS SELECT f(a), b FROM src"))
+    val out = foldSchema("s", hist).map(r => (r._1, r._3, r._5))
+    assert(out == Seq(
+      (1L, "src", "id,a,b"),
+      (2L, "c1", "label,id"),
+      (3L, "c2", "n,ab"),
+      (4L, "c3", "uid")))
+    // the aliased clone CARRIES the source type; expressions are unknown
+    val parsed = DdlParser.parse(
+      "CREATE TABLE c2 AS SELECT count(a) AS n, b AS label FROM src", "s")
+    assert(parsed == CreateTableAsSelect("s", "c2", "s", "src",
+      Some(Seq(("n", None), ("label", Some("b")))), ifNotExists = false))
   }
 
   test("foldSchema: pk follows CHANGE rename; unknown refs are no-ops") {
