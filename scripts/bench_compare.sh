@@ -33,7 +33,18 @@ def load_queries(path):
     for line in text.splitlines():
         i = line.find("{")
         if i >= 0 and '"queries"' in line:
-            return json.loads(line[i:])["queries"]
+            try:
+                return json.loads(line[i:])["queries"]
+            except json.JSONDecodeError:
+                pass
+    # Last resort: the driver may store a TRUNCATED log tail (the bench
+    # line cut mid-JSON, quotes backslash-escaped inside the wrapper
+    # string). Per-query keys are distinctive enough to recover by
+    # pattern — values are bench seconds, never row data.
+    import re
+    pairs = re.findall(r'\\?"(q\d+_\w+)\\?"\s*:\s*([0-9.eE+-]+)', text)
+    if pairs:
+        return {k: float(v) for k, v in pairs}
     raise SystemExit(f"no bench JSON line in {path}")
 
 base = load_queries(sys.argv[1])

@@ -4,6 +4,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Transaction-preserving apply: the target only ever exposes states that
   * some source transaction boundary produced.
@@ -66,6 +67,7 @@ object TxnApplier {
 
   private def manifestDir(root: Path) = new Path(root, "_manifests")
   private def currentFile(root: Path) = new Path(root, "_current")
+  private def schemaFile(root: Path) = new Path(root, "_schema")
   private def manifestFile(root: Path, v: Long) =
     new Path(manifestDir(root), f"v$v%08d.manifest")
   private def versionRel(v: Long): String = f"data/v$v%08d"
@@ -129,13 +131,24 @@ object TxnApplier {
       .map(s => s.getPath.getName.stripPrefix("__bucket=").toInt -> s.getPath)
       .toMap
 
+  /** The target's row schema, persisted at bootstrap — readers and the
+    * applier skip per-action parquet footer inference (each one is a
+    * driver round-trip; a micro-batch applier pays it per batch). */
+  private def readTargetSchema(root: Path): Option[StructType] =
+    try Some(DataType.fromJson(
+      graft.util.HadoopIo.readString(schemaFile(root))).asInstanceOf[StructType])
+    catch { case _: java.io.FileNotFoundException => None }
+
   /** Read one committed version (time travel over observable states). */
   def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
     val root = new Path(dir)
     val paths = readManifest(root, v).values.toSeq.sorted
       .map(rel => new Path(root, rel).toString)
     if (paths.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(paths: _*)
+    else readTargetSchema(root) match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
   }
 
   /** Read the current committed state (what any consumer sees). */
@@ -161,6 +174,10 @@ object TxnApplier {
       .parquet(d.toString)
     val entries = listBucketDirs(fs, d)
       .map { case (b, _) => b -> s"${versionRel(v)}/__bucket=$b" }
+    // persist the row schema once: every later read and apply resolves
+    // columns from this sidecar, never a parquet footer job
+    graft.util.HadoopIo.writeSwap(new Path(root, "._schema.tmp"),
+      schemaFile(root), initial.schema.json)
     writeManifest(root, v, entries)
     commitPointer(root, Commit(v, initialTso))
   }
@@ -200,23 +217,28 @@ object TxnApplier {
     try {
       // job 1 — ONE scan of the source batch: final image per
       // (transaction, key), staged so everything below reads the small
-      // image table, never the source again
+      // image table, never the source again. The SAME job carries the
+      // driver's metadata probe as an observed metric: the distinct
+      // (tso, bucket) pairs — the ordered commit groups AND each group's
+      // touched-bucket set, bounded by txns x buckets-per-txn, never row
+      // count — so no second collect job re-reads the staging
       val imagesPath = new Path(staging, "images").toString
-      timed("stage-images") {
+      val stagedImages =
         Appliers.mergeToFinalImages(fresh, tsoCol +: keyCols, seqCol, opCol)
           .withColumn("__bucket", Appliers.bucketOf(keyCols, nBuckets))
+      val stagedSchema = stagedImages.schema
+      val probe = org.apache.spark.sql.Observation("txnapplier-probe")
+      timed("stage-images+probe") {
+        stagedImages.observe(probe,
+            collect_set(struct(col(tsoCol).cast("long").as("__tso"),
+              col("__bucket"))).as("pairs"))
           .write.mode(SaveMode.Overwrite).parquet(imagesPath)
       }
-      val images = spark.read.parquet(imagesPath)
+      val images = spark.read.schema(stagedSchema).parquet(imagesPath)
 
-      // ONE metadata collect off the staged images serves both driver
-      // decisions: the distinct (tso, bucket) pairs give the ordered
-      // commit groups AND each group's touched-bucket set — bounded by
-      // txns x buckets-per-txn, never row count
-      val tsoBuckets = timed("probe") {
-        images.select(col(tsoCol).cast("long").as("__tso"), col("__bucket"))
-          .distinct().collect().map(r => (r.getLong(0), r.getInt(1)))
-      }
+      val tsoBuckets = probe.get("pairs")
+        .asInstanceOf[Seq[org.apache.spark.sql.Row]]
+        .map(r => (r.getLong(0), r.getInt(1))).toArray
       if (tsoBuckets.isEmpty) return Seq.empty
       val tsos = tsoBuckets.map(_._1).distinct.sorted
       val groups = tsos.grouped(math.max(1, txnsPerCommit)).toVector
@@ -241,20 +263,27 @@ object TxnApplier {
       val allTouched = touchedByGrp.values.flatten.toSet
       val targetPaths = allTouched.toSeq.sorted.flatMap(manifest.get)
         .map(rel => new Path(root, rel).toString)
-      val targetCols: Seq[String] =
-        manifest.values.toSeq.sorted.headOption match {
+      val targetSchema = readTargetSchema(root)
+      val targetCols: Seq[String] = targetSchema match {
+        case Some(s) => s.fieldNames.toSeq // bootstrap-persisted sidecar
+        case None => manifest.values.toSeq.sorted.headOption match {
           case Some(rel) => // footer-only schema probe of any current file
             spark.read.parquet(new Path(root, rel).toString).columns.toSeq
           case None =>
             images.columns.toSeq.filterNot(Set("effective_op", "__bucket"))
         }
+      }
       val imgSide = imagesG.select(
         targetCols.map(col) ++ Seq(col("effective_op"), col("__grp"),
           col(tsoCol).cast("long").as("__tso_ord"), col("__bucket")): _*)
+      val targetRead = targetSchema match {
+        case Some(s) => spark.read.schema(s)
+        case None => spark.read
+      }
       val unioned =
         if (targetPaths.isEmpty) imgSide
         else imgSide.unionByName(
-          spark.read.parquet(targetPaths: _*)
+          targetRead.parquet(targetPaths: _*)
             .withColumn("__bucket", Appliers.bucketOf(keyCols, nBuckets))
             .select(targetCols.map(col) ++ Seq(
               lit("KEEP").as("effective_op"), lit(-1).as("__grp"),

@@ -1184,6 +1184,49 @@ object BinlogWire {
       "tso", "xid", "ddl", "gtid")
   }
 
+  /** Tail a directory of binlog wire files as a STREAM of decoded change
+    * rows — the dump-service→downstream-replica hop (the reference's
+    * DumperSlave serving a replica over the MySQL protocol) restated as a
+    * Structured Streaming source. File discovery and exactly-once
+    * bookkeeping come from Spark's file stream source (checkpointed: a
+    * restart resumes at the first unseen file); only the `path` column is
+    * read from it, and each task then decodes its file through the
+    * incremental `parseStream` — a segment of any size decodes in bounded
+    * memory, same as the batch reader. Schema matches `readBinlogFiles`.
+    *
+    * Compose downstream like any change stream: windowed aggregation,
+    * `foreachBatch` + an applier, or a wire→wire relay.
+    */
+  def tailBinlogFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
+      colNames: Map[(String, String), Seq[String]] = Map.empty,
+      maxFilesPerTrigger: Int = 16): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val confMap = graft.util.HadoopIo.confMap
+    spark.readStream
+      .format("binaryFile")
+      // the binaryFile source's fixed schema, stated explicitly (file
+      // stream sources don't infer)
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY"))
+      .option("pathGlobFilter", "binlog.*")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+      .select("path") // prune content: the decoder streams the file itself
+      .as[String]
+      .flatMap { path =>
+        val conf = graft.util.HadoopIo.confFrom(confMap)
+        val p = new org.apache.hadoop.fs.Path(path)
+        val in = p.getFileSystem(conf).open(p)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+        decodeStream(parseStream(in), colNames).map(d => (p.getName,
+          d.schemaName, d.tableName, d.op, d.before, d.after, d.tso, d.xid,
+          d.ddl, d.gtid))
+      }
+      .toDF("log_file", "schemaName", "tableName", "op", "before", "after",
+        "tso", "xid", "ddl", "gtid")
+  }
+
   /** Verify the ROTATE chain over a directory of binlog files written
     * with `rotateChain = true`: each file's trailing ROTATE must name
     * EXACTLY the next existing file — the chain is dense by construction
