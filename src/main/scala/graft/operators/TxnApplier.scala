@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -291,18 +290,29 @@ object TxnApplier {
       val writersOfBucket = touchedByGrp.toSeq
         .flatMap { case (g, bs) => bs.map(b => (b, g)) }
         .toDF("__bucket", "__wv")
-      val w = Window
+      val outPath = new Path(staging, "out")
+      // newest-wins per (writer, key) as a WINDOW, not an aggregate: a
+      // max_by(struct) carries a struct buffer, which no hash-based
+      // aggregate exec supports — Catalyst picks SortAggregate, whose
+      // partial phase adds a map-side sort of the replicated rows on top
+      // of the final-side sort (measured ~1.5x the window's single
+      // exchange+sort at sf0.1). __tso_ord is unique per (writer, key)
+      // (images are one-per-(tso, key) after mergeToFinalImages; target
+      // rows sit at -1), so row_number's pick is deterministic.
+      val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("__wv") +: keyCols.map(col): _*)
         .orderBy(col("__tso_ord").desc)
-      val outPath = new Path(staging, "out")
+      val bulk = unioned.join(broadcast(writersOfBucket), Seq("__bucket"))
+        .filter(col("__grp") <= col("__wv"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && col("effective_op") =!= "DELETE")
+        .select(targetCols.map(col) ++ Seq(col("__wv"), col("__bucket")): _*)
+        .repartition(col("__wv"), col("__bucket"))
+      if (sys.env.contains("GRAFT_EXPLAIN"))
+        System.err.println(bulk.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
       timed("bulk-write") {
-        unioned.join(broadcast(writersOfBucket), Seq("__bucket"))
-          .filter(col("__grp") <= col("__wv"))
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1 && col("effective_op") =!= "DELETE")
-          .select(targetCols.map(col) ++ Seq(col("__wv"), col("__bucket")): _*)
-          .repartition(col("__wv"), col("__bucket"))
-          .write.partitionBy("__wv", "__bucket").mode(SaveMode.Overwrite)
+        bulk.write.partitionBy("__wv", "__bucket").mode(SaveMode.Overwrite)
           .parquet(outPath.toString)
       }
 

@@ -68,4 +68,69 @@ class WireReplicaSpec extends SparkSpec {
     assert(TxnApplier.versions(wireTarget).size ==
       TxnApplier.versions(directTarget).size)
   }
+
+  test("standing wire replica: tail → txn apply across restarts, exactly-once") {
+    val root = java.nio.file.Files.createTempDirectory("graft-wirerpl-stream")
+    val wireDir = s"$root/wire"
+    val target = s"$root/replica"
+    val ckpt = s"$root/ckpt"
+    val tableCols = Map(("bank", "accounts") -> Seq("acct", "seq", "balance"))
+    val colTypes = Seq("acct" -> "long", "seq" -> "long", "balance" -> "long")
+
+    // 8 transfer txns over 6 accounts; after-images carry running balances
+    val transfers = (1L to 8L).map(t => (t, (t % 6) + 1, ((t + 2) % 6) + 1, t * 5))
+    val bal = scala.collection.mutable.Map[Long, Long]()
+      .withDefaultValue(1000L)
+    // (tso, seq, acct, balance-after) in seq order — the fold the replica
+    // must reproduce
+    val images = transfers.flatMap { case (t, f, to, amt) =>
+      bal(f) = bal(f) - amt; bal(to) = bal(to) + amt
+      Seq((t, 2 * t, f, bal(f)), (t, 2 * t + 1, to, bal(to)))
+    }
+    val expected = bal.toMap // final balance per touched account
+
+    def writeSegment(prefix: String, txns: Seq[(Long, Long, Long, Long)]): Unit = {
+      val ev = txns.map { case (tso, seq, acct, balance) =>
+        (tso, tso, "UPDATE", "bank", "accounts",
+          Map.empty[String, String],
+          Map("acct" -> s"$acct", "seq" -> s"$seq", "balance" -> s"$balance"),
+          1700000000L)
+      }.toDF("tso", "txnId", "op", "schemaName", "tableName", "before",
+        "after", "tsoTime")
+      BinlogWire.writeChangeStreamBinlogFiles(
+        ev.coalesce(1).sortWithinPartitions("tso", "txnId"), tableCols,
+        wireDir, filePrefix = prefix, checksummed = true)
+    }
+    def run(ck: String = ckpt): Unit = {
+      val q = WireReplicaJob.start(spark, wireDir, tableCols, "bank",
+        "accounts", colTypes, Seq("acct"), "seq", target, ck,
+        nBuckets = 4, txnsPerCommit = 3)
+      q.awaitTermination()
+    }
+    def state(): Map[Long, Long] = TxnApplier.readCurrent(spark, target)
+      .select($"acct", $"balance").as[(Long, Long)].collect().toMap
+
+    // segment 1: txns 1..4 → wire → replica
+    writeSegment("binlog.a.", images.filter(_._1 <= 4))
+    run()
+    val mid = images.filter(_._1 <= 4)
+      .groupBy(_._3).map { case (a, imgs) => a -> imgs.maxBy(_._2)._4 }
+    assert(state() == mid)
+    val versionsAfterA = TxnApplier.versions(target).size
+
+    // segment 2 lands while the job is down; a restart from the same
+    // checkpoint consumes ONLY the unseen files
+    writeSegment("binlog.b.", images.filter(_._1 > 4))
+    run()
+    assert(state() == expected)
+    assert(TxnApplier.versions(target).size > versionsAfterA)
+    val versionsFinal = TxnApplier.versions(target).size
+
+    // checkpoint loss: a FRESH checkpoint re-reads every wire file, but
+    // the applier's committed position gates the replay — no transaction
+    // doubles, no new observable state
+    run(s"$root/ckpt2")
+    assert(state() == expected)
+    assert(TxnApplier.versions(target).size == versionsFinal)
+  }
 }
