@@ -811,6 +811,33 @@ object SparkEntry {
         .select(col("acct").cast("bigint").as("account_id"),
           col("balance").cast("bigint").as("balance"))
         .orderBy(col("account_id"))
+    }),
+
+    // §2.1 remote archive scan (polardbx-cdc-backup analog), SERVED FROM
+    // THE ARCHIVE: an ordered log is archived via the Hadoop FS API (any
+    // scheme — file/hdfs/s3a/oss by path) and then queried IN PLACE —
+    // the O(1) sidecar cursor recovers the resume position from the
+    // archived copy and the data scan aggregates it; both must agree
+    // with DuckDB on the original table. The archived log is a complete
+    // serving surface, not cold bytes.
+    "q66_archive_scan" -> ((s, d) => {
+      import graft.sinks.{Backup, OrderedSink}
+      val rows = Tables.lineitem(s, d).filter(col("l_orderkey") <= 2000)
+        .select((col("l_orderkey") * 10 + col("l_linenumber"))
+            .cast("long").as("tso"),
+          col("l_quantity").cast("long").as("qty"))
+      val live = Staged.tempDir("q66-live")
+      OrderedSink.appendSince(rows, "tso", live, numPartitions = 4)
+      val archRoot = Staged.tempDir("q66-archive")
+      Backup.archive(s, live, archRoot)
+      val archived =
+        archRoot + "/" + new org.apache.hadoop.fs.Path(live).getName
+      val cursor = OrderedSink.recoverPosition(s, archived, "tso")
+        .getOrElse(-1L)
+      s.read.parquet(archived)
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"),
+          max(col("tso")).as("max_tso"))
+        .withColumn("cursor", lit(cursor))
     })
   )
 
@@ -1229,6 +1256,11 @@ object SparkEntry {
         "SELECT c.c_custkey AS account_id, " +
         "CAST(1000 + COALESCE(SUM(d.d), 0) AS BIGINT) AS balance " +
         "FROM customer c LEFT JOIN deltas d ON d.acct = c.c_custkey " +
-        "WHERE c.c_custkey <= 10 GROUP BY c.c_custkey ORDER BY account_id")
+        "WHERE c.c_custkey <= 10 GROUP BY c.c_custkey ORDER BY account_id"),
+    "q66_archive_scan" ->
+      ("SELECT count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, " +
+        "max(l_orderkey * 10 + l_linenumber) AS max_tso, " +
+        "max(l_orderkey * 10 + l_linenumber) AS cursor " +
+        "FROM lineitem WHERE l_orderkey <= 2000")
   )
 }
