@@ -838,6 +838,56 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"),
           max(col("tso")).as("max_tso"))
         .withColumn("cursor", lit(cursor))
+    }),
+
+    // near-dup DEDUP GROUPS: the LSH candidate pairs (q36's banded
+    // minhash, same staged signatures) closed into connected components
+    // (large-star/small-star) — the step that turns pairs into "keep the
+    // min-id representative, drop the rest". Oracle: DuckDB recursive-CTE
+    // transitive closure over the same exact-Jaccard-thresholded pair
+    // set. Components are whole-DataFrame rounds, O(log n) of them; no
+    // edge ever reaches the driver.
+    "q67_neardup_components" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val mutated = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 3, 1000000)).as("text"))
+      val pairs = DedupApprox.minhashCandidatePairs(docs.unionByName(mutated),
+        "doc_id", "text", shingleN = 3, numHashes = 32, bands = 8,
+        jaccardThreshold = 0.5,
+        stagingDir = Some(graft.operators.Staged.processDir("q36-mh32b8s3", d)))
+      graft.operators.Components.connectedComponents(pairs, "id1", "id2")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("component"))
+    }),
+
+    // deterministic stratified sampling: exactly k docs per language in
+    // Knuth-hash order (engine-portable arithmetic — the oracle
+    // recomputes the same selection). The rank filter compiles to a
+    // WindowGroupLimit (per-partition top-k BELOW the stratum shuffle,
+    // asserted in SamplingSpec) — the distributed top-k shape, not a
+    // full per-stratum sort.
+    "q68_stratified_sample" -> ((s, d) =>
+      graft.text.Sampling.stratifiedTopK(
+          Tables.documents(s, d).select(col("doc_id"), col("lang")),
+          "lang", "doc_id", 50)
+        .orderBy(col("lang"), col("doc_id"))),
+
+    // token-budget mixture (the "N tokens per language" training-mix
+    // step): greedy admission in the same deterministic hash order
+    // until each language's budget is spent; one running-sum window
+    // pass per stratum. Token count is the engine-portable
+    // space-separator formula (same pair as q32's oracle).
+    "q69_token_budget_mix" -> ((s, d) => {
+      val toks = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        (length(col("text")) - length(translate(col("text"), " ", "")) + 1)
+          .as("tokens"))
+      graft.text.Sampling.tokenBudgetMix(toks, "lang", "doc_id", "tokens",
+          budgetPerStratum = 20000L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("mix_tokens"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -1261,6 +1311,42 @@ object SparkEntry {
       ("SELECT count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, " +
         "max(l_orderkey * 10 + l_linenumber) AS max_tso, " +
         "max(l_orderkey * 10 + l_linenumber) AS cursor " +
-        "FROM lineitem WHERE l_orderkey <= 2000")
+        "FROM lineitem WHERE l_orderkey <= 2000"),
+    "q67_neardup_components" ->
+      ("WITH RECURSIVE base AS (SELECT doc_id, text FROM documents), " +
+        "mut AS (SELECT doc_id + 1000000 AS doc_id, " +
+        "array_to_string(string_split(text, ' ')[3:], ' ') AS text " +
+        "FROM base WHERE doc_id % 10 = 0), " +
+        "all_docs AS (SELECT * FROM base UNION ALL SELECT * FROM mut), " +
+        "sh AS (SELECT doc_id, list_distinct([string_split(text,' ')[i] || ' ' " +
+        "|| string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] " +
+        "for i in range(1, len(string_split(text,' ')) - 1)]) AS s FROM all_docs), " +
+        "p AS (SELECT a.doc_id AS id1, b.doc_id AS id2 FROM sh a " +
+        "JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0 " +
+        "AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / " +
+        "(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5), " +
+        "edges AS (SELECT id1 AS a, id2 AS b FROM p " +
+        "UNION SELECT id2, id1 FROM p), " +
+        "reach AS (SELECT a, b FROM edges UNION " +
+        "SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), " +
+        "comp AS (SELECT a AS node, LEAST(a, MIN(b)) AS component " +
+        "FROM reach GROUP BY a) " +
+        "SELECT component, count(*) AS n_members FROM comp " +
+        "GROUP BY component ORDER BY component"),
+    "q68_stratified_sample" ->
+      ("SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER " +
+        "(PARTITION BY lang ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) " +
+        "AS rk FROM documents) WHERE rk <= 50 ORDER BY lang, doc_id"),
+    "q69_token_budget_mix" ->
+      ("WITH t AS (SELECT doc_id, lang, " +
+        "(length(text) - length(replace(text, ' ', '')) + 1) AS tokens " +
+        "FROM documents), " +
+        "c AS (SELECT lang, tokens, sum(tokens) OVER (PARTITION BY lang " +
+        "ORDER BY (doc_id * 2654435761) % 4294967296, doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS cum FROM t) " +
+        "SELECT lang, count(*) AS n_docs, " +
+        "CAST(sum(tokens) AS BIGINT) AS mix_tokens FROM c " +
+        "WHERE cum - tokens < 20000 GROUP BY lang ORDER BY lang")
   )
 }

@@ -1,0 +1,70 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and mixture construction for training-data
+  * pipelines: after dedup and quality filtering, a corpus is SAMPLED to
+  * a target composition — so many documents (or tokens) per language /
+  * source / domain. Everything here is deterministic and engine-portable
+  * (pure integer arithmetic, no RNG state): the same corpus always
+  * yields the same sample, re-runs are reproducible, and an external
+  * system (or the DuckDB oracle) can recompute the exact selection.
+  */
+object Sampling {
+
+  /** Deterministic per-row shuffle key: Knuth's multiplicative hash of
+    * the id, bounded to 32 bits. Pure map-side arithmetic — computable
+    * by any engine, stable across runs, uniform enough to decorrelate
+    * the sample from id assignment order. */
+  def shuffleKey(id: Column): Column =
+    pmod(id.cast("long") * 2654435761L, lit(1L << 32))
+
+  /** Keep ~`fraction` of rows, chosen by hash threshold — NO shuffle,
+    * no window, no state: the filter runs inside the scan stage, so this
+    * is the 100 TB shape for "give me 1% of the corpus,
+    * reproducibly". */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction")
+    df.filter(shuffleKey(col(idCol)) <
+      lit((fraction * (1L << 32).toDouble).toLong))
+  }
+
+  /** Exactly `k` rows per stratum (language, source, ...), picked in
+    * deterministic hash order with the id as tiebreak. The rank filter
+    * is recognized by Catalyst's InferWindowGroupLimit, which pushes a
+    * per-partition top-k below the stratum shuffle (WindowGroupLimit in
+    * the executed plan — asserted in SamplingSpec), so each map task
+    * forwards at most k rows per stratum instead of its whole input:
+    * the same partial/final shape as a distributed top-k. */
+  def stratifiedTopK(df: DataFrame, stratumCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(shuffleKey(col(idCol)), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
+  /** Greedy token-budget mixture: per stratum, admit documents in
+    * deterministic hash order until the token budget is exhausted — a
+    * document is kept if the budget was not already spent BEFORE it
+    * (so the first over-budget document still enters, and every stratum
+    * with any data contributes at least one document). This is the
+    * "sample each language to N tokens" step that sets a training mix.
+    *
+    * The running sum is one window pass per stratum. A stratum's kept
+    * prefix is ~budget/avg-tokens documents; at 100 TB pre-narrow with
+    * `hashSample` (its keys are consistent with this ordering) when
+    * budgets select a tiny fraction, so the window sorts a bounded
+    * superset instead of the full stratum. */
+  def tokenBudgetMix(df: DataFrame, stratumCol: String, idCol: String,
+      tokensCol: String, budgetPerStratum: Long): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(shuffleKey(col(idCol)), col(idCol))
+    df.withColumn("__cum", sum(col(tokensCol)).over(w))
+      .filter(col("__cum") - col(tokensCol) < budgetPerStratum)
+      .drop("__cum")
+  }
+}
