@@ -1,0 +1,154 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Incremental near-duplicate screening: each NEW batch of documents is
+  * checked against a persisted SIGNATURE INDEX of everything admitted
+  * before it — the "is this crawl shard already in the corpus" gate a
+  * growing training set needs, without ever recomputing the corpus.
+  *
+  * The index is two append-only parquet tables under `indexDir`,
+  * written per source batch (so a replayed batch OVERWRITES its own
+  * partition — idempotent under foreachBatch retries):
+  *   - `sigs/batch=<id>`:    (doc_id, sig array<long>)
+  *   - `buckets/batch=<id>`: (band, bucket, doc_id)
+  * Candidate generation joins the batch's banded buckets against the
+  * index's bucket table on (band, bucket) — ids only, the 8-byte
+  * shuffle; signatures attach once per unique candidate pair and
+  * similarity is estimated as the matching-slot fraction of the two
+  * MinHash signatures (E[match fraction] = Jaccard), so the check
+  * never re-reads document text. Within-batch duplicates are caught by
+  * the same banded join of the batch against itself (smaller id wins).
+  *
+  * At 100 TB: per batch the work is O(batch) signature compute + a
+  * bucket equi-join whose index side prunes to colliding buckets; the
+  * index grows by admitted docs only. (The bucket table is the natural
+  * candidate for bucketBy(band) at very large index sizes.)
+  */
+object IncrementalDedup {
+
+  /** Screen one batch. Returns the batch with a `dup_of` column: the
+    * smallest already-admitted (or smaller in-batch) doc id whose
+    * estimated Jaccard is >= `threshold`, null if the document is
+    * novel. Side effect: the novel rows' signatures and buckets are
+    * committed to the index under `batch=<batchId>`. */
+  def dedupeBatch(batch: DataFrame, idCol: String, textCol: String,
+      indexDir: String, batchId: Long, shingleN: Int = 3,
+      numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = batch.sparkSession
+    val rows = numHashes / bands
+
+    val sigs = batch.select(col(idCol).cast("long").as("doc_id"),
+      DedupApprox.minhashSignatureHashed(
+        DedupApprox.hashedShingles(col(textCol), shingleN), numHashes)
+        .as("sig"))
+    // one signature job; everything below reads this tiny table
+    val sigPath = s"$indexDir/__stage/batch=$batchId"
+    sigs.write.mode(SaveMode.Overwrite).parquet(sigPath)
+    val batchSigs = spark.read.parquet(sigPath)
+
+    val batchBuckets = batchSigs.select(col("doc_id"),
+        explode(DedupApprox.bandHashes(col("sig"), bands, rows)).as("bh"))
+      .select(col("bh.band").as("band"), col("bh.bucket").as("bucket"),
+        col("doc_id"))
+    // exclude THIS batch's partition from the index: under foreachBatch
+    // replay it holds the prior attempt's output — reading it would both
+    // re-match the batch against itself and race the overwrite below
+    val indexBuckets = readOrEmpty(spark, s"$indexDir/buckets",
+      "band INT, bucket INT, doc_id LONG", batchId)
+    val indexSigs = readOrEmpty(spark, s"$indexDir/sigs",
+      "doc_id LONG, sig ARRAY<LONG>", batchId)
+
+    // candidates: batch vs index, plus batch vs its own smaller ids
+    val priorSide = indexBuckets.select(col("band"), col("bucket"),
+        col("doc_id").as("prior_id"))
+      .unionByName(batchBuckets.select(col("band"), col("bucket"),
+        col("doc_id").as("prior_id")))
+    val cand = batchBuckets.join(priorSide, Seq("band", "bucket"))
+      .filter(col("prior_id") < col("doc_id"))
+      .select(col("doc_id"), col("prior_id")).distinct()
+
+    val priorSigs = indexSigs
+      .unionByName(batchSigs)
+      .select(col("doc_id").as("prior_id"), col("sig").as("prior_sig"))
+    val matchFrac = {
+      val eq = zip_with(col("sig"), col("prior_sig"),
+        (a, b) => when(a === b, 1).otherwise(0))
+      aggregate(eq, lit(0), (acc, x) => acc + x).cast("double") / numHashes
+    }
+    // materialize the verdicts BEFORE touching the index partitions: the
+    // overwrite below must not race a lazy re-computation of this plan
+    val dupPath = s"$indexDir/__stage/dupof_batch=$batchId"
+    cand
+      .join(batchSigs, "doc_id")
+      .join(priorSigs, "prior_id")
+      .filter(matchFrac >= threshold)
+      .groupBy(col("doc_id")).agg(min(col("prior_id")).as("dup_of"))
+      .write.mode(SaveMode.Overwrite).parquet(dupPath)
+    val dupOf = spark.read
+      .schema(StructType.fromDDL("doc_id LONG, dup_of LONG"))
+      .parquet(dupPath)
+
+    val screened = batch
+      .join(dupOf, batch(idCol).cast("long") === dupOf("doc_id"), "left")
+      .drop(dupOf("doc_id"))
+
+    // admit novel docs: commit their signatures and buckets under this
+    // batch's partition (a replay rewrites the same partition)
+    val novel = batchSigs.join(dupOf, Seq("doc_id"), "left_anti")
+    novel.write.mode(SaveMode.Overwrite)
+      .parquet(s"$indexDir/sigs/batch=$batchId")
+    novel.select(col("doc_id"),
+        explode(DedupApprox.bandHashes(col("sig"), bands, rows)).as("bh"))
+      .select(col("bh.band").as("band"), col("bh.bucket").as("bucket"),
+        col("doc_id"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$indexDir/buckets/batch=$batchId")
+    screened
+  }
+
+  private def readOrEmpty(spark: SparkSession, dir: String,
+      ddl: String, excludeBatch: Long): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val schema = StructType.fromDDL(ddl)
+    if (graft.util.HadoopIo.fsOf(p).exists(p))
+      // partition-prune away the current batch (replay safety) and
+      // project the index columns (drops the discovered partition col)
+      spark.read.parquet(dir)
+        .filter(col("batch") =!= excludeBatch)
+        .select(schema.fieldNames.map(col): _*)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** The standing form: a document stream screened batch-by-batch
+    * against the growing index; novel rows land in `outDir`, duplicates
+    * in `outDir/../rejected` with their `dup_of` attribution. */
+  def start(spark: SparkSession, sourceDir: String, sourceSchema: StructType,
+      idCol: String, textCol: String, indexDir: String, outDir: String,
+      rejectedDir: String, checkpointDir: String,
+      shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): StreamingQuery = {
+    spark.readStream.schema(sourceSchema)
+      .option("maxFilesPerTrigger", 16)
+      .parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val screened = dedupeBatch(batch, idCol, textCol, indexDir, bid,
+          shingleN, numHashes, bands, threshold)
+        screened.filter(col("dup_of").isNull).drop("dup_of")
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$bid")
+        screened.filter(col("dup_of").isNotNull)
+          .write.mode(SaveMode.Overwrite).parquet(s"$rejectedDir/batch=$bid")
+        ()
+      }
+      .start()
+  }
+}

@@ -1,0 +1,89 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** `IncrementalDedup` — batch-over-index near-dup screening. */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def words(prefix: String, n: Int): String =
+    (1 to n).map(i => s"$prefix$i").mkString(" ")
+
+  test("new batch screens against the admitted index; novel docs are admitted") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-incdedup").toString
+    val b1 = Seq(
+      (1L, words("alpha", 30)), (2L, words("beta", 30)),
+      (3L, words("gamma", 30)), (4L, words("delta", 30)))
+      .toDF("doc_id", "text")
+    val r1 = IncrementalDedup.dedupeBatch(b1, "doc_id", "text",
+      s"$dir/index", batchId = 0L)
+    assert(r1.filter($"dup_of".isNotNull).count() == 0)
+
+    val b2 = Seq(
+      // near-copy of doc 2: first two words dropped
+      (11L, words("beta", 30).split(" ").drop(2).mkString(" ")),
+      (12L, words("epsilon", 30)), // novel
+      (13L, words("delta", 30))) // exact copy of doc 4
+      .toDF("doc_id", "text")
+    val r2 = IncrementalDedup.dedupeBatch(b2, "doc_id", "text",
+      s"$dir/index", batchId = 1L)
+      .select($"doc_id", $"dup_of").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(r2 == Map(11L -> Some(2L), 12L -> None, 13L -> Some(4L)))
+
+    // the index admitted ONLY the novel doc from batch 1+2
+    val indexed = spark.read.parquet(s"$dir/index/sigs")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(indexed == Set(1L, 2L, 3L, 4L, 12L))
+  }
+
+  test("within-batch duplicates resolve to the smallest id; replay is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-incdedup2").toString
+    val b = Seq(
+      (21L, words("zeta", 30)),
+      (22L, words("zeta", 30)), // in-batch dup of 21
+      (23L, words("eta", 30)))
+      .toDF("doc_id", "text")
+    def run() = IncrementalDedup.dedupeBatch(b, "doc_id", "text",
+        s"$dir/index", batchId = 7L)
+      .select($"doc_id", $"dup_of").as[(Long, Option[Long])]
+      .collect().toMap
+    val first = run()
+    assert(first == Map(21L -> None, 22L -> Some(21L), 23L -> None))
+    // replay of the same batch id: same answer, index unchanged
+    assert(run() == first)
+    val indexed = spark.read.parquet(s"$dir/index/sigs")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(indexed == Set(21L, 23L))
+  }
+
+  test("standing form: novel to out, duplicates to rejected, across restarts") {
+    val root = java.nio.file.Files.createTempDirectory("graft-incdedup3")
+    val src = s"$root/src"
+    val docsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING")
+    Seq((1L, words("rho", 30)), (2L, words("sigma", 30)))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(src)
+    def run(): Unit = {
+      val q = IncrementalDedup.start(spark, src, docsSchema, "doc_id",
+        "text", s"$root/index", s"$root/out", s"$root/rejected",
+        s"$root/ckpt")
+      q.awaitTermination()
+    }
+    run()
+    // second shard arrives while the job is down: one dup, one novel
+    Seq((11L, words("rho", 30)), (12L, words("tau", 30)))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(src)
+    run()
+    val admitted = spark.read.parquet(s"$root/out")
+      .select($"doc_id").as[Long].collect().toSet
+    val rejected = spark.read.parquet(s"$root/rejected")
+      .select($"doc_id", $"dup_of").as[(Long, Long)].collect().toSet
+    assert(admitted == Set(1L, 2L, 12L))
+    assert(rejected == Set((11L, 1L)))
+  }
+}
