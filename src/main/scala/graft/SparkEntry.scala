@@ -895,6 +895,27 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("mix_tokens"))
         .orderBy(col("lang"))
+    }),
+
+    // incremental dedup against a persisted signature index: shard 1 is
+    // admitted, then shard 2 — odd-id docs plus planted copies of even
+    // (shard-1) docs — screens against the index; the planted copies
+    // must attribute to their originals, the genuine odd docs admit.
+    // MinHash-agreement verification is hash-specific → rows-only gate
+    // (cross-batch/replay/restart semantics are IncrementalDedupSpec).
+    "q70_incremental_dedup" -> ((s, d) => {
+      import graft.text.IncrementalDedup
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val idx = Staged.tempDir("q70-idx")
+      IncrementalDedup.dedupeBatch(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx, 0L)
+      val planted = docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 2000001L).as("doc_id"), col("text"))
+      val shard2 = docs.filter(col("doc_id") % 2 === 1).unionByName(planted)
+      IncrementalDedup.dedupeBatch(shard2, "doc_id", "text", idx, 1L)
+        .groupBy(col("dup_of").isNotNull.as("is_dup"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("is_dup"))
     })
   )
 
