@@ -241,7 +241,10 @@ object BinlogWire {
     case NewDecimal(p, s) => encodeDecimal(dec(value), p, s)
     case Bit(bits) =>
       val v = num(value)
-      require(bits == 64 || (v >= 0 && v < (1L << bits)),
+      // bits >= 63: (1L << bits) wraps negative, but every non-negative
+      // long fits in 63 bits anyway (64 additionally admits negatives
+      // as the full unsigned image)
+      require(bits == 64 || (v >= 0 && (bits >= 63 || v < (1L << bits))),
         s"bit value $v overflows BIT($bits)")
       be(v, (bits + 7) / 8)
     case CharW(maxBytes) =>
@@ -919,7 +922,7 @@ object BinlogWire {
       tso: Option[Long], xid: Option[Long], ddl: Option[String] = None,
       gtid: Option[String] = None)
 
-  private final class ByteReader(b: Array[Byte], var pos: Int = 0) {
+  private[sinks] final class ByteReader(b: Array[Byte], var pos: Int = 0) {
     def u8(): Int = { val v = b(pos) & 0xFF; pos += 1; v }
     def le(n: Int): Long = {
       var v = 0L; (0 until n).foreach(i => v |= (b(pos + i) & 0xFFL) << (8 * i))
@@ -987,7 +990,7 @@ object BinlogWire {
 
   /** Decode one cell to its canonical string image (the model's
     * string-image convention; TypeMatrixSpec's codec family). */
-  private def decodeCell(wire: Wire, r: ByteReader): String = wire match {
+  private[sinks] def decodeCell(wire: Wire, r: ByteReader): String = wire match {
     case Tiny => r.le(1).toByte.toString
     case Short => r.le(2).toShort.toString
     case Int24 => { val v = r.le(3); (((v << 40) >> 40)).toString } // sign-extend
@@ -1019,7 +1022,9 @@ object BinlogWire {
     case NewDecimal(p, s) =>
       val len = (p - s) / 9 * 4 + digitsToBytes((p - s) % 9) +
         s / 9 * 4 + digitsToBytes(s % 9)
-      decodeDecimal(r.bytes(len), p, s).toString
+      // plain notation: MySQL renders DECIMAL(10,10) as 0.0000000001,
+      // never 1E-10 (BigDecimal.toString drifts to scientific there)
+      decodeDecimal(r.bytes(len), p, s).bigDecimal.toPlainString
     case Bit(bits) => r.be((bits + 7) / 8).toString
     case CharW(maxBytes) =>
       val n = (if (maxBytes < 256) r.le(1) else r.le(2)).toInt
