@@ -10,14 +10,14 @@ import org.apache.spark.sql.types.StructType
   * before it — the "is this crawl shard already in the corpus" gate a
   * growing training set needs, without ever recomputing the corpus.
   *
-  * The index is two append-only parquet tables under `indexDir`,
-  * written per source batch (so a replayed batch OVERWRITES its own
-  * partition — idempotent under foreachBatch retries):
-  *   - `sigs/batch=<id>`:    (doc_id, sig array<long>)
-  *   - `buckets/batch=<id>`: (band, bucket, doc_id)
-  * Candidate generation joins the batch's banded buckets against the
-  * index's bucket table on (band, bucket) — ids only, the 8-byte
-  * shuffle; signatures attach once per unique candidate pair and
+  * The index is ONE append-only parquet table under `indexDir` —
+  * `sigs/batch=<id>`: (doc_id, sig array<long>) — written per source
+  * batch (so a replayed batch OVERWRITES its own partition — idempotent
+  * under foreachBatch retries). Banded buckets derive from the stored
+  * signatures on read (fewer bytes than a stored b-rows-per-doc bucket
+  * table). Candidate generation joins banded buckets on (band, bucket)
+  * — ids only, the 8-byte shuffle; signatures attach once per unique
+  * candidate pair and
   * similarity is estimated as the matching-slot fraction of the two
   * MinHash signatures (E[match fraction] = Jaccard), so the check
   * never re-reads document text. Within-batch duplicates are caught by
@@ -33,8 +33,8 @@ object IncrementalDedup {
   /** Screen one batch. Returns the batch with a `dup_of` column: the
     * smallest already-admitted (or smaller in-batch) doc id whose
     * estimated Jaccard is >= `threshold`, null if the document is
-    * novel. Side effect: the novel rows' signatures and buckets are
-    * committed to the index under `batch=<batchId>`. */
+    * novel. Side effect: the novel rows' signatures are committed to
+    * the index under `batch=<batchId>`. */
   def dedupeBatch(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String, batchId: Long, shingleN: Int = 3,
       numHashes: Int = 32, bands: Int = 8,
@@ -52,24 +52,25 @@ object IncrementalDedup {
     sigs.write.mode(SaveMode.Overwrite).parquet(sigPath)
     val batchSigs = spark.read.parquet(sigPath)
 
-    val batchBuckets = batchSigs.select(col("doc_id"),
-        explode(DedupApprox.bandHashes(col("sig"), bands, rows)).as("bh"))
-      .select(col("bh.band").as("band"), col("bh.bucket").as("bucket"),
-        col("doc_id"))
+    // banded buckets derive from signatures ON READ — the index stores
+    // one table (sigs); exploding k-long arrays reads fewer bytes than
+    // a stored (band, bucket, id) table b rows wide, and saves a write
+    // per batch
+    def buckets(sigTable: DataFrame, as: String): DataFrame =
+      sigTable.select(col("doc_id").as(as),
+          explode(DedupApprox.bandHashes(col("sig"), bands, rows)).as("bh"))
+        .select(col("bh.band").as("band"), col("bh.bucket").as("bucket"),
+          col(as))
     // exclude THIS batch's partition from the index: under foreachBatch
     // replay it holds the prior attempt's output — reading it would both
     // re-match the batch against itself and race the overwrite below
-    val indexBuckets = readOrEmpty(spark, s"$indexDir/buckets",
-      "band INT, bucket INT, doc_id LONG", batchId)
     val indexSigs = readOrEmpty(spark, s"$indexDir/sigs",
       "doc_id LONG, sig ARRAY<LONG>", batchId)
 
     // candidates: batch vs index, plus batch vs its own smaller ids
-    val priorSide = indexBuckets.select(col("band"), col("bucket"),
-        col("doc_id").as("prior_id"))
-      .unionByName(batchBuckets.select(col("band"), col("bucket"),
-        col("doc_id").as("prior_id")))
-    val cand = batchBuckets.join(priorSide, Seq("band", "bucket"))
+    val priorSide = buckets(indexSigs, "prior_id")
+      .unionByName(buckets(batchSigs, "prior_id"))
+    val cand = buckets(batchSigs, "doc_id").join(priorSide, Seq("band", "bucket"))
       .filter(col("prior_id") < col("doc_id"))
       .select(col("doc_id"), col("prior_id")).distinct()
 
@@ -98,17 +99,11 @@ object IncrementalDedup {
       .join(dupOf, batch(idCol).cast("long") === dupOf("doc_id"), "left")
       .drop(dupOf("doc_id"))
 
-    // admit novel docs: commit their signatures and buckets under this
-    // batch's partition (a replay rewrites the same partition)
-    val novel = batchSigs.join(dupOf, Seq("doc_id"), "left_anti")
-    novel.write.mode(SaveMode.Overwrite)
-      .parquet(s"$indexDir/sigs/batch=$batchId")
-    novel.select(col("doc_id"),
-        explode(DedupApprox.bandHashes(col("sig"), bands, rows)).as("bh"))
-      .select(col("bh.band").as("band"), col("bh.bucket").as("bucket"),
-        col("doc_id"))
+    // admit novel docs: commit their signatures under this batch's
+    // partition (a replay rewrites the same partition)
+    batchSigs.join(dupOf, Seq("doc_id"), "left_anti")
       .write.mode(SaveMode.Overwrite)
-      .parquet(s"$indexDir/buckets/batch=$batchId")
+      .parquet(s"$indexDir/sigs/batch=$batchId")
     screened
   }
 
