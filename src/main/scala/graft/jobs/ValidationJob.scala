@@ -62,22 +62,60 @@ object ValidationJob {
     missing.unionByName(orphans).unionByName(mism)
   }
 
-  /** Full run with a driver-side report. The per-kind counts come from ONE
-    * grouped aggregation over the diff (a single materialization), not
-    * three filtered counts off a cached frame — a long-lived validation
-    * driver must pin no executor blocks between runs. The returned diff
-    * frame is lazy; callers that iterate it further should stage it
+  /** Row-level diff narrowed to an ALREADY-KNOWN suspect chunk list as a
+    * literal predicate — partition-prunable, and the plan carries no
+    * checksum subplan (the checksum pass ran once in `run`). */
+  def diffRowsForChunks(src: DataFrame, dst: DataFrame, keys: Seq[String],
+      valueCols: Seq[String], chunkOf: Column,
+      badChunks: Seq[Any]): DataFrame = {
+    val pred = if (badChunks.isEmpty) lit(false) else chunkOf.isin(badChunks: _*)
+    val srcBad = src.filter(pred)
+    val dstBad = dst.filter(pred)
+    val missing = Validation.missingInDst(srcBad, dstBad, keys)
+      .select((keys ++ valueCols).map(col): _*)
+      .withColumn("diff_kind", lit("missing"))
+    val orphans = Validation.orphansInDst(srcBad, dstBad, keys)
+      .select((keys ++ valueCols).map(col): _*)
+      .withColumn("diff_kind", lit("orphan"))
+    val mism = Validation.mismatched(srcBad, dstBad, keys, valueCols)
+      .select((keys ++ valueCols).map(col): _*)
+      .withColumn("diff_kind", lit("mismatched"))
+    missing.unionByName(orphans).unionByName(mism)
+  }
+
+  /** Full run with a driver-side report. ONE probe action reads both
+    * tables once: the total chunk count AND the mismatched-chunk list
+    * ride the same aggregate (the suspect list is driver-bounded at the
+    * operating point of continuous validation — few diverging chunks; a
+    * fully-divergent target degenerates to the full diff regardless).
+    * The row-level diff and the per-kind counts then touch ONLY the
+    * suspect chunks via a literal predicate — no re-execution of the
+    * checksum pass, no cached blocks pinned. The returned diff frame is
+    * lazy; callers that iterate it further should stage it
     * (Staged.parquetStage) rather than re-materialize. */
   def run(src: DataFrame, dst: DataFrame, keys: Seq[String],
       valueCols: Seq[String], chunkOf: Column): (Report, DataFrame) = {
-    val bad = mismatchedChunks(src, dst, chunkOf, keys ++ valueCols)
-      .select(col("chunk")).distinct()
-    val diffs = diffRows(src, dst, keys, valueCols, chunkOf)
+    val cols = keys ++ valueCols
+    val cs = Checksum.chunkChecksums(src, chunkOf, cols)
+      .withColumnRenamed("checksum", "src_checksum")
+      .withColumnRenamed("n", "src_n")
+    val cd = Checksum.chunkChecksums(dst, chunkOf, cols)
+      .withColumnRenamed("checksum", "dst_checksum")
+      .withColumnRenamed("n", "dst_n")
+    val probe = cs.join(cd, Seq("chunk"), "full_outer")
+      .agg(count(lit(1)).as("total"),
+        collect_set(when(
+          !(col("src_checksum") <=> col("dst_checksum")) ||
+            !(col("src_n") <=> col("dst_n")), col("chunk"))).as("bad"))
+      .head()
+    val total = probe.getLong(0)
+    val badChunks: Seq[Any] = probe.getSeq[Any](1)
+    val diffs = diffRowsForChunks(src, dst, keys, valueCols, chunkOf, badChunks)
     val byKind = diffs.groupBy(col("diff_kind")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val report = Report(
-      chunksTotal = src.select(chunkOf.as("chunk")).distinct().count(),
-      chunksMismatched = bad.count(),
+      chunksTotal = total,
+      chunksMismatched = badChunks.size,
       missing = byKind.getOrElse("missing", 0L),
       orphans = byKind.getOrElse("orphan", 0L),
       mismatched = byKind.getOrElse("mismatched", 0L))

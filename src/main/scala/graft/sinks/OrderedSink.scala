@@ -193,9 +193,15 @@ object OrderedSink {
       case Some(pos) => events.filter(col(tsoCol) > pos)
       case None => events
     }
+    // the cursor position rides the write as an observed metric — ONE
+    // scan of the source per append, not a write pass plus a max() pass
+    // (at a 100 TB micro-batch cadence the second scan doubles the
+    // source cost of every append)
+    val obs = org.apache.spark.sql.Observation()
     MergeSort.sortedRuns(fresh, numPartitions, Seq(tsoCol))
+      .observe(obs, max(col(tsoCol)).as("mx"))
       .write.mode(SaveMode.Append).parquet(outDir)
-    val batchMax = fresh.agg(max(col(tsoCol))).head().get(0)
+    val batchMax = obs.get("mx")
     (Option(batchMax).map(_.toString.toLong).toSeq ++ start)
       .reduceOption(_ max _)
       .foreach(writeCursor(outDir, _))
