@@ -142,6 +142,15 @@ object IncrementalDedup {
           .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$bid")
         screened.filter(col("dup_of").isNotNull)
           .write.mode(SaveMode.Overwrite).parquet(s"$rejectedDir/batch=$bid")
+        // both outputs are materialized — the batch's scratch (staged
+        // signatures + verdicts) has no live readers; a standing query
+        // must not grow __stage forever
+        val stage = new org.apache.hadoop.fs.Path(s"$indexDir/__stage")
+        val fs = graft.util.HadoopIo.fsOf(stage)
+        Seq(s"batch=$bid", s"dupof_batch=$bid").foreach { n =>
+          val p = new org.apache.hadoop.fs.Path(stage, n)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
         ()
       }
       .start()
