@@ -1369,14 +1369,17 @@ object SparkEntry {
         "GROUP BY component ORDER BY component"),
     "q68_stratified_sample" ->
       ("SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER " +
-        "(PARTITION BY lang ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) " +
+        "(PARTITION BY lang ORDER BY " +
+        "(((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647) " +
+        "* 48271 % 2147483647, doc_id) " +
         "AS rk FROM documents) WHERE rk <= 50 ORDER BY lang, doc_id"),
     "q69_token_budget_mix" ->
       ("WITH t AS (SELECT doc_id, lang, " +
         "(length(text) - length(replace(text, ' ', '')) + 1) AS tokens " +
         "FROM documents), " +
         "c AS (SELECT lang, tokens, sum(tokens) OVER (PARTITION BY lang " +
-        "ORDER BY (doc_id * 2654435761) % 4294967296, doc_id " +
+        "ORDER BY (((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647) " +
+        "* 48271 % 2147483647, doc_id " +
         "ROWS UNBOUNDED PRECEDING) AS cum FROM t) " +
         "SELECT lang, count(*) AS n_docs, " +
         "CAST(sum(tokens) AS BIGINT) AS mix_tokens FROM c " +

@@ -45,54 +45,37 @@ object ValidationJob {
     * actions); the chunk list is broadcast. */
   def diffRows(src: DataFrame, dst: DataFrame, keys: Seq[String],
       valueCols: Seq[String], chunkOf: Column): DataFrame = {
-    val cols = keys ++ valueCols
-    val bad = mismatchedChunks(src, dst, chunkOf, cols)
+    val bad = mismatchedChunks(src, dst, chunkOf, keys ++ valueCols)
       .select(col("chunk")).distinct()
-    val srcBad = src.join(broadcast(bad), chunkOf === bad("chunk"), "left_semi")
-    val dstBad = dst.join(broadcast(bad), chunkOf === bad("chunk"), "left_semi")
-    val missing = Validation.missingInDst(srcBad, dstBad, keys)
-      .select((keys ++ valueCols).map(col): _*)
-      .withColumn("diff_kind", lit("missing"))
-    val orphans = Validation.orphansInDst(srcBad, dstBad, keys)
-      .select((keys ++ valueCols).map(col): _*)
-      .withColumn("diff_kind", lit("orphan"))
-    val mism = Validation.mismatched(srcBad, dstBad, keys, valueCols)
-      .select((keys ++ valueCols).map(col): _*)
-      .withColumn("diff_kind", lit("mismatched"))
-    missing.unionByName(orphans).unionByName(mism)
+    diffOverSuspects(
+      src.join(broadcast(bad), chunkOf === bad("chunk"), "left_semi"),
+      dst.join(broadcast(bad), chunkOf === bad("chunk"), "left_semi"),
+      keys, valueCols)
   }
 
-  /** Row-level diff narrowed to an ALREADY-KNOWN suspect chunk list as a
-    * literal predicate — partition-prunable, and the plan carries no
-    * checksum subplan (the checksum pass ran once in `run`). */
-  def diffRowsForChunks(src: DataFrame, dst: DataFrame, keys: Seq[String],
-      valueCols: Seq[String], chunkOf: Column,
-      badChunks: Seq[Any]): DataFrame = {
-    val pred = if (badChunks.isEmpty) lit(false) else chunkOf.isin(badChunks: _*)
-    val srcBad = src.filter(pred)
-    val dstBad = dst.filter(pred)
-    val missing = Validation.missingInDst(srcBad, dstBad, keys)
-      .select((keys ++ valueCols).map(col): _*)
-      .withColumn("diff_kind", lit("missing"))
-    val orphans = Validation.orphansInDst(srcBad, dstBad, keys)
-      .select((keys ++ valueCols).map(col): _*)
-      .withColumn("diff_kind", lit("orphan"))
-    val mism = Validation.mismatched(srcBad, dstBad, keys, valueCols)
-      .select((keys ++ valueCols).map(col): _*)
-      .withColumn("diff_kind", lit("mismatched"))
-    missing.unionByName(orphans).unionByName(mism)
+  /** The three-kind diff over ALREADY-NARROWED sides. */
+  private def diffOverSuspects(srcBad: DataFrame, dstBad: DataFrame,
+      keys: Seq[String], valueCols: Seq[String]): DataFrame = {
+    val outCols = (keys ++ valueCols).map(col)
+    Validation.missingInDst(srcBad, dstBad, keys)
+      .select(outCols: _*).withColumn("diff_kind", lit("missing"))
+      .unionByName(Validation.orphansInDst(srcBad, dstBad, keys)
+        .select(outCols: _*).withColumn("diff_kind", lit("orphan")))
+      .unionByName(Validation.mismatched(srcBad, dstBad, keys, valueCols)
+        .select(outCols: _*).withColumn("diff_kind", lit("mismatched")))
   }
 
-  /** Full run with a driver-side report. ONE probe action reads both
-    * tables once: the total chunk count AND the mismatched-chunk list
-    * ride the same aggregate (the suspect list is driver-bounded at the
-    * operating point of continuous validation — few diverging chunks; a
-    * fully-divergent target degenerates to the full diff regardless).
-    * The row-level diff and the per-kind counts then touch ONLY the
-    * suspect chunks via a literal predicate — no re-execution of the
-    * checksum pass, no cached blocks pinned. The returned diff frame is
-    * lazy; callers that iterate it further should stage it
-    * (Staged.parquetStage) rather than re-materialize. */
+  /** Full run with a driver-side report. The per-chunk checksum compare
+    * — the only pass that reads both tables — is STAGED once (one row
+    * per chunk: tiny at any data scale); the chunk counts, the suspect
+    * list and the row-level diff all derive from the stage, so the
+    * two-table scan never re-executes per report metric, no unbounded
+    * chunk list ever reaches the driver, and no cached blocks are
+    * pinned. `chunksTotal` counts SRC chunks (the denominator for
+    * mismatch ratios), as a chunked source scan would. The returned
+    * diff frame is lazy and reads the staged suspect list via a
+    * broadcast semi-join; callers that iterate it further should stage
+    * it (Staged.parquetStage) rather than re-materialize. */
   def run(src: DataFrame, dst: DataFrame, keys: Seq[String],
       valueCols: Seq[String], chunkOf: Column): (Report, DataFrame) = {
     val cols = keys ++ valueCols
@@ -102,20 +85,27 @@ object ValidationJob {
     val cd = Checksum.chunkChecksums(dst, chunkOf, cols)
       .withColumnRenamed("checksum", "dst_checksum")
       .withColumnRenamed("n", "dst_n")
-    val probe = cs.join(cd, Seq("chunk"), "full_outer")
-      .agg(count(lit(1)).as("total"),
-        collect_set(when(
-          !(col("src_checksum") <=> col("dst_checksum")) ||
-            !(col("src_n") <=> col("dst_n")), col("chunk"))).as("bad"))
-      .head()
-    val total = probe.getLong(0)
-    val badChunks: Seq[Any] = probe.getSeq[Any](1)
-    val diffs = diffRowsForChunks(src, dst, keys, valueCols, chunkOf, badChunks)
+    val cmp = graft.operators.Staged.parquetStage(
+      cs.join(cd, Seq("chunk"), "full_outer")
+        .select(col("chunk"), col("src_n").isNotNull.as("in_src"),
+          (!(col("src_checksum") <=> col("dst_checksum")) ||
+            !(col("src_n") <=> col("dst_n"))).as("bad")),
+      graft.operators.Staged.tempDir("validation-cmp"))
+    val counts = cmp.agg(
+      count(when(col("in_src"), 1)).as("total"),
+      count(when(col("bad"), 1)).as("bad")).head()
+    val badChunks = cmp.filter(col("bad")).select(col("chunk"))
+    val diffs = diffOverSuspects(
+      src.join(broadcast(badChunks), chunkOf === badChunks("chunk"),
+        "left_semi"),
+      dst.join(broadcast(badChunks), chunkOf === badChunks("chunk"),
+        "left_semi"),
+      keys, valueCols)
     val byKind = diffs.groupBy(col("diff_kind")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val report = Report(
-      chunksTotal = total,
-      chunksMismatched = badChunks.size,
+      chunksTotal = counts.getLong(0),
+      chunksMismatched = counts.getLong(1),
       missing = byKind.getOrElse("missing", 0L),
       orphans = byKind.getOrElse("orphan", 0L),
       mismatched = byKind.getOrElse("mismatched", 0L))

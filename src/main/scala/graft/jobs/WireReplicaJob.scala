@@ -58,13 +58,14 @@ object WireReplicaJob {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val typed = shape(batch, schemaName, tableName, colTypes)
-        if (!typed.isEmpty) {
-          if (TxnApplier.currentCommit(targetDir).isEmpty)
-            TxnApplier.bootstrap(typed.limit(0).drop("op", "tso"),
-              keyCols, targetDir, nBuckets, initialTso = 0L)
-          TxnApplier.applyBatch(typed, keyCols, seqCol, "op", "tso",
-            targetDir, nBuckets, txnsPerCommit)
-        }
+        // no isEmpty pre-check: it would decode every wire file a first
+        // time just to count; bootstrap is schema-only (limit 0) and
+        // applyBatch's own staged probe short-circuits an empty batch
+        if (TxnApplier.currentCommit(targetDir).isEmpty)
+          TxnApplier.bootstrap(typed.limit(0).drop("op", "tso"),
+            keyCols, targetDir, nBuckets, initialTso = 0L)
+        TxnApplier.applyBatch(typed, keyCols, seqCol, "op", "tso",
+          targetDir, nBuckets, txnsPerCommit)
         ()
       }
       .start()

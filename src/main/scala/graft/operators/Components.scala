@@ -38,13 +38,18 @@ object Components {
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .distinct().localCheckpoint()
     // order-insensitive signature of the edge set: converged when a
-    // round is a no-op. Per-edge hashes are bounded into [0, 1e9) so the
-    // ANSI-mode sum cannot overflow below ~9e9 edges.
-    def signature(df: DataFrame): (Long, Long) = {
+    // round is a no-op. TWO independently-seeded hash sums + the count —
+    // a false convergence needs a simultaneous collision in both 60-bit
+    // sums on the same count (~1e-36 per round), vs ~1e-9 for one sum.
+    // Per-edge hashes are bounded into [0, 1e9) so the ANSI-mode sums
+    // cannot overflow below ~9e9 edges.
+    def signature(df: DataFrame): (Long, Long, Long) = {
       val r = df.agg(count(lit(1)),
         coalesce(sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L))),
-          lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+          lit(0L)),
+        coalesce(sum(pmod(xxhash64(lit(7L), col("u"), col("v")),
+          lit(999999937L))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     }
     var sig = signature(e)
     var iter = 0

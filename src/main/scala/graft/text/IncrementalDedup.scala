@@ -31,10 +31,11 @@ import org.apache.spark.sql.types.StructType
 object IncrementalDedup {
 
   /** Screen one batch. Returns the batch with a `dup_of` column: the
-    * smallest already-admitted (or smaller in-batch) doc id whose
-    * estimated Jaccard is >= `threshold`, null if the document is
-    * novel. Side effect: the novel rows' signatures are committed to
-    * the index under `batch=<batchId>`. */
+    * smallest doc id among matches (estimated Jaccard >= `threshold`)
+    * drawn from EVERY already-admitted doc — regardless of id order —
+    * plus smaller-id docs of the same batch (the in-batch tiebreak);
+    * null if the document is novel. Side effect: the novel rows'
+    * signatures are committed to the index under `batch=<batchId>`. */
   def dedupeBatch(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String, batchId: Long, shingleN: Int = 3,
       numHashes: Int = 32, bands: Int = 8,
@@ -67,11 +68,16 @@ object IncrementalDedup {
     val indexSigs = readOrEmpty(spark, s"$indexDir/sigs",
       "doc_id LONG, sig ARRAY<LONG>", batchId)
 
-    // candidates: batch vs index, plus batch vs its own smaller ids
+    // candidates: batch vs index — ANY admitted doc is prior art,
+    // whatever its id (an id-ordered tiebreak here would silently admit
+    // near-dups of larger-id corpus docs) — plus batch vs its own
+    // smaller ids (the in-batch tiebreak: smallest id wins)
     val priorSide = buckets(indexSigs, "prior_id")
-      .unionByName(buckets(batchSigs, "prior_id"))
+      .withColumn("in_index", lit(true))
+      .unionByName(buckets(batchSigs, "prior_id")
+        .withColumn("in_index", lit(false)))
     val cand = buckets(batchSigs, "doc_id").join(priorSide, Seq("band", "bucket"))
-      .filter(col("prior_id") < col("doc_id"))
+      .filter(col("in_index") || col("prior_id") < col("doc_id"))
       .select(col("doc_id"), col("prior_id")).distinct()
 
     val priorSigs = indexSigs
@@ -136,21 +142,29 @@ object IncrementalDedup {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        val screened = dedupeBatch(batch, idCol, textCol, indexDir, bid,
+        val raw = dedupeBatch(batch, idCol, textCol, indexDir, bid,
           shingleN, numHashes, bands, threshold)
+        // materialize the screened batch ONCE: the novel/rejected writes
+        // would otherwise each re-scan the source and re-run the verdict
+        // join
+        val screenedSchema = raw.schema
+        val screenedPath = s"$indexDir/__stage/screened_batch=$bid"
+        raw.write.mode(SaveMode.Overwrite).parquet(screenedPath)
+        val screened = spark.read.schema(screenedSchema).parquet(screenedPath)
         screened.filter(col("dup_of").isNull).drop("dup_of")
           .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$bid")
         screened.filter(col("dup_of").isNotNull)
           .write.mode(SaveMode.Overwrite).parquet(s"$rejectedDir/batch=$bid")
         // both outputs are materialized — the batch's scratch (staged
-        // signatures + verdicts) has no live readers; a standing query
-        // must not grow __stage forever
+        // signatures, verdicts, screened image) has no live readers; a
+        // standing query must not grow __stage forever
         val stage = new org.apache.hadoop.fs.Path(s"$indexDir/__stage")
         val fs = graft.util.HadoopIo.fsOf(stage)
-        Seq(s"batch=$bid", s"dupof_batch=$bid").foreach { n =>
-          val p = new org.apache.hadoop.fs.Path(stage, n)
-          if (fs.exists(p)) fs.delete(p, true)
-        }
+        Seq(s"batch=$bid", s"dupof_batch=$bid", s"screened_batch=$bid")
+          .foreach { n =>
+            val p = new org.apache.hadoop.fs.Path(stage, n)
+            if (fs.exists(p)) fs.delete(p, true)
+          }
         ()
       }
       .start()

@@ -14,12 +14,19 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Deterministic per-row shuffle key: Knuth's multiplicative hash of
-    * the id, bounded to 32 bits. Pure map-side arithmetic — computable
-    * by any engine, stable across runs, uniform enough to decorrelate
-    * the sample from id assignment order. */
+  /** The key space: keys land in [0, KeyMod). A Mersenne prime keeps
+    * the affine rounds below a permutation-breaking common factor. */
+  val KeyMod: Long = 2147483647L // 2^31 - 1
+
+  /** Deterministic per-row shuffle key: two affine rounds mod 2^31-1
+    * (Lehmer-style). Pure map-side arithmetic — computable by any
+    * engine, stable across runs, uniform enough to decorrelate the
+    * sample from id assignment order. Every intermediate stays below
+    * 2^62, so Spark's ANSI mode can never see a long overflow whatever
+    * the id (a bare Knuth multiply would throw past ids ~3.5e9). */
   def shuffleKey(id: Column): Column =
-    pmod(id.cast("long") * 2654435761L, lit(1L << 32))
+    pmod(pmod(pmod(id.cast("long"), lit(KeyMod)) * 1103515245L + 12345L,
+      lit(KeyMod)) * 48271L, lit(KeyMod))
 
   /** Keep ~`fraction` of rows, chosen by hash threshold — NO shuffle,
     * no window, no state: the filter runs inside the scan stage, so this
@@ -28,7 +35,7 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction")
     df.filter(shuffleKey(col(idCol)) <
-      lit((fraction * (1L << 32).toDouble).toLong))
+      lit((fraction * KeyMod.toDouble).toLong))
   }
 
   /** Exactly `k` rows per stratum (language, source, ...), picked in

@@ -25,13 +25,17 @@ class IncrementalDedupSpec extends SparkSpec {
       // near-copy of doc 2: first two words dropped
       (11L, words("beta", 30).split(" ").drop(2).mkString(" ")),
       (12L, words("epsilon", 30)), // novel
-      (13L, words("delta", 30))) // exact copy of doc 4
+      (13L, words("delta", 30)), // exact copy of doc 4
+      // SMALLER id than its admitted original: the index match must
+      // still reject it (id order carries no authority vs the corpus)
+      (0L, words("gamma", 30)))
       .toDF("doc_id", "text")
     val r2 = IncrementalDedup.dedupeBatch(b2, "doc_id", "text",
       s"$dir/index", batchId = 1L)
       .select($"doc_id", $"dup_of").as[(Long, Option[Long])]
       .collect().toMap
-    assert(r2 == Map(11L -> Some(2L), 12L -> None, 13L -> Some(4L)))
+    assert(r2 == Map(11L -> Some(2L), 12L -> None, 13L -> Some(4L),
+      0L -> Some(3L)))
 
     // the index admitted ONLY the novel doc from batch 1+2
     val indexed = spark.read.parquet(s"$dir/index/sigs")

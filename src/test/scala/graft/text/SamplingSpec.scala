@@ -68,7 +68,8 @@ class SamplingSpec extends SparkSpec {
     val en = docs.filter($"lang" === "en")
       .select($"id", $"tokens").as[(Long, Long)].collect()
       .sortBy { case (id, _) =>
-        (java.lang.Long.remainderUnsigned(id * 2654435761L, 1L << 32), id) }
+        (((id % Sampling.KeyMod) * 1103515245L + 12345L) % Sampling.KeyMod
+          * 48271L % Sampling.KeyMod, id) }
     var cum = 0L
     val expectEn = en.takeWhile { case (_, t) =>
       val admit = cum < budget; cum += t; admit
