@@ -88,29 +88,37 @@ object IncrementalDedup {
         (a, b) => when(a === b, 1).otherwise(0))
       aggregate(eq, lit(0), (acc, x) => acc + x).cast("double") / numHashes
     }
-    // materialize the verdicts BEFORE touching the index partitions: the
-    // overwrite below must not race a lazy re-computation of this plan
-    val dupPath = s"$indexDir/__stage/dupof_batch=$batchId"
-    cand
+    val dupOf = cand
       .join(batchSigs, "doc_id")
       .join(priorSigs, "prior_id")
       .filter(matchFrac >= threshold)
       .groupBy(col("doc_id")).agg(min(col("prior_id")).as("dup_of"))
-      .write.mode(SaveMode.Overwrite).parquet(dupPath)
-    val dupOf = spark.read
-      .schema(StructType.fromDDL("doc_id LONG, dup_of LONG"))
-      .parquet(dupPath)
 
-    val screened = batch
-      .join(dupOf, batch(idCol).cast("long") === dupOf("doc_id"), "left")
-      .drop(dupOf("doc_id"))
+    // ONE materialization carries the verdicts, the screened batch AND
+    // the signatures — executed BEFORE the index partition overwrite
+    // (nothing below may lazily re-run this plan), and every later
+    // consumer (the novel-sig index commit, the caller's splits) reads
+    // this tiny stage instead of re-scanning the source or re-running
+    // the verdict join
+    val screenedPath = s"$indexDir/__stage/screened_batch=$batchId"
+    val staged = batch
+      .withColumn("__did", col(idCol).cast("long"))
+      .join(dupOf.withColumnRenamed("doc_id", "__vid"),
+        col("__did") === col("__vid"), "left")
+      .join(batchSigs.withColumnRenamed("doc_id", "__sid"),
+        col("__did") === col("__sid"), "left")
+      .drop("__vid", "__sid", "__did")
+    val stagedSchema = staged.schema
+    staged.write.mode(SaveMode.Overwrite).parquet(screenedPath)
+    val screened = spark.read.schema(stagedSchema).parquet(screenedPath)
 
     // admit novel docs: commit their signatures under this batch's
     // partition (a replay rewrites the same partition)
-    batchSigs.join(dupOf, Seq("doc_id"), "left_anti")
+    screened.filter(col("dup_of").isNull)
+      .select(col(idCol).cast("long").as("doc_id"), col("sig"))
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$indexDir/sigs/batch=$batchId")
-    screened
+    screened.drop("sig")
   }
 
   private def readOrEmpty(spark: SparkSession, dir: String,
@@ -142,25 +150,20 @@ object IncrementalDedup {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, bid: Long) =>
-        val raw = dedupeBatch(batch, idCol, textCol, indexDir, bid,
+        // dedupeBatch's result is stage-backed: both splits below are
+        // cheap reads of the screened stage, not re-screens
+        val screened = dedupeBatch(batch, idCol, textCol, indexDir, bid,
           shingleN, numHashes, bands, threshold)
-        // materialize the screened batch ONCE: the novel/rejected writes
-        // would otherwise each re-scan the source and re-run the verdict
-        // join
-        val screenedSchema = raw.schema
-        val screenedPath = s"$indexDir/__stage/screened_batch=$bid"
-        raw.write.mode(SaveMode.Overwrite).parquet(screenedPath)
-        val screened = spark.read.schema(screenedSchema).parquet(screenedPath)
         screened.filter(col("dup_of").isNull).drop("dup_of")
           .write.mode(SaveMode.Overwrite).parquet(s"$outDir/batch=$bid")
         screened.filter(col("dup_of").isNotNull)
           .write.mode(SaveMode.Overwrite).parquet(s"$rejectedDir/batch=$bid")
         // both outputs are materialized — the batch's scratch (staged
-        // signatures, verdicts, screened image) has no live readers; a
-        // standing query must not grow __stage forever
+        // signatures + screened image) has no live readers; a standing
+        // query must not grow __stage forever
         val stage = new org.apache.hadoop.fs.Path(s"$indexDir/__stage")
         val fs = graft.util.HadoopIo.fsOf(stage)
-        Seq(s"batch=$bid", s"dupof_batch=$bid", s"screened_batch=$bid")
+        Seq(s"batch=$bid", s"screened_batch=$bid")
           .foreach { n =>
             val p = new org.apache.hadoop.fs.Path(stage, n)
             if (fs.exists(p)) fs.delete(p, true)
