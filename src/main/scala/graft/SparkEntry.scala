@@ -870,11 +870,12 @@ object SparkEntry {
     }),
 
     // deterministic stratified sampling: exactly k docs per language in
-    // Knuth-hash order (engine-portable arithmetic — the oracle
-    // recomputes the same selection). The rank filter compiles to a
-    // WindowGroupLimit (per-partition top-k BELOW the stratum shuffle,
-    // asserted in SamplingSpec) — the distributed top-k shape, not a
-    // full per-stratum sort.
+    // portable hash order (two affine rounds mod 2^31-1 — the oracle
+    // recomputes the same selection; its signed-% form matches Spark's
+    // pmod because doc ids are non-negative). The rank filter compiles
+    // to a WindowGroupLimit (per-partition top-k BELOW the stratum
+    // shuffle, asserted in SamplingSpec) — the distributed top-k shape,
+    // not a full per-stratum sort.
     "q68_stratified_sample" -> ((s, d) =>
       graft.text.Sampling.stratifiedTopK(
           Tables.documents(s, d).select(col("doc_id"), col("lang")),

@@ -66,16 +66,17 @@ object ValidationJob {
   }
 
   /** Full run with a driver-side report. The per-chunk checksum compare
-    * — the only pass that reads both tables — is STAGED once (one row
-    * per chunk: tiny at any data scale); the chunk counts, the suspect
-    * list and the row-level diff all derive from the stage, so the
-    * two-table scan never re-executes per report metric, no unbounded
-    * chunk list ever reaches the driver, and no cached blocks are
-    * pinned. `chunksTotal` counts SRC chunks (the denominator for
-    * mismatch ratios), as a chunked source scan would. The returned
-    * diff frame is lazy and reads the staged suspect list via a
-    * broadcast semi-join; callers that iterate it further should stage
-    * it (Staged.parquetStage) rather than re-materialize. */
+    * — the only pass that reads both tables — executes ONCE: the chunk
+    * counts ride the suspect-list write as observed metrics, only the
+    * (small) suspect list is staged, and the row-level diff reads that
+    * stage via a broadcast semi-join — the two-table scan never
+    * re-executes per report metric, no unbounded chunk list ever
+    * reaches the driver, and no cached blocks are pinned.
+    * `chunksTotal` counts every chunk either side produced (full-outer
+    * union), so `chunksMismatched <= chunksTotal` always holds. The
+    * returned diff frame is lazy over the staged suspect list; callers
+    * that iterate it further should stage it (Staged.parquetStage)
+    * rather than re-materialize. */
   def run(src: DataFrame, dst: DataFrame, keys: Seq[String],
       valueCols: Seq[String], chunkOf: Column): (Report, DataFrame) = {
     val cols = keys ++ valueCols
@@ -85,16 +86,30 @@ object ValidationJob {
     val cd = Checksum.chunkChecksums(dst, chunkOf, cols)
       .withColumnRenamed("checksum", "dst_checksum")
       .withColumnRenamed("n", "dst_n")
-    val cmp = graft.operators.Staged.parquetStage(
-      cs.join(cd, Seq("chunk"), "full_outer")
-        .select(col("chunk"), col("src_n").isNotNull.as("in_src"),
-          (!(col("src_checksum") <=> col("dst_checksum")) ||
-            !(col("src_n") <=> col("dst_n"))).as("bad")),
-      graft.operators.Staged.tempDir("validation-cmp"))
-    val counts = cmp.agg(
-      count(when(col("in_src"), 1)).as("total"),
-      count(when(col("bad"), 1)).as("bad")).head()
-    val badChunks = cmp.filter(col("bad")).select(col("chunk"))
+    val cmp = cs.join(cd, Seq("chunk"), "full_outer")
+      .select(col("chunk"),
+        (!(col("src_checksum") <=> col("dst_checksum")) ||
+          !(col("src_n") <=> col("dst_n"))).as("bad"))
+    // ONE action reads both tables: the chunk counts ride the suspect-
+    // list write as observed metrics, and only the (small) suspect list
+    // is staged — it backs the returned lazy diff frame, so its
+    // directory lives as long as the frame (tiny: one value per
+    // diverging chunk). chunksTotal counts every chunk either side
+    // produced (the full-outer union), so chunksMismatched <= chunksTotal
+    // always holds for ratio consumers.
+    val obs = org.apache.spark.sql.Observation()
+    val badDir = graft.operators.Staged.tempDir("validation-bad-chunks")
+    cmp.observe(obs, count(lit(1)).as("total"),
+        count(when(col("bad"), 1)).as("bad"))
+      .filter(col("bad")).select(col("chunk"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(badDir)
+    val (total, badCount) =
+      (obs.get("total").asInstanceOf[Long], obs.get("bad").asInstanceOf[Long])
+    val badChunks = src.sparkSession.read
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("chunk",
+          cmp.schema("chunk").dataType))))
+      .parquet(badDir)
     val diffs = diffOverSuspects(
       src.join(broadcast(badChunks), chunkOf === badChunks("chunk"),
         "left_semi"),
@@ -104,8 +119,8 @@ object ValidationJob {
     val byKind = diffs.groupBy(col("diff_kind")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val report = Report(
-      chunksTotal = counts.getLong(0),
-      chunksMismatched = counts.getLong(1),
+      chunksTotal = total,
+      chunksMismatched = badCount,
       missing = byKind.getOrElse("missing", 0L),
       orphans = byKind.getOrElse("orphan", 0L),
       mismatched = byKind.getOrElse("mismatched", 0L))

@@ -35,12 +35,22 @@ object IncrementalDedup {
     * drawn from EVERY already-admitted doc — regardless of id order —
     * plus smaller-id docs of the same batch (the in-batch tiebreak);
     * null if the document is novel. Side effect: the novel rows'
-    * signatures are committed to the index under `batch=<batchId>`. */
+    * signatures are committed to the index under `batch=<batchId>`.
+    *
+    * `dup_of` is one HOP in the duplicate graph, not the canonical
+    * representative: it may name a sibling batch doc that was itself
+    * rejected (its own `dup_of` continues the chain), and it may equal
+    * the doc's own id when that id was already admitted by an earlier
+    * batch (a re-delivery). Consumers that need one representative per
+    * group close the chains with `operators/Components` over the
+    * (doc_id, dup_of) pairs. */
   def dedupeBatch(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String, batchId: Long, shingleN: Int = 3,
       numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    require(!batch.columns.contains("dup_of") && !batch.columns.contains("sig"),
+      "dedupeBatch reserves the 'dup_of' and 'sig' column names")
     val spark = batch.sparkSession
     val rows = numHashes / bands
 
@@ -105,7 +115,10 @@ object IncrementalDedup {
       .withColumn("__did", col(idCol).cast("long"))
       .join(dupOf.withColumnRenamed("doc_id", "__vid"),
         col("__did") === col("__vid"), "left")
-      .join(batchSigs.withColumnRenamed("doc_id", "__sid"),
+      // one sig row per DISTINCT id: a batch that re-delivers the same
+      // id twice must not have its rows multiplied by the join
+      .join(batchSigs.dropDuplicates("doc_id")
+          .withColumnRenamed("doc_id", "__sid"),
         col("__did") === col("__sid"), "left")
       .drop("__vid", "__sid", "__did")
     val stagedSchema = staged.schema
@@ -113,9 +126,11 @@ object IncrementalDedup {
     val screened = spark.read.schema(stagedSchema).parquet(screenedPath)
 
     // admit novel docs: commit their signatures under this batch's
-    // partition (a replay rewrites the same partition)
+    // partition (a replay rewrites the same partition; one sig per
+    // distinct admitted id even if the batch re-delivered rows)
     screened.filter(col("dup_of").isNull)
       .select(col(idCol).cast("long").as("doc_id"), col("sig"))
+      .dropDuplicates("doc_id")
       .write.mode(SaveMode.Overwrite)
       .parquet(s"$indexDir/sigs/batch=$batchId")
     screened.drop("sig")
