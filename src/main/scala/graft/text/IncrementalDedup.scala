@@ -1,6 +1,7 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -10,23 +11,37 @@ import org.apache.spark.sql.types.StructType
   * before it — the "is this crawl shard already in the corpus" gate a
   * growing training set needs, without ever recomputing the corpus.
   *
-  * The index is ONE append-only parquet table under `indexDir` —
-  * `sigs/batch=<id>`: (doc_id, sig array<long>) — written per source
-  * batch (so a replayed batch OVERWRITES its own partition — idempotent
-  * under foreachBatch retries). Banded buckets derive from the stored
-  * signatures on read (fewer bytes than a stored b-rows-per-doc bucket
-  * table). Candidate generation joins banded buckets on (band, bucket)
-  * — ids only, the 8-byte shuffle; signatures attach once per unique
-  * candidate pair and
-  * similarity is estimated as the matching-slot fraction of the two
-  * MinHash signatures (E[match fraction] = Jaccard), so the check
-  * never re-reads document text. Within-batch duplicates are caught by
-  * the same banded join of the batch against itself (smaller id wins).
+  * The index is TWO append-only parquet tables under `indexDir`, both
+  * written per source batch (a replayed batch OVERWRITES its own
+  * partitions — idempotent under foreachBatch retries):
+  *
+  *  - `sigs/batch=<id>/sp=<m>`: (doc_id, sig array<long>), partitioned
+  *    by `sp = pmod(doc_id, sigParts)` so the verification step reads
+  *    only the id-partitions its candidate priors live in;
+  *  - `buckets/batch=<id>/band=<b>/bp=<m>`: (bucket, doc_id), the
+  *    banded LSH buckets, partitioned by band and
+  *    `bp = pmod(bucket, bucketParts)` so candidate generation reads
+  *    only the partitions the incoming batch's own buckets collide
+  *    with.
+  *
+  * Candidate generation joins banded buckets on (band, bucket) — ids
+  * only, the 8-byte shuffle; signatures attach once per unique
+  * candidate pair and similarity is estimated as the matching-slot
+  * fraction of the two MinHash signatures (E[match fraction] =
+  * Jaccard), so the check never re-reads document text. Within-batch
+  * duplicates are caught by the same banded join of the batch against
+  * itself (smaller id wins).
   *
   * At 100 TB: per batch the work is O(batch) signature compute + a
-  * bucket equi-join whose index side prunes to colliding buckets; the
-  * index grows by admitted docs only. (The bucket table is the natural
-  * candidate for bucketBy(band) at very large index sizes.)
+  * bucket equi-join whose index side PRUNES AT THE FILE SOURCE to the
+  * (band, bp) partitions the batch collides with — never a scan of the
+  * whole index (the batch's collision set is bounded by
+  * bands*bucketParts values, collected as metadata). The signature
+  * attach likewise prunes to the candidate priors' sp partitions. The
+  * index grows by admitted docs only; each batch adds at most
+  * bands*bucketParts + sigParts small files, so a long-standing index
+  * wants an occasional per-band compaction (a plain parquet rewrite —
+  * the layout is stable under it).
   */
 object IncrementalDedup {
 
@@ -35,7 +50,8 @@ object IncrementalDedup {
     * drawn from EVERY already-admitted doc — regardless of id order —
     * plus smaller-id docs of the same batch (the in-batch tiebreak);
     * null if the document is novel. Side effect: the novel rows'
-    * signatures are committed to the index under `batch=<batchId>`.
+    * signatures and banded buckets are committed to the index under
+    * `batch=<batchId>`.
     *
     * `dup_of` is one HOP in the duplicate graph, not the canonical
     * representative: it may name a sibling batch doc that was itself
@@ -43,11 +59,15 @@ object IncrementalDedup {
     * the doc's own id when that id was already admitted by an earlier
     * batch (a re-delivery). Consumers that need one representative per
     * group close the chains with `operators/Components` over the
-    * (doc_id, dup_of) pairs. */
+    * (doc_id, dup_of) pairs.
+    *
+    * `bucketParts`/`sigParts` shape the index layout (see object doc) —
+    * they must stay constant for the lifetime of one index. */
   def dedupeBatch(batch: DataFrame, idCol: String, textCol: String,
       indexDir: String, batchId: Long, shingleN: Int = 3,
       numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      bucketParts: Int = 16, sigParts: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(!batch.columns.contains("dup_of") && !batch.columns.contains("sig"),
       "dedupeBatch reserves the 'dup_of' and 'sig' column names")
@@ -63,32 +83,55 @@ object IncrementalDedup {
     sigs.write.mode(SaveMode.Overwrite).parquet(sigPath)
     val batchSigs = spark.read.parquet(sigPath)
 
-    // banded buckets derive from signatures ON READ — the index stores
-    // one table (sigs); exploding k-long arrays reads fewer bytes than
-    // a stored (band, bucket, id) table b rows wide, and saves a write
-    // per batch
     def buckets(sigTable: DataFrame, as: String): DataFrame =
       sigTable.select(col("doc_id").as(as),
           explode(DedupApprox.bandHashes(col("sig"), bands, rows)).as("bh"))
         .select(col("bh.band").as("band"), col("bh.bucket").as("bucket"),
           col(as))
-    // exclude THIS batch's partition from the index: under foreachBatch
-    // replay it holds the prior attempt's output — reading it would both
+
+    // the batch's collision footprint: which (band, bp) index partitions
+    // could hold a colliding bucket. Bounded by bands*bucketParts values
+    // — metadata, not data — so collecting it costs one job over the
+    // staged (tiny) batch signatures
+    val batchPairs = buckets(batchSigs, "doc_id")
+      .select(col("band"),
+        pmod(col("bucket"), lit(bucketParts)).cast("int").as("bp"))
+      .distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+
+    // index side of the candidate join: ONLY the colliding partitions of
+    // the persisted bucket table — the probe never scans the full index.
+    // THIS batch's own partition is excluded: under foreachBatch replay
+    // it holds the prior attempt's output — reading it would both
     // re-match the batch against itself and race the overwrite below
-    val indexSigs = readOrEmpty(spark, s"$indexDir/sigs",
-      "doc_id LONG, sig ARRAY<LONG>", batchId)
+    val indexBuckets = prunedIndexBuckets(spark, indexDir, batchId,
+      batchPairs, bucketParts)
 
     // candidates: batch vs index — ANY admitted doc is prior art,
     // whatever its id (an id-ordered tiebreak here would silently admit
     // near-dups of larger-id corpus docs) — plus batch vs its own
     // smaller ids (the in-batch tiebreak: smallest id wins)
-    val priorSide = buckets(indexSigs, "prior_id")
+    val priorSide = indexBuckets
       .withColumn("in_index", lit(true))
       .unionByName(buckets(batchSigs, "prior_id")
         .withColumn("in_index", lit(false)))
     val cand = buckets(batchSigs, "doc_id").join(priorSide, Seq("band", "bucket"))
       .filter(col("in_index") || col("prior_id") < col("doc_id"))
       .select(col("doc_id"), col("prior_id")).distinct()
+
+    // stage the (small) candidate set: the sp-footprint collect below and
+    // the verification join both read it without re-running the bucket join
+    val candPath = s"$indexDir/__stage/cand_batch=$batchId"
+    cand.write.mode(SaveMode.Overwrite).parquet(candPath)
+    val candStaged = spark.read
+      .schema("doc_id LONG, prior_id LONG").parquet(candPath)
+
+    // signatures attach only for candidate priors: prune the sigs table
+    // to the sp partitions those ids live in (bounded by sigParts values)
+    val candSps = candStaged
+      .select(pmod(col("prior_id"), lit(sigParts)).cast("int").as("sp"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val indexSigs = prunedIndexSigs(spark, indexDir, batchId, candSps)
 
     val priorSigs = indexSigs
       .unionByName(batchSigs)
@@ -98,7 +141,7 @@ object IncrementalDedup {
         (a, b) => when(a === b, 1).otherwise(0))
       aggregate(eq, lit(0), (acc, x) => acc + x).cast("double") / numHashes
     }
-    val dupOf = cand
+    val dupOf = candStaged
       .join(batchSigs, "doc_id")
       .join(priorSigs, "prior_id")
       .filter(matchFrac >= threshold)
@@ -125,29 +168,61 @@ object IncrementalDedup {
     staged.write.mode(SaveMode.Overwrite).parquet(screenedPath)
     val screened = spark.read.schema(stagedSchema).parquet(screenedPath)
 
-    // admit novel docs: commit their signatures under this batch's
-    // partition (a replay rewrites the same partition; one sig per
-    // distinct admitted id even if the batch re-delivered rows)
-    screened.filter(col("dup_of").isNull)
+    // admit novel docs: commit their signatures AND banded buckets under
+    // this batch's partitions (a replay rewrites the same partitions; one
+    // sig per distinct admitted id even if the batch re-delivered rows)
+    val novel = screened.filter(col("dup_of").isNull)
       .select(col(idCol).cast("long").as("doc_id"), col("sig"))
       .dropDuplicates("doc_id")
-      .write.mode(SaveMode.Overwrite)
+    novel
+      .withColumn("sp", pmod(col("doc_id"), lit(sigParts)).cast("int"))
+      .write.partitionBy("sp").mode(SaveMode.Overwrite)
       .parquet(s"$indexDir/sigs/batch=$batchId")
+    buckets(novel, "doc_id")
+      .withColumn("bp", pmod(col("bucket"), lit(bucketParts)).cast("int"))
+      .write.partitionBy("band", "bp").mode(SaveMode.Overwrite)
+      .parquet(s"$indexDir/buckets/batch=$batchId")
     screened.drop("sig")
   }
 
-  private def readOrEmpty(spark: SparkSession, dir: String,
-      ddl: String, excludeBatch: Long): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val schema = StructType.fromDDL(ddl)
-    if (graft.util.HadoopIo.fsOf(p).exists(p))
-      // partition-prune away the current batch (replay safety) and
-      // project the index columns (drops the discovered partition col)
+  /** The persisted bucket table, pruned to the (band, bp) partitions in
+    * `pairs` and excluding `excludeBatch`'s own partition (replay
+    * safety). Partition-column-only predicates — the scan lists only
+    * colliding partition directories, never the full index. */
+  private[text] def prunedIndexBuckets(spark: SparkSession, indexDir: String,
+      excludeBatch: Long, pairs: Seq[(Int, Int)],
+      bucketParts: Int): DataFrame = {
+    val dir = s"$indexDir/buckets"
+    val schema = StructType.fromDDL("band INT, bucket INT, prior_id LONG")
+    val p = new Path(dir)
+    if (!graft.util.HadoopIo.fsOf(p).exists(p) || pairs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else {
+      val collide: Column = pairs
+        .map { case (b, m) => col("band") === b && col("bp") === m }
+        .reduce(_ || _)
       spark.read.parquet(dir)
-        .filter(col("batch") =!= excludeBatch)
+        .filter(col("batch") =!= excludeBatch && collide)
+        .select(col("band").cast("int").as("band"), col("bucket"),
+          col("doc_id").as("prior_id"))
+    }
+  }
+
+  /** The persisted signature table, pruned to the sp partitions in `sps`
+    * and excluding `excludeBatch`'s own partition. */
+  private[text] def prunedIndexSigs(spark: SparkSession, indexDir: String,
+      excludeBatch: Long, sps: Seq[Int]): DataFrame = {
+    val dir = s"$indexDir/sigs"
+    val schema = StructType.fromDDL("doc_id LONG, sig ARRAY<LONG>")
+    val p = new Path(dir)
+    if (!graft.util.HadoopIo.fsOf(p).exists(p) || sps.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.parquet(dir)
+        .filter(col("batch") =!= excludeBatch && col("sp").isin(sps: _*))
         .select(schema.fieldNames.map(col): _*)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   /** The standing form: a document stream screened batch-by-batch
@@ -174,13 +249,13 @@ object IncrementalDedup {
         screened.filter(col("dup_of").isNotNull)
           .write.mode(SaveMode.Overwrite).parquet(s"$rejectedDir/batch=$bid")
         // both outputs are materialized — the batch's scratch (staged
-        // signatures + screened image) has no live readers; a standing
-        // query must not grow __stage forever
-        val stage = new org.apache.hadoop.fs.Path(s"$indexDir/__stage")
+        // signatures, candidates + screened image) has no live readers;
+        // a standing query must not grow __stage forever
+        val stage = new Path(s"$indexDir/__stage")
         val fs = graft.util.HadoopIo.fsOf(stage)
-        Seq(s"batch=$bid", s"screened_batch=$bid")
+        Seq(s"batch=$bid", s"cand_batch=$bid", s"screened_batch=$bid")
           .foreach { n =>
-            val p = new org.apache.hadoop.fs.Path(stage, n)
+            val p = new Path(stage, n)
             if (fs.exists(p)) fs.delete(p, true)
           }
         ()

@@ -63,6 +63,37 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(indexed == Set(21L, 23L))
   }
 
+  test("probe reads only colliding bucket partitions, not the full index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-incdedup4").toString
+    // admit a wide batch: its banded buckets land across many (band, bp)
+    // partitions of the persisted bucket table
+    val wide = (1 to 40).map(i => (i.toLong, words(s"corpus$i", 30)))
+      .toDF("doc_id", "text")
+    IncrementalDedup.dedupeBatch(wide, "doc_id", "text", s"$dir/index",
+      batchId = 0L)
+    val bucketRoot = new java.io.File(s"$dir/index/buckets/batch=0")
+    val totalParts = bucketRoot.listFiles.filter(_.isDirectory)
+      .flatMap(_.listFiles.filter(_.isDirectory)).length
+    assert(totalParts > 8, s"fixture too narrow: $totalParts partitions")
+
+    // a one-doc probe collides with at most `bands` (band, bp) pairs —
+    // the index side of the candidate join must scan ONLY those
+    val pairs = Seq((0, 3), (1, 5))
+    val probe = IncrementalDedup.prunedIndexBuckets(spark, s"$dir/index",
+      excludeBatch = 99L, pairs, bucketParts = 16)
+    probe.collect()
+    val scan = probe.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scan.nonEmpty, probe.queryExecution.executedPlan.toString)
+    // partition-only predicates: pruning happens at directory listing
+    assert(scan.head.toString.contains("PartitionFilters"),
+      scan.head.toString.take(500))
+    val partsRead = scan.head.metrics("numPartitions").value
+    assert(partsRead <= pairs.size,
+      s"probe read $partsRead partitions of $totalParts for ${pairs.size} pairs")
+    assert(partsRead < totalParts)
+  }
+
   test("standing form: novel to out, duplicates to rejected, across restarts") {
     val root = java.nio.file.Files.createTempDirectory("graft-incdedup3")
     val src = s"$root/src"
