@@ -947,9 +947,9 @@ object SparkEntry {
       val (nFrames, nTxns) = try {
         var frames = 0L
         var txns = 0L
-        BinlogWire.parseStream(in).foreach { case (tc, _, _) =>
+        BinlogWire.parseStream(in).foreach { f =>
           frames += 1
-          if (tc == BinlogWire.XidEvent) txns += 1
+          if (f.typeCode == BinlogWire.XidEvent) txns += 1
         }
         (frames, txns)
       } finally in.close()

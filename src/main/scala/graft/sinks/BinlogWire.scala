@@ -819,7 +819,8 @@ object BinlogWire {
       serverId: Long = 1L, filePrefix: String = "binlog.",
       checksummed: Boolean = false,
       gtidSid: Option[java.util.UUID] = None,
-      rotateChain: Boolean = false): Int = {
+      rotateChain: Boolean = false,
+      serverIdCol: Option[String] = None): Int = {
     val tableIds: Map[(String, String), Long] =
       tableCols.keys.toSeq.sorted.zipWithIndex
         .map { case (k, i) => k -> (i + 1L) }.toMap
@@ -843,6 +844,9 @@ object BinlogWire {
           val w = new FileWriter(out, checksummed = checksummed)
           var openTxn = Option.empty[Long]
           var headerDone = false
+          // per-row server id (relay byte-fidelity); trailing events use
+          // the last row's — a file-scoped writer default before any row
+          var sid = serverId
           it.foreach { r =>
             val ts = r.getAs[Any](timestampCol) match {
               case t: java.sql.Timestamp => t.getTime / 1000
@@ -851,20 +855,22 @@ object BinlogWire {
                 t.toEpochSecond(java.time.ZoneOffset.UTC)
               case n: Number => n.longValue()
             }
+            sid = serverIdCol.map(c => r.getAs[Number](c).longValue())
+              .getOrElse(serverId)
             if (!headerDone) {
-              w.write(formatDescription(ts, serverId, checksummed = checksummed))
+              w.write(formatDescription(ts, sid, checksummed = checksummed))
               gtidSid.foreach(_ =>
-                w.write(previousGtidsEvent(ts, serverId, Seq.empty)))
+                w.write(previousGtidsEvent(ts, sid, Seq.empty)))
               headerDone = true
             }
             val txn = r.getAs[Number](txnCol).longValue()
             if (!openTxn.contains(txn)) {
-              openTxn.foreach(x => w.write(commitEvent(ts, serverId, x)))
-              gtidSid.foreach(sid => w.write(gtidEvent(ts, serverId, sid,
+              openTxn.foreach(x => w.write(commitEvent(ts, sid, x)))
+              gtidSid.foreach(gsid => w.write(gtidEvent(ts, sid, gsid,
                 gno = r.getAs[Number](tsoCol).longValue())))
-              w.write(markEvent(ts, serverId,
+              w.write(markEvent(ts, sid,
                 s"CTS::${r.getAs[Number](tsoCol).longValue()}"))
-              w.write(beginEvent(ts, serverId))
+              w.write(beginEvent(ts, sid))
               openTxn = Some(txn)
             }
             val op = r.getAs[String](opCol)
@@ -872,7 +878,7 @@ object BinlogWire {
               // DDL travels as statement text, not a row image
               val stmt = if (!hasDdlCol) ""
                 else Option(r.getAs[String]("ddl")).getOrElse("")
-              w.write(ddlEvent(ts, serverId, r.getAs[String](schemaCol), stmt))
+              w.write(ddlEvent(ts, sid, r.getAs[String](schemaCol), stmt))
             } else {
             val key = (r.getAs[String](schemaCol), r.getAs[String](tableCol))
             val specs = specsOf.getOrElse(key,
@@ -885,25 +891,25 @@ object BinlogWire {
               .getOrElse(Map.empty)
             val after = Option(r.getAs[Map[String, String]](afterCol))
               .getOrElse(Map.empty)
-            w.write(tableMap(ts, serverId, tid, key._1, key._2, specs))
+            w.write(tableMap(ts, sid, tid, key._1, key._2, specs))
             w.write(op match {
               case "DELETE" =>
-                rowsEvent(ts, serverId, DeleteRowsEventV2, tid, specs,
+                rowsEvent(ts, sid, DeleteRowsEventV2, tid, specs,
                   Seq(img(if (before.nonEmpty) before else after)))
               case "UPDATE" if before.nonEmpty =>
-                rowsEvent(ts, serverId, UpdateRowsEventV2, tid, specs,
+                rowsEvent(ts, sid, UpdateRowsEventV2, tid, specs,
                   Seq(img(before), img(after)))
               case _ =>
-                rowsEvent(ts, serverId, WriteRowsEventV2, tid, specs,
+                rowsEvent(ts, sid, WriteRowsEventV2, tid, specs,
                   Seq(img(after)))
             })
             }
           }
-          openTxn.foreach(x => w.write(commitEvent(0L, serverId, x)))
+          openTxn.foreach(x => w.write(commitEvent(0L, sid, x)))
           if (rotateChain) {
             if (!headerDone)
-              w.write(formatDescription(0L, serverId, checksummed = checksummed))
-            w.write(rotateEvent(0L, serverId, f"$filePrefix${pid + 1}%06d"))
+              w.write(formatDescription(0L, sid, checksummed = checksummed))
+            w.write(rotateEvent(0L, sid, f"$filePrefix${pid + 1}%06d"))
           }
         } finally out.close()
         counter.add(1)
@@ -916,11 +922,23 @@ object BinlogWire {
 
   /** A decoded change row: string images keyed by column name (or "@i"
     * ordinals when the table map carries no names — MySQL's do not), the
-    * transaction's TSO mark and XID once its commit is seen. */
+    * transaction's TSO mark and XID once its commit is seen. `hdrTs` /
+    * `serverId` are the source event HEADER's timestamp (epoch seconds)
+    * and server id — carried through so a relay can re-emit the
+    * original stamps instead of regenerating them (the reference's
+    * relay stores and re-serves the source bytes). */
   final case class DecodedRow(schemaName: String, tableName: String,
       op: String, before: Map[String, String], after: Map[String, String],
       tso: Option[Long], xid: Option[Long], ddl: Option[String] = None,
-      gtid: Option[String] = None)
+      gtid: Option[String] = None, hdrTs: Long = 0L, serverId: Long = 1L)
+
+  /** One parsed wire frame: the header's event type, timestamp (epoch
+    * seconds), server id and next-position, plus the body with the CRC
+    * trailer stripped. The full header travels with the frame so
+    * relays and consumers are byte-faithful to the source — nothing is
+    * re-stamped downstream. */
+  final case class Frame(typeCode: Int, timestamp: Long, serverId: Long,
+      nextPos: Long, body: Array[Byte])
 
   private[sinks] final class ByteReader(b: Array[Byte], var pos: Int = 0) {
     def u8(): Int = { val v = b(pos) & 0xFF; pos += 1; v }
@@ -1059,7 +1077,7 @@ object BinlogWire {
     * their XID commit is seen — the reference's parse-then-commit
     * visibility). This is the form `readBinlogFiles` runs per partition,
     * so an unbounded log file decodes in bounded memory. */
-  def decodeStream(frames: Iterator[(Int, Long, Array[Byte])],
+  def decodeStream(frames: Iterator[Frame],
       colNames: Map[(String, String), Seq[String]] = Map.empty)
       : Iterator[DecodedRow] = new Iterator[DecodedRow] {
     private val tables = scala.collection.mutable.Map
@@ -1070,7 +1088,9 @@ object BinlogWire {
     private var emit: Iterator[DecodedRow] = Iterator.empty
     private var drained = false
 
-    private def consume(typeCode: Int, body: Array[Byte]): Unit =
+    private def consume(frame: Frame): Unit = {
+      val typeCode = frame.typeCode
+      val body = frame.body
       typeCode match {
         case GtidEvent =>
           val r = new ByteReader(body)
@@ -1107,7 +1127,8 @@ object BinlogWire {
           val stmt = new String(r.bytes(r.remaining), UTF_8)
           if (stmt != "BEGIN") // BEGIN frames a txn; anything else is DDL
             pending += DecodedRow(sn, "", "DDL", Map.empty, Map.empty,
-              tso, None, ddl = Some(stmt), gtid = gtid)
+              tso, None, ddl = Some(stmt), gtid = gtid,
+              hdrTs = frame.timestamp, serverId = frame.serverId)
         case tc if tc == WriteRowsEventV2 || tc == UpdateRowsEventV2 ||
             tc == DeleteRowsEventV2 =>
           val r = new ByteReader(body)
@@ -1135,16 +1156,14 @@ object BinlogWire {
               case _ => val b = image(); ("UPDATE", b, image())
             }
             pending += DecodedRow(sn, tn, op, before, after, tso, None,
-              gtid = gtid)
+              gtid = gtid, hdrTs = frame.timestamp, serverId = frame.serverId)
           }
         case _ => // FDE / QUERY(BEGIN) / ROTATE / PREVIOUS_GTIDS: no rows
       }
+    }
 
     private def advance(): Unit = {
-      while (!emit.hasNext && frames.hasNext) {
-        val (typeCode, _, body) = frames.next()
-        consume(typeCode, body)
-      }
+      while (!emit.hasNext && frames.hasNext) consume(frames.next())
       if (!emit.hasNext && !drained) { // unterminated tail (no XID seen)
         emit = pending.toList.iterator
         pending.clear()
@@ -1184,9 +1203,9 @@ object BinlogWire {
         .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
       decodeStream(parseStream(in), colNames).map(d => (path.split('/').last,
         d.schemaName, d.tableName, d.op, d.before, d.after, d.tso, d.xid,
-        d.ddl, d.gtid))
+        d.ddl, d.gtid, d.hdrTs, d.serverId))
     }.toDF("log_file", "schemaName", "tableName", "op", "before", "after",
-      "tso", "xid", "ddl", "gtid")
+      "tso", "xid", "ddl", "gtid", "ts", "server_id")
   }
 
   /** Tail a directory of binlog wire files as a STREAM of decoded change
@@ -1226,10 +1245,10 @@ object BinlogWire {
           .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
         decodeStream(parseStream(in), colNames).map(d => (p.getName,
           d.schemaName, d.tableName, d.op, d.before, d.after, d.tso, d.xid,
-          d.ddl, d.gtid))
+          d.ddl, d.gtid, d.hdrTs, d.serverId))
       }
       .toDF("log_file", "schemaName", "tableName", "op", "before", "after",
-        "tso", "xid", "ddl", "gtid")
+        "tso", "xid", "ddl", "gtid", "ts", "server_id")
   }
 
   /** Verify the ROTATE chain over a directory of binlog files written
@@ -1256,7 +1275,7 @@ object BinlogWire {
       val in = p.getFileSystem(conf).open(p)
       val t = try {
         parseStream(in).foldLeft(Option.empty[String]) {
-          case (_, (RotateEvent, _, body)) =>
+          case (_, Frame(RotateEvent, _, _, _, body)) =>
             Some(new String(body.drop(8), UTF_8))
           case (acc, _) => acc
         }
@@ -1275,26 +1294,26 @@ object BinlogWire {
     targets
   }
 
-  /** Split a file's bytes back into (typeCode, nextPos, body) frames —
-    * the spec's structural witness over in-memory bytes. Unbounded files
-    * go through `parseStream` (one event in memory at a time). */
-  def parseFile(bytes: Array[Byte]): Seq[(Int, Long, Array[Byte])] =
+  /** Split a file's bytes back into `Frame`s — the spec's structural
+    * witness over in-memory bytes. Unbounded files go through
+    * `parseStream` (one event in memory at a time). */
+  def parseFile(bytes: Array[Byte]): Seq[Frame] =
     parseStream(new java.io.ByteArrayInputStream(bytes)).toSeq
 
-  /** Incremental frame parser: decodes (typeCode, nextPos, body) events
-    * one at a time off the stream — the read-side dual of FileWriter's
-    * incremental encode, so a multi-GB binlog file (the writers support
-    * unbounded partitions) never needs to be materialized as one array.
-    * Verifies + strips the CRC32 trailer when the FDE declares alg 1. */
-  def parseStream(in: java.io.InputStream)
-      : Iterator[(Int, Long, Array[Byte])] = {
+  /** Incremental frame parser: decodes `Frame`s (full header fields +
+    * body) one at a time off the stream — the read-side dual of
+    * FileWriter's incremental encode, so a multi-GB binlog file (the
+    * writers support unbounded partitions) never needs to be
+    * materialized as one array. Verifies + strips the CRC32 trailer
+    * when the FDE declares alg 1. */
+  def parseStream(in: java.io.InputStream): Iterator[Frame] = {
     val din = new java.io.DataInputStream(in)
     val magic = new Array[Byte](4)
     din.readFully(magic)
     require(magic.sameElements(Magic), "bad magic")
-    new Iterator[(Int, Long, Array[Byte])] {
+    new Iterator[Frame] {
       private var checksummed = false
-      private var nextFrame: Option[(Int, Long, Array[Byte])] = None
+      private var nextFrame: Option[Frame] = None
       private var eof = false
       private def fetch(): Unit = if (nextFrame.isEmpty && !eof) {
         val hdr = new Array[Byte](HeaderLength)
@@ -1303,7 +1322,11 @@ object BinlogWire {
         else {
           hdr(0) = first.toByte
           din.readFully(hdr, 1, HeaderLength - 1)
+          var timestamp = 0L
+          (0 until 4).foreach(k => timestamp |= (hdr(k) & 0xFFL) << (8 * k))
           val typeCode = hdr(4) & 0xFF
+          var serverId = 0L
+          (0 until 4).foreach(k => serverId |= (hdr(5 + k) & 0xFFL) << (8 * k))
           var len = 0L
           (0 until 4).foreach(k => len |= (hdr(9 + k) & 0xFFL) << (8 * k))
           var nextPos = 0L
@@ -1328,11 +1351,11 @@ object BinlogWire {
               s"CRC mismatch in event type $typeCode")
             body = body.dropRight(4)
           }
-          nextFrame = Some((typeCode, nextPos, body))
+          nextFrame = Some(Frame(typeCode, timestamp, serverId, nextPos, body))
         }
       }
       def hasNext: Boolean = { fetch(); nextFrame.isDefined }
-      def next(): (Int, Long, Array[Byte]) = {
+      def next(): Frame = {
         fetch()
         val f = nextFrame.getOrElse(throw new NoSuchElementException)
         nextFrame = None

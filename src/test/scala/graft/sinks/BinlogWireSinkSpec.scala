@@ -31,10 +31,11 @@ class BinlogWireSinkSpec extends SparkSpec {
     var deletes = 0
     files.foreach { f =>
       val frames = parseFile(java.nio.file.Files.readAllBytes(f.toPath))
-      assert(frames.head._1 == FormatDescriptionEvent)
-      assert(frames(1)._1 == TableMapEvent)
+      assert(frames.head.typeCode == FormatDescriptionEvent)
+      assert(frames(1).typeCode == TableMapEvent)
       val fileIds = scala.collection.mutable.ArrayBuffer.empty[Long]
-      frames.drop(2).foreach { case (tc, _, body) =>
+      frames.drop(2).foreach { fr =>
+        val (tc, body) = (fr.typeCode, fr.body)
         assert(tc == WriteRowsEventV2 || tc == DeleteRowsEventV2)
         if (tc == DeleteRowsEventV2) deletes += 1
         // decode each row image's id cell (first col, after the
@@ -76,25 +77,25 @@ class BinlogWireSinkSpec extends SparkSpec {
     val bytes = java.nio.file.Files.readAllBytes(
       new java.io.File(dir, "binlog.000000").toPath)
     val frames = parseFile(bytes)
-    assert(frames.map(_._1) == Seq(
+    assert(frames.map(_.typeCode) == Seq(
       FormatDescriptionEvent, TableMapEvent,
       RowsQueryEvent, QueryEvent, WriteRowsEventV2, WriteRowsEventV2,
       XidEvent,
       RowsQueryEvent, QueryEvent, UpdateRowsEventV2, DeleteRowsEventV2,
       XidEvent))
     // the marks carry the TSOs; the XIDs are the txn ids little-endian
-    val marks = frames.filter(_._1 == RowsQueryEvent)
-      .map(f => new String(f._3.drop(1), "UTF-8"))
+    val marks = frames.filter(_.typeCode == RowsQueryEvent)
+      .map(f => new String(f.body.drop(1), "UTF-8"))
     assert(marks == Seq("CTS::100", "CTS::200"))
-    val xids = frames.filter(_._1 == XidEvent).map { f =>
-      (0 until 8).map(k => (f._3(k) & 0xFFL) << (8 * k)).sum
+    val xids = frames.filter(_.typeCode == XidEvent).map { f =>
+      (0 until 8).map(k => (f.body(k) & 0xFFL) << (8 * k)).sum
     }
     assert(xids == Seq(100L, 200L))
     // BEGIN body ends with the statement text
-    val begin = frames(3)._3
+    val begin = frames(3).body
     assert(new String(begin.takeRight(5), "UTF-8") == "BEGIN")
     // the update event carries TWO images (before shows the old value)
-    val upd = frames(9)._3
+    val upd = frames(9).body
     assert(new String(upd, java.nio.charset.StandardCharsets.ISO_8859_1)
       .contains("a1"))
     assert(new String(upd, java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -127,7 +128,7 @@ class BinlogWireSinkSpec extends SparkSpec {
     // PREVIOUS_GTIDS opens every file (after the FDE)
     val bytes = java.nio.file.Files.readAllBytes(
       new java.io.File(dir, "binlog.000000").toPath)
-    assert(parseFile(bytes).map(_._1).take(2) ==
+    assert(parseFile(bytes).map(_.typeCode).take(2) ==
       Seq(FormatDescriptionEvent, PreviousGtidsEvent))
     // a lost middle segment is DETECTED
     assert(new java.io.File(dir, "binlog.000001").delete())
@@ -158,7 +159,7 @@ class BinlogWireSinkSpec extends SparkSpec {
     assert(n == 1)
     val frames = parseFile(java.nio.file.Files.readAllBytes(
       new java.io.File(dir, "binlog.000000").toPath))
-    assert(frames.map(_._1) == Seq(
+    assert(frames.map(_.typeCode) == Seq(
       FormatDescriptionEvent,
       RowsQueryEvent, QueryEvent,
       TableMapEvent, WriteRowsEventV2, TableMapEvent, WriteRowsEventV2,
@@ -167,15 +168,15 @@ class BinlogWireSinkSpec extends SparkSpec {
       TableMapEvent, UpdateRowsEventV2, TableMapEvent, DeleteRowsEventV2,
       XidEvent))
     // table maps carry distinct table ids; xids are the txn ids
-    val tmIds = frames.filter(_._1 == TableMapEvent)
-      .map(f => (0 until 6).map(k => (f._3(k) & 0xFFL) << (8 * k)).sum)
+    val tmIds = frames.filter(_.typeCode == TableMapEvent)
+      .map(f => (0 until 6).map(k => (f.body(k) & 0xFFL) << (8 * k)).sum)
     assert(tmIds.distinct.size == 2)
-    val xids = frames.filter(_._1 == XidEvent).map { f =>
-      (0 until 8).map(k => (f._3(k) & 0xFFL) << (8 * k)).sum
+    val xids = frames.filter(_.typeCode == XidEvent).map { f =>
+      (0 until 8).map(k => (f.body(k) & 0xFFL) << (8 * k)).sum
     }
     assert(xids == Seq(7L, 8L))
     // the delete's image comes from the BEFORE map
-    val del = new String(frames(13)._3,
+    val del = new String(frames(13).body,
       java.nio.charset.StandardCharsets.ISO_8859_1)
     assert(del.contains("a"))
   }

@@ -147,13 +147,13 @@ class BinlogWireSpec extends AnyFunSuite {
       rowImage(specs, Seq(Some(2), None))))
     val file = assembleFile(Seq(fde, tm, rows))
     val frames = parseFile(file)
-    assert(frames.map(_._1) ==
+    assert(frames.map(_.typeCode) ==
       Seq(FormatDescriptionEvent, TableMapEvent, WriteRowsEventV2))
     // next_position chain: cumulative event lengths from the magic
     val lens = Seq(fde, tm, rows).map(_.length)
-    assert(frames.map(_._2) == lens.scanLeft(4L)(_ + _).tail)
+    assert(frames.map(_.nextPos) == lens.scanLeft(4L)(_ + _).tail)
     // the table map body carries both column type codes
-    val tmBody = frames(1)._3
+    val tmBody = frames(1).body
     assert(tmBody.containsSlice(Array(Long4.typeCode.toByte,
       VarChar(16).typeCode.toByte)))
     // total size is exactly magic + sum of events
@@ -212,9 +212,9 @@ class BinlogWireSpec extends AnyFunSuite {
     // parse verifies + strips the trailers: same frame bodies either way
     val fcs = parseFile(file)
     val fpl = parseFile(plain)
-    assert(fcs.map(_._1) == fpl.map(_._1))
-    assert(fcs(1)._3.sameElements(fpl(1)._3)) // table map body identical
-    assert(fcs(2)._3.sameElements(fpl(2)._3))
+    assert(fcs.map(_.typeCode) == fpl.map(_.typeCode))
+    assert(fcs(1).body.sameElements(fpl(1).body)) // table map body identical
+    assert(fcs(2).body.sameElements(fpl(2).body))
     // flip one payload byte → CRC verification must fail loudly
     val corrupted = file.clone()
     corrupted(file.length - 7) = (corrupted(file.length - 7) ^ 0x01).toByte
@@ -231,9 +231,11 @@ class BinlogWireSpec extends AnyFunSuite {
     // the streaming parser sees exactly what the whole-buffer parser does
     val streamed = parseStream(new java.io.ByteArrayInputStream(file)).toSeq
     val buffered = parseFile(file)
-    assert(streamed.map(_._1) == buffered.map(_._1))
+    assert(streamed.map(_.typeCode) == buffered.map(_.typeCode))
     streamed.zip(buffered).foreach { case (s, b) =>
-      assert(s._2 == b._2 && s._3.sameElements(b._3))
+      assert(s.typeCode == b.typeCode && s.timestamp == b.timestamp &&
+        s.serverId == b.serverId && s.nextPos == b.nextPos &&
+        s.body.sameElements(b.body))
     }
     // a file cut mid-event (a crashed writer's tail) fails loudly — a
     // silent partial decode would drop the tail of a committed batch
@@ -342,8 +344,8 @@ class BinlogWireSpec extends AnyFunSuite {
     assert(rows.map(_.tso) == Seq(Some(5L), Some(6L)))
     // PREVIOUS_GTIDS parses structurally (no rows out of it)
     val frames = parseFile(file)
-    assert(frames.count(_._1 == PreviousGtidsEvent) == 1)
-    assert(frames.count(_._1 == GtidEvent) == 2)
+    assert(frames.count(_.typeCode == PreviousGtidsEvent) == 1)
+    assert(frames.count(_.typeCode == GtidEvent) == 2)
   }
 
   test("update rows event carries two present bitmaps; write carries one") {
