@@ -60,11 +60,20 @@ object BinlogWire {
     require(fsp >= 0 && fsp <= 6)
     val typeCode = 17; override def meta = Array(fsp.toByte)
   }
-  final case class VarChar(maxLen: Int) extends Wire {
+  /** `collation` on the string types is the COLUMN's MySQL collation id
+    * (charset comes from the table schema, not the table-map metadata —
+    * exactly MySQL's layout; the reference resolves it the same way,
+    * canal/.../binlog/CharsetConversion.java:29 +
+    * format/.../field/StringField.java:35). Values encode/decode in
+    * that charset via `Charsets.of`; default utf8mb4. `binary` (63)
+    * rides ISO-8859-1 so byte images roundtrip exactly. */
+  final case class VarChar(maxLen: Int,
+      collation: Int = Charsets.Utf8mb4Default) extends Wire {
     val typeCode = 15
     override def meta = Array((maxLen & 0xFF).toByte, ((maxLen >> 8) & 0xFF).toByte)
   }
-  final case class Blob(lenBytes: Int) extends Wire {
+  final case class Blob(lenBytes: Int,
+      collation: Int = Charsets.Utf8mb4Default) extends Wire {
     require(lenBytes >= 1 && lenBytes <= 4)
     val typeCode = 252
     override def meta = Array(lenBytes.toByte)
@@ -84,7 +93,8 @@ object BinlogWire {
     * two metadata bytes (high two bits XOR-packed into meta0's 0x30
     * bits — the documented STRING metadata packing all public binlog
     * readers implement). Row image: length-prefixed like VARCHAR. */
-  final case class CharW(maxBytes: Int) extends Wire {
+  final case class CharW(maxBytes: Int,
+      collation: Int = Charsets.Utf8mb4Default) extends Wire {
     require(maxBytes >= 0 && maxBytes <= 1023, "CHAR is at most 255 chars / 1020 bytes")
     val typeCode = 254
     override def meta = Array(
@@ -224,8 +234,8 @@ object BinlogWire {
         case n: Number => (n.longValue(), 0L)
       }
       be(epoch, 4) ++ encodeFrac(micros, fsp)
-    case VarChar(maxLen) =>
-      val bytes = strBytes(value)
+    case VarChar(maxLen, coll) =>
+      val bytes = strBytes(value, coll)
       val prefixMax = if (maxLen < 256) 255 else 65535
       require(bytes.length <= prefixMax,
         s"varchar value of ${bytes.length} bytes overflows the " +
@@ -233,8 +243,8 @@ object BinlogWire {
           "misframe every event after it")
       (if (maxLen < 256) le(bytes.length.toLong, 1)
        else le(bytes.length.toLong, 2)) ++ bytes
-    case Blob(lenBytes) =>
-      val bytes = strBytes(value)
+    case Blob(lenBytes, coll) =>
+      val bytes = strBytes(value, coll)
       require(lenBytes >= 8 / 2 || bytes.length < (1L << (8 * lenBytes)),
         s"blob value of ${bytes.length} bytes overflows a $lenBytes-byte length")
       le(bytes.length.toLong, lenBytes) ++ bytes
@@ -247,8 +257,8 @@ object BinlogWire {
       require(bits == 64 || (v >= 0 && (bits >= 63 || v < (1L << bits))),
         s"bit value $v overflows BIT($bits)")
       be(v, (bits + 7) / 8)
-    case CharW(maxBytes) =>
-      val bytes = strBytes(value)
+    case CharW(maxBytes, coll) =>
+      val bytes = strBytes(value, coll)
       require(bytes.length <= maxBytes,
         s"char value of ${bytes.length} bytes overflows CHAR($maxBytes)")
       (if (maxBytes < 256) le(bytes.length.toLong, 1)
@@ -328,8 +338,15 @@ object BinlogWire {
     case n: Number => n.longValue()
   }
 
-  private def strBytes(v: Any): Array[Byte] = v match {
-    case s: String => s.getBytes(UTF_8)
+  private def strBytes(v: Any, collation: Int): Array[Byte] = v match {
+    case s: String =>
+      val cs = Charsets.of(collation)
+      val bytes = s.getBytes(cs)
+      // a charset that cannot represent the value substitutes '?' bytes —
+      // that is silent data corruption on the wire; verify by decoding back
+      require(new String(bytes, cs) == s,
+        s"value not representable in MySQL collation $collation ($cs)")
+      bytes
     case b: Array[Byte] => b
   }
 
@@ -1031,12 +1048,12 @@ object BinlogWire {
         f"${(v >> 12) & 0x1F}%02d:${(v >> 6) & 0x3F}%02d:${v & 0x3F}%02d" +
         decodeFracStr(r, fsp)
     case Timestamp2(fsp) => r.be(4).toString + decodeFracStr(r, fsp)
-    case VarChar(maxLen) =>
+    case VarChar(maxLen, coll) =>
       val n = (if (maxLen < 256) r.le(1) else r.le(2)).toInt
-      new String(r.bytes(n), UTF_8)
-    case Blob(lenBytes) =>
+      new String(r.bytes(n), Charsets.of(coll))
+    case Blob(lenBytes, coll) =>
       val n = r.le(lenBytes).toInt
-      new String(r.bytes(n), UTF_8)
+      new String(r.bytes(n), Charsets.of(coll))
     case NewDecimal(p, s) =>
       val len = (p - s) / 9 * 4 + digitsToBytes((p - s) % 9) +
         s / 9 * 4 + digitsToBytes(s % 9)
@@ -1044,9 +1061,9 @@ object BinlogWire {
       // never 1E-10 (BigDecimal.toString drifts to scientific there)
       decodeDecimal(r.bytes(len), p, s).bigDecimal.toPlainString
     case Bit(bits) => r.be((bits + 7) / 8).toString
-    case CharW(maxBytes) =>
+    case CharW(maxBytes, coll) =>
       val n = (if (maxBytes < 256) r.le(1) else r.le(2)).toInt
-      new String(r.bytes(n), UTF_8)
+      new String(r.bytes(n), Charsets.of(coll))
     case EnumW(_, packLen) => r.le(packLen).toString // 1-based ordinal
     case SetW(_, packLen) => r.le(packLen).toString  // member bitmask
     case Geometry => bytesToHex(r.bytes(r.le(4).toInt))

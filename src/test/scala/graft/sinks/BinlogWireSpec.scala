@@ -34,6 +34,26 @@ class BinlogWireSpec extends AnyFunSuite {
     assert(hex(encodeCell(Blob(3), Array[Byte](1, 2))) == "02 00 00 01 02")
   }
 
+  test("charset golden bytes: latin1 CHAR, gbk VARCHAR, binary bridge") {
+    // latin1 (cp1252): 'café' is 4 bytes, é = 0xE9 — NOT utf-8's C3 A9
+    val latin1 = 8 // latin1_swedish_ci
+    assert(hex(encodeCell(CharW(16, latin1), "café")) == "04 63 61 66 E9")
+    assert(decodeCell(CharW(16, latin1),
+      new ByteReader(Array(0x04, 0x63, 0x61, 0x66, 0xE9).map(_.toByte))) == "café")
+    // the same value in the default utf8mb4 collation is 5 bytes
+    assert(hex(encodeCell(CharW(16), "café")) == "05 63 61 66 C3 A9")
+    // gbk: '中' = D6 D0 (the GBK code point, not utf-8's E4 B8 AD)
+    assert(hex(encodeCell(VarChar(255, 28), "中")) == "02 D6 D0")
+    // binary (63): arbitrary bytes survive the string image unchanged
+    val raw = Array[Byte](0x00, 0x7F.toByte, 0x80.toByte, 0xFF.toByte)
+    val img = decodeCell(VarChar(255, Charsets.Binary),
+      new ByteReader(encodeCell(VarChar(255, Charsets.Binary), raw)))
+    assert(encodeCell(VarChar(255, Charsets.Binary), img)
+      .sameElements(encodeCell(VarChar(255, Charsets.Binary), raw)))
+    // an unmapped collation id fails loudly — never silent mojibake
+    intercept[RuntimeException] { encodeCell(VarChar(255, 9999), "x") }
+  }
+
   test("temporal cells: DATE, TIME2, DATETIME2, TIMESTAMP2 packings") {
     // DATE: (y<<9 | m<<5 | d) little-endian 3 bytes
     // 2024-03-05 → 2024*512 + 3*32 + 5 = 1036389 = 0x0FD065

@@ -136,4 +136,45 @@ object WireCodecProps extends Properties("wire-codecs") {
       val i = java.time.Instant.ofEpochSecond(epoch, 0)
       roundtrip(Timestamp2(fsp), i) == epoch.toString + fracStr(0L, fsp)
     }
+
+  // ---- charset-aware string codecs (non-UTF8 collations) ----
+
+  private val latin1Str = Gen.chooseNum(0, 60).flatMap(n =>
+    Gen.stringOfN(n, Gen.oneOf("aZ9 àéîõüÿñÑçÇß€—".toSeq)))
+  private val gbkStr = Gen.chooseNum(0, 40).flatMap(n =>
+    Gen.stringOfN(n, Gen.oneOf("aZ9中文数据库引擎变更日志".toSeq)))
+
+  property("latin1 collation roundtrips cp1252 text at 1 byte/char") =
+    forAll(latin1Str, Gen.oneOf(5, 8, 47, 48)) { (s, coll) =>
+      roundtrip(VarChar(255, coll), s) == s &&
+        roundtrip(CharW(300, coll), s) == s &&
+        roundtrip(Blob(2, coll), s) == s &&
+        // cp1252 is single-byte: the wire image is exactly 1 byte/char
+        encodeCell(VarChar(255, coll), s).length == 1 + s.length
+    }
+
+  property("gbk collation roundtrips CJK text at 2 bytes/han") =
+    forAll(gbkStr, Gen.oneOf(28, 87)) { (s, coll) =>
+      val ascii = s.count(_ < 128)
+      roundtrip(VarChar(255, coll), s) == s &&
+        roundtrip(CharW(300, coll), s) == s &&
+        encodeCell(VarChar(255, coll), s).length ==
+          1 + ascii + 2 * (s.length - ascii)
+    }
+
+  property("binary collation preserves exact bytes through the string image") =
+    forAll(Gen.listOfN(24, Gen.chooseNum(-128, 127).map(_.toByte))) { l =>
+      val bytes = l.toArray
+      val w = VarChar(255, Charsets.Binary)
+      val image = roundtrip(w, bytes)
+      encodeCell(w, image).sameElements(encodeCell(w, bytes))
+    }
+
+  property("unrepresentable value fails loudly instead of mojibake") =
+    forAll(Gen.oneOf(5, 8, 28)) { coll =>
+      // a char outside the collation's repertoire: han is absent from
+      // latin1; dotless i (U+0131) is absent from gbk
+      val bad = if (coll == 28) "ı" else "漢"
+      scala.util.Try(encodeCell(VarChar(255, coll), bad)).isFailure
+    }
 }
