@@ -64,10 +64,11 @@ object HandoffJob {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // no isEmpty pre-check: that is an extra scan of every micro-batch;
+        // applyBatch's own staged probe short-circuits an empty batch
         val filtered = Filters.replicaFilter(batch, spec, dbCol, tableCol)
-        if (!filtered.isEmpty)
-          TxnApplier.applyBatch(filtered, keyCols, seqCol, opCol, tsoCol,
-            targetDir, nBuckets, txnsPerCommit)
+        TxnApplier.applyBatch(filtered, keyCols, seqCol, opCol, tsoCol,
+          targetDir, nBuckets, txnsPerCommit)
         ()
       }
       .start()

@@ -21,6 +21,37 @@ class BackupSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/archive/binlog_000001").count() == 2)
   }
 
+  test("multi-file archive copies distributed: executor tasks, not the driver") {
+    val root = Files.createTempDirectory("graft-backdist").toString
+    val src = s"$root/segments"
+    // a nested multi-file dir (files + a subdirectory level)
+    (0 until 8).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("tso", "v").coalesce(1)
+        .write.parquet(s"$src/part=$i")
+    }
+    val taskCounts = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        taskCounts.merge(e.stageId, 1, Integer.sum)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val n = try {
+      val n = Backup.archive(spark, src, s"$root/archive")
+      Thread.sleep(500) // let the listener bus drain task-end events
+      n
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // every file arrived, readable as the same dataset
+    assert(spark.read.parquet(s"$root/archive/segments").count() == 8)
+    assert(n >= 8)
+    // the copy fanned out across executor tasks (local[4] → 4 copy slots;
+    // some stage in the archive job ran with >1 task)
+    import scala.jdk.CollectionConverters._
+    assert(taskCounts.values.asScala.max > 1,
+      s"archive ran single-task stages only: $taskCounts")
+  }
+
   test("archived ordered log serves scans, recovery and the SHOW surface") {
     val root = Files.createTempDirectory("graft-backscan").toString
     val log = s"$root/log"
