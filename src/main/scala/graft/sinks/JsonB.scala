@@ -22,11 +22,15 @@ import com.fasterxml.jackson.databind.node.JsonNodeFactory
   * Object keys are stored sorted by (length, bytes) — the server's key
   * ordering.
   *
-  * Scope: the node types JSON text can produce (objects, arrays, strings,
-  * integers as int16/int32/int64, non-integers as double, literals).
-  * Opaque server-side types (DECIMAL-in-JSON, date-in-JSON) are not
-  * emitted by this engine; decode rejects them loudly rather than
-  * guessing.
+  * Scope: encode covers the node types JSON text can produce (objects,
+  * arrays, strings, integers as int16/int32/int64, non-integers as
+  * double, literals). Decode additionally understands the OPAQUE (0x0F)
+  * values a real server's binlog carries for `CAST(col AS JSON)`
+  * columns — DECIMAL-in-JSON (precision/scale + NEWDECIMAL limbs) and
+  * DATE/TIME/DATETIME-in-JSON (the packed-temporal int64) — rendering
+  * them to their text images exactly as the reference's
+  * canal/.../binlog/JsonConversion.java opaque branches do. Other
+  * opaque field types still reject loudly rather than guessing.
   */
 object JsonB {
 
@@ -46,6 +50,7 @@ object JsonB {
   private val TUInt64 = 0x0A
   private val TDouble = 0x0B
   private val TString = 0x0C
+  private val TOpaque = 0x0F
 
   private def le(v: Long, n: Int): Array[Byte] =
     Array.tabulate(n)(i => ((v >> (8 * i)) & 0xFF).toByte)
@@ -199,8 +204,60 @@ object JsonB {
       case TString =>
         val (len, p) = rdVarlen(b, pos)
         f.textNode(new String(b, p, len, UTF_8))
+      case TOpaque =>
+        // [1-byte MySQL field type][varlen data length][data]
+        val fieldType = b(pos) & 0xFF
+        val (len, p) = rdVarlen(b, pos + 1)
+        parseOpaque(fieldType, b, p, len)
       case other => sys.error(f"jsonb: unsupported value type 0x$other%02x")
     }
+  }
+
+  /** The opaque server types a binlog's CAST(… AS JSON) columns carry,
+    * decoded to their text/number images (reference: JsonConversion's
+    * opaque branches). DECIMAL: 1 byte precision + 1 byte scale + the
+    * NEWDECIMAL limb bytes. DATE/TIME/DATETIME: the packed-temporal
+    * int64 (my_time.h packing: ((ymd<<17|hms)<<24)+micros, ymd =
+    * (year*13+month)<<5|day), little-endian. Fractions render only when
+    * non-zero — the opaque payload carries no fsp. */
+  private def parseOpaque(fieldType: Int, b: Array[Byte], pos: Int,
+      len: Int): JsonNode = {
+    val f = JsonNodeFactory.instance
+    fieldType match {
+      case 246 => // MYSQL_TYPE_NEWDECIMAL
+        val p = b(pos) & 0xFF
+        val s = b(pos + 1) & 0xFF
+        val limbs = java.util.Arrays.copyOfRange(b, pos + 2, pos + len)
+        f.numberNode(BinlogWire.decodeDecimal(limbs, p, s).bigDecimal)
+      case 10 | 14 => // DATE / NEWDATE
+        val (dt, _) = unpackDatetime(rdLE(b, pos, 8))
+        f.textNode(dt.toLocalDate.toString)
+      case 12 | 7 => // DATETIME / TIMESTAMP (stored as packed datetime)
+        val (dt, micros) = unpackDatetime(rdLE(b, pos, 8))
+        val base = f"${dt.getYear}%04d-${dt.getMonthValue}%02d-" +
+          f"${dt.getDayOfMonth}%02d ${dt.getHour}%02d:" +
+          f"${dt.getMinute}%02d:${dt.getSecond}%02d"
+        f.textNode(if (micros == 0) base else base + f".$micros%06d")
+      case 11 => // TIME
+        val packed = rdLE(b, pos, 8)
+        val micros = packed & 0xFFFFFF
+        val hms = packed >> 24
+        val base = f"${hms >> 12}%02d:${(hms >> 6) & 0x3F}%02d:${hms & 0x3F}%02d"
+        f.textNode(if (micros == 0) base else base + f".$micros%06d")
+      case other =>
+        sys.error(s"jsonb: unsupported opaque field type $other")
+    }
+  }
+
+  private def unpackDatetime(packed: Long): (java.time.LocalDateTime, Long) = {
+    val micros = packed & 0xFFFFFF
+    val v = packed >> 24
+    val ymd = v >> 17
+    val hms = v & 0x1FFFF
+    val ym = ymd >> 5
+    (java.time.LocalDateTime.of((ym / 13).toInt, (ym % 13).toInt,
+      (ymd & 0x1F).toInt, (hms >> 12).toInt, ((hms >> 6) & 0x3F).toInt,
+      (hms & 0x3F).toInt), micros)
   }
 
   private def parseContainer(b: Array[Byte], payloadStart: Int,

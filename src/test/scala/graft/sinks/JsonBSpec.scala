@@ -64,4 +64,59 @@ class JsonBSpec extends AnyFunSuite {
     assert((arr(0) & 0xFF) == 0x03) // large array tag
     assert(JsonB.decodeToString(arr) == withInts)
   }
+
+  private def varlen(n: Int): Array[Byte] =
+    if (n < 0x80) Array(n.toByte)
+    else Array((n & 0x7F | 0x80).toByte, (n >> 7).toByte)
+
+  private def opaque(fieldType: Int, data: Array[Byte]): Array[Byte] =
+    Array(0x0F.toByte, fieldType.toByte) ++ varlen(data.length) ++ data
+
+  test("opaque DECIMAL-in-JSON decodes to the number's text image") {
+    // golden bytes: CAST(1234567890.1234 AS JSON) — opaque tag 0x0F,
+    // field type 0xF6 (NEWDECIMAL), varlen(9), precision 14, scale 4,
+    // then the documented DECIMAL(14,4) limb bytes
+    val limbs = Array(0x81, 0x0D, 0xFB, 0x38, 0xD2, 0x04, 0xD2).map(_.toByte)
+    val bytes = opaque(246, Array(14.toByte, 4.toByte) ++ limbs)
+    assert(bytes.take(4).sameElements(
+      Array(0x0F, 0xF6, 0x09, 0x0E).map(_.toByte)))
+    assert(JsonB.decodeToString(bytes) == "1234567890.1234")
+    // negative value through the same path (limbs from the wire codec)
+    val neg = opaque(246, Array(14.toByte, 4.toByte) ++
+      BinlogWire.encodeDecimal(BigDecimal("-98765.4321"), 14, 4))
+    assert(JsonB.decodeToString(neg) == "-98765.4321")
+  }
+
+  test("opaque DATE/TIME/DATETIME-in-JSON decode to their text images") {
+    def packedDatetime(y: Int, mo: Int, d: Int, h: Int, mi: Int, s: Int,
+        micros: Long = 0L): Long = {
+      val ymd = ((y * 13 + mo) << 5) | d
+      val hms = (h << 12) | (mi << 6) | s
+      ((ymd.toLong << 17) | hms) << 24 | micros
+    }
+    def le8(v: Long) = Array.tabulate(8)(i => ((v >> (8 * i)) & 0xFF).toByte)
+    // DATE 2024-03-05 (field type 10)
+    assert(JsonB.decodeToString(
+      opaque(10, le8(packedDatetime(2024, 3, 5, 0, 0, 0)))) ==
+      "\"2024-03-05\"")
+    // DATETIME 2024-03-05 13:14:15.250000 (field type 12)
+    assert(JsonB.decodeToString(
+      opaque(12, le8(packedDatetime(2024, 3, 5, 13, 14, 15, 250000L)))) ==
+      "\"2024-03-05 13:14:15.250000\"")
+    // TIME 13:14:15 (field type 11): ((h<<12|m<<6|s)<<24) + micros
+    val timePacked = ((13L << 12) | (14L << 6) | 15L) << 24
+    assert(JsonB.decodeToString(opaque(11, le8(timePacked))) ==
+      "\"13:14:15\"")
+    // opaque values nest inside containers like any other slot: build a
+    // small object whose value region is a hand-assembled opaque date
+    val inner = opaque(10, le8(packedDatetime(2020, 1, 2, 0, 0, 0)))
+    val obj = Array[Byte](0x00, 0x01, 0x00, (0x0B + inner.length).toByte,
+      0x00, 0x0B, 0x00, 0x01, 0x00, inner.head, 0x0C, 0x00, 0x61) ++
+      inner.tail
+    assert(JsonB.decodeToString(obj) == """{"a":"2020-01-02"}""")
+    // an opaque field type outside the temporal/decimal set stays loud
+    intercept[RuntimeException] {
+      JsonB.decodeToString(opaque(255, Array(1.toByte)))
+    }
+  }
 }
