@@ -922,6 +922,26 @@ object SparkEntry {
         .groupBy(col("dup_of").isNotNull.as("is_dup"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("is_dup"))
+    }),
+
+    // line-level boilerplate removal (LLM curation, ORACLE-CHECKED): the
+    // single-line corpus becomes multi-line deterministically — every doc
+    // gains a per-source PROMO line (boilerplate: appears in every doc of
+    // its source) and a unique line (never boilerplate). The operator
+    // must drop exactly the PROMO lines, byte-identically to DuckDB's
+    // string-identity removal. Text stays out of every shuffle
+    // (BoilerplateSpec asserts the plan).
+    "q71_boilerplate" -> ((s, d) => {
+      import graft.text.Boilerplate
+      val docs = Tables.documents(s, d).filter(col("doc_id") <= 600)
+        .select(col("doc_id"), col("source"),
+          concat_ws("\n", col("text"),
+            concat(lit("PROMO "), col("source")),
+            concat(lit("unique "), col("doc_id"))).as("text"))
+      Boilerplate.removeBoilerplate(docs, "doc_id", "text", "source",
+          minDocs = 5)
+        .select(col("doc_id"), col("text").as("cleaned"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1384,6 +1404,24 @@ object SparkEntry {
         "ROWS UNBOUNDED PRECEDING) AS cum FROM t) " +
         "SELECT lang, count(*) AS n_docs, " +
         "CAST(sum(tokens) AS BIGINT) AS mix_tokens FROM c " +
-        "WHERE cum - tokens < 20000 GROUP BY lang ORDER BY lang")
+        "WHERE cum - tokens < 20000 GROUP BY lang ORDER BY lang"),
+    // q71: hashes are internal only — the oracle removes the same lines
+    // by exact string identity, so the cleaned text must match byte for
+    // byte (hash collisions would diverge; none in this corpus slice)
+    "q71_boilerplate" ->
+      ("WITH docs AS (SELECT doc_id, source, " +
+        "text || chr(10) || 'PROMO ' || source || chr(10) || " +
+        "'unique ' || doc_id AS t FROM documents WHERE doc_id <= 600), " +
+        "lines AS (SELECT doc_id, source, " +
+        "unnest(string_split(t, chr(10))) AS line FROM docs), " +
+        "df AS (SELECT source, line, count(DISTINCT doc_id) AS n " +
+        "FROM lines WHERE trim(line) <> '' GROUP BY 1, 2), " +
+        "boiler AS (SELECT source, list(line) AS ls FROM df " +
+        "WHERE n >= 5 GROUP BY source) " +
+        "SELECT d.doc_id, array_to_string(list_filter(" +
+        "string_split(d.t, chr(10)), " +
+        "x -> b.ls IS NULL OR NOT list_contains(b.ls, x)), chr(10)) " +
+        "AS cleaned FROM docs d LEFT JOIN boiler b USING (source) " +
+        "ORDER BY d.doc_id")
   )
 }
