@@ -44,7 +44,17 @@ def load_queries(path):
     import re
     pairs = re.findall(r'\\?"(q\d+_\w+)\\?"\s*:\s*([0-9.eE+-]+)', text)
     if pairs:
-        return {k: float(v) for k, v in pairs}
+        out = {}
+        for k, v in pairs:  # dict-comp last-wins would hide dupes
+            out.setdefault(k, float(v))
+        dupes = len(pairs) - len(out)
+        print(f"WARNING: {path}: no parseable bench JSON line — regex "
+              f"fallback recovered {len(out)} queries"
+              + (f" ({dupes} duplicate keys ignored, first occurrence "
+                 f"kept)" if dupes else "")
+              + "; a truncated log may be MISSING queries after the cut",
+              file=sys.stderr)
+        return out
     raise SystemExit(f"no bench JSON line in {path}")
 
 base = load_queries(sys.argv[1])

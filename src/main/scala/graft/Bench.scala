@@ -59,7 +59,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // the scratch medium changes what is measured (tmpfs vs disk for
+    // spills + staged writes) — record it so cross-round comparisons
+    // know when the I/O substrate moved underneath the numbers
+    val scratchPath = scratch.getAbsolutePath
+    val medium = if (scratchPath.startsWith("/dev/shm")) "tmpfs" else "disk"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","scratch":"$scratchPath","scratch_medium":"$medium"}""")
     spark.stop()
     if (scratch.getAbsolutePath.startsWith("/dev/shm/"))
       org.apache.commons.io.FileUtils.deleteQuietly(scratch) // free the RAM
