@@ -24,6 +24,22 @@ import graft.sinks.BinlogWire
   * crash at any point — mid-decode, mid-apply, between batch and
   * checkpoint commit — lands on a transaction boundary some source
   * commit produced.
+  *
+  * PRODUCER CONTRACT — one transaction per wire file: the apply gate
+  * above makes a txn split across two files UNSAFE (if
+  * `maxFilesPerTrigger` lands the halves in different triggers, the
+  * first half commits and advances the gate, and the second half
+  * replays at-or-below it and is silently dropped). Wire producers must
+  * keep txns whole per file with txn-grouped range partitioning
+  * (`MergeSort.sortedRunsGrouped` on the tso / (commitTso, txnId) key —
+  * equal keys never split across range partitions); the writers
+  * enforce it and fail the write loudly on a split or interleaved txn
+  * (`BinlogWire.writeTxnFramedBinlogFiles` mark-range check,
+  * `writeChangeStreamBinlogFiles` file-boundary txn check). The same
+  * gate also requires files to ARRIVE in rotation order: the file
+  * source delivers by modification time, so the writers stamp each
+  * file's mtime monotonic with its name — a producer writing wire
+  * files by other means must preserve that property.
   */
 object WireReplicaJob {
 

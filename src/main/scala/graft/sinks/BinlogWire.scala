@@ -749,6 +749,25 @@ object BinlogWire {
       "beforeCols arity must match specs")
     val confMap = graft.util.HadoopIo.confMap
     val counter = df.sparkSession.sparkContext.longAccumulator("binlogTxnFiles")
+    // ONE-TXN-PER-FILE contract, enforced: TxnApplier's exactly-once
+    // gate skips everything at or below the target's committed tso, so a
+    // txn split across two wire files that land in different triggers
+    // would have its second half silently dropped. Each partition's tso
+    // marks must strictly increase (checked in the executor) and the
+    // per-file [first,last] mark ranges must be disjoint and monotonic
+    // in file order (checked on the driver below) — exactly what
+    // MergeSort.sortedRunsGrouped(df, n, Seq(tsoCol), Seq(seq)) yields.
+    val markRanges = df.sparkSession.sparkContext
+      .collectionAccumulator[(Int, Long, Long)]("binlogTxnMarkRanges")
+    // streamed consumers (tailBinlogFiles → FileStreamSource) order
+    // files by MODIFICATION TIME, ties unstable — tasks finishing out of
+    // order would deliver file 2 before file 1 and the applier's tso
+    // gate would then drop file 1's txns as already-applied. Stamp each
+    // file's mtime from its partition id so delivery order = file order.
+    // Intra-call spread is #files ms; successive calls stay ordered as
+    // long as they start further apart than that (micro-batch triggers
+    // are seconds; wire fan-outs are tens of files).
+    val mtimeBase = System.currentTimeMillis()
     df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       // in rotate-chain mode an EMPTY partition still writes its
       // header-only file, so the chain is dense and a missing file is
@@ -762,6 +781,7 @@ object BinlogWire {
         try {
           val w = new FileWriter(out, checksummed = checksummed)
           var openTso = Option.empty[Long]
+          var firstMark = Long.MinValue
           var headerDone = false
           def image(r: org.apache.spark.sql.Row, cols: Seq[String]) =
             rowImage(specs, cols.map(n => Option(r.getAs[Any](n))))
@@ -792,24 +812,50 @@ object BinlogWire {
               headerDone = true
             }
             if (!openTso.contains(tso)) {
+              if (openTso.exists(_ >= tso))
+                throw new IllegalStateException(
+                  s"wire txn framing: partition $pid saw tso $tso after " +
+                  s"${openTso.get} — an unordered feed would reopen a " +
+                  "committed txn (duplicate CTS mark in one file); feed " +
+                  "MergeSort.sortedRunsGrouped(df, n, Seq(tsoCol), Seq(seqCol))")
               openTso.foreach(x => w.write(commitEvent(ts, serverId, x)))
               gtidSid.foreach(sid =>
                 w.write(gtidEvent(ts, serverId, sid, gno = tso)))
               w.write(markEvent(ts, serverId, s"CTS::$tso"))
               w.write(beginEvent(ts, serverId))
+              if (firstMark == Long.MinValue) firstMark = tso
               openTso = Some(tso)
             }
             w.write(rowsFor(r, ts))
           }
           openTso.foreach(x => w.write(commitEvent(0L, serverId, x)))
+          openTso.foreach(last => markRanges.add((pid, firstMark, last)))
           if (rotateChain) {
             if (!headerDone)
               w.write(formatDescription(0L, serverId, checksummed = checksummed))
             w.write(rotateEvent(0L, serverId, f"binlog.${pid + 1}%06d"))
           }
         } finally out.close()
+        fs.setTimes(path, mtimeBase + pid, -1)
         counter.add(1)
       }
+    }
+    // driver-side half of the contract: per-file mark ranges disjoint and
+    // monotonic in file (= pid) order. Dedupe by pid — a retried task
+    // re-adds an identical entry.
+    val ranges = {
+      import scala.jdk.CollectionConverters._
+      markRanges.value.asScala.groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1)
+    }
+    ranges.sliding(2).foreach {
+      case Seq((p1, _, hi), (p2, lo, _)) if hi >= lo =>
+        throw new IllegalStateException(
+          s"wire txn framing: file $p1's tso range ends at $hi but file " +
+          s"$p2's starts at $lo — a txn split or interleaved across files " +
+          "breaks TxnApplier's exactly-once gate (its second half replays " +
+          "at or below the committed tso and is dropped); feed " +
+          "MergeSort.sortedRunsGrouped(df, n, Seq(tsoCol), Seq(seqCol))")
+      case _ => ()
     }
     counter.value.toInt
   }
@@ -848,6 +894,20 @@ object BinlogWire {
     val confMap = graft.util.HadoopIo.confMap
     val hasDdlCol = df.columns.contains("ddl")
     val counter = df.sparkSession.sparkContext.longAccumulator("binlogCdcFiles")
+    // ONE-TXN-PER-FILE contract (see writeTxnFramedBinlogFiles): here
+    // txns are keyed by txnId and row tsos legitimately interleave
+    // across txns, so the enforceable invariant is at file boundaries —
+    // a txnId that closes one file and reopens the next is a split txn
+    // (the shape a range boundary inside a txn produces, e.g. sortedRuns
+    // on (tso) instead of sortedRunsGrouped on (commitTso, txnId)). Each
+    // fragment would decode under its own CTS mark, breaking source-txn
+    // atomicity and, across triggers, TxnApplier's exactly-once gate.
+    val edgeTxns = df.sparkSession.sparkContext
+      .collectionAccumulator[(Int, Long, Long)]("binlogCdcEdgeTxns")
+    // monotonic mtimes in file order — see writeTxnFramedBinlogFiles:
+    // FileStreamSource delivers by mtime, and out-of-order delivery
+    // breaks the downstream applier's exactly-once tso gate
+    val mtimeBase = System.currentTimeMillis()
     df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       // rotate-chain mode: empty partitions write header-only files so
       // the chain stays dense (missing file = lost segment, always)
@@ -860,6 +920,7 @@ object BinlogWire {
         try {
           val w = new FileWriter(out, checksummed = checksummed)
           var openTxn = Option.empty[Long]
+          var firstTxn = Long.MinValue
           var headerDone = false
           // per-row server id (relay byte-fidelity); trailing events use
           // the last row's — a file-scoped writer default before any row
@@ -888,6 +949,7 @@ object BinlogWire {
               w.write(markEvent(ts, sid,
                 s"CTS::${r.getAs[Number](tsoCol).longValue()}"))
               w.write(beginEvent(ts, sid))
+              if (firstTxn == Long.MinValue) firstTxn = txn
               openTxn = Some(txn)
             }
             val op = r.getAs[String](opCol)
@@ -923,14 +985,32 @@ object BinlogWire {
             }
           }
           openTxn.foreach(x => w.write(commitEvent(0L, sid, x)))
+          openTxn.foreach(last => edgeTxns.add((pid, firstTxn, last)))
           if (rotateChain) {
             if (!headerDone)
               w.write(formatDescription(0L, sid, checksummed = checksummed))
             w.write(rotateEvent(0L, sid, f"$filePrefix${pid + 1}%06d"))
           }
         } finally out.close()
+        fs.setTimes(path, mtimeBase + pid, -1)
         counter.add(1)
       }
+    }
+    // driver-side boundary check: a txnId closing file p and opening
+    // file p+1 is one source txn split into two wire txns
+    val edges = {
+      import scala.jdk.CollectionConverters._
+      edgeTxns.value.asScala.groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1)
+    }
+    edges.sliding(2).foreach {
+      case Seq((p1, _, last), (p2, first, _)) if last == first =>
+        throw new IllegalStateException(
+          s"wire txn framing: txnId $last spans files $p1 and $p2 — each " +
+          "fragment decodes under its own CTS mark, breaking source-txn " +
+          "atomicity and TxnApplier's exactly-once replay gate; keep txns " +
+          "whole per file with MergeSort.sortedRunsGrouped(df, n, " +
+          "Seq(commitTsoCol, txnIdCol), Seq(tsoCol))")
+      case _ => ()
     }
     counter.value.toInt
   }

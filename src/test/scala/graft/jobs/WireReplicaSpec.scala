@@ -133,4 +133,45 @@ class WireReplicaSpec extends SparkSpec {
     assert(state() == expected)
     assert(TxnApplier.versions(target).size == versionsFinal)
   }
+
+  test("multi-partition producer, one file per trigger: exactly-once apply") {
+    // the ADVICE scenario: a MULTI-file wire feed where
+    // maxFilesPerTrigger=1 puts every file in its own micro-batch, so
+    // the applier's tso gate advances between files. With the enforced
+    // one-txn-per-file contract (sortedRunsGrouped on tso) no txn spans
+    // a trigger boundary and the replica converges exactly-once.
+    val root = java.nio.file.Files.createTempDirectory("graft-wirerpl-mp")
+    val wireDir = s"$root/wire"
+    val target = s"$root/replica"
+    val tableCols = Map(("bank", "accounts") -> Seq("acct", "seq", "balance"))
+    val colTypes = Seq("acct" -> "long", "seq" -> "long", "balance" -> "long")
+
+    val transfers = (1L to 8L).map(t => (t, (t % 6) + 1, ((t + 2) % 6) + 1, t * 5))
+    val bal = scala.collection.mutable.Map[Long, Long]()
+      .withDefaultValue(1000L)
+    val images = transfers.flatMap { case (t, f, to, amt) =>
+      bal(f) = bal(f) - amt; bal(to) = bal(to) + amt
+      Seq((t, 2 * t, f, bal(f)), (t, 2 * t + 1, to, bal(to)))
+    }
+    val expected = bal.toMap
+
+    val batch = images.toDF("tso", "seq", "acct", "balance")
+      .select($"acct", $"seq", lit("UPDATE").as("op"), $"balance", $"tso")
+      .withColumn("ts", lit(1700000000L))
+    val specs = Seq(ColSpec("acct", LongLong), ColSpec("seq", LongLong),
+      ColSpec("balance", LongLong))
+    val ordered = graft.operators.MergeSort.sortedRunsGrouped(
+      batch, 3, Seq("tso"), Seq("seq"))
+    val files = BinlogWire.writeTxnFramedBinlogFiles(ordered, specs,
+      "bank", "accounts", "op", "ts", "tso", wireDir, checksummed = true)
+    assert(files >= 2) // the feed is genuinely multi-file
+
+    val q = WireReplicaJob.start(spark, wireDir, tableCols, "bank",
+      "accounts", colTypes, Seq("acct"), "seq", target, s"$root/ckpt",
+      nBuckets = 4, txnsPerCommit = 2, maxFilesPerTrigger = 1)
+    q.awaitTermination()
+    val state = TxnApplier.readCurrent(spark, target)
+      .select($"acct", $"balance").as[(Long, Long)].collect().toMap
+    assert(state == expected)
+  }
 }

@@ -262,4 +262,79 @@ class BinlogWireSinkSpec extends SparkSpec {
       ("INSERT", Map.empty, Map("id" -> "1"), Some(100L), Some(7L)),
       ("UPDATE", Map("id" -> "1"), Map("id" -> "2"), Some(200L), Some(8L))))
   }
+
+  // ---- one-txn-per-file producer contract (TxnApplier's exactly-once
+  // gate drops the second half of a txn split across triggers) ----
+
+  test("txn-framed writer refuses a txn split across files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wiresplit").toString
+    val specs = Seq(ColSpec("id", LongLong))
+    // two txns interleaved over seq: range-partitioning on SEQ (the
+    // wrong key) puts rows of BOTH txns in BOTH files
+    val df = (1L to 12L).map(s => (s, "INSERT", s % 2 + 1, s, 1700000000L))
+      .toDF("id", "op", "tso", "seq", "ts")
+    val split = df.repartitionByRange(2, col("seq"))
+      .sortWithinPartitions("tso", "seq")
+    val e = intercept[IllegalStateException] {
+      writeTxnFramedBinlogFiles(split, specs, "app", "t", "op", "ts",
+        "tso", dir)
+    }
+    assert(e.getMessage.contains("split or interleaved"))
+  }
+
+  test("txn-framed writer refuses an unordered feed that reopens a txn") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wireorder").toString
+    val specs = Seq(ColSpec("id", LongLong))
+    // tso sequence 1,2,1 in one partition: txn 1 would reopen after its
+    // commit — a duplicate CTS mark in a single file
+    val df = Seq((1L, "INSERT", 1L, 1700000000L),
+        (2L, "INSERT", 2L, 1700000000L),
+        (3L, "INSERT", 1L, 1700000000L))
+      .toDF("id", "op", "tso", "ts").coalesce(1)
+    val e = intercept[org.apache.spark.SparkException] {
+      writeTxnFramedBinlogFiles(df, specs, "app", "t", "op", "ts",
+        "tso", dir)
+    }
+    assert(e.getCause.getMessage.contains("reopen"))
+  }
+
+  test("change-stream writer refuses a txn spanning a file boundary") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdcsplit").toString
+    // txn 2 is wide (tsos 3..22): any near-half range boundary on tso
+    // falls inside it, so file 0 closes with txn 2 and file 1 reopens it
+    val rows =
+      Seq((1L, 1L), (2L, 1L)) ++ (3L to 22L).map(t => (t, 2L)) ++
+        Seq((23L, 3L), (24L, 3L))
+    val ev = rows.map { case (tso, txn) =>
+      (tso, txn, "INSERT", "app", "t1", Map.empty[String, String],
+        Map("id" -> s"$tso"), 1700000000L)
+    }.toDF("tso", "txnId", "op", "schemaName", "tableName", "before",
+      "after", "tsoTime")
+    val split = ev.repartitionByRange(2, col("tso"))
+      .sortWithinPartitions("tso")
+    val e = intercept[IllegalStateException] {
+      BinlogWire.writeChangeStreamBinlogFiles(split,
+        Map(("app", "t1") -> Seq("id")), dir)
+    }
+    assert(e.getMessage.contains("spans files"))
+  }
+
+  test("grouped multi-partition producer satisfies the contract") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wireok").toString
+    val specs = Seq(ColSpec("id", LongLong))
+    // 6 txns × 4 rows over 3 files via the documented producer shape
+    val df = (1L to 24L).map(s => (s, "INSERT", (s - 1) / 4 + 1, s, 1700000000L))
+      .toDF("id", "op", "tso", "seq", "ts")
+    val ordered = graft.operators.MergeSort.sortedRunsGrouped(
+      df, 3, Seq("tso"), Seq("seq"))
+    val n = writeTxnFramedBinlogFiles(ordered, specs, "app", "t", "op",
+      "ts", "tso", dir)
+    assert(n >= 2) // genuinely multi-file
+    val rows = BinlogWire.readBinlogFiles(spark, dir,
+      Map(("app", "t") -> Seq("id")))
+    // every txn decodes whole, each under exactly one CTS mark
+    val perTxn = rows.groupBy($"tso").count()
+      .as[(Option[Long], Long)].collect().toMap
+    assert(perTxn == (1L to 6L).map(t => Option(t) -> 4L).toMap)
+  }
 }
