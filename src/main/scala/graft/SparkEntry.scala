@@ -847,6 +847,15 @@ object SparkEntry {
     // transitive closure over the same exact-Jaccard-thresholded pair
     // set. Components are whole-DataFrame rounds, O(log n) of them; no
     // edge ever reaches the driver.
+    // RECALL ASSUMPTION (approximate-by-design, like q40/q53): the
+    // oracle closes ALL exact-Jaccard>=0.5 pairs, while the Spark side
+    // closes only pairs that ALSO collide in an LSH band (32 hashes / 8
+    // bands => ~40% collision probability AT J=0.5, ~97% at J=0.8). The
+    // hash match holds because this fixture's planted near-dups (2
+    // leading words dropped from ~50+-word docs) sit far above the
+    // threshold; a dataset dense in J~=0.5 pairs would legitimately
+    // diverge here WITHOUT a components bug — see DedupApprox's banding
+    // math before reading a future mismatch as one.
     "q67_neardup_components" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val mutated = docs.filter(col("doc_id") % 10 === 0)
@@ -941,6 +950,29 @@ object SparkEntry {
       Boilerplate.removeBoilerplate(docs, "doc_id", "text", "source",
           minDocs = 5)
         .select(col("doc_id"), col("text").as("cleaned"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII scrubbing (LLM curation, ORACLE-CHECKED): the word-soup corpus
+    // gains deterministic planted PII (an email, an IP, a phone per
+    // doc), then Scrub redacts and counts. Patterns live in the
+    // Java-regex ∩ RE2 portable subset, so DuckDB running the SAME
+    // pattern text must produce byte-identical redactions. Pure scan-
+    // stage column expressions — no shuffle, no UDFs (ScrubSpec asserts
+    // the plan).
+    "q72_pii_scrub" -> ((s, d) => {
+      import graft.text.Scrub
+      val planted = Tables.documents(s, d).filter(col("doc_id") <= 600)
+        .select(col("doc_id"), concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com ip 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".7 call 555-123-4567")).as("text"))
+      planted.select(col("doc_id"),
+          Scrub.redactAll(col("text")).as("clean"),
+          Scrub.emailCount(col("text")).as("n_email"),
+          Scrub.phoneCount(col("text")).as("n_phone"),
+          Scrub.ipCount(col("text")).as("n_ip"))
         .orderBy(col("doc_id"))
     })
   )
@@ -1422,6 +1454,26 @@ object SparkEntry {
         "string_split(d.t, chr(10)), " +
         "x -> b.ls IS NULL OR NOT list_contains(b.ls, x)), chr(10)) " +
         "AS cleaned FROM docs d LEFT JOIN boiler b USING (source) " +
-        "ORDER BY d.doc_id")
+        "ORDER BY d.doc_id"),
+    // q72: the same portable patterns, chained in the same order
+    // (email → phone → IP); counts on the pre-redaction text
+    "q72_pii_scrub" ->
+      ("WITH p AS (SELECT doc_id, text || ' contact user' || doc_id || " +
+        "'@mail.example.com ip 10.0.' || (doc_id % 256) || " +
+        "'.7 call 555-123-4567' AS text " +
+        "FROM documents WHERE doc_id <= 600) " +
+        "SELECT doc_id, " +
+        "regexp_replace(regexp_replace(regexp_replace(text, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b', '<PHONE>', 'g'), " +
+        "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', " +
+        "'<IP>', 'g') AS clean, " +
+        "len(regexp_extract_all(text, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email, " +
+        "len(regexp_extract_all(text, " +
+        "'\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b')) AS n_phone, " +
+        "len(regexp_extract_all(text, " +
+        "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ip " +
+        "FROM p ORDER BY doc_id")
   )
 }

@@ -37,21 +37,7 @@ object Components {
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .distinct().localCheckpoint()
-    // order-insensitive signature of the edge set: converged when a
-    // round is a no-op. TWO independently-seeded hash sums + the count —
-    // a false convergence needs a simultaneous collision in both 60-bit
-    // sums on the same count (~1e-36 per round), vs ~1e-9 for one sum.
-    // Per-edge hashes are bounded into [0, 1e9) so the ANSI-mode sums
-    // cannot overflow below ~9e9 edges.
-    def signature(df: DataFrame): (Long, Long, Long) = {
-      val r = df.agg(count(lit(1)),
-        coalesce(sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L))),
-          lit(0L)),
-        coalesce(sum(pmod(xxhash64(lit(7L), col("u"), col("v")),
-          lit(999999937L))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1), r.getLong(2))
-    }
-    var sig = signature(e)
+    var sig = edgeSignature(e)
     var iter = 0
     var converged = sig._1 == 0L
     while (!converged && iter < maxIter) {
@@ -73,7 +59,7 @@ object Components {
         .select(col("v").as("u"), col("m").as("v"))
         .union(joined.select(col("u"), col("m").as("v")))
         .distinct().localCheckpoint()
-      val next = signature(ss)
+      val next = edgeSignature(ss)
       converged = next == sig
       sig = next
       e = ss
@@ -88,10 +74,37 @@ object Components {
       .distinct()
   }
 
+  /** Order-insensitive signature of an edge set: converged when a round
+    * is a no-op. TWO independently-seeded hash sums + the count — a
+    * false convergence needs a simultaneous collision in both 60-bit
+    * sums on the same count (~1e-36 per round), vs ~1e-9 for one sum.
+    * The sums accumulate as decimal(38,0), so there is NO overflow
+    * ceiling on the edge count (a long sum of the [0, 1e9)-bounded
+    * per-edge hashes would hit ANSI overflow at ~9e9 edges — within
+    * reach of a 100 TB candidate graph). */
+  private[operators] def edgeSignature(df: DataFrame)
+      : (Long, java.math.BigDecimal, java.math.BigDecimal) = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+    val r = df.agg(count(lit(1)),
+      coalesce(sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L))
+        .cast(dec)), zero),
+      coalesce(sum(pmod(xxhash64(lit(7L), col("u"), col("v")),
+        lit(999999937L)).cast(dec)), zero)).head()
+    (r.getLong(0), r.getDecimal(1), r.getDecimal(2))
+  }
+
   /** Dedup-group summary over near-dup pairs: one row per component —
     * the representative (min id), member count, and the members kept
     * for audit. The "which rows do I drop" companion: every node with
-    * node =!= component is a near-duplicate of the kept representative. */
+    * node =!= component is a near-duplicate of the kept representative.
+    *
+    * `connectedComponents`' default maxIter=25 covers component
+    * diameters to ~2^25 (rounds roughly halve the star depth); raising
+    * it is safe — each extra round is two shuffles over an
+    * already-shrunken edge set — but a graph that NEEDS it usually
+    * signals an over-permissive candidate generator (band thresholds
+    * admitting everything), which is the thing to fix. */
   def dedupGroups(pairs: DataFrame, idCol1: String, idCol2: String): DataFrame =
     connectedComponents(pairs, idCol1, idCol2)
       .groupBy(col("component"))

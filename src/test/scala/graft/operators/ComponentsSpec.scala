@@ -60,4 +60,29 @@ class ComponentsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 3L, 10L -> 2L))
   }
+
+  test("convergence signature has no edge-count overflow ceiling") {
+    // the sums accumulate as decimal(38,0): a LONG sum of the
+    // [0, 1e9)-bounded per-edge hashes would ANSI-overflow at ~9e9
+    // edges — a reachable candidate-graph size at 100 TB. Assert the
+    // overflow-free shape and that the signature discriminates edge sets.
+    val e1 = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val e2 = Seq((1L, 2L), (2L, 4L)).toDF("u", "v")
+    val s1 = Components.edgeSignature(e1)
+    val s2 = Components.edgeSignature(e2)
+    assert(s1._1 == 2L && s2._1 == 2L)
+    assert(s1 != s2) // different edge sets, different sums
+    assert(s1 == Components.edgeSignature(e1)) // deterministic
+    // sums are exact decimals with scale 0 and 38-digit headroom
+    assert(s1._2.scale == 0 && s1._3.scale == 0)
+    val sumFields = e1.agg(
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64($"u", $"v"),
+          org.apache.spark.sql.functions.lit(1000000007L))
+          .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0))))
+      .schema.fields
+    assert(sumFields.head.dataType.asInstanceOf[
+      org.apache.spark.sql.types.DecimalType].precision == 38)
+  }
 }
