@@ -974,6 +974,23 @@ object SparkEntry {
           Scrub.phoneCount(col("text")).as("n_phone"),
           Scrub.ipCount(col("text")).as("n_ip"))
         .orderBy(col("doc_id"))
+    }),
+
+    // corpus-relative rare-token stats (LLM curation, ORACLE-CHECKED):
+    // the two-phase LM-filter shape — train per-token document
+    // frequencies over the corpus (shuffle by token), score every doc
+    // against them (same-key join + fold to doc) — kept integer-exact.
+    // Rare = df below 10% of the doc count; in this corpus that is the
+    // planted 'dup' token (df 25 vs ~390 for the rest), so n_rare
+    // separates its carriers. The vocabulary never broadcasts by
+    // construction — only the one-row doc count does.
+    "q73_rare_tokens" -> ((s, d) => {
+      import graft.text.CorpusStats
+      val docs = Tables.documents(s, d).filter(col("doc_id") <= 600)
+        .select(col("doc_id"), col("text"))
+      CorpusStats.rareTokenStats(docs, "doc_id", "text",
+          rareFracTenths = 1)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1474,6 +1491,19 @@ object SparkEntry {
         "'\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b')) AS n_phone, " +
         "len(regexp_extract_all(text, " +
         "'\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ip " +
-        "FROM p ORDER BY doc_id")
+        "FROM p ORDER BY doc_id"),
+    // q73: same two-phase computation — df over distinct docs per
+    // token, occurrences counted against the 10%-of-ndocs threshold
+    "q73_rare_tokens" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id <= 600), " +
+        "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token " +
+        "FROM d), " +
+        "df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks " +
+        "GROUP BY token), " +
+        "n AS (SELECT count(DISTINCT doc_id) AS ndocs FROM d) " +
+        "SELECT t.doc_id, count(*) AS n_tokens, " +
+        "count(CASE WHEN df.df * 10 < n.ndocs * 1 THEN 1 END) AS n_rare " +
+        "FROM toks t JOIN df USING (token) CROSS JOIN n " +
+        "GROUP BY t.doc_id ORDER BY t.doc_id")
   )
 }

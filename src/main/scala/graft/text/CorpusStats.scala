@@ -1,0 +1,50 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-relative token statistics — the two-phase "train stats over
+  * the corpus, then score every document against them" shape that
+  * LM-based quality filters (perplexity screens) use, kept
+  * integer-exact so results cross-check against any SQL engine.
+  *
+  * Phase 1 aggregates per-token document frequency (one shuffle keyed
+  * by token); phase 2 re-joins the exploded tokens to those frequencies
+  * (same key — Catalyst reuses the exchange) and folds back to one row
+  * per document (one shuffle keyed by doc id). Nothing touches the
+  * driver; the vocabulary stays distributed (a broadcast would cap it).
+  *
+  * A token is "rare" relative to the corpus — df below a FRACTION of
+  * the document count, not an absolute cut, so the signal survives any
+  * corpus size. High rare-token ratio flags OCR noise, typo storms and
+  * boilerplate-free gibberish; near-zero flags template text.
+  */
+object CorpusStats {
+
+  /** (token, df): how many distinct documents contain each token.
+    * Whitespace tokenization matches `TextAnalysis.tokenCount`. */
+  def documentFrequency(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(countDistinct(col(idCol)).as("df"))
+
+  /** Per-document (n_tokens, n_rare): total token occurrences and the
+    * occurrences of tokens whose document frequency is below
+    * `rareFracTenths`/10 of the corpus document count. Integer-exact:
+    * the threshold compares df*10 < ndocs*rareFracTenths. */
+  def rareTokenStats(docs: DataFrame, idCol: String, textCol: String,
+      rareFracTenths: Int = 9): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+    val df = documentFrequency(docs, idCol, textCol)
+    // corpus doc count rides the df table (one row each — broadcast the
+    // scalar, never the vocabulary)
+    val n = docs.agg(countDistinct(col(idCol)).as("ndocs"))
+    toks.join(df.crossJoin(broadcast(n)), "token")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("df") * 10 < col("ndocs") * rareFracTenths, 1))
+          .as("n_rare"))
+  }
+}

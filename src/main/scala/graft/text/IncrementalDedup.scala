@@ -199,9 +199,14 @@ object IncrementalDedup {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
-      val collide: Column = pairs
-        .map { case (b, m) => col("band") === b && col("bp") === m }
-        .reduce(_ || _)
+      // one composite IN over (band, bp) — still a partition-column-only
+      // predicate (evaluable at pruning time), but a flat InSet instead
+      // of a bands*bucketParts-term OR tree, which the optimizer's
+      // constraint propagation chokes on (measured: a 128-term
+      // disjunction here cost ~10s of PLANNING per probe)
+      val collide: Column =
+        (col("band") * bucketParts + col("bp"))
+          .isin(pairs.map { case (b, m) => b * bucketParts + m }: _*)
       spark.read.parquet(dir)
         .filter(col("batch") =!= excludeBatch && collide)
         .select(col("band").cast("int").as("band"), col("bucket"),

@@ -1,0 +1,44 @@
+package graft.text
+
+import graft.SparkSpec
+
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 docs; "the" in all 4, "cat"/"dog" in 2, the rest in 1
+  private val docs = Seq(
+    (1L, "the cat sat"),
+    (2L, "the cat ran"),
+    (3L, "the dog sat quietly"), // "sat" in docs 1+3 → df 2
+    (4L, "the dog howled"))
+    .toDF("doc_id", "text")
+
+  test("documentFrequency counts distinct docs per token") {
+    val df = CorpusStats.documentFrequency(docs, "doc_id", "text")
+      .as[(String, Long)].collect().toMap
+    assert(df == Map("the" -> 4L, "cat" -> 2L, "dog" -> 2L, "sat" -> 2L,
+      "ran" -> 1L, "quietly" -> 1L, "howled" -> 1L))
+  }
+
+  test("rareTokenStats: occurrences below the fractional df threshold") {
+    // threshold df*10 < ndocs*5 → df < 2: only the df=1 tokens are rare
+    val got = CorpusStats.rareTokenStats(docs, "doc_id", "text",
+        rareFracTenths = 5)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, t, r) => id -> ((t, r)) }.toMap
+    assert(got == Map(
+      1L -> (3L, 0L), // the cat sat — all df >= 2
+      2L -> (3L, 1L), // ran
+      3L -> (4L, 1L), // quietly
+      4L -> (3L, 1L))) // howled
+  }
+
+  test("repeated occurrences count per occurrence, not per distinct token") {
+    val rep = Seq((1L, "x x x y"), (2L, "y z")).toDF("doc_id", "text")
+    // ndocs=2, frac 9/10 → rare iff df*10 < 18 → df=1 is rare ("x","z")
+    val got = CorpusStats.rareTokenStats(rep, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, t, r) => id -> ((t, r)) }.toMap
+    assert(got == Map(1L -> ((4L, 3L)), 2L -> ((2L, 1L))))
+  }
+}
