@@ -991,6 +991,73 @@ object SparkEntry {
       CorpusStats.rareTokenStats(docs, "doc_id", "text",
           rareFracTenths = 1)
         .orderBy(col("doc_id"))
+    }),
+
+    // embedding-space dedup GROUPS (ORACLE-CHECKED): the semantic twin
+    // of q67 — cosine near-dup pairs (LSH-bucketed, q54's exact shape
+    // and staged buckets) closed into components, so a chain of
+    // near-identical embeddings collapses to one canonical group.
+    // RECALL ASSUMPTION (like q67): the oracle closes ALL exact
+    // cosine>=0.999 pairs; the Spark side only pairs sharing an LSH
+    // bucket. At this fixture the planted pairs sit at cosine ~1
+    // (elementwise +0.001) where 4-plane collision is near-certain,
+    // and the densest ORIGINAL pair measures cosine 0.51 — a dataset
+    // dense in cosine~0.999 pairs could legitimately diverge without
+    // a components bug.
+    "q74_embed_dedup_groups" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => x + lit(0.001f)).as("embedding"))
+      val pairs = graft.operators.Staged.parquetStageOnce(
+        Similarity.cosineNearDupPairs(emb.unionByName(planted),
+            "vec_id", "embedding", threshold = 0.999, numPlanes = 4, dim = 64,
+            stagingDir = Some(graft.operators.Staged.processDir("q54-lsh4d64", d)))
+          .select(col("id1"), col("id2")),
+        graft.operators.Staged.processDir("q74-pairs-lsh4d64-c0999", d))
+      graft.operators.Components.connectedComponents(pairs, "id1", "id2")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("component"))
+    }),
+
+    // URL/domain blocklist filtering (ORACLE-CHECKED): plant one URL
+    // per doc (host keyed by doc_id mod 7), block two of the seven
+    // hosts. The blocklist collapses to ONE broadcast row, so the
+    // documents side never shuffles — the drop evaluates in the scan
+    // stage (UrlFilterSpec asserts the plan). Java∩RE2 pattern text,
+    // identical in the oracle.
+    "q75_url_filter" -> ((s, d) => {
+      import s.implicits._
+      import graft.text.UrlFilter
+      val planted = Tables.documents(s, d).filter(col("doc_id") <= 600)
+        .select(col("doc_id"), concat(col("text"),
+          lit(" see http://d"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".example/page and http://ok.example/about")).as("text"))
+      val blocklist = Seq("d2.example", "d5.example").toDF("domain")
+      UrlFilter.dropBlockedDomains(planted, "text", blocklist)
+        .select(col("doc_id"),
+          size(UrlFilter.urls(col("text"))).cast("long").as("n_urls"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Unicode NFC canonicalization (ORACLE-CHECKED): decomposed accents
+    // (planted combining-acute after every 'e') fold to precomposed
+    // chars, so dedup hashes and token counts see one byte sequence.
+    // Native codegen Expression (no Spark built-in exists); DuckDB's
+    // nfc_normalize is the oracle — NFC is a Unicode standard, the two
+    // implementations must agree byte-for-byte. n_composed counts the
+    // codepoints removed by composition.
+    "q76_nfc_normalize" -> ((s, d) => {
+      import graft.functions.sketch.nfc_normalize
+      val decomposed = Tables.documents(s, d).filter(col("doc_id") <= 600)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), lit("e"), lit("e\u0301")).as("text"))
+      decomposed.select(col("doc_id"),
+          nfc_normalize(col("text")).as("norm"),
+          (length(col("text")) - length(nfc_normalize(col("text"))))
+            .cast("long").as("n_composed"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1504,6 +1571,49 @@ object SparkEntry {
         "SELECT t.doc_id, count(*) AS n_tokens, " +
         "count(CASE WHEN df.df * 10 < n.ndocs * 1 THEN 1 END) AS n_rare " +
         "FROM toks t JOIN df USING (token) CROSS JOIN n " +
-        "GROUP BY t.doc_id ORDER BY t.doc_id")
+        "GROUP BY t.doc_id ORDER BY t.doc_id"),
+    // q74: exact all-pairs cosine >= 0.999 closed by a recursive CTE —
+    // equal to LSH-bucketed pairs + large/small-star iff bucketing
+    // recall is 100% at this fixture (planted cosine ~1; densest
+    // original pair 0.51 — see the queries-entry recall note)
+    "q74_embed_dedup_groups" ->
+      ("WITH RECURSIVE base AS (SELECT vec_id, embedding FROM embeddings), " +
+        "mut AS (SELECT vec_id + 100000 AS vec_id, " +
+        "[x + 0.001 FOR x IN embedding] AS embedding " +
+        "FROM base WHERE vec_id < 20), " +
+        "all_v AS (SELECT * FROM base UNION ALL SELECT * FROM mut), " +
+        "p AS (SELECT a.vec_id AS id1, b.vec_id AS id2 FROM all_v a " +
+        "JOIN all_v b ON a.vec_id < b.vec_id " +
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999), " +
+        "edges AS (SELECT id1 AS a, id2 AS b FROM p " +
+        "UNION SELECT id2, id1 FROM p), " +
+        "reach AS (SELECT a, b FROM edges UNION " +
+        "SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), " +
+        "comp AS (SELECT a AS node, LEAST(a, MIN(b)) AS component " +
+        "FROM reach GROUP BY a) " +
+        "SELECT component, count(*) AS n_members FROM comp " +
+        "GROUP BY component ORDER BY component"),
+    // q75: identical pattern text; the blocklist drop is list_has_any
+    // over the stripped hosts
+    "q75_url_filter" ->
+      ("WITH p AS (SELECT doc_id, text || ' see http://d' || " +
+        "(doc_id % 7) || '.example/page and http://ok.example/about' " +
+        "AS text FROM documents WHERE doc_id <= 600), " +
+        "u AS (SELECT doc_id, " +
+        "regexp_extract_all(text, 'https?://[a-z0-9.-]+', 0) AS urls " +
+        "FROM p) " +
+        "SELECT doc_id, len(urls) AS n_urls FROM u " +
+        "WHERE NOT list_has_any(" +
+        "[regexp_replace(x, '^https?://', '') FOR x IN urls], " +
+        "['d2.example', 'd5.example']) " +
+        "ORDER BY doc_id"),
+    // q76: chr(769) is the combining acute; NFC is a Unicode standard
+    // so utf8proc (DuckDB) and java.text.Normalizer must agree
+    "q76_nfc_normalize" ->
+      ("WITH p AS (SELECT doc_id, replace(text, 'e', 'e' || chr(769)) " +
+        "AS text FROM documents WHERE doc_id <= 600) " +
+        "SELECT doc_id, nfc_normalize(text) AS norm, " +
+        "length(text) - length(nfc_normalize(text)) AS n_composed " +
+        "FROM p ORDER BY doc_id")
   )
 }

@@ -258,6 +258,54 @@ object HashedShingles {
   val FnvPrime: Long = 1099511628211L
 }
 
+/** Unicode NFC normalization of a string column — the canonical first
+  * step of text curation (decomposed accents, compatibility variants
+  * from OCR/web scrapes fold to one canonical byte sequence, so
+  * exact-dedup hashes and token counts stop seeing "café" ≠ "café").
+  *
+  * Built-ins can't express this (no normalize function in Spark SQL),
+  * so it is the preference-(b) extension: a native UnaryExpression
+  * inside whole-stage codegen. Fast path: `Normalizer.isNormalized`
+  * is a scan without allocation — already-NFC text (the overwhelming
+  * majority at corpus scale) returns the INPUT UTF8String unchanged,
+  * so the common case copies nothing.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nfc_normalize needs string, got ${other.sql}")
+    }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nfc", this, classOf[NfcNormalize].getName)
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String)" +
+        s" $ref.compute($input);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level entry points. */
 object sketch {
   /** One-pass distinct hashed word n-grams of a text column. */
@@ -271,4 +319,8 @@ object sketch {
   /** One-pass 64-bit SimHash over a pre-hashed token array. */
   def simhash64(hashedTokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(hashedTokens)))
+
+  /** Unicode NFC canonicalization (no-alloc fast path when already NFC). */
+  def nfc_normalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
 }

@@ -66,4 +66,33 @@ class SketchExpressionsSpec extends SparkSpec {
       sketch.simhash64($"hs").as("f")).head()
     assert(got.isNullAt(0) && got.isNullAt(1))
   }
+
+  test("nfc_normalize: composes decomposed accents; NFC text unchanged") {
+    val df = Seq(
+      (1L, "café menu"),   // e + combining acute → é
+      (2L, "café menu"),    // already precomposed
+      (3L, "plain ascii"),
+      (4L, "Å ring"))      // A + combining ring → Å
+      .toDF("id", "text")
+    val got = df.select($"id", sketch.nfc_normalize($"text").as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "café menu")
+    assert(got(1L) == got(2L))
+    assert(got(3L) == "plain ascii")
+    assert(got(4L) == "Å ring")
+  }
+
+  test("nfc_normalize: interpreted eval matches codegen; null propagates") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val expr = NfcNormalize(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit(null)))
+    val interpreted = expr
+      .nullSafeEval(UTF8String.fromString("café")).toString
+    val viaPlan = Seq("café").toDF("t")
+      .select(sketch.nfc_normalize($"t")).as[String].head()
+    assert(interpreted == viaPlan && viaPlan == "café")
+    val nulls = Seq(Option.empty[String]).toDF("t")
+      .select(sketch.nfc_normalize($"t")).head()
+    assert(nulls.isNullAt(0))
+  }
 }

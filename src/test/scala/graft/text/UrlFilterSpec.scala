@@ -1,0 +1,50 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class UrlFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "read http://spam.example/offer now"),
+    (2L, "see https://ok.example/a and http://spam.example/b"),
+    (3L, "both http://fine.example and https://ok.example/x"),
+    (4L, "no urls at all"),
+    (5L, "scheme-less spam.example mention survives"))
+    .toDF("doc_id", "text")
+
+  private lazy val blocklist = Seq("spam.example").toDF("domain")
+
+  test("urls/domains extract scheme+host in document order") {
+    val got = docs.filter($"doc_id" === 2L)
+      .select(UrlFilter.urls($"text").as("u"), UrlFilter.domains($"text").as("d"))
+      .as[(Seq[String], Seq[String])].head()
+    assert(got._1 == Seq("https://ok.example", "http://spam.example"))
+    assert(got._2 == Seq("ok.example", "spam.example"))
+  }
+
+  test("dropBlockedDomains removes any doc citing a blocked host; keeps the rest") {
+    val kept = UrlFilter.dropBlockedDomains(docs, "text", blocklist)
+      .select($"doc_id").as[Long].collect().sorted
+    // 1 and 2 cite spam.example; 4 has no urls; 5 mentions the string
+    // without a scheme (not a URL citation) — both survive
+    assert(kept.toSeq == Seq(3L, 4L, 5L))
+  }
+
+  test("the documents side never shuffles: blocklist rides one broadcast row") {
+    val filtered = UrlFilter.dropBlockedDomains(docs, "text", blocklist)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected a single-row broadcast join, got:\n$plan")
+    // the only exchanges allowed are the blocklist's own collect_set agg
+    // and its broadcast — never a shuffle keyed by the documents
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"documents side shuffled:\n$plan")
+  }
+
+  test("empty blocklist keeps everything") {
+    val empty = Seq.empty[String].toDF("domain")
+    assert(UrlFilter.dropBlockedDomains(docs, "text", empty).count() == 5L)
+  }
+}
