@@ -36,10 +36,16 @@ object Staged {
     df.sparkSession.read.parquet(dir)
   }
 
-  /** A per-purpose temp staging dir (under java.io.tmpdir). */
-  def tempDir(purpose: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft-stage-$purpose")
+  /** A per-purpose temp staging dir (under java.io.tmpdir). Resolves
+    * the property at CALL time: the JDK's no-arg createTempDirectory
+    * captures java.io.tmpdir in a static at first use, so a harness
+    * that redirects tmpdir after JVM start (Bench → tmpfs scratch)
+    * would silently stage on the original disk instead. */
+  def tempDir(purpose: String): String = {
+    val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    java.nio.file.Files.createTempDirectory(base, s"graft-stage-$purpose")
       .resolve("stage").toString
+  }
 
   private val processDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -13,16 +13,25 @@ import org.apache.spark.sql.types.StructType
   *
   * The index is TWO append-only parquet tables under `indexDir`, both
   * written per source batch (a replayed batch OVERWRITES its own
-  * partitions — idempotent under foreachBatch retries):
+  * `batch=<id>` directory — idempotent under foreachBatch retries).
+  * Within a batch directory the files are FLAT, clustered and sorted
+  * on a small integer prune key that is an ordinary DATA column:
   *
-  *  - `sigs/batch=<id>/sp=<m>`: (doc_id, sig array<long>), partitioned
-  *    by `sp = pmod(doc_id, sigParts)` so the verification step reads
-  *    only the id-partitions its candidate priors live in;
-  *  - `buckets/batch=<id>/band=<b>/bp=<m>`: (bucket, doc_id), the
-  *    banded LSH buckets, partitioned by band and
-  *    `bp = pmod(bucket, bucketParts)` so candidate generation reads
-  *    only the partitions the incoming batch's own buckets collide
-  *    with.
+  *  - `sigs/batch=<id>`: (doc_id, sig array<long>, sp), sorted by
+  *    `sp = pmod(doc_id, sigParts)`;
+  *  - `buckets/batch=<id>`: (band, bucket, doc_id, pp), sorted by
+  *    `pp = band * bucketParts + pmod(bucket, bucketParts)`.
+  *
+  * Probes filter with `isin` on the prune key, which pushes into the
+  * parquet scan: sorted row groups carry tight min/max stats, so
+  * non-colliding row groups are skipped at the footer. Deliberately
+  * NOT `partitionBy(prune key)`: a K-dir dynamic-partition commit
+  * costs K metadata round-trips per batch on any filesystem (K
+  * process forks on a shell-backed local FS, K list+rename rounds on
+  * an object store) and multiplies small files by the writer count —
+  * measured at 13-18 s of a 20 s batch for K=128 on the bench VM.
+  * The one directory that IS partitioned is `batch=<id>` itself:
+  * replay overwrite and current-batch exclusion stay directory-level.
   *
   * Candidate generation joins banded buckets on (band, bucket) — ids
   * only, the 8-byte shuffle; signatures attach once per unique
@@ -34,16 +43,27 @@ import org.apache.spark.sql.types.StructType
   *
   * At 100 TB: per batch the work is O(batch) signature compute + a
   * bucket equi-join whose index side PRUNES AT THE FILE SOURCE to the
-  * (band, bp) partitions the batch collides with — never a scan of the
-  * whole index (the batch's collision set is bounded by
-  * bands*bucketParts values, collected as metadata). The signature
-  * attach likewise prunes to the candidate priors' sp partitions. The
-  * index grows by admitted docs only; each batch adds at most
-  * bands*bucketParts + sigParts small files, so a long-standing index
-  * wants an occasional per-band compaction (a plain parquet rewrite —
-  * the layout is stable under it).
+  * row groups whose pp range collides with the batch — never a scan of
+  * the whole index (the batch's collision set is bounded by
+  * bands*bucketParts values, collected as metadata; excluded-batch
+  * pruning is directory-level). The signature attach likewise prunes
+  * on sp. The index grows by admitted docs only; each batch adds a
+  * handful of clustered files, so a long-standing index wants an
+  * occasional compaction (a plain sorted parquet rewrite — the layout
+  * is stable under it).
   */
 object IncrementalDedup {
+
+  // SPARK_GRAFT_PHASE_TIMING=1 → per-phase wall times on stderr (local
+  // bench forensics; zero cost when unset)
+  private def timed[A](name: String)(f: => A): A =
+    if (sys.env.contains("SPARK_GRAFT_PHASE_TIMING")) {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[incdedup] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    } else f
 
   /** Screen one batch. Returns the batch with a `dup_of` column: the
     * smallest doc id among matches (estimated Jaccard >= `threshold`)
@@ -80,7 +100,8 @@ object IncrementalDedup {
         .as("sig"))
     // one signature job; everything below reads this tiny table
     val sigPath = s"$indexDir/__stage/batch=$batchId"
-    sigs.write.mode(SaveMode.Overwrite).parquet(sigPath)
+    timed(s"b$batchId sig-stage") {
+      sigs.write.mode(SaveMode.Overwrite).parquet(sigPath) }
     val batchSigs = spark.read.parquet(sigPath)
 
     def buckets(sigTable: DataFrame, as: String): DataFrame =
@@ -93,11 +114,11 @@ object IncrementalDedup {
     // could hold a colliding bucket. Bounded by bands*bucketParts values
     // — metadata, not data — so collecting it costs one job over the
     // staged (tiny) batch signatures
-    val batchPairs = buckets(batchSigs, "doc_id")
+    val batchPairs = timed(s"b$batchId pairs-collect") { buckets(batchSigs, "doc_id")
       .select(col("band"),
         pmod(col("bucket"), lit(bucketParts)).cast("int").as("bp"))
       .distinct().collect()
-      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq }
 
     // index side of the candidate join: ONLY the colliding partitions of
     // the persisted bucket table — the probe never scans the full index.
@@ -122,15 +143,16 @@ object IncrementalDedup {
     // stage the (small) candidate set: the sp-footprint collect below and
     // the verification join both read it without re-running the bucket join
     val candPath = s"$indexDir/__stage/cand_batch=$batchId"
-    cand.write.mode(SaveMode.Overwrite).parquet(candPath)
+    timed(s"b$batchId cand-stage") {
+      cand.write.mode(SaveMode.Overwrite).parquet(candPath) }
     val candStaged = spark.read
       .schema("doc_id LONG, prior_id LONG").parquet(candPath)
 
     // signatures attach only for candidate priors: prune the sigs table
     // to the sp partitions those ids live in (bounded by sigParts values)
-    val candSps = candStaged
+    val candSps = timed(s"b$batchId sps-collect") { candStaged
       .select(pmod(col("prior_id"), lit(sigParts)).cast("int").as("sp"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+      .distinct().collect().map(_.getInt(0)).toSeq }
     val indexSigs = prunedIndexSigs(spark, indexDir, batchId, candSps)
 
     val priorSigs = indexSigs
@@ -165,7 +187,8 @@ object IncrementalDedup {
         col("__did") === col("__sid"), "left")
       .drop("__vid", "__sid", "__did")
     val stagedSchema = staged.schema
-    staged.write.mode(SaveMode.Overwrite).parquet(screenedPath)
+    timed(s"b$batchId screened-stage") {
+      staged.write.mode(SaveMode.Overwrite).parquet(screenedPath) }
     val screened = spark.read.schema(stagedSchema).parquet(screenedPath)
 
     // admit novel docs: commit their signatures AND banded buckets under
@@ -174,21 +197,32 @@ object IncrementalDedup {
     val novel = screened.filter(col("dup_of").isNull)
       .select(col(idCol).cast("long").as("doc_id"), col("sig"))
       .dropDuplicates("doc_id")
-    novel
+    // flat sorted commits — see the object doc for why this is NOT
+    // partitionBy(prune key). Clustering (repartition on the key) keeps
+    // each key's rows in one task; the sort makes row-group min/max
+    // stats tight so the probes' pushed isin skips at the footer
+    timed(s"b$batchId sigs-commit") { novel
       .withColumn("sp", pmod(col("doc_id"), lit(sigParts)).cast("int"))
-      .write.partitionBy("sp").mode(SaveMode.Overwrite)
-      .parquet(s"$indexDir/sigs/batch=$batchId")
-    buckets(novel, "doc_id")
-      .withColumn("bp", pmod(col("bucket"), lit(bucketParts)).cast("int"))
-      .write.partitionBy("band", "bp").mode(SaveMode.Overwrite)
-      .parquet(s"$indexDir/buckets/batch=$batchId")
+      .repartition(col("sp")).sortWithinPartitions(col("sp"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$indexDir/sigs/batch=$batchId") }
+    timed(s"b$batchId buckets-commit") { buckets(novel, "doc_id")
+      .withColumn("pp", (col("band") * bucketParts +
+        pmod(col("bucket"), lit(bucketParts))).cast("int"))
+      .repartition(col("pp")).sortWithinPartitions(col("pp"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$indexDir/buckets/batch=$batchId") }
     screened.drop("sig")
   }
 
-  /** The persisted bucket table, pruned to the (band, bp) partitions in
-    * `pairs` and excluding `excludeBatch`'s own partition (replay
-    * safety). Partition-column-only predicates — the scan lists only
-    * colliding partition directories, never the full index. */
+  /** The persisted bucket table, pruned to the rows whose prune key
+    * `pp` collides with `pairs` and excluding `excludeBatch`'s own
+    * directory (replay safety). The batch exclusion prunes at the
+    * directory listing (partition column); the pp filter is a flat IN
+    * over a data column that PUSHES into the parquet scan — sorted
+    * row groups make the footer min/max skip non-colliding groups.
+    * (A flat isin, not an OR tree: a 128-term disjunction cost ~10 s
+    * of planning per probe through constraint propagation.) */
   private[text] def prunedIndexBuckets(spark: SparkSession, indexDir: String,
       excludeBatch: Long, pairs: Seq[(Int, Int)],
       bucketParts: Int): DataFrame = {
@@ -199,23 +233,17 @@ object IncrementalDedup {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
-      // one composite IN over (band, bp) — still a partition-column-only
-      // predicate (evaluable at pruning time), but a flat InSet instead
-      // of a bands*bucketParts-term OR tree, which the optimizer's
-      // constraint propagation chokes on (measured: a 128-term
-      // disjunction here cost ~10s of PLANNING per probe)
       val collide: Column =
-        (col("band") * bucketParts + col("bp"))
-          .isin(pairs.map { case (b, m) => b * bucketParts + m }: _*)
+        col("pp").isin(pairs.map { case (b, m) => b * bucketParts + m }: _*)
       spark.read.parquet(dir)
         .filter(col("batch") =!= excludeBatch && collide)
-        .select(col("band").cast("int").as("band"), col("bucket"),
-          col("doc_id").as("prior_id"))
+        .select(col("band"), col("bucket"), col("doc_id").as("prior_id"))
     }
   }
 
-  /** The persisted signature table, pruned to the sp partitions in `sps`
-    * and excluding `excludeBatch`'s own partition. */
+  /** The persisted signature table, pruned to the rows whose `sp` prune
+    * key is in `sps` (pushed parquet filter over the sorted key) and
+    * excluding `excludeBatch`'s own directory. */
   private[text] def prunedIndexSigs(spark: SparkSession, indexDir: String,
       excludeBatch: Long, sps: Seq[Int]): DataFrame = {
     val dir = s"$indexDir/sigs"

@@ -63,35 +63,43 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(indexed == Set(21L, 23L))
   }
 
-  test("probe reads only colliding bucket partitions, not the full index") {
+  test("probe prunes at the scan: flat sorted files, pushed IN on the key") {
     val dir = java.nio.file.Files.createTempDirectory("graft-incdedup4").toString
-    // admit a wide batch: its banded buckets land across many (band, bp)
-    // partitions of the persisted bucket table
+    // admit a wide batch: its banded buckets span many pp values
     val wide = (1 to 40).map(i => (i.toLong, words(s"corpus$i", 30)))
       .toDF("doc_id", "text")
     IncrementalDedup.dedupeBatch(wide, "doc_id", "text", s"$dir/index",
       batchId = 0L)
+    // the batch commit is FLAT — no per-key partition directories (a
+    // K-dir dynamic commit costs K metadata round-trips per batch)
     val bucketRoot = new java.io.File(s"$dir/index/buckets/batch=0")
-    val totalParts = bucketRoot.listFiles.filter(_.isDirectory)
-      .flatMap(_.listFiles.filter(_.isDirectory)).length
-    assert(totalParts > 8, s"fixture too narrow: $totalParts partitions")
+    assert(bucketRoot.isDirectory)
+    assert(!bucketRoot.listFiles.exists(_.isDirectory),
+      bucketRoot.listFiles.map(_.getName).mkString(", "))
+    val distinctPp = spark.read.parquet(s"$dir/index/buckets")
+      .select("pp").distinct().count()
+    assert(distinctPp > 8, s"fixture too narrow: $distinctPp pp values")
 
-    // a one-doc probe collides with at most `bands` (band, bp) pairs —
-    // the index side of the candidate join must scan ONLY those
+    // a one-doc probe collides with at most `bands` pp values — the
+    // filter must reach the parquet scan so sorted row-group stats can
+    // skip everything else
     val pairs = Seq((0, 3), (1, 5))
     val probe = IncrementalDedup.prunedIndexBuckets(spark, s"$dir/index",
       excludeBatch = 99L, pairs, bucketParts = 16)
-    probe.collect()
+    val got = probe.collect()
     val scan = probe.queryExecution.executedPlan.collectLeaves()
       .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
     assert(scan.nonEmpty, probe.queryExecution.executedPlan.toString)
-    // partition-only predicates: pruning happens at directory listing
-    assert(scan.head.toString.contains("PartitionFilters"),
-      scan.head.toString.take(500))
-    val partsRead = scan.head.metrics("numPartitions").value
-    assert(partsRead <= pairs.size,
-      s"probe read $partsRead partitions of $totalParts for ${pairs.size} pairs")
-    assert(partsRead < totalParts)
+    val scanStr = scan.head.toString
+    // batch exclusion prunes at the directory; pp pushes into parquet
+    assert(scanStr.contains("PartitionFilters"), scanStr.take(800))
+    assert(scanStr.contains("PushedFilters") && scanStr.contains("In(pp"),
+      scanStr.take(800))
+    // and the filter is consistent with what comes back
+    val wanted = pairs.map { case (b, m) => b * 16 + m }.toSet
+    val all = spark.read.parquet(s"$dir/index/buckets")
+    val expected = all.filter(col("pp").isin(wanted.toSeq: _*)).count()
+    assert(got.length == expected && expected < all.count())
   }
 
   test("standing form: novel to out, duplicates to rejected, across restarts") {
