@@ -11,6 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // local FS without per-path chmod forks (see NoChmodLocalFs doc):
+      // measures the engine, not the no-native-hadoop fork path
+      .config("spark.hadoop.fs.file.impl", "graft.util.NoChmodLocalFs")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -40,7 +40,8 @@ object BinlogXJob {
   /** Write each logical stream as its own ordered directory
     * (`out/stream=<i>/`), the per-stream dumper sink. */
   def writeStreams(fannedOut: DataFrame, outDir: String): Unit =
-    fannedOut.write.mode(SaveMode.Overwrite)
+    fannedOut.repartition(col("stream")) // one writer set per stream dir
+      .write.mode(SaveMode.Overwrite)
       .partitionBy("stream").parquet(outDir)
 
   /** The WIRE form of the per-stream dumper: each logical stream becomes

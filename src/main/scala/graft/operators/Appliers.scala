@@ -190,6 +190,9 @@ object Appliers {
     if (!hasData) {
       finalImages.filter(col("effective_op") =!= "DELETE")
         .drop("effective_op")
+        // cluster on the partition column: an unclustered dynamic write
+        // multiplies files by the upstream task count (tasks x buckets)
+        .repartition(col("__bucket"))
         .write.partitionBy("__bucket").mode(SaveMode.Overwrite)
         .parquet(targetDir)
     } else {
@@ -220,7 +223,8 @@ object Appliers {
           // empty set)
           val survivors = merged.select("__bucket").distinct()
             .collect().map(_.getInt(0)).toSet
-          merged.write.mode(SaveMode.Overwrite)
+          merged.repartition(col("__bucket"))
+            .write.mode(SaveMode.Overwrite)
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__bucket").parquet(targetDir)
           (touched.toSet -- survivors).foreach { b =>

@@ -169,6 +169,10 @@ object TxnApplier {
     val v = 1L
     val d = new Path(root, versionRel(v))
     initial.withColumn("__bucket", Appliers.bucketOf(keyCols, nBuckets))
+      // clustered dynamic write: one writer per bucket dir, not
+      // tasks x buckets files (bucket count bounds the parallelism,
+      // which is the layout's read parallelism anyway)
+      .repartition(col("__bucket"))
       .write.partitionBy("__bucket").mode(SaveMode.Overwrite)
       .parquet(d.toString)
     val entries = listBucketDirs(fs, d)

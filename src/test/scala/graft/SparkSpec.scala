@@ -16,6 +16,8 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // skip per-path chmod forks on local FS (see NoChmodLocalFs doc)
+      .config("spark.hadoop.fs.file.impl", "graft.util.NoChmodLocalFs")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
