@@ -258,6 +258,69 @@ object IncrementalDedup {
         .select(schema.fieldNames.map(col): _*)
   }
 
+  /** The compacted partition's reserved batch id: foreachBatch ids are
+    * non-negative, so -1 can never collide with a live batch (and the
+    * probes' `batch =!= currentBatch` exclusion never excludes it). */
+  val CompactedBatch: Long = -1L
+
+  /** Fold all index partitions with `batch <= upToBatch` (plus any
+    * previous compaction) into the single `batch=-1` partition, sorted
+    * on the prune key — the maintenance rewrite a long-standing index
+    * needs so probe listings stay O(recent batches), not O(lifetime).
+    *
+    * MUST run while the standing query is stopped, with `upToBatch` at
+    * most the checkpoint's last COMMITTED batch: a replay of a batch
+    * whose own signatures were folded into the compacted partition
+    * would screen the batch against itself and reject every row.
+    *
+    * Crash-safe by ordering, duplicates-tolerated: the new compacted
+    * partition is staged and swapped in BEFORE the source partitions
+    * are deleted (probe candidates are `distinct`, so a crash window
+    * where a row exists in both places only costs duplicate candidate
+    * work, never a wrong verdict). A crash between swap steps leaves
+    * `.compact_old` (readers ignore dot-dirs); the next compaction
+    * folds it back in. */
+  def compactIndex(spark: SparkSession, indexDir: String,
+      upToBatch: Long): Unit = {
+    require(upToBatch >= 0, s"upToBatch must be a live batch id: $upToBatch")
+    Seq(s"$indexDir/sigs" -> Seq("sp"), s"$indexDir/buckets" -> Seq("pp"))
+      .foreach { case (dir, sortCols) =>
+        val root = new Path(dir)
+        val fs = graft.util.HadoopIo.fsOf(root)
+        if (fs.exists(root)) {
+          val old = new Path(dir, ".compact_old")
+          val target = new Path(dir, s"batch=$CompactedBatch")
+          // recover a crash between swap steps: the previous compacted
+          // partition was moved aside but its replacement never landed
+          if (fs.exists(old) && !fs.exists(target)) fs.rename(old, target)
+
+          val folded = spark.read.parquet(dir)
+            .filter(col("batch") <= upToBatch) // includes batch=-1
+            .drop("batch")
+            .dropDuplicates() // a prior crash may have left both copies
+            .repartition(sortCols.map(col): _*)
+            .sortWithinPartitions(sortCols.map(col): _*)
+          val tmp = new Path(dir, "_compact_tmp")
+          if (fs.exists(tmp)) fs.delete(tmp, true)
+          folded.write.parquet(tmp.toString)
+          val sources = fs.listStatus(root).map(_.getPath).filter { p =>
+            val n = p.getName
+            n.startsWith("batch=") &&
+              n.stripPrefix("batch=").toLong <= upToBatch &&
+              n != s"batch=$CompactedBatch"
+          }
+          // swap: stage aside → land the new partition → drop sources
+          if (fs.exists(target)) {
+            if (fs.exists(old)) fs.delete(old, true)
+            fs.rename(target, old)
+          }
+          fs.rename(tmp, target)
+          sources.foreach(fs.delete(_, true))
+          if (fs.exists(old)) fs.delete(old, true)
+        }
+      }
+  }
+
   /** The standing form: a document stream screened batch-by-batch
     * against the growing index; novel rows land in `outDir`, duplicates
     * in `outDir/../rejected` with their `dup_of` attribution. */

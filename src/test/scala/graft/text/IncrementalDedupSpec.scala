@@ -63,6 +63,67 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(indexed == Set(21L, 23L))
   }
 
+  test("compactIndex folds history into batch=-1; attribution survives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-incdedup5").toString
+    val idx = s"$dir/index"
+    IncrementalDedup.dedupeBatch(
+      Seq((1L, words("kappa", 30)), (2L, words("lambda", 30)))
+        .toDF("doc_id", "text"), "doc_id", "text", idx, batchId = 0L)
+    IncrementalDedup.dedupeBatch(
+      Seq((3L, words("mu", 30))).toDF("doc_id", "text"),
+      "doc_id", "text", idx, batchId = 1L)
+
+    IncrementalDedup.compactIndex(spark, idx, upToBatch = 1L)
+    def batchDirs(sub: String) =
+      new java.io.File(s"$idx/$sub").listFiles
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .map(_.getName).toSet
+    assert(batchDirs("sigs") == Set("batch=-1"))
+    assert(batchDirs("buckets") == Set("batch=-1"))
+
+    // a post-compaction batch still screens against the folded history
+    val r = IncrementalDedup.dedupeBatch(
+      Seq((9L, words("lambda", 30)), (10L, words("nu", 30)))
+        .toDF("doc_id", "text"), "doc_id", "text", idx, batchId = 2L)
+      .select($"doc_id", $"dup_of").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(r == Map(9L -> Some(2L), 10L -> None))
+
+    // second compaction folds the new batch into the same partition;
+    // content is the union (nothing lost, nothing doubled)
+    IncrementalDedup.compactIndex(spark, idx, upToBatch = 2L)
+    assert(batchDirs("sigs") == Set("batch=-1"))
+    val sigIds = spark.read.parquet(s"$idx/sigs")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(sigIds == Seq(1L, 2L, 3L, 10L))
+  }
+
+  test("compactIndex recovers a crash between swap steps") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-incdedup6").toString
+    val idx = s"$dir/index"
+    IncrementalDedup.dedupeBatch(
+      Seq((1L, words("xi", 30))).toDF("doc_id", "text"),
+      "doc_id", "text", idx, batchId = 0L)
+    IncrementalDedup.compactIndex(spark, idx, upToBatch = 0L)
+    // simulate the crash window: compacted partition moved aside, its
+    // replacement never landed
+    for (sub <- Seq("sigs", "buckets")) {
+      val ok = new java.io.File(s"$idx/$sub/batch=-1")
+        .renameTo(new java.io.File(s"$idx/$sub/.compact_old"))
+      assert(ok)
+    }
+    IncrementalDedup.compactIndex(spark, idx, upToBatch = 0L)
+    val sigIds = spark.read.parquet(s"$idx/sigs")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(sigIds == Seq(1L))
+    // and the next batch still sees doc 1 as prior art
+    val r = IncrementalDedup.dedupeBatch(
+      Seq((5L, words("xi", 30))).toDF("doc_id", "text"),
+      "doc_id", "text", idx, batchId = 1L)
+      .select($"dup_of").as[Option[Long]].collect().toSeq
+    assert(r == Seq(Some(1L)))
+  }
+
   test("probe prunes at the scan: flat sorted files, pushed IN on the key") {
     val dir = java.nio.file.Files.createTempDirectory("graft-incdedup4").toString
     // admit a wide batch: its banded buckets span many pp values
