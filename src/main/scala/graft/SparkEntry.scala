@@ -1058,6 +1058,44 @@ object SparkEntry {
           (length(col("text")) - length(nfc_normalize(col("text"))))
             .cast("long").as("n_composed"))
         .orderBy(col("doc_id"))
+    }),
+
+    // global paragraph dedup (ORACLE-CHECKED): every doc gains a
+    // per-source shared paragraph and a corpus-wide one; across the
+    // corpus each distinct paragraph survives only at its first
+    // (doc_id, position) occurrence — the cross-domain complement of
+    // q71's per-domain boilerplate (xxhash64 winner election vs the
+    // oracle's string identity: collision-free on any real corpus).
+    "q77_paragraph_dedup" -> ((s, d) => {
+      import graft.text.ParagraphDedup
+      val docs = Tables.documents(s, d).filter(col("doc_id") <= 600)
+        .select(col("doc_id"),
+          concat_ws("\n\n", col("text"),
+            concat(lit("SHARED "), col("source")),
+            lit("GLOBAL PROMO")).as("text"))
+      ParagraphDedup.dedupParagraphs(docs, "doc_id", "text")
+        .select(col("doc_id"), col("text").as("cleaned"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // markup stripping (ORACLE-CHECKED): each doc wrapped in
+    // deterministic HTML with an encoded entity; the operator strips
+    // tags, decodes entities, and reports integer-exact visible/raw
+    // lengths. Portable pattern text, scan-stage only (MarkupSpec
+    // asserts the plan).
+    "q78_markup_strip" -> ((s, d) => {
+      import graft.text.Markup
+      val wrapped = Tables.documents(s, d).filter(col("doc_id") <= 600)
+        .select(col("doc_id"), concat(
+          lit("<html><body class=\"x\"><p>"), col("text"),
+          lit("</p><a href=\"/l\">link &amp; more</a></body></html>"))
+          .as("text"))
+      val (vis, raw) = Markup.visibleLengths(col("text"))
+      wrapped.select(col("doc_id"),
+          Markup.visibleText(col("text")).as("clean"),
+          vis.cast("long").as("len_visible"),
+          raw.cast("long").as("len_raw"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1614,6 +1652,37 @@ object SparkEntry {
         "AS text FROM documents WHERE doc_id <= 600) " +
         "SELECT doc_id, nfc_normalize(text) AS norm, " +
         "length(text) - length(nfc_normalize(text)) AS n_composed " +
-        "FROM p ORDER BY doc_id")
+        "FROM p ORDER BY doc_id"),
+    // q77: string-identity winners via row_number; first (doc_id, pos)
+    // occurrence survives — identical to the hash election absent
+    // xxhash64 collisions
+    "q77_paragraph_dedup" ->
+      ("WITH d AS (SELECT doc_id, text || chr(10) || chr(10) || " +
+        "'SHARED ' || source || chr(10) || chr(10) || 'GLOBAL PROMO' " +
+        "AS text FROM documents WHERE doc_id <= 600), " +
+        "parts AS (SELECT doc_id, " +
+        "string_split(text, chr(10) || chr(10)) AS ps FROM d), " +
+        "exploded AS (SELECT doc_id, i AS pos, ps[i] AS p " +
+        "FROM parts, unnest(generate_series(1, len(ps))) AS t(i)), " +
+        "kept AS (SELECT doc_id, pos, p FROM (" +
+        "SELECT exploded.*, row_number() OVER (" +
+        "PARTITION BY p ORDER BY doc_id, pos) AS rn FROM exploded) " +
+        "WHERE rn = 1) " +
+        "SELECT d.doc_id, coalesce(string_agg(k.p, " +
+        "chr(10) || chr(10) ORDER BY k.pos), '') AS cleaned " +
+        "FROM d LEFT JOIN kept k ON d.doc_id = k.doc_id " +
+        "GROUP BY d.doc_id ORDER BY d.doc_id"),
+    // q78: same tag pattern with the 'g' flag; entity replaces in the
+    // same order (&amp; last)
+    "q78_markup_strip" ->
+      ("WITH w AS (SELECT doc_id, '<html><body class=\"x\"><p>' || " +
+        "text || '</p><a href=\"/l\">link &amp; more</a></body></html>' " +
+        "AS text FROM documents WHERE doc_id <= 600), " +
+        "s AS (SELECT doc_id, text, replace(replace(replace(replace(" +
+        "replace(replace(regexp_replace(text, '<[^>]*>', '', 'g'), " +
+        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), " +
+        "'&#32;', ' '), '&amp;', '&') AS clean FROM w) " +
+        "SELECT doc_id, clean, length(clean) AS len_visible, " +
+        "length(text) AS len_raw FROM s ORDER BY doc_id")
   )
 }
