@@ -265,10 +265,11 @@ object HashedShingles {
   *
   * Built-ins can't express this (no normalize function in Spark SQL),
   * so it is the preference-(b) extension: a native UnaryExpression
-  * inside whole-stage codegen. Fast path: `Normalizer.isNormalized`
-  * is a scan without allocation — already-NFC text (the overwhelming
-  * majority at corpus scale) returns the INPUT UTF8String unchanged,
-  * so the common case copies nothing.
+  * inside whole-stage codegen. Two fast paths: pure-ASCII input
+  * (numBytes == numChars — the bulk of a web corpus) is detected with
+  * zero allocation and returned as-is (ASCII is always NFC);
+  * non-ASCII input pays one String decode for `isNormalized` but
+  * skips the re-encode when already canonical.
   */
 case class NfcNormalize(child: Expression) extends UnaryExpression {
 
@@ -286,6 +287,7 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 
   def compute(s: org.apache.spark.unsafe.types.UTF8String)
       : org.apache.spark.unsafe.types.UTF8String = {
+    if (s.numBytes == s.numChars) return s // pure ASCII: always NFC
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else org.apache.spark.unsafe.types.UTF8String.fromString(

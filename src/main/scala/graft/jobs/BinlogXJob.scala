@@ -38,10 +38,13 @@ object BinlogXJob {
   }
 
   /** Write each logical stream as its own ordered directory
-    * (`out/stream=<i>/`), the per-stream dumper sink. */
+    * (`out/stream=<i>/`), the per-stream dumper sink. NO repartition
+    * here: `fanOut` already clusters one stream per task AND sorts by
+    * (stream, tso) — re-shuffling would both multiply writers and
+    * destroy the per-stream tso order the directory contract promises
+    * (the dynamic write only re-sorts by the partition column). */
   def writeStreams(fannedOut: DataFrame, outDir: String): Unit =
-    fannedOut.repartition(col("stream")) // one writer set per stream dir
-      .write.mode(SaveMode.Overwrite)
+    fannedOut.write.mode(SaveMode.Overwrite)
       .partitionBy("stream").parquet(outDir)
 
   /** The WIRE form of the per-stream dumper: each logical stream becomes

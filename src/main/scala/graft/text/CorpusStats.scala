@@ -37,7 +37,11 @@ object CorpusStats {
       rareFracTenths: Int = 9): DataFrame = {
     val toks = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("token"))
-    val df = documentFrequency(docs, idCol, textCol)
+    // df derives from the SAME toks frame — one tokenizer, one subtree
+    // (an independent re-explode would fork correctness on any future
+    // tokenizer change and rely on ReusedExchange to dedup the scans)
+    val df = toks.groupBy(col("token"))
+      .agg(countDistinct(col(idCol)).as("df"))
     // corpus doc count rides the df table (one row each — broadcast the
     // scalar, never the vocabulary)
     val n = docs.agg(countDistinct(col(idCol)).as("ndocs"))

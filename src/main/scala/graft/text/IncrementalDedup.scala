@@ -229,13 +229,15 @@ object IncrementalDedup {
     val dir = s"$indexDir/buckets"
     val schema = StructType.fromDDL("band INT, bucket INT, prior_id LONG")
     val p = new Path(dir)
-    if (!graft.util.HadoopIo.fsOf(p).exists(p) || pairs.isEmpty)
+    val fs = graft.util.HadoopIo.fsOf(p)
+    if (!fs.exists(p) || pairs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
+      recoverSwap(fs, dir)
       val collide: Column =
         col("pp").isin(pairs.map { case (b, m) => b * bucketParts + m }: _*)
-      spark.read.parquet(dir)
+      requirePruneKey(spark.read.parquet(dir), "pp", dir)
         .filter(col("batch") =!= excludeBatch && collide)
         .select(col("band"), col("bucket"), col("doc_id").as("prior_id"))
     }
@@ -249,13 +251,29 @@ object IncrementalDedup {
     val dir = s"$indexDir/sigs"
     val schema = StructType.fromDDL("doc_id LONG, sig ARRAY<LONG>")
     val p = new Path(dir)
-    if (!graft.util.HadoopIo.fsOf(p).exists(p) || sps.isEmpty)
+    val fs = graft.util.HadoopIo.fsOf(p)
+    if (!fs.exists(p) || sps.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      spark.read.parquet(dir)
+    else {
+      recoverSwap(fs, dir)
+      requirePruneKey(spark.read.parquet(dir), "sp", dir)
         .filter(col("batch") =!= excludeBatch && col("sp").isin(sps: _*))
         .select(schema.fieldNames.map(col): _*)
+    }
+  }
+
+  /** Loud incompatible-layout guard: an index written by the earlier
+    * partition-directory layout has no data-column prune key and CANNOT
+    * be probed by this version — fail with the remedy, not an
+    * unresolved-column error deep in a plan. */
+  private def requirePruneKey(df: DataFrame, key: String,
+      dir: String): DataFrame = {
+    if (!df.columns.contains(key)) sys.error(
+      s"$dir: no '$key' column — this index predates the flat sorted " +
+        "layout. Rebuild it (re-screen the corpus), or rewrite each " +
+        "batch partition adding the prune key before probing.")
+    df
   }
 
   /** The compacted partition's reserved batch id: foreachBatch ids are
@@ -277,9 +295,11 @@ object IncrementalDedup {
     * partition is staged and swapped in BEFORE the source partitions
     * are deleted (probe candidates are `distinct`, so a crash window
     * where a row exists in both places only costs duplicate candidate
-    * work, never a wrong verdict). A crash between swap steps leaves
-    * `.compact_old` (readers ignore dot-dirs); the next compaction
-    * folds it back in. */
+    * work, never a wrong verdict). The one window where the compacted
+    * partition is ASIDE as `.compact_old` (between the two swap
+    * renames) is healed by the probes themselves — `recoverSwap` runs
+    * before every index read, so a restarted standing query never
+    * screens against a history-less index. */
   def compactIndex(spark: SparkSession, indexDir: String,
       upToBatch: Long): Unit = {
     require(upToBatch >= 0, s"upToBatch must be a live batch id: $upToBatch")
@@ -290,9 +310,7 @@ object IncrementalDedup {
         if (fs.exists(root)) {
           val old = new Path(dir, ".compact_old")
           val target = new Path(dir, s"batch=$CompactedBatch")
-          // recover a crash between swap steps: the previous compacted
-          // partition was moved aside but its replacement never landed
-          if (fs.exists(old) && !fs.exists(target)) fs.rename(old, target)
+          recoverSwap(fs, dir)
 
           val folded = spark.read.parquet(dir)
             .filter(col("batch") <= upToBatch) // includes batch=-1
@@ -309,16 +327,31 @@ object IncrementalDedup {
               n.stripPrefix("batch=").toLong <= upToBatch &&
               n != s"batch=$CompactedBatch"
           }
-          // swap: stage aside → land the new partition → drop sources
+          // swap: stage aside → land the new partition → drop sources.
+          // Checked renames throughout — a silently-false rename here
+          // followed by the source deletes would lose the folded index
+          import graft.util.HadoopIo.renameOrFail
           if (fs.exists(target)) {
             if (fs.exists(old)) fs.delete(old, true)
-            fs.rename(target, old)
+            renameOrFail(target, old)
           }
-          fs.rename(tmp, target)
+          renameOrFail(tmp, target)
           sources.foreach(fs.delete(_, true))
           if (fs.exists(old)) fs.delete(old, true)
         }
       }
+  }
+
+  /** Heal the one compaction crash window where the compacted partition
+    * was moved aside but its replacement never landed: restore it so
+    * readers (which ignore dot-dirs) see the full history again. Runs
+    * before every index read AND at the start of compaction. */
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit = {
+    val old = new Path(dir, ".compact_old")
+    val target = new Path(dir, s"batch=$CompactedBatch")
+    if (fs.exists(old) && !fs.exists(target))
+      graft.util.HadoopIo.renameOrFail(old, target)
   }
 
   /** The standing form: a document stream screened batch-by-batch

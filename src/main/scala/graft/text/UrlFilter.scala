@@ -36,14 +36,17 @@ object UrlFilter {
 
   /** `docs` minus every document that mentions a blocked domain.
     * `blocklist(domainCol)` is collapsed to a single broadcast row;
-    * documents with no URLs always survive. */
+    * documents with no URLs — including NULL text — always survive
+    * (the overlap test is null-coalesced: a three-valued-logic null
+    * here would silently drop every null-text row at the filter). */
   def dropBlockedDomains(docs: DataFrame, textCol: String,
       blocklist: DataFrame, domainCol: String = "domain"): DataFrame = {
     val bl = blocklist
       .agg(collect_set(col(domainCol)).as("graft_blocked_domains"))
     docs.crossJoin(broadcast(bl))
-      .filter(!arrays_overlap(
-        domains(col(textCol)), col("graft_blocked_domains")))
+      .filter(!coalesce(
+        arrays_overlap(domains(col(textCol)), col("graft_blocked_domains")),
+        lit(false)))
       .drop("graft_blocked_domains")
   }
 }

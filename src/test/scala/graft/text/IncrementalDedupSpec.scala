@@ -98,7 +98,7 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(sigIds == Seq(1L, 2L, 3L, 10L))
   }
 
-  test("compactIndex recovers a crash between swap steps") {
+  test("crash between swap steps heals at the PROBE, not only at compaction") {
     val dir = java.nio.file.Files.createTempDirectory("graft-incdedup6").toString
     val idx = s"$dir/index"
     IncrementalDedup.dedupeBatch(
@@ -112,16 +112,30 @@ class IncrementalDedupSpec extends SparkSpec {
         .renameTo(new java.io.File(s"$idx/$sub/.compact_old"))
       assert(ok)
     }
-    IncrementalDedup.compactIndex(spark, idx, upToBatch = 0L)
-    val sigIds = spark.read.parquet(s"$idx/sigs")
-      .select("doc_id").as[Long].collect().toSeq
-    assert(sigIds == Seq(1L))
-    // and the next batch still sees doc 1 as prior art
+    // the NEXT BATCH must still see doc 1 as prior art: if the probe
+    // did not restore the aside partition, the duplicate would be
+    // admitted as novel — a wrong verdict, not just duplicate work
     val r = IncrementalDedup.dedupeBatch(
       Seq((5L, words("xi", 30))).toDF("doc_id", "text"),
       "doc_id", "text", idx, batchId = 1L)
       .select($"dup_of").as[Option[Long]].collect().toSeq
     assert(r == Seq(Some(1L)))
+    val sigIds = spark.read.parquet(s"$idx/sigs")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(sigIds == Seq(1L)) // duplicate not admitted; history restored
+  }
+
+  test("an index from the old partition-dir layout fails loudly, not deep in a plan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-incdedup7").toString
+    // fabricate the pre-flat layout: bucket files without the pp column
+    Seq((0, 12345, 1L)).toDF("band", "bucket", "doc_id")
+      .write.parquet(s"$dir/index/buckets/batch=0")
+    val e = intercept[RuntimeException] {
+      IncrementalDedup.prunedIndexBuckets(spark, s"$dir/index",
+        excludeBatch = 1L, Seq((0, 1)), bucketParts = 16).collect()
+    }
+    assert(e.getMessage.contains("pp") && e.getMessage.contains("Rebuild"),
+      e.getMessage)
   }
 
   test("probe prunes at the scan: flat sorted files, pushed IN on the key") {

@@ -47,4 +47,13 @@ class UrlFilterSpec extends SparkSpec {
     val empty = Seq.empty[String].toDF("domain")
     assert(UrlFilter.dropBlockedDomains(docs, "text", empty).count() == 5L)
   }
+
+  test("null text survives: no URLs means no blocked citation") {
+    val withNull = Seq((1L, Option("cite http://spam.example now")),
+      (2L, Option.empty[String]), (3L, Option("clean")))
+      .toDF("doc_id", "text")
+    val kept = UrlFilter.dropBlockedDomains(withNull, "text", blocklist)
+      .select($"doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L))
+  }
 }
