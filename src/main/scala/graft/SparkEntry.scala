@@ -1096,6 +1096,26 @@ object SparkEntry {
           vis.cast("long").as("len_visible"),
           raw.cast("long").as("len_raw"))
         .orderBy(col("doc_id"))
+    }),
+
+    // sequence packing (ORACLE-CHECKED): the corpus as ONE deterministic
+    // token stream chunked into 512-token training sequences — each doc
+    // gets its global offset and spanned sequence range. The global
+    // prefix sum is the TWO-PHASE distributed scan (range partition →
+    // local windows → P-row offset fold), never a single-partition
+    // window; the oracle recomputes it with one global window, which is
+    // fine for DuckDB at sf0.01 and exactly what the operator must
+    // avoid at scale (PackingSpec asserts no SinglePartition exchange).
+    "q79_seq_packing" -> ((s, d) => {
+      import graft.text.Packing
+      val docs = Tables.documents(s, d).filter(col("doc_id") <= 600)
+        .select(col("doc_id"),
+          (length(col("text")) - length(regexp_replace(col("text"),
+            lit(" "), lit(""))) + 1).cast("long").as("toks"))
+      Packing.packSequences(docs, "doc_id", "toks", seqLen = 512)
+        .select(col("doc_id"), col("toks"), col("start_tok"),
+          col("seq_first"), col("seq_last"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1683,6 +1703,21 @@ object SparkEntry {
         "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), " +
         "'&#32;', ' '), '&amp;', '&') AS clean FROM w) " +
         "SELECT doc_id, clean, length(clean) AS len_visible, " +
-        "length(text) AS len_raw FROM s ORDER BY doc_id")
+        "length(text) AS len_raw FROM s ORDER BY doc_id"),
+    // q79: one global window reproduces the distributed prefix sum —
+    // same portable Lehmer key, ties broken by doc_id
+    "q79_seq_packing" ->
+      ("WITH d AS (SELECT doc_id, CAST(length(text) - " +
+        "length(replace(text, ' ', '')) + 1 AS BIGINT) AS toks " +
+        "FROM documents WHERE doc_id <= 600), " +
+        "k AS (SELECT doc_id, toks, " +
+        "(((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647) " +
+        "* 48271 % 2147483647 AS key FROM d), " +
+        "p AS (SELECT doc_id, toks, coalesce(SUM(toks) OVER (" +
+        "ORDER BY key, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "1 PRECEDING), 0) AS start_tok FROM k) " +
+        "SELECT doc_id, toks, start_tok, start_tok // 512 AS seq_first, " +
+        "greatest(start_tok, start_tok + toks - 1) // 512 AS seq_last " +
+        "FROM p ORDER BY doc_id")
   )
 }
