@@ -24,14 +24,17 @@ object Markup {
   def stripTags(text: Column): Column =
     regexp_replace(text, lit(TagPattern), lit(""))
 
-  /** Decode the predefined XML entities (and `&#32;`); `&amp;` LAST so
-    * double-encoded text decodes one level per pass, never two. */
-  def decodeEntities(text: Column): Column = {
-    val steps = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&#32;" -> " ", "&amp;" -> "&")
-    steps.foldLeft(text) { case (c, (from, to)) =>
+  /** The decode table, `&amp;` LAST so double-encoded text decodes one
+    * level per pass, never two. Shared with CurationProps so the law
+    * checks THIS table, not a copy. */
+  val EntitySteps: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&#32;" -> " ", "&amp;" -> "&")
+
+  /** Decode the predefined XML entities (and `&#32;`). */
+  def decodeEntities(text: Column): Column =
+    EntitySteps.foldLeft(text) { case (c, (from, to)) =>
       replace(c, lit(from), lit(to)) }
-  }
 
   /** Tags stripped, entities decoded. */
   def visibleText(text: Column): Column = decodeEntities(stripTags(text))
