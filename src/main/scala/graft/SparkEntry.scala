@@ -1116,6 +1116,37 @@ object SparkEntry {
         .select(col("doc_id"), col("toks"), col("start_tok"),
           col("seq_first"), col("seq_last"))
         .orderBy(col("doc_id"))
+    }),
+
+    // FULL curation pipeline (ORACLE-CHECKED): the operators composed
+    // the way a user runs them — markup strip → paragraph dedup (a
+    // planted per-source syndicated paragraph) → token-count quality
+    // gate → deterministic 50% sample → sequence packing. One
+    // declarative flow; every stage is an already-oracled operator, and
+    // the oracle recomputes the whole chain so stage INTERACTIONS are
+    // checked, not just stages.
+    "q80_curation_pipeline" -> ((s, d) => {
+      import graft.text.{Markup, ParagraphDedup, Sampling, Packing}
+      val raw = Tables.documents(s, d).filter(col("doc_id") <= 600)
+        .select(col("doc_id"), col("source"), concat(
+          lit("<html><p>"), col("text"),
+          lit("</p><span>footer &amp; nav</span></html>")).as("text"))
+      val cleaned = raw.select(col("doc_id"),
+        concat_ws("\n\n",
+          Markup.visibleText(col("text")),
+          concat(lit("SYNDICATED "), col("source"))).as("text"))
+      val deduped = ParagraphDedup.dedupParagraphs(cleaned, "doc_id", "text")
+      val gated = deduped
+        .withColumn("toks", (length(col("text")) -
+          length(regexp_replace(col("text"), lit(" "), lit(""))) + 1)
+          .cast("long"))
+        .filter(col("toks") >= 30)
+      val sampled = Sampling.hashSample(gated, "doc_id", 0.5)
+      Packing.packSequences(sampled.select(col("doc_id"), col("toks")),
+          "doc_id", "toks", seqLen = 512)
+        .select(col("doc_id"), col("toks"), col("start_tok"),
+          col("seq_first"), col("seq_last"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1718,6 +1749,46 @@ object SparkEntry {
         "1 PRECEDING), 0) AS start_tok FROM k) " +
         "SELECT doc_id, toks, start_tok, start_tok // 512 AS seq_first, " +
         "greatest(start_tok, start_tok + toks - 1) // 512 AS seq_last " +
-        "FROM p ORDER BY doc_id")
+        "FROM p ORDER BY doc_id"),
+    // q80: the whole chain recomputed — strip+decode, paragraph
+    // dedup, token gate, hash sample (threshold floor(0.5*KeyMod)),
+    // global-window packing
+    "q80_curation_pipeline" ->
+      ("WITH raw AS (SELECT doc_id, source, '<html><p>' || text || " +
+        "'</p><span>footer &amp; nav</span></html>' AS text " +
+        "FROM documents WHERE doc_id <= 600), " +
+        "cl AS (SELECT doc_id, replace(replace(replace(replace(replace(" +
+        "replace(regexp_replace(text, '<[^>]*>', '', 'g'), " +
+        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), " +
+        "'&#32;', ' '), '&amp;', '&') || chr(10) || chr(10) || " +
+        "'SYNDICATED ' || source AS text FROM raw), " +
+        "parts AS (SELECT doc_id, " +
+        "string_split(text, chr(10) || chr(10)) AS ps FROM cl), " +
+        "exploded AS (SELECT doc_id, i AS pos, ps[i] AS p " +
+        "FROM parts, unnest(generate_series(1, len(ps))) AS t(i)), " +
+        "kept AS (SELECT doc_id, pos, p FROM (" +
+        "SELECT exploded.*, row_number() OVER (" +
+        "PARTITION BY p ORDER BY doc_id, pos) AS rn FROM exploded) " +
+        "WHERE rn = 1), " +
+        "dd AS (SELECT c.doc_id, coalesce(string_agg(k.p, " +
+        "chr(10) || chr(10) ORDER BY k.pos), '') AS text " +
+        "FROM cl c LEFT JOIN kept k ON c.doc_id = k.doc_id " +
+        "GROUP BY c.doc_id), " +
+        "g AS (SELECT doc_id, CAST(length(text) - " +
+        "length(replace(text, ' ', '')) + 1 AS BIGINT) AS toks FROM dd " +
+        "WHERE length(text) - length(replace(text, ' ', '')) + 1 >= 30), " +
+        "sm AS (SELECT doc_id, toks FROM g WHERE " +
+        "(((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647) " +
+        "* 48271 % 2147483647 < 1073741823), " +
+        "p2 AS (SELECT doc_id, toks, " +
+        "(((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647) " +
+        "* 48271 % 2147483647 AS key FROM sm), " +
+        "pk AS (SELECT doc_id, toks, coalesce(SUM(toks) OVER (" +
+        "ORDER BY key, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "1 PRECEDING), 0) AS start_tok FROM p2) " +
+        "SELECT doc_id, toks, start_tok, " +
+        "start_tok // 512 AS seq_first, " +
+        "greatest(start_tok, start_tok + toks - 1) // 512 AS seq_last " +
+        "FROM pk ORDER BY doc_id")
   )
 }
