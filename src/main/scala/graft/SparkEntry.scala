@@ -1147,6 +1147,25 @@ object SparkEntry {
         .select(col("doc_id"), col("toks"), col("start_tok"),
           col("seq_first"), col("seq_last"))
         .orderBy(col("doc_id"))
+    }),
+
+    // model-based quality scoring (ORACLE-CHECKED): the hashed
+    // bag-of-words linear classifier (fastText serving shape) under a
+    // deterministic 64-slot weight fixture. Integer-exact by design:
+    // the portable Rabin-Karp token hash and the weight table are
+    // recomputed verbatim by the oracle. Weights ride ONE broadcast
+    // map row; scoring never leaves the scan stage (spec-asserted).
+    "q81_quality_model" -> ((s, d) => {
+      import graft.text.QualityModel
+      val dim = 64
+      val weights = s.range(dim).select(
+        col("id").cast("int").as("slot"),
+        (pmod(col("id") * 2654435761L, lit(1000L)) - 500L).as("w"))
+      val docs = Tables.documents(s, d).filter(col("doc_id") <= 600)
+        .select(col("doc_id"), col("text"))
+      QualityModel.scoreHashedBow(docs, "text", weights, dim)
+        .select(col("doc_id"), col("score"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1789,6 +1808,21 @@ object SparkEntry {
         "SELECT doc_id, toks, start_tok, " +
         "start_tok // 512 AS seq_first, " +
         "greatest(start_tok, start_tok + toks - 1) // 512 AS seq_last " +
-        "FROM pk ORDER BY doc_id")
+        "FROM pk ORDER BY doc_id"),
+    // q81: same weight fixture, same Rabin-Karp token hash (q35's
+    // portable fold), sum of slot weights per doc
+    "q81_quality_model" ->
+      ("WITH w AS (SELECT CAST(i AS BIGINT) AS slot, " +
+        "(i * 2654435761) % 1000 - 500 AS wt FROM range(64) t(i)), " +
+        "d AS (SELECT doc_id, text FROM documents WHERE doc_id <= 600), " +
+        "tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t " +
+        "FROM d), " +
+        "h AS (SELECT doc_id, list_reduce(list_prepend(" +
+        "CAST(0 AS BIGINT), [CAST(ord(c) AS BIGINT) " +
+        "for c in string_split(t, '')]), " +
+        "(acc, x) -> (acc * 31 + x) % 2147483629) % 64 AS slot " +
+        "FROM tok) " +
+        "SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score " +
+        "FROM h JOIN w USING (slot) GROUP BY doc_id ORDER BY doc_id")
   )
 }
