@@ -1112,7 +1112,8 @@ object SparkEntry {
         .select(col("doc_id"),
           (length(col("text")) - length(regexp_replace(col("text"),
             lit(" "), lit(""))) + 1).cast("long").as("toks"))
-      Packing.packSequences(docs, "doc_id", "toks", seqLen = 512)
+      Packing.packSequences(docs, "doc_id", "toks", seqLen = 512,
+          stagingDir = Some(graft.operators.Staged.processDir("q79-pack", d)))
         .select(col("doc_id"), col("toks"), col("start_tok"),
           col("seq_first"), col("seq_last"))
         .orderBy(col("doc_id"))
@@ -1143,7 +1144,8 @@ object SparkEntry {
         .filter(col("toks") >= 30)
       val sampled = Sampling.hashSample(gated, "doc_id", 0.5)
       Packing.packSequences(sampled.select(col("doc_id"), col("toks")),
-          "doc_id", "toks", seqLen = 512)
+          "doc_id", "toks", seqLen = 512,
+          stagingDir = Some(graft.operators.Staged.processDir("q80-pack", d)))
         .select(col("doc_id"), col("toks"), col("start_tok"),
           col("seq_first"), col("seq_last"))
         .orderBy(col("doc_id"))

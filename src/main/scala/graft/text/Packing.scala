@@ -28,9 +28,17 @@ object Packing {
     * and `seq_last` (the training sequences the document spans, each
     * `seqLen` tokens). `tokensCol` must be a non-negative count; a
     * zero-token document occupies no space (`seq_first == seq_last` at
-    * its offset). */
+    * its offset).
+    *
+    * Phase 1 is MATERIALIZED once (staged to `stagingDir` — the
+    * zero-cached-blocks lake shape — or `cache()`d, caller owns the
+    * lifecycle): both consumers (the totals collect and the output
+    * join) read that single execution, so the corpus is scanned and
+    * range-shuffled ONCE, and the pid↔offset pairing can never split
+    * across two executions of a nondeterministic upstream. */
   def packSequences(docs: DataFrame, idCol: String, tokensCol: String,
-      seqLen: Long, numParts: Int = 0): DataFrame = {
+      seqLen: Long, numParts: Int = 0,
+      stagingDir: Option[String] = None): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive: $seqLen")
     val spark = docs.sparkSession
     val p = if (numParts > 0) numParts
@@ -43,8 +51,13 @@ object Packing {
     val w = Window.partitionBy(col("__pid"))
       .orderBy(col("__key"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val local = ranged.withColumn("__before",
+    val localPlan = ranged.withColumn("__before",
       coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+    val local = stagingDir match {
+      case Some(dir) =>
+        graft.operators.Staged.parquetStage(localPlan, s"$dir/packing_local")
+      case None => localPlan.cache()
+    }
     // phase 2: per-partition totals are metadata (P rows) — fold them
     // into global offsets on the driver, rejoin as a broadcast
     val totals = local.groupBy(col("__pid"))

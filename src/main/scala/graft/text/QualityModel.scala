@@ -25,14 +25,18 @@ object QualityModel {
   val HashMod: Long = 2147483629L
 
   /** Portable per-token hash: fold of `acc*31 + codepoint` mod
-    * [[HashMod]] over the token's characters. */
+    * [[HashMod]] over the token's characters. Defined on code points;
+    * astral-plane text may differ across engines that split by UTF-16
+    * unit vs code point (same caveat as `rollingFingerprint`). */
   def tokenHash(tok: Column): Column =
     aggregate(split(tok, ""), lit(0L),
       (acc, c) => pmod(acc * 31L + ascii(c).cast("long"), lit(HashMod)))
 
   /** `docs` + `score`: the hashed-BoW linear score of `textCol` under
     * `weights` (`slotCol` in [0, dim), `wCol` integer weight; missing
-    * slots score 0). */
+    * slots score 0). A NULL text scores null — unknown, not zero —
+    * so a quality threshold downstream drops it explicitly. Duplicate
+    * slots in `weights` fail loudly (map_from_entries). */
   def scoreHashedBow(docs: DataFrame, textCol: String, weights: DataFrame,
       dim: Int, slotCol: String = "slot", wCol: String = "w",
       scoreCol: String = "score"): DataFrame = {
