@@ -1710,11 +1710,11 @@ object SparkEntry {
         "(doc_id % 7) || '.example/page and http://ok.example/about' " +
         "AS text FROM documents WHERE doc_id <= 600), " +
         "u AS (SELECT doc_id, " +
-        "regexp_extract_all(text, 'https?://[a-z0-9.-]+', 0) AS urls " +
+        "regexp_extract_all(text, '(?i)https?://[a-z0-9.-]+', 0) AS urls " +
         "FROM p) " +
         "SELECT doc_id, len(urls) AS n_urls FROM u " +
         "WHERE NOT list_has_any(" +
-        "[regexp_replace(x, '^https?://', '') FOR x IN urls], " +
+        "[lower(regexp_replace(x, '(?i)^https?://', '')) FOR x IN urls], " +
         "['d2.example', 'd5.example']) " +
         "ORDER BY doc_id"),
     // q76: chr(769) is the combining acute; NFC is a Unicode standard

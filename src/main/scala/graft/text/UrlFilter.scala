@@ -21,18 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object UrlFilter {
 
-  /** Conservative scheme+host matcher: lowercase hosts only, so both
-    * engines tokenize identically. Group-free — extraction uses match
-    * group 0 explicitly (Spark defaults to group 1, DuckDB to 0). */
-  val UrlPattern = "https?://[a-z0-9.-]+"
+  /** Conservative scheme+host matcher. Case-insensitive via the inline
+    * `(?i)` flag (Java regex ∩ RE2 — hosts are case-insensitive, so
+    * `HTTP://SPAM.EXAMPLE` must not slip a blocklist). Group-free —
+    * extraction uses match group 0 explicitly (Spark defaults to
+    * group 1, DuckDB to 0). */
+  val UrlPattern = "(?i)https?://[a-z0-9.-]+"
 
-  /** All URL (scheme+host) mentions in `text`, in document order. */
+  /** All URL (scheme+host) mentions in `text`, in document order,
+    * original casing preserved. */
   def urls(text: Column): Column =
     regexp_extract_all(text, lit(UrlPattern), lit(0))
 
-  /** Hosts of all URL mentions (scheme stripped). */
+  /** Hosts of all URL mentions: scheme stripped, LOWERCASED — the
+    * canonical form blocklists are written in. */
   def domains(text: Column): Column =
-    transform(urls(text), u => regexp_replace(u, lit("^https?://"), lit("")))
+    transform(urls(text),
+      u => lower(regexp_replace(u, lit("(?i)^https?://"), lit(""))))
 
   /** `docs` minus every document that mentions a blocked domain.
     * `blocklist(domainCol)` is collapsed to a single broadcast row;
@@ -42,7 +47,7 @@ object UrlFilter {
   def dropBlockedDomains(docs: DataFrame, textCol: String,
       blocklist: DataFrame, domainCol: String = "domain"): DataFrame = {
     val bl = blocklist
-      .agg(collect_set(col(domainCol)).as("graft_blocked_domains"))
+      .agg(collect_set(lower(col(domainCol))).as("graft_blocked_domains"))
     docs.crossJoin(broadcast(bl))
       .filter(!coalesce(
         arrays_overlap(domains(col(textCol)), col("graft_blocked_domains")),

@@ -48,6 +48,18 @@ class UrlFilterSpec extends SparkSpec {
     assert(UrlFilter.dropBlockedDomains(docs, "text", empty).count() == 5L)
   }
 
+  test("case does not evade the blocklist: hosts compare lowercased") {
+    val shouty = Seq(
+      (1L, "see HTTP://SPAM.EXAMPLE/OFFER"),
+      (2L, "see HtTpS://Spam.Example/x"),
+      (3L, "fine https://ok.example"))
+      .toDF("doc_id", "text")
+    val mixedList = Seq("Spam.Example").toDF("domain")
+    val kept = UrlFilter.dropBlockedDomains(shouty, "text", mixedList)
+      .select($"doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(3L))
+  }
+
   test("null text survives: no URLs means no blocked citation") {
     val withNull = Seq((1L, Option("cite http://spam.example now")),
       (2L, Option.empty[String]), (3L, Option("clean")))
