@@ -1765,11 +1765,15 @@ object SparkEntry {
         "k AS (SELECT doc_id, toks, " +
         "(((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647) " +
         "* 48271 % 2147483647 AS key FROM d), " +
-        "p AS (SELECT doc_id, toks, coalesce(SUM(toks) OVER (" +
+        // CAST: DuckDB's SUM(BIGINT) yields HUGEINT which would skew
+        // the driver's type-sensitive hash vs Spark's BIGINT
+        "p AS (SELECT doc_id, toks, CAST(coalesce(SUM(toks) OVER (" +
         "ORDER BY key, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
-        "1 PRECEDING), 0) AS start_tok FROM k) " +
-        "SELECT doc_id, toks, start_tok, start_tok // 512 AS seq_first, " +
-        "greatest(start_tok, start_tok + toks - 1) // 512 AS seq_last " +
+        "1 PRECEDING), 0) AS BIGINT) AS start_tok FROM k) " +
+        "SELECT doc_id, toks, start_tok, " +
+        "CAST(start_tok // 512 AS BIGINT) AS seq_first, " +
+        "CAST(greatest(start_tok, start_tok + toks - 1) // 512 " +
+        "AS BIGINT) AS seq_last " +
         "FROM p ORDER BY doc_id"),
     // q80: the whole chain recomputed — strip+decode, paragraph
     // dedup, token gate, hash sample (threshold floor(0.5*KeyMod)),
@@ -1804,12 +1808,14 @@ object SparkEntry {
         "p2 AS (SELECT doc_id, toks, " +
         "(((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647) " +
         "* 48271 % 2147483647 AS key FROM sm), " +
-        "pk AS (SELECT doc_id, toks, coalesce(SUM(toks) OVER (" +
+        // CAST: same HUGEINT-vs-BIGINT hash-skew guard as q79
+        "pk AS (SELECT doc_id, toks, CAST(coalesce(SUM(toks) OVER (" +
         "ORDER BY key, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
-        "1 PRECEDING), 0) AS start_tok FROM p2) " +
+        "1 PRECEDING), 0) AS BIGINT) AS start_tok FROM p2) " +
         "SELECT doc_id, toks, start_tok, " +
-        "start_tok // 512 AS seq_first, " +
-        "greatest(start_tok, start_tok + toks - 1) // 512 AS seq_last " +
+        "CAST(start_tok // 512 AS BIGINT) AS seq_first, " +
+        "CAST(greatest(start_tok, start_tok + toks - 1) // 512 " +
+        "AS BIGINT) AS seq_last " +
         "FROM pk ORDER BY doc_id"),
     // q81: same weight fixture, same Rabin-Karp token hash (q35's
     // portable fold), sum of slot weights per doc
