@@ -45,13 +45,15 @@ object Charsets {
     Seq(19, 85).foreach(m += _ -> Charset.forName("EUC-KR"))
     // single-byte workhorses
     Seq(11, 65).foreach(m += _ -> Charset.forName("US-ASCII"))
-    Seq(32, 64).foreach(m += _ -> Charset.forName("ISO-8859-2")) // latin2
+    // latin2: ids 2/9/21/27/77 (32/64 are armscii8 — Armenian, no JVM
+    // charset — so they stay unmapped and fail loudly per the object doc)
+    Seq(2, 9, 21, 27, 77).foreach(m += _ -> Charset.forName("ISO-8859-2"))
     Seq(25, 70).foreach(m += _ -> Charset.forName("ISO-8859-7")) // greek
     Seq(16, 71).foreach(m += _ -> Charset.forName("ISO-8859-8")) // hebrew
     Seq(30, 78).foreach(m += _ -> Charset.forName("ISO-8859-9")) // latin5
-    Seq(51, 14, 23, 50).foreach(m += _ -> Charset.forName("windows-1251")) // cp1251
+    Seq(51, 14, 23, 50, 52).foreach(m += _ -> Charset.forName("windows-1251")) // cp1251 (52 = cp1251_general_cs)
     Seq(57, 67).foreach(m += _ -> Charset.forName("windows-1256")) // cp1256
-    Seq(59, 52).foreach(m += _ -> Charset.forName("windows-1257")) // cp1257
+    Seq(29, 58, 59).foreach(m += _ -> Charset.forName("windows-1257")) // cp1257
     Seq(18, 89).foreach(m += _ -> Charset.forName("TIS-620")) // tis620
     Seq(7, 74).foreach(m += _ -> Charset.forName("KOI8-R"))
     Seq(22, 75).foreach(m += _ -> Charset.forName("KOI8-U"))

@@ -239,10 +239,17 @@ object JsonB {
           f"${dt.getMinute}%02d:${dt.getSecond}%02d"
         f.textNode(if (micros == 0) base else base + f".$micros%06d")
       case 11 => // TIME
+        // MySQL TIME is signed (down to -838:59:59): the packed image of
+        // a negative time is the negation of the positive packing, so
+        // decode |packed| and prefix '-' (reference JsonConversion
+        // opaque-TIME branch does exactly this via abs()).
         val packed = rdLE(b, pos, 8)
-        val micros = packed & 0xFFFFFF
-        val hms = packed >> 24
-        val base = f"${hms >> 12}%02d:${(hms >> 6) & 0x3F}%02d:${hms & 0x3F}%02d"
+        val abs = math.abs(packed)
+        val sign = if (packed < 0) "-" else ""
+        val micros = abs & 0xFFFFFF
+        val hms = abs >> 24
+        val base = f"$sign${hms >> 12}%02d:${(hms >> 6) & 0x3F}%02d:" +
+          f"${hms & 0x3F}%02d"
         f.textNode(if (micros == 0) base else base + f".$micros%06d")
       case other =>
         sys.error(s"jsonb: unsupported opaque field type $other")

@@ -107,6 +107,12 @@ class JsonBSpec extends AnyFunSuite {
     val timePacked = ((13L << 12) | (14L << 6) | 15L) << 24
     assert(JsonB.decodeToString(opaque(11, le8(timePacked))) ==
       "\"13:14:15\"")
+    // negative TIME: MySQL TIME is signed to -838:59:59 and the packed
+    // image of a negative value is the NEGATION of the positive packing
+    val negPacked = -((((1L << 12) | (2L << 6) | 3L) << 24) + 500000L)
+    assert(JsonB.decodeToString(opaque(11, le8(negPacked))) ==
+      "\"-01:02:03.500000\"")
+    assert(JsonB.decodeToString(opaque(11, le8(0L))) == "\"00:00:00\"")
     // opaque values nest inside containers like any other slot: build a
     // small object whose value region is a hand-assembled opaque date
     val inner = opaque(10, le8(packedDatetime(2020, 1, 2, 0, 0, 0)))

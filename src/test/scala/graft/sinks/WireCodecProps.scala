@@ -170,6 +170,25 @@ object WireCodecProps extends Properties("wire-codecs") {
       encodeCell(w, image).sameElements(encodeCell(w, bytes))
     }
 
+  // collation-id map spot checks (reference CharsetConversion.java):
+  // 52 is cp1251_general_cs (NOT cp1257), real cp1257 ids are 29/58/59,
+  // real latin2 ids are 2/9/21/27/77, and armscii8 (32/64) has no JVM
+  // charset so it must fail loudly rather than silently decode as latin2.
+  property("cyrillic/baltic/latin2 collation ids map to their charsets") =
+    forAll(Gen.oneOf(51, 14, 23, 50, 52), Gen.oneOf(29, 58, 59),
+        Gen.oneOf(2, 9, 21, 27, 77)) { (cyr, balt, lat2) =>
+      roundtrip(VarChar(255, cyr), "Привет") == "Привет" &&
+        roundtrip(VarChar(255, balt), "ąžuolas") == "ąžuolas" &&
+        roundtrip(VarChar(255, lat2), "příliš žluťoučký") ==
+          "příliš žluťoučký" &&
+        encodeCell(VarChar(255, cyr), "Привет").length == 1 + 6
+    }
+
+  property("armscii8 collation ids (32/64) fail loudly — unmapped") =
+    forAll(Gen.oneOf(32, 64)) { coll =>
+      scala.util.Try(encodeCell(VarChar(255, coll), "x")).isFailure
+    }
+
   property("unrepresentable value fails loudly instead of mojibake") =
     forAll(Gen.oneOf(5, 8, 28)) { coll =>
       // a char outside the collation's repertoire: han is absent from
