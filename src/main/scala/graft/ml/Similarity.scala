@@ -12,6 +12,31 @@ import org.apache.spark.sql.functions._
   * bucket-colliding vectors, plus embedding-cosine near-dup pairing.
   * All vector math is expression-level (`zip_with`/`aggregate`), i.e.
   * codegen-compatible — no UDF per row.
+  *
+  * == The sign-LSH recall/collision envelope (single source of truth) ==
+  *
+  * Every approximate path here (lshTopK / q40, cosineNearDupPairs /
+  * q54+q74, and IvfIndex / q53 by analogy) shares one contract:
+  * candidates are generated approximately, then verified with the EXACT
+  * cosine — so precision is exact and only RECALL is probabilistic.
+  *
+  * For a pair at cosine angle θ (θ = arccos(sim)):
+  *   - one table of `p` hyperplanes collides with prob (1 − θ/π)^p
+  *   - `t` independent tables (OR-amplification) give
+  *       recall = 1 − (1 − (1 − θ/π)^p)^t
+  *   - planes SHRINK buckets (2^p bucket space per table → candidate
+  *     count and skew fall), tables RAISE recall at t× the explode cost.
+  * Worked defaults (t=8, p=16): sim 0.999 → recall ≈ 1−(1−0.996)^8 ≈ 1;
+  * sim 0.95 → ≈ 0.86; sim 0.9 → ≈ 0.67. Near-dup thresholds live at
+  * sim ≥ 0.99 where the envelope is effectively exhaustive.
+  *
+  * When a result legitimately diverges from an exact oracle: a fixture
+  * DENSE in pairs just above the threshold but at moderate cosine
+  * (0.9–0.95) can drop pairs at the rates above — that is the
+  * documented envelope, not a components/join bug (AnnRecallSpec pins
+  * measured recall on the driver's own testdata; q67/q74 notes point
+  * here). Planted near-dup fixtures sit at cosine ≈ 1 where recall ≈ 1
+  * for ANY (p, t), which is why re-banding never changes their output.
   */
 object Similarity {
 
@@ -137,28 +162,67 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Embedding-cosine near-duplicate pairs: bucket join + threshold —
-    * the embedding-space member of the dedup family. */
+  /** Embedding-cosine near-duplicate pairs — the embedding-space member
+    * of the dedup family. Multi-table banded sign-LSH (`numTables` ×
+    * `numPlanes`, see the object doc for the recall math) generates
+    * ids-only candidates; the exact cosine verifies every pair, so the
+    * banding only ever affects recall, never precision.
+    *
+    * Scale shape (the 100 TB contract, mirroring minhashCandidatePairs):
+    * the self-join key is (table, bucket) with 2^numPlanes buckets PER
+    * table — bucket occupancy ~N/2^p, so candidate volume is
+    * Σ_buckets O(n_b²) over SMALL n_b, not O(N²/constant) as a
+    * single-table low-plane bucketing would be. The (table,bucket)
+    * shuffle carries 8-byte ids; vectors join back once per UNIQUE
+    * candidate pair. A per-bucket cardinality guard `raise_error`s
+    * inside the same job (no extra action) instead of silently going
+    * quadratic when the plane count is too low for the corpus — the
+    * loud-failure stance of Components' fixpoint guard.
+    *
+    * `numPlanes` is planes PER TABLE. Defaults (8×16) put the planted
+    * ≥0.99-cosine family at recall ≈ 1 (object doc). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numPlanes: Int, dim: Int,
-      stagingDir: Option[String] = None): DataFrame = {
-    // materialize normalize+bucket once: projection collapse would inline
-    // the vector math into both self-join branches (cf. DedupApprox).
-    // stagingDir → written stage (zero cached blocks, the lake shape);
-    // None → cache(), caller owns the lifecycle.
+      stagingDir: Option[String] = None, numTables: Int = 8,
+      maxBucketRows: Long = 4L * 1000 * 1000): DataFrame = {
+    // materialize normalize+buckets once: projection collapse would
+    // inline the vector math into both self-join branches (cf.
+    // DedupApprox). stagingDir → written stage (zero cached blocks, the
+    // lake shape); None → cache(), caller owns the lifecycle.
     val prepared = df.select(col(idCol).as("id"), normalize(col(vecCol)).as("v"),
-      lshBucket(col(vecCol), numPlanes, dim).as("bucket"))
+      lshTables(col(vecCol), numTables, numPlanes, dim).as("tbs"))
     val n = stagingDir match {
       case Some(dir) =>
         graft.operators.Staged.parquetStageOnce(prepared, dir + "/cosine_buckets")
       case None => prepared.cache()
     }
-    val a = n.select(col("bucket"), col("id").as("id1"), col("v").as("v1"))
-    val b = n.select(col("bucket"), col("id").as("id2"), col("v").as("v2"))
-    a.join(b, Seq("bucket"))
+    val ids = n.select(col("id"), explode(col("tbs")).as("tb"))
+    // cardinality guard: one row per NON-EMPTY bucket (bounded by both
+    // numTables·2^numPlanes and the exploded row count); evaluated
+    // lazily inside the candidate join, so an oversized bucket fails
+    // the job loudly before materializing its O(n_b²) pairs
+    val guarded = ids.groupBy("tb").agg(count(lit(1)).as("bucket_rows"))
+      .select(col("tb"),
+        when(col("bucket_rows") > maxBucketRows, raise_error(concat(
+          lit("cosineNearDupPairs: LSH bucket (table="),
+          col("tb.table").cast("string"), lit(", bucket="),
+          col("tb.bucket").cast("string"), lit(") holds "),
+          col("bucket_rows").cast("string"),
+          lit(s" rows > maxBucketRows=$maxBucketRows — raise numPlanes" +
+            " (shrinks buckets) or the cap"))))
+          .otherwise(col("bucket_rows")).as("bucket_rows"))
+    val a = ids.join(guarded, Seq("tb")).select(col("tb"), col("id").as("id1"))
+    val b = ids.select(col("tb"), col("id").as("id2"))
+    // ids-only pair dedup BEFORE vectors join back: a pair colliding in
+    // k tables still fetches/scores its vectors exactly once
+    val candidates = a.join(b, Seq("tb"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), dot(col("v1"), col("v2")).as("sim"))
+      .select(col("id1"), col("id2"))
       .distinct()
+    candidates
+      .join(n.select(col("id").as("id1"), col("v").as("v1")), Seq("id1"))
+      .join(n.select(col("id").as("id2"), col("v").as("v2")), Seq("id2"))
+      .select(col("id1"), col("id2"), dot(col("v1"), col("v2")).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }
