@@ -536,6 +536,10 @@ object SparkEntry {
     // embedding-cosine near-dup pairs (LSH-bucketed): planted perturbed
     // copies (vec_id+100000, +0.001 on each component) recovered at the
     // 0.999 threshold (rows-only — Spark-side vector math).
+    // numPlanes=4 is a FIXTURE setting (16 buckets/table suits ~1k
+    // vectors); at corpus scale size planes so N/2^planes stays small —
+    // the in-plan bucket guard fails loudly if they are under-provisioned.
+    // Do not copy these parameters as the 100 TB recipe.
     "q54_embed_neardup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val planted = emb.filter(col("vec_id") < 20)
@@ -1003,7 +1007,8 @@ object SparkEntry {
     // (elementwise +0.001) where 4-plane collision is near-certain,
     // and the densest ORIGINAL pair measures cosine 0.51 — a dataset
     // dense in cosine~0.999 pairs could legitimately diverge without
-    // a components bug.
+    // a components bug. numPlanes=4 is fixture-only (see q54's note);
+    // scale deployments size planes to the corpus.
     "q74_embed_dedup_groups" -> ((s, d) => {
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val planted = emb.filter(col("vec_id") < 20)

@@ -198,20 +198,24 @@ object Similarity {
     }
     val ids = n.select(col("id"), explode(col("tbs")).as("tb"))
     // cardinality guard: one row per NON-EMPTY bucket (bounded by both
-    // numTables·2^numPlanes and the exploded row count); evaluated
-    // lazily inside the candidate join, so an oversized bucket fails
-    // the job loudly before materializing its O(n_b²) pairs
+    // numTables·2^numPlanes and the exploded row count). The raise_error
+    // must live in a FILTER predicate, not a projected column: a
+    // projection that nothing downstream reads is deleted by Catalyst's
+    // ColumnPruning and the error never fires (shipped dead exactly that
+    // way once). A Filter's condition is evaluated for every row by
+    // construction, so an oversized bucket fails the job loudly before
+    // materializing its O(n_b²) pairs — no extra Spark action.
     val guarded = ids.groupBy("tb").agg(count(lit(1)).as("bucket_rows"))
-      .select(col("tb"),
-        when(col("bucket_rows") > maxBucketRows, raise_error(concat(
-          lit("cosineNearDupPairs: LSH bucket (table="),
-          col("tb.table").cast("string"), lit(", bucket="),
-          col("tb.bucket").cast("string"), lit(") holds "),
-          col("bucket_rows").cast("string"),
-          lit(s" rows > maxBucketRows=$maxBucketRows — raise numPlanes" +
-            " (shrinks buckets) or the cap"))))
-          .otherwise(col("bucket_rows")).as("bucket_rows"))
-    val a = ids.join(guarded, Seq("tb")).select(col("tb"), col("id").as("id1"))
+    val bucketOk = when(col("bucket_rows") > maxBucketRows, raise_error(concat(
+        lit("cosineNearDupPairs: LSH bucket (table="),
+        col("tb.table").cast("string"), lit(", bucket="),
+        col("tb.bucket").cast("string"), lit(") holds "),
+        col("bucket_rows").cast("string"),
+        lit(s" rows > maxBucketRows=$maxBucketRows — raise numPlanes" +
+          " (shrinks buckets) or the cap"))).cast("boolean"))
+      .otherwise(lit(true))
+    val a = ids.join(guarded, Seq("tb")).filter(bucketOk)
+      .select(col("tb"), col("id").as("id1"))
     val b = ids.select(col("tb"), col("id").as("id2"))
     // ids-only pair dedup BEFORE vectors join back: a pair colliding in
     // k tables still fetches/scores its vectors exactly once

@@ -65,6 +65,37 @@ class SimilaritySpec extends SparkSpec {
       s"staged path must not cache: new persistent RDDs ${after -- before}")
   }
 
+  test("cosineNearDupPairs bucket-cardinality guard actually fires") {
+    // 60 rows, 4 planes → buckets of ~4-15 rows; maxBucketRows=1 must
+    // make the job FAIL with the bucket message. This pins the guard
+    // against ColumnPruning: an unused raise_error projection is deleted
+    // by Catalyst and never fires (the bug this test was written for).
+    val rnd = new scala.util.Random(5)
+    val df = (0L until 60L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+        threshold = 0.9, numPlanes = 4, dim = 16, maxBucketRows = 1L).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("maxBucketRows")),
+      s"expected the bucket-guard raise_error, got: $ex")
+  }
+
+  test("cosineNearDupPairs output is unchanged by an in-plan (passing) guard") {
+    val rnd = new scala.util.Random(11)
+    val df = (0L until 60L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val loose = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+      threshold = 0.9, numPlanes = 4, dim = 16, maxBucketRows = 1000000L)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val tight = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+      threshold = 0.9, numPlanes = 4, dim = 16, maxBucketRows = 60L)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(loose == tight)
+  }
+
   test("cosineNearDupPairs finds planted duplicate vectors") {
     val rnd = new scala.util.Random(11)
     val base = (0L until 50L).map(i =>
