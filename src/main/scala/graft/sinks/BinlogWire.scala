@@ -472,6 +472,19 @@ object BinlogWire {
   val DeleteRowsEventV2 = 32
   val GtidEvent = 33
   val PreviousGtidsEvent = 35
+  // PolarDB-X additions to the MySQL event-type space: the XA-TSO
+  // carriers a real PolarDB-X DN stream interleaves with standard
+  // events (reference type registry LogEvent.java:181,184; bodies
+  // SequenceLogEvent.java:28-58, GcnLogEvent.java:29-53 — 1-byte
+  // type/flag + 8-byte LE value; dispatch LogDecoder.java:131-140).
+  // Public protocol constants, same standing as the MySQL codes above.
+  val SequenceEvent = 80
+  val GcnEvent = 105
+  // SEQUENCE type discriminants (SequenceLogEvent.ENUM_SEQUENCE_TYPE
+  // ordinals: INVALID, SNAPSHOT, COMMIT, HEART_BEAT)
+  val SnapshotSequence = 1
+  val CommitSequence = 2
+  val HeartbeatSequence = 3
 
   private def header(timestamp: Long, typeCode: Int, serverId: Long,
       eventLen: Int, nextPos: Long, flags: Int = 0): Array[Byte] =
@@ -563,6 +576,22 @@ object BinlogWire {
       pos: Long = 4L): Event =
     Event(timestamp, RotateEvent, serverId,
       le(pos, 8) ++ nextFile.getBytes(UTF_8))
+
+  /** PolarDB-X SEQUENCE event: the XA-TSO carrier for 5.7-family DNs —
+    * 1-byte sequence type + 8-byte LE sequence number
+    * (SequenceLogEvent.java:28-58). COMMIT carries a txn's commit tso;
+    * SNAPSHOT a read snapshot; HEART_BEAT keeps idle sources advancing
+    * the global clock. */
+  def sequenceEvent(timestamp: Long, serverId: Long, seqType: Int,
+      seq: Long): Event =
+    Event(timestamp, SequenceEvent, serverId,
+      Array(seqType.toByte) ++ le(seq, 8))
+
+  /** PolarDB-X GCN event: the 8.0-family DN commit-number carrier —
+    * 1-byte flag + 8-byte LE gcn (GcnLogEvent.java:29-53). */
+  def gcnEvent(timestamp: Long, serverId: Long, gcn: Long,
+      flag: Int = 0): Event =
+    Event(timestamp, GcnEvent, serverId, Array(flag.toByte) ++ le(gcn, 8))
 
   private def uuidBytes(sid: java.util.UUID): Array[Byte] =
     be(sid.getMostSignificantBits, 8) ++ be(sid.getLeastSignificantBits, 8)
@@ -743,10 +772,17 @@ object BinlogWire {
       beforeCols: Option[Seq[String]] = None,
       checksummed: Boolean = false,
       gtidSid: Option[java.util.UUID] = None,
-      rotateChain: Boolean = false): Int = {
+      rotateChain: Boolean = false,
+      tsoCarrier: String = "mark"): Int = {
     val names = specs.map(_.name)
     require(beforeCols.forall(_.length == names.length),
       "beforeCols arity must match specs")
+    // how the commit tso travels on the wire: "mark" = the CDC CTS
+    // rows-query mark (the global-binlog shape); "sequence" = a
+    // PolarDB-X 5.7-DN SEQUENCE commit event; "gcn" = an 8.0-DN GCN
+    // event. All three decode back to the same tso column.
+    require(Set("mark", "sequence", "gcn").contains(tsoCarrier),
+      s"tsoCarrier must be mark|sequence|gcn, got $tsoCarrier")
     val confMap = graft.util.HadoopIo.confMap
     val counter = df.sparkSession.sparkContext.longAccumulator("binlogTxnFiles")
     // ONE-TXN-PER-FILE contract, enforced: TxnApplier's exactly-once
@@ -821,7 +857,12 @@ object BinlogWire {
               openTso.foreach(x => w.write(commitEvent(ts, serverId, x)))
               gtidSid.foreach(sid =>
                 w.write(gtidEvent(ts, serverId, sid, gno = tso)))
-              w.write(markEvent(ts, serverId, s"CTS::$tso"))
+              tsoCarrier match {
+                case "sequence" =>
+                  w.write(sequenceEvent(ts, serverId, CommitSequence, tso))
+                case "gcn" => w.write(gcnEvent(ts, serverId, tso))
+                case _ => w.write(markEvent(ts, serverId, s"CTS::$tso"))
+              }
               w.write(beginEvent(ts, serverId))
               if (firstMark == Long.MinValue) firstMark = tso
               openTso = Some(tso)
@@ -1159,6 +1200,23 @@ object BinlogWire {
     case TimestampLegacy => r.le(4).toString
   }
 
+  /** Parse a QUERY event body into (schema, statement) — the layout
+    * beginEvent/ddlEvent write: thread id, exec time, schema len,
+    * error code, status-var block, schema + 0x00, statement to the
+    * event end. */
+  def queryParts(body: Array[Byte]): (String, String) = {
+    val r = new ByteReader(body)
+    r.le(4); r.le(4) // thread id, exec time
+    val schemaLen = r.u8()
+    r.le(2); val statusLen = r.le(2).toInt // error code, status vars
+    r.bytes(statusLen)
+    val sn = new String(r.bytes(schemaLen), UTF_8); r.u8() // 0x00
+    (sn, new String(r.bytes(r.remaining), UTF_8))
+  }
+
+  /** Statement text of a QUERY event body (SHOW BINLOG EVENTS' Info). */
+  def queryStatement(body: Array[Byte]): String = queryParts(body)._2
+
   /** Decode a binlog file produced by the writers above back into change
     * rows — the parse direction the reference's canal layer implements
     * over real MySQL logs. `colNames` maps (schema, table) to column
@@ -1208,6 +1266,19 @@ object BinlogWire {
         case RowsQueryEvent =>
           val s = new String(body.drop(1), UTF_8)
           if (s.startsWith("CTS::")) tso = Some(s.stripPrefix("CTS::").toLong)
+        case SequenceEvent =>
+          // COMMIT sequence = the txn's commit tso on 5.7-family DNs —
+          // same authority as the CTS mark; SNAPSHOT/HEART_BEAT carry
+          // no row-visible state (SequenceLogEvent.java:66-78)
+          val r = new ByteReader(body)
+          val seqType = r.u8()
+          val seq = r.le(8)
+          if (seqType == CommitSequence) tso = Some(seq)
+        case GcnEvent =>
+          // 8.0-family DN commit number — the tso carrier when present
+          val r = new ByteReader(body)
+          r.u8() // flag
+          tso = Some(r.le(8))
         case XidEvent =>
           val xid = new ByteReader(body).le(8)
           emit = pending.toList.map(_.copy(xid = Some(xid))).iterator
@@ -1215,13 +1286,7 @@ object BinlogWire {
           tso = None // the mark scopes ONE txn; the next must carry its own
           gtid = None
         case QueryEvent =>
-          val r = new ByteReader(body)
-          r.le(4); r.le(4) // thread id, exec time
-          val schemaLen = r.u8()
-          r.le(2); val statusLen = r.le(2).toInt // error code, status vars
-          r.bytes(statusLen)
-          val sn = new String(r.bytes(schemaLen), UTF_8); r.u8() // 0x00
-          val stmt = new String(r.bytes(r.remaining), UTF_8)
+          val (sn, stmt) = queryParts(body)
           if (stmt != "BEGIN") // BEGIN frames a txn; anything else is DDL
             pending += DecodedRow(sn, "", "DDL", Map.empty, Map.empty,
               tso, None, ddl = Some(stmt), gtid = gtid,

@@ -102,6 +102,37 @@ class BinlogWireSinkSpec extends SparkSpec {
       .contains("a2"))
   }
 
+  test("SEQUENCE/GCN tso carriers: frame shape + decoded tso identical to marks") {
+    val specs = Seq(ColSpec("id", LongLong), ColSpec("v", VarChar(32)))
+    val df = Seq(
+        (1L, "a", "INSERT", 100L, 1L), (2L, "b", "INSERT", 100L, 2L),
+        (3L, "c", "INSERT", 200L, 3L))
+      .toDF("id", "v", "op", "tso", "seq")
+      .withColumn("ts", lit(1700000000L))
+      .coalesce(1).sortWithinPartitions("tso", "seq")
+    Seq("sequence" -> SequenceEvent, "gcn" -> GcnEvent).foreach {
+      case (carrier, code) =>
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-wire-$carrier").toString
+        writeTxnFramedBinlogFiles(df, specs, "app", "t", "op", "ts",
+          "tso", dir, tsoCarrier = carrier)
+        val frames = parseFile(java.nio.file.Files.readAllBytes(
+          new java.io.File(dir, "binlog.000000").toPath))
+        // the carrier replaces the CTS rows-query mark, nothing else moves
+        assert(frames.map(_.typeCode) == Seq(
+          FormatDescriptionEvent, TableMapEvent,
+          code, QueryEvent, WriteRowsEventV2, WriteRowsEventV2, XidEvent,
+          code, QueryEvent, WriteRowsEventV2, XidEvent))
+        assert(!frames.exists(_.typeCode == RowsQueryEvent))
+        // decode authority: the carrier's number IS the txn tso
+        val rows = readBinlogFiles(spark, dir, Map(("app", "t") -> Seq("id", "v")))
+          .select($"tso", element_at($"after", "id"))
+          .as[(Option[Long], String)].collect().toSeq.sortBy(_._2)
+        assert(rows == Seq((Some(100L), "1"), (Some(100L), "2"),
+          (Some(200L), "3")))
+    }
+  }
+
   test("GTID mode + rotate chain: sid:tso gtids per txn, verifiable file chain") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wiregtid").toString
     val sid = java.util.UUID.fromString("3E11FA47-71CA-11E1-9E33-C80AA9429562")

@@ -54,6 +54,20 @@ class BinlogWireSpec extends AnyFunSuite {
     intercept[RuntimeException] { encodeCell(VarChar(255, 9999), "x") }
   }
 
+  test("SEQUENCE/GCN golden bytes: PolarDB-X XA-TSO carrier layouts") {
+    // SequenceLogEvent.java:28-58 — 1-byte type + 8-byte LE number;
+    // type ordinals INVALID=0 SNAPSHOT=1 COMMIT=2 HEART_BEAT=3
+    val seq = sequenceEvent(0L, 1L, CommitSequence, 0x1122334455667788L)
+    assert(seq.typeCode == SequenceEvent && SequenceEvent == 80)
+    assert(hex(seq.body) == "02 88 77 66 55 44 33 22 11")
+    assert(hex(sequenceEvent(0L, 1L, HeartbeatSequence, 1L).body) ==
+      "03 01 00 00 00 00 00 00 00")
+    // GcnLogEvent.java:29-53 — 1-byte flag + 8-byte LE gcn
+    val gcn = gcnEvent(0L, 1L, 5L)
+    assert(gcn.typeCode == GcnEvent && GcnEvent == 105)
+    assert(hex(gcn.body) == "00 05 00 00 00 00 00 00 00")
+  }
+
   test("temporal cells: DATE, TIME2, DATETIME2, TIMESTAMP2 packings") {
     // DATE: (y<<9 | m<<5 | d) little-endian 3 bytes
     // 2024-03-05 → 2024*512 + 3*32 + 5 = 1036389 = 0x0FD065

@@ -196,4 +196,18 @@ object WireCodecProps extends Properties("wire-codecs") {
       val bad = if (coll == 28) "ı" else "漢"
       scala.util.Try(encodeCell(VarChar(255, coll), bad)).isFailure
     }
+
+  property("SEQUENCE body roundtrips any tso at any type") =
+    forAll(Gen.zip(Gen.oneOf(SnapshotSequence, CommitSequence,
+        HeartbeatSequence), Gen.choose(Long.MinValue, Long.MaxValue))) {
+      case (t, tso) =>
+        val r = new ByteReader(sequenceEvent(0L, 1L, t, tso).body)
+        r.u8() == t && r.le(8) == tso
+    }
+
+  property("GCN body roundtrips any gcn") =
+    forAll { (gcn: Long) =>
+      val r = new ByteReader(gcnEvent(0L, 1L, gcn).body)
+      r.u8() == 0 && r.le(8) == gcn
+    }
 }
