@@ -1173,40 +1173,66 @@ object SparkEntry {
       QualityModel.scoreHashedBow(docs, "text", weights, dim)
         .select(col("doc_id"), col("score"))
         .orderBy(col("doc_id"))
+    }),
+
+    // the dump-service SHOW surface, ORACLE-CHECKED: SHOW BINLOG EVENTS
+    // over a txn-framed wire log whose tso travels as PolarDB-X
+    // SEQUENCE commit events (the 5.7-DN carrier) — per-event-type
+    // counts are pure functions of the lineitem slice (1 Sequence/
+    // BEGIN/Xid per txn, 1 Write_rows per row, 1 Format_desc/Table_map
+    // per file), so DuckDB recomputes them from the parquet.
+    "q82_show_events" -> ((s, d) => {
+      import graft.sinks.{BinlogCatalog, BinlogWire}
+      import graft.sinks.BinlogWire._
+      val specs = Seq(ColSpec("l_orderkey", LongLong),
+        ColSpec("l_linenumber", Long4),
+        ColSpec("l_quantity", NewDecimal(12, 2)))
+      val rows = Tables.lineitem(s, d).filter(col("l_orderkey") <= 200)
+        .select(col("l_orderkey"), col("l_linenumber").cast("int"),
+          col("l_quantity").cast("decimal(12,2)"),
+          lit("INSERT").as("op"), col("l_orderkey").as("tso"),
+          lit(1700000000L).as("ts"))
+      val ordered = MergeSort.sortedRunsGrouped(rows, 4, Seq("tso"),
+        Seq("l_linenumber"))
+      val dir = Staged.tempDir("q82-show")
+      BinlogWire.writeTxnFramedBinlogFiles(ordered, specs, "app",
+        "lineitem", "op", "ts", "tso", dir, tsoCarrier = "sequence")
+      BinlogCatalog.showBinlogEvents(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // SHOW MASTER STATUS + SHOW BINARY LOGS consistency in one row:
+    // the latest-file cursor against the listing's aggregate. Wire
+    // bytes have no SQL oracle → rows-only gate; the positional
+    // invariants (cursor = max file + its size; per-event positions
+    // chain to the file size) are BinlogCatalogSpec.
+    "q83_master_status" -> ((s, d) => {
+      import graft.sinks.{BinlogCatalog, BinlogWire}
+      import graft.sinks.BinlogWire._
+      val specs = Seq(ColSpec("l_orderkey", LongLong),
+        ColSpec("l_linenumber", Long4))
+      val rows = Tables.lineitem(s, d).filter(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_linenumber").cast("int"),
+          lit("INSERT").as("op"), col("l_orderkey").as("tso"),
+          lit(1700000000L).as("ts"))
+      val ordered = MergeSort.sortedRunsGrouped(rows, 4, Seq("tso"),
+        Seq("l_linenumber"))
+      val dir = Staged.tempDir("q83-master")
+      BinlogWire.writeTxnFramedBinlogFiles(ordered, specs, "app",
+        "lineitem", "op", "ts", "tso", dir)
+      val logs = BinlogCatalog.showBinaryLogs(s, dir)
+        .agg(count(lit(1)).as("n_files"), sum(col("file_size")).as("n_bytes"))
+      BinlogCatalog.showMasterStatus(s, dir).crossJoin(logs)
     })
   )
 
-  /** Per-file structural stats over a wire log (q62/q63): frames listed
-    * and read through the Hadoop FS API — same any-scheme reach as the
-    * writers. */
-  private def wireFileStats(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import graft.sinks.BinlogWire
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = graft.util.HadoopIo.fsOf(root)
-    val files = fs.listStatus(root).toSeq
-      .filter(st => st.isFile && st.getPath.getName.startsWith("binlog."))
-      .map(_.getPath.toString).sorted
-    val confMap = graft.util.HadoopIo.confMap
-    s.createDataset(files).map { path =>
-      val p = new org.apache.hadoop.fs.Path(path)
-      val pfs = p.getFileSystem(graft.util.HadoopIo.confFrom(confMap))
-      val len = pfs.getFileStatus(p).getLen
-      // stream the frames — never the whole file as one array (a file
-      // past 2 GiB would overflow an Int-sized buffer)
-      val in = pfs.open(p)
-      val (nFrames, nTxns) = try {
-        var frames = 0L
-        var txns = 0L
-        BinlogWire.parseStream(in).foreach { f =>
-          frames += 1
-          if (f.typeCode == BinlogWire.XidEvent) txns += 1
-        }
-        (frames, txns)
-      } finally in.close()
-      (p.getName, nFrames, nTxns, len)
-    }.toDF("log_file", "n_frames", "n_txns", "n_bytes")
-  }
+  /** Per-file structural stats over a wire log (q62/q63) — served by the
+    * packaged SHOW surface (`sinks/BinlogCatalog`, the dump-service
+    * analog) so the queries exercise the same catalog a user would. */
+  private def wireFileStats(s: SparkSession, dir: String): DataFrame =
+    graft.sinks.BinlogCatalog.fileStats(s, dir)
 
   /** Shared bank-ledger construction for q60/q61: accounts, per-account
     * deltas, and the change batch (running-balance after-images). */
@@ -1836,6 +1862,21 @@ object SparkEntry {
         "(acc, x) -> (acc * 31 + x) % 2147483629) % 64 AS slot " +
         "FROM tok) " +
         "SELECT doc_id, CAST(sum(wt) AS BIGINT) AS score " +
-        "FROM h JOIN w USING (slot) GROUP BY doc_id ORDER BY doc_id")
+        "FROM h JOIN w USING (slot) GROUP BY doc_id ORDER BY doc_id"),
+    // q82: SHOW BINLOG EVENTS type counts are pure functions of the
+    // encoded slice — per txn (distinct orderkey): one SEQUENCE commit
+    // carrier, one BEGIN Query, one Xid; per row: one Write_rows; per
+    // file (4 sorted runs): one Format_desc + one Table_map
+    "q82_show_events" ->
+      ("WITH base AS (SELECT * FROM lineitem WHERE l_orderkey <= 200), " +
+        "t AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS txns, " +
+        "CAST(count(*) AS BIGINT) AS n_rows FROM base) " +
+        "SELECT event_type, n FROM (" +
+        "SELECT 'Format_desc' AS event_type, CAST(4 AS BIGINT) AS n " +
+        "UNION ALL SELECT 'Query', txns FROM t " +
+        "UNION ALL SELECT 'Sequence', txns FROM t " +
+        "UNION ALL SELECT 'Table_map', CAST(4 AS BIGINT) " +
+        "UNION ALL SELECT 'Write_rows', n_rows FROM t " +
+        "UNION ALL SELECT 'Xid', txns FROM t) ORDER BY event_type")
   )
 }

@@ -1,0 +1,112 @@
+package graft.sinks
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sinks.BinlogWire._
+
+/** The dump-service SHOW surface: listings, the master cursor, and the
+  * per-event view must agree with each other and with the raw files —
+  * the invariants DuckDB cannot oracle (byte positions, file sizes). */
+class BinlogCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeFixture(carrier: String = "mark"): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-catalog").toString
+    val specs = Seq(ColSpec("id", LongLong), ColSpec("v", VarChar(32)))
+    val df = (1L to 40L).map(i =>
+        (i, s"v$i", "INSERT", (i - 1) / 5 + 1, i))
+      .toDF("id", "v", "op", "tso", "seq")
+      .withColumn("ts", lit(1700000000L))
+    val ordered = graft.operators.MergeSort.sortedRunsGrouped(df, 3,
+      Seq("tso"), Seq("seq"))
+    writeTxnFramedBinlogFiles(ordered, specs, "app", "t", "op", "ts",
+      "tso", dir, tsoCarrier = carrier)
+    dir
+  }
+
+  test("showBinaryLogs lists every wire file with its FS size, name-ordered") {
+    val dir = writeFixture()
+    val listed = BinlogCatalog.showBinaryLogs(spark, dir)
+      .as[(String, Long)].collect().toSeq
+    val onDisk = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("binlog.")).sortBy(_.getName)
+      .map(f => (f.getName, f.length())).toSeq
+    assert(listed == onDisk && listed.nonEmpty)
+  }
+
+  test("showMasterStatus is the max file at its end position; empty dir = ('',4)") {
+    val dir = writeFixture()
+    val (file, pos) = BinlogCatalog.showMasterStatus(spark, dir)
+      .as[(String, Long)].collect().head
+    val maxFile = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("binlog.")).maxBy(_.getName)
+    assert(file == maxFile.getName && pos == maxFile.length())
+    val empty = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    assert(BinlogCatalog.showMasterStatus(spark, empty)
+      .as[(String, Long)].collect().head == (("", 4L)))
+  }
+
+  test("showBinlogEvents positions chain: first at 4, next = prev end, last = size") {
+    val dir = writeFixture()
+    val events = BinlogCatalog.showBinlogEvents(spark, dir)
+      .orderBy($"log_name", $"pos")
+      .select($"log_name", $"pos", $"event_type", $"end_log_pos")
+      .as[(String, Long, String, Long)].collect().toSeq
+    val sizes = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("binlog."))
+      .map(f => f.getName -> f.length()).toMap
+    events.groupBy(_._1).foreach { case (name, evs) =>
+      assert(evs.head._2 == 4L, s"$name first event not at 4")
+      evs.sliding(2).foreach {
+        case Seq((_, _, _, end), (_, pos, _, _)) =>
+          assert(end == pos, s"$name position chain broken at $pos")
+        case _ => ()
+      }
+      assert(evs.last._4 == sizes(name), s"$name last end_log_pos != size")
+      // every file opens with the header pair
+      assert(evs.map(_._3).take(2) == Seq("Format_desc", "Table_map"))
+    }
+  }
+
+  test("IN/FROM/LIMIT windowing and the Info column") {
+    val dir = writeFixture(carrier = "sequence")
+    val all = BinlogCatalog.showBinlogEvents(spark, dir)
+    val one = all.select($"log_name").as[String].collect().min
+    // IN: only the named file
+    val scoped = BinlogCatalog.showBinlogEvents(spark, dir, Some(one))
+    assert(scoped.select($"log_name").distinct().as[String]
+      .collect().toSeq == Seq(one))
+    // FROM pos skips the header; LIMIT caps rows per file
+    val windowed = BinlogCatalog
+      .showBinlogEvents(spark, dir, Some(one), pos = 5L, limit = 3L)
+      .orderBy($"pos").as[(String, Long, String, Long, Long, String)]
+      .collect().toSeq
+    assert(windowed.size == 3 && windowed.head._3 != "Format_desc")
+    // unknown file fails loudly, like the reference's missing-file path
+    intercept[IllegalArgumentException] {
+      BinlogCatalog.showBinlogEvents(spark, dir, Some("binlog.999999"))
+    }
+    // Info: BEGIN statements, xids, and the sequence carrier's tso
+    val infos = scoped.select($"event_type", $"info")
+      .as[(String, String)].collect().toSeq
+    assert(infos.exists { case (t, i) => t == "Query" && i == "BEGIN" })
+    assert(infos.exists { case (t, i) =>
+      t == "Xid" && i.startsWith("COMMIT /* xid=") })
+    assert(infos.exists { case (t, i) =>
+      t == "Sequence" && i.startsWith("sequence: COMMIT ") })
+  }
+
+  test("fileStats frame/txn counts agree with showBinlogEvents") {
+    val dir = writeFixture()
+    val stats = BinlogCatalog.fileStats(spark, dir)
+      .select($"log_file", $"n_frames", $"n_txns")
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    val byType = BinlogCatalog.showBinlogEvents(spark, dir)
+      .groupBy($"log_name")
+      .agg(count(lit(1)).as("frames"),
+        sum(when($"event_type" === "Xid", 1L).otherwise(0L)).as("txns"))
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(stats == byType)
+  }
+}
