@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.model.ChangeEvent
+
+/** Socket/Kafka-shaped ingress into the engine's ChangeEvent envelope —
+  * the live-feed counterpart of the file wire tail. The reference tails
+  * each DN over COM_BINLOG_DUMP (canal/.../binlog/DirectLogFetcher.java)
+  * and normalizes packets into its DBMS event model; here the transport
+  * is WHATEVER Spark source the deployment has (`socket`, `kafka`, rate,
+  * MemoryStream in tests — anything producing a streaming DataFrame of
+  * per-record payloads), and this adapter is the normalization step: a
+  * declarative column mapping into `ChangeEvent.schema` that the §3.1
+  * DAG (`GlobalBinlogStream.startFrom`, Pipeline.*) consumes unchanged.
+  *
+  * Scale shape: pure per-row projection (from_json + casts, zero UDFs,
+  * stays in whole-stage codegen), so ingress parallelism is the source's
+  * partitioning — Kafka partitions map 1:1 to tasks and a thousand-DN
+  * fleet fans in without a driver hop. Ordering across DNs is NOT this
+  * layer's job (packets interleave arbitrarily); the downstream
+  * heartbeat gate + TSO sort impose global order exactly as they do for
+  * file sources.
+  */
+object ChangeEventSource {
+
+  /** JSON record feed (the Kafka/socket line shape) → ChangeEvent rows.
+    * `mode` is from_json's parse mode: FAILFAST (default) surfaces a
+    * malformed packet as a stream failure — a CDC feed that silently
+    * drops records would corrupt the downstream exactly-once story;
+    * PERMISSIVE maps malformed to nulls for quarantine flows. */
+  def fromJson(raw: DataFrame, valueCol: String,
+      mode: String = "FAILFAST"): DataFrame =
+    raw.select(from_json(col(valueCol), ChangeEvent.schema,
+        Map("mode" -> mode)).as("r"))
+      .select(col("r.*"))
+
+  /** Relational feed (columns already split, e.g. a Kafka topic with a
+    * schema registry, or a test MemoryStream of tuples) → the exact
+    * envelope: validates presence, casts types, fills the optional
+    * columns a thin feed omits (traceId/ddl/serverId/images). Fails at
+    * PLAN time on a missing required column — a misconfigured feed
+    * should not start. */
+  def envelope(raw: DataFrame,
+      defaults: Map[String, org.apache.spark.sql.Column] = Map.empty)
+      : DataFrame = {
+    val present = raw.columns.toSet
+    val cols = ChangeEvent.schema.fields.map { f =>
+      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else defaults.get(f.name).map(_.cast(f.dataType).as(f.name))
+        .getOrElse(f.name match {
+          case "traceId" => lit("").as("traceId")
+          case "before" | "after" =>
+            map().cast(f.dataType).as(f.name)
+          case "ddl" => lit(null).cast(f.dataType).as("ddl")
+          case "serverId" => lit(0L).as("serverId")
+          case "tsoTime" =>
+            // physical time IS encoded in the tso (VirtualTso layout);
+            // derive when the feed doesn't carry a clock column
+            timestamp_millis(col("tso")).as("tsoTime")
+          case other => throw new IllegalArgumentException(
+            s"ChangeEventSource.envelope: feed lacks required column " +
+            s"'$other' and no default was given; present: " +
+            present.toSeq.sorted.mkString(", "))
+        })
+    }
+    raw.select(cols.toIndexedSeq: _*)
+  }
+}

@@ -28,6 +28,20 @@ object GlobalBinlogStream {
       .schema(sourceSchema)
       .option("maxFilesPerTrigger", 16) // bounded micro-batches (backpressure)
       .parquet(sourceDir)
+    startFrom(src, tsoCol, outDir, checkpointDir, numPartitions,
+      transform, continuous)
+  }
+
+  /** The same standing query over ANY streaming source DataFrame —
+    * socket/Kafka/MemoryStream ingress normalized through
+    * `ChangeEventSource` lands here; the file-dir `start` above is this
+    * with a parquet file source. The live-feed counterpart of the
+    * reference's DirectLogFetcher→pipeline wiring: transport is the
+    * source's concern, ordering and exactly-once are the sink's. */
+  def startFrom(src: DataFrame, tsoCol: String, outDir: String,
+      checkpointDir: String, numPartitions: Int,
+      transform: DataFrame => DataFrame = identity,
+      continuous: Option[String] = None): StreamingQuery = {
     val trigger = continuous match {
       case Some(interval) => Trigger.ProcessingTime(interval)
       case None => Trigger.AvailableNow()

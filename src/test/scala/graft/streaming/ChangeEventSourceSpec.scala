@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.MergeSort
+import graft.sources.ChangeEventSource
+
+/** Live-feed ingress (socket/Kafka shape, MemoryStream as transport):
+  * out-of-order multi-DN packets → ChangeEvent envelope → the UNCHANGED
+  * §3.1 DAG, with the heartbeat gate and checkpointed kill/resume
+  * behaving exactly as they do for file sources. */
+class ChangeEventSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def packet(tso: Long, dn: String, op: String,
+      table: String = "t", hb: Boolean = false): String = {
+    val secs = tso // fixture: 1 tso tick = 1 second of physical time
+    s"""{"tso":$tso,"txnId":${tso / 10},"partitionId":"$dn",""" +
+      s""""traceId":"tr-$tso","op":"$op","schemaName":"app",""" +
+      s""""tableName":"$table","tsoTime":"${java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(secs))}",""" +
+      s""""after":{"id":"$tso"},"serverId":${if (dn == "dn1") 1 else 2}}"""
+  }
+
+  test("json packets from two DNs, out of order, through the §3.1 DAG with kill/resume") {
+    val root = Files.createTempDirectory("graft-ces").toString
+    val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val envelope = ChangeEventSource.fromJson(
+      input.toDF().withColumnRenamed("value", "v"), "v")
+    // the adapter's output IS the envelope schema (from_json makes
+    // every field nullable; names and types are the contract)
+    assert(envelope.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      graft.model.ChangeEvent.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+
+    // wave 1: interleaved, out-of-order packets from both DNs
+    input.addData(
+      packet(30L, "dn2", "INSERT"), packet(10L, "dn1", "INSERT"),
+      packet(40L, "dn2", "UPDATE"), packet(20L, "dn1", "INSERT"))
+    val q1 = GlobalBinlogStream.startFrom(envelope, "tso", outDir, ckpt,
+      numPartitions = 2,
+      transform = df => df.filter(col("op") =!= "HEARTBEAT"))
+    q1.processAllAvailable(); q1.stop() // KILL mid-stream
+
+    val out1 = spark.read.parquet(outDir)
+    assert(out1.count() == 4)
+    assert(MergeSort.disorderCount(out1.orderBy($"tso"), "tso") == 0)
+
+    // wave 2: RESUME from the same checkpoint — only the delta lands,
+    // heartbeats are filtered by the transform, nothing duplicates
+    input.addData(
+      packet(50L, "dn1", "HEARTBEAT"), packet(60L, "dn2", "DELETE"))
+    val q2 = GlobalBinlogStream.startFrom(envelope, "tso", outDir, ckpt,
+      numPartitions = 2,
+      transform = df => df.filter(col("op") =!= "HEARTBEAT"))
+    q2.processAllAvailable(); q2.stop()
+
+    val out2 = spark.read.parquet(outDir)
+    assert(out2.count() == 5) // 4 + DELETE; the heartbeat gated out
+    assert(out2.select(countDistinct($"tso")).head().getLong(0) == 5)
+    assert(out2.select(sum($"tso")).head().getLong(0) == 160L)
+  }
+
+  test("heartbeat completeness gate over the adapted feed") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val envelope = ChangeEventSource.fromJson(
+      input.toDF().withColumnRenamed("value", "v"), "v")
+    // window [0,60): only dn1 heartbeats; [60,120): both DNs report;
+    // the 200s ticks advance the watermark past both windows' close
+    input.addData(
+      packet(10L, "dn1", "HEARTBEAT"), packet(20L, "dn1", "INSERT"),
+      packet(70L, "dn1", "HEARTBEAT"), packet(80L, "dn2", "HEARTBEAT"),
+      packet(90L, "dn2", "INSERT"),
+      packet(200L, "dn1", "HEARTBEAT"), packet(200L, "dn2", "HEARTBEAT"))
+    val gated = Pipeline.heartbeatWindowsStream(envelope, "tsoTime",
+      "partitionId", "60 seconds", "10 seconds", expectedSources = 2)
+    val q = gated.writeStream.format("memory").queryName("ces_gate")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // a second empty pass lets the advanced watermark close the windows
+    input.addData(packet(300L, "dn1", "HEARTBEAT"))
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.sql(
+        "SELECT CAST(w.start AS LONG), complete FROM ces_gate")
+      .as[(Long, Boolean)].collect().toMap
+    assert(emitted(0L) == false) // dn2 never reported in [0,60)
+    assert(emitted(60L) == true) // both DNs present in [60,120)
+  }
+
+  test("envelope: thin relational feeds map in; missing required column fails at plan time") {
+    val thin = Seq((100L, 10L, "dn1", "INSERT", "app", "t"))
+      .toDF("tso", "txnId", "partitionId", "op", "schemaName", "tableName")
+    val env = ChangeEventSource.envelope(thin)
+    assert(env.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      graft.model.ChangeEvent.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val row = env.as[graft.model.ChangeEvent].collect().head
+    assert(row.tso == 100L && row.traceId == "" && row.serverId == 0L)
+    assert(row.tsoTime.getTime == 100L) // derived from the tso clock
+    val bad = thin.drop("op")
+    val err = intercept[IllegalArgumentException] {
+      ChangeEventSource.envelope(bad)
+    }
+    assert(err.getMessage.contains("'op'"))
+  }
+
+  test("FAILFAST surfaces malformed packets as stream failures") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = GlobalBinlogStream.startFrom(
+      ChangeEventSource.fromJson(
+        input.toDF().withColumnRenamed("value", "v"), "v"),
+      "tso", Files.createTempDirectory("graft-ff-out").toString,
+      Files.createTempDirectory("graft-ff-ck").toString, 1)
+    input.addData("""{"tso": NOT_JSON""")
+    val ex = intercept[Exception] { q.processAllAvailable() }
+    q.stop()
+    assert(ex.getMessage != null)
+  }
+}
