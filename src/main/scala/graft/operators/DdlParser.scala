@@ -557,6 +557,10 @@ object DdlParser {
         case "rename" =>
           if (word(1) == "column")
             Seq(RenameColumn(tok(2).toLowerCase, tok(4).toLowerCase))
+          else if (word(1) == "index" || word(1) == "key")
+            Seq(IgnoredAction) // RENAME INDEX a TO b: no schema effect —
+            // and must NOT fall through to RenameTo (it would read as a
+            // table rename to a table literally named `index`)
           else {
             val base = if (word(1) == "to" || word(1) == "as") 2 else 1
             if (idxs.length > base + 1 && tok(base + 1) == ".")

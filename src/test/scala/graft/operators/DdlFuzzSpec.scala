@@ -40,18 +40,36 @@ class DdlFuzzSpec extends SparkSpec {
       // dialect noise the parser must digest WITHOUT schema effect:
       // column charset/collation/comment, table options incl. a partition
       // clause, online-DDL ALGORITHM/LOCK suffixes
-      def colNoise(): String = rnd.nextInt(4) match {
+      def colNoise(): String = rnd.nextInt(6) match {
         case 0 => " CHARACTER SET utf8mb4 COLLATE utf8mb4_bin"
         case 1 => " COMMENT 'fuzz, (col)'"
+        case 2 => " GENERATED ALWAYS AS (c1 * 2) VIRTUAL"
+        case 3 => " AS (coalesce(c1, 0)) STORED"
         case _ => ""
       }
-      def tableNoise(): String =
-        if (rnd.nextBoolean())
+      def tableNoise(): String = rnd.nextInt(3) match {
+        case 0 =>
           " ENGINE=InnoDB DEFAULT CHARSET=utf8mb4 COLLATE=utf8mb4_unicode_ci" +
             " PARTITION BY HASH(c1) PARTITIONS 4"
-        else ""
+        case 1 => // explicit partition list (the RANGE form)
+          " PARTITION BY RANGE (c1) (PARTITION p0 VALUES LESS THAN (10)," +
+            " PARTITION p1 VALUES LESS THAN MAXVALUE)"
+        case _ => ""
+      }
       def alterNoise(): String =
         if (rnd.nextBoolean()) ", ALGORITHM=INPLACE, LOCK=NONE" else ""
+      // whole statements that must parse WITHOUT any schema effect:
+      // partition maintenance, default changes, index renames, charset
+      // conversions — the operational-DDL background noise of a real log
+      def noopStatement(t: String): String = rnd.nextInt(7) match {
+        case 0 => s"ALTER TABLE $t ADD PARTITION (PARTITION px VALUES LESS THAN (100))"
+        case 1 => s"ALTER TABLE $t DROP PARTITION p0"
+        case 2 => s"ALTER TABLE $t TRUNCATE PARTITION p0"
+        case 3 => s"ALTER TABLE $t ALTER COLUMN c1 SET DEFAULT 'x'"
+        case 4 => s"ALTER TABLE $t RENAME INDEX i1 TO i2"
+        case 5 => s"ALTER TABLE $t CONVERT TO CHARACTER SET utf8mb4 COLLATE utf8mb4_general_ci"
+        case _ => "FLUSH LOGS"
+      }
 
       (1 to 40).foreach { _ =>
         tso += 1
@@ -139,7 +157,7 @@ class DdlFuzzSpec extends SparkSpec {
               ddl += ((tso, s"ALTER TABLE db.$t ADD COLUMN ($body)"))
               model += t -> (cols ++ adds.map(c => (c._1, c._3)))
             case _ => // noise statement with no schema effect
-              ddl += ((tso, "FLUSH LOGS"))
+              ddl += ((tso, noopStatement(t)))
           }
         }
       }

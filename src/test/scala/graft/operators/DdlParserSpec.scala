@@ -260,6 +260,41 @@ class DdlParserSpec extends SparkSpec {
     assert(out.map(_._5) == Seq("a", "a,b")) // tso=3 emits nothing
   }
 
+  test("operational-DDL breadth: partitions, charsets, generated cols, defaults") {
+    // the DruidDdlParser coverage set a real DDL log eventually contains
+    // (reference canal/core/ddl/parser/DruidDdlParser.java): partition
+    // clauses and maintenance, per-column charset/collation, generated
+    // columns, default changes, index renames — schema-relevant parts
+    // fold; the rest must be digested WITHOUT rejecting the statement
+    val hist = Seq(
+      (1L, "CREATE TABLE t (id BIGINT PRIMARY KEY, v VARCHAR(10) " +
+        "CHARACTER SET latin1 COLLATE latin1_bin NOT NULL, " +
+        "g INT GENERATED ALWAYS AS (id + 1) STORED) " +
+        "PARTITION BY RANGE (id) (PARTITION p0 VALUES LESS THAN (10), " +
+        "PARTITION p1 VALUES LESS THAN MAXVALUE)"),
+      (2L, "ALTER TABLE t ADD PARTITION (PARTITION p2 VALUES LESS THAN (30))"),
+      (3L, "ALTER TABLE t ALTER COLUMN v SET DEFAULT 'x'"),
+      (4L, "ALTER TABLE t ALTER v DROP DEFAULT"),
+      (5L, "ALTER TABLE t RENAME INDEX i1 TO i2"), // NOT a table rename
+      (6L, "ALTER TABLE t MODIFY v VARCHAR(64) CHARACTER SET utf8mb4 " +
+        "COLLATE utf8mb4_bin"),
+      (7L, "ALTER TABLE t ADD COLUMN g2 INT GENERATED ALWAYS AS (id * 2) " +
+        "VIRTUAL AFTER id"),
+      (8L, "ALTER TABLE t REORGANIZE PARTITION p0 INTO " +
+        "(PARTITION p3 VALUES LESS THAN (5))"),
+      (9L, "ALTER TABLE t REMOVE PARTITIONING"),
+      (10L, "ALTER TABLE t CONVERT TO CHARACTER SET utf8mb4"))
+    val out = foldSchema("s", hist)
+    // only the CREATE and the one real column add change the schema;
+    // the table NAME survives every partition/index/default statement
+    assert(out.map(r => (r._1, r._3)) == Seq((1L, "t"), (7L, "t")))
+    assert(out.last._5 == "id,g2,v,g")
+    assert(out.last._4.contains(""""pk":["id"]"""))
+    // generated columns keep name + base type
+    assert(out.last._4.contains(""""name":"g","type":"int""""))
+    assert(out.last._4.contains(""""name":"g2","type":"int""""))
+  }
+
   test("TableState.fromJson round-trips the catalog's own json") {
     val st = TableState(Vector(ColumnDef("id", "bigint"),
       ColumnDef("v", "decimal(10,2)")), Vector("id"))
