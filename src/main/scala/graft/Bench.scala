@@ -57,9 +57,20 @@ object Bench {
       ordered.foreach { case (n, f) => runOnce(n, f) }
       failed.clear()
     }
-    val results = ordered.map { case (name, fn) => name -> runOnce(name, fn) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // SPARK_GRAFT_REPEAT=N → measure each query N times in THIS JVM.
+    // Reported value stays the min (the recorded double-run-min
+    // protocol); the file artifact additionally carries the per-query
+    // median, the statistic that survives this VM's documented
+    // intermittent 1.5-2x disk/CPU inflation (r7 wire-family flag).
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    val samples = ordered.map { case (name, fn) =>
+      name -> (1 to repeat).map(_ => runOnce(name, fn)).sorted
+    }
+    def median(xs: Seq[Double]): Double =
+      if (xs.size % 2 == 1) xs(xs.size / 2)
+      else (xs(xs.size / 2 - 1) + xs(xs.size / 2)) / 2
+    val results = samples.map { case (name, xs) => name -> xs.head }
+    val medians = samples.map { case (name, xs) => name -> median(xs) }
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // the scratch medium changes what is measured (tmpfs vs disk for
@@ -67,7 +78,27 @@ object Bench {
     // know when the I/O substrate moved underneath the numbers
     val scratchPath = scratch.getAbsolutePath
     val medium = if (scratchPath.startsWith("/dev/shm")) "tmpfs" else "disk"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","scratch":"$scratchPath","scratch_medium":"$medium"}""")
+    def line(fmt: Double => String): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val med = if (repeat > 1) {
+        val ms = medians.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+          .mkString("{", ",", "}")
+        s""","repeat":$repeat,"queries_median":$ms"""
+      } else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$med,"failed":$failedJson,"sf":"$sfDir","scratch":"$scratchPath","scratch_medium":"$medium"}"""
+    }
+    // Artifact hygiene, two layers: (1) the canonical full-precision
+    // JSON goes to its OWN file (the driver's log tail-grab has a fixed
+    // byte window and truncated the 81-query stdout line mid-JSON in
+    // r6/r7, losing q01-q21); (2) the stdout line is printed at 0.1 ms
+    // resolution, which shrinks it below the tail window so even the
+    // log-only path stays parseable end to end.
+    val outFile = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json"))
+    val w = new java.io.PrintWriter(outFile, "UTF-8")
+    try w.println(line(_.toString)) finally w.close()
+    println(line(v => f"$v%.4f"))
     spark.stop()
     if (scratch.getAbsolutePath.startsWith("/dev/shm/"))
       org.apache.commons.io.FileUtils.deleteQuietly(scratch) // free the RAM
