@@ -19,12 +19,23 @@ object Tables {
     // microsecond timestamp (truncation matches DuckDB's ns→us handling).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    } else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // TIMESTAMP(NANOS) testdata read as raw nanos — rebuild micros
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // timestamp[us] without isAdjustedToUTC reads as TIMESTAMP_NTZ;
+        // normalize to the session-zoned type every consumer (windowed
+        // EPS casts, watermark arithmetic, the DuckDB oracle under UTC)
+        // was written against — under the engine's fixed UTC session
+        // zone the wall-clock values are identical
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
