@@ -1268,12 +1268,19 @@ object BinlogWire {
           if (s.startsWith("CTS::")) tso = Some(s.stripPrefix("CTS::").toLong)
         case SequenceEvent =>
           // COMMIT sequence = the txn's commit tso on 5.7-family DNs —
-          // same authority as the CTS mark; SNAPSHOT/HEART_BEAT carry
-          // no row-visible state (SequenceLogEvent.java:66-78)
+          // same authority as the CTS mark. HEART_BEAT publishes an
+          // immediate clock row (no txn scope): it is how an IDLE
+          // source advances the downstream completeness gate, so
+          // swallowing it would stall every all-sources window the
+          // idle DN participates in (SequenceLogEvent.java:66-78).
           val r = new ByteReader(body)
           val seqType = r.u8()
           val seq = r.le(8)
           if (seqType == CommitSequence) tso = Some(seq)
+          else if (seqType == HeartbeatSequence)
+            emit = Iterator.single(DecodedRow("", "", "HEARTBEAT",
+              Map.empty, Map.empty, Some(seq), None,
+              hdrTs = frame.timestamp, serverId = frame.serverId))
         case GcnEvent =>
           // 8.0-family DN commit number — the tso carrier when present
           val r = new ByteReader(body)

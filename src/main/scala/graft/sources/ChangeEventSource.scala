@@ -36,6 +36,48 @@ object ChangeEventSource {
         Map("mode" -> mode)).as("r"))
       .select(col("r.*"))
 
+  /** Raw wire-byte feed — the COM_BINLOG_DUMP shape itself: each record
+    * is one complete binlog SEGMENT (magic + FDE + frames, the rotation
+    * unit every BinlogWire sink emits and a dump server streams per
+    * file), tagged with its source DN. Decodes per record via the
+    * bounded-memory frame parser into change rows, then normalizes to
+    * the envelope; tso authority is whatever the stream carries (CTS
+    * mark, SEQUENCE, or GCN — all three decode identically). A segment
+    * is the natural packet unit because table-map state is segment-
+    * scoped (every file re-declares its maps), so decode needs no
+    * cross-record state and parallelism stays per-record.
+    *
+    * txnId = the wire xid; traceId = "<dn>:<n>" (arrival index within
+    * the segment — intra-txn order, the reference's trace-id role). */
+  def fromWireSegments(raw: DataFrame, dnCol: String, payloadCol: String,
+      colNames: Map[(String, String), Seq[String]] = Map.empty)
+      : DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val decoded = raw
+      .select(col(dnCol).cast("string"), col(payloadCol).cast("binary"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (dn, bytes) =>
+        graft.sinks.BinlogWire.decodeFile(bytes, colNames).iterator
+          .zipWithIndex.map { case (r, i) =>
+            graft.model.ChangeEvent(
+              tso = r.tso.getOrElse(r.xid.getOrElse(0L)),
+              txnId = r.xid.getOrElse(0L),
+              partitionId = dn,
+              traceId = f"$dn%s:$i%09d",
+              op = if (r.ddl.isDefined) "DDL" else r.op,
+              schemaName = r.schemaName,
+              tableName = r.tableName,
+              tsoTime = new java.sql.Timestamp(r.hdrTs * 1000L),
+              before = r.before,
+              after = r.after,
+              ddl = r.ddl,
+              serverId = r.serverId)
+          }
+      }
+    envelope(decoded.toDF())
+  }
+
   /** Relational feed (columns already split, e.g. a Kafka topic with a
     * schema registry, or a test MemoryStream of tuples) → the exact
     * envelope: validates presence, casts types, fills the optional

@@ -68,6 +68,24 @@ class BinlogWireSpec extends AnyFunSuite {
     assert(hex(gcn.body) == "00 05 00 00 00 00 00 00 00")
   }
 
+  test("heartbeat SEQUENCE events decode to immediate clock rows") {
+    val hb = sequenceEvent(5L, 9L, HeartbeatSequence, 777L)
+    val rows = decodeStream(Iterator(
+      Frame(SequenceEvent, 5L, 9L, 0L, hb.body))).toSeq
+    assert(rows == Seq(DecodedRow("", "", "HEARTBEAT", Map.empty, Map.empty,
+      Some(777L), None, hdrTs = 5L, serverId = 9L)))
+    // a heartbeat between txns does NOT leak its clock into the next
+    // txn's tso (snapshot sequences stay invisible)
+    val snap = sequenceEvent(6L, 9L, SnapshotSequence, 888L)
+    val commit = sequenceEvent(7L, 9L, CommitSequence, 999L)
+    val decoded = decodeStream(Iterator(
+      Frame(SequenceEvent, 5L, 9L, 0L, hb.body),
+      Frame(SequenceEvent, 6L, 9L, 0L, snap.body),
+      Frame(SequenceEvent, 7L, 9L, 0L, commit.body),
+      Frame(XidEvent, 8L, 9L, 0L, commitEvent(8L, 9L, 42L).body))).toSeq
+    assert(decoded.map(r => (r.op, r.tso)) == Seq(("HEARTBEAT", Some(777L))))
+  }
+
   test("temporal cells: DATE, TIME2, DATETIME2, TIMESTAMP2 packings") {
     // DATE: (y<<9 | m<<5 | d) little-endian 3 bytes
     // 2024-03-05 → 2024*512 + 3*32 + 5 = 1036389 = 0x0FD065

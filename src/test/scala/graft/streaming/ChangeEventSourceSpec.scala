@@ -109,6 +109,55 @@ class ChangeEventSourceSpec extends SparkSpec {
     assert(err.getMessage.contains("'op'"))
   }
 
+  test("wire-byte segments decode into the envelope under all three tso carriers") {
+    import graft.sinks.BinlogWire
+    import graft.sinks.BinlogWire._
+    val specs = Seq(ColSpec("id", LongLong), ColSpec("v", VarChar(32)))
+    val df = Seq((1L, "a", "INSERT", 100L, 1L), (2L, "b", "INSERT", 100L, 2L),
+        (3L, "c", "INSERT", 200L, 3L))
+      .toDF("id", "v", "op", "tso", "seq")
+      .withColumn("ts", lit(1700000000L))
+      .coalesce(1).sortWithinPartitions("tso", "seq")
+    Seq("mark", "sequence", "gcn").foreach { carrier =>
+      val dir = Files.createTempDirectory(s"graft-seg-$carrier").toString
+      BinlogWire.writeTxnFramedBinlogFiles(df, specs, "app", "t", "op",
+        "ts", "tso", dir, tsoCarrier = carrier)
+      val bytes = java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, "binlog.000000").toPath)
+      val envelope = ChangeEventSource.fromWireSegments(
+        Seq(("dn7", bytes)).toDF("dn", "payload"), "dn", "payload",
+        Map(("app", "t") -> Seq("id", "v")))
+      val rows = envelope
+        .select($"tso", $"txnId", $"partitionId", $"op",
+          element_at($"after", "id"))
+        .as[(Long, Long, String, String, String)].collect().toSeq.sortBy(_._5)
+      assert(rows == Seq(
+        (100L, 100L, "dn7", "INSERT", "1"),
+        (100L, 100L, "dn7", "INSERT", "2"),
+        (200L, 200L, "dn7", "INSERT", "3")), s"carrier=$carrier")
+      // intra-segment order is preserved in the traceId
+      val traces = envelope.select($"traceId").as[String].collect().toSeq
+      assert(traces.sorted == traces && traces.head.startsWith("dn7:"))
+    }
+    // and the same segments drive the streaming DAG
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-seg-stream").toString
+    BinlogWire.writeTxnFramedBinlogFiles(df, specs, "app", "t", "op",
+      "ts", "tso", dir, tsoCarrier = "sequence")
+    val bytes = java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "binlog.000000").toPath)
+    val input = MemoryStream[(String, Array[Byte])]
+    val outDir = Files.createTempDirectory("graft-seg-out").toString
+    input.addData(("dn7", bytes))
+    val q = GlobalBinlogStream.startFrom(
+      ChangeEventSource.fromWireSegments(
+        input.toDF().toDF("dn", "payload"), "dn", "payload",
+        Map(("app", "t") -> Seq("id", "v"))),
+      "tso", outDir, Files.createTempDirectory("graft-seg-ck").toString, 1)
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(outDir).count() == 3)
+  }
+
   test("FAILFAST surfaces malformed packets as stream failures") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
