@@ -40,6 +40,25 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Plane count sized to the corpus: the smallest p with expected
+    * bucket occupancy N/2^p at or under `targetBucketRows` (then bounded
+    * to [4, 30] — below 4 the bucket space is degenerate; past 30 the
+    * 2^p space outruns any corpus and recall-per-table collapses). This
+    * is the knob the q54/q74 FIXTURE entries hard-code at 4 for ~1k
+    * vectors; at corpus scale call this instead — with the in-plan
+    * cardinality guard as the backstop for skewed (non-uniform) buckets
+    * the expectation argument cannot see. Recall lost to larger p is
+    * bought back with tables: see the envelope above. */
+  def recommendedPlanes(corpusRows: Long,
+      targetBucketRows: Long = 10000L): Int = {
+    require(corpusRows >= 0 && targetBucketRows > 0,
+      "corpusRows must be >= 0 and targetBucketRows > 0")
+    val needed = math.ceil(
+      math.log(math.max(1.0, corpusRows.toDouble / targetBucketRows))
+        / math.log(2.0)).toInt
+    math.min(30, math.max(4, needed))
+  }
+
   /** Dot product of two float-array columns (double accumulation). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),

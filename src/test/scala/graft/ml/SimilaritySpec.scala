@@ -65,6 +65,22 @@ class SimilaritySpec extends SparkSpec {
       s"staged path must not cache: new persistent RDDs ${after -- before}")
   }
 
+  test("recommendedPlanes sizes bucket space to the corpus") {
+    import graft.ml.Similarity.recommendedPlanes
+    assert(recommendedPlanes(0) == 4) // degenerate floor
+    assert(recommendedPlanes(1000) == 4) // fixture scale: floor holds
+    assert(recommendedPlanes(10000) == 4) // exactly at target occupancy
+    assert(recommendedPlanes(1000000) == 7) // 1e6/2^7 ≈ 7.8k ≤ 10k
+    assert(recommendedPlanes(10000000000L) == 20) // 1e10/2^20 ≈ 9.5k
+    assert(recommendedPlanes(Long.MaxValue) == 30) // ceiling
+    // expected occupancy respects the target wherever the cap allows
+    Seq(1L, 1000L, 1000000L, 10000000000L).foreach { n =>
+      val p = recommendedPlanes(n)
+      if (p < 30) assert(n.toDouble / math.pow(2, p) <= 10000.0, s"n=$n p=$p")
+    }
+    intercept[IllegalArgumentException] { recommendedPlanes(-1) }
+  }
+
   test("cosineNearDupPairs bucket-cardinality guard actually fires") {
     // 60 rows, 4 planes → buckets of ~4-15 rows; maxBucketRows=1 must
     // make the job FAIL with the bucket message. This pins the guard
