@@ -1225,6 +1225,39 @@ object SparkEntry {
       val logs = BinlogCatalog.showBinaryLogs(s, dir)
         .agg(count(lit(1)).as("n_files"), sum(col("file_size")).as("n_bytes"))
       BinlogCatalog.showMasterStatus(s, dir).crossJoin(logs)
+    }),
+
+    // int8 embedding quantization (ORACLE-CHECKED): per-vector scale
+    // max|x|/127, components round(x/scale) as tinyint — deterministic
+    // double math that DuckDB recomputes bit-exactly. This is the
+    // 4x-smaller corpus representation the quantized ANN path ships
+    // and shuffles at scale; checking per-vector aggregates checks
+    // every component through sum/min/max.
+    "q84_quantize_int8" -> ((s, d) => {
+      import graft.ml.Similarity
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") <= 300)
+        .select(col("vec_id"), col("embedding"))
+      Similarity.quantizeInt8(emb, "embedding")
+        .select(col("vec_id"), col("embedding_qscale").as("qscale"),
+          aggregate(col("embedding_qvec"), lit(0L),
+            (a, x) => a + x.cast("long")).as("qsum"),
+          array_min(col("embedding_qvec")).cast("int").as("qmin"),
+          array_max(col("embedding_qvec")).cast("int").as("qmax"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // brute-force ANN over the int8-quantized corpus (rows-only —
+    // top-k agreement vs the exact q39 baseline is gated in
+    // AnnRecallSpec): same scan shape as q39, but the corpus vectors
+    // that scan/shuffle are array<tinyint> + one double scale.
+    "q85_ann_quantized" -> ((s, d) => {
+      import graft.ml.Similarity
+      val emb = Tables.embeddings(s, d)
+      Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("corpus_id"),
+          col("rank").cast("bigint").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -1877,6 +1910,23 @@ object SparkEntry {
         "UNION ALL SELECT 'Sequence', txns FROM t " +
         "UNION ALL SELECT 'Table_map', CAST(4 AS BIGINT) " +
         "UNION ALL SELECT 'Write_rows', n_rows FROM t " +
-        "UNION ALL SELECT 'Xid', txns FROM t) ORDER BY event_type")
+        "UNION ALL SELECT 'Xid', txns FROM t) ORDER BY event_type"),
+    // q84: same double math — scale = max|x|/127 over the float
+    // components widened to double, components round(x/scale) (both
+    // engines round ties away from zero), aggregates over the int8 list
+    "q84_quantize_int8" ->
+      ("WITH e AS (SELECT vec_id, embedding FROM embeddings " +
+        "WHERE vec_id <= 300), " +
+        "s AS (SELECT vec_id, embedding, " +
+        "list_aggregate(list_transform(embedding, " +
+        "x -> abs(CAST(x AS DOUBLE))), 'max') / 127.0 AS qscale FROM e), " +
+        "q AS (SELECT vec_id, qscale, CASE WHEN qscale = 0 THEN " +
+        "list_transform(embedding, x -> CAST(0 AS BIGINT)) ELSE " +
+        "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) " +
+        "/ qscale) AS BIGINT)) END AS qv FROM s) " +
+        "SELECT vec_id, qscale, CAST(list_sum(qv) AS BIGINT) AS qsum, " +
+        "CAST(list_aggregate(qv, 'min') AS INTEGER) AS qmin, " +
+        "CAST(list_aggregate(qv, 'max') AS INTEGER) AS qmax " +
+        "FROM q ORDER BY vec_id")
   )
 }

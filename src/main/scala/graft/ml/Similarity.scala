@@ -71,6 +71,59 @@ object Similarity {
     when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
+  /** Scalar int8 quantization of an embedding column: per-vector scale =
+    * max|x|/127, components round(x/scale) as tinyint — 4x smaller than
+    * float on the wire, which at corpus scale is the dominant ANN cost
+    * (vectors ride every shuffle and candidate join-back). Deterministic
+    * double math per component, so an external engine recomputes the
+    * exact bytes. Zero vectors quantize to scale 0 + zero components.
+    * Appends `<vecCol>_qscale` (double) and `<vecCol>_qvec`
+    * (array<tinyint>); expression-level, stays in codegen. */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val maxAbs = aggregate(col(vecCol), lit(0.0d),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    val scale = when(maxAbs === 0.0d, lit(0.0d)).otherwise(maxAbs / 127.0d)
+    df.withColumn(s"${vecCol}_qscale", scale)
+      .withColumn(s"${vecCol}_qvec",
+        when(col(s"${vecCol}_qscale") === 0.0d,
+          transform(col(vecCol), _ => lit(0).cast("tinyint")))
+        .otherwise(transform(col(vecCol),
+          x => round(x.cast("double") / col(s"${vecCol}_qscale"), 0)
+            .cast("tinyint"))))
+  }
+
+  /** Asymmetric quantized dot product: full-precision query against an
+    * int8 corpus vector — scale * Σ qv_i * q_i. Asymmetric scoring keeps
+    * the query exact, so quantization error enters once, not squared
+    * (the standard ADC trade from the PQ literature). */
+  def dotQuantized(scale: Column, qvec: Column, queryVec: Column): Column =
+    scale * aggregate(zip_with(qvec, queryVec,
+      (a, b) => a.cast("double") * b.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+
+  /** Brute-force cosine top-k over an int8-quantized corpus: same scan
+    * shape as bruteForceTopK, but the corpus column that scans, shuffles
+    * and joins is array<tinyint> + one double — the 100 TB I/O path.
+    * Both sides normalize BEFORE quantization so the asymmetric dot is
+    * the cosine estimate; exactness is recall-gated (AnnRecallSpec), not
+    * assumed. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val qcorp = quantizeInt8(
+      corpus.select(col(idCol).as("corpus_id"),
+        normalize(col(vecCol)).as("cv")), "cv")
+      .drop("cv") // the float vector never leaves the scan stage
+    val qv = queries.select(col(idCol).as("query_id"),
+      normalize(col(vecCol)).as("qv"))
+    val scored = qcorp.join(broadcast(qv),
+        col("corpus_id") =!= col("query_id"), "inner")
+      .select(col("query_id"), col("corpus_id"),
+        dotQuantized(col("cv_qscale"), col("cv_qvec"), col("qv")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k most similar
     * corpus vectors. Queries are broadcast (small side); the corpus is
     * scanned exactly once regardless of |queries| — the right baseline at

@@ -65,6 +65,17 @@ class AnnRecallSpec extends SparkSpec {
       .contains("hint"), "serving path should hint the query broadcast")
   }
 
+  test("int8-quantized top-k (q85 params) recall@5 >= 0.9 vs exact ground truth") {
+    // scalar quantization perturbs each cosine by O(1/127) per side;
+    // on this corpus the top-5 sets should be nearly identical to exact
+    val got = Similarity.quantizedTopK(emb, queries, "vec_id", "embedding",
+        k = 5)
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect()
+    val r = recallAt5(got)
+    info(f"int8 recall@5 = $r%.3f")
+    assert(r >= 0.9, f"quantized recall@5 $r%.3f below gate")
+  }
+
   test("IVF top-k (q53 params) recall@5 >= 0.45 vs exact ground truth") {
     val model = IvfIndex.train(emb, "embedding", nCells = 8)
     val got = IvfIndex.topK(emb, queries, "vec_id", "embedding",

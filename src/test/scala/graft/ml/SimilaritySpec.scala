@@ -65,6 +65,33 @@ class SimilaritySpec extends SparkSpec {
       s"staged path must not cache: new persistent RDDs ${after -- before}")
   }
 
+  test("quantizeInt8: bounded components, exact reconstruction bound, zero-safe") {
+    import graft.ml.Similarity
+    val df = Seq(
+        (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+        (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector
+        (3L, Array(127.0f, -127.0f, 1.0f, -1.0f)))
+      .toDF("id", "v")
+    val q = Similarity.quantizeInt8(df, "v")
+      .select($"id", $"v", $"v_qscale", $"v_qvec")
+      .as[(Long, Array[Float], Double, Seq[Byte])].collect()
+      .sortBy(_._1)
+    q.foreach { case (id, v, scale, qv) =>
+      assert(qv.length == v.length)
+      assert(qv.forall(c => c >= -127 && c <= 127), s"id=$id out of range")
+      // dequantized components within half-step of the original
+      if (scale > 0) v.zip(qv).foreach { case (x, c) =>
+        assert(math.abs(c * scale - x) <= scale / 2 + 1e-12,
+          s"id=$id component error beyond half-step")
+      }
+    }
+    val zero = q.find(_._1 == 2L).get
+    assert(zero._3 == 0.0 && zero._4.forall(_ == 0))
+    // max-magnitude component quantizes to exactly +/-127
+    val wide = q.find(_._1 == 3L).get
+    assert(wide._4(0) == 127 && wide._4(1) == -127)
+  }
+
   test("recommendedPlanes sizes bucket space to the corpus") {
     import graft.ml.Similarity.recommendedPlanes
     assert(recommendedPlanes(0) == 4) // degenerate floor
