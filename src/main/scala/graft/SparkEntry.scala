@@ -1246,6 +1246,23 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // exact k-token span dedup (ORACLE-CHECKED): per-doc span counts
+    // with global duplicate marking, over the corpus plus 21 planted
+    // mirror copies (the natural fixture has no verbatim 8-token
+    // overlap — mirrors are the classic source of it). Window hashes
+    // are the q35 Rabin-Karp fold, so DuckDB recomputes every span
+    // hash; only 8-byte hashes shuffle.
+    "q86_span_dedup" -> ((s, d) => {
+      import graft.text.SpanDedup
+      val docs = Tables.documents(s, d).filter(col("doc_id") <= 200)
+        .select(col("doc_id"), col("text"))
+      val mirrors = Tables.documents(s, d).filter(col("doc_id") <= 20)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      SpanDedup.spanStats(docs.unionByName(mirrors), "doc_id", "text",
+          k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // brute-force ANN over the int8-quantized corpus (rows-only —
     // top-k agreement vs the exact q39 baseline is gated in
     // AnnRecallSpec): same scan shape as q39, but the corpus vectors
@@ -1927,6 +1944,24 @@ object SparkEntry {
         "SELECT vec_id, qscale, CAST(list_sum(qv) AS BIGINT) AS qsum, " +
         "CAST(list_aggregate(qv, 'min') AS INTEGER) AS qmin, " +
         "CAST(list_aggregate(qv, 'max') AS INTEGER) AS qmax " +
-        "FROM q ORDER BY vec_id")
+        "FROM q ORDER BY vec_id"),
+    // q86: same windows (0-based start pos), same char fold as q35,
+    // duplicate = hash count > 1 anywhere in the planted corpus
+    "q86_span_dedup" ->
+      ("WITH base AS (SELECT doc_id, text FROM documents " +
+        "WHERE doc_id <= 200 UNION ALL SELECT doc_id + 10000, text " +
+        "FROM documents WHERE doc_id <= 20), " +
+        "d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM base), " +
+        "w AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS win " +
+        "FROM d, unnest(range(1, greatest(1, len(toks) - 8 + 1) + 1)) t(i) " +
+        "WHERE len(toks) >= 8), " +
+        "h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "[CAST(ord(c) AS BIGINT) for c in string_split(win, '')]), " +
+        "(acc, x) -> (acc * 31 + x) % 2147483629) AS hash FROM w), " +
+        "g AS (SELECT hash, count(*) AS n FROM h GROUP BY hash) " +
+        "SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_spans, " +
+        "CAST(sum(CASE WHEN g.n > 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_dup_spans FROM h JOIN g USING (hash) " +
+        "GROUP BY h.doc_id ORDER BY h.doc_id")
   )
 }

@@ -1,0 +1,65 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Exact k-token span dedup: window hashing, global duplicate stats,
+  * and the keep-first scrub. */
+class SpanDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val k = 3
+  // doc 1 and doc 2 share the verbatim span "x y z"; doc 3 repeats its
+  // own span internally; doc 4 is too short for any window
+  private val docs = Seq(
+    (1L, "a b x y z c d"),
+    (2L, "p q x y z r"),
+    (3L, "m n o w m n o w"),
+    (4L, "t u")).toDF("doc_id", "text")
+
+  test("windowHashes: one hash per k-window, short docs drop out") {
+    val w = SpanDedup.windowHashes(docs, "doc_id", "text", k)
+      .select($"doc_id", $"pos").as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(w(1L) == (0 to 4))
+    assert(w(2L) == (0 to 3))
+    assert(w(3L) == (0 to 5))
+    assert(!w.contains(4L))
+  }
+
+  test("spanStats marks cross-doc and within-doc duplicate spans") {
+    val m = SpanDedup.spanStats(docs, "doc_id", "text", k)
+      .select($"doc_id", $"n_spans", $"n_dup_spans")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m(1L) == ((5L, 1L))) // "x y z" at pos 2
+    assert(m(2L) == ((4L, 1L)))
+    // doc 3 "m n o w m n o w": windows 0..5; repeated at +4 offsets:
+    // (m n o)@0,4  (n o w)@1,5 → 4 duplicated spans
+    assert(m(3L) == ((6L, 4L)))
+    assert(!m.contains(4L))
+  }
+
+  test("scrub removes all-but-first occurrences, keep-first by (id,pos)") {
+    val out = SpanDedup.scrubDuplicatedSpans(docs, "doc_id", "text", k)
+      .as[(Long, String)].collect().toMap
+    // doc 1 is the first occurrence of "x y z" → untouched
+    assert(out(1L) == "a b x y z c d")
+    // doc 2's copy loses exactly those 3 tokens
+    assert(out(2L) == "p q r")
+    // doc 3: later duplicate windows cover tokens 4..7 → first half stays
+    assert(out(3L) == "m n o w")
+    // short doc: no windows, untouched
+    assert(out(4L) == "t u")
+  }
+
+  test("stats survive a corpus with no duplicates at all") {
+    val clean = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
+    val m = SpanDedup.spanStats(clean, "doc_id", "text", k)
+      .select($"doc_id", $"n_dup_spans").as[(Long, Long)].collect().toMap
+    assert(m.values.forall(_ == 0L))
+    val scrubbed = SpanDedup.scrubDuplicatedSpans(clean, "doc_id", "text", k)
+      .as[(Long, String)].collect().toMap
+    assert(scrubbed(1L) == "a b c d" && scrubbed(2L) == "e f g h")
+  }
+}
