@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{HashedShingles, MinHashSignature, SimHash64}
+import graft.functions.{HashedShingles, MinHashSignature, NfcNormalize, SimHash64}
 
 /** Session extension entry point: registers graft's native Catalyst
   * expressions as SQL functions, so a SQL-only consumer reaches the same
@@ -69,6 +69,13 @@ object GraftExtensions {
         case Seq(hashes) => SimHash64(hashes)
         case args => throw new IllegalArgumentException(
           s"simhash64 expects (hashes), got ${args.length} args")
+      }),
+    (FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", classOf[NfcNormalize]),
+      {
+        case Seq(text) => NfcNormalize(text)
+        case args => throw new IllegalArgumentException(
+          s"nfc_normalize expects (text), got ${args.length} args")
       })
   )
 }

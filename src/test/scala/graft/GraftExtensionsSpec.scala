@@ -19,7 +19,8 @@ class GraftExtensionsSpec extends SparkSpec {
 
   test("extension-registered SQL functions exist in the catalog") {
     val names = spark.sql("SHOW FUNCTIONS").as[String].collect().toSet
-    for (f <- Seq("hashed_shingles", "minhash_signature", "simhash64"))
+    for (f <- Seq("hashed_shingles", "minhash_signature", "simhash64",
+        "nfc_normalize"))
       assert(names.exists(_.endsWith(f)), s"$f not registered")
   }
 
@@ -42,6 +43,18 @@ class GraftExtensionsSpec extends SparkSpec {
     val byId = viaSql.map(r => r._1 -> r._4).toMap
     assert(byId(1L) == byId(2L))
     assert(byId(1L) != byId(3L))
+  }
+
+  test("SQL nfc_normalize ≡ Column API and composes normalization") {
+    // decomposed e + combining acute (NFD) normalizes to the composed
+    // form; the SQL path must be the same codegen expression
+    Seq((1L, "cafe\u0301"), (2L, "already nfc"))
+      .toDF("id", "t").createOrReplaceTempView("ext_nfc")
+    val viaSql = spark.sql(
+        "SELECT id, nfc_normalize(t) AS n FROM ext_nfc")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(viaSql(0)._2 == "caf\u00e9")
+    assert(viaSql(1)._2 == "already nfc")
   }
 
   test("non-literal int parameter is rejected at analysis time") {
