@@ -97,6 +97,44 @@ class BinlogCatalogSpec extends SparkSpec {
       t == "Sequence" && i.startsWith("sequence: COMMIT ") })
   }
 
+  test("checksummed + rotate-chained logs list with intact position chains") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-crc").toString
+    val specs = Seq(ColSpec("id", LongLong))
+    val df = (1L to 20L).map(i => (i, "INSERT", (i - 1) / 4 + 1, i))
+      .toDF("id", "op", "tso", "seq")
+      .withColumn("ts", lit(1700000000L))
+    val ordered = graft.operators.MergeSort.sortedRunsGrouped(df, 2,
+      Seq("tso"), Seq("seq"))
+    writeTxnFramedBinlogFiles(ordered, specs, "app", "t", "op", "ts",
+      "tso", dir, checksummed = true, rotateChain = true,
+      gtidSid = Some(java.util.UUID.fromString(
+        "11111111-2222-3333-4444-555555555555")))
+    val events = BinlogCatalog.showBinlogEvents(spark, dir)
+      .orderBy($"log_name", $"pos")
+      .select($"log_name", $"pos", $"event_type", $"end_log_pos", $"info")
+      .as[(String, Long, String, Long, String)].collect().toSeq
+    val sizes = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("binlog."))
+      .map(f => f.getName -> f.length()).toMap
+    assert(sizes.size == 2)
+    events.groupBy(_._1).foreach { case (name, evs) =>
+      // CRC trailers count toward positions: the chain must still hit
+      // the exact file size even though parseStream strips the bytes
+      assert(evs.head._2 == 4L)
+      evs.sliding(2).foreach {
+        case Seq((_, _, _, end, _), (_, pos, _, _, _)) => assert(end == pos)
+        case _ => ()
+      }
+      assert(evs.last._4 == sizes(name))
+      // the chain: every file ends in a Rotate naming its successor
+      val (_, _, t, _, info) = evs.last
+      assert(t == "Rotate" && info.startsWith("binlog."), s"$name: $t $info")
+      // GTID mode surfaces Previous_gtids in the preamble and Gtid per txn
+      assert(evs.exists(_._3 == "Previous_gtids"))
+      assert(evs.exists(_._3 == "Gtid"))
+    }
+  }
+
   test("fileStats frame/txn counts agree with showBinlogEvents") {
     val dir = writeFixture()
     val stats = BinlogCatalog.fileStats(spark, dir)

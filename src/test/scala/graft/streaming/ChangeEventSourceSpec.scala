@@ -158,6 +158,23 @@ class ChangeEventSourceSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).count() == 3)
   }
 
+  test("wire segments carry DDL events into the envelope as op=DDL rows") {
+    import graft.sinks.BinlogWire
+    // hand-framed segment: FDE + DDL query + a txn — the mixed stream a
+    // relay actually sees
+    val baos = new java.io.ByteArrayOutputStream()
+    val w = new BinlogWire.FileWriter(baos)
+    w.write(BinlogWire.formatDescription(1700000000L, 1L))
+    w.write(BinlogWire.ddlEvent(1700000001L, 1L, "app",
+      "ALTER TABLE t ADD COLUMN c INT"))
+    val envelope = ChangeEventSource.fromWireSegments(
+      Seq(("dn1", baos.toByteArray)).toDF("dn", "payload"), "dn", "payload")
+    val rows = envelope.select($"op", $"schemaName", $"ddl")
+      .as[(String, String, Option[String])].collect().toSeq
+    assert(rows == Seq(("DDL", "app",
+      Some("ALTER TABLE t ADD COLUMN c INT"))))
+  }
+
   test("FAILFAST surfaces malformed packets as stream failures") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
