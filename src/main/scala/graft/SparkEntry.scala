@@ -384,6 +384,20 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF x int8 quantization composed (rows-only — recall and the
+    // exact-vs-quantized agreement are gated in AnnRecallSpec): cell
+    // probing cuts candidate count, quantization cuts bytes per
+    // candidate; at 100 TB the two multiply on the cell-join shuffle.
+    "q87_ann_ivf_quantized" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = ivfModels.computeIfAbsent(d, _ =>
+        graft.ml.IvfIndex.train(emb, "embedding", nCells = 8))
+      graft.ml.IvfIndex.topKQuantized(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 5, model, nProbe = 2)
+        .select(col("query_id"), col("corpus_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // multimodal: binary column plumbing — payload byte length.
     "q41_media_bytes" -> ((s, d) =>
       Multimodal.mediaFromText(Tables.documents(s, d), "doc_id", "text")

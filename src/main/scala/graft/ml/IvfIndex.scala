@@ -153,4 +153,35 @@ object IvfIndex {
       .orderBy(col("sim").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** IVF top-k over an int8-quantized corpus — the two scale levers
+    * composed: cell probing cuts CANDIDATE COUNT (~nProbe/nCells of the
+    * corpus), quantization cuts BYTES PER CANDIDATE (4x), and both
+    * multiply at 100 TB where the cell-join shuffle of corpus vectors
+    * dominates. Scoring is the asymmetric quantized dot (full-precision
+    * query); recall vs exact is gated in AnnRecallSpec, never assumed. */
+  def topKQuantized(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, model: Model, nProbe: Int): DataFrame = {
+    val assigned = Similarity.quantizeInt8(
+      assignCells(
+        corpus.select(col(idCol).as("corpus_id"),
+          Similarity.normalize(col(vecCol)).as("cv"),
+          col(vecCol).as("__vec")),
+        "__vec", model).drop("__vec"),
+      "cv").drop("cv") // float vectors die before the cell join
+    val probes = assignProbes(
+        queries.select(col(idCol).as("query_id"),
+          Similarity.normalize(col(vecCol)).as("qv"),
+          col(vecCol).as("__vec")),
+        "__vec", model, nProbe).drop("__vec")
+      .withColumn("cell", explode(col("cells"))).drop("cells")
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        Similarity.dotQuantized(col("cv_qscale"), col("cv_qvec"),
+          col("qv")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

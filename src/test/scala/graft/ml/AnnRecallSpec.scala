@@ -86,6 +86,24 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.45, f"IVF recall@5 $r%.3f below gate")
   }
 
+  test("quantized IVF (q87 params) recall@5 >= 0.45 vs exact ground truth") {
+    val model = IvfIndex.train(emb, "embedding", nCells = 8)
+    val exact = IvfIndex.topK(emb, queries, "vec_id", "embedding",
+        k = 5, model, nProbe = 2)
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect()
+    val got = IvfIndex.topKQuantized(emb, queries, "vec_id", "embedding",
+        k = 5, model, nProbe = 2)
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect()
+    val r = recallAt5(got)
+    info(f"quantized IVF recall@5 = $r%.3f")
+    assert(r >= 0.45, f"quantized IVF recall@5 $r%.3f below gate")
+    // quantization should barely move the IVF candidate ranking: the
+    // two IVF variants must agree on nearly all of their top-5 sets
+    val agree = exact.toSet.intersect(got.toSet).size.toDouble / exact.length
+    info(f"IVF exact-vs-quantized agreement = $agree%.3f")
+    assert(agree >= 0.9, f"agreement $agree%.3f below 0.9")
+  }
+
   test("embedding near-dup (q54 params) recovers exactly the planted pairs") {
     val base = emb.select($"vec_id", $"embedding")
     val planted = base.filter($"vec_id" < 20)
