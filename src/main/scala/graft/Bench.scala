@@ -62,7 +62,8 @@ object Bench {
     // protocol); the file artifact additionally carries the per-query
     // median, the statistic that survives this VM's documented
     // intermittent 1.5-2x disk/CPU inflation (r7 wire-family flag).
-    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    val repeat = math.max(1,
+      sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1))
     val samples = ordered.map { case (name, fn) =>
       name -> (1 to repeat).map(_ => runOnce(name, fn)).sorted
     }
@@ -98,7 +99,10 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json"))
     val w = new java.io.PrintWriter(outFile, "UTF-8")
     try w.println(line(_.toString)) finally w.close()
-    println(line(v => f"$v%.4f"))
+    // Locale.ROOT: the f-interpolator honors the JVM default locale,
+    // and a comma-decimal locale would emit unparseable "JSON"
+    println(line(v =>
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))))
     spark.stop()
     if (scratch.getAbsolutePath.startsWith("/dev/shm/"))
       org.apache.commons.io.FileUtils.deleteQuietly(scratch) // free the RAM

@@ -130,29 +130,45 @@ object IvfIndex {
       withId.join(best, Seq("__rid")).drop("__rid")
     }
 
-  /** IVF top-k cosine search: corpus assigned once, queries probe nProbe
-    * cells, candidates ranked per query. */
-  def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, model: Model, nProbe: Int): DataFrame = {
-    val assigned = assignCells(
+  /** Cell-assigned, normalized corpus side: (corpus_id, cv, cell). */
+  private def corpusSide(corpus: DataFrame, idCol: String, vecCol: String,
+      model: Model): DataFrame =
+    assignCells(
       corpus.select(col(idCol).as("corpus_id"),
         Similarity.normalize(col(vecCol)).as("cv"),
         col(vecCol).as("__vec")),
       "__vec", model).drop("__vec")
-    val probes = assignProbes(
+
+  /** Probe-exploded, normalized query side: (query_id, qv, cell). */
+  private def probeSide(queries: DataFrame, idCol: String, vecCol: String,
+      model: Model, nProbe: Int): DataFrame =
+    assignProbes(
         queries.select(col(idCol).as("query_id"),
           Similarity.normalize(col(vecCol)).as("qv"),
           col(vecCol).as("__vec")),
         "__vec", model, nProbe).drop("__vec")
       .withColumn("cell", explode(col("cells"))).drop("cells")
+
+  /** Shared candidate join + per-query ranking; `sim` is the scoring
+    * expression over the joined row (exact dot or quantized dot). */
+  private def rankCandidates(assigned: DataFrame, probes: DataFrame,
+      sim: Column, k: Int): DataFrame = {
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
-      .select(col("query_id"), col("corpus_id"),
-        Similarity.dot(col("qv"), col("cv")).as("sim"))
+      .select(col("query_id"), col("corpus_id"), sim.as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** IVF top-k cosine search: corpus assigned once, queries probe nProbe
+    * cells, candidates ranked per query. */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, model: Model, nProbe: Int): DataFrame =
+    rankCandidates(
+      corpusSide(corpus, idCol, vecCol, model),
+      probeSide(queries, idCol, vecCol, model, nProbe),
+      Similarity.dot(col("qv"), col("cv")), k)
 
   /** IVF top-k over an int8-quantized corpus — the two scale levers
     * composed: cell probing cuts CANDIDATE COUNT (~nProbe/nCells of the
@@ -161,27 +177,11 @@ object IvfIndex {
     * dominates. Scoring is the asymmetric quantized dot (full-precision
     * query); recall vs exact is gated in AnnRecallSpec, never assumed. */
   def topKQuantized(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, model: Model, nProbe: Int): DataFrame = {
-    val assigned = Similarity.quantizeInt8(
-      assignCells(
-        corpus.select(col(idCol).as("corpus_id"),
-          Similarity.normalize(col(vecCol)).as("cv"),
-          col(vecCol).as("__vec")),
-        "__vec", model).drop("__vec"),
-      "cv").drop("cv") // float vectors die before the cell join
-    val probes = assignProbes(
-        queries.select(col(idCol).as("query_id"),
-          Similarity.normalize(col(vecCol)).as("qv"),
-          col(vecCol).as("__vec")),
-        "__vec", model, nProbe).drop("__vec")
-      .withColumn("cell", explode(col("cells"))).drop("cells")
-    val scored = assigned.join(broadcast(probes), Seq("cell"))
-      .filter(col("corpus_id") =!= col("query_id"))
-      .select(col("query_id"), col("corpus_id"),
-        Similarity.dotQuantized(col("cv_qscale"), col("cv_qvec"),
-          col("qv")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-  }
+      vecCol: String, k: Int, model: Model, nProbe: Int): DataFrame =
+    rankCandidates(
+      // float vectors die before the cell join
+      Similarity.quantizeInt8(
+        corpusSide(corpus, idCol, vecCol, model), "cv").drop("cv"),
+      probeSide(queries, idCol, vecCol, model, nProbe),
+      Similarity.dotQuantized(col("cv_qscale"), col("cv_qvec"), col("qv")), k)
 }

@@ -62,23 +62,22 @@ object BinlogCatalog {
     val confMap = graft.util.HadoopIo.confMap
     val base = dir
     spark.createDataset(files).flatMap { name =>
+      // lazy per-row iterator + task-completion close (the
+      // readBinlogFiles pattern): a multi-GiB file's event listing
+      // streams through the task, never materializing in its heap
       val p = new org.apache.hadoop.fs.Path(base, name)
       val fs = p.getFileSystem(graft.util.HadoopIo.confFrom(confMap))
       val in = fs.open(p)
-      try {
-        var off = 4L // events start after the 4-byte magic
-        val out = scala.collection.mutable.ArrayBuffer
-          .empty[(String, Long, String, Long, Long, String)]
-        val it = BinlogWire.parseStream(in)
-          .map { f => val start = off; off = f.nextPos; (start, f) }
-          .filter { case (start, _) => start >= pos }
-          .take(if (limit > Int.MaxValue) Int.MaxValue else limit.toInt)
-        it.foreach { case (start, f) =>
-          out += ((name, start, typeName(f.typeCode), f.serverId,
-            f.nextPos, info(f)))
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+      var off = 4L // events start after the 4-byte magic
+      BinlogWire.parseStream(in)
+        .map { f => val start = off; off = f.nextPos; (start, f) }
+        .filter { case (start, _) => start >= pos }
+        .take(if (limit > Int.MaxValue) Int.MaxValue else limit.toInt)
+        .map { case (start, f) =>
+          (name, start, typeName(f.typeCode), f.serverId, f.nextPos, info(f))
         }
-        out.toSeq
-      } finally in.close()
     }.toDF("log_name", "pos", "event_type", "server_id", "end_log_pos",
       "info")
   }

@@ -97,14 +97,19 @@ object ChangeEventSource {
             map().cast(f.dataType).as(f.name)
           case "ddl" => lit(null).cast(f.dataType).as("ddl")
           case "serverId" => lit(0L).as("serverId")
-          case "tsoTime" =>
-            // physical time IS encoded in the tso (VirtualTso layout);
-            // derive when the feed doesn't carry a clock column
-            timestamp_millis(col("tso")).as("tsoTime")
-          case other => throw new IllegalArgumentException(
-            s"ChangeEventSource.envelope: feed lacks required column " +
-            s"'$other' and no default was given; present: " +
-            present.toSeq.sorted.mkString(", "))
+          case other =>
+            // tsoTime deliberately has NO silent fallback: the tso's
+            // physical-time encoding is layout-specific (VirtualTso is
+            // a 19-digit prefix, packed tsos shift it left), so any
+            // guessed conversion would feed wrong event times into
+            // watermarks and the heartbeat gate. The caller states the
+            // layout via `defaults` — e.g.
+            // Map("tsoTime" -> timestamp_millis(col("tso"))) when the
+            // feed's tso IS epoch millis.
+            throw new IllegalArgumentException(
+              s"ChangeEventSource.envelope: feed lacks required column " +
+              s"'$other' and no default was given; present: " +
+              present.toSeq.sorted.mkString(", "))
         })
     }
     raw.select(cols.toIndexedSeq: _*)

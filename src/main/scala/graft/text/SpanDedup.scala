@@ -75,10 +75,16 @@ object SpanDedup {
       .distinct()
     val toks = df.select(col(idCol), posexplode(split(col(textCol), " ")))
       .toDF(idCol, "__tok", "__t")
-    toks.join(removed, Seq(idCol, "__tok"), "left_anti")
+    val kept = toks.join(removed, Seq(idCol, "__tok"), "left_anti")
       .groupBy(col(idCol))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("__tok"), col("__t")))),
         x => x.getField("__t")), " ").as(textCol))
+    // a document whose EVERY token sat in removed spans (an exact
+    // mirror of an earlier doc) must survive as an empty-text row, not
+    // vanish — callers join scrubbed text back by id and a missing row
+    // reads as data loss, not as "fully deduplicated"
+    df.select(col(idCol)).join(kept, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
   }
 }

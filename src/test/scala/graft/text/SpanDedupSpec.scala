@@ -53,6 +53,16 @@ class SpanDedupSpec extends SparkSpec {
     assert(out(4L) == "t u")
   }
 
+  test("an exact mirror scrubs to an EMPTY row, not a missing one") {
+    val mirrors = Seq((1L, "x y z"), (2L, "x y z")).toDF("doc_id", "text")
+    val out = SpanDedup.scrubDuplicatedSpans(mirrors, "doc_id", "text", k)
+      .as[(Long, String)].collect().toMap
+    // doc 2's only window is a later duplicate — all its tokens go;
+    // the row must survive with empty text (a missing row would read
+    // as data loss to any caller joining scrubbed text back by id)
+    assert(out == Map(1L -> "x y z", 2L -> ""))
+  }
+
   test("stats survive a corpus with no duplicates at all") {
     val clean = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
     val m = SpanDedup.spanStats(clean, "doc_id", "text", k)
