@@ -115,10 +115,17 @@ object Similarity {
       .drop("cv") // the float vector never leaves the scan stage
     val qv = queries.select(col(idCol).as("query_id"),
       normalize(col(vecCol)).as("qv"))
-    val scored = qcorp.join(broadcast(qv),
+    rankTopK(qcorp.join(broadcast(qv),
         col("corpus_id") =!= col("query_id"), "inner")
       .select(col("query_id"), col("corpus_id"),
-        dotQuantized(col("cv_qscale"), col("cv_qvec"), col("qv")).as("sim"))
+        dotQuantized(col("cv_qscale"), col("cv_qvec"), col("qv")).as("sim")),
+      k)
+  }
+
+  /** Per-query rank over a scored (query_id, corpus_id, sim) frame —
+    * the tail every top-k variant shares (deterministic corpus_id
+    * tie-break). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -135,13 +142,10 @@ object Similarity {
       normalize(col(vecCol)).as("qv"))
     val cn = corpus.select(col(idCol).as("corpus_id"),
       normalize(col(vecCol)).as("cv"))
-    val scored = cn.join(broadcast(qn),
+    rankTopK(cn.join(broadcast(qn),
         col("corpus_id") =!= col("query_id"), "inner")
-      .select(col("query_id"), col("corpus_id"), dot(col("qv"), col("cv")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        dot(col("qv"), col("cv")).as("sim")), k)
   }
 
   /** L2-normalize a float-array column (returns array<double>). */
@@ -225,13 +229,11 @@ object Similarity {
       normalize(col(vecCol)).as("qv"))
     val cv = corpus.select(col(idCol).as("corpus_id"),
       normalize(col(vecCol)).as("cv"))
-    val scored = candidates
+    rankTopK(candidates
       .join(maybeBroadcast(qv), Seq("query_id"))
       .join(cv, Seq("corpus_id"))
-      .select(col("query_id"), col("corpus_id"), dot(col("qv"), col("cv")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"),
+        dot(col("qv"), col("cv")).as("sim")), k)
   }
 
   /** Embedding-cosine near-duplicate pairs — the embedding-space member

@@ -183,6 +183,43 @@ class ChangeEventSourceSpec extends SparkSpec {
       Some("ALTER TABLE t ADD COLUMN c INT"))))
   }
 
+  test("raw wire bytes drive stateful transaction assembly end to end") {
+    import graft.sinks.BinlogWire
+    import graft.sinks.BinlogWire._
+    // two txns on the wire (sequence carrier), streamed as ONE segment
+    val specs = Seq(ColSpec("id", LongLong), ColSpec("v", VarChar(32)))
+    val df = Seq((1L, "a", "INSERT", 100L, 1L), (2L, "b", "INSERT", 100L, 2L),
+        (3L, "c", "INSERT", 200L, 3L))
+      .toDF("id", "v", "op", "tso", "seq")
+      .withColumn("ts", lit(1700000000L))
+      .coalesce(1).sortWithinPartitions("tso", "seq")
+    val dir = Files.createTempDirectory("graft-e2e-asm").toString
+    BinlogWire.writeTxnFramedBinlogFiles(df, specs, "app", "t", "op",
+      "ts", "tso", dir, tsoCarrier = "sequence")
+    val bytes = java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "binlog.000000").toPath)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Array[Byte])]
+    val envelope = ChangeEventSource.fromWireSegments(
+      input.toDF().toDF("dn", "payload"), "dn", "payload",
+      Map(("app", "t") -> Seq("id", "v")))
+    // wire rows publish on decode with their COMMIT already seen, so
+    // synthesize the assembly's COMMIT control rows from the xid
+    // boundary — txnId groups close when their last row arrives
+    val withCommit = envelope.as[graft.model.ChangeEvent].flatMap { e =>
+      Seq(e, e.copy(op = "COMMIT"))
+    }
+    val assembled = Pipeline.assembleTransactions(withCommit, timeout = None)
+    val q = assembled.writeStream.format("memory").queryName("e2e_asm")
+      .outputMode("append").start()
+    input.addData(("dn1", bytes))
+    q.processAllAvailable(); q.stop()
+    val txns = spark.sql(
+        "SELECT txnId, tso, nEvents FROM e2e_asm ORDER BY tso")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(txns == Seq((100L, 100L, 2), (200L, 200L, 1)))
+  }
+
   test("FAILFAST surfaces malformed packets as stream failures") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
