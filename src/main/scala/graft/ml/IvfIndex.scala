@@ -150,16 +150,15 @@ object IvfIndex {
       .withColumn("cell", explode(col("cells"))).drop("cells")
 
   /** Shared candidate join + per-query ranking; `sim` is the scoring
-    * expression over the joined row (exact dot or quantized dot). */
+    * expression over the joined row (exact dot or quantized dot). The
+    * rank tail is Similarity.rankTopK — ONE definition of top-k
+    * tie-breaking across the whole ANN family. */
   private def rankCandidates(assigned: DataFrame, probes: DataFrame,
-      sim: Column, k: Int): DataFrame = {
-    val scored = assigned.join(broadcast(probes), Seq("cell"))
-      .filter(col("corpus_id") =!= col("query_id"))
-      .select(col("query_id"), col("corpus_id"), sim.as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-  }
+      sim: Column, k: Int): DataFrame =
+    Similarity.rankTopK(
+      assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("corpus_id") =!= col("query_id"))
+        .select(col("query_id"), col("corpus_id"), sim.as("sim")), k)
 
   /** IVF top-k cosine search: corpus assigned once, queries probe nProbe
     * cells, candidates ranked per query. */

@@ -123,9 +123,9 @@ object Similarity {
   }
 
   /** Per-query rank over a scored (query_id, corpus_id, sim) frame —
-    * the tail every top-k variant shares (deterministic corpus_id
-    * tie-break). */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    * the tail every top-k variant (here and in IvfIndex) shares
+    * (deterministic corpus_id tie-break). */
+  private[ml] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

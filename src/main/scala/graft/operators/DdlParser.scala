@@ -557,10 +557,15 @@ object DdlParser {
         case "rename" =>
           if (word(1) == "column")
             Seq(RenameColumn(tok(2).toLowerCase, tok(4).toLowerCase))
-          else if (word(1) == "index" || word(1) == "key")
-            Seq(IgnoredAction) // RENAME INDEX a TO b: no schema effect —
-            // and must NOT fall through to RenameTo (it would read as a
-            // table rename to a table literally named `index`)
+          else if ((word(1) == "index" || word(1) == "key") &&
+              word(3) == "to")
+            // RENAME INDEX old TO new — no schema effect, and must NOT
+            // fall through to RenameTo (it would read as a table rename
+            // to a table literally named `index`). The `word(3) == "to"`
+            // shape check keeps a genuine table rename to a backticked
+            // table NAMED `index`/`key` (2 tokens, no TO tail) on the
+            // RenameTo path below.
+            Seq(IgnoredAction)
           else {
             val base = if (word(1) == "to" || word(1) == "as") 2 else 1
             if (idxs.length > base + 1 && tok(base + 1) == ".")

@@ -25,9 +25,7 @@ object BinlogCatalog {
   def showBinaryLogs(spark: SparkSession, dir: String,
       filePrefix: String = "binlog."): DataFrame = {
     import spark.implicits._
-    listFiles(dir, filePrefix)
-      .map { case (name, size) => (name, size) }
-      .toDF("log_name", "file_size")
+    listFiles(dir, filePrefix).toDF("log_name", "file_size")
   }
 
   /** SHOW MASTER STATUS — the latest file cursor: max wire file and
@@ -38,7 +36,8 @@ object BinlogCatalog {
   def showMasterStatus(spark: SparkSession, dir: String,
       filePrefix: String = "binlog."): DataFrame = {
     import spark.implicits._
-    val last = listFiles(dir, filePrefix).lastOption.getOrElse(("", 4L))
+    val last = listFiles(dir, filePrefix, allowMissing = true)
+      .lastOption.getOrElse(("", 4L))
     Seq(last).toDF("file", "position")
   }
 
@@ -141,7 +140,8 @@ object BinlogCatalog {
       BinlogWire.queryStatement(f.body)
     case BinlogWire.RotateEvent =>
       new String(f.body.drop(8),
-        java.nio.charset.StandardCharsets.UTF_8) + ";pos=4"
+        java.nio.charset.StandardCharsets.UTF_8) +
+        ";pos=" + new BinlogWire.ByteReader(f.body).le(8)
     case BinlogWire.SequenceEvent =>
       val r = new BinlogWire.ByteReader(f.body)
       val t = r.u8(); val n = r.le(8)
@@ -160,13 +160,19 @@ object BinlogCatalog {
   }
 
   /** Name-ordered (name, size) listing of the wire files under `dir` —
-    * bounded driver metadata, the one non-distributed step. */
-  private def listFiles(dir: String,
-      filePrefix: String): Seq[(String, Long)] = {
+    * bounded driver metadata, the one non-distributed step. A missing
+    * directory fails LOUDLY (a typo'd or lost log dir must not read as
+    * an empty log); only showMasterStatus tolerates it, mirroring the
+    * reference's empty-manager answer. */
+  private def listFiles(dir: String, filePrefix: String,
+      allowMissing: Boolean = false): Seq[(String, Long)] = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = graft.util.HadoopIo.fsOf(root)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
+    if (!fs.exists(root)) {
+      if (allowMissing) Seq.empty
+      else throw new java.io.FileNotFoundException(
+        s"BinlogCatalog: wire-log directory does not exist: $dir")
+    } else fs.listStatus(root).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith(filePrefix))
       .map(st => (st.getPath.getName, st.getLen))
       .sortBy(_._1)

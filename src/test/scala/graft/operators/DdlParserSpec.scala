@@ -288,6 +288,14 @@ class DdlParserSpec extends SparkSpec {
     // only the CREATE and the one real column add change the schema;
     // the table NAME survives every partition/index/default statement
     assert(out.map(r => (r._1, r._3)) == Seq((1L, "t"), (7L, "t")))
+    // but a table rename TO a backticked table literally named `index`
+    // or `key` is still a real rename (no TO tail after the keyword)
+    assert(parse("ALTER TABLE t RENAME `index`", "s") ==
+      AlterTable("s", "t", Seq(RenameTo(None, "index"))))
+    assert(parse("ALTER TABLE t RENAME TO `key`", "s") ==
+      AlterTable("s", "t", Seq(RenameTo(None, "key"))))
+    assert(parse("ALTER TABLE t RENAME KEY a TO b", "s") ==
+      AlterTable("s", "t", Seq(IgnoredAction)))
     assert(out.last._5 == "id,g2,v,g")
     assert(out.last._4.contains(""""pk":["id"]"""))
     // generated columns keep name + base type

@@ -45,6 +45,18 @@ class BinlogCatalogSpec extends SparkSpec {
     val empty = java.nio.file.Files.createTempDirectory("graft-empty").toString
     assert(BinlogCatalog.showMasterStatus(spark, empty)
       .as[(String, Long)].collect().head == (("", 4L)))
+    // a MISSING directory is only tolerated by the master cursor; the
+    // listing surfaces fail loudly — a typo'd log dir must not read as
+    // an empty log
+    val gone = empty + "/does-not-exist"
+    assert(BinlogCatalog.showMasterStatus(spark, gone)
+      .as[(String, Long)].collect().head == (("", 4L)))
+    intercept[java.io.FileNotFoundException] {
+      BinlogCatalog.showBinaryLogs(spark, gone)
+    }
+    intercept[java.io.FileNotFoundException] {
+      BinlogCatalog.fileStats(spark, gone)
+    }
   }
 
   test("showBinlogEvents positions chain: first at 4, next = prev end, last = size") {

@@ -19,10 +19,13 @@ class ChangeEventSourceSpec extends SparkSpec {
   private def packet(tso: Long, dn: String, op: String,
       table: String = "t", hb: Boolean = false): String = {
     val secs = tso // fixture: 1 tso tick = 1 second of physical time
+    // ISO-8601 with explicit Z: Timestamp.toString would render in the
+    // JVM default timezone while from_json parses under the session's
+    // fixed UTC — a non-UTC machine would shift every window
     s"""{"tso":$tso,"txnId":${tso / 10},"partitionId":"$dn",""" +
       s""""traceId":"tr-$tso","op":"$op","schemaName":"app",""" +
-      s""""tableName":"$table","tsoTime":"${java.sql.Timestamp.from(
-        java.time.Instant.ofEpochSecond(secs))}",""" +
+      s""""tableName":"$table","tsoTime":"${java.time.Instant
+        .ofEpochSecond(secs)}",""" +
       s""""after":{"id":"$tso"},"serverId":${if (dn == "dn1") 1 else 2}}"""
   }
 
