@@ -1263,9 +1263,12 @@ object SparkEntry {
     // exact k-token span dedup (ORACLE-CHECKED): per-doc span counts
     // with global duplicate marking, over the corpus plus 21 planted
     // mirror copies (the natural fixture has no verbatim 8-token
-    // overlap — mirrors are the classic source of it). Window hashes
-    // are the q35 Rabin-Karp fold, so DuckDB recomputes every span
-    // hash; only 8-byte hashes shuffle.
+    // overlap — mirrors are the classic source of it). The oracle
+    // groups windows by their TEXT — the engine-independent ground
+    // truth for "duplicated span" — so the Spark side's 128-bit
+    // composite key is a checked implementation detail: any key
+    // collision would surface as a count mismatch. Only 16-byte keys
+    // shuffle.
     "q86_span_dedup" -> ((s, d) => {
       import graft.text.SpanDedup
       val docs = Tables.documents(s, d).filter(col("doc_id") <= 200)
@@ -1959,8 +1962,10 @@ object SparkEntry {
         "CAST(list_aggregate(qv, 'min') AS INTEGER) AS qmin, " +
         "CAST(list_aggregate(qv, 'max') AS INTEGER) AS qmax " +
         "FROM q ORDER BY vec_id"),
-    // q86: same windows (0-based start pos), same char fold as q35,
-    // duplicate = hash count > 1 anywhere in the planted corpus
+    // q86: same windows (0-based start pos); duplicate = window TEXT
+    // seen more than once anywhere in the planted corpus — the ground
+    // truth the Spark side's hash keys approximate (collision-free by
+    // construction here, so counts must match exactly)
     "q86_span_dedup" ->
       ("WITH base AS (SELECT doc_id, text FROM documents " +
         "WHERE doc_id <= 200 UNION ALL SELECT doc_id + 10000, text " +
@@ -1969,13 +1974,10 @@ object SparkEntry {
         "w AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS win " +
         "FROM d, unnest(range(1, greatest(1, len(toks) - 8 + 1) + 1)) t(i) " +
         "WHERE len(toks) >= 8), " +
-        "h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        "[CAST(ord(c) AS BIGINT) for c in string_split(win, '')]), " +
-        "(acc, x) -> (acc * 31 + x) % 2147483629) AS hash FROM w), " +
-        "g AS (SELECT hash, count(*) AS n FROM h GROUP BY hash) " +
-        "SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_spans, " +
+        "g AS (SELECT win, count(*) AS n FROM w GROUP BY win) " +
+        "SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_spans, " +
         "CAST(sum(CASE WHEN g.n > 1 THEN 1 ELSE 0 END) AS BIGINT) " +
-        "AS n_dup_spans FROM h JOIN g USING (hash) " +
-        "GROUP BY h.doc_id ORDER BY h.doc_id")
+        "AS n_dup_spans FROM w JOIN g USING (win) " +
+        "GROUP BY w.doc_id ORDER BY w.doc_id")
   )
 }

@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact substring (k-token span) deduplication — the exact-overlap
@@ -13,15 +12,21 @@ import org.apache.spark.sql.functions._
   * otherwise-distinct documents — boilerplate sentences, quoted text,
   * mirrored passages.
   *
-  * Scale shape: every k-token window hashes IN THE SCAN STAGE (the
-  * q35 Rabin-Karp char fold — engine-independent, so external oracles
-  * recompute it); only (id, pos, hash) rows ever shuffle — 8-byte keys,
-  * never window text. Global duplicate detection is one groupBy(hash);
-  * the scrub path's keep-first ranking is a window over the same
-  * shuffle. Work is O(k·n) characters per document (windows re-hash
-  * their k tokens) — a deliberate trade: the O(n) rolling form needs
-  * cross-element running state that breaks expression-level codegen,
-  * and k is a small constant.
+  * Scale shape: every k-token window hashes IN THE SCAN STAGE; only
+  * (id, pos, hash) rows ever shuffle — a 16-byte composite key (two
+  * independent xxhash64s, so the scrub path — which permanently
+  * deletes text — keys on ~128 bits: birthday-safe past 2^40 windows,
+  * where a single 64-bit key would already pick up spurious collisions
+  * on a 100 TB corpus), never window text. Global duplicate detection
+  * and winner election are map-side-combinable aggregations — NEVER a
+  * window function: a ubiquitous boilerplate span (the exact thing span
+  * dedup exists to remove) can occur 10⁷–10⁸ times, and a window over
+  * its hash would single-task every occurrence, while partial
+  * aggregation collapses them to one row per map task. Work is O(k·n)
+  * characters per document (windows re-hash their k tokens) — a
+  * deliberate trade: the O(n) rolling form needs cross-element running
+  * state that breaks expression-level codegen, and k is a small
+  * constant.
   */
 object SpanDedup {
 
@@ -35,12 +40,15 @@ object SpanDedup {
 
   /** One row per k-token window: (idCol, pos, hash). pos is the
     * 0-based token index of the window start. The window text dies in
-    * this projection — only the 8-byte hash leaves the scan. */
+    * this projection — only the 16-byte composite hash leaves the scan
+    * (h1/h2 are xxhash64 under two different seeds; equality on the
+    * pair is window-text equality for any physically-possible corpus). */
   def windowHashes(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
     df.select(col(idCol), explode(windowStructs(col(textCol), k)).as("w"))
       .select(col(idCol), col("w.pos").as("pos"),
-        TextAnalysis.rollingFingerprint(col("w.win")).as("hash"))
+        struct(xxhash64(col("w.win")).as("h1"),
+          xxhash64(lit(0x5bd1e995L), col("w.win")).as("h2")).as("hash"))
 
   /** Per-document span statistics: total spans and spans whose hash
     * occurs more than once ANYWHERE in the corpus (including within the
@@ -61,15 +69,27 @@ object SpanDedup {
     * survives and every other occurrence's k token positions are
     * dropped from their documents (overlapping dropped windows union).
     * Returns (idCol, textCol) with the scrubbed text — token-joined,
-    * so inter-token whitespace normalizes to single spaces. */
+    * so inter-token whitespace normalizes to single spaces.
+    *
+    * Winner election is groupBy(hash).agg(min(struct(id, pos))) — the
+    * same map-side-combinable shape as ParagraphDedup — so a hash with
+    * 10⁸ occurrences partial-aggregates in the map stage instead of
+    * funneling into one window task. The join back on hash is
+    * AQE-skew-splittable (the winner side is one row per duplicated
+    * hash, replicable across splits of a hot partition) — a guarantee
+    * no window over the same key can offer. */
   def scrubDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     val hashes = windowHashes(df, idCol, textCol, k)
-    val rankW = Window.partitionBy(col("hash"))
-      .orderBy(col(idCol), col("pos"))
-    val removed = hashes
-      .withColumn("__rk", row_number().over(rankW))
-      .filter(col("__rk") > 1) // keep-first rule
+    val winners = hashes
+      .groupBy(col("hash"))
+      .agg(min(struct(col(idCol), col("pos"))).as("__keep"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") > 1) // unique spans never join, never shuffle twice
+      .select(col("hash"), col("__keep"))
+    val removed = hashes.join(winners, Seq("hash"))
+      .filter(!(col(idCol) === col("__keep")(idCol) &&
+        col("pos") === col("__keep")("pos"))) // keep-first rule
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("__tok"))
       .distinct()

@@ -63,6 +63,20 @@ class SpanDedupSpec extends SparkSpec {
     assert(out == Map(1L -> "x y z", 2L -> ""))
   }
 
+  test("scrub elects winners by aggregation — no Window over hash") {
+    // a window over the span hash single-tasks every occurrence of a
+    // ubiquitous span; the election must stay map-side-combinable
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SpanDedup.scrubDuplicatedSpans(docs, "doc_id", "text", k)
+        .queryExecution.executedPlan
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty, plan.toString.take(800))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("stats survive a corpus with no duplicates at all") {
     val clean = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
     val m = SpanDedup.spanStats(clean, "doc_id", "text", k)
