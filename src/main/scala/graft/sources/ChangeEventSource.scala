@@ -47,13 +47,29 @@ object ChangeEventSource {
     * scoped (every file re-declares its maps), so decode needs no
     * cross-record state and parallelism stays per-record.
     *
+    * `tsoAuthority` states what orders a row whose segment carries NO
+    * tso (no CTS mark, SEQUENCE, or GCN — e.g. a bare-MySQL feed):
+    * "wire" (default) fails loudly — xids are not globally ordered
+    * across DNs, so a silent fallback would let the downstream TSO
+    * sort produce a wrong global order, the same silent-corruption
+    * class `envelope()` refuses for tsoTime; "xid" opts in to xid
+    * order for a SINGLE-source feed where xid order is commit order.
+    *
     * txnId = the wire xid; traceId = "<dn>:<n>" (arrival index within
     * the segment — intra-txn order, the reference's trace-id role). */
   def fromWireSegments(raw: DataFrame, dnCol: String, payloadCol: String,
-      colNames: Map[(String, String), Seq[String]] = Map.empty)
+      colNames: Map[(String, String), Seq[String]] = Map.empty,
+      tsoAuthority: String = "wire")
       : DataFrame = {
     val spark = raw.sparkSession
     import spark.implicits._
+    val tsoFromXid = tsoAuthority match {
+      case "wire" => false
+      case "xid" => true
+      case other => throw new IllegalArgumentException(
+        s"ChangeEventSource.fromWireSegments: unknown tsoAuthority " +
+        s"'$other' (expected \"wire\" or \"xid\")")
+    }
     val decoded = raw
       .select(col(dnCol).cast("string"), col(payloadCol).cast("binary"))
       .as[(String, Array[Byte])]
@@ -61,7 +77,16 @@ object ChangeEventSource {
         graft.sinks.BinlogWire.decodeFile(bytes, colNames).iterator
           .zipWithIndex.map { case (r, i) =>
             graft.model.ChangeEvent(
-              tso = r.tso.getOrElse(r.xid.getOrElse(0L)),
+              tso = r.tso.getOrElse {
+                if (tsoFromXid) r.xid.getOrElse(0L)
+                else throw new IllegalArgumentException(
+                  s"ChangeEventSource.fromWireSegments: segment from DN " +
+                  s"'$dn' decoded a row with no tso carrier (no CTS " +
+                  "mark, SEQUENCE, or GCN). xids are not globally " +
+                  "ordered across DNs, so there is no safe implicit " +
+                  "fallback; pass tsoAuthority = \"xid\" only for a " +
+                  "single-source feed whose xid order IS commit order.")
+              },
               txnId = r.xid.getOrElse(0L),
               partitionId = dn,
               traceId = f"$dn%s:$i%09d",

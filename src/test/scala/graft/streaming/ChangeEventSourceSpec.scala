@@ -172,18 +172,47 @@ class ChangeEventSourceSpec extends SparkSpec {
   test("wire segments carry DDL events into the envelope as op=DDL rows") {
     import graft.sinks.BinlogWire
     // hand-framed segment: FDE + DDL query + a txn — the mixed stream a
-    // relay actually sees
+    // relay actually sees. No CTS/SEQUENCE/GCN precedes the DDL, so the
+    // feed must state its tso authority explicitly (here: xid order,
+    // the single-source stance).
     val baos = new java.io.ByteArrayOutputStream()
     val w = new BinlogWire.FileWriter(baos)
     w.write(BinlogWire.formatDescription(1700000000L, 1L))
     w.write(BinlogWire.ddlEvent(1700000001L, 1L, "app",
       "ALTER TABLE t ADD COLUMN c INT"))
     val envelope = ChangeEventSource.fromWireSegments(
-      Seq(("dn1", baos.toByteArray)).toDF("dn", "payload"), "dn", "payload")
+      Seq(("dn1", baos.toByteArray)).toDF("dn", "payload"), "dn", "payload",
+      tsoAuthority = "xid")
     val rows = envelope.select($"op", $"schemaName", $"ddl")
       .as[(String, String, Option[String])].collect().toSeq
     assert(rows == Seq(("DDL", "app",
       Some("ALTER TABLE t ADD COLUMN c INT"))))
+  }
+
+  test("a markless segment fails loudly unless the tso authority is stated") {
+    import graft.sinks.BinlogWire
+    // same hand-framed no-carrier segment as above: under the default
+    // "wire" authority this must FAIL, naming the fix — xids are not
+    // globally ordered across DNs, so a silent tso=xid fallback would
+    // feed a wrong global order into the downstream TSO sort
+    val baos = new java.io.ByteArrayOutputStream()
+    val w = new BinlogWire.FileWriter(baos)
+    w.write(BinlogWire.formatDescription(1700000000L, 1L))
+    w.write(BinlogWire.ddlEvent(1700000001L, 1L, "app", "CREATE TABLE t (id INT)"))
+    val seg = Seq(("dn1", baos.toByteArray)).toDF("dn", "payload")
+    val ex = intercept[Exception] {
+      ChangeEventSource.fromWireSegments(seg, "dn", "payload").collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(c => c.getMessage != null &&
+      c.getMessage.contains("tsoAuthority")), ex.toString)
+    // and a bogus authority is rejected at call time, before any job
+    val bad = intercept[IllegalArgumentException] {
+      ChangeEventSource.fromWireSegments(seg, "dn", "payload",
+        tsoAuthority = "hope")
+    }
+    assert(bad.getMessage.contains("tsoAuthority"))
   }
 
   test("raw wire bytes drive stateful transaction assembly end to end") {
