@@ -1217,11 +1217,14 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
-    // SHOW MASTER STATUS + SHOW BINARY LOGS consistency in one row:
-    // the latest-file cursor against the listing's aggregate. Wire
-    // bytes have no SQL oracle → rows-only gate; the positional
-    // invariants (cursor = max file + its size; per-event positions
-    // chain to the file size) are BinlogCatalogSpec.
+    // SHOW MASTER STATUS + SHOW BINARY LOGS + the dump-from-TSO seek,
+    // ORACLE-CHECKED byte-exactly: with fixed-width columns and the
+    // SEQUENCE carrier every wire event has a constant size (magic 4 +
+    // FDE 116 + TABLE_MAP 47 per file; SEQUENCE 28 + BEGIN 38 + XID 27
+    // per txn; WRITE_ROWS 44 per row — all public binlog-v4 layout,
+    // 19-byte headers), so DuckDB predicts the master cursor AND the
+    // seekTso(50) offset from lineitem row counts alone. Any lost,
+    // duplicated, or re-framed row or txn moves the bytes.
     "q83_master_status" -> ((s, d) => {
       import graft.sinks.{BinlogCatalog, BinlogWire}
       import graft.sinks.BinlogWire._
@@ -1231,14 +1234,17 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber").cast("int"),
           lit("INSERT").as("op"), col("l_orderkey").as("tso"),
           lit(1700000000L).as("ts"))
-      val ordered = MergeSort.sortedRunsGrouped(rows, 4, Seq("tso"),
+      val ordered = MergeSort.sortedRunsGrouped(rows, 1, Seq("tso"),
         Seq("l_linenumber"))
       val dir = Staged.tempDir("q83-master")
       BinlogWire.writeTxnFramedBinlogFiles(ordered, specs, "app",
-        "lineitem", "op", "ts", "tso", dir)
+        "lineitem", "op", "ts", "tso", dir, tsoCarrier = "sequence")
       val logs = BinlogCatalog.showBinaryLogs(s, dir)
         .agg(count(lit(1)).as("n_files"), sum(col("file_size")).as("n_bytes"))
+      val seek = BinlogCatalog.seekTso(s, dir, 50L)
       BinlogCatalog.showMasterStatus(s, dir).crossJoin(logs)
+        .withColumn("seek_file", lit(seek._1))
+        .withColumn("seek_offset", lit(seek._2))
     }),
 
     // int8 embedding quantization (ORACLE-CHECKED): per-vector scale
@@ -1945,6 +1951,26 @@ object SparkEntry {
         "UNION ALL SELECT 'Table_map', CAST(4 AS BIGINT) " +
         "UNION ALL SELECT 'Write_rows', n_rows FROM t " +
         "UNION ALL SELECT 'Xid', txns FROM t) ORDER BY event_type"),
+    // q83: byte-exact master cursor + dump-from-TSO seek — the single
+    // file's size is affine in (txns, rows): 4 magic + 116 FDE +
+    // 47 TABLE_MAP, then 93 per txn (SEQUENCE 28 + BEGIN 38 + XID 27)
+    // and 44 per row (WRITE_ROWS, two fixed-width columns); seekTso(50)
+    // lands at the first txn with tso > 50, i.e. after the byte prefix
+    // of txns/rows at or below 50
+    "q83_master_status" ->
+      ("WITH base AS (SELECT l_orderkey FROM lineitem " +
+        "WHERE l_orderkey <= 100), " +
+        "t AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS txns, " +
+        "CAST(count(*) AS BIGINT) AS n_rows FROM base), " +
+        "p AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS t50, " +
+        "CAST(count(*) AS BIGINT) AS r50 FROM base WHERE l_orderkey <= 50) " +
+        "SELECT 'binlog.000000' AS file, " +
+        "CAST(167 + 93 * txns + 44 * n_rows AS BIGINT) AS position, " +
+        "CAST(1 AS BIGINT) AS n_files, " +
+        "CAST(167 + 93 * txns + 44 * n_rows AS BIGINT) AS n_bytes, " +
+        "'binlog.000000' AS seek_file, " +
+        "CAST(167 + 93 * t50 + 44 * r50 AS BIGINT) AS seek_offset " +
+        "FROM t, p"),
     // q84: same double math — scale = max|x|/127 over the float
     // components widened to double, components round(x/scale) (both
     // engines round ties away from zero), aggregates over the int8 list

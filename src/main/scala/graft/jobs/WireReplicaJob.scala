@@ -51,6 +51,15 @@ object WireReplicaJob {
     * @param tableCols the wire TABLE_MAP column-name registry passed to
     *   the decoder (schema/table → column names), as written by the
     *   encoding sink.
+    * @param fromTso dump-from-TSO start cursor: replay only transactions
+    *   with tso > fromTso. `BinlogCatalog.seekTso` locates the start
+    *   FILE (files wholly below it are listed but never opened — decode
+    *   cost is O(suffix)), and the apply gate's initial committed
+    *   position is set to fromTso so the seek file's own prefix (txns at
+    *   or below the cursor) skips — the reference's
+    *   SearchTsoEventHandleV2 → dump hop. File granularity prunes I/O;
+    *   the tso gate is the exact boundary (decode is file-scoped because
+    *   TABLE_MAP state is declared per file).
     */
   def start(spark: SparkSession, wireDir: String,
       tableCols: Map[(String, String), Seq[String]],
@@ -59,12 +68,16 @@ object WireReplicaJob {
       seqCol: String, targetDir: String, checkpointDir: String,
       nBuckets: Int, txnsPerCommit: Int = 8,
       continuous: Option[String] = None,
-      maxFilesPerTrigger: Int = 16): StreamingQuery = {
+      maxFilesPerTrigger: Int = 16,
+      fromTso: Option[Long] = None): StreamingQuery = {
     require(colTypes.map(_._1).toSet.intersect(keyCols.toSet) == keyCols.toSet
         && colTypes.exists(_._1 == seqCol),
       "colTypes must cover keyCols and seqCol")
+    val startFile = fromTso.map { t =>
+      graft.sinks.BinlogCatalog.seekTso(spark, wireDir, t)._1
+    }.filter(_.nonEmpty)
     val decoded = BinlogWire.tailBinlogFiles(spark, wireDir, tableCols,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, minFileName = startFile)
     val trigger = continuous match {
       case Some(interval) => Trigger.ProcessingTime(interval)
       case None => Trigger.AvailableNow()
@@ -79,7 +92,8 @@ object WireReplicaJob {
         // applyBatch's own staged probe short-circuits an empty batch
         if (TxnApplier.currentCommit(targetDir).isEmpty)
           TxnApplier.bootstrap(typed.limit(0).drop("op", "tso"),
-            keyCols, targetDir, nBuckets, initialTso = 0L)
+            keyCols, targetDir, nBuckets,
+            initialTso = fromTso.getOrElse(0L))
         TxnApplier.applyBatch(typed, keyCols, seqCol, "op", "tso",
           targetDir, nBuckets, txnsPerCommit)
         ()

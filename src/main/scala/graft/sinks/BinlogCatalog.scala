@@ -69,8 +69,23 @@ object BinlogCatalog {
       val in = fs.open(p)
       Option(org.apache.spark.TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+      // close on exhaustion too: a partition listing MANY files would
+      // otherwise hold one open FD per file until the task ends (and a
+      // driver-side caller, with no TaskContext, would never close);
+      // the listener above stays as the backstop for take(limit)
+      // stopping a file's listing early
+      val frames = BinlogWire.parseStream(in)
+      val closing = new Iterator[BinlogWire.Frame] {
+        private var open = true
+        def hasNext: Boolean = open && {
+          val h = frames.hasNext
+          if (!h) { open = false; in.close() }
+          h
+        }
+        def next(): BinlogWire.Frame = frames.next()
+      }
       var off = 4L // events start after the 4-byte magic
-      BinlogWire.parseStream(in)
+      closing
         .map { f => val start = off; off = f.nextPos; (start, f) }
         .filter { case (start, _) => start >= pos }
         .take(if (limit > Int.MaxValue) Int.MaxValue else limit.toInt)
@@ -80,6 +95,91 @@ object BinlogCatalog {
     }.toDF("log_name", "pos", "event_type", "server_id", "end_log_pos",
       "info")
   }
+
+  /** Dump-from-TSO seek: the (file, offset) where a dump serving
+    * "everything after `tso`" starts — the first transaction unit whose
+    * tso carrier (CTS mark, SEQUENCE commit/heartbeat, or GCN) EXCEEDS
+    * `tso`, in file-name order (the reference's
+    * SearchTsoEventHandleV2 locating a dump's start before CdcServer
+    * serves it). The offset points at the txn unit's first frame (the
+    * GTID when present, else the carrier), so a reader starting there
+    * sees whole transactions only. When the entire log is at or below
+    * `tso` the cursor is the END of the last file (nothing to replay);
+    * an empty log answers ("", 4) like showMasterStatus.
+    *
+    * Scale shape: one streaming-parse task per file, each exiting at
+    * its first qualifying carrier — only the files wholly BELOW the
+    * target (the prefix a seek skips) scan to their end; per-file
+    * answers (name, offset) are the sole driver-side collect. The O(1)
+    * fast path for a consumer resuming its OWN cursor is
+    * OrderedSink.recoverPosition; this is the cold seek for an
+    * arbitrary caller-supplied TSO. */
+  def seekTso(spark: SparkSession, dir: String, tso: Long,
+      filePrefix: String = "binlog."): (String, Long) = {
+    import spark.implicits._
+    val files = listFiles(dir, filePrefix, allowMissing = true)
+    if (files.isEmpty) return ("", 4L)
+    val confMap = graft.util.HadoopIo.confMap
+    val base = dir
+    val perFile = spark.createDataset(files.map(_._1)).map { name =>
+      val p = new org.apache.hadoop.fs.Path(base, name)
+      val fs = p.getFileSystem(graft.util.HadoopIo.confFrom(confMap))
+      val in = fs.open(p)
+      val found =
+        try firstTxnAfter(BinlogWire.parseStream(in), tso)
+        finally in.close()
+      (name, found.getOrElse(-1L))
+    }.collect().toMap
+    files.map(_._1).collectFirst { case n if perFile(n) >= 0 =>
+      (n, perFile(n))
+    }.getOrElse { val (n, sz) = files.last; (n, sz) }
+  }
+
+  /** Offset of the first txn unit whose tso carrier exceeds `tso`
+    * (frames start at offset 4, after the magic). A txn unit opens at
+    * the first non-preamble frame after the previous XID — the GTID or
+    * the carrier itself — and file preamble (FDE, PREVIOUS_GTIDS,
+    * TABLE_MAP, ROTATE) never opens one. */
+  private def firstTxnAfter(frames: Iterator[BinlogWire.Frame],
+      tso: Long): Option[Long] = {
+    var off = 4L
+    var txnStart = -1L
+    var res = Option.empty[Long]
+    while (res.isEmpty && frames.hasNext) {
+      val f = frames.next()
+      val start = off
+      off = f.nextPos
+      val preamble = f.typeCode == BinlogWire.FormatDescriptionEvent ||
+        f.typeCode == BinlogWire.PreviousGtidsEvent ||
+        f.typeCode == BinlogWire.RotateEvent ||
+        f.typeCode == BinlogWire.TableMapEvent
+      if (txnStart < 0 && !preamble) txnStart = start
+      carrierTso(f).foreach(t => if (t > tso) res = Some(txnStart))
+      if (f.typeCode == BinlogWire.XidEvent) txnStart = -1L
+    }
+    res
+  }
+
+  /** The tso a frame carries, for any of the three wire carriers. */
+  private def carrierTso(f: BinlogWire.Frame): Option[Long] =
+    f.typeCode match {
+      case BinlogWire.SequenceEvent =>
+        val r = new BinlogWire.ByteReader(f.body)
+        val t = r.u8(); val v = r.le(8)
+        if (t == BinlogWire.CommitSequence ||
+          t == BinlogWire.HeartbeatSequence) Some(v)
+        else None
+      case BinlogWire.GcnEvent =>
+        val r = new BinlogWire.ByteReader(f.body)
+        r.u8()
+        Some(r.le(8))
+      case BinlogWire.RowsQueryEvent =>
+        val s = new String(f.body.drop(1),
+          java.nio.charset.StandardCharsets.UTF_8)
+        if (s.startsWith("CTS::")) Some(s.stripPrefix("CTS::").toLong)
+        else None
+      case _ => None
+    }
 
   /** Per-file structural stats (frames, transactions, bytes) — the
     * aggregate the q62/q63 wire queries report; one streaming-parse

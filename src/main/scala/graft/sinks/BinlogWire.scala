@@ -1392,7 +1392,8 @@ object BinlogWire {
     */
   def tailBinlogFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
       colNames: Map[(String, String), Seq[String]] = Map.empty,
-      maxFilesPerTrigger: Int = 16): org.apache.spark.sql.DataFrame = {
+      maxFilesPerTrigger: Int = 16,
+      minFileName: Option[String] = None): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val confMap = graft.util.HadoopIo.confMap
     spark.readStream
@@ -1406,6 +1407,12 @@ object BinlogWire {
       .load(dir)
       .select("path") // prune content: the decoder streams the file itself
       .as[String]
+      // name-order floor (the dump-from-TSO start cursor): files below
+      // it are dropped BEFORE the decode flatMap, so a pruned file is
+      // listed but never opened — a seek's cost is O(suffix), not
+      // O(whole log)
+      .filter(path => minFileName.forall(m =>
+        new org.apache.hadoop.fs.Path(path).getName >= m))
       .flatMap { path =>
         val conf = graft.util.HadoopIo.confFrom(confMap)
         val p = new org.apache.hadoop.fs.Path(path)

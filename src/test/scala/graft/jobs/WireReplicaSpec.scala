@@ -134,6 +134,76 @@ class WireReplicaSpec extends SparkSpec {
     assert(TxnApplier.versions(target).size == versionsFinal)
   }
 
+  test("dump-from-TSO: fromTso replica applies only the suffix; below-floor files never open") {
+    val root = java.nio.file.Files.createTempDirectory("graft-wirerpl-seek")
+    val wireDir = s"$root/wire"
+    val target = s"$root/replica"
+    val tableCols = Map(("bank", "accounts") -> Seq("acct", "seq", "balance"))
+    val colTypes = Seq("acct" -> "long", "seq" -> "long", "balance" -> "long")
+
+    val transfers = (1L to 8L).map(t => (t, (t % 6) + 1, ((t + 2) % 6) + 1, t * 5))
+    val bal = scala.collection.mutable.Map[Long, Long]()
+      .withDefaultValue(1000L)
+    val images = transfers.flatMap { case (t, f, to, amt) =>
+      bal(f) = bal(f) - amt; bal(to) = bal(to) + amt
+      Seq((t, 2 * t, f, bal(f)), (t, 2 * t + 1, to, bal(to)))
+    }
+    val batch = images.toDF("tso", "seq", "acct", "balance")
+      .select($"acct", $"seq", lit("UPDATE").as("op"), $"balance", $"tso")
+      .withColumn("ts", lit(1700000000L))
+    val specs = Seq(ColSpec("acct", LongLong), ColSpec("seq", LongLong),
+      ColSpec("balance", LongLong))
+    val ordered = graft.operators.MergeSort.sortedRunsGrouped(
+      batch, 3, Seq("tso"), Seq("seq"))
+    val files = BinlogWire.writeTxnFramedBinlogFiles(ordered, specs,
+      "bank", "accounts", "op", "ts", "tso", wireDir,
+      tsoCarrier = "sequence")
+    assert(files == 3)
+
+    // the seek lands MID-log: the replica must reproduce exactly the
+    // last image per account among txns with tso > 4 — nothing from the
+    // prefix leaks in (its accounts stay absent from the empty-bootstrap
+    // replica)
+    val fromTso = 4L
+    val q = WireReplicaJob.start(spark, wireDir, tableCols, "bank",
+      "accounts", colTypes, Seq("acct"), "seq", target, s"$root/ckpt",
+      nBuckets = 4, txnsPerCommit = 2, fromTso = Some(fromTso))
+    q.awaitTermination()
+    val expectedSuffix = images.filter(_._1 > fromTso)
+      .groupBy(_._3).map { case (a, imgs) => a -> imgs.maxBy(_._2)._4 }
+    val state = graft.operators.TxnApplier.readCurrent(spark, target)
+      .select($"acct", $"balance").as[(Long, Long)].collect().toMap
+    assert(state == expectedSuffix)
+
+    // prune proof at the tail layer: corrupt every file BELOW the seek
+    // file, then tail with the floor — the suffix still decodes, so a
+    // below-floor file is listed but provably never opened (parseStream
+    // would fail its bad magic loudly)
+    val (seekFile, _) = graft.sinks.BinlogCatalog.seekTso(
+      spark, wireDir, fromTso)
+    val perFileTsos = graft.sinks.BinlogCatalog
+      .showBinlogEvents(spark, wireDir)
+      .select($"log_name", $"event_type", $"info")
+      .as[(String, String, String)].collect().toSeq
+      .collect { case (f, "Sequence", info)
+        if info.startsWith("sequence: COMMIT ") =>
+          (f, info.stripPrefix("sequence: COMMIT ").toLong) }
+    assert(perFileTsos.exists(_._1 < seekFile)) // the floor prunes something
+    new java.io.File(wireDir).listFiles()
+      .filter(f => f.getName.startsWith("binlog.") && f.getName < seekFile)
+      .foreach(f => java.nio.file.Files.write(f.toPath,
+        "not a binlog at all".getBytes("UTF-8")))
+    val tail = BinlogWire.tailBinlogFiles(spark, wireDir, tableCols,
+      minFileName = Some(seekFile))
+    val q2 = tail.writeStream.format("memory").queryName("seek_tail")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val got = spark.sql("SELECT DISTINCT tso FROM seek_tail")
+      .as[Long].collect().toSet
+    assert(got == perFileTsos.filter(_._1 >= seekFile).map(_._2).toSet)
+  }
+
   test("multi-partition producer, one file per trigger: exactly-once apply") {
     // the ADVICE scenario: a MULTI-file wire feed where
     // maxFilesPerTrigger=1 puts every file in its own micro-batch, so

@@ -147,6 +147,65 @@ class BinlogCatalogSpec extends SparkSpec {
     }
   }
 
+  test("seekTso: first txn above the cursor in file order; end-of-log past the max") {
+    val dir = writeFixture(carrier = "sequence")
+    // independent expectation from the event listing: the first COMMIT
+    // sequence with seq > t in (file, pos) order — no GTID in this
+    // fixture, so the txn unit starts at the carrier itself
+    val events = BinlogCatalog.showBinlogEvents(spark, dir)
+      .orderBy($"log_name", $"pos")
+      .select($"log_name", $"pos", $"event_type", $"info")
+      .as[(String, Long, String, String)].collect().toSeq
+    def expected(t: Long): (String, Long) = events.collectFirst {
+      case (f, p, "Sequence", info)
+        if info.startsWith("sequence: COMMIT ") &&
+          info.stripPrefix("sequence: COMMIT ").toLong > t => (f, p)
+    }.get
+    for (t <- Seq(0L, 3L, 7L))
+      assert(BinlogCatalog.seekTso(spark, dir, t) == expected(t), s"t=$t")
+    // the whole log at or below the cursor → cursor = END of last file
+    // (nothing to replay); an empty dir answers like showMasterStatus
+    val last = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("binlog.")).maxBy(_.getName)
+    assert(BinlogCatalog.seekTso(spark, dir, 100L) ==
+      ((last.getName, last.length())))
+    val empty = java.nio.file.Files.createTempDirectory("graft-seek-e").toString
+    assert(BinlogCatalog.seekTso(spark, empty, 0L) == (("", 4L)))
+  }
+
+  test("seekTso over a rotate-chained GTID log starts at the txn's GTID frame") {
+    // CRC32 + rotate chain + per-txn GTIDs, CTS-mark carrier: the txn
+    // unit opens at the Gtid frame, and the seek must point THERE — a
+    // reader starting at the cursor sees whole transactions only
+    val dir = java.nio.file.Files.createTempDirectory("graft-seek-rot").toString
+    val specs = Seq(ColSpec("id", LongLong))
+    val df = (1L to 20L).map(i => (i, "INSERT", (i - 1) / 4 + 1, i))
+      .toDF("id", "op", "tso", "seq")
+      .withColumn("ts", lit(1700000000L))
+    val ordered = graft.operators.MergeSort.sortedRunsGrouped(df, 2,
+      Seq("tso"), Seq("seq"))
+    writeTxnFramedBinlogFiles(ordered, specs, "app", "t", "op", "ts",
+      "tso", dir, checksummed = true, rotateChain = true,
+      gtidSid = Some(java.util.UUID.fromString(
+        "11111111-2222-3333-4444-555555555555")))
+    val events = BinlogCatalog.showBinlogEvents(spark, dir)
+      .orderBy($"log_name", $"pos")
+      .select($"log_name", $"pos", $"event_type", $"info")
+      .as[(String, Long, String, String)].collect().toSeq
+    def expected(t: Long): (String, Long) = {
+      val idx = events.indexWhere { case (_, _, tp, info) =>
+        tp == "Rows_query" && info.startsWith("CTS::") &&
+          info.stripPrefix("CTS::").toLong > t
+      }
+      val file = events(idx)._1
+      // the Gtid frame immediately preceding the qualifying mark
+      events.take(idx).reverse
+        .collectFirst { case (f, p, "Gtid", _) if f == file => (f, p) }.get
+    }
+    for (t <- Seq(0L, 2L, 4L))
+      assert(BinlogCatalog.seekTso(spark, dir, t) == expected(t), s"t=$t")
+  }
+
   test("fileStats frame/txn counts agree with showBinlogEvents") {
     val dir = writeFixture()
     val stats = BinlogCatalog.fileStats(spark, dir)
