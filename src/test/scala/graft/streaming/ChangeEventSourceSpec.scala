@@ -252,6 +252,101 @@ class ChangeEventSourceSpec extends SparkSpec {
     assert(txns == Seq((100L, 100L, 2), (200L, 200L, 1)))
   }
 
+  test("wire segments over a REAL TCP socket drive the §3.1 DAG with kill/resume") {
+    import graft.sinks.BinlogWire
+    import graft.sinks.BinlogWire._
+    // the one ingress transport the MemoryStream cases never exercise:
+    // an in-process TCP server streams line-framed segments ("<dn>
+    // <base64(segment)>", the text shape Spark's socket source carries)
+    // through fromWireSegments into the UNCHANGED DAG. The socket
+    // source is NON-REPLAYABLE (no checkpoint recovery), so kill/resume
+    // exactly-once comes from the SINK: the resumed query starts a
+    // fresh checkpoint, the dumb server re-serves EVERYTHING, and
+    // OrderedSink.appendSince's position cursor drops the
+    // already-appended prefix — the repo's stated stance that ordering
+    // and exactly-once are the sink's job, transport is the source's.
+    val specs = Seq(ColSpec("id", LongLong), ColSpec("v", VarChar(32)))
+    def segment(rows: Seq[(Long, String, Long, Long)]): Array[Byte] = {
+      val dir = Files.createTempDirectory("graft-sock-seg").toString
+      val df = rows.map { case (id, v, tso, seq) => (id, v, "INSERT", tso, seq) }
+        .toDF("id", "v", "op", "tso", "seq")
+        .withColumn("ts", lit(1700000000L))
+        .coalesce(1).sortWithinPartitions("tso", "seq")
+      BinlogWire.writeTxnFramedBinlogFiles(df, specs, "app", "t", "op",
+        "ts", "tso", dir, tsoCarrier = "sequence")
+      java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, "binlog.000000").toPath)
+    }
+    def line(dn: String, bytes: Array[Byte]): String =
+      dn + " " + java.util.Base64.getEncoder.encodeToString(bytes)
+    val batch1 = Seq(line("dn1", segment(Seq((1L, "a", 100L, 1L), (2L, "b", 100L, 2L)))),
+      line("dn2", segment(Seq((3L, "c", 150L, 3L)))))
+    val batch2 = Seq(line("dn1", segment(Seq((4L, "d", 200L, 4L), (5L, "e", 200L, 5L)))))
+
+    val server = new java.net.ServerSocket(0)
+    @volatile var pending: Seq[String] = batch1
+    val opened = new java.util.concurrent.ConcurrentLinkedQueue[java.net.Socket]()
+    val accepter = new Thread(() => {
+      try while (!server.isClosed) {
+        val sock = server.accept()
+        opened.add(sock)
+        val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+          sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8), true)
+        pending.foreach(out.println)
+        out.flush() // connection stays open: the source keeps reading
+      } catch { case _: Exception => () } // server closed: accept loop ends
+    })
+    accepter.setDaemon(true)
+    accepter.start()
+
+    val root = Files.createTempDirectory("graft-sock").toString
+    val outDir = s"$root/out"
+    def start(ckpt: String) = {
+      val raw = spark.readStream.format("socket")
+        .option("host", "localhost")
+        .option("port", server.getLocalPort)
+        .load()
+      val envelope = ChangeEventSource.fromWireSegments(
+        raw.select(
+          substring_index(col("value"), " ", 1).as("dn"),
+          unbase64(substring_index(col("value"), " ", -1)).as("payload")),
+        "dn", "payload", Map(("app", "t") -> Seq("id", "v")))
+      // a socket feed has no "drained" state — run as a STANDING query
+      // (AvailableNow would see an empty just-connected source and stop)
+      GlobalBinlogStream.startFrom(envelope, "tso", outDir, ckpt,
+        numPartitions = 2, continuous = Some("500 milliseconds"))
+    }
+    def awaitRows(n: Long): Long = {
+      val deadline = System.currentTimeMillis() + 60000
+      var c = -1L
+      while (c != n && System.currentTimeMillis() < deadline) {
+        c = try spark.read.parquet(outDir).count()
+        catch { case _: Exception => -1L }
+        if (c != n) Thread.sleep(200)
+      }
+      c
+    }
+    try {
+      val q1 = start(s"$root/ckpt1")
+      assert(awaitRows(3L) == 3L) // batch1: 2 txns, 3 rows, both DNs
+      q1.stop() // KILL mid-stream
+      // RESUME: the dumb server re-serves batch1 TOO — the sink's
+      // position cursor must drop it, appending only the new segment
+      pending = batch1 ++ batch2
+      val q2 = start(s"$root/ckpt2")
+      assert(awaitRows(5L) == 5L)
+      q2.stop()
+      val out = spark.read.parquet(outDir)
+      assert(out.select(countDistinct($"tso")).head().getLong(0) == 3)
+      assert(out.select($"partitionId").distinct().as[String].collect()
+        .toSet == Set("dn1", "dn2"))
+      assert(MergeSort.disorderCount(out.orderBy($"tso"), "tso") == 0)
+    } finally {
+      opened.forEach(s => try s.close() catch { case _: Exception => () })
+      server.close()
+    }
+  }
+
   test("FAILFAST surfaces malformed packets as stream failures") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
