@@ -21,9 +21,9 @@ class DdlFuzzSpec extends SparkSpec {
   private def fmtKw(rnd: scala.util.Random, s: String): String =
     if (rnd.nextBoolean()) s.toLowerCase else s
 
-  test("random DDL histories: fold == model (30 rounds, seed-fixed)") {
+  test("random DDL histories: fold == model (60 rounds, seed-fixed)") {
     val rnd = new scala.util.Random(20260812L)
-    (1 to 30).foreach { round =>
+    (1 to 60).foreach { round =>
       // model: table -> ordered columns (name -> normalized type); pk list
       var model = Map.empty[String, Vector[(String, String)]]
       var modelPk = Map.empty[String, Vector[String]]
@@ -38,13 +38,19 @@ class DdlFuzzSpec extends SparkSpec {
       }
 
       // dialect noise the parser must digest WITHOUT schema effect:
-      // column charset/collation/comment, table options incl. a partition
-      // clause, online-DDL ALGORITHM/LOCK suffixes
-      def colNoise(): String = rnd.nextInt(6) match {
+      // column charset/collation/comment, literal AND expression
+      // defaults (8.0 parenthesized-expression form, incl. embedded
+      // commas), table options incl. a partition clause, online-DDL
+      // ALGORITHM/LOCK suffixes
+      def colNoise(): String = rnd.nextInt(10) match {
         case 0 => " CHARACTER SET utf8mb4 COLLATE utf8mb4_bin"
         case 1 => " COMMENT 'fuzz, (col)'"
         case 2 => " GENERATED ALWAYS AS (c1 * 2) VIRTUAL"
         case 3 => " AS (coalesce(c1, 0)) STORED"
+        case 4 => " DEFAULT 0"
+        case 5 => " DEFAULT CURRENT_TIMESTAMP ON UPDATE CURRENT_TIMESTAMP"
+        case 6 => " DEFAULT (lower(uuid()))"
+        case 7 => " DEFAULT (coalesce(c1, 0) + 1)"
         case _ => ""
       }
       def tableNoise(): String = rnd.nextInt(3) match {
@@ -59,15 +65,19 @@ class DdlFuzzSpec extends SparkSpec {
       def alterNoise(): String =
         if (rnd.nextBoolean()) ", ALGORITHM=INPLACE, LOCK=NONE" else ""
       // whole statements that must parse WITHOUT any schema effect:
-      // partition maintenance, default changes, index renames, charset
-      // conversions — the operational-DDL background noise of a real log
-      def noopStatement(t: String): String = rnd.nextInt(7) match {
+      // partition maintenance, default changes (incl. expression form),
+      // index add/drop/rename with index options, charset conversions —
+      // the operational-DDL background noise of a real log
+      def noopStatement(t: String): String = rnd.nextInt(10) match {
         case 0 => s"ALTER TABLE $t ADD PARTITION (PARTITION px VALUES LESS THAN (100))"
         case 1 => s"ALTER TABLE $t DROP PARTITION p0"
         case 2 => s"ALTER TABLE $t TRUNCATE PARTITION p0"
         case 3 => s"ALTER TABLE $t ALTER COLUMN c1 SET DEFAULT 'x'"
         case 4 => s"ALTER TABLE $t RENAME INDEX i1 TO i2"
         case 5 => s"ALTER TABLE $t CONVERT TO CHARACTER SET utf8mb4 COLLATE utf8mb4_general_ci"
+        case 6 => s"ALTER TABLE $t ADD INDEX ix$tso (c1) USING BTREE KEY_BLOCK_SIZE=8 COMMENT 'cover'"
+        case 7 => s"ALTER TABLE $t ADD UNIQUE KEY ux$tso (c1(10) DESC) KEY_BLOCK_SIZE=4"
+        case 8 => s"ALTER TABLE $t ALTER COLUMN c1 SET DEFAULT (now())"
         case _ => "FLUSH LOGS"
       }
 
@@ -83,18 +93,27 @@ class DdlFuzzSpec extends SparkSpec {
           val rendered = cols.map { case (n, raw, _) =>
             s"${fmtIdent(rnd, n)} $raw NOT NULL${colNoise()}" }.mkString(", ")
           val pk = if (rnd.nextBoolean()) Vector(cols.head._1) else Vector.empty
+          val pkOpts = rnd.nextInt(3) match {
+            case 0 => " USING BTREE"
+            case 1 => " USING BTREE KEY_BLOCK_SIZE=8"
+            case _ => ""
+          }
           val pkClause =
             if (pk.isEmpty) ""
-            else s", ${fmtKw(rnd, "PRIMARY KEY")} (${pk.head}(10)) USING BTREE"
+            else s", ${fmtKw(rnd, "PRIMARY KEY")} (${pk.head}(10))$pkOpts"
+          // a secondary index with options must never leak into columns/pk
+          val keyClause = if (rnd.nextBoolean())
+            s", KEY ix$tso (${cols.head._1}) USING BTREE KEY_BLOCK_SIZE=4"
+          else ""
           ddl += ((tso,
             s"${fmtKw(rnd, "CREATE TABLE")}  ${fmtIdent(rnd, t)} " +
-              s"($rendered$pkClause)${tableNoise()}"))
+              s"($rendered$pkClause$keyClause)${tableNoise()}"))
           model += t -> cols.map(c => (c._1, c._3))
           modelPk += t -> pk
         } else {
           val t = tables(rnd.nextInt(tables.length))
           val cols = model(t)
-          rnd.nextInt(6) match {
+          rnd.nextInt(7) match {
             case 0 => // DROP TABLE
               ddl += ((tso, s"${fmtKw(rnd, "DROP TABLE IF EXISTS")} $t"))
               model -= t
@@ -151,6 +170,24 @@ class DdlFuzzSpec extends SparkSpec {
               ddl += ((tso, stmt))
               model += t2 -> cols
               modelPk += t2 -> modelPk.getOrElse(t, Vector.empty)
+            case 6 => // QUALIFIED rename — same-schema or CROSS-schema
+              val t2 = s"x$tso"
+              rnd.nextInt(3) match {
+                case 0 => // db.t -> other.t2: the state LEAVES the
+                  // folded schema (only a tombstone remains under db)
+                  ddl += ((tso,
+                    s"RENAME TABLE ${fmtIdent(rnd, "db")}.${fmtIdent(rnd, t)} TO other.$t2"))
+                  model -= t
+                  modelPk -= t
+                case 1 => // the ALTER form of the cross-schema move
+                  ddl += ((tso, s"ALTER TABLE db.$t RENAME TO other.$t2"))
+                  model -= t
+                  modelPk -= t
+                case _ => // fully qualified same-schema rename
+                  ddl += ((tso, s"RENAME TABLE db.${fmtIdent(rnd, t)} TO db.$t2"))
+                  model = model - t + (t2 -> cols)
+                  modelPk = modelPk - t + (t2 -> modelPk.getOrElse(t, Vector.empty))
+              }
             case _ if rnd.nextBoolean() => // paren-group multi-ADD
               val adds = (0 to rnd.nextInt(2)).map(_ => freshCol()).toVector
               val body = adds.map { case (n, raw, _) => s"$n $raw" }.mkString(", ")
@@ -162,13 +199,16 @@ class DdlFuzzSpec extends SparkSpec {
         }
       }
 
-      // fold the rendered log; compare the final state per table
+      // fold the rendered log; compare the final state per table —
+      // scoped to schema db (a cross-schema rename moves state OUT, and
+      // its new life under `other` must not read as a db table)
       val folded = DdlParser.foldSchema("db", ddl.result())
-      val finalState = folded.groupBy(_._3).map { case (t, rows) =>
-        t -> rows.maxBy(_._1)
-      }.collect { case (t, (_, _, _, json, colNames)) if json != null =>
-        t -> colNames
-      }
+      val finalState = folded.filter(_._2 == "db").groupBy(_._3)
+        .map { case (t, rows) =>
+          t -> rows.maxBy(_._1)
+        }.collect { case (t, (_, _, _, json, colNames)) if json != null =>
+          t -> colNames
+        }
       val expected = model.map { case (t, cols) =>
         t -> cols.map(_._1).mkString(",")
       }
@@ -176,7 +216,7 @@ class DdlFuzzSpec extends SparkSpec {
         s"round $round diverged (seed-fixed):\n got=$finalState\n exp=$expected")
       // and types survive: spot-check the json of every live table
       model.foreach { case (t, cols) =>
-        val json = folded.filter(r => r._3 == t).maxBy(_._1)._4
+        val json = folded.filter(r => r._2 == "db" && r._3 == t).maxBy(_._1)._4
         cols.foreach { case (n, norm) =>
           assert(json.contains(s""""name":"$n","type":"$norm""""),
             s"round $round table $t: column $n:$norm missing in $json")
