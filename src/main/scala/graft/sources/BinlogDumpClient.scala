@@ -1,0 +1,204 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** COM_BINLOG_DUMP protocol client — the live-DN dialogue the reference
+  * speaks to tail a MySQL-family server directly
+  * (canal/.../binlog/DirectLogFetcher.java:55-180 reads the dump
+  * stream; connection setup in canal/core/dump/MysqlConnection.java).
+  * Everything here is the PUBLIC MySQL client/server wire protocol:
+  * v10 initial handshake, HandshakeResponse41, mysql_native_password
+  * scramble, COM_REGISTER_SLAVE, COM_BINLOG_DUMP, and the event-packet
+  * stream (each packet `00 <raw binlog event>`; `FE` EOF when a
+  * NON_BLOCK dump catches up; `FF` server error).
+  *
+  * Spark shape: one endpoint = one executor task (`pollSegments`
+  * mapPartitions — the reference's per-DN fetcher thread becomes a
+  * task), each draining its DN to EOF with BINLOG_DUMP_NON_BLOCK and
+  * returning ONE segment of raw event bytes behind the binlog magic —
+  * exactly the packet unit `ChangeEventSource.fromWireSegments`
+  * normalizes, so the §3.1 DAG consumes a live DN and an archived file
+  * through the same path. Repeated polls ARE the micro-batch loop: the
+  * caller advances (file, pos) per DN from the decoded stream or a
+  * `BinlogCatalog.seekTso` cursor, so each trigger reads only the
+  * suffix — per-trigger bytes are bounded by the DN's new data, never
+  * the log's history.
+  *
+  * Deliberately NOT here: connection pooling, TLS, caching_sha2 auth
+  * re-negotiation — deployment transport concerns a real cluster
+  * solves outside the engine (the reference pins mysql_native_password
+  * for its replica connections too).
+  */
+object BinlogDumpClient {
+
+  /** One DN to tail: where to dial, how to authenticate, and the dump
+    * start cursor ((file, pos) — `BinlogCatalog.seekTso` or the
+    * consumer's own recovered position). */
+  case class Endpoint(dn: String, host: String, port: Int, user: String,
+      password: String, binlogFile: String, pos: Long = 4L)
+
+  // capability flags (public protocol constants)
+  private val ClientLongPassword = 0x00000001L
+  private val ClientProtocol41 = 0x00000200L
+  private val ClientSecureConnection = 0x00008000L
+  private val ClientPluginAuth = 0x00080000L
+  private val BinlogDumpNonBlock = 0x01
+  private val ComQuit = 0x01
+  private val ComBinlogDump = 0x12
+  private val ComRegisterSlave = 0x15
+
+  /** MySQL packet framing: 3-byte LE payload length + 1-byte sequence
+    * id; payloads of 0xFFFFFF continue in the next packet. */
+  private final class PacketIO(sock: java.net.Socket) {
+    private val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(sock.getInputStream))
+    private val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+    var seq: Int = 0
+
+    def read(): Array[Byte] = {
+      val hdr = new Array[Byte](4)
+      in.readFully(hdr)
+      val len = (hdr(0) & 0xFF) | ((hdr(1) & 0xFF) << 8) |
+        ((hdr(2) & 0xFF) << 16)
+      seq = (hdr(3) & 0xFF) + 1
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      if (len == 0xFFFFFF) buf ++ read() else buf
+    }
+
+    def write(payload: Array[Byte]): Unit = {
+      // our commands are tiny — single-packet writes only
+      out.write(payload.length & 0xFF)
+      out.write((payload.length >> 8) & 0xFF)
+      out.write((payload.length >> 16) & 0xFF)
+      out.write(seq & 0xFF)
+      out.write(payload)
+      out.flush()
+      seq += 1
+    }
+  }
+
+  /** SHA1(password) XOR SHA1(scramble ++ SHA1(SHA1(password))) — the
+    * mysql_native_password proof (empty password → empty response). */
+  private[sources] def nativePassword(password: String,
+      scramble: Array[Byte]): Array[Byte] =
+    if (password.isEmpty) Array.emptyByteArray
+    else {
+      val sha = java.security.MessageDigest.getInstance("SHA-1")
+      val p1 = sha.digest(password.getBytes(UTF_8))
+      sha.reset()
+      val p2 = sha.digest(p1)
+      sha.reset()
+      sha.update(scramble)
+      sha.update(p2)
+      val proof = sha.digest()
+      p1.indices.foreach(i => proof(i) = (proof(i) ^ p1(i)).toByte)
+      proof
+    }
+
+  private def le(v: Long, n: Int): Array[Byte] =
+    (0 until n).map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray
+
+  /** ERR packet (0xFF) → loud failure carrying the server's message. */
+  private def failOnErr(payload: Array[Byte], context: String): Array[Byte] = {
+    if (payload.nonEmpty && (payload(0) & 0xFF) == 0xFF) {
+      val code = (payload(1) & 0xFF) | ((payload(2) & 0xFF) << 8)
+      val msgFrom = if (payload.length > 3 && payload(3) == '#') 9 else 3
+      val msg = new String(payload.drop(msgFrom), UTF_8)
+      throw new java.io.IOException(
+        s"BinlogDumpClient: server error $code during $context: $msg")
+    }
+    payload
+  }
+
+  /** Dial, authenticate, register, and drain ONE NON_BLOCK dump from
+    * (binlogFile, pos): returns the raw event bytes (headers + bodies,
+    * CRC trailers intact) the server streamed before its caught-up EOF,
+    * prefixed with the binlog magic — a segment `fromWireSegments`
+    * (and `BinlogWire.parseStream`) consumes directly. The server sends
+    * the file's FORMAT_DESCRIPTION before the events at `pos`, so the
+    * segment is self-describing (checksum algorithm included). */
+  def dumpSegment(host: String, port: Int, user: String, password: String,
+      binlogFile: String, pos: Long, serverId: Long = 12345L,
+      soTimeoutMs: Int = 30000): Array[Byte] = {
+    val sock = new java.net.Socket()
+    sock.connect(new java.net.InetSocketAddress(host, port), soTimeoutMs)
+    sock.setSoTimeout(soTimeoutMs)
+    try {
+      val io = new PacketIO(sock)
+      // ---- v10 initial handshake ----
+      val hs = failOnErr(io.read(), "handshake")
+      require(hs.nonEmpty && (hs(0) & 0xFF) == 10,
+        s"BinlogDumpClient: unsupported protocol version ${hs(0) & 0xFF}")
+      var i = 1
+      while (hs(i) != 0) i += 1 // server version, z-terminated
+      i += 1
+      i += 4 // thread id
+      val auth1 = hs.slice(i, i + 8); i += 8
+      i += 1 // filler
+      i += 2 // capability flags (lower)
+      i += 1 // charset
+      i += 2 // status
+      i += 2 // capability flags (upper)
+      val authLen = hs(i) & 0xFF; i += 1
+      i += 10 // reserved
+      val auth2Len = math.max(13, authLen - 8)
+      val auth2 = hs.slice(i, i + auth2Len).takeWhile(_ != 0)
+      val scramble = auth1 ++ auth2
+      // ---- HandshakeResponse41 ----
+      val caps = ClientLongPassword | ClientProtocol41 |
+        ClientSecureConnection | ClientPluginAuth
+      val authResp = nativePassword(password, scramble)
+      io.write(le(caps, 4) ++ le(1L << 24, 4) ++ Array(33.toByte) ++
+        new Array[Byte](23) ++
+        user.getBytes(UTF_8) ++ Array(0.toByte) ++
+        Array(authResp.length.toByte) ++ authResp ++
+        "mysql_native_password".getBytes(UTF_8) ++ Array(0.toByte))
+      failOnErr(io.read(), "authentication")
+      // ---- COM_REGISTER_SLAVE (what a replica announces) ----
+      io.seq = 0
+      io.write(Array(ComRegisterSlave.toByte) ++ le(serverId, 4) ++
+        Array(0.toByte, 0.toByte, 0.toByte) ++ // empty host/user/password
+        le(0L, 2) ++ le(0L, 4) ++ le(0L, 4)) // port, rank, master id
+      failOnErr(io.read(), "COM_REGISTER_SLAVE")
+      // ---- COM_BINLOG_DUMP (NON_BLOCK: EOF when caught up) ----
+      io.seq = 0
+      io.write(Array(ComBinlogDump.toByte) ++ le(pos, 4) ++
+        le(BinlogDumpNonBlock, 2) ++ le(serverId, 4) ++
+        binlogFile.getBytes(UTF_8))
+      val events = Vector.newBuilder[Array[Byte]]
+      var done = false
+      while (!done) {
+        val p = failOnErr(io.read(), "binlog dump")
+        if (p.nonEmpty && (p(0) & 0xFF) == 0xFE && p.length < 9) done = true
+        else {
+          require(p.nonEmpty && p(0) == 0,
+            "BinlogDumpClient: malformed event packet (no OK marker)")
+          events += p.drop(1)
+        }
+      }
+      io.seq = 0
+      io.write(Array(ComQuit.toByte))
+      graft.sinks.BinlogWire.Magic ++ events.result().flatten
+    } finally sock.close()
+  }
+
+  /** One poll across a DN fleet: each endpoint dials, authenticates and
+    * drains its dump IN ITS OWN EXECUTOR TASK (the reference's per-DN
+    * fetcher thread, restated as task parallelism — a thousand DNs are
+    * a thousand tasks, no driver hop), yielding (dn, payload) rows for
+    * `ChangeEventSource.fromWireSegments`. Credentials travel inside
+    * the endpoint rows; a real deployment injects them from its secret
+    * store when building the endpoint list. */
+  def pollSegments(spark: SparkSession, endpoints: Seq[Endpoint],
+      serverId: Long = 12345L, soTimeoutMs: Int = 30000): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(endpoints)
+      .repartition(math.max(1, endpoints.size))
+      .map(e => (e.dn, dumpSegment(e.host, e.port, e.user, e.password,
+        e.binlogFile, e.pos, serverId, soTimeoutMs)))
+      .toDF("dn", "payload")
+  }
+}
