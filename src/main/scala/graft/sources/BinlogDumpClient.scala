@@ -185,6 +185,49 @@ object BinlogDumpClient {
     } finally sock.close()
   }
 
+  /** `dumpSegment` plus the RESUME CURSOR for the next poll: walks the
+    * drained events' headers — each event's next_position advances the
+    * within-file offset, and a ROTATE event (the chain link every
+    * rotate-chained wire file ends with, and what a real server emits
+    * between files) switches the file name. The returned (file, pos) is
+    * where THIS dump stopped, so `poll(cursor) → apply → poll(cursor')`
+    * is the standing live tail — each trigger reads only the DN's new
+    * data. The final rotate of an active log names its successor before
+    * that file exists; a poll landing on it gets the server's
+    * unknown-log error — keep the cursor and retry after the producer
+    * rotates (the real replica behavior). Cursor tracking needs the
+    * rotate chain; on a chainless log the file never switches, so only
+    * single-file logs are safely resumable without it. */
+  def dumpSegmentWithCursor(host: String, port: Int, user: String,
+      password: String, binlogFile: String, pos: Long,
+      serverId: Long = 12345L, soTimeoutMs: Int = 30000)
+      : (Array[Byte], String, Long) = {
+    val seg = dumpSegment(host, port, user, password, binlogFile, pos,
+      serverId, soTimeoutMs)
+    var file = binlogFile
+    var cursor = pos
+    var crc = false
+    var off = 4 // walk the segment's events (skip the magic)
+    while (off + 19 <= seg.length) {
+      val tc = seg(off + 4) & 0xFF
+      val len = (seg(off + 9) & 0xFF) | ((seg(off + 10) & 0xFF) << 8) |
+        ((seg(off + 11) & 0xFF) << 16) | ((seg(off + 12) & 0xFF) << 24)
+      val nextPos = (seg(off + 13) & 0xFFL) |
+        ((seg(off + 14) & 0xFFL) << 8) | ((seg(off + 15) & 0xFFL) << 16) |
+        ((seg(off + 16) & 0xFFL) << 24)
+      if (tc == graft.sinks.BinlogWire.FormatDescriptionEvent)
+        crc = len >= 24 && seg(off + len - 5) == 1
+      if (tc == graft.sinks.BinlogWire.RotateEvent) {
+        val body = seg.slice(off + 19, off + len)
+        val name = body.drop(8).dropRight(if (crc) 4 else 0)
+        file = new String(name, UTF_8)
+        cursor = (0 until 8).map(i => (body(i) & 0xFFL) << (8 * i)).sum
+      } else if (nextPos > 0) cursor = nextPos
+      off += len
+    }
+    (seg, file, cursor)
+  }
+
   /** One poll across a DN fleet: each endpoint dials, authenticates and
     * drains its dump IN ITS OWN EXECUTOR TASK (the reference's per-DN
     * fetcher thread, restated as task parallelism — a thousand DNs are

@@ -83,6 +83,55 @@ class BinlogDumpClientSpec extends SparkSpec {
     } finally servers.foreach(_.close())
   }
 
+  test("standing live tail: the cursor advances across polls, each reading only new data") {
+    // a rotate-chained 4-file log; the server starts with only the
+    // first two files on disk (the producer hasn't rotated further) —
+    // poll 1 drains them and lands its cursor on the successor the
+    // chain names, poll 2 picks up exactly the files that appeared
+    val full = java.nio.file.Files.createTempDirectory("graft-tail-full").toString
+    val df = (1L to 8L).map(i => (i, s"v$i", "INSERT", i, i))
+      .toDF("id", "v", "op", "tso", "seq")
+      .withColumn("ts", lit(1700000000L))
+    val ordered = graft.operators.MergeSort.sortedRunsGrouped(df, 4,
+      Seq("tso"), Seq("seq"))
+    BinlogWire.writeTxnFramedBinlogFiles(ordered, specs, "app", "t", "op",
+      "ts", "tso", full, checksummed = true, tsoCarrier = "sequence",
+      rotateChain = true)
+    val served = java.nio.file.Files.createTempDirectory("graft-tail-srv").toString
+    def publish(names: String*): Unit = names.foreach { n =>
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(full, n), java.nio.file.Paths.get(served, n))
+    }
+    publish("binlog.000000", "binlog.000001")
+    val srv = new FakeMysqlBinlogServer(served, "repl", "pw")
+    try {
+      def decode(seg: Array[Byte]): Set[Long] =
+        ChangeEventSource.fromWireSegments(
+            Seq(("dn1", seg)).toDF("dn", "payload"), "dn", "payload",
+            tableCols)
+          .select($"tso").as[Long].collect().toSet
+      val (seg1, f1, p1) = BinlogDumpClient.dumpSegmentWithCursor(
+        "localhost", srv.port, "repl", "pw", "binlog.000000", 4L)
+      val first = decode(seg1)
+      assert((f1, p1) == (("binlog.000002", 4L)), s"cursor = ($f1, $p1)")
+      // the producer rotates twice more; poll 2 resumes at the cursor
+      publish("binlog.000002", "binlog.000003")
+      val (seg2, f2, p2) = BinlogDumpClient.dumpSegmentWithCursor(
+        "localhost", srv.port, "repl", "pw", f1, p1)
+      val second = decode(seg2)
+      assert(first.intersect(second).isEmpty, "a txn was served twice")
+      assert(first.union(second) == (1L to 8L).toSet)
+      // the active log's dangling successor: keep the cursor, retry
+      // after the producer rotates (the real replica behavior)
+      assert(f2 == "binlog.000004" && p2 == 4L)
+      val gone = intercept[java.io.IOException] {
+        BinlogDumpClient.dumpSegment("localhost", srv.port, "repl", "pw",
+          f2, p2)
+      }
+      assert(gone.getMessage.contains("Could not find first log file"))
+    } finally srv.close()
+  }
+
   test("auth and unknown-log failures are loud, carrying the server message") {
     val dir = writeLog()
     val srv = new FakeMysqlBinlogServer(dir, "repl", "right")
