@@ -1,0 +1,93 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Staged, TxnApplier}
+import graft.sources.{BinlogDumpClient, ChangeEventSource}
+import graft.sources.BinlogDumpClient.Endpoint
+
+/** The LIVE replica: a standing poll loop over the COM_BINLOG_DUMP
+  * dialogue — the reference's full live hop (MysqlConnection dialing
+  * the DN + DirectLogFetcher draining the dump + the RPL applier,
+  * canal/core/dump/MysqlConnection.java + rpl/applier/
+  * TransactionApplier.java:50-87) as repeated bounded micro-batches:
+  * each trigger polls every DN once from its cursor (NON_BLOCK dumps —
+  * per-trigger bytes are the DN's new data, never log history), stages
+  * the drained segments, replays them through the txn-preserving
+  * applier, and returns the advanced cursors for the next trigger.
+  *
+  * Exactly-once without source replay: the dump transport cannot
+  * rewind, so the guarantees sit where the file replica's do — the
+  * staged segments are the durable trigger input (dial once per
+  * trigger; decode and cursor reads both come off the stage), and
+  * `TxnApplier`'s committed position drops anything a re-poll or
+  * crash-restart re-serves at or below the target's last committed
+  * TSO. A DN whose cursor names a not-yet-rotated successor file
+  * (server answer 1236) simply has no new data this trigger: its
+  * cursor is kept and retried — the real replica's behavior on an
+  * active log.
+  *
+  * Scale shape: one DN = one executor task for the dial+drain; the
+  * stage write, decode, and apply are the same distributed plans the
+  * file replica uses. Cursors are the only driver-side state — one
+  * (file, pos) pair per DN.
+  */
+object LiveReplicaJob {
+
+  /** One trigger: poll every endpoint, apply the new transactions to
+    * the bucketed replica target, return the advanced endpoints.
+    * `stagingDir` holds this trigger's drained segments (overwritten
+    * per call — the applier's position gate makes replays idempotent).
+    * `fromTso` seeds the apply gate on FIRST bootstrap, for replicas
+    * started from a dump-from-TSO cursor. */
+  def pollApplyOnce(spark: SparkSession, endpoints: Seq[Endpoint],
+      tableCols: Map[(String, String), Seq[String]],
+      schemaName: String, tableName: String,
+      colTypes: Seq[(String, String)], keyCols: Seq[String],
+      seqCol: String, targetDir: String, stagingDir: String,
+      nBuckets: Int, txnsPerCommit: Int = 8,
+      fromTso: Option[Long] = None, serverId: Long = 12345L,
+      soTimeoutMs: Int = 30000): Seq[Endpoint] = {
+    import spark.implicits._
+    require(colTypes.map(_._1).toSet.intersect(keyCols.toSet) == keyCols.toSet
+        && colTypes.exists(_._1 == seqCol),
+      "colTypes must cover keyCols and seqCol")
+    val polled = spark.createDataset(endpoints)
+      .repartition(math.max(1, endpoints.size))
+      .map { e =>
+        try {
+          val (seg, nf, np) = BinlogDumpClient.dumpSegmentWithCursor(
+            e.host, e.port, e.user, e.password, e.binlogFile, e.pos,
+            serverId, soTimeoutMs)
+          (e.dn, seg, nf, np)
+        } catch {
+          case err: BinlogDumpClient.ServerError
+              if err.code == BinlogDumpClient.ErrUnknownLog =>
+            // the producer has not rotated to this cursor's file yet —
+            // no new data this trigger; keep the cursor and retry
+            (e.dn, Array.emptyByteArray, e.binlogFile, e.pos)
+        }
+      }.toDF("dn", "payload", "nextFile", "nextPos")
+    // dial each DN exactly ONCE per trigger: decode and the cursor
+    // collect both read the staged parquet, never a second dump
+    val staged = Staged.parquetStage(polled, stagingDir)
+    val changes = ChangeEventSource.fromWireSegments(
+      staged.filter(length(col("payload")) > 0).select("dn", "payload"),
+      "dn", "payload", tableCols)
+    val typed = WireReplicaJob.shape(changes, schemaName, tableName, colTypes)
+    if (TxnApplier.currentCommit(targetDir).isEmpty)
+      TxnApplier.bootstrap(typed.limit(0).drop("op", "tso"),
+        keyCols, targetDir, nBuckets, initialTso = fromTso.getOrElse(0L))
+    TxnApplier.applyBatch(typed, keyCols, seqCol, "op", "tso",
+      targetDir, nBuckets, txnsPerCommit)
+    val cursors = staged.select($"dn", $"nextFile", $"nextPos")
+      .as[(String, String, Long)].collect()
+      .map { case (dn, f, p) => dn -> ((f, p)) }.toMap
+    endpoints.map { e =>
+      cursors.get(e.dn).map { case (f, p) =>
+        e.copy(binlogFile = f, pos = p)
+      }.getOrElse(e)
+    }
+  }
+}

@@ -101,13 +101,22 @@ object BinlogDumpClient {
   private def le(v: Long, n: Int): Array[Byte] =
     (0 until n).map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray
 
+  /** A server ERR response, typed so standing pollers can distinguish
+    * expected conditions (1236 unknown log = the producer has not
+    * rotated to the cursor's file yet) from real failures. */
+  final class ServerError(val code: Int, message: String)
+    extends java.io.IOException(message)
+
+  /** ER_MASTER_FATAL_ERROR_READING_BINLOG — the unknown-log answer. */
+  val ErrUnknownLog = 1236
+
   /** ERR packet (0xFF) → loud failure carrying the server's message. */
   private def failOnErr(payload: Array[Byte], context: String): Array[Byte] = {
     if (payload.nonEmpty && (payload(0) & 0xFF) == 0xFF) {
       val code = (payload(1) & 0xFF) | ((payload(2) & 0xFF) << 8)
       val msgFrom = if (payload.length > 3 && payload(3) == '#') 9 else 3
       val msg = new String(payload.drop(msgFrom), UTF_8)
-      throw new java.io.IOException(
+      throw new ServerError(code,
         s"BinlogDumpClient: server error $code during $context: $msg")
     }
     payload
