@@ -1298,6 +1298,49 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"),
           col("rank").cast("bigint").as("rank"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // the FULL dump-service loop, ORACLE-CHECKED: encode a lineitem
+    // slice to wire files, SERVE them over the real MySQL dump
+    // dialogue (BinlogDumpServer — handshake, native-password auth,
+    // COM_BINLOG_DUMP), dial with the protocol client, decode the
+    // drained segment through the envelope, and aggregate — counts
+    // and sums DuckDB recomputes from the parquet. Any event lost,
+    // doubled, or corrupted anywhere in serve→dial→decode moves them.
+    // (Driver-side dial at fixture scale; the fleet path is
+    // pollSegments' one-DN-per-task shape, q-checked here via the
+    // same dumpSegment core.)
+    "q88_dump_serve" -> ((s, d) => {
+      import s.implicits._
+      import graft.sinks.{BinlogDumpServer, BinlogWire}
+      import graft.sinks.BinlogWire._
+      import graft.sources.{BinlogDumpClient, ChangeEventSource}
+      val specs = Seq(ColSpec("l_orderkey", LongLong),
+        ColSpec("l_linenumber", Long4))
+      val rows = Tables.lineitem(s, d).filter(col("l_orderkey") <= 120)
+        .select(col("l_orderkey"), col("l_linenumber").cast("int"),
+          lit("INSERT").as("op"), col("l_orderkey").as("tso"),
+          lit(1700000000L).as("ts"))
+      val ordered = MergeSort.sortedRunsGrouped(rows, 1, Seq("tso"),
+        Seq("l_linenumber"))
+      val dir = Staged.tempDir("q88-dump")
+      BinlogWire.writeTxnFramedBinlogFiles(ordered, specs, "app",
+        "lineitem", "op", "ts", "tso", dir, tsoCarrier = "sequence")
+      val srv = new BinlogDumpServer(dir, "repl", "pw")
+      try {
+        val seg = BinlogDumpClient.dumpSegment("localhost", srv.port,
+          "repl", "pw", "binlog.000000", 4L)
+        ChangeEventSource.fromWireSegments(
+            Seq(("dn1", seg)).toDF("dn", "payload"), "dn", "payload",
+            Map(("app", "lineitem") -> specs.map(_.name)))
+          .filter(col("op") === "INSERT")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("tso")).as("n_txns"),
+            sum(element_at(col("after"), "l_orderkey").cast("long"))
+              .as("sum_okey"),
+            sum(element_at(col("after"), "l_linenumber").cast("long"))
+              .as("sum_line"))
+      } finally srv.close()
     })
   )
 
@@ -2004,6 +2047,14 @@ object SparkEntry {
         "SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_spans, " +
         "CAST(sum(CASE WHEN g.n > 1 THEN 1 ELSE 0 END) AS BIGINT) " +
         "AS n_dup_spans FROM w JOIN g USING (win) " +
-        "GROUP BY w.doc_id ORDER BY w.doc_id")
+        "GROUP BY w.doc_id ORDER BY w.doc_id"),
+    // q88: the dump-service loop conserves the slice — counts and sums
+    // of what came BACK through serve→dial→decode equal the parquet's
+    "q88_dump_serve" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_txns, " +
+        "CAST(sum(l_orderkey) AS BIGINT) AS sum_okey, " +
+        "CAST(sum(l_linenumber) AS BIGINT) AS sum_line " +
+        "FROM lineitem WHERE l_orderkey <= 120")
   )
 }

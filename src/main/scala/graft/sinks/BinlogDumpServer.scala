@@ -1,0 +1,200 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.sources.BinlogDumpClient
+
+/** The dump-service SERVER side: serves a wire-log directory to any
+  * MySQL-replication consumer over the public dump dialogue — the
+  * reference's `CdcServer.dump` re-serving its file manager's binlogs
+  * (dumper/dump/CdcServer.java:154; readers BinlogDumpReader/
+  * LogFileReader), restated over the engine's own wire files. Speaks
+  * the server half of what [[graft.sources.BinlogDumpClient]] dials:
+  * v10 initial handshake with a per-connection scramble,
+  * mysql_native_password verification (a wrong proof answers ERR 1045
+  * and closes), COM_REGISTER_SLAVE, and COM_BINLOG_DUMP streaming raw
+  * events from the requested (file, pos) — FDE and the file's
+  * self-describing prologue first — through every later file in name
+  * order, then the NON_BLOCK caught-up EOF. `BinlogCatalog.seekTso`
+  * output is a valid dump cursor.
+  *
+  * One adaptation to this engine's files, documented at seekTso too: a
+  * real server re-sends only the FDE on a mid-file dump because MySQL
+  * files re-declare TABLE_MAP per statement; these files declare maps
+  * once per file, so the head prologue (FDE/PREVIOUS_GTIDS/TABLE_MAP)
+  * re-serves with it.
+  *
+  * Scale shape: one daemon thread per consumer connection; each dump
+  * streams its files through bounded-memory event framing (19-byte
+  * header → length → body, never a whole file in heap) off any Hadoop
+  * FS scheme — an archived log serves exactly like a local one. This
+  * is the serving tier a downstream replica (or this repo's own
+  * LiveReplicaJob) polls; Spark jobs are the producers and consumers,
+  * the server is transport.
+  */
+final class BinlogDumpServer(wireDir: String, user: String,
+    password: String, filePrefix: String = "binlog.") {
+
+  private val server = new java.net.ServerSocket(0)
+  def port: Int = server.getLocalPort
+
+  private val accepter = new Thread(() => {
+    try while (!server.isClosed) {
+      val sock = server.accept()
+      val t = new Thread(() => serve(sock), s"binlog-dump-${sock.getPort}")
+      t.setDaemon(true)
+      t.start()
+    } catch { case _: Exception => () } // server closed
+  }, "binlog-dump-accept")
+  accepter.setDaemon(true)
+  accepter.start()
+
+  def close(): Unit = server.close()
+
+  private def le(v: Long, n: Int): Array[Byte] =
+    (0 until n).map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray
+
+  private final class PacketIO(sock: java.net.Socket) {
+    private val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(sock.getInputStream))
+    private val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+    var seq: Int = 0
+    def read(): Array[Byte] = {
+      val hdr = new Array[Byte](4)
+      in.readFully(hdr)
+      val len = (hdr(0) & 0xFF) | ((hdr(1) & 0xFF) << 8) |
+        ((hdr(2) & 0xFF) << 16)
+      seq = (hdr(3) & 0xFF) + 1
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      buf
+    }
+    def write(payload: Array[Byte]): Unit = {
+      out.write(payload.length & 0xFF)
+      out.write((payload.length >> 8) & 0xFF)
+      out.write((payload.length >> 16) & 0xFF)
+      out.write(seq & 0xFF)
+      out.write(payload)
+      out.flush()
+      seq += 1
+    }
+  }
+
+  private def ok(): Array[Byte] =
+    Array(0x00.toByte, 0x00.toByte, 0x00.toByte) ++ le(2L, 2) ++ le(0L, 2)
+
+  private def err(code: Int, sqlState: String, msg: String): Array[Byte] =
+    Array(0xFF.toByte) ++ le(code.toLong, 2) ++ Array('#'.toByte) ++
+      sqlState.getBytes(UTF_8) ++ msg.getBytes(UTF_8)
+
+  /** Stream one file's events to `emit`, bounded memory: 19-byte
+    * header → declared length → body, one event in heap at a time.
+    * `serveFrom` gates by within-file offset; the head prologue
+    * (FDE=15, TABLE_MAP=19, PREVIOUS_GTIDS=35, ROTATE=4) always
+    * serves. */
+  private def streamFile(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, serveFrom: Long,
+      emit: Array[Byte] => Unit): Unit = {
+    val preamble = Set(15, 19, 35, 4)
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(fs.open(path)))
+    try {
+      val magic = new Array[Byte](4)
+      in.readFully(magic)
+      require(magic.sameElements(BinlogWire.Magic), s"bad magic in $path")
+      var off = 4L
+      var inPrologue = true
+      var done = false
+      while (!done) {
+        val header = new Array[Byte](19)
+        val first = in.read()
+        if (first < 0) done = true
+        else {
+          header(0) = first.toByte
+          in.readFully(header, 1, 18)
+          val len = (header(9) & 0xFF) | ((header(10) & 0xFF) << 8) |
+            ((header(11) & 0xFF) << 16) | ((header(12) & 0xFF) << 24)
+          val body = new Array[Byte](len - 19)
+          in.readFully(body)
+          inPrologue &&= preamble.contains(header(4) & 0xFF)
+          if (inPrologue || off >= serveFrom) emit(header ++ body)
+          off += len
+        }
+      }
+    } finally in.close()
+  }
+
+  private def serve(sock: java.net.Socket): Unit = {
+    val io = new PacketIO(sock)
+    try {
+      // per-connection scramble (time-seeded; only equality with the
+      // client's proof matters, not unpredictability strength here —
+      // swap in SecureRandom where the transport faces real networks)
+      val rnd = new java.util.Random(System.nanoTime())
+      val scramble = new Array[Byte](20)
+      rnd.nextBytes(scramble)
+      scramble.indices.foreach { i => // MySQL scrambles are NUL-free
+        if (scramble(i) == 0) scramble(i) = 1
+      }
+      io.seq = 0
+      io.write(Array(10.toByte) ++
+        "8.0.32-graft-dump".getBytes(UTF_8) ++ Array(0.toByte) ++
+        le(99L, 4) ++ scramble.take(8) ++ Array(0.toByte) ++
+        le(0x8201L, 2) ++ Array(33.toByte) ++ le(2L, 2) ++ le(0x8L, 2) ++
+        Array(21.toByte) ++ new Array[Byte](10) ++
+        scramble.drop(8) ++ Array(0.toByte) ++
+        "mysql_native_password".getBytes(UTF_8) ++ Array(0.toByte))
+      val resp = io.read()
+      var i = 4 + 4 + 1 + 23 // caps, max packet, charset, reserved
+      val userEnd = resp.indexOf(0.toByte, i)
+      val gotUser = new String(resp.slice(i, userEnd), UTF_8)
+      i = userEnd + 1
+      val authLen = resp(i) & 0xFF
+      i += 1
+      val gotAuth = resp.slice(i, i + authLen)
+      val wantAuth = BinlogDumpClient.nativePassword(password, scramble)
+      if (gotUser != user || !java.util.Arrays.equals(gotAuth, wantAuth)) {
+        io.write(err(1045, "28000", s"Access denied for user '$gotUser'"))
+        return
+      }
+      io.write(ok())
+      var open = true
+      while (open) {
+        io.seq = 0
+        val cmd = io.read()
+        cmd.headOption.map(_ & 0xFF) match {
+          case Some(0x15) => io.write(ok()) // COM_REGISTER_SLAVE
+          case Some(0x12) => // COM_BINLOG_DUMP
+            val pos = (cmd(1) & 0xFFL) | ((cmd(2) & 0xFFL) << 8) |
+              ((cmd(3) & 0xFFL) << 16) | ((cmd(4) & 0xFFL) << 24)
+            // flags(2) + serverId(4), then the file name
+            val file = new String(cmd.drop(11), UTF_8)
+            val root = new org.apache.hadoop.fs.Path(wireDir)
+            val fs = graft.util.HadoopIo.fsOf(root)
+            val files =
+              if (!fs.exists(root)) Seq.empty
+              else fs.listStatus(root).toSeq
+                .filter(st => st.isFile &&
+                  st.getPath.getName.startsWith(filePrefix))
+                .map(_.getPath).sortBy(_.getName)
+                .dropWhile(_.getName < file)
+            if (files.isEmpty || files.head.getName != file)
+              io.write(err(1236, "HY000",
+                s"Could not find first log file name in binary log index file: $file"))
+            else {
+              files.zipWithIndex.foreach { case (p, fi) =>
+                streamFile(fs, p, if (fi == 0) pos else 4L,
+                  bytes => io.write(Array(0x00.toByte) ++ bytes))
+              }
+              io.write(Array(0xFE.toByte) ++ le(0L, 2) ++ le(2L, 2))
+            }
+          case Some(0x01) | None => open = false // COM_QUIT / closed
+          case Some(other) =>
+            io.write(err(1047, "08S01", s"Unknown command $other"))
+        }
+      }
+    } catch {
+      case _: Exception => () // consumer dropped — its session only
+    } finally sock.close()
+  }
+}

@@ -81,8 +81,9 @@ object BinlogDumpClient {
   }
 
   /** SHA1(password) XOR SHA1(scramble ++ SHA1(SHA1(password))) — the
-    * mysql_native_password proof (empty password → empty response). */
-  private[sources] def nativePassword(password: String,
+    * mysql_native_password proof (empty password → empty response);
+    * shared with the serving side (`sinks/BinlogDumpServer`). */
+  private[graft] def nativePassword(password: String,
       scramble: Array[Byte]): Array[Byte] =
     if (password.isEmpty) Array.emptyByteArray
     else {

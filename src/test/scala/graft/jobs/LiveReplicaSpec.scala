@@ -6,7 +6,7 @@ import graft.SparkSpec
 import graft.operators.TxnApplier
 import graft.sinks.BinlogWire
 import graft.sinks.BinlogWire._
-import graft.sources.{BinlogDumpClient, FakeMysqlBinlogServer}
+import graft.sources.BinlogDumpClient
 
 /** The standing LIVE replica over the real dump dialogue: poll/apply
   * triggers against a protocol-faithful server converge to the same
@@ -63,7 +63,7 @@ class LiveReplicaSpec extends SparkSpec {
       .select($"acct", $"balance").as[(Long, Long)].collect().toMap
 
     publish("binlog.000000", "binlog.000001")
-    val srv = new FakeMysqlBinlogServer(served, "repl", "pw")
+    val srv = new graft.sinks.BinlogDumpServer(served, "repl", "pw")
     try {
       val ep0 = Seq(BinlogDumpClient.Endpoint("dn1", "localhost", srv.port,
         "repl", "pw", "binlog.000000", 4L))

@@ -31,7 +31,7 @@ class BinlogDumpClientSpec extends SparkSpec {
 
   test("full dialogue: dump from file start == reading the files directly") {
     val dir = writeLog()
-    val srv = new FakeMysqlBinlogServer(dir, "repl", "s3cret")
+    val srv = new graft.sinks.BinlogDumpServer(dir, "repl", "s3cret")
     try {
       val seg = BinlogDumpClient.dumpSegment("localhost", srv.port,
         "repl", "s3cret", "binlog.000000", 4L)
@@ -48,7 +48,7 @@ class BinlogDumpClientSpec extends SparkSpec {
 
   test("dump from a seekTso cursor replays only the suffix (multi-file seek)") {
     val dir = writeLog()
-    val srv = new FakeMysqlBinlogServer(dir, "repl", "s3cret")
+    val srv = new graft.sinks.BinlogDumpServer(dir, "repl", "s3cret")
     try {
       for (t <- Seq(2L, 5L, 7L)) {
         val (file, off) = BinlogCatalog.seekTso(spark, dir, t)
@@ -65,7 +65,7 @@ class BinlogDumpClientSpec extends SparkSpec {
 
   test("pollSegments: a DN fleet drains in parallel tasks into the envelope") {
     val dirs = Seq("dnA", "dnB").map(_ => writeLog())
-    val servers = dirs.map(new FakeMysqlBinlogServer(_, "repl", "pw"))
+    val servers = dirs.map(new graft.sinks.BinlogDumpServer(_, "repl", "pw"))
     try {
       val endpoints = servers.zipWithIndex.map { case (s, i) =>
         BinlogDumpClient.Endpoint(s"dn$i", "localhost", s.port, "repl",
@@ -103,7 +103,7 @@ class BinlogDumpClientSpec extends SparkSpec {
         java.nio.file.Paths.get(full, n), java.nio.file.Paths.get(served, n))
     }
     publish("binlog.000000", "binlog.000001")
-    val srv = new FakeMysqlBinlogServer(served, "repl", "pw")
+    val srv = new graft.sinks.BinlogDumpServer(served, "repl", "pw")
     try {
       def decode(seg: Array[Byte]): Set[Long] =
         ChangeEventSource.fromWireSegments(
@@ -134,7 +134,7 @@ class BinlogDumpClientSpec extends SparkSpec {
 
   test("auth and unknown-log failures are loud, carrying the server message") {
     val dir = writeLog()
-    val srv = new FakeMysqlBinlogServer(dir, "repl", "right")
+    val srv = new graft.sinks.BinlogDumpServer(dir, "repl", "right")
     try {
       val denied = intercept[java.io.IOException] {
         BinlogDumpClient.dumpSegment("localhost", srv.port, "repl",
