@@ -1341,6 +1341,24 @@ object SparkEntry {
             sum(element_at(col("after"), "l_linenumber").cast("long"))
               .as("sum_line"))
       } finally srv.close()
+    }),
+
+    // DSIR-style importance sampling (ORACLE-CHECKED): tilt a raw pool
+    // toward a small curated target by hashed-bigram importance ratio.
+    // Scored with the log-free cross-multiplied form — every term an
+    // integer DuckDB recomputes bit-exactly (the q81 discipline); the
+    // profiles are dim-bounded broadcasts, the pool never shuffles for
+    // the model.
+    "q89_importance_sampling" -> ((s, d) => {
+      import graft.text.ImportanceSampling
+      val docs = Tables.documents(s, d)
+      val target = docs.filter(col("doc_id") <= 100)
+        .select(col("doc_id"), col("text"))
+      val pool = docs.filter(col("doc_id") > 100 && col("doc_id") <= 700)
+        .select(col("doc_id"), col("text"))
+      ImportanceSampling.importanceScores(pool, target, "doc_id", "text",
+          dim = 512)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2055,6 +2073,43 @@ object SparkEntry {
         "CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_txns, " +
         "CAST(sum(l_orderkey) AS BIGINT) AS sum_okey, " +
         "CAST(sum(l_linenumber) AS BIGINT) AS sum_line " +
-        "FROM lineitem WHERE l_orderkey <= 120")
+        "FROM lineitem WHERE l_orderkey <= 120"),
+    // q89: same pair hash (q81's fold over the "w1 w2" string, mod
+    // 512), add-one smoothing, and the cross-multiplied ratio test —
+    // all integer arithmetic, recomputed from the parquet
+    "q89_importance_sampling" ->
+      ("WITH tgt AS (SELECT doc_id, text FROM documents " +
+        "WHERE doc_id <= 100), " +
+        "pool AS (SELECT doc_id, text FROM documents " +
+        "WHERE doc_id > 100 AND doc_id <= 700), " +
+        "tbg AS (SELECT doc_id, list_reduce(list_prepend(" +
+        "CAST(0 AS BIGINT), [CAST(ord(c) AS BIGINT) for c in " +
+        "string_split(toks[i] || ' ' || toks[i+1], '')]), " +
+        "(acc, x) -> (acc * 31 + x) % 2147483629) % 512 AS bucket " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM tgt), " +
+        "unnest(range(1, greatest(1, len(toks)))) t(i) " +
+        "WHERE len(toks) >= 2), " +
+        "pbg AS (SELECT doc_id, list_reduce(list_prepend(" +
+        "CAST(0 AS BIGINT), [CAST(ord(c) AS BIGINT) for c in " +
+        "string_split(toks[i] || ' ' || toks[i+1], '')]), " +
+        "(acc, x) -> (acc * 31 + x) % 2147483629) % 512 AS bucket " +
+        "FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM pool), " +
+        "unnest(range(1, greatest(1, len(toks)))) t(i) " +
+        "WHERE len(toks) >= 2), " +
+        "tprof AS (SELECT bucket, count(*) AS tc FROM tbg GROUP BY bucket), " +
+        "pprof AS (SELECT bucket, count(*) AS sc FROM pbg GROUP BY bucket), " +
+        "tot AS (SELECT (SELECT count(*) FROM tbg) AS t_tot, " +
+        "(SELECT count(*) FROM pbg) AS s_tot), " +
+        "feats AS (SELECT doc_id, bucket, count(*) AS n FROM pbg " +
+        "GROUP BY doc_id, bucket), " +
+        "agg AS (SELECT f.doc_id, CAST(sum(f.n) AS BIGINT) AS n_bigrams, " +
+        "CAST(sum(f.n * (coalesce(tc, 0) + 1)) AS BIGINT) AS aff_target, " +
+        "CAST(sum(f.n * (sc + 1)) AS BIGINT) AS aff_pool " +
+        "FROM feats f LEFT JOIN tprof USING (bucket) " +
+        "JOIN pprof USING (bucket) GROUP BY f.doc_id) " +
+        "SELECT doc_id, n_bigrams, aff_target, aff_pool, " +
+        "CAST(CASE WHEN aff_target * (s_tot + 512) > " +
+        "aff_pool * (t_tot + 512) THEN 1 ELSE 0 END AS BIGINT) AS keep " +
+        "FROM agg, tot ORDER BY doc_id")
   )
 }
