@@ -1,0 +1,102 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+  * arXiv:2303.09540): cluster the embedding space with k-means, then
+  * look for near-duplicates only WITHIN each cluster — pairwise cosine
+  * is quadratic, but quadratic in the cluster size, not the corpus.
+  * With C clusters the candidate work drops from N²/2 to ~N²/(2C); the
+  * clusters are the blocking structure, playing the role LSH buckets
+  * play in [[Similarity.cosineNearDupPairs]] but derived from the data
+  * (k-means adapts to the embedding distribution where fixed random
+  * hyperplanes cannot).
+  *
+  * Duplicate groups are closed with connected components and one
+  * representative per group is kept — the smallest id, a deterministic
+  * choice any external engine can recompute (the paper keeps a
+  * low-centroid-similarity member; min-id preserves the dedup semantics
+  * while making the selection oracle-checkable).
+  *
+  * RECALL note (same stance as the LSH path): a pair split across two
+  * clusters is never compared. Near-identical vectors land in the same
+  * cell except exactly on a Voronoi boundary, so at thresholds near 1
+  * recall is ~1; lower thresholds trade recall for the C× cost cut —
+  * that trade IS the SemDeDup design.
+  *
+  * 100 TB shape: assignment is a scan-stage projection (literal
+  * centroids) or a broadcast join (big codebooks) via
+  * [[IvfIndex.assignCells]]; the self-join shuffles 8-byte ids + the
+  * cell key, vectors ride along once per side; a per-cluster
+  * cardinality guard `raise_error`s in-plan instead of silently going
+  * quadratic when nCells is too small for the corpus (the
+  * cosineNearDupPairs guard, same Filter-predicate placement so
+  * ColumnPruning cannot delete it).
+  */
+object SemanticDedup {
+
+  /** Train the clustering model on the normalized vectors (SemDeDup
+    * clusters directions, not magnitudes). Thin wrapper so callers
+    * cannot accidentally train on raw vectors and assign normalized
+    * ones. */
+  def train(df: DataFrame, vecCol: String, nCells: Int,
+      seed: Long = 42L, maxIter: Int = 10): IvfIndex.Model = {
+    val normed = df.select(Similarity.normalize(col(vecCol)).as("__nv"))
+    IvfIndex.train(normed, "__nv", nCells, seed, maxIter)
+  }
+
+  /** Within-cluster near-duplicate pairs:
+    * (id1, id2, sim) with id1 < id2 and cosine >= threshold. */
+  def clusterPairs(df: DataFrame, idCol: String, vecCol: String,
+      model: IvfIndex.Model, threshold: Double,
+      maxClusterRows: Long = 4L * 1000 * 1000): DataFrame = {
+    // materialize normalize+assign once: projection collapse would
+    // inline the centroid argmin into both self-join branches
+    val assigned = IvfIndex.assignCells(
+      df.select(col(idCol).as("id"),
+        Similarity.normalize(col(vecCol)).as("v")),
+      "v", model, "cell").cache()
+    // per-cluster cardinality guard — in a Filter predicate, evaluated
+    // per row by construction (a projected-but-unread raise_error is
+    // deleted by ColumnPruning and never fires)
+    val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("cluster_rows"))
+    val clusterOk = when(col("cluster_rows") > maxClusterRows,
+      raise_error(concat(
+        lit("SemanticDedup: cluster "), col("cell").cast("string"),
+        lit(" holds "), col("cluster_rows").cast("string"),
+        lit(s" rows > maxClusterRows=$maxClusterRows — raise nCells" +
+          " (shrinks clusters) or the cap"))).cast("boolean"))
+      .otherwise(lit(true))
+    val a = assigned.join(sizes, Seq("cell")).filter(clusterOk)
+      .select(col("cell"), col("id").as("id1"), col("v").as("v1"))
+    val b = assigned
+      .select(col("cell"), col("id").as("id2"), col("v").as("v2"))
+    a.join(b, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        Similarity.dot(col("v1"), col("v2")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Per-row keep decision: (id, kept). A row is kept iff it is not a
+    * near-duplicate of a smaller-id row — i.e. it is the min-id
+    * representative of its duplicate component, or a singleton. The
+    * pairs close under connected components first, so a CHAIN of
+    * near-duplicates (a~b~c with a≁c) still collapses to one kept
+    * representative. */
+  def keepFlags(df: DataFrame, idCol: String, vecCol: String,
+      model: IvfIndex.Model, threshold: Double,
+      maxClusterRows: Long = 4L * 1000 * 1000): DataFrame = {
+    val pairs = clusterPairs(df, idCol, vecCol, model, threshold,
+      maxClusterRows)
+    val comp = graft.operators.Components
+      .connectedComponents(pairs, "id1", "id2")
+      .select(col("node").as("id"), col("component"))
+    df.select(col(idCol).cast("long").as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"),
+        (col("component").isNull || col("component") === col("id"))
+          .as("kept"))
+  }
+}

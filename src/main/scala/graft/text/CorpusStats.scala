@@ -51,4 +51,36 @@ object CorpusStats {
         count(when(col("df") * 10 < col("ndocs") * rareFracTenths, 1))
           .as("n_rare"))
   }
+
+  /** Per-document characteristic terms — tf-idf keyword extraction with
+    * an integer-exact ranking. The tf-idf ordering (tf·log(N/df)) is
+    * dominated by tf and penalizes common terms; ranking by
+    * (tf desc, df asc, token asc) preserves exactly that preference
+    * while never materializing a float, so Spark and any SQL oracle
+    * produce the identical top-k — no log(), no epsilon, no
+    * cross-engine double drift.
+    *
+    * Same two-shuffle shape as [[rareTokenStats]]: one aggregation
+    * keyed by (doc, token) for tf, one keyed by token for df (both
+    * map-side combinable), a token-keyed join back, and a per-document
+    * top-k window that Catalyst's InferWindowGroupLimit turns into a
+    * partial top-k below the shuffle. The vocabulary stays distributed
+    * throughout. */
+  def characteristicTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+    val tf = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(dfreq, "token")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("token"), col("tf"), col("df"))
+  }
 }

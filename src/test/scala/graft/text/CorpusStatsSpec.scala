@@ -41,4 +41,24 @@ class CorpusStatsSpec extends SparkSpec {
       .map { case (id, t, r) => id -> ((t, r)) }.toMap
     assert(got == Map(1L -> ((4L, 3L)), 2L -> ((2L, 1L))))
   }
+
+  test("characteristicTerms: tf desc, then rarest df, then token order") {
+    // doc 1: "the"×3 (df 2), "cat"×3 (df 1), "sat"×1 (df 1)
+    // tf tie (the=3, cat=3) → cat wins on df 1 < 2; rank 3 = sat
+    val kw = Seq(
+      (1L, "the cat the cat the cat sat"),
+      (2L, "the dog"))
+      .toDF("doc_id", "text")
+    val got = CorpusStats.characteristicTerms(kw, "doc_id", "text", k = 3)
+      .as[(Long, Int, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got((1L, 1)) == (("cat", 3L, 1L)))
+    assert(got((1L, 2)) == (("the", 3L, 2L)))
+    assert(got((1L, 3)) == (("sat", 1L, 1L)))
+    // doc 2: tf tie at 1, df tie broken by rarity then alphabet
+    assert(got((2L, 1)) == (("dog", 1L, 1L)))
+    assert(got((2L, 2)) == (("the", 1L, 2L)))
+    // k caps the output
+    assert(!got.contains((1L, 4)))
+  }
 }
