@@ -185,6 +185,27 @@ object Similarity {
         lshBucket(vecCol, numPlanes, dim, seed + t).as("bucket"))
     }: _*)
 
+  /** Multiprobe probe lists (Lv et al. 2007, "Multi-probe LSH"): for
+    * each table, the vector's own bucket PLUS every bucket at Hamming
+    * distance 1 (one sign bit flipped). A near-miss pair — differing on
+    * exactly one hyperplane in a table — still collides, so one probed
+    * table does the recall work of ~numPlanes+1 independent tables
+    * while the table count (and with it the CORPUS-side explode, the
+    * cost that scales with 100 TB) shrinks. Probing expands only the
+    * side it is applied to; apply it to the small/query side and keep
+    * the corpus on exact buckets. */
+  def lshProbeTables(vecCol: Column, numTables: Int, numPlanes: Int,
+      dim: Int, seed: Long = 42L): Column = {
+    val masks = array((0 until numPlanes).map(i => lit(1L << i)): _*)
+    val base = lshTables(vecCol, numTables, numPlanes, dim, seed)
+    flatten(transform(base, tb => concat(
+      array(tb),
+      transform(masks, m => struct(
+        tb.getField("table").as("table"),
+        tb.getField("bucket").bitwiseXOR(m).as("bucket"))))))
+      .cast("array<struct<table:int,bucket:bigint>>")
+  }
+
   /** Query sides whose PLAN-estimated size is at or below this many bytes
     * broadcast by default in lshTopK (the ANN-serving shape: small query
     * set vs huge corpus). Statistics-based, so the default decision costs
@@ -209,16 +230,23 @@ object Similarity {
     * corpus as the query set. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, numPlanes: Int, dim: Int,
-      numTables: Int = 1, queryBroadcast: Option[Boolean] = None): DataFrame = {
+      numTables: Int = 1, queryBroadcast: Option[Boolean] = None,
+      multiprobe: Boolean = false): DataFrame = {
     val small = queryBroadcast.getOrElse(
       queries.queryExecution.optimizedPlan.stats.sizeInBytes <= QueryBroadcastBytes)
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (small) broadcast(df) else df
     // ids-only candidate generation: the (table,bucket) join shuffles
     // 8-byte ids, never vectors; vectors join back once per UNIQUE pair
-    // (cf. minhashCandidatePairs — same written-signature shape at scale)
+    // (cf. minhashCandidatePairs — same written-signature shape at scale).
+    // multiprobe widens only the QUERY side (own bucket + 1-bit flips,
+    // lshProbeTables doc) — the corpus-side explode, the term that
+    // scales with the corpus, stays at numTables exact buckets.
+    val qBuckets =
+      if (multiprobe) lshProbeTables(col(vecCol), numTables, numPlanes, dim)
+      else lshTables(col(vecCol), numTables, numPlanes, dim)
     val qIds = queries.select(col(idCol).as("query_id"),
-      explode(lshTables(col(vecCol), numTables, numPlanes, dim)).as("tb"))
+      explode(qBuckets).as("tb"))
     val cIds = corpus.select(col(idCol).as("corpus_id"),
       explode(lshTables(col(vecCol), numTables, numPlanes, dim)).as("tb"))
     val candidates = cIds.join(maybeBroadcast(qIds), Seq("tb"))

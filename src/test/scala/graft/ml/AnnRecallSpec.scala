@@ -30,13 +30,25 @@ class AnnRecallSpec extends SparkSpec {
     hits.toDouble / truth.map(_._2.size).sum
   }
 
-  test("LSH top-k (q40 params) recall@5 >= 0.6 vs exact ground truth") {
+  test("LSH top-k (16-table OR-amplified) recall@5 >= 0.6 vs exact ground truth") {
     val got = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
         k = 5, numPlanes = 4, dim = 64, numTables = 16)
       .select($"query_id", $"corpus_id").as[(Long, Long)].collect()
     val r = recallAt5(got)
     info(f"LSH recall@5 = $r%.3f")
     assert(r >= 0.6, f"LSH recall@5 $r%.3f below gate")
+  }
+
+  test("multiprobe LSH (q40 params) recall@5 >= 0.6 at a quarter of the tables") {
+    // 4 probed tables must match the 16 exact tables' recall gate: each
+    // 1-bit probe makes one table do the work of ~numPlanes+1 tables
+    // while the corpus-side explode (the 100 TB cost term) shrinks 4x
+    val got = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+        k = 5, numPlanes = 4, dim = 64, numTables = 4, multiprobe = true)
+      .select($"query_id", $"corpus_id").as[(Long, Long)].collect()
+    val r = recallAt5(got)
+    info(f"multiprobe LSH recall@5 = $r%.3f")
+    assert(r >= 0.6, f"multiprobe recall@5 $r%.3f below gate")
   }
 
   test("corpus-vs-corpus LSH: no forced query broadcast, recall holds") {
