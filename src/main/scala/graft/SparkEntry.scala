@@ -1436,6 +1436,47 @@ object SparkEntry {
           threshold = 0.999)
         .select(col("id").as("vec_id"), col("kept"))
         .orderBy(col("vec_id"))
+    }),
+
+    // Cross-corpus span decontamination (ORACLE-CHECKED): every pool
+    // doc's verbatim 8-token overlap with a reference (benchmark)
+    // corpus — the corpus-wide decon sweep (q55 scores a KNOWN doc
+    // pairing; this needs no pairing). The reference here is the first
+    // 40 docs, the "benchmark leaked into the crawl" scenario.
+    "q94_span_decontamination" -> ((s, d) => {
+      import graft.text.SpanDedup
+      val docs = Tables.documents(s, d)
+      val pool = docs.filter(col("doc_id") <= 400)
+        .select(col("doc_id"), col("text"))
+      val reference = docs.filter(col("doc_id") <= 40)
+        .select(col("doc_id"), col("text"))
+      SpanDedup.crossSpanContamination(pool, reference, "doc_id", "text",
+          k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sliding-window chunking (ORACLE-CHECKED): 64-token chunks at
+    // stride 48 (overlap 16) — the RAG/embedding ingestion layout,
+    // integer-exact so DuckDB recomputes the identical chunk set.
+    "q95_doc_chunking" -> ((s, d) => {
+      import graft.text.Chunking
+      val docs = Tables.documents(s, d).filter(col("doc_id") <= 300)
+        .select(col("doc_id"), col("text"))
+      Chunking.chunk(docs, "doc_id", "text", chunkTokens = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // Distributed vocabulary build (ORACLE-CHECKED): dense 0-based
+    // lexicographic token ids via the two-phase prefix sum — no global
+    // single-partition sort — plus tf/df for vocab truncation. The
+    // oracle's ORDER BY row_number must equal the distributed ranks
+    // exactly.
+    "q96_vocabulary" -> ((s, d) => {
+      import graft.text.CorpusStats
+      val docs = Tables.documents(s, d).filter(col("doc_id") <= 500)
+        .select(col("doc_id"), col("text"))
+      CorpusStats.vocabulary(docs, "doc_id", "text")
+        .orderBy(col("token_id"))
     })
   )
 
@@ -2263,6 +2304,48 @@ object SparkEntry {
         "FROM reach GROUP BY a) " +
         "SELECT v.vec_id, (c.component IS NULL OR c.component = v.vec_id) " +
         "AS kept FROM all_v v LEFT JOIN comp c ON c.node = v.vec_id " +
-        "ORDER BY v.vec_id")
+        "ORDER BY v.vec_id"),
+    // q94: window TEXT grouping is ground truth (q86's stance) — a
+    // hash collision on the Spark side would surface as a count
+    // mismatch
+    "q94_span_decontamination" ->
+      ("WITH pool AS (SELECT doc_id, text FROM documents " +
+        "WHERE doc_id <= 400), " +
+        "ref AS (SELECT doc_id, text FROM documents WHERE doc_id <= 40), " +
+        "pd AS (SELECT doc_id, string_split(text, ' ') AS toks FROM pool), " +
+        "pw AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS win " +
+        "FROM pd, unnest(range(1, greatest(1, len(toks) - 8 + 1) + 1)) t(i) " +
+        "WHERE len(toks) >= 8), " +
+        "rd AS (SELECT string_split(text, ' ') AS toks FROM ref), " +
+        "rw AS (SELECT DISTINCT array_to_string(toks[i:i+7], ' ') AS win " +
+        "FROM rd, unnest(range(1, greatest(1, len(toks) - 8 + 1) + 1)) t(i) " +
+        "WHERE len(toks) >= 8) " +
+        "SELECT pw.doc_id, CAST(count(*) AS BIGINT) AS n_spans, " +
+        "CAST(sum(CASE WHEN rw.win IS NOT NULL THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_contaminated " +
+        "FROM pw LEFT JOIN rw USING (win) " +
+        "GROUP BY pw.doc_id ORDER BY pw.doc_id"),
+    // q95: chunk starts at 0, stride, 2*stride, ... < len; chunk text
+    // is the token slice rejoined — all integer layout
+    "q95_doc_chunking" ->
+      ("WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks " +
+        "FROM documents WHERE doc_id <= 300) " +
+        "SELECT doc_id, CAST((i - 1) / 48 AS BIGINT) AS chunk_id, " +
+        "CAST(i - 1 AS BIGINT) AS start_tok, " +
+        "CAST(least(64, len(toks) - i + 1) AS BIGINT) AS n_tokens, " +
+        "array_to_string(toks[i:i+63], ' ') AS chunk " +
+        "FROM d, unnest(range(1, len(toks) + 1, 48)) t(i) " +
+        "ORDER BY doc_id, chunk_id"),
+    // q96: the distributed two-phase rank must equal one global ORDER
+    // BY row_number exactly
+    "q96_vocabulary" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id <= 500), " +
+        "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token " +
+        "FROM d), " +
+        "stats AS (SELECT token, CAST(count(*) AS BIGINT) AS tf, " +
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS df " +
+        "FROM toks GROUP BY token) " +
+        "SELECT CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) " +
+        "AS token_id, token, tf, df FROM stats ORDER BY token_id")
   )
 }

@@ -66,6 +66,48 @@ object CorpusStats {
     * top-k window that Catalyst's InferWindowGroupLimit turns into a
     * partial top-k below the shuffle. The vocabulary stays distributed
     * throughout. */
+  /** Corpus vocabulary with dense ids: one row per distinct token —
+    * (token_id, token, tf, df) — where token_id is the 0-based rank of
+    * the token in lexicographic order. The tokenizer-training prep op:
+    * a stable, engine-portable token↔id mapping plus the frequency
+    * columns a vocab-truncation pass filters on.
+    *
+    * Id assignment is the two-phase distributed prefix sum
+    * (`Packing.packSequences`' shape): range-partition by token, local
+    * row_number per partition, then per-partition COUNTS — P numbers,
+    * metadata — fold into global offsets on the driver and rejoin as a
+    * broadcast. No single-partition global sort, no
+    * monotonically_increasing_id gaps: ids come out dense and equal to
+    * the rank any SQL engine computes with one ORDER BY. */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String,
+      numParts: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    val p = if (numParts > 0) numParts
+      else spark.sessionState.conf.numShufflePartitions
+    val toks = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+    val stats = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col(idCol)).as("df"))
+    val ranged = stats.repartitionByRange(p, col("token"))
+      .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("token"))
+    val local = ranged
+      .withColumn("__local", row_number().over(w).cast("long") - 1L)
+      .cache()
+    val counts = local.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) {
+      case ((_, acc), (pid, n)) => (pid, acc + n)
+    }.sliding(2).collect {
+      case Array((_, acc), (pid, _)) => (pid, acc)
+    }.toSeq
+    val offsetsDf = spark.createDataFrame(offsets).toDF("__pid", "__offset")
+    local.join(broadcast(offsetsDf), Seq("__pid"))
+      .select((col("__offset") + col("__local")).as("token_id"),
+        col("token"), col("tf"), col("df"))
+  }
+
   def characteristicTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

@@ -64,6 +64,33 @@ object SpanDedup {
         sum(when(col("__n") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
   }
 
+  /** Cross-corpus span decontamination: for every pool document, how
+    * many of its k-token windows appear VERBATIM anywhere in a
+    * reference corpus (the benchmark/eval set) — the corpus-level
+    * decontamination check ("Deduplicating Training Data…" §decon;
+    * q55's containment ratio scores a KNOWN doc pairing, this sweeps
+    * the whole pool against the whole benchmark with no pairing).
+    * Returns (idCol, n_spans, n_contaminated) per pool document with
+    * at least one window; a row with n_contaminated > 0 leaks
+    * benchmark text and should be dropped or scrubbed.
+    *
+    * Scale shape: both sides reduce to 16-byte window hashes in their
+    * scan stages; the reference side dedups to one row per DISTINCT
+    * benchmark span (bounded by the benchmark size — a few GB against
+    * a 100 TB pool), so the join is hash-vs-small and AQE broadcasts
+    * it; the pool never shuffles its text. */
+  def crossSpanContamination(pool: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, k: Int): DataFrame = {
+    val pw = windowHashes(pool, idCol, textCol, k)
+    val rw = windowHashes(reference, idCol, textCol, k)
+      .select(col("hash")).distinct()
+      .withColumn("__hit", lit(1L))
+    pw.join(rw, Seq("hash"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+  }
+
   /** Remove all-but-first occurrences of duplicated k-token spans: for
     * every hash seen more than once, the (idCol, pos)-least occurrence
     * survives and every other occurrence's k token positions are

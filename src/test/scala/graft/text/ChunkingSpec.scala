@@ -1,0 +1,43 @@
+package graft.text
+
+import graft.SparkSpec
+
+/** `Chunking` — sliding-window chunk layout. */
+class ChunkingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("overlapping chunks: starts at stride steps, last chunk short") {
+    // 7 tokens, chunk 4, stride 2 → starts 0,2,4,6
+    val doc = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val got = Chunking.chunk(doc, "doc_id", "text",
+        chunkTokens = 4, stride = 2)
+      .orderBy($"chunk_id")
+      .as[(Long, Long, Long, Long, String)].collect().toList
+    assert(got == List(
+      (1L, 0L, 0L, 4L, "a b c d"),
+      (1L, 1L, 2L, 4L, "c d e f"),
+      (1L, 2L, 4L, 3L, "e f g"),
+      (1L, 3L, 6L, 1L, "g")))
+  }
+
+  test("stride == chunkTokens partitions the document exactly") {
+    val doc = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val got = Chunking.chunk(doc, "doc_id", "text",
+        chunkTokens = 2, stride = 2)
+      .orderBy($"chunk_id").as[(Long, Long, Long, Long, String)]
+      .collect().toList
+    assert(got.map(_._5) == List("a b", "c d", "e"))
+    // every token appears exactly once
+    assert(got.map(_._4).sum == 5L)
+  }
+
+  test("chunking is scan-stage only: no exchange in the plan") {
+    val doc = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = Chunking.chunk(doc, "doc_id", "text", 2, 1)
+      .queryExecution.executedPlan
+    assert(!plan.toString.contains("Exchange"))
+    intercept[IllegalArgumentException] {
+      Chunking.chunk(doc, "doc_id", "text", 2, 3) // stride > chunk
+    }
+  }
+}

@@ -61,4 +61,19 @@ class CorpusStatsSpec extends SparkSpec {
     // k caps the output
     assert(!got.contains((1L, 4)))
   }
+
+  test("vocabulary: dense lexicographic ids, tf/df correct, partition-invariant") {
+    val expected = List(
+      (0L, "cat", 2L, 2L), (1L, "dog", 2L, 2L), (2L, "howled", 1L, 1L),
+      (3L, "quietly", 1L, 1L), (4L, "ran", 1L, 1L), (5L, "sat", 2L, 2L),
+      (6L, "the", 4L, 4L))
+    val got = CorpusStats.vocabulary(docs, "doc_id", "text")
+      .orderBy($"token_id").as[(Long, String, Long, Long)].collect().toList
+    assert(got == expected)
+    // the two-phase rank must not depend on the partition count
+    val got1 = CorpusStats.vocabulary(docs.repartition(7), "doc_id", "text",
+        numParts = 3)
+      .orderBy($"token_id").as[(Long, String, Long, Long)].collect().toList
+    assert(got1 == expected)
+  }
 }

@@ -86,4 +86,24 @@ class SpanDedupSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(scrubbed(1L) == "a b c d" && scrubbed(2L) == "e f g h")
   }
+
+  test("crossSpanContamination counts verbatim benchmark windows only") {
+    // k=3 here: pool doc 10 embeds a reference trigram, doc 11 shares
+    // no window, doc 12 IS a reference doc verbatim
+    val reference = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "one two three")).toDF("doc_id", "text")
+    val pool = Seq(
+      (10L, "x alpha beta gamma y"),   // windows: 3; 1 contaminated
+      (11L, "p q r s"),                // windows: 2; 0 contaminated
+      (12L, "one two three"),          // windows: 1; 1 contaminated
+      (13L, "a b")                     // < k tokens: no row
+    ).toDF("doc_id", "text")
+    val got = SpanDedup.crossSpanContamination(pool, reference,
+        "doc_id", "text", k = 3)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(10L -> ((3L, 1L)), 11L -> ((2L, 0L)),
+      12L -> ((1L, 1L))))
+  }
 }
