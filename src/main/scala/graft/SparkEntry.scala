@@ -1477,6 +1477,26 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
       CorpusStats.vocabulary(docs, "doc_id", "text")
         .orderBy(col("token_id"))
+    }),
+
+    // URL canonicalization + crawl-recency dedup (ORACLE-CHECKED):
+    // two crawls of one page differing only in scheme/www/fragment/
+    // tracking params canonicalize to the same key; the latest crawl
+    // (max order) wins per key — map-side-combinable winner election.
+    // URLs are planted (the fixture has no URL column), 30 crawl
+    // versions per canonical page.
+    "q97_url_dedup" -> ((s, d) => {
+      import graft.text.UrlFilter
+      val crawls = Tables.documents(s, d).filter(col("doc_id") <= 600)
+        .select(col("doc_id"),
+          concat(lit("HTTP://WWW.Site"),
+            pmod(col("doc_id"), lit(20)).cast("string"),
+            lit(".example/p"), pmod(col("doc_id"), lit(4)).cast("string"),
+            lit("?utm_source=feed&id="),
+            pmod(col("doc_id"), lit(5)).cast("string"),
+            lit("#sec")).as("url"))
+      UrlFilter.dedupByUrl(crawls, "url", "doc_id")
+        .orderBy(col("canonical_url"))
     })
   )
 
@@ -2346,6 +2366,25 @@ object SparkEntry {
         "CAST(count(DISTINCT doc_id) AS BIGINT) AS df " +
         "FROM toks GROUP BY token) " +
         "SELECT CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) " +
-        "AS token_id, token, tf, df FROM stats ORDER BY token_id")
+        "AS token_id, token, tf, df FROM stats ORDER BY token_id"),
+    // q97: the same three group-free canonicalization rules, DuckDB
+    // spelling (rule 1 needs the 'g' flag; Spark replaces all by
+    // default)
+    "q97_url_dedup" ->
+      ("WITH crawls AS (SELECT doc_id, 'HTTP://WWW.Site' || " +
+        "(doc_id % 20)::VARCHAR || '.example/p' || " +
+        "(doc_id % 4)::VARCHAR || '?utm_source=feed&id=' || " +
+        "(doc_id % 5)::VARCHAR || '#sec' AS url " +
+        "FROM documents WHERE doc_id <= 600), " +
+        "canon AS (SELECT doc_id, regexp_replace(regexp_replace(" +
+        "regexp_replace(regexp_replace(regexp_replace(lower(url), " +
+        "'^https?://(www\\.)?', ''), '#.*$', ''), " +
+        "'&(utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'), " +
+        "'\\?(utm_[a-z]+|fbclid|gclid)=[^&#]*&', '?'), " +
+        "'\\?(utm_[a-z]+|fbclid|gclid)=[^&#]*$', '') AS canonical_url " +
+        "FROM crawls) " +
+        "SELECT canonical_url, CAST(max(doc_id) AS BIGINT) AS kept, " +
+        "CAST(count(*) AS BIGINT) AS n_versions FROM canon " +
+        "GROUP BY canonical_url ORDER BY canonical_url")
   )
 }

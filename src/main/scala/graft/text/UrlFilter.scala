@@ -39,6 +39,46 @@ object UrlFilter {
     transform(urls(text),
       u => lower(regexp_replace(u, lit("(?i)^https?://"), lit(""))))
 
+  /** Canonical form of a full URL for crawl dedup: lowercased (hosts
+    * are case-insensitive; full-URL lowercasing is a deliberate,
+    * documented simplification for dedup keys), scheme and leading
+    * `www.` stripped, fragment dropped, tracking query parameters
+    * (`utm_*`, `fbclid`, `gclid`) removed with the separators
+    * re-tidied. Two crawls of the same page with different tracking
+    * junk canonicalize to the same key. Portable-regex subset only —
+    * the oracle runs the identical pattern text. */
+  def canonicalizeUrl(url: Column): Column = {
+    val track = "(utm_[a-z]+|fbclid|gclid)=[^&#]*"
+    val lowered = lower(url)
+    val noScheme = regexp_replace(lowered, lit("^https?://(www\\.)?"), lit(""))
+    val noFrag = regexp_replace(noScheme, lit("#.*$"), lit(""))
+    // three GROUP-FREE removal rules (replacements with backreferences
+    // spell differently in Java regex vs the oracle's RE2 — avoided):
+    // 1. every "&"-prefixed tracking param goes outright;
+    // 2. a tracking param directly after "?" WITH a param behind it
+    //    takes the following "&"'s place as "?";
+    // 3. a tracking param directly after "?" at end-of-string goes
+    //    with its "?". After rule 1, at most one of 2/3 can match.
+    val amp = regexp_replace(noFrag, lit("&" + track), lit(""))
+    val qMid = regexp_replace(amp, lit("\\?" + track + "&"), lit("?"))
+    regexp_replace(qMid, lit("\\?" + track + "$"), lit(""))
+  }
+
+  /** Crawl-recency dedup: one row per canonical URL — the highest
+    * `orderCol` (crawl sequence / fetch time) version wins —
+    * with the version count for audit. Winner election is
+    * groupBy(canonical).agg(max(struct(order))) — map-side combinable,
+    * the same hot-key-safe shape as ParagraphDedup/SpanDedup: a URL
+    * crawled 10⁶ times partial-aggregates in the map stage instead of
+    * funneling one window task. */
+  def dedupByUrl(docs: DataFrame, urlCol: String, orderCol: String)
+      : DataFrame =
+    docs.select(canonicalizeUrl(col(urlCol)).as("canonical_url"),
+        col(orderCol))
+      .groupBy(col("canonical_url"))
+      .agg(max(col(orderCol)).as("kept"),
+        count(lit(1)).as("n_versions"))
+
   /** `docs` minus every document that mentions a blocked domain.
     * `blocklist(domainCol)` is collapsed to a single broadcast row;
     * documents with no URLs — including NULL text — always survive

@@ -68,4 +68,42 @@ class UrlFilterSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(2L, 3L))
   }
+
+  test("canonicalizeUrl: scheme/www/fragment/tracking junk all collapse") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      // scheme + www + case
+      ("HTTPS://WWW.Site.Example/a", "site.example/a"),
+      // fragment
+      ("http://site.example/a#sec2", "site.example/a"),
+      // leading tracking param with a real one behind it
+      ("http://site.example/a?utm_source=x&id=3", "site.example/a?id=3"),
+      // trailing tracking param only
+      ("http://site.example/a?utm_campaign=y", "site.example/a"),
+      // amp-prefixed tracking among real params
+      ("http://site.example/a?id=3&utm_medium=z&p=2&fbclid=q",
+        "site.example/a?id=3&p=2"),
+      // nothing to do
+      ("http://site.example/a?id=3", "site.example/a?id=3"))
+    val got = cases.map(_._1).toDF("url")
+      .select(UrlFilter.canonicalizeUrl(col("url"))).as[String]
+      .collect().toList
+    assert(got == cases.map(_._2).toList)
+  }
+
+  test("dedupByUrl: latest crawl wins per canonical key, versions counted") {
+    val crawls = Seq(
+      (1L, "http://www.a.example/p?utm_source=x"),
+      (5L, "https://a.example/p#frag"),          // same page, later crawl
+      (3L, "http://b.example/q?id=1"),
+      (4L, "http://b.example/q?id=2"))           // different page (real param)
+      .toDF("seq", "url")
+    val got = UrlFilter.dedupByUrl(crawls, "url", "seq")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got == Map(
+      "a.example/p" -> ((5L, 2L)),
+      "b.example/q?id=1" -> ((3L, 1L)),
+      "b.example/q?id=2" -> ((4L, 1L))))
+  }
 }
