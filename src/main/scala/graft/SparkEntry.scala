@@ -1433,7 +1433,9 @@ object SparkEntry {
       val model = semModels.computeIfAbsent(d, _ =>
         SemanticDedup.train(all, "embedding", nCells = 8))
       SemanticDedup.keepFlags(all, "vec_id", "embedding", model,
-          threshold = 0.999)
+          threshold = 0.999,
+          stagingDir = Some(graft.operators.Staged.processDir(
+            "q93-semdedup-cells8", d)))
         .select(col("id").as("vec_id"), col("kept"))
         .orderBy(col("vec_id"))
     }),
@@ -1497,6 +1499,20 @@ object SparkEntry {
             lit("#sec")).as("url"))
       UrlFilter.dedupByUrl(crawls, "url", "doc_id")
         .orderBy(col("canonical_url"))
+    }),
+
+    // Inverted-index build (ORACLE-CHECKED): token → sorted posting
+    // list + df, the retrieval-prep complement of q96's vocabulary.
+    // Postings project to a joined string so the value compare is
+    // byte-exact across engines.
+    "q98_inverted_index" -> ((s, d) => {
+      import graft.text.CorpusStats
+      val docs = Tables.documents(s, d).filter(col("doc_id") <= 300)
+        .select(col("doc_id"), col("text"))
+      CorpusStats.postings(docs, "doc_id", "text")
+        .select(col("token"), col("df"),
+          array_join(col("postings"), ",").as("postings_csv"))
+        .orderBy(col("token"))
     })
   )
 
@@ -2385,6 +2401,15 @@ object SparkEntry {
         "FROM crawls) " +
         "SELECT canonical_url, CAST(max(doc_id) AS BIGINT) AS kept, " +
         "CAST(count(*) AS BIGINT) AS n_versions FROM canon " +
-        "GROUP BY canonical_url ORDER BY canonical_url")
+        "GROUP BY canonical_url ORDER BY canonical_url"),
+    // q98: DISTINCT doc ids per token, sorted, joined — byte-exact
+    // string compare
+    "q98_inverted_index" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id <= 300), " +
+        "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token " +
+        "FROM d) " +
+        "SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, " +
+        "array_to_string(list(DISTINCT doc_id ORDER BY doc_id), ',') " +
+        "AS postings_csv FROM toks GROUP BY token ORDER BY token")
   )
 }

@@ -50,13 +50,23 @@ object SemanticDedup {
     * (id1, id2, sim) with id1 < id2 and cosine >= threshold. */
   def clusterPairs(df: DataFrame, idCol: String, vecCol: String,
       model: IvfIndex.Model, threshold: Double,
-      maxClusterRows: Long = 4L * 1000 * 1000): DataFrame = {
+      maxClusterRows: Long = 4L * 1000 * 1000,
+      stagingDir: Option[String] = None): DataFrame = {
     // materialize normalize+assign once: projection collapse would
-    // inline the centroid argmin into both self-join branches
-    val assigned = IvfIndex.assignCells(
+    // inline the centroid argmin into both self-join branches.
+    // stagingDir → written stage (the 100 TB shape: the cluster
+    // assignment is an index artifact, recomputed only when the
+    // codebook changes — cf. cosineNearDupPairs' staged buckets);
+    // None → cache(), caller owns the lifecycle.
+    val prepared = IvfIndex.assignCells(
       df.select(col(idCol).as("id"),
         Similarity.normalize(col(vecCol)).as("v")),
-      "v", model, "cell").cache()
+      "v", model, "cell")
+    val assigned = stagingDir match {
+      case Some(dir) => graft.operators.Staged.parquetStageOnce(
+        prepared, dir + "/semdedup_cells")
+      case None => prepared.cache()
+    }
     // per-cluster cardinality guard — in a Filter predicate, evaluated
     // per row by construction (a projected-but-unread raise_error is
     // deleted by ColumnPruning and never fires)
@@ -87,9 +97,10 @@ object SemanticDedup {
     * representative. */
   def keepFlags(df: DataFrame, idCol: String, vecCol: String,
       model: IvfIndex.Model, threshold: Double,
-      maxClusterRows: Long = 4L * 1000 * 1000): DataFrame = {
+      maxClusterRows: Long = 4L * 1000 * 1000,
+      stagingDir: Option[String] = None): DataFrame = {
     val pairs = clusterPairs(df, idCol, vecCol, model, threshold,
-      maxClusterRows)
+      maxClusterRows, stagingDir)
     val comp = graft.operators.Components
       .connectedComponents(pairs, "id1", "id2")
       .select(col("node").as("id"), col("component"))

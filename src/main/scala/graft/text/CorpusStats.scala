@@ -108,6 +108,27 @@ object CorpusStats {
         col("token"), col("tf"), col("df"))
   }
 
+  /** Inverted index: one row per token — (token, df, postings), the
+    * sorted list of documents containing it. The retrieval-prep
+    * complement of [[vocabulary]] (BM25/boolean search serve off
+    * exactly this table). One shuffle keyed by token; collect_set is
+    * map-side combinable, so a token appearing in 10⁶ docs on one map
+    * task still forwards one partial set.
+    *
+    * `dfMax` caps posting-list length: at corpus scale stopword
+    * postings are the whole corpus (a "the" list over 10¹⁰ docs is not
+    * an index, it is a second copy of the id column) — real
+    * deployments df-cut them, and the cap doubles as the hot-key
+    * guard. Uncapped by default for oracle-exact fixtures. */
+  def postings(docs: DataFrame, idCol: String, textCol: String,
+      dfMax: Long = Long.MaxValue): DataFrame =
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(sort_array(collect_set(col(idCol))).as("postings"))
+      .withColumn("df", size(col("postings")).cast("long"))
+      .filter(col("df") <= dfMax)
+      .select(col("token"), col("df"), col("postings"))
+
   def characteristicTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

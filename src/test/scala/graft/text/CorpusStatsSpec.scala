@@ -76,4 +76,23 @@ class CorpusStatsSpec extends SparkSpec {
       .orderBy($"token_id").as[(Long, String, Long, Long)].collect().toList
     assert(got1 == expected)
   }
+
+  test("postings: sorted distinct doc lists; dfMax drops stopword rows") {
+    val got = CorpusStats.postings(docs, "doc_id", "text")
+      .as[(String, Long, Seq[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("the") == ((4L, Seq(1L, 2L, 3L, 4L))))
+    assert(got("cat") == ((2L, Seq(1L, 2L))))
+    assert(got("howled") == ((1L, Seq(4L))))
+    // repeated in-doc occurrences collapse (set, not bag)
+    val rep = Seq((1L, "x x y"), (2L, "x")).toDF("doc_id", "text")
+    val g2 = CorpusStats.postings(rep, "doc_id", "text")
+      .as[(String, Long, Seq[Long])].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(g2("x") == Seq(1L, 2L))
+    // the stopword cap
+    val capped = CorpusStats.postings(docs, "doc_id", "text", dfMax = 2)
+      .as[(String, Long, Seq[Long])].collect().map(_._1).toSet
+    assert(!capped.contains("the") && capped.contains("cat"))
+  }
 }
