@@ -31,6 +31,35 @@ class ChunkingSpec extends SparkSpec {
     assert(got.map(_._4).sum == 5L)
   }
 
+  test("chunk layout law: every token covered, chunks equal token slices") {
+    // seeded randomized law check against a Scala reference
+    val rnd = new scala.util.Random(17)
+    val cases = (1 to 20).map { i =>
+      val n = 1 + rnd.nextInt(40)
+      val chunkT = 1 + rnd.nextInt(10)
+      val stride = 1 + rnd.nextInt(chunkT)
+      (i.toLong, (0 until n).map(j => s"t$j").mkString(" "), chunkT, stride)
+    }
+    cases.foreach { case (id, text, chunkT, stride) =>
+      val toks = text.split(" ")
+      val got = Chunking.chunk(Seq((id, text)).toDF("doc_id", "text"),
+          "doc_id", "text", chunkT, stride)
+        .orderBy($"chunk_id")
+        .as[(Long, Long, Long, Long, String)].collect()
+      val expStarts = toks.indices.by(stride)
+      assert(got.map(_._3).toSeq == expStarts.map(_.toLong),
+        s"starts for n=${toks.length} c=$chunkT s=$stride")
+      got.foreach { case (_, cid, start, nT, chunk) =>
+        val slice = toks.slice(start.toInt, start.toInt + chunkT)
+        assert(chunk == slice.mkString(" "), s"chunk $cid")
+        assert(nT == slice.length.toLong)
+      }
+      // coverage: every token index falls in at least one chunk
+      val covered = got.flatMap(c => c._3 until (c._3 + c._4)).toSet
+      assert(covered == toks.indices.map(_.toLong).toSet)
+    }
+  }
+
   test("chunking is scan-stage only: no exchange in the plan") {
     val doc = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = Chunking.chunk(doc, "doc_id", "text", 2, 1)
