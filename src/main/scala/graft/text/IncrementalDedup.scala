@@ -354,6 +354,20 @@ object IncrementalDedup {
       graft.util.HadoopIo.renameOrFail(old, target)
   }
 
+  /** Delete a batch's `__stage` scratch (staged signatures, candidates,
+    * screened image) once its outputs are materialized — standing
+    * queries call this per trigger so the stage dir never grows
+    * unboundedly. Idempotent. */
+  def cleanupBatchScratch(indexDir: String, bid: Long): Unit = {
+    val stage = new Path(s"$indexDir/__stage")
+    val fs = graft.util.HadoopIo.fsOf(stage)
+    Seq(s"batch=$bid", s"cand_batch=$bid", s"screened_batch=$bid")
+      .foreach { n =>
+        val p = new Path(stage, n)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+  }
+
   /** The standing form: a document stream screened batch-by-batch
     * against the growing index; novel rows land in `outDir`, duplicates
     * in `outDir/../rejected` with their `dup_of` attribution. */
@@ -380,14 +394,7 @@ object IncrementalDedup {
         // both outputs are materialized — the batch's scratch (staged
         // signatures, candidates + screened image) has no live readers;
         // a standing query must not grow __stage forever
-        val stage = new Path(s"$indexDir/__stage")
-        val fs = graft.util.HadoopIo.fsOf(stage)
-        Seq(s"batch=$bid", s"cand_batch=$bid", s"screened_batch=$bid")
-          .foreach { n =>
-            val p = new Path(stage, n)
-            if (fs.exists(p)) fs.delete(p, true)
-          }
-        ()
+        cleanupBatchScratch(indexDir, bid)
       }
       .start()
   }
