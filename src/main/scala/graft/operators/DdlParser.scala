@@ -462,9 +462,25 @@ object DdlParser {
     // double precision → one type; unsigned/zerofill are flags
     if (typeWord == "double" && rest.nonEmpty && kw(rest.head) == "precision")
       rest = rest.drop(1)
-    while (rest.nonEmpty && Set("unsigned", "zerofill").contains(kw(rest.head)))
+    var unsigned = false
+    while (rest.nonEmpty && Set("unsigned", "zerofill").contains(kw(rest.head))) {
+      if (kw(rest.head) == "unsigned") unsigned = true
       rest = rest.drop(1)
-    (normalizeType(typeWord, args), rest)
+    }
+    val base = normalizeType(typeWord, args)
+    (if (unsigned) widenUnsigned(base) else base, rest)
+  }
+
+  /** SURVEY §1.2: an unsigned integer type's value range exceeds the
+    * signed Spark type of the same width — widen one step (the binlog
+    * decode contract: RowsLogBuffer yields the unsigned value, which
+    * must FIT). `tinyint(1)`→boolean stays boolean (a flag is a flag). */
+  private[operators] def widenUnsigned(t: String): String = t match {
+    case "tinyint" => "smallint"
+    case "smallint" => "int"
+    case "int" => "bigint"
+    case "bigint" => "decimal(20,0)"
+    case other => other
   }
 
   /** Comma-separated ALTER actions. */

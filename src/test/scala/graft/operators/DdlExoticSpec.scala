@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.operators.DdlParser._
+
+/** Grammar tail: exotic-but-real MySQL statements a binlog DDL stream
+  * actually carries (constraints, version comments, expression
+  * defaults, semicolons inside string literals, multi-table DDL). */
+class DdlExoticSpec extends SparkSpec {
+
+  test("constraints are folded away, columns survive") {
+    assert(parse("CREATE TABLE t (a INT, p_id BIGINT, " +
+      "CONSTRAINT fk FOREIGN KEY (p_id) REFERENCES p(id) ON DELETE CASCADE, " +
+      "CHECK (a > 0))", "s") ==
+      CreateTable("s", "t", Vector(ColumnDef("a", "int"),
+        ColumnDef("p_id", "bigint")), Vector(), ifNotExists = false))
+    assert(parse("ALTER TABLE t ADD CONSTRAINT uq UNIQUE KEY (a)", "s") ==
+      AlterTable("s", "t", Seq(IgnoredAction)))
+  }
+
+  test("version comments /*!...*/ and leading comments are transparent") {
+    assert(parse("/* hello */ CREATE TABLE t (a INT)", "s") ==
+      CreateTable("s", "t", Vector(ColumnDef("a", "int")), Vector(),
+        ifNotExists = false))
+    assert(parse("CREATE /*!32302 TEMPORARY */ TABLE t (a INT)", "s") match {
+      case CreateTable(_, "t", cols, _, _) =>
+        cols == Vector(ColumnDef("a", "int"))
+      case Noop => true // temporary tables may be deliberately skipped
+      case other => fail(s"unexpected $other")
+    })
+    assert(parse("-- note\nCREATE TABLE t (a INT)", "s") ==
+      CreateTable("s", "t", Vector(ColumnDef("a", "int")), Vector(),
+        ifNotExists = false))
+  }
+
+  test("semicolon and paren inside string literals do not split parsing") {
+    assert(parse("CREATE TABLE t (a INT) COMMENT='x; (DROP TABLE oops)'",
+      "s") ==
+      CreateTable("s", "t", Vector(ColumnDef("a", "int")), Vector(),
+        ifNotExists = false))
+  }
+
+  test("timestamp defaults with ON UPDATE and enum defaults") {
+    assert(parse("CREATE TABLE t (ts TIMESTAMP(6) DEFAULT " +
+      "CURRENT_TIMESTAMP(6) ON UPDATE CURRENT_TIMESTAMP(6), " +
+      "e ENUM('x','y') NOT NULL DEFAULT 'x')", "s") ==
+      CreateTable("s", "t", Vector(ColumnDef("ts", "timestamp"),
+        ColumnDef("e", "string")), Vector(), ifNotExists = false))
+    assert(parse("ALTER TABLE t ALTER COLUMN a SET DEFAULT (uuid())", "s") ==
+      AlterTable("s", "t", Seq(IgnoredAction)))
+  }
+
+  test("index options and multi-action index DDL fold correctly") {
+    assert(parse("CREATE TABLE t (a INT, KEY idx (a) USING BTREE " +
+      "KEY_BLOCK_SIZE=8)", "s") ==
+      CreateTable("s", "t", Vector(ColumnDef("a", "int")), Vector(),
+        ifNotExists = false))
+    assert(parse("ALTER TABLE t DROP INDEX idx, " +
+      "ADD UNIQUE INDEX idx2 (a, b)", "s") ==
+      AlterTable("s", "t", Seq(IgnoredAction, IgnoredAction)))
+    assert(parse("ALTER TABLE t ADD FULLTEXT INDEX ft (a)", "s") ==
+      AlterTable("s", "t", Seq(IgnoredAction)))
+  }
+
+  test("change-to-same-name with unsigned auto_increment and FIRST") {
+    assert(parse("ALTER TABLE t CHANGE COLUMN a a BIGINT UNSIGNED " +
+      "AUTO_INCREMENT FIRST", "s") ==
+      AlterTable("s", "t", Seq(ChangeColumn("a",
+        ColumnDef("a", "decimal(20,0)"), first = true, after = None))))
+  }
+
+  test("truncate, multi-drop, multi-rename") {
+    assert(parse("TRUNCATE TABLE t", "s") == Noop)
+    assert(parse("DROP TABLE IF EXISTS a, b", "s") ==
+      DropTable(Seq(("s", "a"), ("s", "b"))))
+    assert(parse("RENAME TABLE a TO b, c TO d", "s") ==
+      RenameTable(Seq((("s", "a"), ("s", "b")), (("s", "c"), ("s", "d")))))
+  }
+}

@@ -20,7 +20,7 @@ class DdlParserSpec extends SparkSpec {
         |  KEY idx_name (name)
         |)""".stripMargin, "dflt")
     assert(s == CreateTable("app", "users", Vector(
-      ColumnDef("id", "bigint"), ColumnDef("name", "string"),
+      ColumnDef("id", "decimal(20,0)"), ColumnDef("name", "string"),
       ColumnDef("balance", "decimal(10,2)"), ColumnDef("flag", "boolean"),
       ColumnDef("created", "timestamp")), Vector("id"), ifNotExists = false))
   }
