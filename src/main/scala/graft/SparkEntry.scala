@@ -1513,6 +1513,25 @@ object SparkEntry {
         .select(col("token"), col("df"),
           array_join(col("postings"), ",").as("postings_csv"))
         .orderBy(col("token"))
+    }),
+
+    // Count-min sketch (ORACLE-CHECKED): the fixed-size mergeable
+    // frequency summary — depth x width counters whatever the corpus
+    // size, estimates = min over rows. The portable Rabin-Karp row
+    // hashes (q81/q89's fold, row-seeded) let DuckDB recompute the
+    // ENTIRE sketch and every estimate bit-for-bit.
+    "q99_count_min_sketch" -> ((s, d) => {
+      import graft.text.CountMinSketch
+      val docs = Tables.documents(s, d).filter(col("doc_id") <= 500)
+        .select(col("doc_id"), col("text"))
+      val sketch = CountMinSketch.build(docs, "text", depth = 4,
+        width = 1024)
+      val probes = docs.filter(col("doc_id") <= 5)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .distinct()
+      CountMinSketch.estimate(probes, "token", sketch, depth = 4,
+          width = 1024)
+        .orderBy(col("token"))
     })
   )
 
@@ -2410,6 +2429,29 @@ object SparkEntry {
         "FROM d) " +
         "SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, " +
         "array_to_string(list(DISTINCT doc_id ORDER BY doc_id), ',') " +
-        "AS postings_csv FROM toks GROUP BY token ORDER BY token")
+        "AS postings_csv FROM toks GROUP BY token ORDER BY token"),
+    // q99: the whole CMS recomputed — q89's seeded-fold idiom, one row
+    // per (token, depth), estimate = min over joined counters
+    "q99_count_min_sketch" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id <= 500), " +
+        "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token " +
+        "FROM d), " +
+        "dd AS (SELECT unnest(range(0, 4)) AS dpt), " +
+        "cell AS (SELECT token, dpt, list_reduce(list_prepend(" +
+        "CAST(dpt + 1 AS BIGINT), [CAST(ord(c) AS BIGINT) for c in " +
+        "string_split(token, '')]), " +
+        "(acc, x) -> (acc * 31 + x) % 2147483629) % 1024 AS bucket " +
+        "FROM toks, dd), " +
+        "cnt AS (SELECT dpt, bucket, CAST(count(*) AS BIGINT) AS c " +
+        "FROM cell GROUP BY dpt, bucket), " +
+        "probe AS (SELECT DISTINCT token FROM toks WHERE doc_id <= 5), " +
+        "pcell AS (SELECT token, dpt, list_reduce(list_prepend(" +
+        "CAST(dpt + 1 AS BIGINT), [CAST(ord(c) AS BIGINT) for c in " +
+        "string_split(token, '')]), " +
+        "(acc, x) -> (acc * 31 + x) % 2147483629) % 1024 AS bucket " +
+        "FROM probe, dd) " +
+        "SELECT p.token, CAST(min(cnt.c) AS BIGINT) AS est " +
+        "FROM pcell p JOIN cnt USING (dpt, bucket) " +
+        "GROUP BY p.token ORDER BY p.token")
   )
 }

@@ -39,16 +39,19 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.6, f"LSH recall@5 $r%.3f below gate")
   }
 
-  test("multiprobe LSH (q40 params) recall@5 >= 0.6 at a quarter of the tables") {
-    // 4 probed tables must match the 16 exact tables' recall gate: each
+  test("multiprobe LSH (q40 params) recall@5 >= 0.8 at a quarter of the tables") {
+    // 4 probed tables must BEAT the 16 exact tables' 0.6 gate: each
     // 1-bit probe makes one table do the work of ~numPlanes+1 tables
-    // while the corpus-side explode (the 100 TB cost term) shrinks 4x
+    // while the corpus-side explode (the 100 TB cost term) shrinks 4x.
+    // Measured 0.95 on this fixture; gated at 0.8 so a broken probe
+    // generator (wrong mask, mismatched struct fields silently joining
+    // nothing) cannot hide behind the looser OR-amplification gate.
     val got = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
         k = 5, numPlanes = 4, dim = 64, numTables = 4, multiprobe = true)
       .select($"query_id", $"corpus_id").as[(Long, Long)].collect()
     val r = recallAt5(got)
     info(f"multiprobe LSH recall@5 = $r%.3f")
-    assert(r >= 0.6, f"multiprobe recall@5 $r%.3f below gate")
+    assert(r >= 0.8, f"multiprobe recall@5 $r%.3f below gate")
   }
 
   test("corpus-vs-corpus LSH: no forced query broadcast, recall holds") {
