@@ -1532,8 +1532,29 @@ object SparkEntry {
       CountMinSketch.estimate(probes, "token", sketch, depth = 4,
           width = 1024)
         .orderBy(col("token"))
+    }),
+
+    // Z-order layout key (ORACLE-CHECKED): the Morton interleave that
+    // makes parquet min/max pruning work on BOTH filter dimensions
+    // (Delta Z-ORDER capability; pruning effect proven in ZOrderSpec).
+    // Pure integer bit arithmetic — DuckDB recomputes every z-value.
+    "q100_zorder_key" -> ((s, d) => {
+      import graft.operators.ZOrder
+      Tables.orders(s, d).filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+          ZOrder.zValue(pmod(col("o_orderkey"), lit(256)),
+            pmod(col("o_custkey"), lit(256)), bits = 8).as("z"))
+        .orderBy(col("o_orderkey"))
     })
   )
+
+  /** The q100 oracle's z-value spelled as plain integer SQL: one
+    * division/modulo term per bit, matching `ZOrder.zValue` exactly. */
+  private def zSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"(($x // ${1L << i}) % 2) * ${1L << (2 * i)} + " +
+        s"(($y // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
 
   /** Per-file structural stats over a wire log (q62/q63) — served by the
     * packaged SHOW surface (`sinks/BinlogCatalog`, the dump-service
@@ -2452,6 +2473,13 @@ object SparkEntry {
         "FROM probe, dd) " +
         "SELECT p.token, CAST(min(cnt.c) AS BIGINT) AS est " +
         "FROM pcell p JOIN cnt USING (dpt, bucket) " +
-        "GROUP BY p.token ORDER BY p.token")
+        "GROUP BY p.token ORDER BY p.token"),
+    // q100: one //-and-% term per bit — the Morton interleave as plain
+    // integer SQL
+    "q100_zorder_key" ->
+      ("WITH o AS (SELECT o_orderkey, o_orderkey % 256 AS x, " +
+        "o_custkey % 256 AS y FROM orders WHERE o_orderkey <= 2000) " +
+        s"SELECT o_orderkey, CAST(${zSql("x", "y", 8)} AS BIGINT) AS z " +
+        "FROM o ORDER BY o_orderkey")
   )
 }
