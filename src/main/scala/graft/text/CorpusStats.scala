@@ -111,23 +111,38 @@ object CorpusStats {
   /** Inverted index: one row per token — (token, df, postings), the
     * sorted list of documents containing it. The retrieval-prep
     * complement of [[vocabulary]] (BM25/boolean search serve off
-    * exactly this table). One shuffle keyed by token; collect_set is
-    * map-side combinable, so a token appearing in 10⁶ docs on one map
-    * task still forwards one partial set.
+    * exactly this table).
     *
     * `dfMax` caps posting-list length: at corpus scale stopword
     * postings are the whole corpus (a "the" list over 10¹⁰ docs is not
     * an index, it is a second copy of the id column) — real
     * deployments df-cut them, and the cap doubles as the hot-key
-    * guard. Uncapped by default for oracle-exact fixtures. */
+    * guard. The cap prunes BEFORE collection: a cheap count-distinct
+    * pass finds the surviving tokens and only their ids are ever
+    * gathered into sets — a stopword's 10¹⁰-id array is never built
+    * just to be thrown away (the pre-filter is the whole point of the
+    * cap; filtering after collect_set would OOM on exactly the tokens
+    * the cap exists for). Uncapped by default for oracle-exact
+    * fixtures, where one collect_set pass suffices. */
   def postings(docs: DataFrame, idCol: String, textCol: String,
-      dfMax: Long = Long.MaxValue): DataFrame =
-    docs.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
-      .groupBy(col("token"))
-      .agg(sort_array(collect_set(col(idCol))).as("postings"))
-      .withColumn("df", size(col("postings")).cast("long"))
-      .filter(col("df") <= dfMax)
-      .select(col("token"), col("df"), col("postings"))
+      dfMax: Long = Long.MaxValue): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+    if (dfMax == Long.MaxValue)
+      toks.groupBy(col("token"))
+        .agg(sort_array(collect_set(col(idCol))).as("postings"))
+        .withColumn("df", size(col("postings")).cast("long"))
+        .select(col("token"), col("df"), col("postings"))
+    else {
+      val keep = toks.groupBy(col("token"))
+        .agg(countDistinct(col(idCol)).as("df"))
+        .filter(col("df") <= dfMax)
+      toks.join(keep, "token")
+        .groupBy(col("token"), col("df"))
+        .agg(sort_array(collect_set(col(idCol))).as("postings"))
+        .select(col("token"), col("df"), col("postings"))
+    }
+  }
 
   def characteristicTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {

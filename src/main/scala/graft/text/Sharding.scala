@@ -39,7 +39,10 @@ object Sharding {
     md5(concat(id.cast("string"), lit(":" + salt)))
 
   /** Shard = first `hexDigits` of the key → 16^hexDigits shards, each a
-    * contiguous key range. */
+    * contiguous key range. Size hexDigits to the CLUSTER, not the
+    * fixture: shard count bounds write parallelism (and the reader's
+    * stripe width), so a 1000-executor export wants 3-4 digits
+    * (4096-65536 shards), not the 16 that one digit gives. */
   def shardOf(key: Column, hexDigits: Int): Column = {
     require(hexDigits >= 1 && hexDigits <= 8,
       s"hexDigits must be in [1,8], got $hexDigits")
