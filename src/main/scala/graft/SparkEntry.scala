@@ -1545,6 +1545,20 @@ object SparkEntry {
           ZOrder.zValue(pmod(col("o_orderkey"), lit(256)),
             pmod(col("o_custkey"), lit(256)), bits = 8).as("z"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // BPE pair statistics (ORACLE-CHECKED): the distributed counting
+    // core of the BPE merge trainer — adjacent character pairs over
+    // the deduplicated word vocabulary, weighted by word frequency.
+    // The K-round training loop itself is gated by BpeTrainerSpec's
+    // merge-by-merge comparison against a sequential reference.
+    "q101_bpe_pair_stats" -> ((s, d) => {
+      import graft.text.BpeTrainer
+      val docs = Tables.documents(s, d).filter(col("doc_id") <= 300)
+        .select(col("doc_id"), col("text"))
+      BpeTrainer.pairStats(docs, "text")
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(50)
     })
   )
 
@@ -2480,6 +2494,18 @@ object SparkEntry {
       ("WITH o AS (SELECT o_orderkey, o_orderkey % 256 AS x, " +
         "o_custkey % 256 AS y FROM orders WHERE o_orderkey <= 2000) " +
         s"SELECT o_orderkey, CAST(${zSql("x", "y", 8)} AS BIGINT) AS z " +
-        "FROM o ORDER BY o_orderkey")
+        "FROM o ORDER BY o_orderkey"),
+    // q101: pairs over the deduplicated word vocabulary, weighted by
+    // word frequency — q86's window idiom at character granularity
+    "q101_bpe_pair_stats" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id <= 300), " +
+        "w AS (SELECT unnest(string_split(text, ' ')) AS word FROM d), " +
+        "v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w " +
+        "WHERE length(word) > 0 GROUP BY word), " +
+        "chars AS (SELECT string_split(word, '') AS cs, freq FROM v), " +
+        "pairs AS (SELECT cs[i] AS a, cs[i+1] AS b, freq FROM chars, " +
+        "unnest(range(1, len(cs))) t(i) WHERE len(cs) >= 2) " +
+        "SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM pairs " +
+        "GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 50")
   )
 }

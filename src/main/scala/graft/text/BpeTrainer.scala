@@ -1,0 +1,121 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge training (Sennrich et al. 2016, "Neural
+  * Machine Translation of Rare Words with Subword Units"): start from
+  * characters, repeatedly count adjacent symbol pairs across the
+  * corpus and merge the most frequent pair, K times. The merge list IS
+  * the tokenizer.
+  *
+  * Scale shape: the corpus collapses ONCE to (word, freq) — pair
+  * statistics are identical on the deduplicated vocabulary, and a
+  * 100 TB corpus has a bounded word-form vocabulary. Each round is one
+  * map-side-combinable aggregation over that vocabulary (pairs weighted
+  * by word freq) and brings exactly ONE row (the argmax) to the
+  * driver; the merge itself is a pure expression fold over each word's
+  * symbol array — no UDF, no driver-side corpus pass, rounds cut
+  * lineage with localCheckpoint so K rounds stay K jobs, not a 2^K
+  * plan.
+  *
+  * Deterministic: ties break on the lexicographically smallest pair,
+  * so the same corpus always yields the same merge list (the property
+  * that makes a trained tokenizer reproducible — BpeTrainerSpec pins
+  * it against a sequential reference implementation).
+  */
+object BpeTrainer {
+
+  /** Greedy left-to-right single-pair merge of a symbol array:
+    * every non-overlapping (a,b) adjacency becomes a+b, scanning from
+    * the left (standard BPE apply semantics). Pure expression fold. */
+  private[text] def mergePair(syms: Column, a: String, b: String): Column = {
+    val init = struct(
+      array().cast("array<string>").as("out"),
+      lit("").as("prev"),
+      lit(false).as("hasPrev"))
+    val folded = aggregate(syms, init,
+      (acc, s) => {
+        val isMerge = acc.getField("hasPrev") &&
+          acc.getField("prev") === lit(a) && s === lit(b)
+        struct(
+          when(isMerge,
+            concat(acc.getField("out"), array(lit(a + b))))
+            .when(acc.getField("hasPrev"),
+              concat(acc.getField("out"), array(acc.getField("prev"))))
+            .otherwise(acc.getField("out")).as("out"),
+          when(isMerge, lit("")).otherwise(s).as("prev"),
+          when(isMerge, lit(false)).otherwise(lit(true)).as("hasPrev"))
+      },
+      acc => when(acc.getField("hasPrev"),
+        concat(acc.getField("out"), array(acc.getField("prev"))))
+        .otherwise(acc.getField("out")))
+    folded
+  }
+
+  /** The deduplicated training vocabulary: (syms: array<string> of
+    * single characters, freq). */
+  private def initialVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(split(col("w"), "").as("syms"), col("freq"))
+
+  /** Adjacent-pair statistics of a (syms, freq) vocabulary: one
+    * combinable aggregation — (a, b, cnt). */
+  private def pairsOf(vocab: DataFrame): DataFrame =
+    vocab
+      .select(explode(zip_with(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("p"), col("freq"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** Round-1 pair statistics straight off a corpus — the distributed
+    * counting core of [[train]], exposed so an external engine can
+    * recompute it exactly (q101's oracle does; the iterative loop
+    * itself is gated by BpeTrainerSpec's sequential reference). */
+  def pairStats(docs: DataFrame, textCol: String): DataFrame =
+    pairsOf(initialVocab(docs, textCol))
+
+  /** Train `numMerges` merges. Returns the ordered merge list — fewer
+    * rows if the corpus runs out of repeated pairs first. */
+  def train(docs: DataFrame, textCol: String,
+      numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1: $numMerges")
+    var vocab = initialVocab(docs, textCol).localCheckpoint()
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < numMerges && !exhausted) {
+      // one combinable aggregation; ONE row to the driver
+      val best = pairsOf(vocab)
+        .filter(col("cnt") >= 2)
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .collect()
+      best.headOption match {
+        case None => exhausted = true
+        case Some(r) =>
+          val (a, b) = (r.getString(0), r.getString(1))
+          merges += ((a, b))
+          vocab = vocab
+            .select(mergePair(col("syms"), a, b).as("syms"), col("freq"))
+            .localCheckpoint()
+          round += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Apply a trained merge list to a token column: the tokenizer's
+    * segment step — each merge folds over the symbol array in order.
+    * Returns array<string> of subword units. Plan size grows with the
+    * merge count (one fold per merge); for big merge lists segment in
+    * stages or apply during preprocessing, not per query. */
+  def segment(token: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(split(token, "")) {
+      case (syms, (a, b)) => mergePair(syms, a, b)
+    }
+}
