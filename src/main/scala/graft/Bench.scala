@@ -62,17 +62,20 @@ object Bench {
     // protocol); the file artifact additionally carries the per-query
     // median, the statistic that survives this VM's documented
     // intermittent 1.5-2x disk/CPU inflation (r7 wire-family flag).
+    // DEFAULT is 3, not 1: an invocation without the env var (the r9
+    // driver run) would otherwise record single samples as "medians",
+    // and single samples cannot be adjudicated against disk weather.
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT") match {
       case Some(s) => s.toIntOption match {
         case Some(n) => math.max(1, n)
         case None =>
           // a typo'd knob must not abort the bench before any JSON is
-          // emitted — warn and measure once
+          // emitted — warn and fall back to the default
           System.err.println(
-            s"[bench] SPARK_GRAFT_REPEAT='$s' is not a number; using 1")
-          1
+            s"[bench] SPARK_GRAFT_REPEAT='$s' is not a number; using 3")
+          3
       }
-      case None => 1
+      case None => 3
     }
     val samples = ordered.map { case (name, fn) =>
       name -> (1 to repeat).map(_ => runOnce(name, fn)).sorted

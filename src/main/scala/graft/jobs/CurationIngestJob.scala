@@ -44,7 +44,15 @@ object CurationIngestJob {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, bid: Long) =>
+        // NULL text (realistic in a crawl feed) yields keep=NULL from
+        // the attribute expressions, and NULL fails BOTH keep filters —
+        // the doc would silently vanish from every output, breaking the
+        // every-doc-accounted-for discipline. Route it explicitly: a
+        // quality reject with its own attributable tag.
         val tagged = Attributes.tag(batch, textCol)
+          .withColumn("tags", when(col(textCol).isNull,
+            array(lit("null_text"))).otherwise(col("tags")))
+          .withColumn("keep", coalesce(col("keep"), lit(false)))
         tagged.filter(!col("keep"))
           .select(col(idCol), col(textCol), col("tags"))
           .write.mode(SaveMode.Overwrite)

@@ -166,7 +166,12 @@ object DdlParser {
   private[operators] def normalizeType(raw: String, args: Seq[String]): String = {
     val t = raw.toLowerCase
     t match {
-      case "bigint" | "int8" | "serial" => "bigint"
+      case "bigint" | "int8" => "bigint"
+      // SERIAL is sugar for BIGINT UNSIGNED NOT NULL AUTO_INCREMENT —
+      // route it through the unsigned widening (values > Long.MaxValue
+      // must FIT, the §1.2 decode contract); the UNSIGNED flag itself
+      // never appears in the statement so the flag path can't catch it
+      case "serial" => widenUnsigned("bigint")
       case "int" | "integer" | "mediumint" | "int4" | "int3" | "year" => "int"
       case "smallint" | "int2" => "smallint"
       case "tinyint" | "int1" =>

@@ -53,6 +53,18 @@ object BpeTrainer {
     folded
   }
 
+  /** Drop a localCheckpoint'd frame's backing blocks NOW rather than at
+    * the ContextCleaner's leisure: the train loop checkpoints a new
+    * vocabulary every round, and without an explicit release a long
+    * merge list holds K copies of the vocabulary in executor storage
+    * (r9 advisory). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** The deduplicated training vocabulary: (syms: array<string> of
     * single characters, freq). */
   private def initialVocab(docs: DataFrame, textCol: String): DataFrame =
@@ -100,9 +112,11 @@ object BpeTrainer {
         case Some(r) =>
           val (a, b) = (r.getString(0), r.getString(1))
           merges += ((a, b))
+          val prev = vocab
           vocab = vocab
             .select(mergePair(col("syms"), a, b).as("syms"), col("freq"))
-            .localCheckpoint()
+            .localCheckpoint() // eager: prev is fully consumed here
+          releaseCheckpoint(prev)
           round += 1
       }
     }

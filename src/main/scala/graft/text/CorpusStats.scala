@@ -52,20 +52,6 @@ object CorpusStats {
           .as("n_rare"))
   }
 
-  /** Per-document characteristic terms — tf-idf keyword extraction with
-    * an integer-exact ranking. The tf-idf ordering (tf·log(N/df)) is
-    * dominated by tf and penalizes common terms; ranking by
-    * (tf desc, df asc, token asc) preserves exactly that preference
-    * while never materializing a float, so Spark and any SQL oracle
-    * produce the identical top-k — no log(), no epsilon, no
-    * cross-engine double drift.
-    *
-    * Same two-shuffle shape as [[rareTokenStats]]: one aggregation
-    * keyed by (doc, token) for tf, one keyed by token for df (both
-    * map-side combinable), a token-keyed join back, and a per-document
-    * top-k window that Catalyst's InferWindowGroupLimit turns into a
-    * partial top-k below the shuffle. The vocabulary stays distributed
-    * throughout. */
   /** Corpus vocabulary with dense ids: one row per distinct token —
     * (token_id, token, tf, df) — where token_id is the 0-based rank of
     * the token in lexicographic order. The tokenizer-training prep op:
@@ -92,9 +78,14 @@ object CorpusStats {
       .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__pid")).orderBy(col("token"))
+    // localCheckpoint, not cache(): a CacheManager entry outlives the
+    // call (repeated vocabulary builds on a long-lived session would
+    // accumulate storage — r9 advisory); a checkpointed RDD is
+    // reclaimed by the ContextCleaner once the returned frame is
+    // dropped, and it cuts the ranked lineage for the rejoin below.
     val local = ranged
       .withColumn("__local", row_number().over(w).cast("long") - 1L)
-      .cache()
+      .localCheckpoint()
     val counts = local.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.scanLeft((0, 0L)) {
@@ -144,6 +135,20 @@ object CorpusStats {
     }
   }
 
+  /** Per-document characteristic terms — tf-idf keyword extraction with
+    * an integer-exact ranking. The tf-idf ordering (tf·log(N/df)) is
+    * dominated by tf and penalizes common terms; ranking by
+    * (tf desc, df asc, token asc) preserves exactly that preference
+    * while never materializing a float, so Spark and any SQL oracle
+    * produce the identical top-k — no log(), no epsilon, no
+    * cross-engine double drift.
+    *
+    * Same two-shuffle shape as [[rareTokenStats]]: one aggregation
+    * keyed by (doc, token) for tf, one keyed by token for df (both
+    * map-side combinable), a token-keyed join back, and a per-document
+    * top-k window that Catalyst's InferWindowGroupLimit turns into a
+    * partial top-k below the shuffle. The vocabulary stays distributed
+    * throughout. */
   def characteristicTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

@@ -27,7 +27,8 @@ class CurationIngestJobSpec extends SparkSpec {
     Seq(
       (1L, alphaWords("rho", 30)),  // clean + novel → admitted
       (2L, "too short"),            // quality reject (too_short)
-      (3L, alphaWords("sig", 30)))  // clean + novel → admitted
+      (3L, alphaWords("sig", 30)),  // clean + novel → admitted
+      (4L, null: String))           // NULL text → quality reject, tagged
       .toDF("doc_id", "text").coalesce(1)
       .write.mode("append").parquet(src)
     run()
@@ -45,8 +46,9 @@ class CurationIngestJobSpec extends SparkSpec {
     assert(admitted == Set(1L, 3L, 12L))
     val quality = spark.read.parquet(s"$root/rejected/quality")
       .select($"doc_id", $"tags").as[(Long, Seq[String])].collect().toMap
-    assert(quality.keySet == Set(2L, 13L))
+    assert(quality.keySet == Set(2L, 4L, 13L))
     assert(quality(2L).contains("too_short"))
+    assert(quality(4L) == Seq("null_text")) // accounted for, attributable
     assert(quality(13L).contains("digit_heavy"))
     val dups = spark.read.parquet(s"$root/rejected/dups")
       .select($"doc_id", $"dup_of").as[(Long, Long)].collect().toSet
@@ -54,7 +56,7 @@ class CurationIngestJobSpec extends SparkSpec {
     // restart with nothing new: exactly-once — no output grows
     run()
     assert(spark.read.parquet(s"$root/out").count() == 3L)
-    assert(spark.read.parquet(s"$root/rejected/quality").count() == 2L)
+    assert(spark.read.parquet(s"$root/rejected/quality").count() == 3L)
     assert(spark.read.parquet(s"$root/rejected/dups").count() == 1L)
   }
 }

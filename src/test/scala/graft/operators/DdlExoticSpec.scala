@@ -69,6 +69,15 @@ class DdlExoticSpec extends SparkSpec {
         ColumnDef("a", "decimal(20,0)"), first = true, after = None))))
   }
 
+  test("SERIAL is BIGINT UNSIGNED sugar — widened like the flag form") {
+    assert(parse("CREATE TABLE t (id SERIAL, a INT)", "s") ==
+      CreateTable("s", "t", Vector(ColumnDef("id", "decimal(20,0)"),
+        ColumnDef("a", "int")), Vector(), ifNotExists = false))
+    assert(parse("ALTER TABLE t ADD COLUMN id2 SERIAL", "s") ==
+      AlterTable("s", "t", Seq(AddColumn(ColumnDef("id2", "decimal(20,0)"),
+        first = false, after = None))))
+  }
+
   test("truncate, multi-drop, multi-rename") {
     assert(parse("TRUNCATE TABLE t", "s") == Noop)
     assert(parse("DROP TABLE IF EXISTS a, b", "s") ==
