@@ -37,6 +37,9 @@ object IvfIndex {
   /** Nearest-cell id for a vector column (L2), via the literal centroid
     * table — pure expressions, broadcast-free, codegen-friendly. */
   def cellOf(vecCol: Column, model: Model): Column = {
+    // a degenerate codebook (KMeans dedups identical training points to
+    // fewer than k centers) must still assign: least() requires 2+ args
+    if (model.nCells == 1) return lit(0)
     val dists = model.centers.zipWithIndex.map { case (c, i) =>
       val cLit = array(c.map(lit): _*)
       struct(

@@ -36,6 +36,35 @@ import org.apache.spark.sql.functions._
   */
 object SemanticDedup {
 
+  /** Cluster count sized to the corpus — the SemDeDup recipe: cluster
+    * count scales WITH the corpus so expected cluster size stays
+    * bounded at `targetClusterRows` (the paper's own configuration
+    * discipline; mirrors [[Similarity.recommendedPlanes]] for the LSH
+    * path). The within-cluster pairing is O(n²) in ONE task, so the
+    * target must stay small: 10⁴ rows ≈ 5·10⁷ dot products per
+    * cluster — minutes of one core; 10⁶ would be days. The in-plan
+    * cardinality guard backstops skewed clusters the expectation
+    * argument cannot see. */
+  def recommendedCells(corpusRows: Long,
+      targetClusterRows: Long = 10000L): Int = {
+    require(corpusRows >= 0 && targetClusterRows > 0,
+      "corpusRows must be >= 0 and targetClusterRows > 0")
+    val needed = math.ceil(
+      math.max(1.0, corpusRows.toDouble / targetClusterRows)).toLong
+    math.min(1 << 20, math.max(1L, needed)).toInt
+  }
+
+  /** Default per-cluster cardinality cap. 10⁵, NOT the 4·10⁶ the LSH
+    * near-dup path uses: there the cap is a 400× backstop behind
+    * `recommendedPlanes` sizing buckets to ~10⁴, while here it guards
+    * quadratic SINGLE-TASK work directly — a 4M-row cluster would be
+    * ~8·10¹² dot products in one task, dead long before the guard
+    * mattered. 10⁵ rows ≈ 5·10⁹ products ≈ an hour of one core: slow
+    * enough to notice, not so slow the job wedges silently. Size
+    * `nCells` with [[recommendedCells]] so the cap never trips on a
+    * well-configured run. */
+  val DefaultMaxClusterRows: Long = 100L * 1000
+
   /** Train the clustering model on the normalized vectors (SemDeDup
     * clusters directions, not magnitudes). Thin wrapper so callers
     * cannot accidentally train on raw vectors and assign normalized
@@ -50,7 +79,7 @@ object SemanticDedup {
     * (id1, id2, sim) with id1 < id2 and cosine >= threshold. */
   def clusterPairs(df: DataFrame, idCol: String, vecCol: String,
       model: IvfIndex.Model, threshold: Double,
-      maxClusterRows: Long = 4L * 1000 * 1000,
+      maxClusterRows: Long = DefaultMaxClusterRows,
       stagingDir: Option[String] = None): DataFrame = {
     // materialize normalize+assign once: projection collapse would
     // inline the centroid argmin into both self-join branches.
@@ -97,7 +126,7 @@ object SemanticDedup {
     * representative. */
   def keepFlags(df: DataFrame, idCol: String, vecCol: String,
       model: IvfIndex.Model, threshold: Double,
-      maxClusterRows: Long = 4L * 1000 * 1000,
+      maxClusterRows: Long = DefaultMaxClusterRows,
       stagingDir: Option[String] = None): DataFrame = {
     val pairs = clusterPairs(df, idCol, vecCol, model, threshold,
       maxClusterRows, stagingDir)
