@@ -48,7 +48,8 @@ object LiveReplicaJob {
       seqCol: String, targetDir: String, stagingDir: String,
       nBuckets: Int, txnsPerCommit: Int = 8,
       fromTso: Option[Long] = None, serverId: Long = 12345L,
-      soTimeoutMs: Int = 30000): Seq[Endpoint] = {
+      soTimeoutMs: Int = 30000,
+      maxBytesPerPoll: Long = Long.MaxValue): Seq[Endpoint] = {
     import spark.implicits._
     require(colTypes.map(_._1).toSet.intersect(keyCols.toSet) == keyCols.toSet
         && colTypes.exists(_._1 == seqCol),
@@ -57,9 +58,13 @@ object LiveReplicaJob {
       .repartition(math.max(1, endpoints.size))
       .map { e =>
         try {
+          // maxBytesPerPoll bounds the bootstrap/catch-up drain (txn-
+          // boundary soft cap): a capped poll's advanced cursor makes
+          // the NEXT trigger continue the catch-up — the standing loop
+          // needs no special case
           val (seg, nf, np) = BinlogDumpClient.dumpSegmentWithCursor(
             e.host, e.port, e.user, e.password, e.binlogFile, e.pos,
-            serverId, soTimeoutMs)
+            serverId, soTimeoutMs, maxBytesPerPoll)
           (e.dn, seg, nf, np)
         } catch {
           case err: BinlogDumpClient.ServerError

@@ -129,10 +129,24 @@ object BinlogDumpClient {
     * prefixed with the binlog magic — a segment `fromWireSegments`
     * (and `BinlogWire.parseStream`) consumes directly. The server sends
     * the file's FORMAT_DESCRIPTION before the events at `pos`, so the
-    * segment is self-describing (checksum algorithm included). */
+    * segment is self-describing (checksum algorithm included).
+    *
+    * `maxBytes` BOUNDS the poll: steady-state polls are naturally
+    * bounded by the DN's new data, but a bootstrap from an old cursor
+    * (or a catch-up after downtime) would otherwise drain the DN's
+    * entire remaining history into this task's heap in one dump (the
+    * reference streams through a bounded fetcher ring —
+    * canal/.../DirectLogFetcher.java). Past the cap the drain stops at
+    * the next TRANSACTION boundary (XID commit or file rotate — a
+    * mid-txn cut would let the applier's position gate commit half a
+    * transaction and drop the replayed second half), sends COM_QUIT,
+    * and the caller resumes from the
+    * [[dumpSegmentWithCursor]] cursor on the next poll — catch-up
+    * happens over several bounded triggers. The cap is therefore soft
+    * by up to one transaction (the irreducible unit of atomic apply). */
   def dumpSegment(host: String, port: Int, user: String, password: String,
       binlogFile: String, pos: Long, serverId: Long = 12345L,
-      soTimeoutMs: Int = 30000): Array[Byte] = {
+      soTimeoutMs: Int = 30000, maxBytes: Long = Long.MaxValue): Array[Byte] = {
     val sock = new java.net.Socket()
     sock.connect(new java.net.InetSocketAddress(host, port), soTimeoutMs)
     sock.setSoTimeout(soTimeoutMs)
@@ -180,6 +194,7 @@ object BinlogDumpClient {
         binlogFile.getBytes(UTF_8))
       val events = Vector.newBuilder[Array[Byte]]
       var done = false
+      var drained = 0L
       while (!done) {
         val p = failOnErr(io.read(), "binlog dump")
         if (p.nonEmpty && (p(0) & 0xFF) == 0xFE && p.length < 9) done = true
@@ -187,6 +202,14 @@ object BinlogDumpClient {
           require(p.nonEmpty && p(0) == 0,
             "BinlogDumpClient: malformed event packet (no OK marker)")
           events += p.drop(1)
+          drained += p.length - 1
+          if (drained >= maxBytes) {
+            // capped: stop at the first txn boundary from here on —
+            // event type sits after the OK byte + 4 timestamp bytes
+            val tc = p(5) & 0xFF
+            if (tc == graft.sinks.BinlogWire.XidEvent ||
+                tc == graft.sinks.BinlogWire.RotateEvent) done = true
+          }
         }
       }
       io.seq = 0
@@ -210,10 +233,11 @@ object BinlogDumpClient {
     * single-file logs are safely resumable without it. */
   def dumpSegmentWithCursor(host: String, port: Int, user: String,
       password: String, binlogFile: String, pos: Long,
-      serverId: Long = 12345L, soTimeoutMs: Int = 30000)
+      serverId: Long = 12345L, soTimeoutMs: Int = 30000,
+      maxBytes: Long = Long.MaxValue)
       : (Array[Byte], String, Long) = {
     val seg = dumpSegment(host, port, user, password, binlogFile, pos,
-      serverId, soTimeoutMs)
+      serverId, soTimeoutMs, maxBytes)
     var file = binlogFile
     var cursor = pos
     var crc = false
@@ -246,12 +270,13 @@ object BinlogDumpClient {
     * the endpoint rows; a real deployment injects them from its secret
     * store when building the endpoint list. */
   def pollSegments(spark: SparkSession, endpoints: Seq[Endpoint],
-      serverId: Long = 12345L, soTimeoutMs: Int = 30000): DataFrame = {
+      serverId: Long = 12345L, soTimeoutMs: Int = 30000,
+      maxBytes: Long = Long.MaxValue): DataFrame = {
     import spark.implicits._
     spark.createDataset(endpoints)
       .repartition(math.max(1, endpoints.size))
       .map(e => (e.dn, dumpSegment(e.host, e.port, e.user, e.password,
-        e.binlogFile, e.pos, serverId, soTimeoutMs)))
+        e.binlogFile, e.pos, serverId, soTimeoutMs, maxBytes)))
       .toDF("dn", "payload")
   }
 }

@@ -95,6 +95,28 @@ class LiveReplicaSpec extends SparkSpec {
       assert(ep3.head.binlogFile == "binlog.000004")
       assert(state() == bal.toMap)
       assert(TxnApplier.versions(target).size == versionsDone)
+
+      // BOUNDED bootstrap: a fresh replica catching up on the full
+      // history with a per-poll byte cap converges over SEVERAL
+      // triggers (never one unbounded drain), to the identical state
+      val target2 = s"$root/replica2"
+      val staging2 = s"$root/stage2"
+      var eps = ep0
+      var triggers = 0
+      var advanced = true
+      while (advanced && triggers < 32) {
+        val next = LiveReplicaJob.pollApplyOnce(spark, eps, tableCols,
+          "bank", "accounts", colTypes, Seq("acct"), "seq", target2,
+          staging2, nBuckets = 4, txnsPerCommit = 2,
+          maxBytesPerPoll = 400L)
+        advanced = next != eps
+        eps = next
+        triggers += 1
+      }
+      assert(triggers >= 3, s"cap ignored: converged in $triggers triggers")
+      assert(TxnApplier.readCurrent(spark, target2)
+        .select($"acct", $"balance").as[(Long, Long)].collect().toMap
+        == bal.toMap)
     } finally srv.close()
   }
 }

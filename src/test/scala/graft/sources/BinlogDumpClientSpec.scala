@@ -132,6 +132,88 @@ class BinlogDumpClientSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  /** A mid-file resume re-receives the file's head prologue (the
+    * server's documented adaptation: FDE + maps re-serve so the dump
+    * stays self-describing) — strip that CONTIGUOUS head run so
+    * byte-identity across capped vs uncapped drains compares the
+    * actual event stream. */
+  private def stripHeadPrologue(seg: Array[Byte]): Seq[Byte] = {
+    // NOT RotateEvent: a resume landing before a file's trailing chain
+    // link receives that rotate as genuine stream content
+    val prologue = Set(FormatDescriptionEvent, TableMapEvent,
+      PreviousGtidsEvent)
+    val out = Seq.newBuilder[Byte]
+    var off = 4
+    var inP = true
+    while (off + 19 <= seg.length) {
+      val tc = seg(off + 4) & 0xFF
+      val len = (seg(off + 9) & 0xFF) | ((seg(off + 10) & 0xFF) << 8) |
+        ((seg(off + 11) & 0xFF) << 16) | ((seg(off + 12) & 0xFF) << 24)
+      inP &&= prologue.contains(tc)
+      if (!inP) out ++= seg.slice(off, off + len)
+      off += len
+    }
+    out.result()
+  }
+
+  private def lastEventType(seg: Array[Byte]): Int = {
+    var off = 4
+    var tc = -1
+    while (off + 19 <= seg.length) {
+      tc = seg(off + 4) & 0xFF
+      off += (seg(off + 9) & 0xFF) | ((seg(off + 10) & 0xFF) << 8) |
+        ((seg(off + 11) & 0xFF) << 16) | ((seg(off + 12) & 0xFF) << 24)
+    }
+    tc
+  }
+
+  test("maxBytes: a catch-up from an old cursor drains over N bounded polls, byte-identically, cutting only on txn boundaries") {
+    // rotate-chained so mid-log cursors resume across files
+    val dir = java.nio.file.Files.createTempDirectory("graft-cap").toString
+    val df = (1L to 8L).map(i => (i, s"v$i", "INSERT", i, i))
+      .toDF("id", "v", "op", "tso", "seq")
+      .withColumn("ts", lit(1700000000L))
+    val ordered = graft.operators.MergeSort.sortedRunsGrouped(df, 4,
+      Seq("tso"), Seq("seq"))
+    BinlogWire.writeTxnFramedBinlogFiles(ordered, specs, "app", "t", "op",
+      "ts", "tso", dir, checksummed = true, tsoCarrier = "sequence",
+      rotateChain = true)
+    val srv = new graft.sinks.BinlogDumpServer(dir, "repl", "pw")
+    try {
+      val full = BinlogDumpClient.dumpSegment("localhost", srv.port,
+        "repl", "pw", "binlog.000000", 4L)
+      val cap = 300L
+      var file = "binlog.000000"; var pos = 4L
+      var polls = 0
+      val got = Seq.newBuilder[Byte]
+      var more = true
+      while (more && polls < 32) {
+        try {
+          val (seg, nf, np) = BinlogDumpClient.dumpSegmentWithCursor(
+            "localhost", srv.port, "repl", "pw", file, pos,
+            maxBytes = cap)
+          // a capped cut may only land on a commit or rotate — a mid-
+          // txn cut would let the apply gate drop the replayed half
+          assert(Set(XidEvent, RotateEvent).contains(lastEventType(seg)),
+            s"poll $polls cut on event type ${lastEventType(seg)}")
+          assert(seg.length < full.length,
+            s"poll $polls drained the whole history despite the cap")
+          // a fresh-file poll's prologue is real stream content; a
+          // MID-FILE resume's is the server's re-serve — strip it
+          got ++= (if (pos == 4L) seg.drop(4).toSeq
+                   else stripHeadPrologue(seg))
+          file = nf; pos = np; polls += 1
+        } catch {
+          case e: BinlogDumpClient.ServerError
+              if e.code == BinlogDumpClient.ErrUnknownLog => more = false
+        }
+      }
+      assert(polls >= 3, s"expected a multi-poll catch-up, got $polls")
+      assert(got.result() == full.drop(4).toSeq,
+        "capped polls did not reassemble the byte-identical event stream")
+    } finally srv.close()
+  }
+
   test("auth and unknown-log failures are loud, carrying the server message") {
     val dir = writeLog()
     val srv = new graft.sinks.BinlogDumpServer(dir, "repl", "right")
