@@ -1559,6 +1559,76 @@ object SparkEntry {
       BpeTrainer.pairStats(docs, "text")
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(50)
+    }),
+
+    // Routed multi-table replica (ORACLE-CHECKED): a TWO-table change
+    // stream encodes to one wire log, a dump server serves it, ONE
+    // live-replica poll dials it and routes the decoded batch to
+    // per-table TxnApplier targets (the reference's SplitApplier
+    // semantics). The query is the applied per-table state summary;
+    // DuckDB recomputes it from the source tables — end-to-end
+    // encode → serve → dial → decode → route → apply equality.
+    "q102_routed_replica" -> ((s, d) => {
+      import s.implicits._
+      import graft.jobs.{LiveReplicaJob, WireReplicaJob}
+      import graft.sinks.{BinlogDumpServer, BinlogWire}
+      import graft.sources.BinlogDumpClient
+      val tableColsQ = Map(
+        ("app", "customer") -> Seq("c_custkey", "seq", "c_name"),
+        ("app", "nation") -> Seq("n_nationkey", "seq", "n_name"))
+      val cust = Tables.customer(s, d).filter(col("c_custkey") <= 80)
+        .select(col("c_custkey").cast("long").as("k"),
+          col("c_name").as("v"))
+      val nat = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("v"))
+      // tso strictly positive: keys start at 0 and a tso-0 txn would sit
+      // at the bootstrap gate's floor and never apply
+      val ev = cust
+        .select(((col("k") + 1) * 2).as("tso"),
+          lit("customer").as("tableName"),
+          map(lit("c_custkey"), col("k").cast("string"),
+            lit("seq"), lit("1"), lit("c_name"), col("v")).as("after"))
+        .unionByName(nat.select(((col("k") + 1) * 2 + 1).as("tso"),
+          lit("nation").as("tableName"),
+          map(lit("n_nationkey"), col("k").cast("string"),
+            lit("seq"), lit("1"), lit("n_name"), col("v")).as("after")))
+        .select(col("tso"), col("tso").as("txnId"),
+          lit("INSERT").as("op"), lit("app").as("schemaName"),
+          col("tableName"), map().cast("map<string,string>").as("before"),
+          col("after"), lit(1700000000L).as("tsoTime"))
+      val dir = Staged.tempDir("q102-wire")
+      BinlogWire.writeChangeStreamBinlogFiles(
+        ev.coalesce(1).sortWithinPartitions("tso"), tableColsQ, dir,
+        checksummed = true)
+      val srv = new BinlogDumpServer(dir, "repl", "pw")
+      try {
+        val root = Staged.tempDir("q102-targets")
+        val targets = Seq(
+          WireReplicaJob.TableTarget("app", "customer",
+            Seq("c_custkey" -> "long", "seq" -> "long",
+              "c_name" -> "string"),
+            Seq("c_custkey"), "seq", s"$root/customer", 4),
+          WireReplicaJob.TableTarget("app", "nation",
+            Seq("n_nationkey" -> "long", "seq" -> "long",
+              "n_name" -> "string"),
+            Seq("n_nationkey"), "seq", s"$root/nation", 2))
+        LiveReplicaJob.pollApplyOnceRouted(s,
+          Seq(BinlogDumpClient.Endpoint("dn1", "localhost", srv.port,
+            "repl", "pw", "binlog.000000", 4L)),
+          tableColsQ, targets, s"$root/stage", txnsPerCommit = 64)
+        graft.operators.TxnApplier.readCurrent(s, s"$root/customer")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("c_custkey")).as("key_sum"))
+          .select(lit("customer").as("tbl"), col("n_rows"), col("key_sum"))
+          .unionByName(
+            graft.operators.TxnApplier.readCurrent(s, s"$root/nation")
+              .agg(count(lit(1)).as("n_rows"),
+                sum(col("n_nationkey")).as("key_sum"))
+              .select(lit("nation").as("tbl"), col("n_rows"),
+                col("key_sum")))
+          .orderBy(col("tbl"))
+      } finally srv.close()
     })
   )
 
@@ -2506,6 +2576,14 @@ object SparkEntry {
         "pairs AS (SELECT cs[i] AS a, cs[i+1] AS b, freq FROM chars, " +
         "unnest(range(1, len(cs))) t(i) WHERE len(cs) >= 2) " +
         "SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM pairs " +
-        "GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 50")
+        "GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 50"),
+    // q102: the routed replica's applied per-table state must equal the
+    // source tables it was encoded from
+    "q102_routed_replica" ->
+      ("SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(c_custkey) AS BIGINT) AS key_sum FROM customer " +
+        "WHERE c_custkey <= 80 " +
+        "UNION ALL SELECT 'nation', CAST(count(*) AS BIGINT), " +
+        "CAST(sum(n_nationkey) AS BIGINT) FROM nation ORDER BY tbl")
   )
 }

@@ -3,7 +3,7 @@ package graft.jobs
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Staged, TxnApplier}
+import graft.operators.Staged
 import graft.sources.{BinlogDumpClient, ChangeEventSource}
 import graft.sources.BinlogDumpClient.Endpoint
 
@@ -40,7 +40,8 @@ object LiveReplicaJob {
     * `stagingDir` holds this trigger's drained segments (overwritten
     * per call — the applier's position gate makes replays idempotent).
     * `fromTso` seeds the apply gate on FIRST bootstrap, for replicas
-    * started from a dump-from-TSO cursor. */
+    * started from a dump-from-TSO cursor. Single-table convenience
+    * over [[pollApplyOnceRouted]]. */
   def pollApplyOnce(spark: SparkSession, endpoints: Seq[Endpoint],
       tableCols: Map[(String, String), Seq[String]],
       schemaName: String, tableName: String,
@@ -49,11 +50,32 @@ object LiveReplicaJob {
       nBuckets: Int, txnsPerCommit: Int = 8,
       fromTso: Option[Long] = None, serverId: Long = 12345L,
       soTimeoutMs: Int = 30000,
+      maxBytesPerPoll: Long = Long.MaxValue): Seq[Endpoint] =
+    pollApplyOnceRouted(spark, endpoints, tableCols,
+      Seq(WireReplicaJob.TableTarget(schemaName, tableName, colTypes,
+        keyCols, seqCol, targetDir, nBuckets)),
+      stagingDir, txnsPerCommit, fromTso, serverId, soTimeoutMs,
+      maxBytesPerPoll)
+
+  /** One trigger applying the WHOLE filtered stream, routed per table —
+    * the usable replica shape: every DN dials ONCE and its decoded
+    * multi-table batch fans out to per-table targets
+    * ([[WireReplicaJob.applyRouted]], the reference's SplitApplier
+    * semantics). The per-DN cursor is the ONE shared source position:
+    * it advances only after every table applied, and each table's own
+    * committed-TSO gate makes the replayed prefix idempotent when a
+    * crash lands between tables. With more than one target the decoded
+    * rows are staged once (`stagingDir`_decoded) so routing never
+    * re-runs the wire decode per table. */
+  def pollApplyOnceRouted(spark: SparkSession, endpoints: Seq[Endpoint],
+      tableCols: Map[(String, String), Seq[String]],
+      targets: Seq[WireReplicaJob.TableTarget], stagingDir: String,
+      txnsPerCommit: Int = 8,
+      fromTso: Option[Long] = None, serverId: Long = 12345L,
+      soTimeoutMs: Int = 30000,
       maxBytesPerPoll: Long = Long.MaxValue): Seq[Endpoint] = {
     import spark.implicits._
-    require(colTypes.map(_._1).toSet.intersect(keyCols.toSet) == keyCols.toSet
-        && colTypes.exists(_._1 == seqCol),
-      "colTypes must cover keyCols and seqCol")
+    WireReplicaJob.validateTargets(targets)
     val polled = spark.createDataset(endpoints)
       .repartition(math.max(1, endpoints.size))
       .map { e =>
@@ -80,12 +102,12 @@ object LiveReplicaJob {
     val changes = ChangeEventSource.fromWireSegments(
       staged.filter(length(col("payload")) > 0).select("dn", "payload"),
       "dn", "payload", tableCols)
-    val typed = WireReplicaJob.shape(changes, schemaName, tableName, colTypes)
-    if (TxnApplier.currentCommit(targetDir).isEmpty)
-      TxnApplier.bootstrap(typed.limit(0).drop("op", "tso"),
-        keyCols, targetDir, nBuckets, initialTso = fromTso.getOrElse(0L))
-    TxnApplier.applyBatch(typed, keyCols, seqCol, "op", "tso",
-      targetDir, nBuckets, txnsPerCommit)
+    // one target consumes the decode once anyway; N targets read a
+    // decoded stage so the wire decode never re-runs per table
+    val decoded =
+      if (targets.size == 1) changes
+      else Staged.parquetStage(changes, stagingDir + "_decoded")
+    WireReplicaJob.applyRouted(decoded, targets, txnsPerCommit, fromTso)
     val cursors = staged.select($"dn", $"nextFile", $"nextPos")
       .as[(String, String, Long)].collect()
       .map { case (dn, f, p) => dn -> ((f, p)) }.toMap

@@ -43,6 +43,53 @@ import graft.sinks.BinlogWire
   */
 object WireReplicaJob {
 
+  /** One replicated table's routing target: which decoded rows belong
+    * to it (`schemaName`/`tableName`), how they type (`colTypes` must
+    * cover `keyCols` and `seqCol`), and where they apply (its own
+    * `TxnApplier` target). The reference routes every DBMSRowChange by
+    * its own table to per-table apply units
+    * (rpl/applier/SplitApplier.java:43-146 per-table split, dispatched
+    * through ApplyHelper.java:56-61); here a target IS that unit. */
+  final case class TableTarget(schemaName: String, tableName: String,
+      colTypes: Seq[(String, String)], keyCols: Seq[String],
+      seqCol: String, targetDir: String, nBuckets: Int) {
+    def table: (String, String) = (schemaName, tableName)
+  }
+
+  /** Route one decoded multi-table batch to per-table `TxnApplier`
+    * targets — the reference's SplitApplier restated: the decode side
+    * already emits every table's rows (`fromWireSegments` takes the
+    * full TABLE_MAP registry); this is the missing routing layer, so a
+    * two-table DN stream applies through ONE poll/trigger instead of
+    * two loops dialing the same DN twice.
+    *
+    * Position-gate discipline (what makes the routing crash-safe
+    * behind ONE source cursor): every target keeps its OWN committed
+    * lastTso, and the caller advances the shared source cursor
+    * (file/pos, or the streaming checkpoint) only after THIS call
+    * returns. A crash after table A applied but before table B leaves
+    * the cursor unmoved; the re-served batch replays into A's gate
+    * (skipped, at-or-below its lastTso) and applies to B — per-table
+    * exactly-once without cross-table coordination.
+    *
+    * `decoded` is consumed once per target — CALLERS with more than
+    * one target must pass a materialized frame (staged parquet; the
+    * routed entry points below do) or each target re-runs the wire
+    * decode. */
+  def applyRouted(decoded: DataFrame, targets: Seq[TableTarget],
+      txnsPerCommit: Int = 8, fromTso: Option[Long] = None): Unit = {
+    validateTargets(targets)
+    targets.foreach { t =>
+      val typed = shape(decoded, t.schemaName, t.tableName, t.colTypes)
+      if (TxnApplier.currentCommit(t.targetDir).isEmpty)
+        TxnApplier.bootstrap(typed.limit(0).drop("op", "tso"),
+          t.keyCols, t.targetDir, t.nBuckets,
+          initialTso = fromTso.getOrElse(0L))
+      TxnApplier.applyBatch(typed, t.keyCols, t.seqCol, "op", "tso",
+        t.targetDir, t.nBuckets, txnsPerCommit)
+    }
+  }
+
   /** Start the wire replica for ONE replicated table.
     *
     * @param colTypes ordered (column, Spark SQL type) pairs for the
@@ -69,10 +116,30 @@ object WireReplicaJob {
       nBuckets: Int, txnsPerCommit: Int = 8,
       continuous: Option[String] = None,
       maxFilesPerTrigger: Int = 16,
+      fromTso: Option[Long] = None): StreamingQuery =
+    startRouted(spark, wireDir, tableCols,
+      Seq(TableTarget(schemaName, tableName, colTypes, keyCols, seqCol,
+        targetDir, nBuckets)),
+      checkpointDir, txnsPerCommit, continuous, maxFilesPerTrigger,
+      fromTso)
+
+  /** Start the wire replica for a SET of replicated tables off one
+    * stream — each micro-batch decodes the wire files once and routes
+    * per-table through [[applyRouted]]. With more than one target the
+    * decoded batch is staged to parquet first (under the checkpoint
+    * dir) so N targets read the stage, never re-run the wire decode; a
+    * replayed trigger overwrites the stage byte-identically, and every
+    * target's own position gate drops what it already applied — see
+    * [[applyRouted]] for the crash-safety argument. */
+  def startRouted(spark: SparkSession, wireDir: String,
+      tableCols: Map[(String, String), Seq[String]],
+      targets: Seq[TableTarget], checkpointDir: String,
+      txnsPerCommit: Int = 8,
+      continuous: Option[String] = None,
+      maxFilesPerTrigger: Int = 16,
       fromTso: Option[Long] = None): StreamingQuery = {
-    require(colTypes.map(_._1).toSet.intersect(keyCols.toSet) == keyCols.toSet
-        && colTypes.exists(_._1 == seqCol),
-      "colTypes must cover keyCols and seqCol")
+    // misconfiguration fails at START, not on the first trigger
+    validateTargets(targets)
     val startFile = fromTso.map { t =>
       graft.sinks.BinlogCatalog.seekTso(spark, wireDir, t)._1
     }.filter(_.nonEmpty)
@@ -86,19 +153,32 @@ object WireReplicaJob {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val typed = shape(batch, schemaName, tableName, colTypes)
         // no isEmpty pre-check: it would decode every wire file a first
         // time just to count; bootstrap is schema-only (limit 0) and
         // applyBatch's own staged probe short-circuits an empty batch
-        if (TxnApplier.currentCommit(targetDir).isEmpty)
-          TxnApplier.bootstrap(typed.limit(0).drop("op", "tso"),
-            keyCols, targetDir, nBuckets,
-            initialTso = fromTso.getOrElse(0L))
-        TxnApplier.applyBatch(typed, keyCols, seqCol, "op", "tso",
-          targetDir, nBuckets, txnsPerCommit)
+        val input =
+          if (targets.size == 1) batch
+          else graft.operators.Staged.parquetStage(batch,
+            s"$checkpointDir/_route_stage")
+        applyRouted(input, targets, txnsPerCommit, fromTso)
         ()
       }
       .start()
+  }
+
+  private[jobs] def validateTargets(targets: Seq[TableTarget]): Unit = {
+    require(targets.nonEmpty, "no targets")
+    require(targets.map(_.table).distinct.size == targets.size,
+      "duplicate (schema, table) targets")
+    require(targets.map(_.targetDir).distinct.size == targets.size,
+      "two tables routed to one targetDir")
+    targets.foreach { t =>
+      require(t.colTypes.map(_._1).toSet
+          .intersect(t.keyCols.toSet) == t.keyCols.toSet
+          && t.colTypes.exists(_._1 == t.seqCol),
+        s"colTypes must cover keyCols and seqCol for " +
+          s"${t.schemaName}.${t.tableName}")
+    }
   }
 
   /** Decoded wire rows → the replica's typed row shape: one table's row

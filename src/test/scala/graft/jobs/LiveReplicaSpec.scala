@@ -119,4 +119,72 @@ class LiveReplicaSpec extends SparkSpec {
         == bal.toMap)
     } finally srv.close()
   }
+
+  test("routed replica: a two-table stream applies through ONE poll loop, per-table convergence + replay gate") {
+    val root = java.nio.file.Files.createTempDirectory("graft-routed")
+    val wire = s"$root/wire"
+    val tableCols2 = Map(
+      ("bank", "accounts") -> Seq("acct", "seq", "balance"),
+      ("bank", "audit") -> Seq("aid", "seq", "note"))
+    // interleaved txns; txn 3 touches BOTH tables in one commit
+    val ev = Seq(
+      (1L, 1L, "INSERT", "bank", "accounts", Map.empty[String, String],
+        Map("acct" -> "1", "seq" -> "1", "balance" -> "100")),
+      (2L, 2L, "INSERT", "bank", "audit", Map.empty[String, String],
+        Map("aid" -> "10", "seq" -> "1", "note" -> "open")),
+      (3L, 3L, "UPDATE", "bank", "accounts",
+        Map("acct" -> "1", "seq" -> "1", "balance" -> "100"),
+        Map("acct" -> "1", "seq" -> "2", "balance" -> "150")),
+      (3L, 3L, "INSERT", "bank", "audit", Map.empty[String, String],
+        Map("aid" -> "11", "seq" -> "2", "note" -> "credit")),
+      (4L, 4L, "DELETE", "bank", "audit",
+        Map("aid" -> "10", "seq" -> "3", "note" -> "open"),
+        Map.empty[String, String]),
+      (5L, 5L, "INSERT", "bank", "accounts", Map.empty[String, String],
+        Map("acct" -> "2", "seq" -> "4", "balance" -> "70")))
+      .toDF("tso", "txnId", "op", "schemaName", "tableName", "before",
+        "after")
+      .withColumn("tsoTime", lit(1700000000L).cast("timestamp"))
+    BinlogWire.writeChangeStreamBinlogFiles(
+      ev.coalesce(1).sortWithinPartitions("tso", "txnId"), tableCols2,
+      wire, checksummed = true)
+    val srv = new graft.sinks.BinlogDumpServer(wire, "repl", "pw")
+    try {
+      val targets = Seq(
+        WireReplicaJob.TableTarget("bank", "accounts",
+          Seq("acct" -> "long", "seq" -> "long", "balance" -> "long"),
+          Seq("acct"), "seq", s"$root/t_accounts", 2),
+        WireReplicaJob.TableTarget("bank", "audit",
+          Seq("aid" -> "long", "seq" -> "long", "note" -> "string"),
+          Seq("aid"), "seq", s"$root/t_audit", 2))
+      val ep0 = Seq(BinlogDumpClient.Endpoint("dn1", "localhost",
+        srv.port, "repl", "pw", "binlog.000000", 4L))
+      def poll(eps: Seq[BinlogDumpClient.Endpoint]) =
+        LiveReplicaJob.pollApplyOnceRouted(spark, eps, tableCols2,
+          targets, s"$root/stage", txnsPerCommit = 2)
+      poll(ep0) // ONE dial, both tables land
+      def accounts() = TxnApplier.readCurrent(spark, s"$root/t_accounts")
+        .select($"acct", $"balance").as[(Long, Long)].collect().toMap
+      def audit() = TxnApplier.readCurrent(spark, s"$root/t_audit")
+        .select($"aid", $"note").as[(Long, String)].collect().toMap
+      assert(accounts() == Map(1L -> 150L, 2L -> 70L))
+      assert(audit() == Map(11L -> "credit")) // 10 deleted by txn 4
+      // full replay from the start: each table's own gate drops it all
+      val vA = TxnApplier.versions(s"$root/t_accounts").size
+      val vB = TxnApplier.versions(s"$root/t_audit").size
+      poll(ep0)
+      assert(accounts() == Map(1L -> 150L, 2L -> 70L))
+      assert(audit() == Map(11L -> "credit"))
+      assert(TxnApplier.versions(s"$root/t_accounts").size == vA)
+      assert(TxnApplier.versions(s"$root/t_audit").size == vB)
+      // misrouting fails loudly at validation, not by silent overwrite
+      intercept[IllegalArgumentException] {
+        WireReplicaJob.validateTargets(targets.map(_.copy(
+          targetDir = s"$root/same")))
+      }
+      intercept[IllegalArgumentException] {
+        WireReplicaJob.validateTargets(Seq(targets.head, targets.head))
+      }
+    } finally srv.close()
+  }
 }
