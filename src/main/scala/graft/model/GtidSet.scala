@@ -1,0 +1,160 @@
+package graft.model
+
+import java.util.UUID
+
+/** An executed-GTID set — the content-addressed replication cursor
+  * (reference: canal/core/gtid/GTIDSet.java + MysqlGTIDSet.java, wired
+  * through canal/core/dump/MysqlConnection.java for auto-position
+  * dumps). Per source UUID (SID) a sorted, disjoint list of `[start,
+  * end)` GNO intervals; the whole value is immutable.
+  *
+  * Three public spellings, all interconvertible:
+  *  - text: `"uuid:1-5:8,uuid2:3"` (MySQL's SHOW MASTER STATUS form;
+  *    a bare `n` is the singleton interval `n-n`)
+  *  - binary: `n_sids(8 LE)` then per SID `sid(16, big-endian halves)
+  *    + n_intervals(8 LE) + (start(8 LE), end(8 LE))*` with `end`
+  *    EXCLUSIVE — exactly the PREVIOUS_GTIDS event body
+  *    ([[graft.sinks.BinlogWire.previousGtidsEvent]]) and the payload
+  *    COM_BINLOG_DUMP_GTID carries
+  *  - the value itself, for set algebra (`contains`/`add`/`union`)
+  *
+  * Why a set and not (file, pos): a GTID names a TRANSACTION, not a
+  * byte address, so the cursor survives anything that renames or
+  * renumbers the log — source failover, binlog purges, a relay
+  * rewriting file names — which is exactly when a (file, pos) cursor
+  * answers error 1236.
+  */
+final case class GtidSet(sets: Map[UUID, Vector[(Long, Long)]]) {
+
+  def isEmpty: Boolean = sets.isEmpty
+
+  def contains(sid: UUID, gno: Long): Boolean =
+    sets.getOrElse(sid, Vector.empty)
+      .exists { case (s, e) => gno >= s && gno < e }
+
+  def contains(gtid: String): Boolean = {
+    val i = gtid.lastIndexOf(':')
+    require(i > 0, s"malformed GTID '$gtid'")
+    contains(UUID.fromString(gtid.substring(0, i)),
+      gtid.substring(i + 1).toLong)
+  }
+
+  /** This set plus one transaction (adjacent intervals coalesce). */
+  def add(sid: UUID, gno: Long): GtidSet =
+    if (contains(sid, gno)) this
+    else {
+      val merged = normalize(
+        sets.getOrElse(sid, Vector.empty) :+ ((gno, gno + 1)))
+      GtidSet(sets.updated(sid, merged))
+    }
+
+  def union(other: GtidSet): GtidSet =
+    GtidSet((sets.keySet ++ other.sets.keySet).map { sid =>
+      sid -> normalize(sets.getOrElse(sid, Vector.empty) ++
+        other.sets.getOrElse(sid, Vector.empty))
+    }.toMap)
+
+  def isSubsetOf(other: GtidSet): Boolean =
+    sets.forall { case (sid, ivs) =>
+      // normalized intervals are disjoint and non-touching, so a
+      // contained interval must sit inside ONE interval of the other —
+      // interval algebra, never a per-GNO loop
+      val oivs = other.sets.getOrElse(sid, Vector.empty)
+      ivs.forall { case (s, e) =>
+        oivs.exists { case (os, oe) => os <= s && e <= oe }
+      }
+    }
+
+  private def normalize(ivs: Vector[(Long, Long)]): Vector[(Long, Long)] = {
+    val sorted = ivs.filter { case (s, e) => e > s }.sortBy(_._1)
+    sorted.foldLeft(Vector.empty[(Long, Long)]) {
+      case (acc :+ ((ps, pe)), (s, e)) if s <= pe =>
+        acc :+ ((ps, math.max(pe, e)))
+      case (acc, iv) => acc :+ iv
+    }
+  }
+
+  /** MySQL text form: SIDs sorted, intervals as `start-last` (INCLUSIVE
+    * last, singletons bare) — what SHOW MASTER STATUS prints. */
+  def text: String =
+    sets.toSeq.sortBy(_._1.toString).map { case (sid, ivs) =>
+      sid.toString + ivs.map { case (s, e) =>
+        if (e == s + 1) s":$s" else s":$s-${e - 1}"
+      }.mkString
+    }.mkString(",")
+
+  /** The PREVIOUS_GTIDS / COM_BINLOG_DUMP_GTID binary layout. */
+  def encode: Array[Byte] = {
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray
+    def be(v: Long): Array[Byte] =
+      (7 to 0 by -1).map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray
+    val out = Array.newBuilder[Byte]
+    val ordered = sets.toSeq.sortBy(_._1.toString)
+    out ++= le(ordered.size.toLong, 8)
+    ordered.foreach { case (sid, ivs) =>
+      out ++= be(sid.getMostSignificantBits) ++
+        be(sid.getLeastSignificantBits) ++ le(ivs.size.toLong, 8)
+      ivs.foreach { case (s, e) => out ++= le(s, 8) ++ le(e, 8) }
+    }
+    out.result()
+  }
+}
+
+object GtidSet {
+
+  val Empty: GtidSet = GtidSet(Map.empty)
+
+  def of(gtids: String*): GtidSet =
+    gtids.foldLeft(Empty) { (acc, g) =>
+      val i = g.lastIndexOf(':')
+      acc.add(UUID.fromString(g.substring(0, i)), g.substring(i + 1).toLong)
+    }
+
+  /** Parse the MySQL text form (inclusive `start-last` ranges). */
+  def parse(text: String): GtidSet =
+    if (text.trim.isEmpty) Empty
+    else GtidSet(text.split(",").map(_.trim).filter(_.nonEmpty).map { part =>
+      val toks = part.split(":")
+      require(toks.length >= 2, s"malformed GTID set entry '$part'")
+      val sid = UUID.fromString(toks.head)
+      val ivs = toks.tail.toVector.map { r =>
+        r.split("-") match {
+          case Array(s) => (s.toLong, s.toLong + 1)
+          case Array(s, l) => (s.toLong, l.toLong + 1)
+          case _ => throw new IllegalArgumentException(
+            s"malformed GTID interval '$r'")
+        }
+      }
+      sid -> ivs
+    }.toMap).canonical
+
+  /** Decode the binary layout (see [[GtidSet.encode]]). */
+  def decode(bytes: Array[Byte]): GtidSet = {
+    var i = 0
+    def le(n: Int): Long = {
+      val v = (0 until n).map(k => (bytes(i + k) & 0xFFL) << (8 * k)).sum
+      i += n; v
+    }
+    def be(n: Int): Long = {
+      val v = (0 until n).foldLeft(0L)((acc, k) =>
+        (acc << 8) | (bytes(i + k) & 0xFFL))
+      i += n; v
+    }
+    val nSids = le(8)
+    GtidSet((0L until nSids).map { _ =>
+      val sid = new UUID(be(8), be(8))
+      val nIvs = le(8)
+      sid -> (0L until nIvs).map(_ => (le(8), le(8))).toVector
+    }.toMap).canonical
+  }
+
+  private implicit final class Canonical(private val g: GtidSet)
+      extends AnyVal {
+    /** Re-normalize externally supplied intervals. */
+    def canonical: GtidSet =
+      g.sets.foldLeft(Empty) { case (acc, (sid, ivs)) =>
+        acc.union(GtidSet(Map(sid -> ivs)))
+      }
+  }
+}

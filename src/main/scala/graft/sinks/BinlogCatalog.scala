@@ -135,6 +135,76 @@ object BinlogCatalog {
     }.getOrElse { val (n, sz) = files.last; (n, sz) }
   }
 
+  /** GTID auto-position seek: the (file, offset) of the first
+    * transaction whose GTID is NOT in `executed` — the content-
+    * addressed analog of [[seekTso]] and the start cursor a
+    * COM_BINLOG_DUMP_GTID dump serves from (reference:
+    * canal/core/dump/MysqlConnection.java driving dump-by-GTID with
+    * MysqlGTIDSet). Because the cursor names TRANSACTIONS, the answer
+    * survives file renames/renumbering (source failover, relay
+    * re-serving) where a (file, pos) cursor gets error 1236. Same
+    * scale shape as seekTso: one early-exit streaming-parse task per
+    * file; only fully-executed files (the prefix the seek skips) scan
+    * to their end. A log with no un-executed txn answers the end of
+    * the last file; an empty log answers ("", 4). */
+  def seekGtid(spark: SparkSession, dir: String,
+      executed: graft.model.GtidSet,
+      filePrefix: String = "binlog."): (String, Long) = {
+    import spark.implicits._
+    val files = listFiles(dir, filePrefix, allowMissing = true)
+    if (files.isEmpty) return ("", 4L)
+    val confMap = graft.util.HadoopIo.confMap
+    val base = dir
+    val executedText = executed.text // serializable closure payload
+    val perFile = spark.createDataset(files.map(_._1)).map { name =>
+      val exec = graft.model.GtidSet.parse(executedText)
+      val p = new org.apache.hadoop.fs.Path(base, name)
+      val fs = p.getFileSystem(graft.util.HadoopIo.confFrom(confMap))
+      val in = fs.open(p)
+      val found =
+        try firstTxnNotIn(BinlogWire.parseStream(in), exec)
+        finally in.close()
+      (name, found.getOrElse(-1L))
+    }.collect().toMap
+    files.map(_._1).collectFirst { case n if perFile(n) >= 0 =>
+      (n, perFile(n))
+    }.getOrElse { val (n, sz) = files.last; (n, sz) }
+  }
+
+  /** The (sid, gno) a GTID frame names (5.6 layout: commit flag + SID
+    * big-endian halves + GNO little-endian). */
+  private[sinks] def frameGtid(f: BinlogWire.Frame)
+      : Option[(java.util.UUID, Long)] =
+    if (f.typeCode != BinlogWire.GtidEvent || f.body.length < 25) None
+    else {
+      val r = new BinlogWire.ByteReader(f.body)
+      r.u8()
+      val msb = r.be(8); val lsb = r.be(8)
+      Some((new java.util.UUID(msb, lsb), r.le(8)))
+    }
+
+  private def firstTxnNotIn(frames: Iterator[BinlogWire.Frame],
+      executed: graft.model.GtidSet): Option[Long] = {
+    var off = 4L
+    var txnStart = -1L
+    var res = Option.empty[Long]
+    while (res.isEmpty && frames.hasNext) {
+      val f = frames.next()
+      val start = off
+      off = f.nextPos
+      val preamble = f.typeCode == BinlogWire.FormatDescriptionEvent ||
+        f.typeCode == BinlogWire.PreviousGtidsEvent ||
+        f.typeCode == BinlogWire.RotateEvent ||
+        f.typeCode == BinlogWire.TableMapEvent
+      if (txnStart < 0 && !preamble) txnStart = start
+      frameGtid(f).foreach { case (sid, gno) =>
+        if (!executed.contains(sid, gno)) res = Some(txnStart)
+      }
+      if (f.typeCode == BinlogWire.XidEvent) txnStart = -1L
+    }
+    res
+  }
+
   /** Offset of the first txn unit whose tso carrier exceeds `tso`
     * (frames start at offset 4, after the magic). A txn unit opens at
     * the first non-preamble frame after the previous XID — the GTID or

@@ -124,6 +124,64 @@ final class BinlogDumpServer(wireDir: String, user: String,
     } finally in.close()
   }
 
+  /** Stream one file for a GTID auto-position dump: infrastructure
+    * events (FDE, PREVIOUS_GTIDS, TABLE_MAP declarations, rotate chain
+    * links) always serve; a TRANSACTION serves iff its GTID is not in
+    * the consumer's executed set — the skip runs from the GTID event
+    * to the txn's XID commit. Real MySQL prunes whole files via their
+    * PREVIOUS_GTIDS before filtering; these files carry empty
+    * previous-sets (the TSO cursor is their authoritative index), so a
+    * fully-executed file costs one header-walk and serves only its
+    * prologue — same bounded memory, one pass, no seek index needed.
+    * A GTID-less txn (log written without a sid) never matches the
+    * executed set and always serves. */
+  private def streamFileGtid(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, executed: graft.model.GtidSet,
+      emit: Array[Byte] => Unit): Unit = {
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(fs.open(path)))
+    try {
+      val magic = new Array[Byte](4)
+      in.readFully(magic)
+      require(magic.sameElements(BinlogWire.Magic), s"bad magic in $path")
+      var skipping = false
+      var done = false
+      while (!done) {
+        val header = new Array[Byte](19)
+        val first = in.read()
+        if (first < 0) done = true
+        else {
+          header(0) = first.toByte
+          in.readFully(header, 1, 18)
+          val len = (header(9) & 0xFF) | ((header(10) & 0xFF) << 8) |
+            ((header(11) & 0xFF) << 16) | ((header(12) & 0xFF) << 24)
+          val body = new Array[Byte](len - 19)
+          in.readFully(body)
+          (header(4) & 0xFF) match {
+            case BinlogWire.GtidEvent if body.length >= 25 =>
+              val sid = new java.util.UUID(
+                (0 until 8).foldLeft(0L)((a, k) =>
+                  (a << 8) | (body(1 + k) & 0xFFL)),
+                (0 until 8).foldLeft(0L)((a, k) =>
+                  (a << 8) | (body(9 + k) & 0xFFL)))
+              val gno = (0 until 8).map(k =>
+                (body(17 + k) & 0xFFL) << (8 * k)).sum
+              skipping = executed.contains(sid, gno)
+              if (!skipping) emit(header ++ body)
+            case BinlogWire.FormatDescriptionEvent |
+                 BinlogWire.PreviousGtidsEvent |
+                 BinlogWire.TableMapEvent | BinlogWire.RotateEvent =>
+              emit(header ++ body)
+            case BinlogWire.XidEvent =>
+              if (!skipping) emit(header ++ body)
+              skipping = false
+            case _ => if (!skipping) emit(header ++ body)
+          }
+        }
+      }
+    } finally in.close()
+  }
+
   private def serve(sock: java.net.Socket): Unit = {
     val io = new PacketIO(sock)
     try {
@@ -184,6 +242,38 @@ final class BinlogDumpServer(wireDir: String, user: String,
             else {
               files.zipWithIndex.foreach { case (p, fi) =>
                 streamFile(fs, p, if (fi == 0) pos else 4L,
+                  bytes => io.write(Array(0x00.toByte) ++ bytes))
+              }
+              io.write(Array(0xFE.toByte) ++ le(0L, 2) ++ le(2L, 2))
+            }
+          case Some(0x1e) => // COM_BINLOG_DUMP_GTID (auto-position)
+            // payload: flags(2) serverId(4) nameLen(4) name pos(8)
+            // dataLen(4) <encoded executed GTID set>; auto-position
+            // ignores name/pos — the SET is the cursor
+            var i = 1 + 2 + 4
+            val nameLen = (0 until 4).map(k =>
+              (cmd(i + k) & 0xFF) << (8 * k)).sum
+            i += 4 + nameLen + 8
+            val dataLen = (0 until 4).map(k =>
+              (cmd(i + k) & 0xFF) << (8 * k)).sum
+            i += 4
+            val executed =
+              try graft.model.GtidSet.decode(cmd.slice(i, i + dataLen))
+              catch { case _: Exception => null }
+            if (executed == null)
+              io.write(err(1236, "HY000",
+                "Malformed GTID set in COM_BINLOG_DUMP_GTID"))
+            else {
+              val root = new org.apache.hadoop.fs.Path(wireDir)
+              val fs = graft.util.HadoopIo.fsOf(root)
+              val files =
+                if (!fs.exists(root)) Seq.empty
+                else fs.listStatus(root).toSeq
+                  .filter(st => st.isFile &&
+                    st.getPath.getName.startsWith(filePrefix))
+                  .map(_.getPath).sortBy(_.getName)
+              files.foreach { p =>
+                streamFileGtid(fs, p, executed,
                   bytes => io.write(Array(0x00.toByte) ++ bytes))
               }
               io.write(Array(0xFE.toByte) ++ le(0L, 2) ++ le(2L, 2))

@@ -48,6 +48,7 @@ object BinlogDumpClient {
   private val ComQuit = 0x01
   private val ComBinlogDump = 0x12
   private val ComRegisterSlave = 0x15
+  private val ComBinlogDumpGtid = 0x1e
 
   /** MySQL packet framing: 3-byte LE payload length + 1-byte sequence
     * id; payloads of 0xFFFFFF continue in the next packet. */
@@ -146,7 +147,70 @@ object BinlogDumpClient {
     * by up to one transaction (the irreducible unit of atomic apply). */
   def dumpSegment(host: String, port: Int, user: String, password: String,
       binlogFile: String, pos: Long, serverId: Long = 12345L,
-      soTimeoutMs: Int = 30000, maxBytes: Long = Long.MaxValue): Array[Byte] = {
+      soTimeoutMs: Int = 30000, maxBytes: Long = Long.MaxValue): Array[Byte] =
+    withDump(host, port, user, password, serverId, soTimeoutMs,
+      Array(ComBinlogDump.toByte) ++ le(pos, 4) ++
+        le(BinlogDumpNonBlock, 2) ++ le(serverId, 4) ++
+        binlogFile.getBytes(UTF_8),
+      maxBytes)
+
+  /** GTID AUTO-POSITION dump: the cursor is the consumer's executed
+    * GTID set, not a (file, pos) — COM_BINLOG_DUMP_GTID (reference:
+    * canal/core/dump/MysqlConnection.java dumping by MysqlGTIDSet).
+    * The server serves every transaction NOT in `executed`, whatever
+    * file it lives in and whatever that file is NAMED — the cursor
+    * survives source failover, log renumbering and relay re-serving,
+    * the cases where a (file, pos) cursor answers error 1236. Returns
+    * a magic-prefixed segment exactly like [[dumpSegment]]. */
+  def dumpSegmentGtid(host: String, port: Int, user: String,
+      password: String, executed: graft.model.GtidSet,
+      serverId: Long = 12345L, soTimeoutMs: Int = 30000,
+      maxBytes: Long = Long.MaxValue): Array[Byte] = {
+    val data = executed.encode
+    // flags(2): NON_BLOCK | BINLOG_THROUGH_GTID; empty name + pos 4 —
+    // auto-position means the SET positions the dump
+    withDump(host, port, user, password, serverId, soTimeoutMs,
+      Array(ComBinlogDumpGtid.toByte) ++ le(0x01L | 0x04L, 2) ++
+        le(serverId, 4) ++ le(0L, 4) ++ le(4L, 8) ++
+        le(data.length.toLong, 4) ++ data,
+      maxBytes)
+  }
+
+  /** [[dumpSegmentGtid]] plus the ADVANCED executed set for the next
+    * poll: the input set unioned with every GTID the segment carries.
+    * `poll(set) → apply → poll(set')` is the failover-proof standing
+    * tail. */
+  def dumpSegmentGtidWithCursor(host: String, port: Int, user: String,
+      password: String, executed: graft.model.GtidSet,
+      serverId: Long = 12345L, soTimeoutMs: Int = 30000,
+      maxBytes: Long = Long.MaxValue)
+      : (Array[Byte], graft.model.GtidSet) = {
+    val seg = dumpSegmentGtid(host, port, user, password, executed,
+      serverId, soTimeoutMs, maxBytes)
+    var set = executed
+    var off = 4
+    while (off + 19 <= seg.length) {
+      val tc = seg(off + 4) & 0xFF
+      val len = (seg(off + 9) & 0xFF) | ((seg(off + 10) & 0xFF) << 8) |
+        ((seg(off + 11) & 0xFF) << 16) | ((seg(off + 12) & 0xFF) << 24)
+      if (tc == graft.sinks.BinlogWire.GtidEvent && len >= 19 + 25) {
+        val b = seg.slice(off + 19, off + len)
+        val sid = new java.util.UUID(
+          (0 until 8).foldLeft(0L)((a, k) => (a << 8) | (b(1 + k) & 0xFFL)),
+          (0 until 8).foldLeft(0L)((a, k) => (a << 8) | (b(9 + k) & 0xFFL)))
+        val gno = (0 until 8).map(k => (b(17 + k) & 0xFFL) << (8 * k)).sum
+        set = set.add(sid, gno)
+      }
+      off += len
+    }
+    (seg, set)
+  }
+
+  /** Dial + authenticate + register, issue one dump command, drain it
+    * (optionally `maxBytes`-capped at txn boundaries), COM_QUIT. */
+  private def withDump(host: String, port: Int, user: String,
+      password: String, serverId: Long, soTimeoutMs: Int,
+      dumpCommand: Array[Byte], maxBytes: Long): Array[Byte] = {
     val sock = new java.net.Socket()
     sock.connect(new java.net.InetSocketAddress(host, port), soTimeoutMs)
     sock.setSoTimeout(soTimeoutMs)
@@ -187,11 +251,9 @@ object BinlogDumpClient {
         Array(0.toByte, 0.toByte, 0.toByte) ++ // empty host/user/password
         le(0L, 2) ++ le(0L, 4) ++ le(0L, 4)) // port, rank, master id
       failOnErr(io.read(), "COM_REGISTER_SLAVE")
-      // ---- COM_BINLOG_DUMP (NON_BLOCK: EOF when caught up) ----
+      // ---- the dump command (NON_BLOCK: EOF when caught up) ----
       io.seq = 0
-      io.write(Array(ComBinlogDump.toByte) ++ le(pos, 4) ++
-        le(BinlogDumpNonBlock, 2) ++ le(serverId, 4) ++
-        binlogFile.getBytes(UTF_8))
+      io.write(dumpCommand)
       val events = Vector.newBuilder[Array[Byte]]
       var done = false
       var drained = 0L

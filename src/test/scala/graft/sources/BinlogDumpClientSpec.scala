@@ -214,6 +214,77 @@ class BinlogDumpClientSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("GTID auto-position: dump from a set, cursor advances, and survives a full log RENAME (where file+pos gets 1236)") {
+    import graft.model.GtidSet
+    val sid = java.util.UUID.fromString(
+      "0a1b2c3d-1111-2222-3333-444455556666")
+    def writeGtidLog(dir: String): Unit = {
+      val df = (1L to 8L).map(i => (i, s"v$i", "INSERT", i, i))
+        .toDF("id", "v", "op", "tso", "seq")
+        .withColumn("ts", lit(1700000000L))
+      val ordered = graft.operators.MergeSort.sortedRunsGrouped(df, 4,
+        Seq("tso"), Seq("seq"))
+      BinlogWire.writeTxnFramedBinlogFiles(ordered, specs, "app", "t",
+        "op", "ts", "tso", dir, checksummed = true,
+        gtidSid = Some(sid), rotateChain = true, tsoCarrier = "sequence")
+    }
+    def decode(seg: Array[Byte]): Set[Long] =
+      ChangeEventSource.fromWireSegments(
+          Seq(("dn1", seg)).toDF("dn", "payload"), "dn", "payload",
+          tableCols)
+        .select($"tso").as[Long].collect().toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-gtid").toString
+    writeGtidLog(dir)
+    val srv = new graft.sinks.BinlogDumpServer(dir, "repl", "pw")
+    try {
+      // bootstrap from the EMPTY set: everything serves; the advanced
+      // cursor names every txn (gno := tso)
+      val (seg1, set1) = BinlogDumpClient.dumpSegmentGtidWithCursor(
+        "localhost", srv.port, "repl", "pw", GtidSet.Empty)
+      assert(decode(seg1) == (1L to 8L).toSet)
+      assert(set1.text == s"$sid:1-8")
+      // caught-up poll: nothing new
+      val (seg2, set2) = BinlogDumpClient.dumpSegmentGtidWithCursor(
+        "localhost", srv.port, "repl", "pw", set1)
+      assert(decode(seg2).isEmpty && set2 == set1)
+      // a PARTIAL set serves exactly the complement — content, not
+      // position, addresses the dump
+      val partial = GtidSet.parse(s"$sid:1-5")
+      val (seg3, set3) = BinlogDumpClient.dumpSegmentGtidWithCursor(
+        "localhost", srv.port, "repl", "pw", partial)
+      assert(decode(seg3) == Set(6L, 7L, 8L))
+      assert(set3.text == s"$sid:1-8")
+      // seekGtid names the same resume point the tso seek derives
+      // (gno := tso, so the cursors are interconvertible)
+      assert(graft.sinks.BinlogCatalog.seekGtid(spark, dir, partial) ==
+        graft.sinks.BinlogCatalog.seekTso(spark, dir, 5L))
+    } finally srv.close()
+
+    // FAILOVER: the same content re-served under entirely new file
+    // names (renumbered log). The file+pos cursor is dead — 1236; the
+    // GTID set keeps working and serves exactly the un-executed tail.
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-gtid2").toString
+    new java.io.File(dir).listFiles.filter(_.getName.startsWith("binlog."))
+      .foreach { f =>
+        val n = f.getName.stripPrefix("binlog.").toInt
+        java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(dir2, f"binlog.${n + 700}%06d"))
+      }
+    val srv2 = new graft.sinks.BinlogDumpServer(dir2, "repl", "pw")
+    try {
+      val stale = intercept[BinlogDumpClient.ServerError] {
+        BinlogDumpClient.dumpSegment("localhost", srv2.port, "repl", "pw",
+          "binlog.000000", 4L) // the pre-failover (file, pos) cursor
+      }
+      assert(stale.code == BinlogDumpClient.ErrUnknownLog)
+      val (seg4, set4) = BinlogDumpClient.dumpSegmentGtidWithCursor(
+        "localhost", srv2.port, "repl", "pw", GtidSet.parse(s"$sid:1-5"))
+      assert(decode(seg4) == Set(6L, 7L, 8L))
+      assert(set4.text == s"$sid:1-8")
+    } finally srv2.close()
+  }
+
   test("auth and unknown-log failures are loud, carrying the server message") {
     val dir = writeLog()
     val srv = new graft.sinks.BinlogDumpServer(dir, "repl", "right")
