@@ -1629,6 +1629,19 @@ object SparkEntry {
                 col("key_sum")))
           .orderBy(col("tbl"))
       } finally srv.close()
+    }),
+
+    // Retrieval over the inverted-index statistics (ORACLE-CHECKED):
+    // the q98 postings finally get a CONSUMER. Integer-exact rank (the
+    // q92 discipline): per query term the idf surrogate (N*1000) div
+    // df, score = sum(tf * weight), total order on (score desc, id).
+    // The float BM25 (tf saturation + length normalization) is
+    // CorpusStats.bm25, spec-gated; this query pins the shared
+    // retrieval shape bit-exactly against DuckDB.
+    "q103_search_rank" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      graft.text.CorpusStats.searchRank(docs, "doc_id", "text",
+        Seq("dup", "hash", "sort"), k = 20)
     })
   )
 
@@ -2584,6 +2597,20 @@ object SparkEntry {
         "CAST(sum(c_custkey) AS BIGINT) AS key_sum FROM customer " +
         "WHERE c_custkey <= 80 " +
         "UNION ALL SELECT 'nation', CAST(count(*) AS BIGINT), " +
-        "CAST(sum(n_nationkey) AS BIGINT) FROM nation ORDER BY tbl")
+        "CAST(sum(n_nationkey) AS BIGINT) FROM nation ORDER BY tbl"),
+    // q103: the integer-exact retrieval rank recomputed end to end
+    "q103_search_rank" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS " +
+        "token FROM documents), " +
+        "n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs " +
+        "FROM documents), " +
+        "q AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf " +
+        "FROM toks WHERE token IN ('dup','hash','sort') GROUP BY 1, 2), " +
+        "d AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df " +
+        "FROM toks WHERE token IN ('dup','hash','sort') GROUP BY 1) " +
+        "SELECT doc_id, CAST(sum(tf * ((ndocs * 1000) // df)) AS BIGINT) " +
+        "AS score, CAST(count(*) AS BIGINT) AS matched_terms " +
+        "FROM q JOIN d USING (token) CROSS JOIN n " +
+        "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20")
   )
 }

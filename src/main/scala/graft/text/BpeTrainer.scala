@@ -126,10 +126,51 @@ object BpeTrainer {
   /** Apply a trained merge list to a token column: the tokenizer's
     * segment step — each merge folds over the symbol array in order.
     * Returns array<string> of subword units. Plan size grows with the
-    * merge count (one fold per merge); for big merge lists segment in
-    * stages or apply during preprocessing, not per query. */
+    * merge count (one fold per merge): fine for a handful of merges,
+    * but a 500-merge list is a 500-deep expression tree (plan blowup,
+    * codegen limits) — use [[segmentJoin]] at scale. */
   def segment(token: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(split(token, "")) {
       case (syms, (a, b)) => mergePair(syms, a, b)
     }
+
+  /** The trained tokenizer applied as a TABLE, not an expression: the
+    * scale path for long merge lists. The frame's DISTINCT tokens are
+    * segmented once (the merge folds run over the word-form
+    * vocabulary, with a lineage cut every `checkpointEvery` merges so
+    * the plan stays ≤ `checkpointEvery` folds deep at every point),
+    * and the result joins back on the token — O(1) plan depth at
+    * apply time regardless of merge count, and the fold work is
+    * O(vocabulary), not O(corpus tokens), because equal words segment
+    * equally (the same dedup-once insight [[train]] uses).
+    *
+    * Because the vocabulary derives from `df` ITSELF, every token has
+    * a row — no unseen-word fallback path. The join key is the token
+    * column: Catalyst/AQE broadcast a small vocabulary and shuffle a
+    * big one; nothing here forces a driver-sized collect.
+    *
+    * Returns `df` plus `subwordsCol` (array<string>), token-identical
+    * to [[segment]] (BpeTrainerSpec pins the equality). */
+  def segmentJoin(df: DataFrame, tokenCol: String,
+      merges: Seq[(String, String)], subwordsCol: String = "subwords",
+      checkpointEvery: Int = 16): DataFrame = {
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1")
+    var vocab = df.select(col(tokenCol).as("__word")).distinct()
+      .select(col("__word"), split(col("__word"), "").as("__syms"))
+    var sinceCut = 0
+    merges.foreach { case (a, b) =>
+      vocab = vocab.select(col("__word"),
+        mergePair(col("__syms"), a, b).as("__syms"))
+      sinceCut += 1
+      if (sinceCut >= checkpointEvery) {
+        val prev = vocab
+        vocab = vocab.localCheckpoint()
+        releaseCheckpoint(prev)
+        sinceCut = 0
+      }
+    }
+    df.join(vocab.withColumnRenamed("__syms", subwordsCol),
+      df(tokenCol) === vocab("__word"))
+      .drop("__word")
+  }
 }

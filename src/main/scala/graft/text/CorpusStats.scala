@@ -135,6 +135,73 @@ object CorpusStats {
     }
   }
 
+  /** BM25 top-k retrieval — the consumer of the [[postings]] /
+    * [[vocabulary]] statistics (an index nobody queries is a table,
+    * not an index). Okapi BM25 with the Lucene idf
+    * (ln(1 + (N-df+0.5)/(df+0.5))), k1/b defaults per the literature.
+    *
+    * Scale shape: the corpus token stream filters to the QUERY's terms
+    * at the scan (isin over a literal list — predicate-pushable,
+    * nothing else ever shuffles for tf); per-term df and the
+    * document-length table are one aggregation each; the score join
+    * fans a query-sized frame across the matching docs only. Top-k is
+    * a TakeOrderedAndProject, never a full sort. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25: empty query")
+    val toks = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+    val lens = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("dl"))
+    val scalars = lens.agg(count(lit(1)).cast("double").as("ndocs"),
+      avg(col("dl")).as("avgdl"))
+    val qtoks = toks.filter(col("token").isin(query.distinct: _*))
+    val tf = qtoks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = qtoks.groupBy(col("token"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("ndocs") - col("df") + 0.5) / (col("df") + 0.5))
+    tf.join(broadcast(df.crossJoin(scalars)), "token")
+      .join(lens, idCol)
+      .withColumn("__s", idf * (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("__s")).as("score"),
+        count(lit(1)).as("matched_terms"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Integer-exact retrieval rank — the oracle-checkable analog of
+    * [[bm25]] (the q92 discipline: no floats cross the engine
+    * boundary). Per matched term the weight is the idf surrogate
+    * `(N*1000) div df` — integer, monotone in 1/df — and a document's
+    * score is Σ tf·weight; ties break on doc id. The tf saturation and
+    * length normalization BM25 adds are ranking refinements; the
+    * integer rank keeps the same rare-terms-dominate ordering while
+    * being bit-reproducible in any SQL engine. */
+  def searchRank(docs: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k: Int = 10): DataFrame = {
+    require(query.nonEmpty, "searchRank: empty query")
+    val toks = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+    val n = docs.agg(countDistinct(col(idCol)).as("ndocs"))
+    val qtoks = toks.filter(col("token").isin(query.distinct: _*))
+    val tf = qtoks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = qtoks.groupBy(col("token"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    tf.join(broadcast(df.crossJoin(n)), "token")
+      .withColumn("__w", expr("(ndocs * 1000) div df"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf") * col("__w")).as("score"),
+        count(lit(1)).as("matched_terms"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Per-document characteristic terms — tf-idf keyword extraction with
     * an integer-exact ranking. The tf-idf ordering (tf·log(N/df)) is
     * dominated by tf and penalizes common terms; ranking by

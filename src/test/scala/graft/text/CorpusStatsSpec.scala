@@ -95,4 +95,42 @@ class CorpusStatsSpec extends SparkSpec {
       .as[(String, Long, Seq[Long])].collect().map(_._1).toSet
     assert(!capped.contains("the") && capped.contains("cat"))
   }
+
+  test("bm25 matches a direct Okapi computation; rare terms dominate") {
+    val query = Seq("cat", "howled")
+    val got = CorpusStats.bm25(docs, "doc_id", "text", query, k = 4)
+      .as[(Long, Double, Long)].collect()
+    // reference computation, straight from the formula
+    val corpus = Map(1L -> "the cat sat", 2L -> "the cat ran",
+      3L -> "the dog sat quietly", 4L -> "the dog howled")
+      .view.mapValues(_.split(" ").toSeq).toMap
+    val nd = corpus.size.toDouble
+    val avgdl = corpus.values.map(_.size).sum.toDouble / nd
+    def ref(doc: Long): Double = query.distinct.map { t =>
+      val tf = corpus(doc).count(_ == t).toDouble
+      if (tf == 0) 0.0
+      else {
+        val df = corpus.values.count(_.contains(t)).toDouble
+        val idf = math.log(1.0 + (nd - df + 0.5) / (df + 0.5))
+        idf * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 *
+          corpus(doc).size / avgdl))
+      }
+    }.sum
+    assert(got.map(_._1).toSet == Set(1L, 2L, 4L)) // docs matching a term
+    got.foreach { case (id, score, _) =>
+      assert(math.abs(score - ref(id)) < 1e-9, s"doc $id: $score vs ${ref(id)}")
+    }
+    // "howled" (df 1) outweighs "cat" (df 2): doc 4 ranks first
+    assert(got.head._1 == 4L)
+    // matched_terms counts the query terms present
+    assert(got.map(r => r._1 -> r._3).toMap == Map(1L -> 1L, 2L -> 1L, 4L -> 1L))
+  }
+
+  test("searchRank: integer-exact scores, rarity-weighted, total order") {
+    val got = CorpusStats.searchRank(docs, "doc_id", "text",
+      Seq("cat", "howled"), k = 10)
+      .as[(Long, Long, Long)].collect().toList
+    // weights: N=4 docs → cat (df 2) = 2000, howled (df 1) = 4000
+    assert(got == List((4L, 4000L, 1L), (1L, 2000L, 1L), (2L, 2000L, 1L)))
+  }
 }
