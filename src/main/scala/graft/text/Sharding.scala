@@ -71,6 +71,37 @@ object Sharding {
     shuffle(df, idCol, salt, hexDigits)
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 
+  /** Write a sharded export whose rows are Z-ORDERED within each shard:
+    * `outDir/shard=<hex>/part-*.parquet` where every file is
+    * min/max-bounded in BOTH `xCol` and `yCol` (`operators/ZOrder` —
+    * the Delta Z-ORDER BY shape applied to the export). Use when the
+    * export's consumers are analytical scans filtering on either
+    * dimension rather than a sequential training reader ([[writeShards]]
+    * keeps the decorrelated key order that loaders want; the two
+    * layouts serve different consumers, same shard addressing).
+    *
+    * Shape: shard assignment stays the scan-stage md5 projection, and
+    * the ONE wide op is a range partition on (shard, z) — shards cut
+    * into z-contiguous chunks, each chunk one task, one file under its
+    * shard dir — followed by the in-partition sort. No global sort, no
+    * second shuffle for the layout: the z-clustering rides the write
+    * the export already does; pruning on either dimension then reads
+    * O(selectivity) files per shard (ShardingSpec proves the bound). */
+  def writeShardsZOrdered(df: DataFrame, idCol: String, salt: String,
+      hexDigits: Int, xCol: String, yCol: String, bits: Int,
+      outDir: String, numParts: Int = 0): Unit = {
+    val p = if (numParts > 0) numParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    df.withColumn("shuffle_key", shuffleKey(col(idCol), salt))
+      .withColumn("shard", shardOf(col("shuffle_key"), hexDigits))
+      .withColumn("__z",
+        graft.operators.ZOrder.zValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(p, col("shard"), col("__z"))
+      .sortWithinPartitions(col("shard"), col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
+
   /** Per-shard manifest: row count, payload size, and the key range —
     * what a loader needs to stripe readers over shards and what an
     * auditor needs to confirm the export covered the corpus exactly
