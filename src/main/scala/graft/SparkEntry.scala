@@ -2507,7 +2507,10 @@ object SparkEntry {
         "CAST(i - 1 AS BIGINT) AS start_tok, " +
         "CAST(least(64, len(toks) - i + 1) AS BIGINT) AS n_tokens, " +
         "array_to_string(toks[i:i+63], ' ') AS chunk " +
-        "FROM d, unnest(range(1, len(toks) + 1, 48)) t(i) " +
+        // starts stop at the first chunk reaching the end: last start =
+        // ceil((n-64)/48)*48 (no pure-suffix tail chunks)
+        "FROM d, unnest(range(1, CASE WHEN len(toks) > 64 THEN " +
+        "((len(toks) - 17) // 48) * 48 + 2 ELSE 2 END, 48)) t(i) " +
         "ORDER BY doc_id, chunk_id"),
     // q96: the distributed two-phase rank must equal one global ORDER
     // BY row_number exactly

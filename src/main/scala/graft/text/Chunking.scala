@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * RAG-ingestion default); stride = chunkTokens gives a partition.
   * The final chunk may be shorter than `chunkTokens` (documents don't
   * end on stride boundaries); every token appears in at least one
-  * chunk.
+  * chunk, and no chunk is a pure suffix of its predecessor — starts
+  * stop at the first chunk that reaches the document end.
   *
   * Pure scan-stage expression work — `sequence`/`slice`/`transform` +
   * one explode, no shuffle, no UDF: at 100 TB chunking adds zero wide
@@ -31,7 +32,16 @@ object Chunking {
       s"stride must be in [1, chunkTokens]: $stride")
     val toks = split(col(textCol), " ")
     val n = size(toks)
-    val chunks = transform(sequence(lit(0), n - 1, lit(stride)),
+    // last start = the smallest stride multiple whose chunk reaches the
+    // document end: starts past it would emit chunks that are pure
+    // suffixes of the previous chunk (already fully covered — duplicate
+    // content inflating the set fed to embedders). Every token is still
+    // covered and only the final chunk may be short.
+    val lastStart = when(n > chunkTokens,
+        (floor((n - chunkTokens + (stride - 1)) / lit(stride)) *
+          stride).cast("int"))
+      .otherwise(lit(0))
+    val chunks = transform(sequence(lit(0), lastStart, lit(stride)),
       st => struct(
         (st / stride).cast("long").as("chunk_id"),
         st.cast("long").as("start_tok"),

@@ -6,8 +6,9 @@ import graft.SparkSpec
 class ChunkingSpec extends SparkSpec {
   import spark.implicits._
 
-  test("overlapping chunks: starts at stride steps, last chunk short") {
-    // 7 tokens, chunk 4, stride 2 → starts 0,2,4,6
+  test("overlapping chunks: starts at stride steps, last chunk reaches the end, no pure-suffix tails") {
+    // 7 tokens, chunk 4, stride 2 → starts 0,2,4 (a start at 6 would
+    // emit "g", a pure suffix of "e f g" — duplicate content)
     val doc = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
     val got = Chunking.chunk(doc, "doc_id", "text",
         chunkTokens = 4, stride = 2)
@@ -16,8 +17,13 @@ class ChunkingSpec extends SparkSpec {
     assert(got == List(
       (1L, 0L, 0L, 4L, "a b c d"),
       (1L, 1L, 2L, 4L, "c d e f"),
-      (1L, 2L, 4L, 3L, "e f g"),
-      (1L, 3L, 6L, 1L, "g")))
+      (1L, 2L, 4L, 3L, "e f g")))
+    // 10 tokens, chunk 4, stride 2: start 8 ("i j") is covered by
+    // start 6 ("g h i j") and must not appear
+    val doc2 = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val starts = Chunking.chunk(doc2, "doc_id", "text", 4, 2)
+      .orderBy($"chunk_id").select($"start_tok").as[Long].collect().toList
+    assert(starts == List(0L, 2L, 4L, 6L))
   }
 
   test("stride == chunkTokens partitions the document exactly") {
@@ -46,9 +52,13 @@ class ChunkingSpec extends SparkSpec {
           "doc_id", "text", chunkT, stride)
         .orderBy($"chunk_id")
         .as[(Long, Long, Long, Long, String)].collect()
-      val expStarts = toks.indices.by(stride)
+      val n = toks.length
+      val lastStart =
+        if (n > chunkT) ((n - chunkT + stride - 1) / stride) * stride
+        else 0
+      val expStarts = 0 to lastStart by stride
       assert(got.map(_._3).toSeq == expStarts.map(_.toLong),
-        s"starts for n=${toks.length} c=$chunkT s=$stride")
+        s"starts for n=$n c=$chunkT s=$stride")
       got.foreach { case (_, cid, start, nT, chunk) =>
         val slice = toks.slice(start.toInt, start.toInt + chunkT)
         assert(chunk == slice.mkString(" "), s"chunk $cid")
@@ -57,6 +67,11 @@ class ChunkingSpec extends SparkSpec {
       // coverage: every token index falls in at least one chunk
       val covered = got.flatMap(c => c._3 until (c._3 + c._4)).toSet
       assert(covered == toks.indices.map(_.toLong).toSet)
+      // no pure-suffix duplicates: chunk ends strictly increase, so
+      // every chunk contributes at least one new token
+      val ends = got.map(c => c._3 + c._4).toList
+      assert(ends == ends.distinct.sorted,
+        s"duplicate-tail chunk for n=$n c=$chunkT s=$stride")
     }
   }
 
