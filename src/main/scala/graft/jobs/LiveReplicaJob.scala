@@ -117,4 +117,58 @@ object LiveReplicaJob {
       }.getOrElse(e)
     }
   }
+
+  /** A DN endpoint whose cursor is its executed GTID SET — the
+    * failover-proof replica position (see
+    * [[graft.sources.BinlogDumpClient.dumpSegmentGtid]]). */
+  case class GtidEndpoint(dn: String, host: String, port: Int,
+      user: String, password: String,
+      executed: graft.model.GtidSet = graft.model.GtidSet.Empty)
+
+  /** [[pollApplyOnceRouted]] with GTID AUTO-POSITION cursors: each DN
+    * dials COM_BINLOG_DUMP_GTID with its executed set and the set
+    * advances by exactly the GTIDs the poll drained. The replica then
+    * survives what kills a (file, pos) loop — source failover, log
+    * renumbering, a relay re-serving renamed files — because the
+    * cursor names transactions, not byte addresses: repoint an
+    * endpoint's host/port at the promoted source and the next trigger
+    * continues from content. Cursor state per DN is O(GTID intervals),
+    * carried as text in the staged trigger input (one row per DN). */
+  def pollApplyOnceGtid(spark: SparkSession,
+      endpoints: Seq[GtidEndpoint],
+      tableCols: Map[(String, String), Seq[String]],
+      targets: Seq[WireReplicaJob.TableTarget], stagingDir: String,
+      txnsPerCommit: Int = 8,
+      fromTso: Option[Long] = None, serverId: Long = 12345L,
+      soTimeoutMs: Int = 30000,
+      maxBytesPerPoll: Long = Long.MaxValue): Seq[GtidEndpoint] = {
+    import spark.implicits._
+    WireReplicaJob.validateTargets(targets)
+    val eps = endpoints.map(e =>
+      (e.dn, e.host, e.port, e.user, e.password, e.executed.text))
+    val polled = spark.createDataset(eps)
+      .repartition(math.max(1, endpoints.size))
+      .map { case (dn, host, port, user, password, executedText) =>
+        val (seg, advanced) = BinlogDumpClient.dumpSegmentGtidWithCursor(
+          host, port, user, password,
+          graft.model.GtidSet.parse(executedText), serverId,
+          soTimeoutMs, maxBytesPerPoll)
+        (dn, seg, advanced.text)
+      }.toDF("dn", "payload", "nextExecuted")
+    val staged = Staged.parquetStage(polled, stagingDir)
+    val changes = ChangeEventSource.fromWireSegments(
+      staged.filter(length(col("payload")) > 0).select("dn", "payload"),
+      "dn", "payload", tableCols)
+    val decoded =
+      if (targets.size == 1) changes
+      else Staged.parquetStage(changes, stagingDir + "_decoded")
+    WireReplicaJob.applyRouted(decoded, targets, txnsPerCommit, fromTso)
+    val cursors = staged.select($"dn", $"nextExecuted")
+      .as[(String, String)].collect().toMap
+    endpoints.map { e =>
+      cursors.get(e.dn)
+        .map(t => e.copy(executed = graft.model.GtidSet.parse(t)))
+        .getOrElse(e)
+    }
+  }
 }

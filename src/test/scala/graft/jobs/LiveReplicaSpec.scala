@@ -187,4 +187,70 @@ class LiveReplicaSpec extends SparkSpec {
       }
     } finally srv.close()
   }
+
+  test("GTID replica loop: bounded catch-up, then SOURCE FAILOVER to a renumbered log mid-stream") {
+    import graft.model.GtidSet
+    val root = java.nio.file.Files.createTempDirectory("graft-gtidrpl")
+    val sid = java.util.UUID.fromString(
+      "0a1b2c3d-9999-8888-7777-666655554444")
+    // 8 single-row txns on one table, gno := tso
+    val ev = (1L to 8L).map { t =>
+      (t, t, "INSERT", "bank", "accounts",
+        Map.empty[String, String],
+        Map("acct" -> s"$t", "seq" -> "1", "balance" -> s"${t * 10}"),
+        1700000000L)
+    }.toDF("tso", "txnId", "op", "schemaName", "tableName", "before",
+      "after", "tsoTime")
+    val primary = s"$root/primary"
+    BinlogWire.writeChangeStreamBinlogFiles(
+      ev.coalesce(1).sortWithinPartitions("tso"), tableCols, primary,
+      checksummed = true, gtidSid = Some(sid))
+    val targets = Seq(WireReplicaJob.TableTarget("bank", "accounts",
+      colTypes, Seq("acct"), "seq", s"$root/target", 2))
+    def state(): Map[Long, Long] =
+      TxnApplier.readCurrent(spark, s"$root/target")
+        .select($"acct", $"balance").as[(Long, Long)].collect().toMap
+
+    // phase 1: bounded poll against the primary — PARTIAL progress
+    val srv1 = new graft.sinks.BinlogDumpServer(primary, "repl", "pw")
+    val afterP1 = try {
+      val ep0 = Seq(LiveReplicaJob.GtidEndpoint("dn1", "localhost",
+        srv1.port, "repl", "pw"))
+      LiveReplicaJob.pollApplyOnceGtid(spark, ep0, tableCols, targets,
+        s"$root/stage", txnsPerCommit = 2, maxBytesPerPoll = 400L)
+    } finally srv1.close()
+    val partial = afterP1.head.executed
+    assert(!partial.isEmpty && !partial.contains(s"$sid:8"),
+      s"cap ignored: ${partial.text}")
+    assert(state().nonEmpty && state().size < 8)
+
+    // phase 2: the primary dies; a promoted source re-serves the SAME
+    // transactions under renumbered file names. The GTID cursor keeps
+    // working — repoint and continue; nothing applies twice.
+    val promoted = s"$root/promoted"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(promoted))
+    new java.io.File(primary).listFiles
+      .filter(_.getName.startsWith("binlog.")).foreach { f =>
+        val n = f.getName.stripPrefix("binlog.").toInt
+        java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(promoted, f"binlog.${n + 500}%06d"))
+      }
+    val srv2 = new graft.sinks.BinlogDumpServer(promoted, "repl", "pw")
+    try {
+      var eps = afterP1.map(_.copy(host = "localhost", port = srv2.port))
+      var triggers = 0
+      var advanced = true
+      while (advanced && triggers < 16) {
+        val next = LiveReplicaJob.pollApplyOnceGtid(spark, eps,
+          tableCols, targets, s"$root/stage", txnsPerCommit = 2,
+          maxBytesPerPoll = 400L)
+        advanced = next.head.executed != eps.head.executed
+        eps = next
+        triggers += 1
+      }
+      assert(eps.head.executed.text == s"$sid:1-8")
+      assert(state() == (1L to 8L).map(t => t -> t * 10).toMap)
+    } finally srv2.close()
+  }
 }
