@@ -90,6 +90,104 @@ object WireReplicaJob {
     }
   }
 
+  /** [[applyRouted]] plus DDL-IN-STREAM: the decoded batch's DDL
+    * events evolve the routed targets' schemas before the row events
+    * apply — the reference's replica DDL path (rpl applier dispatching
+    * DDL through DdlApplyHelper alongside SplitApplier's row routing).
+    *
+    * Semantics and limits, stated loudly:
+    *  - ADD COLUMN: metadata-only evolution
+    *    ([[TxnApplier.evolveSchema]]); rows decoded BEFORE the DDL
+    *    carry no value for the new column and apply as NULL (string
+    *    images lack the key), rows after carry their values.
+    *  - DROP COLUMN (non-key, non-seq): the column stops being
+    *    selected; dropping a key or the sequence column throws.
+    *  - MODIFY/CHANGE/RENAME on a ROUTED table: refused loudly — a
+    *    re-type or rename would silently mis-read the target's
+    *    existing files; rebuild the target instead (the reference's
+    *    appliers restrict online DDL similarly).
+    *  - DDL for tables nobody routes: ignored, like their row events.
+    *
+    * The DDL stream is folded DRIVER-SIDE in TSO order — DDL is
+    * human-scale (schema changes per trigger, not rows), the one
+    * bounded collect this path adds. Idempotent across batch replays:
+    * re-adding an identical column or re-dropping an absent one
+    * no-ops, so the foreachBatch replay story is unchanged. Targets
+    * are bootstrapped (schema-only) BEFORE the fold so evolution
+    * always has a sidecar to evolve; row apply then shapes each table
+    * with its target's CURRENT (possibly evolved) schema — the target
+    * IS the schema state, callers never track evolution. */
+  def applyRoutedWithDdl(decoded: DataFrame, targets: Seq[TableTarget],
+      txnsPerCommit: Int = 8, fromTso: Option[Long] = None): Unit = {
+    import graft.operators.DdlParser
+    validateTargets(targets)
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    val byTable = targets.map(t => t.table -> t).toMap
+    targets.foreach { t =>
+      if (TxnApplier.currentCommit(t.targetDir).isEmpty) {
+        val typed = shape(decoded, t.schemaName, t.tableName, t.colTypes)
+        TxnApplier.bootstrap(typed.limit(0).drop("op", "tso"),
+          t.keyCols, t.targetDir, t.nBuckets,
+          initialTso = fromTso.getOrElse(0L))
+      }
+    }
+    val ddls = decoded
+      .filter(col("op") === "DDL" && col("ddl").isNotNull)
+      .select(col("tso").cast("long"), col("schemaName"), col("ddl"))
+      .orderBy(col("tso"))
+      .as[(Long, String, String)].collect()
+    ddls.foreach { case (_, defaultSchema, stmt) =>
+      DdlParser.parse(stmt, defaultSchema) match {
+        case DdlParser.AlterTable(s2, t2, actions)
+            if byTable.contains((s2, t2)) =>
+          val t = byTable((s2, t2))
+          val cur = TxnApplier.targetSchema(t.targetDir).getOrElse(
+            sys.error(s"target ${t.targetDir}: no schema sidecar"))
+          var fields = cur.fields.toVector
+          actions.foreach {
+            case DdlParser.AddColumn(cd, _, _) =>
+              // target layout is bucket-hashed, not ordinal — FIRST/
+              // AFTER placement is presentation, appended here
+              val dt = parseSqlType(cd.dataType)
+              fields.find(_.name == cd.name) match {
+                case Some(f) => require(f.dataType == dt,
+                  s"ADD COLUMN ${cd.name}: exists as ${f.dataType}, " +
+                    s"statement says $dt — rebuild the target")
+                case None => fields = fields :+
+                  org.apache.spark.sql.types.StructField(cd.name, dt)
+              }
+            case DdlParser.DropColumn(n) =>
+              require(!t.keyCols.contains(n) && n != t.seqCol,
+                s"DROP COLUMN $n: key/sequence columns cannot drop " +
+                  s"from ${t.schemaName}.${t.tableName}")
+              fields = fields.filterNot(_.name == n)
+            case DdlParser.AddPrimaryKey(_) | DdlParser.DropPrimaryKey |
+                 DdlParser.IgnoredAction => ()
+            case other => throw new IllegalArgumentException(
+              s"online DDL '$other' on routed table " +
+                s"${t.schemaName}.${t.tableName} is unsupported " +
+                "(re-type/rename would mis-read existing files); " +
+                "rebuild the target")
+          }
+          if (fields != cur.fields.toVector)
+            TxnApplier.evolveSchema(t.targetDir,
+              org.apache.spark.sql.types.StructType(fields))
+        case _ => () // unrouted table or non-evolution statement
+      }
+    }
+    targets.foreach { t =>
+      val evolved = TxnApplier.targetSchema(t.targetDir).get.fields
+        .toSeq.map(f => f.name -> f.dataType.sql)
+      val typed = shape(decoded, t.schemaName, t.tableName, evolved)
+      TxnApplier.applyBatch(typed, t.keyCols, t.seqCol, "op", "tso",
+        t.targetDir, t.nBuckets, txnsPerCommit)
+    }
+  }
+
+  private def parseSqlType(t: String): org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StructType.fromDDL(s"c $t").head.dataType
+
   /** Start the wire replica for ONE replicated table.
     *
     * @param colTypes ordered (column, Spark SQL type) pairs for the
@@ -137,7 +235,8 @@ object WireReplicaJob {
       txnsPerCommit: Int = 8,
       continuous: Option[String] = None,
       maxFilesPerTrigger: Int = 16,
-      fromTso: Option[Long] = None): StreamingQuery = {
+      fromTso: Option[Long] = None,
+      ddlInStream: Boolean = false): StreamingQuery = {
     // misconfiguration fails at START, not on the first trigger
     validateTargets(targets)
     val startFile = fromTso.map { t =>
@@ -157,10 +256,12 @@ object WireReplicaJob {
         // time just to count; bootstrap is schema-only (limit 0) and
         // applyBatch's own staged probe short-circuits an empty batch
         val input =
-          if (targets.size == 1) batch
+          if (targets.size == 1 && !ddlInStream) batch
           else graft.operators.Staged.parquetStage(batch,
             s"$checkpointDir/_route_stage")
-        applyRouted(input, targets, txnsPerCommit, fromTso)
+        if (ddlInStream)
+          applyRoutedWithDdl(input, targets, txnsPerCommit, fromTso)
+        else applyRouted(input, targets, txnsPerCommit, fromTso)
         ()
       }
       .start()

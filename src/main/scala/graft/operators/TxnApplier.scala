@@ -138,6 +138,29 @@ object TxnApplier {
       graft.util.HadoopIo.readString(schemaFile(root))).asInstanceOf[StructType])
     catch { case _: java.io.FileNotFoundException => None }
 
+  /** The persisted target row schema (None before bootstrap). */
+  def targetSchema(dir: String): Option[StructType] =
+    readTargetSchema(new Path(dir))
+
+  /** ONLINE schema evolution of the target — the replica's ADD/DROP
+    * COLUMN path. Metadata-only: the `_schema` sidecar swaps to
+    * `newSchema`; data files never rewrite. Carried-over files read
+    * added columns as NULL (`spark.read.schema` fills missing parquet
+    * columns) and dropped columns simply stop being selected. The
+    * sidecar is the CURRENT shape, so versioned reads render history
+    * in the evolved schema too — the replica semantics (MySQL's
+    * instant ADD COLUMN renders old rows with the new column as well).
+    * Safe moves only: callers must not rename or re-type columns this
+    * way (old files would mis-read) — `WireReplicaJob.applyRoutedWithDdl`
+    * enforces the restriction loudly. */
+  def evolveSchema(dir: String, newSchema: StructType): Unit = {
+    val root = new Path(dir)
+    require(currentCommit(dir).isDefined,
+      s"txn target $dir: bootstrap before evolving")
+    graft.util.HadoopIo.writeSwap(new Path(root, "._schema.tmp"),
+      schemaFile(root), newSchema.json)
+  }
+
   /** Read one committed version (time travel over observable states). */
   def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
     val root = new Path(dir)

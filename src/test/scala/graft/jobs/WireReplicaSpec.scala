@@ -305,5 +305,98 @@ class WireReplicaSpec extends SparkSpec {
     // nothing new: the replayed trigger set is empty, state holds
     run()
     assert(accounts() == Map(1L -> 150L) && audit() == Map(11L -> "credit"))
+
+    // segment 3 carries a DDL ON THE WIRE: the standing stream with
+    // ddlInStream=true evolves the routed target, then applies the
+    // post-DDL row carrying the new column
+    val ev3 = Seq(
+      (5L, 5L, "DDL", "bank", "accounts", Map.empty[String, String],
+        Map.empty[String, String],
+        "ALTER TABLE accounts ADD COLUMN note VARCHAR(32)"),
+      (6L, 6L, "INSERT", "bank", "accounts", Map.empty[String, String],
+        Map("acct" -> "9", "seq" -> "1", "balance" -> "900",
+          "note" -> "wired"), null: String))
+      .toDF("tso", "txnId", "op", "schemaName", "tableName", "before",
+        "after", "ddl")
+      .withColumn("tsoTime", lit(1700000000L))
+    // the post-DDL wire registry carries the new column — as a real
+    // source's TABLE_MAP does after the ALTER
+    val tableCols2Evolved = tableCols2.updated(("bank", "accounts"),
+      Seq("acct", "seq", "balance", "note"))
+    BinlogWire.writeChangeStreamBinlogFiles(
+      ev3.coalesce(1).sortWithinPartitions("tso", "txnId"),
+      tableCols2Evolved, wireDir, filePrefix = "binlog.c.",
+      checksummed = true)
+    val q3 = WireReplicaJob.startRouted(spark, wireDir, tableCols2Evolved,
+      targets, s"$root/ckpt", txnsPerCommit = 2, ddlInStream = true)
+    q3.awaitTermination()
+    val evolved = TxnApplier.readCurrent(spark, s"$root/t_accounts")
+      .select($"acct", $"balance", $"note")
+      .as[(Long, Long, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(evolved == Map(1L -> ((150L, None)),
+      9L -> ((900L, Some("wired")))))
+  }
+
+  test("DDL in-stream: ADD/DROP COLUMN evolve the routed target; unsafe DDL refuses loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ddlstream")
+    val target = s"$root/t_accounts"
+    val targets = Seq(WireReplicaJob.TableTarget("bank", "accounts",
+      Seq("acct" -> "long", "seq" -> "long", "balance" -> "long"),
+      Seq("acct"), "seq", target, 2))
+    def decodedOf(rows: Seq[(Long, String, Map[String, String], String)]) =
+      rows.map { case (tso, op, after, ddl) =>
+        (tso, op, "bank", "accounts", Map.empty[String, String], after, ddl)
+      }.toDF("tso", "op", "schemaName", "tableName", "before", "after",
+        "ddl")
+
+    // batch 1: rows STRADDLE an ADD COLUMN in one batch — pre-DDL rows
+    // apply with NULL for the new column, post-DDL rows carry values
+    val batch1 = decodedOf(Seq(
+      (1L, "INSERT", Map("acct" -> "1", "seq" -> "1", "balance" -> "100"),
+        null),
+      (2L, "INSERT", Map("acct" -> "2", "seq" -> "1", "balance" -> "200"),
+        null),
+      (3L, "DDL", Map.empty,
+        "ALTER TABLE accounts ADD COLUMN note VARCHAR(32)"),
+      (4L, "INSERT", Map("acct" -> "3", "seq" -> "1", "balance" -> "300",
+        "note" -> "hi"), null),
+      (5L, "UPDATE", Map("acct" -> "1", "seq" -> "2", "balance" -> "150",
+        "note" -> "upd"), null)))
+    WireReplicaJob.applyRoutedWithDdl(batch1, targets, txnsPerCommit = 2)
+    val s1 = TxnApplier.readCurrent(spark, target)
+      .select($"acct", $"balance", $"note")
+      .as[(Long, Long, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(s1 == Map(1L -> ((150L, Some("upd"))),
+      2L -> ((200L, None)), 3L -> ((300L, Some("hi")))))
+
+    // replay the whole batch: DDL no-ops, rows hit the position gate
+    val versions = TxnApplier.versions(target).size
+    WireReplicaJob.applyRoutedWithDdl(batch1, targets, txnsPerCommit = 2)
+    assert(TxnApplier.versions(target).size == versions)
+
+    // batch 2: DROP the added column + one more row
+    val batch2 = decodedOf(Seq(
+      (6L, "DDL", Map.empty, "ALTER TABLE accounts DROP COLUMN note"),
+      (7L, "INSERT", Map("acct" -> "4", "seq" -> "1", "balance" -> "400"),
+        null)))
+    WireReplicaJob.applyRoutedWithDdl(batch2, targets, txnsPerCommit = 2)
+    val cur = TxnApplier.readCurrent(spark, target)
+    assert(!cur.columns.contains("note"))
+    assert(cur.select($"acct", $"balance").as[(Long, Long)].collect().toMap
+      == Map(1L -> 150L, 2L -> 200L, 3L -> 300L, 4L -> 400L))
+
+    // unsafe evolution refuses loudly rather than mis-reading files
+    intercept[IllegalArgumentException] {
+      WireReplicaJob.applyRoutedWithDdl(decodedOf(Seq((8L, "DDL",
+        Map.empty,
+        "ALTER TABLE accounts MODIFY COLUMN balance VARCHAR(10)"))),
+        targets)
+    }
+    intercept[IllegalArgumentException] {
+      WireReplicaJob.applyRoutedWithDdl(decodedOf(Seq((9L, "DDL",
+        Map.empty, "ALTER TABLE accounts DROP COLUMN acct"))), targets)
+    }
   }
 }
