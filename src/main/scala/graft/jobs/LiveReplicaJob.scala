@@ -73,7 +73,8 @@ object LiveReplicaJob {
       txnsPerCommit: Int = 8,
       fromTso: Option[Long] = None, serverId: Long = 12345L,
       soTimeoutMs: Int = 30000,
-      maxBytesPerPoll: Long = Long.MaxValue): Seq[Endpoint] = {
+      maxBytesPerPoll: Long = Long.MaxValue,
+      ddlInStream: Boolean = false): Seq[Endpoint] = {
     import spark.implicits._
     WireReplicaJob.validateTargets(targets)
     val polled = spark.createDataset(endpoints)
@@ -102,12 +103,17 @@ object LiveReplicaJob {
     val changes = ChangeEventSource.fromWireSegments(
       staged.filter(length(col("payload")) > 0).select("dn", "payload"),
       "dn", "payload", tableCols)
-    // one target consumes the decode once anyway; N targets read a
-    // decoded stage so the wire decode never re-runs per table
+    // one target consumes the decode once anyway; N targets (or the
+    // DDL fold's extra passes) read a decoded stage so the wire decode
+    // never re-runs per table
     val decoded =
-      if (targets.size == 1) changes
+      if (targets.size == 1 && !ddlInStream) changes
       else Staged.parquetStage(changes, stagingDir + "_decoded")
-    WireReplicaJob.applyRouted(decoded, targets, txnsPerCommit, fromTso)
+    if (ddlInStream)
+      WireReplicaJob.applyRoutedWithDdl(decoded, targets, txnsPerCommit,
+        fromTso)
+    else WireReplicaJob.applyRouted(decoded, targets, txnsPerCommit,
+      fromTso)
     val cursors = staged.select($"dn", $"nextFile", $"nextPos")
       .as[(String, String, Long)].collect()
       .map { case (dn, f, p) => dn -> ((f, p)) }.toMap
@@ -141,7 +147,8 @@ object LiveReplicaJob {
       txnsPerCommit: Int = 8,
       fromTso: Option[Long] = None, serverId: Long = 12345L,
       soTimeoutMs: Int = 30000,
-      maxBytesPerPoll: Long = Long.MaxValue): Seq[GtidEndpoint] = {
+      maxBytesPerPoll: Long = Long.MaxValue,
+      ddlInStream: Boolean = false): Seq[GtidEndpoint] = {
     import spark.implicits._
     WireReplicaJob.validateTargets(targets)
     val eps = endpoints.map(e =>
@@ -160,9 +167,13 @@ object LiveReplicaJob {
       staged.filter(length(col("payload")) > 0).select("dn", "payload"),
       "dn", "payload", tableCols)
     val decoded =
-      if (targets.size == 1) changes
+      if (targets.size == 1 && !ddlInStream) changes
       else Staged.parquetStage(changes, stagingDir + "_decoded")
-    WireReplicaJob.applyRouted(decoded, targets, txnsPerCommit, fromTso)
+    if (ddlInStream)
+      WireReplicaJob.applyRoutedWithDdl(decoded, targets, txnsPerCommit,
+        fromTso)
+    else WireReplicaJob.applyRouted(decoded, targets, txnsPerCommit,
+      fromTso)
     val cursors = staged.select($"dn", $"nextExecuted")
       .as[(String, String)].collect().toMap
     endpoints.map { e =>
