@@ -1,0 +1,66 @@
+package graft.model
+
+import java.util.UUID
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** `GtidSet` algebra laws over random sets (pure Scala, no Spark):
+  * the cursor's correctness rests on these — a union that lost a GNO
+  * would re-serve a transaction, a contains that over-claimed would
+  * drop one. */
+object GtidSetProps extends Properties("gtid-set") {
+
+  private val sidGen: Gen[UUID] =
+    Gen.oneOf(
+      UUID.fromString("00000000-0000-0000-0000-000000000001"),
+      UUID.fromString("00000000-0000-0000-0000-000000000002"),
+      UUID.fromString("00000000-0000-0000-0000-000000000003"))
+
+  private val gnoGen: Gen[Long] = Gen.chooseNum(1L, 60L)
+
+  private val setGen: Gen[GtidSet] =
+    Gen.listOf(Gen.zip(sidGen, gnoGen)).map(_.foldLeft(GtidSet.Empty) {
+      case (acc, (sid, gno)) => acc.add(sid, gno)
+    })
+
+  private def members(s: GtidSet): Set[(UUID, Long)] =
+    s.sets.toSeq.flatMap { case (sid, ivs) =>
+      ivs.flatMap { case (lo, hi) => (lo until hi).map(sid -> _) }
+    }.toSet
+
+  property("add == set insertion (contains agrees with the member set)") =
+    forAll(setGen, sidGen, gnoGen) { (s, sid, gno) =>
+      val m = members(s.add(sid, gno))
+      m == members(s) + (sid -> gno) &&
+        m.forall { case (u, g) => s.add(sid, gno).contains(u, g) }
+    }
+
+  property("union is the member-set union; commutative and idempotent") =
+    forAll(setGen, setGen) { (a, b) =>
+      val u = a.union(b)
+      members(u) == members(a) ++ members(b) &&
+        u == b.union(a) && u.union(u) == u && a.union(a) == a
+    }
+
+  property("isSubsetOf == member-set subset") =
+    forAll(setGen, setGen) { (a, b) =>
+      a.isSubsetOf(b) == members(a).subsetOf(members(b))
+    }
+
+  property("text and binary spellings round-trip") =
+    forAll(setGen) { s =>
+      GtidSet.parse(s.text) == s && GtidSet.decode(s.encode) == s
+    }
+
+  property("intervals stay normalized: sorted, disjoint, non-touching") =
+    forAll(setGen) { s =>
+      s.sets.values.forall { ivs =>
+        ivs.forall { case (lo, hi) => hi > lo } &&
+          ivs.sliding(2).forall {
+            case Seq((_, pe), (ns, _)) => ns > pe // gap, never touching
+            case _ => true
+          }
+      }
+    }
+}

@@ -132,5 +132,9 @@ class CorpusStatsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toList
     // weights: N=4 docs → cat (df 2) = 2000, howled (df 1) = 4000
     assert(got == List((4L, 4000L, 1L), (1L, 2000L, 1L), (2L, 2000L, 1L)))
+    // top-k is a TakeOrderedAndProject, never a full global sort
+    val plan = CorpusStats.searchRank(docs, "doc_id", "text",
+      Seq("cat"), k = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
   }
 }
