@@ -77,18 +77,50 @@ object WireReplicaJob {
     * routed entry points below do) or each target re-runs the wire
     * decode. */
   def applyRouted(decoded: DataFrame, targets: Seq[TableTarget],
-      txnsPerCommit: Int = 8, fromTso: Option[Long] = None): Unit = {
+      txnsPerCommit: Int = 8, fromTso: Option[Long] = None,
+      maxParallelTables: Int = 4): Unit = {
     validateTargets(targets)
-    targets.foreach { t =>
-      val typed = shape(decoded, t.schemaName, t.tableName, t.colTypes)
-      if (TxnApplier.currentCommit(t.targetDir).isEmpty)
-        TxnApplier.bootstrap(typed.limit(0).drop("op", "tso"),
-          t.keyCols, t.targetDir, t.nBuckets,
-          initialTso = fromTso.getOrElse(0L))
-      TxnApplier.applyBatch(typed, t.keyCols, t.seqCol, "op", "tso",
-        t.targetDir, t.nBuckets, txnsPerCommit)
+    inParallel(targets, maxParallelTables) { t =>
+      applyOne(decoded, t, t.colTypes, txnsPerCommit, fromTso)
     }
   }
+
+  private def applyOne(decoded: DataFrame, t: TableTarget,
+      colTypes: Seq[(String, String)], txnsPerCommit: Int,
+      fromTso: Option[Long]): Unit = {
+    val typed = shape(decoded, t.schemaName, t.tableName, colTypes)
+    if (TxnApplier.currentCommit(t.targetDir).isEmpty)
+      TxnApplier.bootstrap(typed.limit(0).drop("op", "tso"),
+        t.keyCols, t.targetDir, t.nBuckets,
+        initialTso = fromTso.getOrElse(0L))
+    TxnApplier.applyBatch(typed, t.keyCols, t.seqCol, "op", "tso",
+      t.targetDir, t.nBuckets, txnsPerCommit)
+    ()
+  }
+
+  /** Per-table applies run CONCURRENTLY (the reference's
+    * SplitApplier.parallelExecute — tables are independent apply
+    * units): each target owns its directory and its gate, so the only
+    * shared object is the immutable decoded frame, and Spark schedules
+    * the overlapping jobs across the cluster. Bounded by
+    * `maxParallel` driver threads — trigger latency for N tables is
+    * ~ceil(N/maxParallel) applies, not N. */
+  private def inParallel(targets: Seq[TableTarget], maxParallel: Int)
+      (body: TableTarget => Unit): Unit =
+    if (targets.size <= 1 || maxParallel <= 1) targets.foreach(body)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(maxParallel, targets.size))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            targets.map(t => scala.concurrent.Future(body(t)))),
+          scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+      ()
+    }
 
   /** [[applyRouted]] plus DDL-IN-STREAM: the decoded batch's DDL
     * events evolve the routed targets' schemas before the row events
@@ -118,7 +150,8 @@ object WireReplicaJob {
     * with its target's CURRENT (possibly evolved) schema — the target
     * IS the schema state, callers never track evolution. */
   def applyRoutedWithDdl(decoded: DataFrame, targets: Seq[TableTarget],
-      txnsPerCommit: Int = 8, fromTso: Option[Long] = None): Unit = {
+      txnsPerCommit: Int = 8, fromTso: Option[Long] = None,
+      maxParallelTables: Int = 4): Unit = {
     import graft.operators.DdlParser
     validateTargets(targets)
     val spark = decoded.sparkSession
@@ -176,12 +209,10 @@ object WireReplicaJob {
         case _ => () // unrouted table or non-evolution statement
       }
     }
-    targets.foreach { t =>
+    inParallel(targets, maxParallelTables) { t =>
       val evolved = TxnApplier.targetSchema(t.targetDir).get.fields
         .toSeq.map(f => f.name -> f.dataType.sql)
-      val typed = shape(decoded, t.schemaName, t.tableName, evolved)
-      TxnApplier.applyBatch(typed, t.keyCols, t.seqCol, "op", "tso",
-        t.targetDir, t.nBuckets, txnsPerCommit)
+      applyOne(decoded, t, evolved, txnsPerCommit, fromTso)
     }
   }
 
