@@ -1642,6 +1642,24 @@ object SparkEntry {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       graft.text.CorpusStats.searchRank(docs, "doc_id", "text",
         Seq("dup", "hash", "sort"), k = 20)
+    }),
+
+    // Deterministic train/val/test split assignment (ORACLE-CHECKED):
+    // a document's split is a pure function of (id, salt) — growth,
+    // repartition or re-export never move an assignment (the
+    // eval-leak-proof property row_number/rand splits lack). 90/5/5 in
+    // 16^4 key units over the md5 prefix; the query is the per-split
+    // manifest DuckDB recomputes with the identical string compares.
+    "q104_split_assign" -> ((s, d) => {
+      import graft.text.Sampling
+      val splits = Seq("train" -> 58982, "val" -> 3277, "test" -> 3277)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Sampling.assignSplit(col("doc_id"), "epoch1", splits)
+            .as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("split"))
     })
   )
 
@@ -2614,6 +2632,17 @@ object SparkEntry {
         "SELECT doc_id, CAST(sum(tf * ((ndocs * 1000) // df)) AS BIGINT) " +
         "AS score, CAST(count(*) AS BIGINT) AS matched_terms " +
         "FROM q JOIN d USING (token) CROSS JOIN n " +
-        "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20")
+        "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"),
+    // q104: the identical md5-prefix split recomputed (e666 = 58982,
+    // f333 = 62259 of 65536 key units)
+    "q104_split_assign" ->
+      ("WITH a AS (SELECT doc_id, CASE " +
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':epoch1'), 1, 4) " +
+        "< 'e666' THEN 'train' " +
+        "WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':epoch1'), 1, 4) " +
+        "< 'f333' THEN 'val' ELSE 'test' END AS split FROM documents) " +
+        "SELECT split, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(doc_id) AS BIGINT) AS id_sum " +
+        "FROM a GROUP BY split ORDER BY split")
   )
 }

@@ -32,6 +32,34 @@ object Sampling {
     * no window, no state: the filter runs inside the scan stage, so this
     * is the 100 TB shape for "give me 1% of the corpus,
     * reproducibly". */
+  /** Deterministic train/validation/test split assignment — the
+    * eval-hygiene op every training pipeline needs: a document's split
+    * is a pure function of (id, salt), so it NEVER moves when the
+    * corpus grows, is re-partitioned, or is re-exported (row_number /
+    * rand splits leak eval data on every such change). Weights are
+    * 16ths-of-65536 units over the first 4 hex digits of md5(id:salt)
+    * — boundaries are hex STRINGS compared lexicographically, so any
+    * engine recomputes the identical assignment with two string ops
+    * (the [[Sharding]] discipline: md5 prefix = contiguous key range).
+    * Scan-stage only: no shuffle, no join, no RNG state. */
+  def assignSplit(id: Column, salt: String,
+      splits: Seq[(String, Int)]): Column = {
+    require(splits.nonEmpty && splits.map(_._2).forall(_ > 0),
+      "assignSplit: weights must be positive")
+    require(splits.map(_._2).sum == 65536,
+      s"assignSplit: weights must sum to 65536 (16^4 key units), " +
+        s"got ${splits.map(_._2).sum}")
+    require(splits.map(_._1).distinct.size == splits.size,
+      "assignSplit: duplicate split names")
+    val key = substring(
+      md5(concat(id.cast("string"), lit(":" + salt))), 1, 4)
+    val bounds = splits.map(_._2).scanLeft(0)(_ + _).tail
+    splits.init.zip(bounds.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), hi), rest) =>
+      when(key < lit(f"$hi%04x"), lit(name)).otherwise(rest)
+    }
+  }
+
   def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction")
     df.filter(shuffleKey(col(idCol)) <

@@ -76,4 +76,44 @@ class SamplingSpec extends SparkSpec {
     }.map(_._1).toSet
     assert(byLang("en").map(_._2).toSet == expectEn)
   }
+
+  test("assignSplit: pure function of (id, salt) — stable under growth, proportional, md5-exact") {
+    val splits = Seq("train" -> 58982, "val" -> 3277, "test" -> 3277)
+    def assigned(n: Int): Map[Long, String] =
+      spark.range(n).toDF("id")
+        .select($"id", Sampling.assignSplit($"id", "s1", splits).as("s"))
+        .as[(Long, String)].collect().toMap
+    val small = assigned(500)
+    val big = assigned(2000)
+    // growth NEVER moves an assignment (the eval-leak property)
+    assert(small.forall { case (id, s) => big(id) == s })
+    // proportions track the weights (±5 points at n=2000)
+    val frac = big.values.groupBy(identity).view.mapValues(
+      _.size.toDouble / big.size).toMap
+    assert(math.abs(frac("train") - 0.9) < 0.05, frac.toString)
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.05) < 0.03)
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.05) < 0.03)
+    // md5-exact: recompute a few assignments from first principles
+    def ref(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:s1".getBytes("UTF-8"))
+      val key = d.take(2).map(b => f"${b & 0xFF}%02x").mkString
+      if (key < f"${58982}%04x") "train"
+      else if (key < f"${58982 + 3277}%04x") "val" else "test"
+    }
+    (0L until 50L).foreach(id => assert(big(id) == ref(id), s"id $id"))
+    // a different salt is a fresh assignment (epoch re-split)
+    val resalted = spark.range(2000).toDF("id")
+      .select($"id", Sampling.assignSplit($"id", "s2", splits).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(resalted != big)
+    // misconfiguration fails loudly
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit($"id", "s1", Seq("a" -> 100))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit($"id", "s1",
+        Seq("a" -> 32768, "a" -> 32768))
+    }
+  }
 }
