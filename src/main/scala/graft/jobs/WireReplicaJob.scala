@@ -113,12 +113,19 @@ object WireReplicaJob {
         math.min(maxParallel, targets.size))
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
-      try
-        scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(
-            targets.map(t => scala.concurrent.Future(body(t)))),
+      try {
+        // await EVERY apply (lift to Try — no fail-fast): a fail-fast
+        // Await would return while other tables' applies still run,
+        // and the caller's retry could then race an orphaned applyBatch
+        // on the same targetDir (whose _batchstage the retry deletes).
+        // All finish, then the first failure rethrows.
+        val done = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(targets.map(t =>
+            scala.concurrent.Future(body(t))
+              .transform(r => scala.util.Success(r)))),
           scala.concurrent.duration.Duration.Inf)
-      finally pool.shutdown()
+        done.collectFirst { case scala.util.Failure(e) => throw e }
+      } finally pool.shutdown()
       ()
     }
 

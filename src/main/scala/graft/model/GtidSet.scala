@@ -111,25 +111,30 @@ object GtidSet {
       acc.add(UUID.fromString(g.substring(0, i)), g.substring(i + 1).toLong)
     }
 
-  /** Parse the MySQL text form (inclusive `start-last` ranges). */
+  /** Parse the MySQL text form (inclusive `start-last` ranges).
+    * Entries UNION — a SID repeated across comma-separated entries
+    * keeps every interval (a Map build would silently last-win, and a
+    * forgotten executed interval means a re-served transaction). */
   def parse(text: String): GtidSet =
     if (text.trim.isEmpty) Empty
-    else GtidSet(text.split(",").map(_.trim).filter(_.nonEmpty).map { part =>
-      val toks = part.split(":")
-      require(toks.length >= 2, s"malformed GTID set entry '$part'")
-      val sid = UUID.fromString(toks.head)
-      val ivs = toks.tail.toVector.map { r =>
-        r.split("-") match {
-          case Array(s) => (s.toLong, s.toLong + 1)
-          case Array(s, l) => (s.toLong, l.toLong + 1)
-          case _ => throw new IllegalArgumentException(
-            s"malformed GTID interval '$r'")
+    else text.split(",").map(_.trim).filter(_.nonEmpty)
+      .foldLeft(Empty) { (acc, part) =>
+        val toks = part.split(":")
+        require(toks.length >= 2, s"malformed GTID set entry '$part'")
+        val sid = UUID.fromString(toks.head)
+        val ivs = toks.tail.toVector.map { r =>
+          r.split("-") match {
+            case Array(s) => (s.toLong, s.toLong + 1)
+            case Array(s, l) => (s.toLong, l.toLong + 1)
+            case _ => throw new IllegalArgumentException(
+              s"malformed GTID interval '$r'")
+          }
         }
+        acc.union(GtidSet(Map(sid -> ivs)))
       }
-      sid -> ivs
-    }.toMap).canonical
 
-  /** Decode the binary layout (see [[GtidSet.encode]]). */
+  /** Decode the binary layout (see [[GtidSet.encode]]); duplicate SID
+    * entries union, like [[parse]]. */
   def decode(bytes: Array[Byte]): GtidSet = {
     var i = 0
     def le(n: Int): Long = {
@@ -142,19 +147,11 @@ object GtidSet {
       i += n; v
     }
     val nSids = le(8)
-    GtidSet((0L until nSids).map { _ =>
+    (0L until nSids).foldLeft(Empty) { (acc, _) =>
       val sid = new UUID(be(8), be(8))
       val nIvs = le(8)
-      sid -> (0L until nIvs).map(_ => (le(8), le(8))).toVector
-    }.toMap).canonical
-  }
-
-  private implicit final class Canonical(private val g: GtidSet)
-      extends AnyVal {
-    /** Re-normalize externally supplied intervals. */
-    def canonical: GtidSet =
-      g.sets.foldLeft(Empty) { case (acc, (sid, ivs)) =>
-        acc.union(GtidSet(Map(sid -> ivs)))
-      }
+      acc.union(GtidSet(Map(
+        sid -> (0L until nIvs).map(_ => (le(8), le(8))).toVector)))
+    }
   }
 }

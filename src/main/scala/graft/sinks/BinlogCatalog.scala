@@ -171,17 +171,11 @@ object BinlogCatalog {
     }.getOrElse { val (n, sz) = files.last; (n, sz) }
   }
 
-  /** The (sid, gno) a GTID frame names (5.6 layout: commit flag + SID
-    * big-endian halves + GNO little-endian). */
+  /** The (sid, gno) a GTID frame names. */
   private[sinks] def frameGtid(f: BinlogWire.Frame)
       : Option[(java.util.UUID, Long)] =
-    if (f.typeCode != BinlogWire.GtidEvent || f.body.length < 25) None
-    else {
-      val r = new BinlogWire.ByteReader(f.body)
-      r.u8()
-      val msb = r.be(8); val lsb = r.be(8)
-      Some((new java.util.UUID(msb, lsb), r.le(8)))
-    }
+    if (f.typeCode != BinlogWire.GtidEvent) None
+    else BinlogWire.parseGtidBody(f.body)
 
   private def firstTxnNotIn(frames: Iterator[BinlogWire.Frame],
       executed: graft.model.GtidSet): Option[Long] = {

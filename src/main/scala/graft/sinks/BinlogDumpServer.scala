@@ -158,14 +158,9 @@ final class BinlogDumpServer(wireDir: String, user: String,
           val body = new Array[Byte](len - 19)
           in.readFully(body)
           (header(4) & 0xFF) match {
-            case BinlogWire.GtidEvent if body.length >= 25 =>
-              val sid = new java.util.UUID(
-                (0 until 8).foldLeft(0L)((a, k) =>
-                  (a << 8) | (body(1 + k) & 0xFFL)),
-                (0 until 8).foldLeft(0L)((a, k) =>
-                  (a << 8) | (body(9 + k) & 0xFFL)))
-              val gno = (0 until 8).map(k =>
-                (body(17 + k) & 0xFFL) << (8 * k)).sum
+            case BinlogWire.GtidEvent
+                if BinlogWire.parseGtidBody(body).isDefined =>
+              val (sid, gno) = BinlogWire.parseGtidBody(body).get
               skipping = executed.contains(sid, gno)
               if (!skipping) emit(header ++ body)
             case BinlogWire.FormatDescriptionEvent |

@@ -606,6 +606,19 @@ object BinlogWire {
     Event(timestamp, GtidEvent, serverId,
       Array(1.toByte) ++ uuidBytes(sid) ++ le(gno, 8))
 
+  /** The (sid, gno) a GTID event body names — the single decoder the
+    * catalog seek, the server's skip filter, and the client's cursor
+    * walk all share (one place to extend for later layout variants).
+    * Layout per [[gtidEvent]]: commit flag, SID as big-endian UUID
+    * halves, GNO little-endian. */
+  def parseGtidBody(body: Array[Byte]): Option[(java.util.UUID, Long)] =
+    if (body.length < 25) None
+    else Some((
+      new java.util.UUID(
+        (0 until 8).foldLeft(0L)((a, k) => (a << 8) | (body(1 + k) & 0xFFL)),
+        (0 until 8).foldLeft(0L)((a, k) => (a << 8) | (body(9 + k) & 0xFFL))),
+      (0 until 8).map(k => (body(17 + k) & 0xFFL) << (8 * k)).sum))
+
   /** PREVIOUS_GTIDS at file start: the GTID sets fully contained in
     * earlier files — per set, SID + [start, end) intervals. */
   def previousGtidsEvent(timestamp: Long, serverId: Long,

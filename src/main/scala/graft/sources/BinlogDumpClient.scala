@@ -193,14 +193,9 @@ object BinlogDumpClient {
       val tc = seg(off + 4) & 0xFF
       val len = (seg(off + 9) & 0xFF) | ((seg(off + 10) & 0xFF) << 8) |
         ((seg(off + 11) & 0xFF) << 16) | ((seg(off + 12) & 0xFF) << 24)
-      if (tc == graft.sinks.BinlogWire.GtidEvent && len >= 19 + 25) {
-        val b = seg.slice(off + 19, off + len)
-        val sid = new java.util.UUID(
-          (0 until 8).foldLeft(0L)((a, k) => (a << 8) | (b(1 + k) & 0xFFL)),
-          (0 until 8).foldLeft(0L)((a, k) => (a << 8) | (b(9 + k) & 0xFFL)))
-        val gno = (0 until 8).map(k => (b(17 + k) & 0xFFL) << (8 * k)).sum
-        set = set.add(sid, gno)
-      }
+      if (tc == graft.sinks.BinlogWire.GtidEvent)
+        graft.sinks.BinlogWire.parseGtidBody(seg.slice(off + 19, off + len))
+          .foreach { case (sid, gno) => set = set.add(sid, gno) }
       off += len
     }
     (seg, set)

@@ -37,10 +37,13 @@ object Chunking {
     // suffixes of the previous chunk (already fully covered — duplicate
     // content inflating the set fed to embedders). Every token is still
     // covered and only the final chunk may be short.
+    // NULL text must stay null so explode drops the document (an
+    // .otherwise(0) would catch null n and emit a phantom null chunk);
+    // null falls through both whens
     val lastStart = when(n > chunkTokens,
         (floor((n - chunkTokens + (stride - 1)) / lit(stride)) *
           stride).cast("int"))
-      .otherwise(lit(0))
+      .when(n <= chunkTokens, lit(0))
     val chunks = transform(sequence(lit(0), lastStart, lit(stride)),
       st => struct(
         (st / stride).cast("long").as("chunk_id"),

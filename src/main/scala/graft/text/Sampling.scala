@@ -54,9 +54,13 @@ object Sampling {
     val key = substring(
       md5(concat(id.cast("string"), lit(":" + salt))), 1, 4)
     val bounds = splits.map(_._2).scanLeft(0)(_ + _).tail
+    // a NULL id yields a NULL split (the terminal is key-guarded): an
+    // unguarded otherwise would silently dump every malformed row into
+    // the LAST split — eval contamination in the op built to prevent it
     splits.init.zip(bounds.init).foldRight(
-      lit(splits.last._1): Column) { case (((name, _), hi), rest) =>
-      when(key < lit(f"$hi%04x"), lit(name)).otherwise(rest)
+      when(key.isNotNull, lit(splits.last._1))) {
+      case (((name, _), hi), rest) =>
+        when(key < lit(f"$hi%04x"), lit(name)).otherwise(rest)
     }
   }
 

@@ -24,6 +24,14 @@ class GtidSetSpec extends AnyFunSuite {
     assert(s.add(a, 4L).text == s"$a:1-5:7-8")
   }
 
+  test("parse UNIONS a SID repeated across entries (never last-wins)") {
+    // a concatenated cursor ("set1,set2") must not forget intervals —
+    // a forgotten executed txn would re-serve
+    val s = GtidSet.parse(s"$a:1-5,$a:8,$b:2,$a:6")
+    assert(s.text == s"$a:1-6:8,$b:2")
+    assert(GtidSet.decode(s.encode) == s)
+  }
+
   test("parse/text and encode/decode round-trip, multi-SID") {
     val txt = s"$a:1-5:9,$b:3"
     val s = GtidSet.parse(txt)

@@ -75,6 +75,14 @@ class ChunkingSpec extends SparkSpec {
     }
   }
 
+  test("NULL text emits no chunks (no phantom null chunk row)") {
+    val doc = Seq((1L, null: String), (2L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = Chunking.chunk(doc, "doc_id", "text", 2, 1)
+      .select($"doc_id").as[Long].collect()
+    assert(got.forall(_ == 2L) && got.nonEmpty)
+  }
+
   test("chunking is scan-stage only: no exchange in the plan") {
     val doc = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = Chunking.chunk(doc, "doc_id", "text", 2, 1)

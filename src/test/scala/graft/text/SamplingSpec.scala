@@ -107,6 +107,12 @@ class SamplingSpec extends SparkSpec {
       .select($"id", Sampling.assignSplit($"id", "s2", splits).as("s"))
       .as[(Long, String)].collect().toMap
     assert(resalted != big)
+    // a NULL id surfaces as a NULL split — never silently contaminates
+    // the last-declared (eval) split
+    val nullSplit = Seq(Some(1L), None).toDF("id")
+      .select(Sampling.assignSplit($"id", "s1", splits).as("s"))
+      .as[Option[String]].collect().toSet
+    assert(nullSplit.contains(None) && nullSplit.flatten.nonEmpty)
     // misconfiguration fails loudly
     intercept[IllegalArgumentException] {
       Sampling.assignSplit($"id", "s1", Seq("a" -> 100))
