@@ -41,6 +41,36 @@ object BinlogCatalog {
     Seq(last).toDF("file", "position")
   }
 
+  /** The log's executed GTID set — SHOW MASTER STATUS's
+    * Executed_Gtid_Set column: the union of every GTID event the log
+    * carries. THE bootstrap value for a GTID replica that should start
+    * "from now" (seed `GtidEndpoint.executed` with it and the first
+    * poll serves only what commits afterwards — MySQL's auto-position
+    * enrollment). One streaming-parse task per file folding its
+    * frames into an interval-compact per-file set; the driver unions
+    * file-count many small sets (a GTID-less log answers Empty). */
+  def executedGtidSet(spark: SparkSession, dir: String,
+      filePrefix: String = "binlog."): graft.model.GtidSet = {
+    import spark.implicits._
+    val files = listFiles(dir, filePrefix, allowMissing = true).map(_._1)
+    if (files.isEmpty) return graft.model.GtidSet.Empty
+    val confMap = graft.util.HadoopIo.confMap
+    val base = dir
+    spark.createDataset(files).map { name =>
+      val p = new org.apache.hadoop.fs.Path(base, name)
+      val fs = p.getFileSystem(graft.util.HadoopIo.confFrom(confMap))
+      val in = fs.open(p)
+      try BinlogWire.parseStream(in)
+        .flatMap(frameGtid)
+        .foldLeft(graft.model.GtidSet.Empty) {
+          case (acc, (sid, gno)) => acc.add(sid, gno)
+        }.text
+      finally in.close()
+    }.collect()
+      .foldLeft(graft.model.GtidSet.Empty)(
+        (acc, t) => acc.union(graft.model.GtidSet.parse(t)))
+  }
+
   /** SHOW BINLOG EVENTS [IN logName] [FROM pos] [LIMIT limit] — the
     * per-event listing (CdcServer.java:119-134; MySQL's column set:
     * Log_name, Pos, Event_type, Server_id, End_log_pos, Info). With no

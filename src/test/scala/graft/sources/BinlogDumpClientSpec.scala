@@ -259,6 +259,12 @@ class BinlogDumpClientSpec extends SparkSpec {
       // (gno := tso, so the cursors are interconvertible)
       assert(graft.sinks.BinlogCatalog.seekGtid(spark, dir, partial) ==
         graft.sinks.BinlogCatalog.seekTso(spark, dir, 5L))
+      // the SHOW surface: Executed_Gtid_Set over the whole log — the
+      // "start from now" bootstrap value (dumping with it is caught up)
+      assert(graft.sinks.BinlogCatalog.executedGtidSet(spark, dir).text
+        == s"$sid:1-8")
+      assert(graft.sinks.BinlogCatalog
+        .executedGtidSet(spark, writeLog()).isEmpty) // GTID-less log
     } finally srv.close()
 
     // FAILOVER: the same content re-served under entirely new file
