@@ -1660,6 +1660,50 @@ object SparkEntry {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
         .orderBy(col("split"))
+    }),
+
+    // GTID auto-position dump (ORACLE-CHECKED): the q88 loop with the
+    // CONTENT-addressed cursor — encode a GTID'd log, serve it, dial
+    // COM_BINLOG_DUMP_GTID with a partial executed set, and the decoded
+    // slice must be exactly the complement (the transactions the set
+    // does not name), conserved against the source table in DuckDB.
+    "q105_gtid_dump" -> ((s, d) => {
+      import s.implicits._
+      import graft.model.GtidSet
+      import graft.sinks.{BinlogDumpServer, BinlogWire}
+      import graft.sinks.BinlogWire._
+      import graft.sources.{BinlogDumpClient, ChangeEventSource}
+      val sid = java.util.UUID.fromString(
+        "5105a1b2-0000-4000-8000-000000000105")
+      val specs = Seq(ColSpec("l_orderkey", LongLong),
+        ColSpec("l_linenumber", Long4))
+      val rows = Tables.lineitem(s, d).filter(col("l_orderkey") <= 120)
+        .select(col("l_orderkey"), col("l_linenumber").cast("int"),
+          lit("INSERT").as("op"), col("l_orderkey").as("tso"),
+          lit(1700000000L).as("ts"))
+      val ordered = MergeSort.sortedRunsGrouped(rows, 1, Seq("tso"),
+        Seq("l_linenumber"))
+      val dir = Staged.tempDir("q105-gtid")
+      BinlogWire.writeTxnFramedBinlogFiles(ordered, specs, "app",
+        "lineitem", "op", "ts", "tso", dir, tsoCarrier = "sequence",
+        gtidSid = Some(sid))
+      val srv = new BinlogDumpServer(dir, "repl", "pw")
+      try {
+        // txns 0..60 already executed (orderkeys start at 0): the dump
+        // must serve ONLY the >60 complement
+        val seg = BinlogDumpClient.dumpSegmentGtid("localhost", srv.port,
+          "repl", "pw", GtidSet.parse(s"$sid:0-60"))
+        ChangeEventSource.fromWireSegments(
+            Seq(("dn1", seg)).toDF("dn", "payload"), "dn", "payload",
+            Map(("app", "lineitem") -> specs.map(_.name)))
+          .filter(col("op") === "INSERT")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("tso")).as("n_txns"),
+            sum(element_at(col("after"), "l_orderkey").cast("long"))
+              .as("sum_okey"),
+            sum(element_at(col("after"), "l_linenumber").cast("long"))
+              .as("sum_line"))
+      } finally srv.close()
     })
   )
 
@@ -2643,6 +2687,14 @@ object SparkEntry {
         "< 'f333' THEN 'val' ELSE 'test' END AS split FROM documents) " +
         "SELECT split, CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(doc_id) AS BIGINT) AS id_sum " +
-        "FROM a GROUP BY split ORDER BY split")
+        "FROM a GROUP BY split ORDER BY split"),
+    // q105: the auto-position dump conserves exactly the complement of
+    // the executed set (gno := tso := l_orderkey)
+    "q105_gtid_dump" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_txns, " +
+        "CAST(sum(l_orderkey) AS BIGINT) AS sum_okey, " +
+        "CAST(sum(l_linenumber) AS BIGINT) AS sum_line " +
+        "FROM lineitem WHERE l_orderkey > 60 AND l_orderkey <= 120")
   )
 }
