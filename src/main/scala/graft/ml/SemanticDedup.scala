@@ -62,7 +62,15 @@ object SemanticDedup {
     * mattered. 10⁵ rows ≈ 5·10⁹ products ≈ an hour of one core: slow
     * enough to notice, not so slow the job wedges silently. Size
     * `nCells` with [[recommendedCells]] so the cap never trips on a
-    * well-configured run. */
+    * well-configured run.
+    *
+    * BEHAVIOR CHANGE (deliberate, loud): this default was 4·10⁶
+    * before the recalibration. A caller whose clusters sit in the
+    * 10⁵–4·10⁶ range now FAILS the cardinality guard instead of
+    * running days-long single tasks — re-size `nCells` via
+    * [[recommendedCells]], or pass an explicit `maxClusterRows` to
+    * `clusterPairs`/`keepFlags` to accept the quadratic cost
+    * knowingly. */
   val DefaultMaxClusterRows: Long = 100L * 1000
 
   /** Train the clustering model on the normalized vectors (SemDeDup

@@ -23,8 +23,14 @@ import java.util.UUID
   * renumbers the log — source failover, binlog purges, a relay
   * rewriting file names — which is exactly when a (file, pos) cursor
   * answers error 1236.
-  */
-final case class GtidSet(sets: Map[UUID, Vector[(Long, Long)]]) {
+  *
+  * INVARIANT (enforced at construction — the companion `apply`
+  * normalizes): per SID the intervals are sorted, disjoint,
+  * non-touching, non-empty, and a SID with no intervals is absent.
+  * `contains`/`isSubsetOf` and structural equality all assume it, so
+  * the constructor is private — `GtidSet(Map(sid -> Vector((5,3),
+  * (1,2),(1,4))))` canonicalizes instead of silently mis-answering. */
+final case class GtidSet private (sets: Map[UUID, Vector[(Long, Long)]]) {
 
   def isEmpty: Boolean = sets.isEmpty
 
@@ -42,15 +48,12 @@ final case class GtidSet(sets: Map[UUID, Vector[(Long, Long)]]) {
   /** This set plus one transaction (adjacent intervals coalesce). */
   def add(sid: UUID, gno: Long): GtidSet =
     if (contains(sid, gno)) this
-    else {
-      val merged = normalize(
-        sets.getOrElse(sid, Vector.empty) :+ ((gno, gno + 1)))
-      GtidSet(sets.updated(sid, merged))
-    }
+    else GtidSet(sets.updated(sid,
+      sets.getOrElse(sid, Vector.empty) :+ ((gno, gno + 1))))
 
   def union(other: GtidSet): GtidSet =
     GtidSet((sets.keySet ++ other.sets.keySet).map { sid =>
-      sid -> normalize(sets.getOrElse(sid, Vector.empty) ++
+      sid -> (sets.getOrElse(sid, Vector.empty) ++
         other.sets.getOrElse(sid, Vector.empty))
     }.toMap)
 
@@ -64,15 +67,6 @@ final case class GtidSet(sets: Map[UUID, Vector[(Long, Long)]]) {
         oivs.exists { case (os, oe) => os <= s && e <= oe }
       }
     }
-
-  private def normalize(ivs: Vector[(Long, Long)]): Vector[(Long, Long)] = {
-    val sorted = ivs.filter { case (s, e) => e > s }.sortBy(_._1)
-    sorted.foldLeft(Vector.empty[(Long, Long)]) {
-      case (acc :+ ((ps, pe)), (s, e)) if s <= pe =>
-        acc :+ ((ps, math.max(pe, e)))
-      case (acc, iv) => acc :+ iv
-    }
-  }
 
   /** MySQL text form: SIDs sorted, intervals as `start-last` (INCLUSIVE
     * last, singletons bare) — what SHOW MASTER STATUS prints. */
@@ -102,6 +96,23 @@ final case class GtidSet(sets: Map[UUID, Vector[(Long, Long)]]) {
 }
 
 object GtidSet {
+
+  /** THE constructor: canonicalizes arbitrary interval input — empty
+    * intervals drop, overlapping/touching ones coalesce, SIDs left
+    * with nothing disappear — so every live GtidSet holds the class
+    * invariant and structurally-equal sets are `==`. Idempotent on
+    * already-normal input (the internal algebra round-trips freely). */
+  def apply(sets: Map[UUID, Vector[(Long, Long)]]): GtidSet =
+    new GtidSet(sets.view.mapValues(normalize).filter(_._2.nonEmpty).toMap)
+
+  private def normalize(ivs: Vector[(Long, Long)]): Vector[(Long, Long)] = {
+    val sorted = ivs.filter { case (s, e) => e > s }.sortBy(_._1)
+    sorted.foldLeft(Vector.empty[(Long, Long)]) {
+      case (acc :+ ((ps, pe)), (s, e)) if s <= pe =>
+        acc :+ ((ps, math.max(pe, e)))
+      case (acc, iv) => acc :+ iv
+    }
+  }
 
   val Empty: GtidSet = GtidSet(Map.empty)
 

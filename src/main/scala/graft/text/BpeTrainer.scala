@@ -155,7 +155,12 @@ object BpeTrainer {
       merges: Seq[(String, String)], subwordsCol: String = "subwords",
       checkpointEvery: Int = 16): DataFrame = {
     require(checkpointEvery >= 1, s"checkpointEvery must be >= 1")
-    var vocab = df.select(col(tokenCol).as("__word")).distinct()
+    // the vocab frame's working columns must not collide with the
+    // caller's — a pre-existing __word would silently join-key-alias
+    require(!df.columns.contains("__word") && !df.columns.contains("__syms"),
+      "segmentJoin: input must not carry reserved columns __word/__syms")
+    var vocab = df.select(col(tokenCol).as("__word"))
+      .filter(col("__word").isNotNull).distinct()
       .select(col("__word"), split(col("__word"), "").as("__syms"))
     var sinceCut = 0
     merges.foreach { case (a, b) =>
@@ -169,8 +174,11 @@ object BpeTrainer {
         sinceCut = 0
       }
     }
+    // LEFT join: a NULL token keeps its row with null subwords —
+    // exactly what the expression path segment() yields (an inner join
+    // would silently drop such rows from the output)
     df.join(vocab.withColumnRenamed("__syms", subwordsCol),
-      df(tokenCol) === vocab("__word"))
+      df(tokenCol) === vocab("__word"), "left")
       .drop("__word")
   }
 }

@@ -53,6 +53,42 @@ object GtidSetProps extends Properties("gtid-set") {
       GtidSet.parse(s.text) == s && GtidSet.decode(s.encode) == s
     }
 
+  // arbitrary UNNORMALIZED constructor input: overlapping, touching,
+  // out-of-order, empty and inverted intervals — the r10-advisory case
+  // GtidSet(Map(sid -> Vector((5,3),(1,2),(1,4)))) generalized
+  private val rawIvsGen: Gen[Vector[(Long, Long)]] =
+    Gen.listOf(Gen.zip(gnoGen, gnoGen)).map(_.toVector)
+
+  private val rawSetGen: Gen[GtidSet] =
+    Gen.mapOf(Gen.zip(sidGen, rawIvsGen)).map(GtidSet(_))
+
+  private def rawMembers(raw: Map[UUID, Vector[(Long, Long)]])
+      : Set[(UUID, Long)] =
+    raw.toSeq.flatMap { case (sid, ivs) =>
+      ivs.flatMap { case (lo, hi) => (lo until hi).map(sid -> _) }
+    }.toSet
+
+  property("construction canonicalizes arbitrary interval input") =
+    forAll(Gen.mapOf(Gen.zip(sidGen, rawIvsGen))) { raw =>
+      val s = GtidSet(raw)
+      members(s) == rawMembers(raw) &&
+        s.sets.values.forall(_.nonEmpty) &&
+        s.sets.values.forall { ivs =>
+          ivs.forall { case (lo, hi) => hi > lo } &&
+            ivs.sliding(2).forall {
+              case Seq((_, pe), (ns, _)) => ns > pe
+              case _ => true
+            }
+        }
+    }
+
+  property("algebra laws hold for unnormalized-input sets") =
+    forAll(rawSetGen, rawSetGen) { (a, b) =>
+      members(a.union(b)) == members(a) ++ members(b) &&
+        a.isSubsetOf(b) == members(a).subsetOf(members(b)) &&
+        GtidSet.parse(a.text) == a && GtidSet.decode(a.encode) == a
+    }
+
   property("intervals stay normalized: sorted, disjoint, non-touching") =
     forAll(setGen) { s =>
       s.sets.values.forall { ivs =>
