@@ -46,14 +46,37 @@ object BinlogCatalog {
     * carries. THE bootstrap value for a GTID replica that should start
     * "from now" (seed `GtidEndpoint.executed` with it and the first
     * poll serves only what commits afterwards — MySQL's auto-position
-    * enrollment). One streaming-parse task per file folding its
-    * frames into an interval-compact per-file set; the driver unions
-    * file-count many small sets (a GTID-less log answers Empty). */
+    * enrollment). One streaming-parse task per SCANNED file folding
+    * its frames into an interval-compact set; with populated
+    * PREVIOUS_GTIDS the scan covers only the files past the newest
+    * previous-set (usually one) — see the fast path below. A
+    * GTID-less log answers Empty. */
   def executedGtidSet(spark: SparkSession, dir: String,
       filePrefix: String = "binlog."): graft.model.GtidSet = {
     import spark.implicits._
-    val files = listFiles(dir, filePrefix, allowMissing = true).map(_._1)
-    if (files.isEmpty) return graft.model.GtidSet.Empty
+    val all = listFiles(dir, filePrefix, allowMissing = true).map(_._1)
+    if (all.isEmpty) return graft.model.GtidSet.Empty
+    // fast path off the populated PREVIOUS_GTIDS index: the NEWEST
+    // file carrying a non-empty previous-set summarizes every file
+    // before it, so only the suffix from that file on needs scanning —
+    // one head peek + one file scan for a freshly-rotated log, instead
+    // of O(history). Backward peek, steady-state O(1). The summarized
+    // prefix may include `priorExecuted` history from files already
+    // purged from this directory — deliberately so: MySQL's
+    // gtid_executed likewise covers gtid_purged. Legacy logs (no
+    // populated set anywhere) scan every file, as before.
+    val rfs = graft.util.HadoopIo.fsOf(new org.apache.hadoop.fs.Path(dir))
+    var fromIdx = 0
+    var seed = graft.model.GtidSet.Empty
+    var i = all.size - 1
+    while (i >= 1 && fromIdx == 0) {
+      BinlogWire.readPreviousGtids(rfs,
+          new org.apache.hadoop.fs.Path(dir, all(i))) match {
+        case Some(prev) if !prev.isEmpty => fromIdx = i; seed = prev
+        case _ => i -= 1
+      }
+    }
+    val files = all.drop(fromIdx)
     val confMap = graft.util.HadoopIo.confMap
     val base = dir
     spark.createDataset(files).map { name =>
@@ -67,7 +90,7 @@ object BinlogCatalog {
         }.text
       finally in.close()
     }.collect()
-      .foldLeft(graft.model.GtidSet.Empty)(
+      .foldLeft(seed)(
         (acc, t) => acc.union(graft.model.GtidSet.parse(t)))
   }
 
@@ -176,17 +199,29 @@ object BinlogCatalog {
     * scale shape as seekTso: one early-exit streaming-parse task per
     * file; only fully-executed files (the prefix the seek skips) scan
     * to their end. A log with no un-executed txn answers the end of
-    * the last file; an empty log answers ("", 4). */
+    * the last file; an empty log answers ("", 4). A GTID-LESS txn in
+    * a mixed log counts as never-executed (the dump server's
+    * serve-always semantics — see firstTxnNotIn). */
   def seekGtid(spark: SparkSession, dir: String,
       executed: graft.model.GtidSet,
       filePrefix: String = "binlog."): (String, Long) = {
     import spark.implicits._
     val files = listFiles(dir, filePrefix, allowMissing = true)
     if (files.isEmpty) return ("", 4L)
+    // file-level prune BEFORE any body walk (the dump server's own
+    // fast path): files proven fully-executed by a successor's
+    // populated PREVIOUS_GTIDS cannot contain the first un-executed
+    // txn — head-peek cost only, O(1) peeks for a near-caught-up
+    // cursor. Legacy empty-prev logs fall back to walking every file.
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val rfs = graft.util.HadoopIo.fsOf(root)
+    val from = BinlogWire.gtidServeStart(rfs,
+      files.map(f => new org.apache.hadoop.fs.Path(dir, f._1)), executed)
+    val suffix = files.drop(from)
     val confMap = graft.util.HadoopIo.confMap
     val base = dir
     val executedText = executed.text // serializable closure payload
-    val perFile = spark.createDataset(files.map(_._1)).map { name =>
+    val perFile = spark.createDataset(suffix.map(_._1)).map { name =>
       val exec = graft.model.GtidSet.parse(executedText)
       val p = new org.apache.hadoop.fs.Path(base, name)
       val fs = p.getFileSystem(graft.util.HadoopIo.confFrom(confMap))
@@ -196,7 +231,7 @@ object BinlogCatalog {
         finally in.close()
       (name, found.getOrElse(-1L))
     }.collect().toMap
-    files.map(_._1).collectFirst { case n if perFile(n) >= 0 =>
+    suffix.map(_._1).collectFirst { case n if perFile(n) >= 0 =>
       (n, perFile(n))
     }.getOrElse { val (n, sz) = files.last; (n, sz) }
   }
@@ -207,10 +242,18 @@ object BinlogCatalog {
     if (f.typeCode != BinlogWire.GtidEvent) None
     else BinlogWire.parseGtidBody(f.body)
 
+  /** A txn unit is "not executed" when its GTID is absent from the
+    * set — or when it CARRIES no GTID at all: a GTID-less transaction
+    * can never appear in any executed set, so it is never-executed by
+    * definition, matching the dump server's serve-always semantics for
+    * such txns (streamFileGtid). Flagging it at its XID (the earliest
+    * point GTID-lessness is known) keeps a mixed log's seek cursor
+    * from silently skipping unapplied GTID-less transactions. */
   private def firstTxnNotIn(frames: Iterator[BinlogWire.Frame],
       executed: graft.model.GtidSet): Option[Long] = {
     var off = 4L
     var txnStart = -1L
+    var sawGtid = false
     var res = Option.empty[Long]
     while (res.isEmpty && frames.hasNext) {
       val f = frames.next()
@@ -220,11 +263,15 @@ object BinlogCatalog {
         f.typeCode == BinlogWire.PreviousGtidsEvent ||
         f.typeCode == BinlogWire.RotateEvent ||
         f.typeCode == BinlogWire.TableMapEvent
-      if (txnStart < 0 && !preamble) txnStart = start
+      if (txnStart < 0 && !preamble) { txnStart = start; sawGtid = false }
       frameGtid(f).foreach { case (sid, gno) =>
+        sawGtid = true
         if (!executed.contains(sid, gno)) res = Some(txnStart)
       }
-      if (f.typeCode == BinlogWire.XidEvent) txnStart = -1L
+      if (f.typeCode == BinlogWire.XidEvent) {
+        if (!sawGtid && res.isEmpty && txnStart >= 0) res = Some(txnStart)
+        txnStart = -1L
+      }
     }
     res
   }

@@ -128,11 +128,10 @@ final class BinlogDumpServer(wireDir: String, user: String,
     * events (FDE, PREVIOUS_GTIDS, TABLE_MAP declarations, rotate chain
     * links) always serve; a TRANSACTION serves iff its GTID is not in
     * the consumer's executed set — the skip runs from the GTID event
-    * to the txn's XID commit. Real MySQL prunes whole files via their
-    * PREVIOUS_GTIDS before filtering; these files carry empty
-    * previous-sets (the TSO cursor is their authoritative index), so a
-    * fully-executed file costs one header-walk and serves only its
-    * prologue — same bounded memory, one pass, no seek index needed.
+    * to the txn's XID commit. This is the WITHIN-file filter; whole
+    * fully-executed files are pruned before it via their successors'
+    * populated PREVIOUS_GTIDS (`BinlogWire.gtidServeStart` at the
+    * dump site), matching real MySQL's file-then-event pruning order.
     * A GTID-less txn (log written without a sid) never matches the
     * executed set and always serves. */
   private def streamFileGtid(fs: org.apache.hadoop.fs.FileSystem,
@@ -245,16 +244,21 @@ final class BinlogDumpServer(wireDir: String, user: String,
             // payload: flags(2) serverId(4) nameLen(4) name pos(8)
             // dataLen(4) <encoded executed GTID set>; auto-position
             // ignores name/pos — the SET is the cursor
-            var i = 1 + 2 + 4
-            val nameLen = (0 until 4).map(k =>
-              (cmd(i + k) & 0xFF) << (8 * k)).sum
-            i += 4 + nameLen + 8
-            val dataLen = (0 until 4).map(k =>
-              (cmd(i + k) & 0xFF) << (8 * k)).sum
-            i += 4
+            // the WHOLE payload parse sits inside the guard (nameLen/
+            // dataLen reads included): a truncated command answers the
+            // same 1236 as a malformed set instead of dropping the
+            // connection on an out-of-bounds read
             val executed =
-              try graft.model.GtidSet.decode(cmd.slice(i, i + dataLen))
-              catch { case _: Exception => null }
+              try {
+                var i = 1 + 2 + 4
+                val nameLen = (0 until 4).map(k =>
+                  (cmd(i + k) & 0xFF) << (8 * k)).sum
+                i += 4 + nameLen + 8
+                val dataLen = (0 until 4).map(k =>
+                  (cmd(i + k) & 0xFF) << (8 * k)).sum
+                i += 4
+                graft.model.GtidSet.decode(cmd.slice(i, i + dataLen))
+              } catch { case _: Exception => null }
             if (executed == null)
               io.write(err(1236, "HY000",
                 "Malformed GTID set in COM_BINLOG_DUMP_GTID"))
@@ -267,7 +271,17 @@ final class BinlogDumpServer(wireDir: String, user: String,
                   .filter(st => st.isFile &&
                     st.getPath.getName.startsWith(filePrefix))
                   .map(_.getPath).sortBy(_.getName)
-              files.foreach { p =>
+              // FILE-LEVEL pruning, the way a real server serves
+              // auto-position: a file whose successor's PREVIOUS_GTIDS
+              // is a (non-empty) subset of the consumer's executed set
+              // is fully executed and never opened — a caught-up
+              // standing consumer costs one head peek + the tail file,
+              // O(new data) per poll, not O(log history). Skipped
+              // files serve NOTHING (not even prologue): every wire
+              // file is self-describing, so the dump starts clean at
+              // the first file that can carry un-executed txns.
+              val from = BinlogWire.gtidServeStart(fs, files, executed)
+              files.drop(from).foreach { p =>
                 streamFileGtid(fs, p, executed,
                   bytes => io.write(Array(0x00.toByte) ++ bytes))
               }

@@ -634,6 +634,90 @@ object BinlogWire {
     Event(timestamp, PreviousGtidsEvent, serverId, out.result())
   }
 
+  /** Driver-side prefix fold for the writers: per-partition gno sets
+    * (text) → pid → the CUMULATIVE executed set strictly before that
+    * partition's file (prior ∪ earlier partitions). Bounded metadata:
+    * partition-count entries of interval-compact texts. */
+  private def prefixGnoSets(perPart: Seq[(Int, String)],
+      prior: graft.model.GtidSet): Map[Int, String] = {
+    var acc = prior
+    perPart.sortBy(_._1).map { case (pid, txt) =>
+      val mine = acc.text
+      acc = acc.union(graft.model.GtidSet.parse(txt))
+      pid -> mine
+    }.toMap
+  }
+
+  /** A previous-set text in [[previousGtidsEvent]]'s argument shape
+    * (SIDs in the same sorted order GtidSet.encode uses). */
+  private def prevEventSets(txt: String)
+      : Seq[(java.util.UUID, Seq[(Long, Long)])] =
+    graft.model.GtidSet.parse(txt).sets.toSeq.sortBy(_._1.toString)
+      .map { case (s, ivs) => (s, ivs: Seq[(Long, Long)]) }
+
+  /** PEEK one file's PREVIOUS_GTIDS — the prune index a GTID dump
+    * reads before deciding whether the file's PREDECESSORS need
+    * walking at all (real MySQL prunes whole files this way before
+    * its event filter runs; reference models the populated event in
+    * canal/binlog/event/PreviousGtidsLogEvent.java and relies on
+    * server-side file pruning when dumping by GTID set,
+    * canal/core/dump/MysqlConnection.java). Cost: the file's first
+    * couple of events, never its body — the event sits directly after
+    * the FDE in every file the writers produce (and in MySQL's own).
+    * None for a file without one (legacy/GTID-less logs). */
+  def readPreviousGtids(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): Option[graft.model.GtidSet] = {
+    val in = fs.open(path)
+    try {
+      val frames = parseStream(in)
+      var res = Option.empty[graft.model.GtidSet]
+      var done = false
+      var seen = 0
+      while (!done && seen < 4 && frames.hasNext) {
+        val f = frames.next()
+        seen += 1
+        if (f.typeCode == PreviousGtidsEvent) {
+          // GtidSet.decode reads exactly what its counts dictate — a
+          // trailing CRC32 on checksummed files is ignored
+          res = Some(graft.model.GtidSet.decode(f.body))
+          done = true
+        } else if (f.typeCode != FormatDescriptionEvent &&
+          f.typeCode != RotateEvent) done = true // past the head
+      }
+      res
+    } finally in.close()
+  }
+
+  /** The index of the first wire file a GTID auto-position dump must
+    * actually WALK: every file before it is proven fully-executed by
+    * some successor's PREVIOUS_GTIDS being a non-empty subset of the
+    * consumer's executed set. Backward scan from the newest file, so a
+    * caught-up consumer pays ONE head peek regardless of log length —
+    * the steady-state poll is O(new data), not O(history).
+    *
+    * An EMPTY previous-set never prunes: it is indistinguishable from
+    * a legacy file written before the sets were populated, and
+    * treating it as "nothing before me" would skip unexecuted data in
+    * such logs (the first file's genuinely-empty set prunes nothing
+    * anyway — there are no predecessors to skip). Correctness rests on
+    * the writers' contract: a file's previous-set covers EVERY txn in
+    * its predecessors (cumulative across rotations, `priorExecuted`
+    * included), and GTID'd logs are uniformly GTID'd (the writers
+    * stamp every txn or none). */
+  def gtidServeStart(fs: org.apache.hadoop.fs.FileSystem,
+      files: Seq[org.apache.hadoop.fs.Path],
+      executed: graft.model.GtidSet): Int = {
+    var i = files.size - 1
+    while (i >= 1) {
+      readPreviousGtids(fs, files(i)) match {
+        case Some(prev) if !prev.isEmpty && prev.isSubsetOf(executed) =>
+          return i
+        case _ => i -= 1
+      }
+    }
+    0
+  }
+
   def formatDescription(timestamp: Long, serverId: Long,
       serverVersion: String = "8.0.32-graft",
       checksummed: Boolean = false): Event = {
@@ -786,7 +870,8 @@ object BinlogWire {
       checksummed: Boolean = false,
       gtidSid: Option[java.util.UUID] = None,
       rotateChain: Boolean = false,
-      tsoCarrier: String = "mark"): Int = {
+      tsoCarrier: String = "mark",
+      priorExecuted: graft.model.GtidSet = graft.model.GtidSet.Empty): Int = {
     val names = specs.map(_.name)
     require(beforeCols.forall(_.length == names.length),
       "beforeCols arity must match specs")
@@ -797,6 +882,36 @@ object BinlogWire {
     require(Set("mark", "sequence", "gcn").contains(tsoCarrier),
       s"tsoCarrier must be mark|sequence|gcn, got $tsoCarrier")
     val confMap = graft.util.HadoopIo.confMap
+    // REAL per-file PREVIOUS_GTIDS: each file states the cumulative
+    // executed set of everything before it — `priorExecuted` (earlier
+    // calls appending to the same log: the rotation chain across
+    // triggers) plus all earlier partitions of THIS call. One extra
+    // narrow pass gathers per-partition gno interval sets (gno := tso;
+    // compact texts, partition-count many), the driver prefix-folds
+    // them — this is what lets a GTID dump prune fully-executed files
+    // by reading one head event instead of walking the whole log
+    // (gtidServeStart). The pass re-executes df's plan, relying on the
+    // same partition-content determinism the pid-named files already
+    // do. `priorExecuted` MUST be the executed set of the log these
+    // files append to (pass BinlogCatalog.executedGtidSet or thread
+    // the writer's own advancing set) — an unrelated set would prune
+    // wrongly downstream.
+    val prevTexts: Map[Int, String] = gtidSid match {
+      case Some(sid) =>
+        val perPart = df.select(df.col(tsoCol).cast("long"))
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .mapPartitions { it =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            var s = graft.model.GtidSet.Empty
+            it.foreach(t => s = s.add(sid, t))
+            Iterator.single((pid, s.text))
+          }(org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaInt,
+            org.apache.spark.sql.Encoders.STRING))
+          .collect().toSeq
+        prefixGnoSets(perPart, priorExecuted)
+      case None => Map.empty
+    }
     val counter = df.sparkSession.sparkContext.longAccumulator("binlogTxnFiles")
     // ONE-TXN-PER-FILE contract, enforced: TxnApplier's exactly-once
     // gate skips everything at or below the target's committed tso, so a
@@ -851,11 +966,9 @@ object BinlogWire {
             val tso = r.getAs[Number](tsoCol).longValue()
             if (!headerDone) {
               w.write(formatDescription(ts, serverId, checksummed = checksummed))
-              // the authoritative previous-set index is the TSO cursor;
-              // the event is emitted (empty) so GTID-aware readers see
-              // the expected file preamble
               gtidSid.foreach(_ =>
-                w.write(previousGtidsEvent(ts, serverId, Seq.empty)))
+                w.write(previousGtidsEvent(ts, serverId,
+                  prevEventSets(prevTexts.getOrElse(pid, "")))))
               w.write(tableMap(ts, serverId, tableId, schemaName,
                 tableName, specs))
               headerDone = true
@@ -885,8 +998,14 @@ object BinlogWire {
           openTso.foreach(x => w.write(commitEvent(0L, serverId, x)))
           openTso.foreach(last => markRanges.add((pid, firstMark, last)))
           if (rotateChain) {
-            if (!headerDone)
+            if (!headerDone) {
+              // header-only file: still carries its cumulative
+              // previous-set, so the prune index stays dense
               w.write(formatDescription(0L, serverId, checksummed = checksummed))
+              gtidSid.foreach(_ =>
+                w.write(previousGtidsEvent(0L, serverId,
+                  prevEventSets(prevTexts.getOrElse(pid, "")))))
+            }
             w.write(rotateEvent(0L, serverId, f"binlog.${pid + 1}%06d"))
           }
         } finally out.close()
@@ -937,7 +1056,8 @@ object BinlogWire {
       checksummed: Boolean = false,
       gtidSid: Option[java.util.UUID] = None,
       rotateChain: Boolean = false,
-      serverIdCol: Option[String] = None): Int = {
+      serverIdCol: Option[String] = None,
+      priorExecuted: graft.model.GtidSet = graft.model.GtidSet.Empty): Int = {
     val tableIds: Map[(String, String), Long] =
       tableCols.keys.toSeq.sorted.zipWithIndex
         .map { case (k, i) => k -> (i + 1L) }.toMap
@@ -947,6 +1067,31 @@ object BinlogWire {
       }
     val confMap = graft.util.HadoopIo.confMap
     val hasDdlCol = df.columns.contains("ddl")
+    // cumulative PREVIOUS_GTIDS per file (see writeTxnFramedBinlogFiles
+    // for the full contract): gno := the tso at each txn-OPEN row, so
+    // the gather pass replicates the txn-open detection below
+    val prevTexts: Map[Int, String] = gtidSid match {
+      case Some(sid) =>
+        val perPart = df
+          .select(df.col(txnCol).cast("long"), df.col(tsoCol).cast("long"))
+          .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong))
+          .mapPartitions { it =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            var s = graft.model.GtidSet.Empty
+            var open = Option.empty[Long]
+            it.foreach { case (txn, tso) =>
+              if (!open.contains(txn)) { s = s.add(sid, tso); open = Some(txn) }
+            }
+            Iterator.single((pid, s.text))
+          }(org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaInt,
+            org.apache.spark.sql.Encoders.STRING))
+          .collect().toSeq
+        prefixGnoSets(perPart, priorExecuted)
+      case None => Map.empty
+    }
     val counter = df.sparkSession.sparkContext.longAccumulator("binlogCdcFiles")
     // ONE-TXN-PER-FILE contract (see writeTxnFramedBinlogFiles): here
     // txns are keyed by txnId and row tsos legitimately interleave
@@ -992,7 +1137,8 @@ object BinlogWire {
             if (!headerDone) {
               w.write(formatDescription(ts, sid, checksummed = checksummed))
               gtidSid.foreach(_ =>
-                w.write(previousGtidsEvent(ts, sid, Seq.empty)))
+                w.write(previousGtidsEvent(ts, sid,
+                  prevEventSets(prevTexts.getOrElse(pid, "")))))
               headerDone = true
             }
             val txn = r.getAs[Number](txnCol).longValue()
@@ -1041,8 +1187,12 @@ object BinlogWire {
           openTxn.foreach(x => w.write(commitEvent(0L, sid, x)))
           openTxn.foreach(last => edgeTxns.add((pid, firstTxn, last)))
           if (rotateChain) {
-            if (!headerDone)
+            if (!headerDone) {
               w.write(formatDescription(0L, sid, checksummed = checksummed))
+              gtidSid.foreach(_ =>
+                w.write(previousGtidsEvent(0L, sid,
+                  prevEventSets(prevTexts.getOrElse(pid, "")))))
+            }
             w.write(rotateEvent(0L, sid, f"$filePrefix${pid + 1}%06d"))
           }
         } finally out.close()

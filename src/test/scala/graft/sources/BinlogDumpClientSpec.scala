@@ -291,6 +291,114 @@ class BinlogDumpClientSpec extends SparkSpec {
     } finally srv2.close()
   }
 
+  test("GTID file pruning: cumulative PREVIOUS_GTIDS across rotations; a fully-executed prefix is never opened; polls cost O(new data)") {
+    import graft.model.GtidSet
+    val sid = java.util.UUID.fromString(
+      "0a1b2c3d-1111-2222-3333-444455557777")
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    def mk(lo: Long, hi: Long, parts: Int) = {
+      val df = (lo to hi).map(i => (i, s"v$i", "INSERT", i, i))
+        .toDF("id", "v", "op", "tso", "seq")
+        .withColumn("ts", lit(1700000000L))
+      graft.operators.MergeSort.sortedRunsGrouped(df, parts,
+        Seq("tso"), Seq("seq"))
+    }
+    def writeCall(lo: Long, hi: Long, parts: Int, startIdx: Int,
+        prior: GtidSet): Unit = {
+      val d = java.nio.file.Files.createTempDirectory("graft-prune-w").toString
+      BinlogWire.writeTxnFramedBinlogFiles(mk(lo, hi, parts), specs,
+        "app", "t", "op", "ts", "tso", d, checksummed = true,
+        gtidSid = Some(sid), tsoCarrier = "sequence",
+        priorExecuted = prior)
+      new java.io.File(d).listFiles.filter(_.getName.startsWith("binlog."))
+        .foreach { f =>
+          val n = f.getName.stripPrefix("binlog.").toInt + startIdx
+          java.nio.file.Files.copy(f.toPath,
+            java.nio.file.Paths.get(dir, f"binlog.$n%06d"))
+        }
+    }
+    // two writer calls appending to one log — the rotation chain
+    // across triggers, priorExecuted threading call 1's set into
+    // call 2's files
+    writeCall(1L, 6L, 3, 0, GtidSet.Empty)
+    val afterCall1 = BinlogCatalog.executedGtidSet(spark, dir)
+    assert(afterCall1.text == s"$sid:1-6")
+    writeCall(7L, 10L, 2, 3, afterCall1)
+
+    val fs = graft.util.HadoopIo.fsOf(new org.apache.hadoop.fs.Path(dir))
+    val names = new java.io.File(dir).listFiles.map(_.getName)
+      .filter(_.startsWith("binlog.")).sorted.toSeq
+    assert(names.size == 5)
+    val paths = names.map(n => new org.apache.hadoop.fs.Path(dir, n))
+    def fileGtids(p: org.apache.hadoop.fs.Path): GtidSet = {
+      val in = fs.open(p)
+      try BinlogWire.parseStream(in).foldLeft(GtidSet.Empty) { (acc, f) =>
+        if (f.typeCode == BinlogWire.GtidEvent)
+          BinlogWire.parseGtidBody(f.body)
+            .fold(acc) { case (s, g) => acc.add(s, g) }
+        else acc
+      } finally in.close()
+    }
+    val perFile = paths.map(fileGtids)
+    // each file's PREVIOUS_GTIDS == the union of EVERYTHING before it
+    // (earlier files of both calls) — cumulative, real, not empty
+    paths.zipWithIndex.foreach { case (p, i) =>
+      val expected = perFile.take(i).foldLeft(GtidSet.Empty)(_ union _)
+      assert(BinlogWire.readPreviousGtids(fs, p).contains(expected),
+        s"prev of ${p.getName}")
+      if (i > 0) assert(!expected.isEmpty)
+    }
+    // the whole-log set reads off the newest previous-set + one file
+    assert(BinlogCatalog.executedGtidSet(spark, dir).text == s"$sid:1-10")
+    // prune index: caught-up-to-prefix consumers start past the prefix
+    assert(BinlogWire.gtidServeStart(fs, paths, GtidSet.Empty) == 0)
+    assert(BinlogWire.gtidServeStart(fs, paths, perFile.head) == 1)
+    val allButLast = perFile.dropRight(1).foldLeft(GtidSet.Empty)(_ union _)
+    assert(BinlogWire.gtidServeStart(fs, paths, allButLast) == 4)
+    // seekGtid's pruned walk names the same cursor the tso seek does
+    assert(BinlogCatalog.seekGtid(spark, dir, allButLast) ==
+      BinlogCatalog.seekTso(spark, dir,
+        members(allButLast).map(_._2).max))
+
+    // PROOF the pruned prefix is never READ, not merely never served:
+    // corrupt file 0 past its last event. A dump whose executed set
+    // proves file 0 done succeeds (the file is skipped unopened); a
+    // cold dump must walk it and dies loudly on the corruption.
+    val f0 = java.nio.file.Paths.get(dir, names.head)
+    java.nio.file.Files.write(f0, Array.fill[Byte](19)(0xFF.toByte),
+      java.nio.file.StandardOpenOption.APPEND)
+    val srv = new graft.sinks.BinlogDumpServer(dir, "repl", "pw")
+    try {
+      def decode(seg: Array[Byte]): Set[Long] =
+        ChangeEventSource.fromWireSegments(
+            Seq(("dn1", seg)).toDF("dn", "payload"), "dn", "payload",
+            tableCols)
+          .select($"tso").as[Long].collect().toSet
+      val (seg, set) = BinlogDumpClient.dumpSegmentGtidWithCursor(
+        "localhost", srv.port, "repl", "pw", perFile.head)
+      assert(decode(seg) ==
+        (1L to 10L).toSet -- members(perFile.head).map(_._2))
+      assert(set.text == s"$sid:1-10")
+      intercept[java.io.IOException] {
+        BinlogDumpClient.dumpSegmentGtid("localhost", srv.port, "repl",
+          "pw", GtidSet.Empty)
+      }
+      // steady-state poll bytes are O(new data): a consumer missing
+      // only the newest file's txns receives less than that one
+      // file's size (+ magic), never the log's history
+      val (segN, setN) = BinlogDumpClient.dumpSegmentGtidWithCursor(
+        "localhost", srv.port, "repl", "pw", allButLast)
+      assert(segN.length <= fs.getFileStatus(paths.last).getLen + 4)
+      assert(decode(segN) == members(perFile.last).map(_._2))
+      assert(setN.text == s"$sid:1-10")
+    } finally srv.close()
+  }
+
+  private def members(s: graft.model.GtidSet): Set[(java.util.UUID, Long)] =
+    s.sets.toSeq.flatMap { case (sid, ivs) =>
+      ivs.flatMap { case (lo, hi) => (lo until hi).map(sid -> _) }
+    }.toSet
+
   test("auth and unknown-log failures are loud, carrying the server message") {
     val dir = writeLog()
     val srv = new graft.sinks.BinlogDumpServer(dir, "repl", "right")
