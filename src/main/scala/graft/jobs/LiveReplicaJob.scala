@@ -156,11 +156,23 @@ object LiveReplicaJob {
     val polled = spark.createDataset(eps)
       .repartition(math.max(1, endpoints.size))
       .map { case (dn, host, port, user, password, executedText) =>
-        val (seg, advanced) = BinlogDumpClient.dumpSegmentGtidWithCursor(
-          host, port, user, password,
-          graft.model.GtidSet.parse(executedText), serverId,
-          soTimeoutMs, maxBytesPerPoll)
-        (dn, seg, advanced.text)
+        try {
+          val (seg, advanced) = BinlogDumpClient.dumpSegmentGtidWithCursor(
+            host, port, user, password,
+            graft.model.GtidSet.parse(executedText), serverId,
+            soTimeoutMs, maxBytesPerPoll)
+          (dn, seg, advanced.text)
+        } catch {
+          // mirror the file/pos path's 1236 tolerance: a source amid
+          // rotate/promotion has no new data THIS trigger — keep the
+          // cursor, apply the other DNs' polls, retry next trigger. A
+          // malformed-set 1236 stays loud (a config/encode bug retried
+          // forever would read as a silently stalled replica).
+          case err: BinlogDumpClient.ServerError
+              if err.code == BinlogDumpClient.ErrUnknownLog &&
+                !err.getMessage.contains("Malformed GTID set") =>
+            (dn, Array.emptyByteArray, executedText)
+        }
       }.toDF("dn", "payload", "nextExecuted")
     val staged = Staged.parquetStage(polled, stagingDir)
     val changes = ChangeEventSource.fromWireSegments(
@@ -181,5 +193,153 @@ object LiveReplicaJob {
         .map(t => e.copy(executed = graft.model.GtidSet.parse(t)))
         .getOrElse(e)
     }
+  }
+
+  // ---- cursor persistence (the live loop's restart story) ----
+
+  private def cursorFile(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_graft_cursors")
+
+  private def writeCursorLines(dir: String, lines: Seq[String]): Unit = {
+    val dst = cursorFile(dir)
+    graft.util.HadoopIo.fsOf(dst).mkdirs(dst.getParent)
+    graft.util.HadoopIo.writeSwap(
+      new org.apache.hadoop.fs.Path(dir, "._graft_cursors.tmp"), dst,
+      lines.mkString("\n"))
+  }
+
+  private def readCursorLines(dir: String): Map[String, Seq[String]] = {
+    val dst = cursorFile(dir)
+    if (!graft.util.HadoopIo.fsOf(dst).exists(dst)) Map.empty
+    else graft.util.HadoopIo.readString(dst).split("\n").toSeq
+      .filter(_.nonEmpty).map(_.split("\t", -1).toSeq)
+      .map(f => f.head -> f.tail).toMap
+  }
+
+  /** Commit the fleet's (file, pos) cursors to an O(1) sidecar — the
+    * `OrderedSink._graft_cursor` pattern for the LIVE loop (reference
+    * analog: the RPL task's persisted position in its state machine,
+    * rpl/taskmeta/FSMMetaManager.java). Call after each trigger; a
+    * driver restart then [[resume]]s from the last committed trigger
+    * instead of the caller's stale bootstrap value. Atomic swap: a
+    * crash mid-save leaves the previous committed cursors, whose
+    * replayed prefix the per-table apply gates drop. */
+  def saveCursors(cursorDir: String, endpoints: Seq[Endpoint]): Unit = {
+    require(endpoints.forall(e => !e.dn.exists("\t\n".contains(_))),
+      "DN names must not contain tab/newline")
+    writeCursorLines(cursorDir,
+      endpoints.map(e => s"${e.dn}\tF\t${e.binlogFile}\t${e.pos}"))
+  }
+
+  /** [[saveCursors]] for GTID auto-position cursors (executed-set
+    * text — compact: O(intervals), not O(transactions)). */
+  def saveGtidCursors(cursorDir: String,
+      endpoints: Seq[GtidEndpoint]): Unit = {
+    require(endpoints.forall(e => !e.dn.exists("\t\n".contains(_))),
+      "DN names must not contain tab/newline")
+    writeCursorLines(cursorDir,
+      endpoints.map(e => s"${e.dn}\tG\t${e.executed.text}"))
+  }
+
+  /** Endpoints with each DN's cursor replaced by the sidecar's last
+    * committed value (connection coordinates stay the caller's — a
+    * failover repoint composes with a cursor resume). A DN without a
+    * saved cursor, or an absent sidecar, keeps the caller's bootstrap
+    * value. */
+  def resume(cursorDir: String, endpoints: Seq[Endpoint]): Seq[Endpoint] = {
+    val saved = readCursorLines(cursorDir)
+    endpoints.map { e =>
+      saved.get(e.dn) match {
+        case Some(Seq("F", file, pos)) =>
+          e.copy(binlogFile = file, pos = pos.toLong)
+        case _ => e
+      }
+    }
+  }
+
+  /** [[resume]] for GTID endpoints. */
+  def resumeGtid(cursorDir: String,
+      endpoints: Seq[GtidEndpoint]): Seq[GtidEndpoint] = {
+    val saved = readCursorLines(cursorDir)
+    endpoints.map { e =>
+      saved.get(e.dn) match {
+        case Some(Seq("G", text)) =>
+          e.copy(executed = graft.model.GtidSet.parse(text))
+        case _ => e
+      }
+    }
+  }
+
+  // ---- the standing-loop runner ----
+
+  /** THE deployment call: poll → route-apply → commit cursors, every
+    * `intervalMs`, until `shouldStop` (or `maxTriggers`). Composes
+    * [[pollApplyOnceRouted]] + the cursor sidecar + an optional
+    * [[graft.streaming.StallMonitor]] no-data alarm — the loop every
+    * caller otherwise hand-writes. Resumes from `cursorDir` first, so
+    * kill-and-restart continues at the last committed trigger without
+    * re-draining history; returns the final endpoints.
+    *
+    * The monitor sees 1 input row for an advancing trigger and 0 for
+    * an idle one — enough for its silence clock; alarms surface via
+    * `monitor.alarms` exactly as in the streaming pipelines. */
+  def run(spark: SparkSession, endpoints: Seq[Endpoint],
+      tableCols: Map[(String, String), Seq[String]],
+      targets: Seq[WireReplicaJob.TableTarget], stagingDir: String,
+      cursorDir: String, intervalMs: Long,
+      shouldStop: () => Boolean = () => false,
+      maxTriggers: Long = Long.MaxValue,
+      monitor: Option[graft.streaming.StallMonitor] = None,
+      loopId: String = "live-replica",
+      txnsPerCommit: Int = 8, fromTso: Option[Long] = None,
+      serverId: Long = 12345L, soTimeoutMs: Int = 30000,
+      maxBytesPerPoll: Long = Long.MaxValue,
+      ddlInStream: Boolean = false): Seq[Endpoint] = {
+    var eps = resume(cursorDir, endpoints)
+    var n = 0L
+    while (!shouldStop() && n < maxTriggers) {
+      val next = pollApplyOnceRouted(spark, eps, tableCols, targets,
+        stagingDir, txnsPerCommit, fromTso, serverId, soTimeoutMs,
+        maxBytesPerPoll, ddlInStream)
+      saveCursors(cursorDir, next)
+      monitor.foreach(_.noteBatch(loopId, n, if (next != eps) 1L else 0L))
+      eps = next
+      n += 1
+      if (!shouldStop() && n < maxTriggers && intervalMs > 0)
+        Thread.sleep(intervalMs)
+    }
+    eps
+  }
+
+  /** [[run]] with GTID auto-position cursors — the failover-proof
+    * standing loop (repoint an endpoint's host/port mid-run via a
+    * fresh `endpoints` list on restart; the sidecar's executed set
+    * carries over untouched). */
+  def runGtid(spark: SparkSession, endpoints: Seq[GtidEndpoint],
+      tableCols: Map[(String, String), Seq[String]],
+      targets: Seq[WireReplicaJob.TableTarget], stagingDir: String,
+      cursorDir: String, intervalMs: Long,
+      shouldStop: () => Boolean = () => false,
+      maxTriggers: Long = Long.MaxValue,
+      monitor: Option[graft.streaming.StallMonitor] = None,
+      loopId: String = "live-replica-gtid",
+      txnsPerCommit: Int = 8, fromTso: Option[Long] = None,
+      serverId: Long = 12345L, soTimeoutMs: Int = 30000,
+      maxBytesPerPoll: Long = Long.MaxValue,
+      ddlInStream: Boolean = false): Seq[GtidEndpoint] = {
+    var eps = resumeGtid(cursorDir, endpoints)
+    var n = 0L
+    while (!shouldStop() && n < maxTriggers) {
+      val next = pollApplyOnceGtid(spark, eps, tableCols, targets,
+        stagingDir, txnsPerCommit, fromTso, serverId, soTimeoutMs,
+        maxBytesPerPoll, ddlInStream)
+      saveGtidCursors(cursorDir, next)
+      monitor.foreach(_.noteBatch(loopId, n, if (next != eps) 1L else 0L))
+      eps = next
+      n += 1
+      if (!shouldStop() && n < maxTriggers && intervalMs > 0)
+        Thread.sleep(intervalMs)
+    }
+    eps
   }
 }

@@ -86,6 +86,14 @@ final class StallMonitor(noDataThresholdSeconds: Long,
     ()
   }
 
+  /** Batch-poller entry: a standing POLL loop (the live replica
+    * runner) has no StreamingQuery and hence no listener events — it
+    * reports each trigger's input here instead and gets back any
+    * alarms the call raised. Same thresholds, same re-arm behavior. */
+  def noteBatch(loopId: String, batchId: Long, numInputRows: Long,
+      maxEventTimeSec: Option[Long] = None): Seq[StallAlarm] =
+    record(loopId, batchId, numInputRows, maxEventTimeSec)
+
   /** The watchdog core, one call per progress event — separated so the
     * threshold logic is testable without standing up real streams. */
   private[streaming] def record(queryId: String, batchId: Long,

@@ -253,4 +253,148 @@ class LiveReplicaSpec extends SparkSpec {
       assert(state() == (1L to 8L).map(t => t -> t * 10).toMap)
     } finally srv2.close()
   }
+
+  test("standing runner: kill between triggers, resume from the cursor sidecar, drain only new data; silence raises the no-data alarm") {
+    val root = java.nio.file.Files.createTempDirectory("graft-runner")
+    val full = s"$root/full"
+    val served = s"$root/served"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(served))
+    val transfers = (1L to 8L).map(t =>
+      (t, (t % 6) + 1, ((t + 2) % 6) + 1, t * 5))
+    val bal = scala.collection.mutable.Map[Long, Long]()
+      .withDefaultValue(1000L)
+    val images = transfers.flatMap { case (t, f, to, amt) =>
+      bal(f) = bal(f) - amt; bal(to) = bal(to) + amt
+      Seq((t, 2 * t, f, bal(f)), (t, 2 * t + 1, to, bal(to)))
+    }
+    val batch = images.toDF("tso", "seq", "acct", "balance")
+      .select($"acct", $"seq", lit("UPDATE").as("op"), $"balance", $"tso")
+      .withColumn("ts", lit(1700000000L))
+    BinlogWire.writeTxnFramedBinlogFiles(
+      graft.operators.MergeSort.sortedRunsGrouped(batch, 4, Seq("tso"),
+        Seq("seq")),
+      specs, "bank", "accounts", "op", "ts", "tso", full,
+      checksummed = true, rotateChain = true, tsoCarrier = "sequence")
+    def publish(names: String*): Unit = names.foreach { n =>
+      java.nio.file.Files.copy(java.nio.file.Paths.get(full, n),
+        java.nio.file.Paths.get(served, n))
+    }
+    def state(): Map[Long, Long] =
+      TxnApplier.readCurrent(spark, s"$root/replica")
+        .select($"acct", $"balance").as[(Long, Long)].collect().toMap
+    publish("binlog.000000", "binlog.000001")
+    val srv = new graft.sinks.BinlogDumpServer(served, "repl", "pw")
+    try {
+      val ep0 = Seq(BinlogDumpClient.Endpoint("dn1", "localhost",
+        srv.port, "repl", "pw", "binlog.000000", 4L))
+      val targets = Seq(WireReplicaJob.TableTarget("bank", "accounts",
+        colTypes, Seq("acct"), "seq", s"$root/replica", 4))
+      val mon = new graft.streaming.StallMonitor(noDataThresholdSeconds = 0)
+      // the runner IS the deployment loop: 2 triggers — one drains,
+      // one idles (and the idle one trips the zero-threshold watchdog)
+      val e1 = LiveReplicaJob.run(spark, ep0, tableCols, targets,
+        s"$root/stage", s"$root/cursors", intervalMs = 0,
+        maxTriggers = 2, monitor = Some(mon), txnsPerCommit = 2)
+      assert(e1.head.binlogFile == "binlog.000002")
+      assert(state() == lastImages(served))
+      assert(mon.alarms.exists(a =>
+        a.kind == "no_data" && a.queryId == "live-replica"))
+      // the sidecar committed the ADVANCED cursor: a dead driver's
+      // replacement resumes there, not at the caller's bootstrap value
+      assert(LiveReplicaJob.resume(s"$root/cursors", ep0)
+        .head.binlogFile == "binlog.000002")
+
+      // KILL (the runner returned); the producer rotates on; RESTART
+      // with the stale bootstrap endpoints + the same cursorDir
+      publish("binlog.000002", "binlog.000003")
+      val e2 = LiveReplicaJob.run(spark, ep0, tableCols, targets,
+        s"$root/stage", s"$root/cursors", intervalMs = 0,
+        maxTriggers = 1, txnsPerCommit = 2)
+      assert(e2.head.binlogFile == "binlog.000004")
+      assert(state() == bal.toMap)
+      // no history re-drain: the restart trigger STAGED only the two
+      // new files' transactions (the staged parquet is the trigger's
+      // durable input — what it holds is what was polled)
+      val stagedTsos = graft.sources.ChangeEventSource.fromWireSegments(
+          spark.read.parquet(s"$root/stage")
+            .filter(length($"payload") > 0).select($"dn", $"payload"),
+          "dn", "payload", tableCols)
+        .select($"tso").as[Long].collect().toSet
+      assert(stagedTsos == Set(5L, 6L, 7L, 8L), s"staged $stagedTsos")
+    } finally srv.close()
+  }
+
+  test("standing GTID runner: failover repoint + sidecar resume; the promoted log's executed prefix is pruned, not re-walked") {
+    import graft.model.GtidSet
+    val root = java.nio.file.Files.createTempDirectory("graft-grunner")
+    val sid = java.util.UUID.fromString(
+      "0a1b2c3d-7777-6666-5555-444433332222")
+    def ev(lo: Long, hi: Long) = (lo to hi).map { t =>
+      (t, t, "INSERT", "bank", "accounts",
+        Map.empty[String, String],
+        Map("acct" -> s"$t", "seq" -> "1", "balance" -> s"${t * 10}"),
+        1700000000L)
+    }.toDF("tso", "txnId", "op", "schemaName", "tableName", "before",
+      "after", "tsoTime")
+    val primary = s"$root/primary"
+    BinlogWire.writeChangeStreamBinlogFiles(
+      ev(1L, 8L).coalesce(1).sortWithinPartitions("tso"), tableCols,
+      primary, checksummed = true, gtidSid = Some(sid))
+    val targets = Seq(WireReplicaJob.TableTarget("bank", "accounts",
+      colTypes, Seq("acct"), "seq", s"$root/target", 2))
+    def state(): Map[Long, Long] =
+      TxnApplier.readCurrent(spark, s"$root/target")
+        .select($"acct", $"balance").as[(Long, Long)].collect().toMap
+
+    val srv1 = new graft.sinks.BinlogDumpServer(primary, "repl", "pw")
+    try {
+      val ep0 = Seq(LiveReplicaJob.GtidEndpoint("dn1", "localhost",
+        srv1.port, "repl", "pw"))
+      val e1 = LiveReplicaJob.runGtid(spark, ep0, tableCols, targets,
+        s"$root/stage", s"$root/cursors", intervalMs = 0,
+        maxTriggers = 1, txnsPerCommit = 2)
+      assert(e1.head.executed.text == s"$sid:1-8")
+      assert(state() == (1L to 8L).map(t => t -> t * 10).toMap)
+    } finally srv1.close()
+
+    // primary dies. The promoted source re-serves the SAME txns under
+    // a renamed file AND has committed new ones (its writer threads
+    // priorExecuted across the rotation, so the new file's
+    // PREVIOUS_GTIDS is real). Corrupt the renamed history file's
+    // tail: if the restarted runner re-walked it the poll would die —
+    // pruning via the populated previous-set must skip it UNOPENED.
+    val promoted = s"$root/promoted"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(promoted))
+    new java.io.File(primary).listFiles
+      .filter(_.getName.startsWith("binlog.")).foreach { f =>
+        val n = f.getName.stripPrefix("binlog.").toInt
+        java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(promoted, f"binlog.${n + 500}%06d"))
+      }
+    val fresh = s"$root/fresh"
+    BinlogWire.writeChangeStreamBinlogFiles(
+      ev(9L, 12L).coalesce(1).sortWithinPartitions("tso"), tableCols,
+      fresh, checksummed = true, gtidSid = Some(sid),
+      priorExecuted = GtidSet.parse(s"$sid:1-8"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(fresh, "binlog.000000"),
+      java.nio.file.Paths.get(promoted, "binlog.000501"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(promoted, "binlog.000500"),
+      Array.fill[Byte](19)(0xFF.toByte),
+      java.nio.file.StandardOpenOption.APPEND)
+
+    val srv2 = new graft.sinks.BinlogDumpServer(promoted, "repl", "pw")
+    try {
+      // restart with EMPTY-cursor bootstrap endpoints repointed at the
+      // promoted source — the sidecar supplies the real executed set
+      val epNew = Seq(LiveReplicaJob.GtidEndpoint("dn1", "localhost",
+        srv2.port, "repl", "pw"))
+      val e2 = LiveReplicaJob.runGtid(spark, epNew, tableCols, targets,
+        s"$root/stage", s"$root/cursors", intervalMs = 0,
+        maxTriggers = 1, txnsPerCommit = 2)
+      assert(e2.head.executed.text == s"$sid:1-12")
+      assert(state() == (1L to 12L).map(t => t -> t * 10).toMap)
+    } finally srv2.close()
+  }
 }
