@@ -87,8 +87,9 @@ object WireReplicaJob {
 
   private def applyOne(decoded: DataFrame, t: TableTarget,
       colTypes: Seq[(String, String)], txnsPerCommit: Int,
-      fromTso: Option[Long]): Unit = {
-    val typed = shape(decoded, t.schemaName, t.tableName, colTypes)
+      fromTso: Option[Long],
+      aliases: Map[String, Seq[String]] = Map.empty): Unit = {
+    val typed = shape(decoded, t.schemaName, t.tableName, colTypes, aliases)
     if (TxnApplier.currentCommit(t.targetDir).isEmpty)
       TxnApplier.bootstrap(typed.limit(0).drop("op", "tso"),
         t.keyCols, t.targetDir, t.nBuckets,
@@ -141,10 +142,20 @@ object WireReplicaJob {
     *    images lack the key), rows after carry their values.
     *  - DROP COLUMN (non-key, non-seq): the column stops being
     *    selected; dropping a key or the sequence column throws.
-    *  - MODIFY/CHANGE/RENAME on a ROUTED table: refused loudly — a
-    *    re-type or rename would silently mis-read the target's
-    *    existing files; rebuild the target instead (the reference's
-    *    appliers restrict online DDL similarly).
+    *  - MODIFY/CHANGE/RENAME COLUMN (non-key, non-seq): metadata-only
+    *    evolution would mis-read existing files, so the target is
+    *    REBUILT in place ([[TxnApplier.rebuildTarget]] — cast/rename
+    *    the committed state, one full rewrite, pointer-swapped at the
+    *    committed txn boundary; the reference's meta layer likewise
+    *    applies such DDL by rebuilding its images,
+    *    meta/PolarDbXTableMetaManager.java:103). Rows decoded BEFORE
+    *    a rename in the SAME batch carry the OLD name in their string
+    *    images; the row apply reads renamed columns through an
+    *    old-name fallback chain so they land intact.
+    *  - MODIFY/CHANGE/RENAME touching a KEY or the sequence column:
+    *    still refused loudly — the caller's TableTarget names them,
+    *    and silently re-keying a routed target would orphan its
+    *    bucketing contract.
     *  - DDL for tables nobody routes: ignored, like their row events.
     *
     * The DDL stream is folded DRIVER-SIDE in TSO order — DDL is
@@ -177,14 +188,58 @@ object WireReplicaJob {
       .select(col("tso").cast("long"), col("schemaName"), col("ddl"))
       .orderBy(col("tso"))
       .as[(Long, String, String)].collect()
-    ddls.foreach { case (_, defaultSchema, stmt) =>
+    // DDL honors a position gate like the rows do: a statement at or
+    // below max(committed row TSO, committed DDL TSO) already took
+    // effect in some earlier trigger and skips — so a replayed batch
+    // (even one replayed AFTER later batches, out of order) never
+    // re-runs a rename whose chain has moved on. The DDL high-water
+    // mark is its own sidecar (TxnApplier.ddlPosition) because row
+    // position only advances with row transactions. A crash between a
+    // statement's effect and its position commit replays just that
+    // statement, which the hasOld/type checks absorb as a no-op.
+    val ddlGate: Map[(String, String), Long] = targets.map(t =>
+      t.table -> math.max(
+        TxnApplier.currentCommit(t.targetDir)
+          .map(_.lastTso).getOrElse(0L),
+        TxnApplier.ddlPosition(t.targetDir))).toMap
+    // per-table fallback chains for columns renamed IN THIS BATCH:
+    // finalName -> older names, newest first (rows decoded before the
+    // rename carry the old name in their string images)
+    val renameAliases = scala.collection.mutable.Map
+      .empty[(String, String), Map[String, Seq[String]]]
+      .withDefaultValue(Map.empty)
+    ddls.foreach { case (tso, defaultSchema, stmt) =>
       DdlParser.parse(stmt, defaultSchema) match {
         case DdlParser.AlterTable(s2, t2, actions)
-            if byTable.contains((s2, t2)) =>
+            if byTable.contains((s2, t2)) && tso > ddlGate((s2, t2)) =>
           val t = byTable((s2, t2))
-          val cur = TxnApplier.targetSchema(t.targetDir).getOrElse(
+          def curFields = TxnApplier.targetSchema(t.targetDir).getOrElse(
             sys.error(s"target ${t.targetDir}: no schema sidecar"))
-          var fields = cur.fields.toVector
+            .fields.toVector
+          var fields = curFields
+          def guardKeySeq(n: String, what: String): Unit =
+            require(!t.keyCols.contains(n) && n != t.seqCol,
+              s"$what $n: key/sequence columns of routed table " +
+                s"${t.schemaName}.${t.tableName} cannot change online " +
+                "(the TableTarget routing names them)")
+          // flush pending metadata evolution, then rebuild in place —
+          // actions observe strict statement order
+          def flushThen(rebuild: org.apache.spark.sql.DataFrame =>
+              org.apache.spark.sql.DataFrame): Unit = {
+            if (fields != curFields)
+              TxnApplier.evolveSchema(t.targetDir,
+                org.apache.spark.sql.types.StructType(fields))
+            TxnApplier.rebuildTarget(spark, t.targetDir, t.keyCols,
+              t.nBuckets, rebuild)
+            fields = curFields // reload from the rebuilt sidecar
+          }
+          def recordRename(oldName: String, newName: String): Unit = {
+            val al = renameAliases(t.table)
+            // the old name inherits any chain it already headed
+            val chain = oldName +: al.getOrElse(oldName, Seq.empty)
+            renameAliases(t.table) = (al - oldName) +
+              (newName -> (chain ++ al.getOrElse(newName, Seq.empty)))
+          }
           actions.foreach {
             case DdlParser.AddColumn(cd, _, _) =>
               // target layout is bucket-hashed, not ordinal — FIRST/
@@ -198,28 +253,68 @@ object WireReplicaJob {
                   org.apache.spark.sql.types.StructField(cd.name, dt)
               }
             case DdlParser.DropColumn(n) =>
-              require(!t.keyCols.contains(n) && n != t.seqCol,
-                s"DROP COLUMN $n: key/sequence columns cannot drop " +
-                  s"from ${t.schemaName}.${t.tableName}")
+              guardKeySeq(n, "DROP COLUMN")
               fields = fields.filterNot(_.name == n)
+            case DdlParser.ModifyColumn(cd, _, _) =>
+              guardKeySeq(cd.name, "MODIFY COLUMN")
+              val dt = parseSqlType(cd.dataType)
+              require(fields.exists(_.name == cd.name),
+                s"MODIFY COLUMN ${cd.name}: no such column on " +
+                  s"${t.schemaName}.${t.tableName}")
+              if (!fields.find(_.name == cd.name).forall(_.dataType == dt))
+                flushThen(df => df.withColumn(cd.name,
+                  col(cd.name).cast(dt)))
+            case DdlParser.ChangeColumn(oldName, cd, _, _) =>
+              // idempotent across batch replays: old gone + new
+              // present at the right type is "already applied"
+              guardKeySeq(oldName, "CHANGE COLUMN")
+              guardKeySeq(cd.name, "CHANGE COLUMN")
+              val dt = parseSqlType(cd.dataType)
+              val renameNeeded = oldName != cd.name &&
+                fields.exists(_.name == oldName)
+              val curType = fields
+                .find(_.name == (if (renameNeeded) oldName else cd.name))
+                .map(_.dataType)
+              require(curType.isDefined,
+                s"CHANGE COLUMN $oldName: no such column on " +
+                  s"${t.schemaName}.${t.tableName}")
+              if (renameNeeded || !curType.contains(dt))
+                flushThen { df =>
+                  val r = if (renameNeeded)
+                    df.withColumnRenamed(oldName, cd.name) else df
+                  if (curType.contains(dt)) r
+                  else r.withColumn(cd.name, col(cd.name).cast(dt))
+                }
+              if (oldName != cd.name) recordRename(oldName, cd.name)
+            case DdlParser.RenameColumn(oldName, newName) =>
+              guardKeySeq(oldName, "RENAME COLUMN")
+              guardKeySeq(newName, "RENAME COLUMN")
+              val hasOld = fields.exists(_.name == oldName)
+              require(hasOld || fields.exists(_.name == newName),
+                s"RENAME COLUMN $oldName: no such column on " +
+                  s"${t.schemaName}.${t.tableName}")
+              if (hasOld) // replay after the rebuild: already applied
+                flushThen(_.withColumnRenamed(oldName, newName))
+              recordRename(oldName, newName)
             case DdlParser.AddPrimaryKey(_) | DdlParser.DropPrimaryKey |
                  DdlParser.IgnoredAction => ()
             case other => throw new IllegalArgumentException(
               s"online DDL '$other' on routed table " +
-                s"${t.schemaName}.${t.tableName} is unsupported " +
-                "(re-type/rename would mis-read existing files); " +
-                "rebuild the target")
+                s"${t.schemaName}.${t.tableName} is unsupported; " +
+                "rebuild the target out of band")
           }
-          if (fields != cur.fields.toVector)
+          if (fields != curFields)
             TxnApplier.evolveSchema(t.targetDir,
               org.apache.spark.sql.types.StructType(fields))
+          TxnApplier.commitDdlPosition(t.targetDir, tso)
         case _ => () // unrouted table or non-evolution statement
       }
     }
     inParallel(targets, maxParallelTables) { t =>
       val evolved = TxnApplier.targetSchema(t.targetDir).get.fields
         .toSeq.map(f => f.name -> f.dataType.sql)
-      applyOne(decoded, t, evolved, txnsPerCommit, fromTso)
+      applyOne(decoded, t, evolved, txnsPerCommit, fromTso,
+        renameAliases(t.table))
     }
   }
 
@@ -324,9 +419,13 @@ object WireReplicaJob {
     * events, each string image cast per `colTypes`. DELETE rows carry
     * their values in the BEFORE image (the after side is empty on the
     * wire), so the effective image picks by op — the applier needs the
-    * key columns populated to erase the row. */
+    * key columns populated to erase the row. `aliases` gives a renamed
+    * column its OLD names, newest first: rows decoded before an
+    * in-batch RENAME carry the old key in their string image, and the
+    * coalesce chain reads them under the new name. */
   def shape(decoded: DataFrame, schemaName: String, tableName: String,
-      colTypes: Seq[(String, String)]): DataFrame = {
+      colTypes: Seq[(String, String)],
+      aliases: Map[String, Seq[String]] = Map.empty): DataFrame = {
     val img = when(col("op") === "DELETE", col("before"))
       .otherwise(col("after"))
     decoded
@@ -334,7 +433,8 @@ object WireReplicaJob {
         col("tableName") === tableName &&
         col("op").isin("INSERT", "UPDATE", "DELETE"))
       .select(colTypes.map { case (n, t) =>
-        element_at(img, n).cast(t).as(n)
+        val names = n +: aliases.getOrElse(n, Seq.empty)
+        coalesce(names.map(a => element_at(img, a)): _*).cast(t).as(n)
       } ++ Seq(col("op"), col("tso")): _*)
   }
 }

@@ -142,6 +142,27 @@ object TxnApplier {
   def targetSchema(dir: String): Option[StructType] =
     readTargetSchema(new Path(dir))
 
+  /** The target's committed DDL position — the highest statement TSO
+    * whose schema effect (evolution or rebuild) has been applied; 0
+    * before any. Row position (`Commit.lastTso`) only advances with
+    * ROW transactions, so DDL needs its own high-water mark: without
+    * one, a batch replayed after LATER batches would re-run a rename
+    * whose chain has moved on and fail its column lookup. */
+  def ddlPosition(dir: String): Long =
+    try graft.util.HadoopIo.readString(
+      new Path(new Path(dir), "_ddltso")).trim.toLong
+    catch { case _: java.io.FileNotFoundException => 0L }
+
+  /** Advance the DDL position (monotonic; regressions ignored). Call
+    * AFTER the statement's schema effect lands — a crash between the
+    * two replays the statement, whose no-op checks absorb it. */
+  def commitDdlPosition(dir: String, tso: Long): Unit =
+    if (tso > ddlPosition(dir)) {
+      val root = new Path(dir)
+      graft.util.HadoopIo.writeSwap(new Path(root, "._ddltso.tmp"),
+        new Path(root, "_ddltso"), tso.toString)
+    }
+
   /** ONLINE schema evolution of the target — the replica's ADD/DROP
     * COLUMN path. Metadata-only: the `_schema` sidecar swaps to
     * `newSchema`; data files never rewrite. Carried-over files read
@@ -166,7 +187,13 @@ object TxnApplier {
     val root = new Path(dir)
     val paths = readManifest(root, v).values.toSeq.sorted
       .map(rel => new Path(root, rel).toString)
-    if (paths.isEmpty) spark.emptyDataFrame
+    if (paths.isEmpty) readTargetSchema(root) match {
+      // an empty version still HAS the target's row shape — a rebuild
+      // or projection over it must see real columns, not a 0-field frame
+      case Some(s) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case None => spark.emptyDataFrame
+    }
     else readTargetSchema(root) match {
       case Some(s) => spark.read.schema(s).parquet(paths: _*)
       case None => spark.read.parquet(paths: _*)
@@ -206,6 +233,54 @@ object TxnApplier {
       schemaFile(root), initial.schema.json)
     writeManifest(root, v, entries)
     commitPointer(root, Commit(v, initialTso))
+  }
+
+  /** REBUILD the target for DDL the metadata-only evolution path
+    * refuses (re-type / rename): read the CURRENT committed state,
+    * push it through `transform`, and publish the result as ONE new
+    * version covering every bucket — pointer-swapped at the committed
+    * txn boundary (`lastTso` unchanged, so the apply gate's
+    * exactly-once story is untouched) with the transformed schema
+    * persisted. Readers never see a torn mix: they hold the old
+    * version until the swap, the new one after. The reference's meta
+    * layer applies arbitrary DDL by rebuilding its table images
+    * (meta/PolarDbXTableMetaManager.java:103,
+    * MemoryTableMeta.java:122-147); this is that rebuild as one
+    * distributed job — the full-rewrite price of a re-type, paid
+    * once, never silently.
+    *
+    * `keyCols` are the key columns AFTER the transform (bucket hashes
+    * recompute from the transformed values, so the layout and every
+    * later applyBatch agree). `transform` must be IDEMPOTENT
+    * (withColumnRenamed on an absent column and cast-to-same-type
+    * both no-op) — a replayed trigger re-runs it against the
+    * already-rebuilt state. */
+  def rebuildTarget(spark: SparkSession, dir: String,
+      keyCols: Seq[String], nBuckets: Int,
+      transform: DataFrame => DataFrame): Commit = {
+    val cur = currentCommit(dir)
+      .getOrElse(sys.error(s"txn target $dir: bootstrap before rebuilding"))
+    val root = new Path(dir)
+    val fs = fsOf(root)
+    val rebuilt = transform(readCurrent(spark, dir))
+    require(keyCols.forall(rebuilt.columns.contains),
+      s"rebuildTarget: transformed frame lacks key columns " +
+        s"${keyCols.filterNot(rebuilt.columns.contains).mkString(",")}")
+    val v = cur.version + 1
+    val d = new Path(root, versionRel(v))
+    if (fs.exists(d)) fs.delete(d, true) // uncommitted crash debris
+    rebuilt.withColumn("__bucket", Appliers.bucketOf(keyCols, nBuckets))
+      .repartition(col("__bucket"))
+      .write.partitionBy("__bucket").mode(SaveMode.Overwrite)
+      .parquet(d.toString)
+    val entries = listBucketDirs(fs, d)
+      .map { case (b, _) => b -> s"${versionRel(v)}/__bucket=$b" }
+    graft.util.HadoopIo.writeSwap(new Path(root, "._schema.tmp"),
+      schemaFile(root), rebuilt.schema.json)
+    writeManifest(root, v, entries)
+    val c = Commit(v, cur.lastTso)
+    commitPointer(root, c)
+    c
   }
 
   /** Apply a change batch preserving transaction atomicity: transactions

@@ -338,7 +338,7 @@ class WireReplicaSpec extends SparkSpec {
       9L -> ((900L, Some("wired")))))
   }
 
-  test("DDL in-stream: ADD/DROP COLUMN evolve the routed target; unsafe DDL refuses loudly") {
+  test("DDL in-stream: ADD/DROP evolve metadata-only; MODIFY/CHANGE/RENAME rebuild the target; key/seq DDL refuses loudly") {
     val root = java.nio.file.Files.createTempDirectory("graft-ddlstream")
     val target = s"$root/t_accounts"
     val targets = Seq(WireReplicaJob.TableTarget("bank", "accounts",
@@ -387,16 +387,74 @@ class WireReplicaSpec extends SparkSpec {
     assert(cur.select($"acct", $"balance").as[(Long, Long)].collect().toMap
       == Map(1L -> 150L, 2L -> 200L, 3L -> 300L, 4L -> 400L))
 
-    // unsafe evolution refuses loudly rather than mis-reading files
+    // batch 3: re-type of a NON-key column REBUILDS the target in
+    // place (TxnApplier.rebuildTarget) — the committed state survives
+    // under the new type, and post-DDL rows apply against it
+    WireReplicaJob.applyRoutedWithDdl(decodedOf(Seq(
+      (8L, "DDL", Map.empty,
+        "ALTER TABLE accounts MODIFY COLUMN balance VARCHAR(10)"),
+      (9L, "INSERT", Map("acct" -> "5", "seq" -> "1",
+        "balance" -> "x500"), null))),
+      targets, txnsPerCommit = 2)
+    val retyped = TxnApplier.readCurrent(spark, target)
+    assert(retyped.schema("balance").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(retyped.select($"acct", $"balance").as[(Long, String)]
+      .collect().toMap == Map(1L -> "150", 2L -> "200", 3L -> "300",
+        4L -> "400", 5L -> "x500"))
+
+    // batch 4: RENAME of a non-key column rebuilds too, and rows that
+    // STRADDLE the rename in one batch land intact — the pre-DDL row
+    // still carries the OLD name in its string image and applies
+    // through the fallback chain
+    WireReplicaJob.applyRoutedWithDdl(decodedOf(Seq(
+      (10L, "INSERT", Map("acct" -> "6", "seq" -> "1",
+        "balance" -> "600"), null),
+      (11L, "DDL", Map.empty,
+        "ALTER TABLE accounts RENAME COLUMN balance TO bal"),
+      (12L, "INSERT", Map("acct" -> "7", "seq" -> "1",
+        "bal" -> "700"), null))),
+      targets, txnsPerCommit = 2)
+    val renamed = TxnApplier.readCurrent(spark, target)
+    assert(!renamed.columns.contains("balance") &&
+      renamed.columns.contains("bal"))
+    assert(renamed.select($"acct", $"bal").as[(Long, String)]
+      .collect().toMap == Map(1L -> "150", 2L -> "200", 3L -> "300",
+        4L -> "400", 5L -> "x500", 6L -> "600", 7L -> "700"))
+
+    // replaying the rename batch is idempotent: the rebuilt state and
+    // version history are untouched (renamed-away column no-ops, rows
+    // hit the position gate)
+    val vAfter = TxnApplier.versions(target).size
+    WireReplicaJob.applyRoutedWithDdl(decodedOf(Seq(
+      (10L, "INSERT", Map("acct" -> "6", "seq" -> "1",
+        "balance" -> "600"), null),
+      (11L, "DDL", Map.empty,
+        "ALTER TABLE accounts RENAME COLUMN balance TO bal"),
+      (12L, "INSERT", Map("acct" -> "7", "seq" -> "1",
+        "bal" -> "700"), null))),
+      targets, txnsPerCommit = 2)
+    assert(TxnApplier.readCurrent(spark, target)
+      .select($"acct", $"bal").as[(Long, String)].collect().toMap
+      == Map(1L -> "150", 2L -> "200", 3L -> "300", 4L -> "400",
+        5L -> "x500", 6L -> "600", 7L -> "700"))
+
+    // KEY/sequence columns still refuse loudly — the TableTarget
+    // routing names them, so re-keying online would orphan the config
     intercept[IllegalArgumentException] {
-      WireReplicaJob.applyRoutedWithDdl(decodedOf(Seq((8L, "DDL",
+      WireReplicaJob.applyRoutedWithDdl(decodedOf(Seq((20L, "DDL",
         Map.empty,
-        "ALTER TABLE accounts MODIFY COLUMN balance VARCHAR(10)"))),
+        "ALTER TABLE accounts MODIFY COLUMN acct VARCHAR(10)"))),
         targets)
     }
     intercept[IllegalArgumentException] {
-      WireReplicaJob.applyRoutedWithDdl(decodedOf(Seq((9L, "DDL",
+      WireReplicaJob.applyRoutedWithDdl(decodedOf(Seq((21L, "DDL",
         Map.empty, "ALTER TABLE accounts DROP COLUMN acct"))), targets)
+    }
+    intercept[IllegalArgumentException] {
+      WireReplicaJob.applyRoutedWithDdl(decodedOf(Seq((22L, "DDL",
+        Map.empty,
+        "ALTER TABLE accounts RENAME COLUMN seq TO seqno"))), targets)
     }
   }
 }

@@ -191,4 +191,55 @@ class TxnApplierSpec extends SparkSpec {
       .listFiles().count(_.getName.startsWith("__bucket="))
     assert(remainingV1 == allBuckets - v2Dirs)
   }
+
+  test("rebuildTarget: rename+retype rewrite, position preserved, applies continue, history readable") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("txnapplier-rebuild").toString + "/t"
+    TxnApplier.bootstrap(accounts, Seq("acct"), dir, nBuckets = 4)
+    TxnApplier.applyBatch(transferBatch, Seq("acct"), "seq", "op",
+      "tso", dir, nBuckets = 4, txnsPerCommit = 4)
+    val before = TxnApplier.currentCommit(dir).get
+    val stateBefore = TxnApplier.readCurrent(spark, dir)
+      .select($"acct", $"balance").as[(Long, Long)].collect().toMap
+
+    // rename balance → bal and retype to string, one rebuild
+    val c = TxnApplier.rebuildTarget(spark, dir, Seq("acct"), 4,
+      df => df.withColumnRenamed("balance", "bal")
+        .withColumn("bal", $"bal".cast("string")))
+    assert(c.version == before.version + 1)
+    assert(c.lastTso == before.lastTso) // the row position is untouched
+    val after = TxnApplier.readCurrent(spark, dir)
+    assert(after.schema("bal").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(after.select($"acct", $"bal").as[(Long, String)].collect()
+      .toMap == stateBefore.map { case (k, v) => k -> v.toString })
+    // the persisted sidecar is the rebuilt shape
+    assert(TxnApplier.targetSchema(dir).get.fieldNames.contains("bal"))
+
+    // applies CONTINUE against the rebuilt layout (bucket hashes
+    // recomputed consistently) and the gate still drops replays
+    val more = Seq((20L, 30L, 1L, "UPDATE", "9999"))
+      .toDF("tso", "seq", "acct", "op", "bal")
+      .select($"acct", $"seq", $"op", $"bal", $"tso")
+    TxnApplier.applyBatch(more, Seq("acct"), "seq", "op", "tso", dir, 4)
+    TxnApplier.applyBatch(more, Seq("acct"), "seq", "op", "tso", dir, 4)
+    val finalState = TxnApplier.readCurrent(spark, dir)
+      .select($"acct", $"bal").as[(Long, String)].collect().toMap
+    assert(finalState(1L) == "9999")
+    assert(finalState - 1L ==
+      stateBefore.map { case (k, v) => k -> v.toString } - 1L)
+
+    // history stays readable THROUGH the rebuild boundary, rendered
+    // in the current schema (evolveSchema semantics)
+    val hist = TxnApplier.readVersion(spark, dir, before.version)
+    assert(hist.columns.contains("bal"))
+
+    // a rebuild on an EMPTY bootstrapped target keeps the row shape
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("txnapplier-rebuild2").toString + "/t"
+    TxnApplier.bootstrap(accounts.limit(0), Seq("acct"), dir2, 2)
+    TxnApplier.rebuildTarget(spark, dir2, Seq("acct"), 2,
+      _.withColumnRenamed("balance", "bal"))
+    assert(TxnApplier.readCurrent(spark, dir2).columns.contains("bal"))
+  }
 }
