@@ -145,7 +145,15 @@ object CorpusStats {
     * nothing else ever shuffles for tf); per-term df and the
     * document-length table are one aggregation each; the score join
     * fans a query-sized frame across the matching docs only. Top-k is
-    * a TakeOrderedAndProject, never a full sort. */
+    * a TakeOrderedAndProject, never a full sort.
+    *
+    * Exactly TWO corpus-wide explode passes (plan-asserted in
+    * CorpusStatsSpec): the length table is staged once
+    * (localCheckpoint — O(ndocs) compact rows) so the global
+    * ndocs/avgdl aggregation reads the stage instead of re-running
+    * the explode, and `df` derives from `tf` for free — tf is one row
+    * per (doc, token), so its per-token row count IS the distinct
+    * document count. */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       query: Seq[String], k: Int = 10, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
@@ -154,13 +162,22 @@ object CorpusStats {
       .select(col(idCol), explode(split(col(textCol), " ")).as("token"))
     val lens = toks.groupBy(col(idCol))
       .agg(count(lit(1)).as("dl"))
+      .localCheckpoint()
     val scalars = lens.agg(count(lit(1)).cast("double").as("ndocs"),
       avg(col("dl")).as("avgdl"))
     val qtoks = toks.filter(col("token").isin(query.distinct: _*))
+    // tf is staged too: df derives from it (one row per (doc, token),
+    // so per-token row count IS the distinct-doc count), and without
+    // the stage Catalyst rewrites the df branch into its own
+    // distinct-aggregate over a SECOND full explode — the exchange
+    // shapes diverge and nothing reuses. The stage is query-matched
+    // rows only (docs × query terms at worst), the join's working set
+    // anyway.
     val tf = qtoks.groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val df = qtoks.groupBy(col("token"))
-      .agg(countDistinct(col(idCol)).as("df"))
+      .localCheckpoint()
+    val df = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) +
       (col("ndocs") - col("df") + 0.5) / (col("df") + 0.5))
     tf.join(broadcast(df.crossJoin(scalars)), "token")
@@ -189,10 +206,15 @@ object CorpusStats {
       .select(col(idCol), explode(split(col(textCol), " ")).as("token"))
     val n = docs.agg(countDistinct(col(idCol)).as("ndocs"))
     val qtoks = toks.filter(col("token").isin(query.distinct: _*))
+    // ONE corpus explode pass: tf is staged (query-matched rows only)
+    // and df derives from it — one row per (doc, token), so per-token
+    // row count IS the distinct-doc count (see bm25 for why the stage
+    // is needed, not just the derivation)
     val tf = qtoks.groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val df = qtoks.groupBy(col("token"))
-      .agg(countDistinct(col(idCol)).as("df"))
+      .localCheckpoint()
+    val df = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
     tf.join(broadcast(df.crossJoin(n)), "token")
       .withColumn("__w", expr("(ndocs * 1000) div df"))
       .groupBy(col(idCol))

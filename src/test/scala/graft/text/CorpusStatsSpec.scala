@@ -124,7 +124,22 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got.head._1 == 4L)
     // matched_terms counts the query terms present
     assert(got.map(r => r._1 -> r._3).toMap == Map(1L -> 1L, 2L -> 1L, 4L -> 1L))
+    // the explode-pass budget (r10 advisory): at most TWO corpus-wide
+    // explode passes — lens is staged once and read back, df derives
+    // from tf instead of re-aggregating the token stream
+    val q = CorpusStats.bm25(docs, "doc_id", "text", query, k = 4)
+    q.collect()
+    assert(finalPlanGenerates(q) <= 2,
+      s"bm25 runs ${finalPlanGenerates(q)} explode passes")
   }
+
+  /** Generate (explode) nodes in the EXECUTED final plan — the AQE
+    * string prints an `== Initial Plan ==` section too, which must
+    * not double-count. */
+  private def finalPlanGenerates(q: org.apache.spark.sql.DataFrame): Int =
+    "(?m)^.*\\bGenerate\\b".r.findAllIn(
+      q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head).size
 
   test("searchRank: integer-exact scores, rarity-weighted, total order") {
     val got = CorpusStats.searchRank(docs, "doc_id", "text",
@@ -133,8 +148,16 @@ class CorpusStatsSpec extends SparkSpec {
     // weights: N=4 docs → cat (df 2) = 2000, howled (df 1) = 4000
     assert(got == List((4L, 4000L, 1L), (1L, 2000L, 1L), (2L, 2000L, 1L)))
     // top-k is a TakeOrderedAndProject, never a full global sort
-    val plan = CorpusStats.searchRank(docs, "doc_id", "text",
-      Seq("cat"), k = 2).queryExecution.executedPlan.toString
+    val q = CorpusStats.searchRank(docs, "doc_id", "text",
+      Seq("cat"), k = 2)
+    val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+    // ONE corpus explode pass: df derives from tf, and the doc count
+    // aggregates the raw docs table (no token stream involved)
+    q.collect()
+    assert(finalPlanGenerates(q) <= 1,
+      s"searchRank runs ${finalPlanGenerates(q)} explode passes:\n" +
+        q.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head)
   }
 }
