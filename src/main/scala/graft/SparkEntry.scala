@@ -1704,6 +1704,112 @@ object SparkEntry {
             sum(element_at(col("after"), "l_linenumber").cast("long"))
               .as("sum_line"))
       } finally srv.close()
+    }),
+
+    // GTID dump with FILE PRUNING (oracle-checked): a two-call wire
+    // log whose files carry REAL cumulative PREVIOUS_GTIDS — the
+    // second writer call threads `priorExecuted` across the rotation —
+    // so a consumer already holding call 1's set is served exactly
+    // call 2's complement after the server prunes the fully-executed
+    // prefix files on a head peek (BinlogWire.gtidServeStart), never
+    // walking history. gno := tso := o_orderkey.
+    "q106_gtid_pruned_dump" -> ((s, d) => {
+      import s.implicits._
+      import graft.sinks.{BinlogCatalog, BinlogDumpServer, BinlogWire}
+      import graft.sinks.BinlogWire._
+      import graft.sources.{BinlogDumpClient, ChangeEventSource}
+      val sid = java.util.UUID.fromString(
+        "5106a1b2-0000-4000-8000-000000000106")
+      val specsQ = Seq(ColSpec("o_orderkey", LongLong),
+        ColSpec("o_custkey", Long4))
+      def rows(lo: Long, hi: Long) = Tables.orders(s, d)
+        .filter(col("o_orderkey") > lo && col("o_orderkey") <= hi)
+        .select(col("o_orderkey"), col("o_custkey").cast("int"),
+          lit("INSERT").as("op"), col("o_orderkey").as("tso"),
+          lit(1700000000L).as("ts"))
+      def writeCall(lo: Long, hi: Long, outDir: String,
+          prior: graft.model.GtidSet): Unit =
+        BinlogWire.writeTxnFramedBinlogFiles(
+          MergeSort.sortedRunsGrouped(rows(lo, hi), 2, Seq("tso"),
+            Seq("o_custkey")),
+          specsQ, "app", "orders", "op", "ts", "tso", outDir,
+          tsoCarrier = "sequence", gtidSid = Some(sid),
+          priorExecuted = prior)
+      val dir = Staged.tempDir("q106-gtid")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      def copyInto(src: String): Unit = {
+        val existing = Option(new java.io.File(dir).listFiles)
+          .map(_.count(_.getName.startsWith("binlog."))).getOrElse(0)
+        new java.io.File(src).listFiles
+          .filter(_.getName.startsWith("binlog.")).sortBy(_.getName)
+          .zipWithIndex.foreach { case (f, i) =>
+            java.nio.file.Files.copy(f.toPath, java.nio.file.Paths
+              .get(dir, f"binlog.${existing + i}%06d"))
+          }
+      }
+      val d1 = Staged.tempDir("q106-call1")
+      writeCall(0L, 60L, d1, graft.model.GtidSet.Empty)
+      copyInto(d1)
+      val afterCall1 = BinlogCatalog.executedGtidSet(s, dir)
+      val d2 = Staged.tempDir("q106-call2")
+      writeCall(60L, 120L, d2, afterCall1)
+      copyInto(d2)
+      val srv = new BinlogDumpServer(dir, "repl", "pw")
+      try {
+        val seg = BinlogDumpClient.dumpSegmentGtid("localhost",
+          srv.port, "repl", "pw", afterCall1)
+        ChangeEventSource.fromWireSegments(
+            Seq(("dn1", seg)).toDF("dn", "payload"), "dn", "payload",
+            Map(("app", "orders") -> specsQ.map(_.name)))
+          .filter(col("op") === "INSERT")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("tso")).as("n_txns"),
+            sum(element_at(col("after"), "o_orderkey").cast("long"))
+              .as("sum_okey"),
+            sum(element_at(col("after"), "o_custkey").cast("long"))
+              .as("sum_cust"))
+      } finally srv.close()
+    }),
+
+    // DDL REBUILD replica (oracle-checked): an in-stream RENAME
+    // COLUMN mid-batch rebuilds the routed target in place
+    // (TxnApplier.rebuildTarget — the metadata-only path would
+    // mis-read existing files), and rows on BOTH sides of the rename
+    // land intact: pre-DDL string images carry the OLD name and apply
+    // through the shape fallback chain. Final state == the source
+    // table, column renamed.
+    "q107_ddl_rebuild" -> ((s, d) => {
+      import s.implicits._
+      import graft.jobs.WireReplicaJob
+      val src = Tables.orders(s, d).filter(col("o_orderkey") <= 100)
+        .select(col("o_orderkey").cast("long").as("k"),
+          col("o_orderpriority").as("v"))
+      def evOf(valName: String, half: Column) = src.filter(half)
+        .select((col("k") * 2 + 2).as("tso"), lit("INSERT").as("op"),
+          lit("app").as("schemaName"), lit("orders").as("tableName"),
+          map().cast("map<string,string>").as("before"),
+          map(lit("k"), col("k").cast("string"), lit("seq"), lit("1"),
+            lit(valName), col("v")).as("after"),
+          lit(null).cast("string").as("ddl"))
+      val ddlRow = Seq((103L, "DDL", "app", "orders",
+          Map.empty[String, String], Map.empty[String, String],
+          "ALTER TABLE orders RENAME COLUMN val TO val2"))
+        .toDF("tso", "op", "schemaName", "tableName", "before",
+          "after", "ddl")
+      val ev = evOf("val", col("k") <= 50)
+        .unionByName(ddlRow)
+        .unionByName(evOf("val2", col("k") > 50))
+      val staged = Staged.parquetStage(ev, Staged.tempDir("q107-stage"))
+      val root = Staged.tempDir("q107-target")
+      WireReplicaJob.applyRoutedWithDdl(staged,
+        Seq(WireReplicaJob.TableTarget("app", "orders",
+          Seq("k" -> "long", "seq" -> "long", "val" -> "string"),
+          Seq("k"), "seq", root, 4)),
+        txnsPerCommit = 64)
+      TxnApplier.readCurrent(s, root)
+        .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("key_sum"),
+          count(col("val2")).as("n_vals"),
+          sum(length(col("val2"))).as("len_sum"))
     })
   )
 
@@ -2695,6 +2801,24 @@ object SparkEntry {
         "CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_txns, " +
         "CAST(sum(l_orderkey) AS BIGINT) AS sum_okey, " +
         "CAST(sum(l_linenumber) AS BIGINT) AS sum_line " +
-        "FROM lineitem WHERE l_orderkey > 60 AND l_orderkey <= 120")
+        "FROM lineitem WHERE l_orderkey > 60 AND l_orderkey <= 120"),
+
+    // q106: the pruned auto-position dump serves exactly the second
+    // writer call's complement (gno := tso := o_orderkey)
+    "q106_gtid_pruned_dump" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_txns, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS sum_okey, " +
+        "CAST(sum(o_custkey) AS BIGINT) AS sum_cust " +
+        "FROM orders WHERE o_orderkey > 60 AND o_orderkey <= 120"),
+
+    // q107: the rebuilt (renamed) replica target holds the source
+    // table exactly — every row, both sides of the in-stream rename
+    "q107_ddl_rebuild" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+        "CAST(count(o_orderpriority) AS BIGINT) AS n_vals, " +
+        "CAST(sum(length(o_orderpriority)) AS BIGINT) AS len_sum " +
+        "FROM orders WHERE o_orderkey <= 100")
   )
 }
