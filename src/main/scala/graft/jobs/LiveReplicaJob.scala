@@ -223,7 +223,10 @@ object LiveReplicaJob {
     * driver restart then [[resume]]s from the last committed trigger
     * instead of the caller's stale bootstrap value. Atomic swap: a
     * crash mid-save leaves the previous committed cursors, whose
-    * replayed prefix the per-table apply gates drop. */
+    * replayed prefix the per-table apply gates drop. ONE runner per
+    * cursorDir: concurrent loops sharing a sidecar would clobber each
+    * other's commits (last write wins — correct state, wasted
+    * re-polls); give each fleet its own directory. */
   def saveCursors(cursorDir: String, endpoints: Seq[Endpoint]): Unit = {
     require(endpoints.forall(e => !e.dn.exists("\t\n".contains(_))),
       "DN names must not contain tab/newline")
@@ -270,6 +273,68 @@ object LiveReplicaJob {
     }
   }
 
+  /** Persist the evolved wire NAME REGISTRY beside the cursors. The
+    * decoder tracks DDL within a segment ([[graft.sinks.BinlogWire
+    * .evolveRegistry]]), but ACROSS triggers and restarts the registry
+    * must persist or a rename would silently misname later segments'
+    * cells (a renamed column decodes under its old name, the shape
+    * step reads null, data quietly lost). The runner saves it after
+    * any trigger whose stream carried registry-changing DDL — BEFORE
+    * the cursors, so a crash between the two replays the DDL segment
+    * against the already-evolved registry (position-based decode keeps
+    * the values; the gates drop the replayed rows). */
+  def saveRegistry(cursorDir: String,
+      reg: Map[(String, String), Seq[String]]): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(cursorDir, "_graft_registry")
+    graft.util.HadoopIo.fsOf(dst).mkdirs(dst.getParent)
+    graft.util.HadoopIo.writeSwap(
+      new org.apache.hadoop.fs.Path(cursorDir, "._graft_registry.tmp"),
+      dst,
+      reg.toSeq.sortBy(t => (t._1._1, t._1._2)).map { case ((s, t), cols) =>
+        s"$s\t$t\t${cols.mkString(",")}"
+      }.mkString("\n"))
+  }
+
+  /** The caller's registry with any persisted evolution applied —
+    * sidecar entries override matching tables, tables the sidecar
+    * never saw keep the caller's value. */
+  def resumeRegistry(cursorDir: String,
+      initial: Map[(String, String), Seq[String]])
+      : Map[(String, String), Seq[String]] = {
+    val dst = new org.apache.hadoop.fs.Path(cursorDir, "_graft_registry")
+    if (!graft.util.HadoopIo.fsOf(dst).exists(dst)) initial
+    else {
+      val saved = graft.util.HadoopIo.readString(dst).split("\n").toSeq
+        .filter(_.nonEmpty).map { line =>
+          val Array(s, t, cols) = line.split("\t", 3)
+          (s, t) -> cols.split(",").toSeq.filter(_.nonEmpty)
+        }.toMap
+      initial.map { case (k, v) => k -> saved.getOrElse(k, v) } ++
+        (saved -- initial.keySet)
+    }
+  }
+
+  /** One trigger's registry evolution: fold the staged decoded batch's
+    * DDL statements (TSO order) into `reg` — the runner's cross-trigger
+    * half of the decoder's in-segment schema tracking. */
+  private def evolveFromStage(spark: SparkSession, decodedStage: String,
+      reg: Map[(String, String), Seq[String]])
+      : Map[(String, String), Seq[String]] = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(decodedStage)
+    if (!graft.util.HadoopIo.fsOf(root).exists(root)) reg
+    else {
+      val ddls = spark.read.parquet(decodedStage)
+        .filter(col("op") === "DDL" && col("ddl").isNotNull)
+        .select(col("tso").cast("long"), col("schemaName"), col("ddl"))
+        .orderBy(col("tso"))
+        .as[(Long, String, String)].collect()
+      ddls.foldLeft(reg) { case (r, (_, sch, stmt)) =>
+        graft.sinks.BinlogWire.evolveRegistry(r, sch, stmt)
+      }
+    }
+  }
+
   // ---- the standing-loop runner ----
 
   /** THE deployment call: poll → route-apply → commit cursors, every
@@ -296,11 +361,16 @@ object LiveReplicaJob {
       maxBytesPerPoll: Long = Long.MaxValue,
       ddlInStream: Boolean = false): Seq[Endpoint] = {
     var eps = resume(cursorDir, endpoints)
+    var reg = resumeRegistry(cursorDir, tableCols)
     var n = 0L
     while (!shouldStop() && n < maxTriggers) {
-      val next = pollApplyOnceRouted(spark, eps, tableCols, targets,
+      val next = pollApplyOnceRouted(spark, eps, reg, targets,
         stagingDir, txnsPerCommit, fromTso, serverId, soTimeoutMs,
         maxBytesPerPoll, ddlInStream)
+      if (ddlInStream) {
+        val evolved = evolveFromStage(spark, stagingDir + "_decoded", reg)
+        if (evolved != reg) { reg = evolved; saveRegistry(cursorDir, reg) }
+      }
       saveCursors(cursorDir, next)
       monitor.foreach(_.noteBatch(loopId, n, if (next != eps) 1L else 0L))
       eps = next
@@ -328,11 +398,16 @@ object LiveReplicaJob {
       maxBytesPerPoll: Long = Long.MaxValue,
       ddlInStream: Boolean = false): Seq[GtidEndpoint] = {
     var eps = resumeGtid(cursorDir, endpoints)
+    var reg = resumeRegistry(cursorDir, tableCols)
     var n = 0L
     while (!shouldStop() && n < maxTriggers) {
-      val next = pollApplyOnceGtid(spark, eps, tableCols, targets,
+      val next = pollApplyOnceGtid(spark, eps, reg, targets,
         stagingDir, txnsPerCommit, fromTso, serverId, soTimeoutMs,
         maxBytesPerPoll, ddlInStream)
+      if (ddlInStream) {
+        val evolved = evolveFromStage(spark, stagingDir + "_decoded", reg)
+        if (evolved != reg) { reg = evolved; saveRegistry(cursorDir, reg) }
+      }
       saveGtidCursors(cursorDir, next)
       monitor.foreach(_.noteBatch(loopId, n, if (next != eps) 1L else 0L))
       eps = next

@@ -24,6 +24,13 @@ import java.util.UUID
   * rewriting file names — which is exactly when a (file, pos) cursor
   * answers error 1236.
   *
+  * Size note: with this engine's gno := tso convention, the interval
+  * count equals the number of non-adjacent tso RUNS a consumer has
+  * executed — contiguous history (the standing replica's steady
+  * state) stays one interval per SID; a consumer skipping around a
+  * sparse tso space grows O(gaps). The text/binary spellings (and
+  * the PREVIOUS_GTIDS events carrying them) are O(intervals).
+  *
   * INVARIANT (enforced at construction — the companion `apply`
   * normalizes): per SID the intervals are sorted, disjoint,
   * non-touching, non-empty, and a SID with no intervals is absent.

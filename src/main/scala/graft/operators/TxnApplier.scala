@@ -254,7 +254,9 @@ object TxnApplier {
     * later applyBatch agree). `transform` must be IDEMPOTENT
     * (withColumnRenamed on an absent column and cast-to-same-type
     * both no-op) — a replayed trigger re-runs it against the
-    * already-rebuilt state. */
+    * already-rebuilt state. Storage: the rebuild is a full second
+    * copy until `vacuum` reclaims the superseded versions — schedule
+    * one after a rebuild on a large target. */
   def rebuildTarget(spark: SparkSession, dir: String,
       keyCols: Seq[String], nBuckets: Int,
       transform: DataFrame => DataFrame): Commit = {

@@ -1386,6 +1386,68 @@ object BinlogWire {
     * names; tables absent from it decode with "@1"-style ordinals
     * (TABLE_MAP carries no names). Supports checksum-off files with the
     * event types this object emits; skips unknown frames. */
+  /** Fold ONE DDL statement into a column-name registry, with MySQL's
+    * ORDINAL semantics (FIRST/AFTER honored, CHANGE repositions when
+    * asked) — what the producer's table layout does, hence what the
+    * wire's per-position cells follow. CREATE TABLE registers,
+    * RENAME/DROP TABLE move/remove entries; statements for unknown
+    * tables (and unparseable ones) leave the registry untouched.
+    * Shared by the schema-tracking decoder ([[decodeStream]]) and the
+    * live-replica runner's PERSISTED registry
+    * ([[graft.jobs.LiveReplicaJob]]) — the same fold, applied within
+    * a segment there and across triggers/restarts here. */
+  def evolveRegistry(reg: Map[(String, String), Seq[String]],
+      defaultSchema: String, stmt: String)
+      : Map[(String, String), Seq[String]] = {
+    import graft.operators.DdlParser
+    def place(cols: Seq[String], name: String, first: Boolean,
+        after: Option[String]): Seq[String] =
+      if (first) name +: cols
+      else after match {
+        case Some(a) if cols.contains(a) =>
+          cols.flatMap(c => if (c == a) Seq(c, name) else Seq(c))
+        case _ => cols :+ name
+      }
+    DdlParser.parse(stmt, defaultSchema) match {
+      case DdlParser.CreateTable(s2, t2, cols, _, _) =>
+        reg.updated((s2, t2), cols.map(_.name))
+      case DdlParser.AlterTable(s2, t2, actions) =>
+        reg.get((s2, t2)) match {
+          case None => reg
+          case Some(cur0) =>
+            var cur = cur0
+            actions.foreach {
+              case DdlParser.AddColumn(cd, first, after)
+                  if !cur.contains(cd.name) =>
+                cur = place(cur, cd.name, first, after)
+              case DdlParser.DropColumn(n) => cur = cur.filterNot(_ == n)
+              case DdlParser.RenameColumn(o, n) =>
+                cur = cur.map(c => if (c == o) n else c)
+              case DdlParser.ChangeColumn(o, cd, first, after) =>
+                val renamed = cur.map(c => if (c == o) cd.name else c)
+                cur = if (!first && after.isEmpty) renamed
+                  else place(renamed.filterNot(_ == cd.name), cd.name,
+                    first, after)
+              case DdlParser.ModifyColumn(cd, first, after)
+                  if first || after.isDefined =>
+                cur = place(cur.filterNot(_ == cd.name), cd.name,
+                  first, after)
+              case _ => ()
+            }
+            val updated = reg.updated((s2, t2), cur)
+            actions.collectFirst {
+              case DdlParser.RenameTo(s3, t3) => (s3.getOrElse(s2), t3)
+            }.fold(updated)(dst => updated - ((s2, t2)) + (dst -> cur))
+        }
+      case DdlParser.RenameTable(pairs) =>
+        pairs.foldLeft(reg) { case (r, (from, to)) =>
+          r.get(from).fold(r)(cols => r - from + (to -> cols))
+        }
+      case DdlParser.DropTable(ts) => ts.foldLeft(reg)(_ - _)
+      case _ => reg
+    }
+  }
+
   def decodeFile(bytes: Array[Byte],
       colNames: Map[(String, String), Seq[String]] = Map.empty): Seq[DecodedRow] =
     decodeStream(parseFile(bytes).iterator, colNames).toSeq
@@ -1400,6 +1462,16 @@ object BinlogWire {
       : Iterator[DecodedRow] = new Iterator[DecodedRow] {
     private val tables = scala.collection.mutable.Map
       .empty[Long, (String, String, Seq[Wire])]
+    // SCHEMA-TRACKING name registry: seeded from `colNames`, evolved by
+    // every DDL statement the stream itself carries (CREATE TABLE
+    // registers, ADD/DROP/RENAME/CHANGE/MODIFY reposition — MySQL's
+    // ordinal semantics, FIRST/AFTER honored) — the reference's meta
+    // manager replaying DDL to know each position's column layout
+    // (meta/PolarDbXTableMetaManager.java:103, MemoryTableMeta.java:
+    // 122-147), applied AT DECODE TIME. A stream whose producer renames
+    // a column mid-file therefore decodes correctly from the INITIAL
+    // registry alone; callers no longer hand-evolve it.
+    private var liveNames: Map[(String, String), Seq[String]] = colNames
     private var tso = Option.empty[Long]
     private var gtid = Option.empty[String]
     private val pending = scala.collection.mutable.ArrayBuffer.empty[DecodedRow]
@@ -1457,10 +1529,12 @@ object BinlogWire {
           gtid = None
         case QueryEvent =>
           val (sn, stmt) = queryParts(body)
-          if (stmt != "BEGIN") // BEGIN frames a txn; anything else is DDL
+          if (stmt != "BEGIN") { // BEGIN frames a txn; anything else is DDL
             pending += DecodedRow(sn, "", "DDL", Map.empty, Map.empty,
               tso, None, ddl = Some(stmt), gtid = gtid,
               hdrTs = frame.timestamp, serverId = frame.serverId)
+            liveNames = evolveRegistry(liveNames, sn, stmt)
+          }
         case tc if tc == WriteRowsEventV2 || tc == UpdateRowsEventV2 ||
             tc == DeleteRowsEventV2 =>
           val r = new ByteReader(body)
@@ -1472,8 +1546,13 @@ object BinlogWire {
           if (tc == UpdateRowsEventV2) r.bytes((nCols + 7) / 8)
           val (sn, tn, wires) = tables.getOrElse(tid,
             sys.error(s"rows event for unmapped table $tid"))
-          val names = colNames.getOrElse((sn, tn),
+          val names = liveNames.getOrElse((sn, tn),
             (1 to nCols).map(i => s"@$i"))
+          require(names.length >= nCols,
+            s"table $sn.$tn: TABLE_MAP declares $nCols columns but the " +
+              s"(evolved) registry names only ${names.length} " +
+              s"(${names.mkString(",")}) — the producer applied DDL this " +
+              "decoder's schema tracking did not capture")
           def image(): Map[String, String] = {
             val nb = r.bytes((nCols + 7) / 8)
             wires.zipWithIndex.flatMap { case (w, i) =>

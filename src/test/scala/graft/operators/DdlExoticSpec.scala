@@ -113,6 +113,53 @@ class DdlExoticSpec extends SparkSpec {
         ifNotExists = false))
   }
 
+  test("alter-column default/visibility reworks, generated columns, enum literals with commas, key toggles, partition add/drop, maintenance statements") {
+    // ALTER COLUMN default/visibility changes are schema-neutral
+    assert(parse("ALTER TABLE t ALTER COLUMN c SET DEFAULT 5", "s") ==
+      AlterTable("s", "t", Seq(IgnoredAction)))
+    assert(parse("ALTER TABLE t ALTER c DROP DEFAULT", "s") ==
+      AlterTable("s", "t", Seq(IgnoredAction)))
+    assert(parse("ALTER TABLE t ALTER COLUMN c SET INVISIBLE", "s") ==
+      AlterTable("s", "t", Seq(IgnoredAction)))
+    // generated column: the stored type survives, the expression (and
+    // STORED/VIRTUAL) folds away; a trailing AFTER still reads
+    assert(parse("ALTER TABLE t ADD COLUMN g INT AS (a + b) STORED", "s") ==
+      AlterTable("s", "t", Seq(
+        AddColumn(ColumnDef("g", "int"), first = false, after = None))))
+    assert(parse(
+      "ALTER TABLE t ADD COLUMN g INT GENERATED ALWAYS AS (a * 2) " +
+        "VIRTUAL AFTER a", "s") ==
+      AlterTable("s", "t", Seq(
+        AddColumn(ColumnDef("g", "int"), first = false, after = Some("a")))))
+    // enum/set literals carrying commas must not split the action list
+    assert(parse("ALTER TABLE t MODIFY c ENUM('a','b,c') NOT NULL, " +
+      "ADD COLUMN d INT", "s") ==
+      AlterTable("s", "t", Seq(
+        ModifyColumn(ColumnDef("c", "string"), first = false, after = None),
+        AddColumn(ColumnDef("d", "int"), first = false, after = None))))
+    // key toggles and table options rework nothing
+    Seq("ALTER TABLE t DISABLE KEYS", "ALTER TABLE t ENABLE KEYS",
+      "ALTER TABLE t FORCE", "ALTER TABLE t ORDER BY c",
+      "ALTER TABLE t COMMENT='x'", "ALTER TABLE t AUTO_INCREMENT=100",
+      "ALTER TABLE t ROW_FORMAT=DYNAMIC").foreach { stmt =>
+      assert(parse(stmt, "s") == AlterTable("s", "t", Seq(IgnoredAction)),
+        stmt)
+    }
+    // partition lifecycle beside a real action
+    assert(parse("ALTER TABLE t ADD PARTITION " +
+      "(PARTITION p2 VALUES LESS THAN (20))", "s") ==
+      AlterTable("s", "t", Seq(IgnoredAction)))
+    assert(parse("ALTER TABLE t DROP PARTITION p0, ADD COLUMN e INT", "s") ==
+      AlterTable("s", "t", Seq(IgnoredAction,
+        AddColumn(ColumnDef("e", "int"), first = false, after = None))))
+    // statement-level index / maintenance DDL has no schema effect
+    Seq("CREATE INDEX idx ON t (c)", "CREATE UNIQUE INDEX idx ON t (c)",
+      "DROP INDEX idx ON t", "ANALYZE TABLE t", "OPTIMIZE TABLE t",
+      "REPAIR TABLE t").foreach { stmt =>
+      assert(parse(stmt, "s") == Noop, stmt)
+    }
+  }
+
   test("truncate, multi-drop, multi-rename") {
     assert(parse("TRUNCATE TABLE t", "s") == Noop)
     assert(parse("DROP TABLE IF EXISTS a, b", "s") ==

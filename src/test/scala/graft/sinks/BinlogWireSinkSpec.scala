@@ -212,6 +212,85 @@ class BinlogWireSinkSpec extends SparkSpec {
     assert(del.contains("a"))
   }
 
+  test("schema-tracking decode: in-stream DDL evolves the name registry") {
+    val ts = 1700000000L
+    def callBytes(rows: Seq[(Long, Long, String, String, String,
+        Map[String, String], Map[String, String], String)],
+        cols: Map[(String, String), Seq[String]]): Array[Byte] = {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-sst").toString
+      val ev = rows.map { case (tso, txn, op, sn, tn, b, a, ddl) =>
+        (tso, txn, op, sn, tn, b, a, ddl, ts)
+      }.toDF("tso", "txnId", "op", "schemaName", "tableName", "before",
+        "after", "ddl", "tsoTime")
+      BinlogWire.writeChangeStreamBinlogFiles(
+        ev.coalesce(1).sortWithinPartitions("tso"), cols, d,
+        checksummed = true)
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(d, "binlog.000000"))
+    }
+    def concat(segs: Array[Byte]*): Array[Byte] =
+      segs.head ++ segs.tail.flatMap(_.drop(4)) // one magic
+
+    // RENAME mid-stream: a consumer holding only the INITIAL registry
+    // decodes post-DDL rows under the NEW name — the poll-segment
+    // shape (a dump concatenates files, so the rename and the rows it
+    // renames travel in one decoded stream)
+    val segA = callBytes(Seq(
+      (1L, 1L, "INSERT", "db", "t", Map.empty, Map("k" -> "1", "v" -> "a"), null),
+      (2L, 2L, "DDL", "db", "t", Map.empty, Map.empty,
+        "ALTER TABLE t RENAME COLUMN v TO v2")),
+      Map(("db", "t") -> Seq("k", "v")))
+    val segB = callBytes(Seq(
+      (3L, 3L, "INSERT", "db", "t", Map.empty, Map("k" -> "2", "v2" -> "b"), null)),
+      Map(("db", "t") -> Seq("k", "v2")))
+    val rows = BinlogWire.decodeFile(concat(segA, segB),
+      Map(("db", "t") -> Seq("k", "v"))).filter(_.op == "INSERT")
+    assert(rows.map(_.after) == Seq(
+      Map("k" -> "1", "v" -> "a"), Map("k" -> "2", "v2" -> "b")))
+
+    // CREATE TABLE registers a brand-new table: decode needs NO
+    // caller registry at all
+    val segC = callBytes(Seq(
+      (1L, 1L, "DDL", "db", "t2", Map.empty, Map.empty,
+        "CREATE TABLE t2 (a INT, b VARCHAR(10))"),
+      (2L, 2L, "INSERT", "db", "t2", Map.empty,
+        Map("a" -> "7", "b" -> "x"), null)),
+      Map(("db", "t2") -> Seq("a", "b")))
+    val created = BinlogWire.decodeFile(segC).filter(_.op == "INSERT")
+    assert(created.map(_.after) == Seq(Map("a" -> "7", "b" -> "x")))
+
+    // ADD COLUMN ... AFTER honors MySQL's ordinal placement
+    val segD = callBytes(Seq(
+      (1L, 1L, "DDL", "db", "t3", Map.empty, Map.empty,
+        "ALTER TABLE t3 ADD COLUMN n INT AFTER k")),
+      Map(("db", "t3") -> Seq("k", "v")))
+    val segE = callBytes(Seq(
+      (2L, 2L, "INSERT", "db", "t3", Map.empty,
+        Map("k" -> "1", "n" -> "5", "v" -> "z"), null)),
+      Map(("db", "t3") -> Seq("k", "n", "v")))
+    val placed = BinlogWire.decodeFile(concat(segD, segE),
+      Map(("db", "t3") -> Seq("k", "v"))).filter(_.op == "INSERT")
+    assert(placed.map(_.after) == Seq(
+      Map("k" -> "1", "n" -> "5", "v" -> "z")))
+
+    // an INCONSISTENT producer (DDL shrank the table, layout did not)
+    // fails loudly, never silently misnames cells
+    val segF = callBytes(Seq(
+      (1L, 1L, "DDL", "db", "t4", Map.empty, Map.empty,
+        "ALTER TABLE t4 DROP COLUMN v")),
+      Map(("db", "t4") -> Seq("k", "v")))
+    val segG = callBytes(Seq(
+      (2L, 2L, "INSERT", "db", "t4", Map.empty,
+        Map("k" -> "1", "v" -> "stale"), null)),
+      Map(("db", "t4") -> Seq("k", "v")))
+    val err = intercept[IllegalArgumentException] {
+      BinlogWire.decodeFile(concat(segF, segG),
+        Map(("db", "t4") -> Seq("k", "v")))
+    }
+    assert(err.getMessage.contains("schema tracking"))
+  }
+
   test("DDL rows travel as QUERY statement events and decode back") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wireddl").toString
     val ev = Seq(
