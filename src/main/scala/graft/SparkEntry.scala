@@ -1810,6 +1810,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("key_sum"),
           count(col("val2")).as("n_vals"),
           sum(length(col("val2"))).as("len_sum"))
+    }),
+
+    // Vocabulary coverage / OOV rate (oracle-checked): the
+    // tokenizer-budget analysis — what fraction of token occurrences
+    // a top-N vocabulary covers, per document, integer-exact (top-N
+    // cut on the TOTAL order (tf desc, token asc), so any engine
+    // selects the identical vocabulary). Corpus-level rollup keeps
+    // the output compact and hash-stable.
+    "q108_vocab_coverage" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") <= 500)
+      graft.text.CorpusStats.vocabCoverage(docs, "doc_id", "text", 200)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tot_tokens"),
+          sum(col("n_oov")).as("tot_oov"),
+          count(when(col("n_oov") === 0, 1)).as("fully_covered"))
     })
   )
 
@@ -2819,6 +2834,23 @@ object SparkEntry {
         "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
         "CAST(count(o_orderpriority) AS BIGINT) AS n_vals, " +
         "CAST(sum(length(o_orderpriority)) AS BIGINT) AS len_sum " +
-        "FROM orders WHERE o_orderkey <= 100")
+        "FROM orders WHERE o_orderkey <= 100"),
+
+    // q108: top-200 vocabulary by (tf desc, token asc) — a total
+    // order, so both engines cut the identical set
+    "q108_vocab_coverage" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id <= 500), " +
+        "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM d), " +
+        "tf AS (SELECT token, count(*) AS c FROM toks GROUP BY token), " +
+        "vocab AS (SELECT token FROM tf ORDER BY c DESC, token ASC LIMIT 200), " +
+        "perdoc AS (SELECT t.doc_id, count(*) AS n_tokens, " +
+        "count(*) FILTER (WHERE v.token IS NULL) AS n_oov " +
+        "FROM toks t LEFT JOIN vocab v ON t.token = v.token " +
+        "GROUP BY t.doc_id) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS tot_tokens, " +
+        "CAST(sum(n_oov) AS BIGINT) AS tot_oov, " +
+        "CAST(count(*) FILTER (WHERE n_oov = 0) AS BIGINT) AS fully_covered " +
+        "FROM perdoc")
   )
 }

@@ -156,6 +156,10 @@ object WireReplicaJob {
     *    still refused loudly — the caller's TableTarget names them,
     *    and silently re-keying a routed target would orphan its
     *    bucketing contract.
+    *  - RENAME TABLE / ALTER ... RENAME TO on a routed table: refused
+    *    loudly — the decode registry would follow the new name while
+    *    the routing still matched the old one, silently stopping
+    *    replication; re-point the TableTarget out of band.
     *  - DDL for tables nobody routes: ignored, like their row events.
     *
     * The DDL stream is folded DRIVER-SIDE in TSO order — DDL is
@@ -186,7 +190,7 @@ object WireReplicaJob {
     val ddls = decoded
       .filter(col("op") === "DDL" && col("ddl").isNotNull)
       .select(col("tso").cast("long"), col("schemaName"), col("ddl"))
-      .orderBy(col("tso"))
+      .orderBy(col("tso"), col("ddl")) // ddl tie-break: deterministic fold
       .as[(Long, String, String)].collect()
     // DDL honors a position gate like the rows do: a statement at or
     // below max(committed row TSO, committed DDL TSO) already took
@@ -210,6 +214,25 @@ object WireReplicaJob {
       .withDefaultValue(Map.empty)
     ddls.foreach { case (tso, defaultSchema, stmt) =>
       DdlParser.parse(stmt, defaultSchema) match {
+        // renaming a ROUTED TABLE refuses loudly: the decode registry
+        // would follow the new name while the TableTarget still routes
+        // the old one — every later row would silently stop
+        // replicating. Re-point the TableTarget out of band instead.
+        case DdlParser.RenameTable(pairs)
+            if pairs.exists(p => byTable.contains(p._1)) =>
+          throw new IllegalArgumentException(
+            s"RENAME TABLE on routed table(s) " +
+              pairs.map(_._1).filter(byTable.contains)
+                .map { case (s3, t3) => s"$s3.$t3" }.mkString(",") +
+              " is unsupported online (the routing names the table); " +
+              "re-point the TableTarget and restart the stream")
+        case DdlParser.AlterTable(s2, t2, actions)
+            if byTable.contains((s2, t2)) &&
+              actions.exists(_.isInstanceOf[DdlParser.RenameTo]) =>
+          throw new IllegalArgumentException(
+            s"ALTER TABLE $s2.$t2 RENAME TO ... is unsupported online " +
+              "(the routing names the table); re-point the TableTarget " +
+              "and restart the stream")
         case DdlParser.AlterTable(s2, t2, actions)
             if byTable.contains((s2, t2)) && tso > ddlGate((s2, t2)) =>
           val t = byTable((s2, t2))

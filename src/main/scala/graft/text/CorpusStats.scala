@@ -224,6 +224,37 @@ object CorpusStats {
       .limit(k)
   }
 
+  /** Vocabulary coverage / OOV analysis — the tokenizer-budget
+    * question ("how much of the corpus does a top-N vocabulary
+    * cover?") answered integer-exact per document. The vocabulary is
+    * the top `vocabSize` tokens by (tf desc, token asc) — a TOTAL
+    * order (token is unique), so the cut at the boundary is
+    * deterministic and any SQL engine selects the identical set.
+    * Returns one row per document: (id, n_tokens, n_oov) where n_oov
+    * counts occurrences of out-of-vocabulary tokens.
+    *
+    * Scale shape: two corpus explode passes (tf, then membership) —
+    * deliberately NOT staged: the exploded token stream IS the corpus
+    * again, so materializing it would trade cheap recompute CPU for
+    * corpus-scale storage (the bm25 tf stage is different — that one
+    * is query-matched rows only). Top-N via orderBy+limit =
+    * TakeOrderedAndProject (distributed partial top-k, never a global
+    * sort), a vocab-sized broadcast join flags membership, and one
+    * per-document aggregation folds the counts. */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val toks = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+    val tf = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.orderBy(col("tf").desc, col("token").asc)
+      .limit(vocabSize).select(col("token"), lit(1).as("__iv"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__iv").isNull, 1)).as("n_oov"))
+  }
+
   /** Per-document characteristic terms — tf-idf keyword extraction with
     * an integer-exact ranking. The tf-idf ordering (tf·log(N/df)) is
     * dominated by tf and penalizes common terms; ranking by

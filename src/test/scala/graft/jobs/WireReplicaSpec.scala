@@ -456,5 +456,17 @@ class WireReplicaSpec extends SparkSpec {
         Map.empty,
         "ALTER TABLE accounts RENAME COLUMN seq TO seqno"))), targets)
     }
+    // renaming the routed TABLE itself refuses too — silently letting
+    // the stream follow a new name the routing doesn't match would
+    // stop replication without a sound
+    intercept[IllegalArgumentException] {
+      WireReplicaJob.applyRoutedWithDdl(decodedOf(Seq((23L, "DDL",
+        Map.empty, "RENAME TABLE accounts TO accounts2"))), targets)
+    }
+    intercept[IllegalArgumentException] {
+      WireReplicaJob.applyRoutedWithDdl(decodedOf(Seq((24L, "DDL",
+        Map.empty, "ALTER TABLE accounts RENAME TO accounts2"))),
+        targets)
+    }
   }
 }

@@ -133,6 +133,29 @@ class CorpusStatsSpec extends SparkSpec {
       s"bm25 runs ${finalPlanGenerates(q)} explode passes")
   }
 
+  test("vocabCoverage: top-N cut is deterministic on the (tf, token) total order; OOV counts occurrences") {
+    // corpus tfs: the=4, cat=2, sat=2, dog=2, ran=1, quietly=1, howled=1
+    // top-3 by (tf desc, token asc): the, cat, dog — the tf-2 TIE
+    // between cat/dog/sat cuts on token order (cat < dog < sat)
+    val cov = CorpusStats.vocabCoverage(docs, "doc_id", "text", 3)
+      .select($"doc_id", $"n_tokens", $"n_oov")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(cov == Map(
+      1L -> ((3L, 1L)), // the cat sat → sat OOV
+      2L -> ((3L, 1L)), // the cat ran → ran OOV
+      3L -> ((4L, 2L)), // the dog sat quietly → sat, quietly OOV
+      4L -> ((3L, 1L)))) // the dog howled → howled OOV
+    // a vocab covering everything → zero OOV everywhere
+    val full = CorpusStats.vocabCoverage(docs, "doc_id", "text", 100)
+      .select($"n_oov").as[Long].collect()
+    assert(full.forall(_ == 0L))
+    // the top-N select is a TakeOrderedAndProject, never a global sort
+    val q = CorpusStats.vocabCoverage(docs, "doc_id", "text", 3)
+    assert(q.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+
   /** Generate (explode) nodes in the EXECUTED final plan — the AQE
     * string prints an `== Initial Plan ==` section too, which must
     * not double-count. */
