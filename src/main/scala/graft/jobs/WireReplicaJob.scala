@@ -81,7 +81,15 @@ object WireReplicaJob {
       maxParallelTables: Int = 4): Unit = {
     validateTargets(targets)
     inParallel(targets, maxParallelTables) { t =>
-      applyOne(decoded, t, t.colTypes, txnsPerCommit, fromTso)
+      // the target's CURRENT schema and persisted rename lineage, not
+      // the caller's snapshot: after an evolution/rebuild in an earlier
+      // batch, a stale TableTarget (or a stale decode registry naming a
+      // renamed column by its old name) must not drop or null values
+      val colTypes = TxnApplier.targetSchema(t.targetDir)
+        .map(_.fields.toSeq.map(f => f.name -> f.dataType.sql))
+        .getOrElse(t.colTypes)
+      applyOne(decoded, t, colTypes, txnsPerCommit, fromTso,
+        TxnApplier.renameLineage(t.targetDir))
     }
   }
 
@@ -148,10 +156,14 @@ object WireReplicaJob {
     *    the committed state, one full rewrite, pointer-swapped at the
     *    committed txn boundary; the reference's meta layer likewise
     *    applies such DDL by rebuilding its images,
-    *    meta/PolarDbXTableMetaManager.java:103). Rows decoded BEFORE
-    *    a rename in the SAME batch carry the OLD name in their string
-    *    images; the row apply reads renamed columns through an
-    *    old-name fallback chain so they land intact.
+    *    meta/PolarDbXTableMetaManager.java:103). Rows whose string
+    *    images carry the OLD name — decoded before the rename in the
+    *    same batch, or in ANY later batch by a consumer whose decode
+    *    registry is stale (the file-tail streaming replica) — land
+    *    intact through an old-name fallback chain, PERSISTED in the
+    *    target's `_renames` sidecar so the chain survives batches and
+    *    restarts; ADDing a column whose name an old chain holds
+    *    evicts that name (it now belongs to the new column).
     *  - MODIFY/CHANGE/RENAME touching a KEY or the sequence column:
     *    still refused loudly — the caller's TableTarget names them,
     *    and silently re-keying a routed target would orphan its
@@ -206,11 +218,14 @@ object WireReplicaJob {
         TxnApplier.currentCommit(t.targetDir)
           .map(_.lastTso).getOrElse(0L),
         TxnApplier.ddlPosition(t.targetDir))).toMap
-    // per-table fallback chains for columns renamed IN THIS BATCH:
-    // finalName -> older names, newest first (rows decoded before the
-    // rename carry the old name in their string images)
-    val renameAliases = scala.collection.mutable.Map
-      .empty[(String, String), Map[String, Seq[String]]]
+    // per-table fallback chains for renamed columns: the target's
+    // PERSISTED lineage (earlier batches' renames — stale-registry
+    // decodes may still name those columns the old way in ANY later
+    // batch) plus whatever THIS batch's statements add. Changes
+    // persist back to the target's `_renames` sidecar.
+    val renameAliases = scala.collection.mutable.Map(
+      targets.map(t =>
+        t.table -> TxnApplier.renameLineage(t.targetDir)): _*)
       .withDefaultValue(Map.empty)
     ddls.foreach { case (tso, defaultSchema, stmt) =>
       DdlParser.parse(stmt, defaultSchema) match {
@@ -236,6 +251,7 @@ object WireReplicaJob {
         case DdlParser.AlterTable(s2, t2, actions)
             if byTable.contains((s2, t2)) && tso > ddlGate((s2, t2)) =>
           val t = byTable((s2, t2))
+          val aliasesBefore = renameAliases(t.table)
           def curFields = TxnApplier.targetSchema(t.targetDir).getOrElse(
             sys.error(s"target ${t.targetDir}: no schema sidecar"))
             .fields.toVector
@@ -258,11 +274,19 @@ object WireReplicaJob {
           }
           def recordRename(oldName: String, newName: String): Unit = {
             val al = renameAliases(t.table)
-            // the old name inherits any chain it already headed
+            // the old name inherits any chain it already headed;
+            // distinct keeps a replayed statement from duplicating it
             val chain = oldName +: al.getOrElse(oldName, Seq.empty)
             renameAliases(t.table) = (al - oldName) +
-              (newName -> (chain ++ al.getOrElse(newName, Seq.empty)))
+              (newName ->
+                (chain ++ al.getOrElse(newName, Seq.empty)).distinct)
           }
+          // a REUSED name must leave every old chain: images carrying
+          // it from here on belong to the NEW column, not the renamed
+          // one a stale registry once called by that name
+          def evictFromChains(name: String): Unit =
+            renameAliases(t.table) = renameAliases(t.table)
+              .map { case (k, olds) => k -> olds.filterNot(_ == name) }
           actions.foreach {
             case DdlParser.AddColumn(cd, _, _) =>
               // target layout is bucket-hashed, not ordinal — FIRST/
@@ -272,8 +296,10 @@ object WireReplicaJob {
                 case Some(f) => require(f.dataType == dt,
                   s"ADD COLUMN ${cd.name}: exists as ${f.dataType}, " +
                     s"statement says $dt — rebuild the target")
-                case None => fields = fields :+
-                  org.apache.spark.sql.types.StructField(cd.name, dt)
+                case None =>
+                  fields = fields :+
+                    org.apache.spark.sql.types.StructField(cd.name, dt)
+                  evictFromChains(cd.name)
               }
             case DdlParser.DropColumn(n) =>
               guardKeySeq(n, "DROP COLUMN")
@@ -329,6 +355,11 @@ object WireReplicaJob {
           if (fields != curFields)
             TxnApplier.evolveSchema(t.targetDir,
               org.apache.spark.sql.types.StructType(fields))
+          // lineage persists BEFORE the position: a crash between the
+          // two replays this statement, whose no-op checks absorb it
+          if (renameAliases(t.table) != aliasesBefore)
+            TxnApplier.saveRenameLineage(t.targetDir,
+              renameAliases(t.table))
           TxnApplier.commitDdlPosition(t.targetDir, tso)
         case _ => () // unrouted table or non-evolution statement
       }

@@ -163,6 +163,37 @@ object TxnApplier {
         new Path(root, "_ddltso"), tso.toString)
     }
 
+  /** The target's persisted RENAME LINEAGE: for each current column
+    * name, the older names it has carried (newest first). The row
+    * apply reads a renamed column through this fallback chain, so
+    * string images decoded under a STALE registry (a consumer whose
+    * tableCols predate the rename — e.g. the file-tail streaming
+    * replica across batches) still land their values instead of
+    * silently nulling out. Maintained by the DDL fold
+    * (WireReplicaJob.applyRoutedWithDdl): renames append, and ADDing
+    * a column whose name an old chain holds evicts that name (the
+    * name is REUSED for a different column; old images under it must
+    * no longer feed the renamed one). */
+  def renameLineage(dir: String): Map[String, Seq[String]] =
+    try graft.util.HadoopIo.readString(
+        new Path(new Path(dir), "_renames")).split("\n").toSeq
+      .filter(_.nonEmpty).map { line =>
+        val Array(nw, olds) = line.split("\t", 2)
+        nw -> olds.split(",").toSeq.filter(_.nonEmpty)
+      }.toMap
+    catch { case _: java.io.FileNotFoundException => Map.empty }
+
+  /** Overwrite the rename lineage (atomic swap). */
+  def saveRenameLineage(dir: String,
+      lineage: Map[String, Seq[String]]): Unit = {
+    val root = new Path(dir)
+    graft.util.HadoopIo.writeSwap(new Path(root, "._renames.tmp"),
+      new Path(root, "_renames"),
+      lineage.toSeq.sortBy(_._1)
+        .map { case (nw, olds) => s"$nw\t${olds.mkString(",")}" }
+        .mkString("\n"))
+  }
+
   /** ONLINE schema evolution of the target — the replica's ADD/DROP
     * COLUMN path. Metadata-only: the `_schema` sidecar swaps to
     * `newSchema`; data files never rewrite. Carried-over files read

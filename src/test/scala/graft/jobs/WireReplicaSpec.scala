@@ -338,6 +338,81 @@ class WireReplicaSpec extends SparkSpec {
       9L -> ((900L, Some("wired")))))
   }
 
+  test("stale consumer registry across batches: post-rename rows decoded under the OLD name land via the persisted lineage") {
+    val root = java.nio.file.Files.createTempDirectory("graft-stale")
+    val wireDir = s"$root/wire"
+    val regV1 = Map(("bank", "accounts") -> Seq("acct", "seq", "v"))
+    val regV2 = Map(("bank", "accounts") -> Seq("acct", "seq", "v2"))
+    val targets = Seq(WireReplicaJob.TableTarget("bank", "accounts",
+      Seq("acct" -> "long", "seq" -> "long", "v" -> "string"),
+      Seq("acct"), "seq", s"$root/t", 2))
+    def writeSegment(prefix: String,
+        reg: Map[(String, String), Seq[String]],
+        rows: Seq[(Long, String, Map[String, String], String)]): Unit = {
+      val ev = rows.map { case (tso, op, after, ddl) =>
+        (tso, tso, op, "bank", "accounts", Map.empty[String, String],
+          after, ddl, 1700000000L)
+      }.toDF("tso", "txnId", "op", "schemaName", "tableName", "before",
+        "after", "ddl", "tsoTime")
+      BinlogWire.writeChangeStreamBinlogFiles(
+        ev.coalesce(1).sortWithinPartitions("tso"), reg, wireDir,
+        filePrefix = prefix, checksummed = true)
+    }
+    // file 1: a row under the original name, then the RENAME
+    writeSegment("binlog.a.", regV1, Seq(
+      (1L, "INSERT", Map("acct" -> "1", "seq" -> "1", "v" -> "100"), null),
+      (2L, "DDL", Map.empty,
+        "ALTER TABLE accounts RENAME COLUMN v TO v2")))
+    // file 2: the producer's registry evolved (a real source's
+    // TABLE_MAP after the ALTER) — but the CONSUMER below still
+    // decodes with the STALE v1 registry, so this row's value comes
+    // out NAMED "v" by ordinal
+    writeSegment("binlog.b.", regV2, Seq(
+      (3L, "INSERT", Map("acct" -> "2", "seq" -> "1", "v2" -> "200"), null)))
+    // one file per trigger: the rename and the stale-named row land in
+    // SEPARATE batches — only the persisted `_renames` lineage can
+    // carry the fallback across the batch boundary
+    val q = WireReplicaJob.startRouted(spark, wireDir, regV1, targets,
+      s"$root/ckpt", txnsPerCommit = 2, maxFilesPerTrigger = 1,
+      ddlInStream = true)
+    q.awaitTermination()
+    val cur = TxnApplier.readCurrent(spark, s"$root/t")
+    assert(cur.columns.contains("v2") && !cur.columns.contains("v"))
+    assert(cur.select($"acct", $"v2").as[(Long, String)].collect().toMap
+      == Map(1L -> "100", 2L -> "200"))
+    assert(TxnApplier.renameLineage(s"$root/t") == Map("v2" -> Seq("v")))
+
+    // a LATER plain batch (no DDL anywhere near it) with another
+    // stale-named row: applyRouted reads the persisted lineage too
+    WireReplicaJob.applyRouted(
+      Seq((4L, "INSERT", "bank", "accounts", Map.empty[String, String],
+        Map("acct" -> "3", "seq" -> "1", "v" -> "300")))
+        .toDF("tso", "op", "schemaName", "tableName", "before", "after"),
+      targets, txnsPerCommit = 2)
+    assert(TxnApplier.readCurrent(spark, s"$root/t")
+      .select($"acct", $"v2").as[(Long, String)].collect().toMap
+      == Map(1L -> "100", 2L -> "200", 3L -> "300"))
+
+    // reusing the old NAME for a brand-new column evicts it from the
+    // chain — images named "v" now feed the NEW column only
+    WireReplicaJob.applyRoutedWithDdl(
+      Seq((5L, "DDL", "bank", "accounts", Map.empty[String, String],
+        Map.empty[String, String],
+        "ALTER TABLE accounts ADD COLUMN v VARCHAR(10)"),
+        (6L, "INSERT", "bank", "accounts", Map.empty[String, String],
+          Map("acct" -> "4", "seq" -> "1", "v" -> "nv", "v2" -> "400"),
+          null: String))
+        .toDF("tso", "op", "schemaName", "tableName", "before", "after",
+          "ddl"),
+      targets, txnsPerCommit = 2)
+    assert(TxnApplier.renameLineage(s"$root/t") == Map("v2" -> Seq.empty))
+    val last = TxnApplier.readCurrent(spark, s"$root/t")
+      .select($"acct", $"v2", $"v").as[(Long, String, Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(last(4L) == (("400", Some("nv"))))
+    assert(last(3L) == (("300", None))) // row 3's old-"v" stayed in v2
+  }
+
   test("DDL in-stream: ADD/DROP evolve metadata-only; MODIFY/CHANGE/RENAME rebuild the target; key/seq DDL refuses loudly") {
     val root = java.nio.file.Files.createTempDirectory("graft-ddlstream")
     val target = s"$root/t_accounts"
