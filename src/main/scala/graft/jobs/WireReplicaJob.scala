@@ -334,7 +334,13 @@ object WireReplicaJob {
                   if (curType.contains(dt)) r
                   else r.withColumn(cd.name, col(cd.name).cast(dt))
                 }
-              if (oldName != cd.name) recordRename(oldName, cd.name)
+              if (oldName != cd.name) {
+                // the NEW name may be a REUSE of a name some other
+                // chain still holds (renamed away earlier): evict it
+                // there first, then record this rename's own chain
+                evictFromChains(cd.name)
+                recordRename(oldName, cd.name)
+              }
             case DdlParser.RenameColumn(oldName, newName) =>
               guardKeySeq(oldName, "RENAME COLUMN")
               guardKeySeq(newName, "RENAME COLUMN")
@@ -344,6 +350,7 @@ object WireReplicaJob {
                   s"${t.schemaName}.${t.tableName}")
               if (hasOld) // replay after the rebuild: already applied
                 flushThen(_.withColumnRenamed(oldName, newName))
+              evictFromChains(newName) // name reuse: see CHANGE above
               recordRename(oldName, newName)
             case DdlParser.AddPrimaryKey(_) | DdlParser.DropPrimaryKey |
                  DdlParser.IgnoredAction => ()
