@@ -321,6 +321,10 @@ object WireReplicaJob {
               val dt = parseSqlType(cd.dataType)
               val renameNeeded = oldName != cd.name &&
                 fields.exists(_.name == oldName)
+              require(!renameNeeded || !fields.exists(_.name == cd.name),
+                s"CHANGE COLUMN $oldName -> ${cd.name}: target name " +
+                  s"already exists on ${t.schemaName}.${t.tableName} " +
+                  "(a duplicate-name schema would misbind cells)")
               val curType = fields
                 .find(_.name == (if (renameNeeded) oldName else cd.name))
                 .map(_.dataType)
@@ -348,6 +352,10 @@ object WireReplicaJob {
               require(hasOld || fields.exists(_.name == newName),
                 s"RENAME COLUMN $oldName: no such column on " +
                   s"${t.schemaName}.${t.tableName}")
+              require(!hasOld || !fields.exists(_.name == newName),
+                s"RENAME COLUMN $oldName -> $newName: target name " +
+                  s"already exists on ${t.schemaName}.${t.tableName} " +
+                  "(a duplicate-name schema would misbind cells)")
               if (hasOld) // replay after the rebuild: already applied
                 flushThen(_.withColumnRenamed(oldName, newName))
               evictFromChains(newName) // name reuse: see CHANGE above

@@ -1421,9 +1421,15 @@ object BinlogWire {
                   if !cur.contains(cd.name) =>
                 cur = place(cur, cd.name, first, after)
               case DdlParser.DropColumn(n) => cur = cur.filterNot(_ == n)
-              case DdlParser.RenameColumn(o, n) =>
+              // a rename ONTO an existing (different) column would put
+              // a duplicate name in the registry and misbind cells by
+              // name — MySQL never emits such a statement, so treat it
+              // like unparseable DDL: leave the registry untouched
+              case DdlParser.RenameColumn(o, n)
+                  if o == n || !cur.contains(n) =>
                 cur = cur.map(c => if (c == o) n else c)
-              case DdlParser.ChangeColumn(o, cd, first, after) =>
+              case DdlParser.ChangeColumn(o, cd, first, after)
+                  if o == cd.name || !cur.contains(cd.name) =>
                 val renamed = cur.map(c => if (c == o) cd.name else c)
                 cur = if (!first && after.isEmpty) renamed
                   else place(renamed.filterNot(_ == cd.name), cd.name,

@@ -411,6 +411,18 @@ class WireReplicaSpec extends SparkSpec {
       .collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(last(4L) == (("400", Some("nv"))))
     assert(last(3L) == (("300", None))) // row 3's old-"v" stayed in v2
+
+    // renaming ONTO an existing column refuses — a duplicate-name
+    // schema would misbind cells
+    intercept[IllegalArgumentException] {
+      WireReplicaJob.applyRoutedWithDdl(
+        Seq((7L, "DDL", "bank", "accounts", Map.empty[String, String],
+          Map.empty[String, String],
+          "ALTER TABLE accounts RENAME COLUMN v TO v2"))
+          .toDF("tso", "op", "schemaName", "tableName", "before",
+            "after", "ddl"),
+        targets)
+    }
   }
 
   test("DDL in-stream: ADD/DROP evolve metadata-only; MODIFY/CHANGE/RENAME rebuild the target; key/seq DDL refuses loudly") {

@@ -289,6 +289,18 @@ class BinlogWireSinkSpec extends SparkSpec {
         Map(("db", "t4") -> Seq("k", "v")))
     }
     assert(err.getMessage.contains("schema tracking"))
+
+    // a rename ONTO an existing column (a statement MySQL never emits)
+    // leaves the registry untouched instead of duplicating a name
+    val segH = callBytes(Seq(
+      (1L, 1L, "DDL", "db", "t5", Map.empty, Map.empty,
+        "ALTER TABLE t5 RENAME COLUMN k TO v"),
+      (2L, 2L, "INSERT", "db", "t5", Map.empty,
+        Map("k" -> "9", "v" -> "w"), null)),
+      Map(("db", "t5") -> Seq("k", "v")))
+    val kept = BinlogWire.decodeFile(segH,
+      Map(("db", "t5") -> Seq("k", "v"))).filter(_.op == "INSERT")
+    assert(kept.map(_.after) == Seq(Map("k" -> "9", "v" -> "w")))
   }
 
   test("DDL rows travel as QUERY statement events and decode back") {
