@@ -361,6 +361,13 @@ object DdlParser {
         case "alter" if kw.lift(1).contains("table") =>
           val (sch, tbl, at) = qualified(2)
           AlterTable(sch, tbl, parseAlterActions(toks, kw, at))
+        case "alter" if kw.lift(1).contains("ignore") &&
+            kw.lift(2).contains("table") =>
+          // 5.6-era ALTER IGNORE TABLE: the IGNORE only relaxed dup-key
+          // handling during the copy — schema semantics are identical,
+          // and a relay can still carry such statements
+          val (sch, tbl, at) = qualified(3)
+          AlterTable(sch, tbl, parseAlterActions(toks, kw, at))
         case _ => Noop // DML / FLUSH / GRANT / SET ...
       }
     } catch {
@@ -521,7 +528,11 @@ object DdlParser {
       }
       word(0) match {
         case "add" =>
-          val base = if (word(1) == "column") 2 else 1
+          // MariaDB-flavor IF NOT EXISTS would otherwise read as a
+          // column literally named `if`
+          val base0 = if (word(1) == "column") 2 else 1
+          val base = if (word(base0) == "if" && word(base0 + 1) == "not" &&
+            word(base0 + 2) == "exists") base0 + 3 else base0
           if (word(base) == "primary" && word(base + 1) == "key") {
             Seq(AddPrimaryKey(pkColumns(toks, idxs.drop(base + 2))))
           } else if (Set("index", "key", "unique", "constraint", "foreign",
@@ -557,11 +568,16 @@ object DdlParser {
             Seq(AddColumn(ColumnDef(name, tpe), first, after))
           }
         case "drop" =>
+          // MariaDB-flavor IF EXISTS: skip so `if` is never read as a
+          // column name
+          def past(at: Int): Int =
+            if (word(at) == "if" && word(at + 1) == "exists") at + 2 else at
           if (word(1) == "primary" && word(2) == "key") Seq(DropPrimaryKey)
-          else if (word(1) == "column") Seq(DropColumn(tok(2).toLowerCase))
+          else if (word(1) == "column")
+            Seq(DropColumn(tok(past(2)).toLowerCase))
           else if (Set("index", "key", "constraint", "foreign", "partition",
               "check").contains(word(1))) Seq(IgnoredAction)
-          else Seq(DropColumn(tok(1).toLowerCase))
+          else Seq(DropColumn(tok(past(1)).toLowerCase))
         case "modify" =>
           val base = if (word(1) == "column") 2 else 1
           val name = tok(base).toLowerCase

@@ -158,6 +158,19 @@ class DdlExoticSpec extends SparkSpec {
       "REPAIR TABLE t").foreach { stmt =>
       assert(parse(stmt, "s") == Noop, stmt)
     }
+    // 5.6-era ALTER IGNORE TABLE: IGNORE relaxed only dup-key copy
+    // behavior — the schema effect must not silently Noop away
+    assert(parse("ALTER IGNORE TABLE t ADD COLUMN x INT", "s") ==
+      AlterTable("s", "t", Seq(
+        AddColumn(ColumnDef("x", "int"), first = false, after = None))))
+    // MariaDB-flavor IF [NOT] EXISTS never reads as a column named if
+    assert(parse("ALTER TABLE t ADD COLUMN IF NOT EXISTS x INT", "s") ==
+      AlterTable("s", "t", Seq(
+        AddColumn(ColumnDef("x", "int"), first = false, after = None))))
+    assert(parse("ALTER TABLE t DROP COLUMN IF EXISTS x", "s") ==
+      AlterTable("s", "t", Seq(DropColumn("x"))))
+    assert(parse("ALTER TABLE t DROP IF EXISTS x", "s") ==
+      AlterTable("s", "t", Seq(DropColumn("x"))))
   }
 
   test("truncate, multi-drop, multi-rename") {
