@@ -28,7 +28,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   target/
   *     data/v00000007/__bucket=k/...   immutable parquet, written once
   *     _manifests/v00000007.manifest   bucket -> data dir, one per commit
-  *     _current                        "version,lastTso" — pointer swap
+  *     _schemas/s00000003.json         row schema, one per schema change
+  *     _current            "version,lastTso,schemaV" — the ONE pointer swap
   * }}}
   *
   * A commit covers ONLY the buckets its transactions touch (fresh files
@@ -67,23 +68,36 @@ object TxnApplier {
   private def manifestDir(root: Path) = new Path(root, "_manifests")
   private def currentFile(root: Path) = new Path(root, "_current")
   private def schemaFile(root: Path) = new Path(root, "_schema")
+  private def schemasDir(root: Path) = new Path(root, "_schemas")
+  private def schemaVersionFile(root: Path, sv: Long) =
+    new Path(schemasDir(root), f"s$sv%08d.json")
   private def manifestFile(root: Path, v: Long) =
     new Path(manifestDir(root), f"v$v%08d.manifest")
   private def versionRel(v: Long): String = f"data/v$v%08d"
 
-
-  /** The committed version pointer, or None for an un-bootstrapped dir. */
-  def currentCommit(dir: String): Option[Commit] = {
-    val root = new Path(dir)
+  /** The pointer record plus the SCHEMA VERSION it selects. The third
+    * pointer field binds data and schema into ONE commit point: a
+    * schema-changing operation (evolve, rebuild) stages its schema as
+    * `_schemas/s{N}.json` first and publishes it only via the pointer
+    * swap, so a crash between the two leaves BOTH the old data and the
+    * old schema current — never the old data read under a renamed /
+    * retyped schema. Legacy 2-field pointers report schemaV 0, which
+    * resolves to the unversioned `_schema` sidecar. */
+  private def readPointer(root: Path): Option[(Commit, Long)] = {
     val fs = fsOf(root)
-    def readOnce: Option[Commit] =
+    def readOnce: Option[(Commit, Long)] =
       try {
         val parts = graft.util.HadoopIo.readString(currentFile(root)).trim.split(",")
-        Some(Commit(parts(0).toLong, parts(1).toLong))
+        Some((Commit(parts(0).toLong, parts(1).toLong),
+          if (parts.length > 2) parts(2).toLong else 0L))
       } catch { case _: java.io.FileNotFoundException => None }
     if (!fs.exists(currentFile(root))) readOnce // retry across a swap
     else readOnce.orElse(readOnce)
   }
+
+  /** The committed version pointer, or None for an un-bootstrapped dir. */
+  def currentCommit(dir: String): Option[Commit] =
+    readPointer(new Path(dir)).map(_._1)
 
   /** All committed versions, oldest first (the observable-state history —
     * each was `_current` for some interval). */
@@ -118,10 +132,21 @@ object TxnApplier {
 
   /** The atomic commit point: everything before this swap is invisible
     * to readers; a crash before it leaves the previous version current
-    * (orphan data files, reclaimed by vacuum). */
-  private def commitPointer(root: Path, c: Commit): Unit =
+    * (orphan data files and staged schema versions, reclaimed /
+    * overwritten later). `schemaV` rides in the same record so data
+    * version and schema version become visible ATOMICALLY. */
+  private def commitPointer(root: Path, c: Commit, schemaV: Long): Unit =
     graft.util.HadoopIo.writeSwap(new Path(root, "._current.tmp"),
-      currentFile(root), s"${c.version},${c.lastTso}")
+      currentFile(root), s"${c.version},${c.lastTso},$schemaV")
+
+  /** Stage schema version `sv` (invisible until a pointer names it). */
+  private def writeSchemaVersion(root: Path, sv: Long,
+      schema: StructType): Unit = {
+    fsOf(root).mkdirs(schemasDir(root))
+    graft.util.HadoopIo.writeSwap(
+      new Path(schemasDir(root), f".s$sv%08d.tmp"),
+      schemaVersionFile(root, sv), schema.json)
+  }
 
   private def listBucketDirs(fs: FileSystem, d: Path): Map[Int, Path] =
     if (!fs.exists(d)) Map.empty
@@ -132,11 +157,18 @@ object TxnApplier {
 
   /** The target's row schema, persisted at bootstrap — readers and the
     * applier skip per-action parquet footer inference (each one is a
-    * driver round-trip; a micro-batch applier pays it per batch). */
-  private def readTargetSchema(root: Path): Option[StructType] =
+    * driver round-trip; a micro-batch applier pays it per batch).
+    * Resolved through the POINTER's schema version: the schema a
+    * reader sees is exactly the one the committed pointer names, so a
+    * crash between staging a new schema and swinging the pointer is
+    * invisible. Legacy targets (2-field pointer) read `_schema`. */
+  private def readTargetSchema(root: Path): Option[StructType] = {
+    val sv = readPointer(root).map(_._2).getOrElse(0L)
+    val p = if (sv > 0) schemaVersionFile(root, sv) else schemaFile(root)
     try Some(DataType.fromJson(
-      graft.util.HadoopIo.readString(schemaFile(root))).asInstanceOf[StructType])
+      graft.util.HadoopIo.readString(p)).asInstanceOf[StructType])
     catch { case _: java.io.FileNotFoundException => None }
+  }
 
   /** The persisted target row schema (None before bootstrap). */
   def targetSchema(dir: String): Option[StructType] =
@@ -195,8 +227,9 @@ object TxnApplier {
   }
 
   /** ONLINE schema evolution of the target — the replica's ADD/DROP
-    * COLUMN path. Metadata-only: the `_schema` sidecar swaps to
-    * `newSchema`; data files never rewrite. Carried-over files read
+    * COLUMN path. Metadata-only: a new `_schemas/s{N}.json` version is
+    * staged and the pointer swap publishes it (data version and
+    * lastTso unchanged); data files never rewrite. Carried-over files read
     * added columns as NULL (`spark.read.schema` fills missing parquet
     * columns) and dropped columns simply stop being selected. The
     * sidecar is the CURRENT shape, so versioned reads render history
@@ -207,10 +240,10 @@ object TxnApplier {
     * enforces the restriction loudly. */
   def evolveSchema(dir: String, newSchema: StructType): Unit = {
     val root = new Path(dir)
-    require(currentCommit(dir).isDefined,
-      s"txn target $dir: bootstrap before evolving")
-    graft.util.HadoopIo.writeSwap(new Path(root, "._schema.tmp"),
-      schemaFile(root), newSchema.json)
+    val (cur, sv) = readPointer(root).getOrElse(
+      sys.error(s"txn target $dir: bootstrap before evolving"))
+    writeSchemaVersion(root, sv + 1, newSchema)
+    commitPointer(root, cur, sv + 1)
   }
 
   /** Read one committed version (time travel over observable states). */
@@ -260,10 +293,9 @@ object TxnApplier {
       .map { case (b, _) => b -> s"${versionRel(v)}/__bucket=$b" }
     // persist the row schema once: every later read and apply resolves
     // columns from this sidecar, never a parquet footer job
-    graft.util.HadoopIo.writeSwap(new Path(root, "._schema.tmp"),
-      schemaFile(root), initial.schema.json)
+    writeSchemaVersion(root, 1L, initial.schema)
     writeManifest(root, v, entries)
-    commitPointer(root, Commit(v, initialTso))
+    commitPointer(root, Commit(v, initialTso), 1L)
   }
 
   /** REBUILD the target for DDL the metadata-only evolution path
@@ -272,8 +304,10 @@ object TxnApplier {
     * version covering every bucket — pointer-swapped at the committed
     * txn boundary (`lastTso` unchanged, so the apply gate's
     * exactly-once story is untouched) with the transformed schema
-    * persisted. Readers never see a torn mix: they hold the old
-    * version until the swap, the new one after. The reference's meta
+    * staged as a new `_schemas/` version named by the SAME pointer
+    * record — data and schema flip in one atomic swap, so neither a
+    * reader nor a crash-replay can ever pair old data with the
+    * renamed/retyped schema. The reference's meta
     * layer applies arbitrary DDL by rebuilding its table images
     * (meta/PolarDbXTableMetaManager.java:103,
     * MemoryTableMeta.java:122-147); this is that rebuild as one
@@ -291,9 +325,9 @@ object TxnApplier {
   def rebuildTarget(spark: SparkSession, dir: String,
       keyCols: Seq[String], nBuckets: Int,
       transform: DataFrame => DataFrame): Commit = {
-    val cur = currentCommit(dir)
-      .getOrElse(sys.error(s"txn target $dir: bootstrap before rebuilding"))
     val root = new Path(dir)
+    val (cur, sv) = readPointer(root)
+      .getOrElse(sys.error(s"txn target $dir: bootstrap before rebuilding"))
     val fs = fsOf(root)
     val rebuilt = transform(readCurrent(spark, dir))
     require(keyCols.forall(rebuilt.columns.contains),
@@ -308,11 +342,14 @@ object TxnApplier {
       .parquet(d.toString)
     val entries = listBucketDirs(fs, d)
       .map { case (b, _) => b -> s"${versionRel(v)}/__bucket=$b" }
-    graft.util.HadoopIo.writeSwap(new Path(root, "._schema.tmp"),
-      schemaFile(root), rebuilt.schema.json)
+    // staged, invisible: the pointer swap below is the SINGLE commit
+    // point for data AND schema — a crash here leaves old data read
+    // under the old schema, and the replay's no-op checks (which read
+    // the pointer-selected schema) correctly re-run the rebuild
+    writeSchemaVersion(root, sv + 1, rebuilt.schema)
     writeManifest(root, v, entries)
     val c = Commit(v, cur.lastTso)
-    commitPointer(root, c)
+    commitPointer(root, c, sv + 1)
     c
   }
 
@@ -332,9 +369,9 @@ object TxnApplier {
       opCol: String, tsoCol: String, dir: String, nBuckets: Int = 64,
       txnsPerCommit: Int = 1): Seq[Commit] = {
     val spark = batch.sparkSession
-    val start = currentCommit(dir)
-      .getOrElse(sys.error(s"txn target $dir: bootstrap first"))
     val root = new Path(dir)
+    val (start, schemaV) = readPointer(root)
+      .getOrElse(sys.error(s"txn target $dir: bootstrap first"))
     val fs = fsOf(root)
     val fresh = batch.filter(col(tsoCol) > start.lastTso)
     val staging = new Path(root, "_batchstage")
@@ -471,7 +508,7 @@ object TxnApplier {
         entries = (entries -- touchedByGrp.getOrElse(i, Set.empty)) ++ newDirs
         writeManifest(root, v, entries)
         val c = Commit(v, g.last)
-        commitPointer(root, c)
+        commitPointer(root, c, schemaV)
         commits += c
       } }
       commits.result()

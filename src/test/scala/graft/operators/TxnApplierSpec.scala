@@ -242,4 +242,52 @@ class TxnApplierSpec extends SparkSpec {
       _.withColumnRenamed("balance", "bal"))
     assert(TxnApplier.readCurrent(spark, dir2).columns.contains("bal"))
   }
+
+  test("rebuild crash window: staged schema + manifest without the pointer swap are INVISIBLE") {
+    // The pointer swap is the SINGLE commit point for data AND schema.
+    // Simulate a crash after rebuildTarget has staged everything it
+    // stages pre-swap — new data version, new _schemas/ version, new
+    // manifest — but before _current moves: readers must still see the
+    // OLD schema over the OLD data (never old data under a renamed
+    // schema, which reads the renamed column as all-null forever).
+    val dir = java.nio.file.Files
+      .createTempDirectory("txnapplier-crash").toString + "/t"
+    TxnApplier.bootstrap(accounts, Seq("acct"), dir, nBuckets = 2)
+    val before = TxnApplier.currentCommit(dir).get
+    val stateBefore = TxnApplier.readCurrent(spark, dir)
+      .select($"acct", $"balance").as[(Long, Long)].collect().toMap
+
+    // stage exactly what a crashed rebuild leaves behind
+    val renamed = TxnApplier.readCurrent(spark, dir)
+      .withColumnRenamed("balance", "bal")
+    val root = new java.io.File(dir)
+    new java.io.File(root, "_schemas").mkdirs()
+    java.nio.file.Files.write(
+      root.toPath.resolve("_schemas/s00000002.json"),
+      renamed.schema.json.getBytes("UTF-8"))
+    renamed.withColumn("__bucket", Appliers.bucketOf(Seq("acct"), 2))
+      .repartition($"__bucket")
+      .write.partitionBy("__bucket")
+      .parquet(new java.io.File(root, "data/v00000002").toString)
+    java.nio.file.Files.write(
+      root.toPath.resolve("_manifests/v00000002.manifest"),
+      "0\tdata/v00000002/__bucket=0\n1\tdata/v00000002/__bucket=1"
+        .getBytes("UTF-8"))
+
+    // pointer never moved -> everything staged is invisible
+    assert(TxnApplier.currentCommit(dir).contains(before))
+    assert(TxnApplier.targetSchema(dir).get.fieldNames.toSeq ==
+      Seq("acct", "seq", "op", "balance")) // OLD schema, not "bal"
+    assert(TxnApplier.readCurrent(spark, dir)
+      .select($"acct", $"balance").as[(Long, Long)].collect()
+      .toMap == stateBefore)
+
+    // the replayed rebuild runs over the crash debris and commits
+    val c = TxnApplier.rebuildTarget(spark, dir, Seq("acct"), 2,
+      df => df.withColumnRenamed("balance", "bal"))
+    assert(c.version == before.version + 1 && c.lastTso == before.lastTso)
+    assert(TxnApplier.readCurrent(spark, dir)
+      .select($"acct", $"bal").as[(Long, Long)].collect()
+      .toMap == stateBefore)
+  }
 }
