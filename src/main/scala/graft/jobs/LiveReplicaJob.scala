@@ -35,6 +35,23 @@ import graft.sources.BinlogDumpClient.Endpoint
   */
 object LiveReplicaJob {
 
+  /** Triggers of uninterrupted 1236 answers from one DN before the
+    * standing runner starts logging the condition loudly. */
+  val Skip1236AlarmThreshold = 3
+
+  /** A 1236 whose message signals an UNRECOVERABLE condition, never a
+    * transient rotate/promotion window: a malformed GTID set is a
+    * config/encode bug, and a source that PURGED binlogs still holding
+    * required GTIDs can never serve them — retrying either forever
+    * reads as a silently stalled replica. MySQL's purged-gtid texts
+    * ("the master has purged binary logs containing GTIDs that the
+    * slave requires" / the 8.0 source/replica wording) both carry
+    * "purged". */
+  private[jobs] def fatal1236(msg: String): Boolean = {
+    val m = if (msg == null) "" else msg
+    m.contains("Malformed GTID set") || m.toLowerCase.contains("purged")
+  }
+
   /** One trigger: poll every endpoint, apply the new transactions to
     * the bucketed replica target, return the advanced endpoints.
     * `stagingDir` holds this trigger's drained segments (overwritten
@@ -74,7 +91,8 @@ object LiveReplicaJob {
       fromTso: Option[Long] = None, serverId: Long = 12345L,
       soTimeoutMs: Int = 30000,
       maxBytesPerPoll: Long = Long.MaxValue,
-      ddlInStream: Boolean = false): Seq[Endpoint] = {
+      ddlInStream: Boolean = false,
+      onSkip1236: (String, String) => Unit = (_, _) => ()): Seq[Endpoint] = {
     import spark.implicits._
     WireReplicaJob.validateTargets(targets)
     val polled = spark.createDataset(endpoints)
@@ -88,15 +106,20 @@ object LiveReplicaJob {
           val (seg, nf, np) = BinlogDumpClient.dumpSegmentWithCursor(
             e.host, e.port, e.user, e.password, e.binlogFile, e.pos,
             serverId, soTimeoutMs, maxBytesPerPoll)
-          (e.dn, seg, nf, np)
+          (e.dn, seg, nf, np, null: String)
         } catch {
           case err: BinlogDumpClient.ServerError
               if err.code == BinlogDumpClient.ErrUnknownLog =>
             // the producer has not rotated to this cursor's file yet —
-            // no new data this trigger; keep the cursor and retry
-            (e.dn, Array.emptyByteArray, e.binlogFile, e.pos)
+            // no new data this trigger; keep the cursor and retry. The
+            // skip reason rides the staged row so the standing runner
+            // can count consecutive 1236s per DN (a PERMANENT condition
+            // — e.g. the file was purged — must become loud, not read
+            // as a merely idle replica).
+            (e.dn, Array.emptyByteArray, e.binlogFile, e.pos,
+              Option(err.getMessage).getOrElse("1236"))
         }
-      }.toDF("dn", "payload", "nextFile", "nextPos")
+      }.toDF("dn", "payload", "nextFile", "nextPos", "skip1236")
     // dial each DN exactly ONCE per trigger: decode and the cursor
     // collect both read the staged parquet, never a second dump
     val staged = Staged.parquetStage(polled, stagingDir)
@@ -114,9 +137,14 @@ object LiveReplicaJob {
         fromTso)
     else WireReplicaJob.applyRouted(decoded, targets, txnsPerCommit,
       fromTso)
-    val cursors = staged.select($"dn", $"nextFile", $"nextPos")
-      .as[(String, String, Long)].collect()
-      .map { case (dn, f, p) => dn -> ((f, p)) }.toMap
+    val polledRows = staged
+      .select($"dn", $"nextFile", $"nextPos", $"skip1236")
+      .as[(String, String, Long, Option[String])].collect()
+    polledRows.foreach { case (dn, _, _, skip) =>
+      skip.foreach(onSkip1236(dn, _))
+    }
+    val cursors = polledRows
+      .map { case (dn, f, p, _) => dn -> ((f, p)) }.toMap
     endpoints.map { e =>
       cursors.get(e.dn).map { case (f, p) =>
         e.copy(binlogFile = f, pos = p)
@@ -148,7 +176,9 @@ object LiveReplicaJob {
       fromTso: Option[Long] = None, serverId: Long = 12345L,
       soTimeoutMs: Int = 30000,
       maxBytesPerPoll: Long = Long.MaxValue,
-      ddlInStream: Boolean = false): Seq[GtidEndpoint] = {
+      ddlInStream: Boolean = false,
+      onSkip1236: (String, String) => Unit = (_, _) => ())
+      : Seq[GtidEndpoint] = {
     import spark.implicits._
     WireReplicaJob.validateTargets(targets)
     val eps = endpoints.map(e =>
@@ -161,19 +191,24 @@ object LiveReplicaJob {
             host, port, user, password,
             graft.model.GtidSet.parse(executedText), serverId,
             soTimeoutMs, maxBytesPerPoll)
-          (dn, seg, advanced.text)
+          (dn, seg, advanced.text, null: String)
         } catch {
           // mirror the file/pos path's 1236 tolerance: a source amid
           // rotate/promotion has no new data THIS trigger — keep the
-          // cursor, apply the other DNs' polls, retry next trigger. A
-          // malformed-set 1236 stays loud (a config/encode bug retried
-          // forever would read as a silently stalled replica).
+          // cursor, apply the other DNs' polls, retry next trigger.
+          // UNRECOVERABLE 1236s stay loud (fatal1236): a malformed set
+          // is a config/encode bug, and a source that PURGED binlogs
+          // holding required GTIDs can never serve them — tolerated,
+          // either would retry forever and read as an idle replica.
+          // Tolerated skips carry their reason for the runner's
+          // consecutive-1236 accounting.
           case err: BinlogDumpClient.ServerError
               if err.code == BinlogDumpClient.ErrUnknownLog &&
-                !err.getMessage.contains("Malformed GTID set") =>
-            (dn, Array.emptyByteArray, executedText)
+                !fatal1236(err.getMessage) =>
+            (dn, Array.emptyByteArray, executedText,
+              Option(err.getMessage).getOrElse("1236"))
         }
-      }.toDF("dn", "payload", "nextExecuted")
+      }.toDF("dn", "payload", "nextExecuted", "skip1236")
     val staged = Staged.parquetStage(polled, stagingDir)
     val changes = ChangeEventSource.fromWireSegments(
       staged.filter(length(col("payload")) > 0).select("dn", "payload"),
@@ -186,8 +221,12 @@ object LiveReplicaJob {
         fromTso)
     else WireReplicaJob.applyRouted(decoded, targets, txnsPerCommit,
       fromTso)
-    val cursors = staged.select($"dn", $"nextExecuted")
-      .as[(String, String)].collect().toMap
+    val polledRows = staged.select($"dn", $"nextExecuted", $"skip1236")
+      .as[(String, String, Option[String])].collect()
+    polledRows.foreach { case (dn, _, skip) =>
+      skip.foreach(onSkip1236(dn, _))
+    }
+    val cursors = polledRows.map { case (dn, t, _) => dn -> t }.toMap
     endpoints.map { e =>
       cursors.get(e.dn)
         .map(t => e.copy(executed = graft.model.GtidSet.parse(t)))
@@ -285,6 +324,16 @@ object LiveReplicaJob {
     * the values; the gates drop the replayed rows). */
   def saveRegistry(cursorDir: String,
       reg: Map[(String, String), Seq[String]]): Unit = {
+    // delimiter guard (the saveCursors pattern): a schema/table/column
+    // name carrying the sidecar's own separators would corrupt the
+    // file — failing MatchError or silently misbinding columns on
+    // resume. Refuse at save time instead.
+    reg.foreach { case ((s, t), cols) =>
+      require(!(s + t).exists("\t\n".contains(_)),
+        s"registry names must not contain tab/newline: '$s'.'$t'")
+      require(cols.forall(c => !c.exists(",\t\n".contains(_))),
+        s"column names must not contain comma/tab/newline: '$s'.'$t'")
+    }
     val dst = new org.apache.hadoop.fs.Path(cursorDir, "_graft_registry")
     graft.util.HadoopIo.fsOf(dst).mkdirs(dst.getParent)
     graft.util.HadoopIo.writeSwap(
@@ -327,7 +376,10 @@ object LiveReplicaJob {
       val ddls = spark.read.parquet(decodedStage)
         .filter(col("op") === "DDL" && col("ddl").isNotNull)
         .select(col("tso").cast("long"), col("schemaName"), col("ddl"))
-        .orderBy(col("tso"))
+        // SAME tie-break as applyRoutedWithDdl's target-side fold:
+        // equal-tso statements must fold into the registry in the
+        // order the schema fold used, or the two diverge on restart
+        .orderBy(col("tso"), col("ddl"))
         .as[(Long, String, String)].collect()
       ddls.foldLeft(reg) { case (r, (_, sch, stmt)) =>
         graft.sinks.BinlogWire.evolveRegistry(r, sch, stmt)
@@ -336,6 +388,31 @@ object LiveReplicaJob {
   }
 
   // ---- the standing-loop runner ----
+
+  /** Per-DN consecutive-1236 accounting for the standing loops: a DN
+    * answering 1236 for [[Skip1236AlarmThreshold]] straight triggers
+    * is logged loudly every trigger thereafter — the StallMonitor's
+    * silence clock only says "no data"; this names WHY (a persistent
+    * 1236 usually means required binlogs were purged, which no amount
+    * of retrying recovers). */
+  private def note1236(counts: scala.collection.mutable.Map[String, Int],
+      skipped: scala.collection.Map[String, String],
+      dns: Seq[String], loopId: String): Unit =
+    dns.foreach { dn =>
+      skipped.get(dn) match {
+        case Some(msg) =>
+          val c = counts.getOrElse(dn, 0) + 1
+          counts(dn) = c
+          if (c >= Skip1236AlarmThreshold)
+            System.err.println(s"[$loopId] DN $dn: $c consecutive 1236 " +
+              s"answers from the source ('$msg') — a persistent 1236 " +
+              "suggests required binlogs were purged or the cursor is " +
+              "permanently unservable; intervene at the source")
+        case None =>
+          counts.remove(dn)
+          ()
+      }
+    }
 
   /** THE deployment call: poll → route-apply → commit cursors, every
     * `intervalMs`, until `shouldStop` (or `maxTriggers`). Composes
@@ -359,19 +436,30 @@ object LiveReplicaJob {
       txnsPerCommit: Int = 8, fromTso: Option[Long] = None,
       serverId: Long = 12345L, soTimeoutMs: Int = 30000,
       maxBytesPerPoll: Long = Long.MaxValue,
-      ddlInStream: Boolean = false): Seq[Endpoint] = {
+      ddlInStream: Boolean = false,
+      vacuumEvery: Long = 0L): Seq[Endpoint] = {
     var eps = resume(cursorDir, endpoints)
     var reg = resumeRegistry(cursorDir, tableCols)
     var n = 0L
+    val c1236 = scala.collection.mutable.Map.empty[String, Int]
     while (!shouldStop() && n < maxTriggers) {
+      val skipped = scala.collection.mutable.Map.empty[String, String]
       val next = pollApplyOnceRouted(spark, eps, reg, targets,
         stagingDir, txnsPerCommit, fromTso, serverId, soTimeoutMs,
-        maxBytesPerPoll, ddlInStream)
+        maxBytesPerPoll, ddlInStream, (dn, msg) => skipped(dn) = msg)
+      note1236(c1236, skipped, eps.map(_.dn), loopId)
       if (ddlInStream) {
         val evolved = evolveFromStage(spark, stagingDir + "_decoded", reg)
         if (evolved != reg) { reg = evolved; saveRegistry(cursorDir, reg) }
       }
       saveCursors(cursorDir, next)
+      // reclaim superseded target versions on a schedule: a rebuild-
+      // triggering DDL (MODIFY/CHANGE/RENAME) doubles a target on disk
+      // until vacuum runs, and a long-lived replica seeing periodic
+      // re-type DDL would otherwise accumulate versions forever.
+      // vacuumEvery=1 reclaims at the SAME trigger a rebuild lands in.
+      if (vacuumEvery > 0 && (n + 1) % vacuumEvery == 0)
+        targets.foreach(t => graft.operators.TxnApplier.vacuum(t.targetDir))
       monitor.foreach(_.noteBatch(loopId, n, if (next != eps) 1L else 0L))
       eps = next
       n += 1
@@ -396,19 +484,26 @@ object LiveReplicaJob {
       txnsPerCommit: Int = 8, fromTso: Option[Long] = None,
       serverId: Long = 12345L, soTimeoutMs: Int = 30000,
       maxBytesPerPoll: Long = Long.MaxValue,
-      ddlInStream: Boolean = false): Seq[GtidEndpoint] = {
+      ddlInStream: Boolean = false,
+      vacuumEvery: Long = 0L): Seq[GtidEndpoint] = {
     var eps = resumeGtid(cursorDir, endpoints)
     var reg = resumeRegistry(cursorDir, tableCols)
     var n = 0L
+    val c1236 = scala.collection.mutable.Map.empty[String, Int]
     while (!shouldStop() && n < maxTriggers) {
+      val skipped = scala.collection.mutable.Map.empty[String, String]
       val next = pollApplyOnceGtid(spark, eps, reg, targets,
         stagingDir, txnsPerCommit, fromTso, serverId, soTimeoutMs,
-        maxBytesPerPoll, ddlInStream)
+        maxBytesPerPoll, ddlInStream, (dn, msg) => skipped(dn) = msg)
+      note1236(c1236, skipped, eps.map(_.dn), loopId)
       if (ddlInStream) {
         val evolved = evolveFromStage(spark, stagingDir + "_decoded", reg)
         if (evolved != reg) { reg = evolved; saveRegistry(cursorDir, reg) }
       }
       saveGtidCursors(cursorDir, next)
+      // see run(): scheduled reclaim of rebuild-superseded versions
+      if (vacuumEvery > 0 && (n + 1) % vacuumEvery == 0)
+        targets.foreach(t => graft.operators.TxnApplier.vacuum(t.targetDir))
       monitor.foreach(_.noteBatch(loopId, n, if (next != eps) 1L else 0L))
       eps = next
       n += 1

@@ -218,6 +218,13 @@ object TxnApplier {
   /** Overwrite the rename lineage (atomic swap). */
   def saveRenameLineage(dir: String,
       lineage: Map[String, Seq[String]]): Unit = {
+    // delimiter guard: a column name carrying the sidecar's separators
+    // would corrupt it — misbinding the fallback chain on resume
+    lineage.foreach { case (nw, olds) =>
+      require((nw +: olds).forall(c => !c.exists(",\t\n".contains(_))),
+        s"rename-lineage column names must not contain " +
+          s"comma/tab/newline: '$nw'")
+    }
     val root = new Path(dir)
     graft.util.HadoopIo.writeSwap(new Path(root, "._renames.tmp"),
       new Path(root, "_renames"),
@@ -536,7 +543,10 @@ object TxnApplier {
       listBucketDirs(fs, vd.getPath).values
         .filterNot(p => referenced.contains(fs.makeQualified(p).toString))
         .foreach(p => fs.delete(p, true))
-      if (fs.listStatus(vd.getPath).isEmpty) fs.delete(vd.getPath, false)
+      // only bucket dirs are ever referenced: a version dir with none
+      // left holds at most write markers (_SUCCESS) — reclaim it whole
+      if (listBucketDirs(fs, vd.getPath).isEmpty)
+        fs.delete(vd.getPath, true)
     }
   }
 }

@@ -648,6 +648,36 @@ object BinlogWire {
     }.toMap
   }
 
+  /** The PREVIOUS_GTIDS gather pass re-executes the input plan and
+    * assumes partition contents are deterministic. Verify the
+    * assumption: compare the gathered per-partition gno sets against
+    * what each writer task ACTUALLY framed and fail loudly on any
+    * mismatch — a violated determinism assumption must surface as an
+    * error at write time, never as pruned (silently skipped)
+    * transactions at dump time (`gtidServeStart` trusts the emitted
+    * previous-sets). Partitions the writer skipped (empty, no rotate
+    * chain) compare as the empty set. */
+  private def checkGatheredGnos(gathered: Seq[(Int, String)],
+      actual: java.util.List[(Int, String)]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val act = actual.asScala.groupBy(_._1)
+      .map { case (p, xs) => p -> xs.head._2 }
+    val gath = gathered.toMap
+    (gath.keySet ++ act.keySet).toSeq.sorted.foreach { pid =>
+      val g = graft.model.GtidSet.parse(gath.getOrElse(pid, ""))
+      val a = graft.model.GtidSet.parse(act.getOrElse(pid, ""))
+      if (g != a)
+        throw new IllegalStateException(
+          s"wire GTID gather: partition $pid gathered gnos '${g.text}' " +
+          s"but the writer framed '${a.text}' — the input plan " +
+          "re-executed nondeterministically, so the emitted " +
+          "PREVIOUS_GTIDS would disagree with the files' actual " +
+          "transactions and a GTID dump could prune files still holding " +
+          "unserved data; materialize the input (Staged.parquetStage) " +
+          "before the wire write")
+    }
+  }
+
   /** A previous-set text in [[previousGtidsEvent]]'s argument shape
     * (SIDs in the same sorted order GtidSet.encode uses). */
   private def prevEventSets(txt: String)
@@ -896,22 +926,28 @@ object BinlogWire {
     // files append to (pass BinlogCatalog.executedGtidSet or thread
     // the writer's own advancing set) — an unrelated set would prune
     // wrongly downstream.
-    val prevTexts: Map[Int, String] = gtidSid match {
-      case Some(sid) =>
-        val perPart = df.select(df.col(tsoCol).cast("long"))
-          .as[Long](org.apache.spark.sql.Encoders.scalaLong)
-          .mapPartitions { it =>
-            val pid = org.apache.spark.TaskContext.getPartitionId()
-            var s = graft.model.GtidSet.Empty
-            it.foreach(t => s = s.add(sid, t))
-            Iterator.single((pid, s.text))
-          }(org.apache.spark.sql.Encoders.tuple(
-            org.apache.spark.sql.Encoders.scalaInt,
-            org.apache.spark.sql.Encoders.STRING))
-          .collect().toSeq
-        prefixGnoSets(perPart, priorExecuted)
-      case None => Map.empty
-    }
+    val (prevTexts, gatheredGnos): (Map[Int, String], Seq[(Int, String)]) =
+      gtidSid match {
+        case Some(sid) =>
+          val perPart = df.select(df.col(tsoCol).cast("long"))
+            .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+            .mapPartitions { it =>
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              var s = graft.model.GtidSet.Empty
+              it.foreach(t => s = s.add(sid, t))
+              Iterator.single((pid, s.text))
+            }(org.apache.spark.sql.Encoders.tuple(
+              org.apache.spark.sql.Encoders.scalaInt,
+              org.apache.spark.sql.Encoders.STRING))
+            .collect().toSeq
+          (prefixGnoSets(perPart, priorExecuted), perPart)
+        case None => (Map.empty, Seq.empty)
+      }
+    // the writer's ACTUAL framed gnos, cross-checked against the gather
+    // after the write (checkGatheredGnos) — bounded: one compact text
+    // per partition
+    val actualGnos = df.sparkSession.sparkContext
+      .collectionAccumulator[(Int, String)]("binlogTxnActualGnos")
     val counter = df.sparkSession.sparkContext.longAccumulator("binlogTxnFiles")
     // ONE-TXN-PER-FILE contract, enforced: TxnApplier's exactly-once
     // gate skips everything at or below the target's committed tso, so a
@@ -942,6 +978,7 @@ object BinlogWire {
         val path = new org.apache.hadoop.fs.Path(outDir, f"binlog.$pid%06d")
         val fs = path.getFileSystem(conf)
         val out = fs.create(path, true)
+        var wroteGnos = graft.model.GtidSet.Empty
         try {
           val w = new FileWriter(out, checksummed = checksummed)
           var openTso = Option.empty[Long]
@@ -981,8 +1018,10 @@ object BinlogWire {
                   "committed txn (duplicate CTS mark in one file); feed " +
                   "MergeSort.sortedRunsGrouped(df, n, Seq(tsoCol), Seq(seqCol))")
               openTso.foreach(x => w.write(commitEvent(ts, serverId, x)))
-              gtidSid.foreach(sid =>
-                w.write(gtidEvent(ts, serverId, sid, gno = tso)))
+              gtidSid.foreach { sid =>
+                w.write(gtidEvent(ts, serverId, sid, gno = tso))
+                wroteGnos = wroteGnos.add(sid, tso)
+              }
               tsoCarrier match {
                 case "sequence" =>
                   w.write(sequenceEvent(ts, serverId, CommitSequence, tso))
@@ -1010,9 +1049,11 @@ object BinlogWire {
           }
         } finally out.close()
         fs.setTimes(path, mtimeBase + pid, -1)
+        gtidSid.foreach(_ => actualGnos.add((pid, wroteGnos.text)))
         counter.add(1)
       }
     }
+    gtidSid.foreach(_ => checkGatheredGnos(gatheredGnos, actualGnos.value))
     // driver-side half of the contract: per-file mark ranges disjoint and
     // monotonic in file (= pid) order. Dedupe by pid — a retried task
     // re-adds an identical entry.
@@ -1070,28 +1111,33 @@ object BinlogWire {
     // cumulative PREVIOUS_GTIDS per file (see writeTxnFramedBinlogFiles
     // for the full contract): gno := the tso at each txn-OPEN row, so
     // the gather pass replicates the txn-open detection below
-    val prevTexts: Map[Int, String] = gtidSid match {
-      case Some(sid) =>
-        val perPart = df
-          .select(df.col(txnCol).cast("long"), df.col(tsoCol).cast("long"))
-          .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
-            org.apache.spark.sql.Encoders.scalaLong,
-            org.apache.spark.sql.Encoders.scalaLong))
-          .mapPartitions { it =>
-            val pid = org.apache.spark.TaskContext.getPartitionId()
-            var s = graft.model.GtidSet.Empty
-            var open = Option.empty[Long]
-            it.foreach { case (txn, tso) =>
-              if (!open.contains(txn)) { s = s.add(sid, tso); open = Some(txn) }
-            }
-            Iterator.single((pid, s.text))
-          }(org.apache.spark.sql.Encoders.tuple(
-            org.apache.spark.sql.Encoders.scalaInt,
-            org.apache.spark.sql.Encoders.STRING))
-          .collect().toSeq
-        prefixGnoSets(perPart, priorExecuted)
-      case None => Map.empty
-    }
+    val (prevTexts, gatheredGnos): (Map[Int, String], Seq[(Int, String)]) =
+      gtidSid match {
+        case Some(sid) =>
+          val perPart = df
+            .select(df.col(txnCol).cast("long"), df.col(tsoCol).cast("long"))
+            .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+              org.apache.spark.sql.Encoders.scalaLong,
+              org.apache.spark.sql.Encoders.scalaLong))
+            .mapPartitions { it =>
+              val pid = org.apache.spark.TaskContext.getPartitionId()
+              var s = graft.model.GtidSet.Empty
+              var open = Option.empty[Long]
+              it.foreach { case (txn, tso) =>
+                if (!open.contains(txn)) { s = s.add(sid, tso); open = Some(txn) }
+              }
+              Iterator.single((pid, s.text))
+            }(org.apache.spark.sql.Encoders.tuple(
+              org.apache.spark.sql.Encoders.scalaInt,
+              org.apache.spark.sql.Encoders.STRING))
+            .collect().toSeq
+          (prefixGnoSets(perPart, priorExecuted), perPart)
+        case None => (Map.empty, Seq.empty)
+      }
+    // writer's actual framed gnos for the post-write determinism
+    // cross-check (see checkGatheredGnos)
+    val actualGnos = df.sparkSession.sparkContext
+      .collectionAccumulator[(Int, String)]("binlogCdcActualGnos")
     val counter = df.sparkSession.sparkContext.longAccumulator("binlogCdcFiles")
     // ONE-TXN-PER-FILE contract (see writeTxnFramedBinlogFiles): here
     // txns are keyed by txnId and row tsos legitimately interleave
@@ -1116,6 +1162,7 @@ object BinlogWire {
         val path = new org.apache.hadoop.fs.Path(outDir, f"$filePrefix$pid%06d")
         val fs = path.getFileSystem(conf)
         val out = fs.create(path, true)
+        var wroteGnos = graft.model.GtidSet.Empty
         try {
           val w = new FileWriter(out, checksummed = checksummed)
           var openTxn = Option.empty[Long]
@@ -1144,8 +1191,11 @@ object BinlogWire {
             val txn = r.getAs[Number](txnCol).longValue()
             if (!openTxn.contains(txn)) {
               openTxn.foreach(x => w.write(commitEvent(ts, sid, x)))
-              gtidSid.foreach(gsid => w.write(gtidEvent(ts, sid, gsid,
-                gno = r.getAs[Number](tsoCol).longValue())))
+              gtidSid.foreach { gsid =>
+                val gno = r.getAs[Number](tsoCol).longValue()
+                w.write(gtidEvent(ts, sid, gsid, gno = gno))
+                wroteGnos = wroteGnos.add(gsid, gno)
+              }
               w.write(markEvent(ts, sid,
                 s"CTS::${r.getAs[Number](tsoCol).longValue()}"))
               w.write(beginEvent(ts, sid))
@@ -1197,9 +1247,11 @@ object BinlogWire {
           }
         } finally out.close()
         fs.setTimes(path, mtimeBase + pid, -1)
+        gtidSid.foreach(_ => actualGnos.add((pid, wroteGnos.text)))
         counter.add(1)
       }
     }
+    gtidSid.foreach(_ => checkGatheredGnos(gatheredGnos, actualGnos.value))
     // driver-side boundary check: a txnId closing file p and opening
     // file p+1 is one source txn split into two wire txns
     val edges = {

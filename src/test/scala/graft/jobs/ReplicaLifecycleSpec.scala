@@ -71,7 +71,7 @@ class ReplicaLifecycleSpec extends SparkSpec {
           "repl", "pw")),
         regV1, targets, s"$root/stage", s"$root/cursors",
         intervalMs = 0, maxTriggers = 1, txnsPerCommit = 2,
-        ddlInStream = true)
+        ddlInStream = true, vacuumEvery = 1)
     } finally srv1.close()
     assert(afterP1.head.executed.text == s"$sid:1-4")
     assert(TxnApplier.readCurrent(spark, s"$root/target")
@@ -96,7 +96,7 @@ class ReplicaLifecycleSpec extends SparkSpec {
           "repl", "pw")),
         regV1, targets, s"$root/stage", s"$root/cursors",
         intervalMs = 0, maxTriggers = 1, txnsPerCommit = 2,
-        ddlInStream = true)
+        ddlInStream = true, vacuumEvery = 1)
     } finally srv2.close()
     assert(afterP2.head.executed.text == s"$sid:1-8")
     assert(state() == ((1L to 5L).map(t => t -> s"a$t") ++
@@ -104,6 +104,12 @@ class ReplicaLifecycleSpec extends SparkSpec {
     // the registry sidecar committed the rename for future restarts
     assert(LiveReplicaJob.resumeRegistry(s"$root/cursors", regV1)
       == regV2)
+    // vacuumEvery=1 reclaimed the rebuild-superseded versions in the
+    // SAME trigger the rename-rebuild landed in: the pre-rebuild v1
+    // layout is gone from disk (a standing replica seeing periodic
+    // re-type DDL must not accumulate doubled copies forever), while
+    // the current state above still reads intact
+    assert(!new java.io.File(s"$root/target/data/v00000001").exists())
 
     // ---- phase 3: FAILOVER — the primary dies; a promoted source
     // re-serves the same content under renumbered names and has new
@@ -135,7 +141,7 @@ class ReplicaLifecycleSpec extends SparkSpec {
           "repl", "pw")),
         regV1, targets, s"$root/stage", s"$root/cursors",
         intervalMs = 0, maxTriggers = 1, txnsPerCommit = 2,
-        ddlInStream = true)
+        ddlInStream = true, vacuumEvery = 1)
     } finally srv3.close()
     assert(afterP3.head.executed.text == s"$sid:1-10")
     assert(state() == ((1L to 5L).map(t => t -> s"a$t") ++
