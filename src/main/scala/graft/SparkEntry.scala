@@ -1825,6 +1825,77 @@ object SparkEntry {
           sum(col("n_tokens")).as("tot_tokens"),
           sum(col("n_oov")).as("tot_oov"),
           count(when(col("n_oov") === 0, 1)).as("fully_covered"))
+    }),
+
+    // The live dump as a FIRST-CLASS Structured Streaming source
+    // (oracle-checked): `readStream.format("graft-cdc")` whose offset
+    // IS the executed GTID set, drained in TWO producer phases against
+    // ONE checkpoint — the phase-2 restart resumes from Spark's offset
+    // log alone, so the parquet sink accumulates every transaction
+    // exactly once (a re-served prefix would double the sums and fail
+    // the hash). gno := tso := l_orderkey + 1 (okeys start at 0 in the
+    // testdata; gnos start at 1).
+    "q109_cdc_stream_source" -> ((s, d) => {
+      val sid = java.util.UUID.fromString(
+        "5109a1b2-0000-4000-8000-000000000109")
+      val reg = Map(("app", "lineitem") ->
+        Seq("l_orderkey", "l_linenumber"))
+      def rowsIn(lo: Long, hi: Long) = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") >= lo && col("l_orderkey") <= hi)
+        .select((col("l_orderkey") + 1).cast("long").as("tso"),
+          (col("l_orderkey") + 1).cast("long").as("txnId"),
+          lit("INSERT").as("op"), lit("app").as("schemaName"),
+          lit("lineitem").as("tableName"),
+          map().cast("map<string,string>").as("before"),
+          map(lit("l_orderkey"), col("l_orderkey").cast("string"),
+            lit("l_linenumber"), col("l_linenumber").cast("string"))
+            .as("after"),
+          lit(null).cast("string").as("ddl"),
+          lit(1700000000L).as("tsoTime"))
+      val served = Staged.tempDir("q109-served")
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(served))
+      def writeCall(lo: Long, hi: Long, prior: graft.model.GtidSet,
+          idx: Int): Unit = {
+        val dtmp = Staged.tempDir(s"q109-call$idx")
+        graft.sinks.BinlogWire.writeChangeStreamBinlogFiles(
+          rowsIn(lo, hi).coalesce(1).sortWithinPartitions("tso", "txnId"),
+          reg, dtmp, checksummed = true, gtidSid = Some(sid),
+          priorExecuted = prior)
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(dtmp, "binlog.000000"),
+          java.nio.file.Paths.get(served, f"binlog.$idx%06d"))
+        ()
+      }
+      val ckpt = Staged.tempDir("q109-ckpt")
+      val out = Staged.tempDir("q109-out")
+      def drain(port: Int): Unit = {
+        val q = s.readStream.format("graft-cdc")
+          .option("endpoints", s"dn1@localhost:$port")
+          .option("user", "repl").option("password", "pw")
+          .option("tables", "app.lineitem:l_orderkey,l_linenumber")
+          .load()
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      writeCall(0, 59, graft.model.GtidSet.Empty, 0)
+      val srv1 = new graft.sinks.BinlogDumpServer(served, "repl", "pw")
+      try drain(srv1.port) finally srv1.close()
+      writeCall(60, 120,
+        graft.sinks.BinlogCatalog.executedGtidSet(s, served), 1)
+      val srv2 = new graft.sinks.BinlogDumpServer(served, "repl", "pw")
+      try drain(srv2.port) finally srv2.close()
+      s.read.schema(graft.model.ChangeEvent.schema).parquet(out)
+        .filter(col("op") === "INSERT")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("tso")).as("n_txns"),
+          sum(element_at(col("after"), "l_orderkey").cast("long"))
+            .as("sum_okey"),
+          sum(element_at(col("after"), "l_linenumber").cast("long"))
+            .as("sum_line"))
     })
   )
 
@@ -2851,6 +2922,15 @@ object SparkEntry {
         "CAST(sum(n_tokens) AS BIGINT) AS tot_tokens, " +
         "CAST(sum(n_oov) AS BIGINT) AS tot_oov, " +
         "CAST(count(*) FILTER (WHERE n_oov = 0) AS BIGINT) AS fully_covered " +
-        "FROM perdoc")
+        "FROM perdoc"),
+
+    // q109: the checkpointed streaming source drained every lineitem
+    // txn with okey <= 120 exactly once across the two-phase restart
+    "q109_cdc_stream_source" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_txns, " +
+        "CAST(sum(l_orderkey) AS BIGINT) AS sum_okey, " +
+        "CAST(sum(l_linenumber) AS BIGINT) AS sum_line " +
+        "FROM lineitem WHERE l_orderkey <= 120")
   )
 }

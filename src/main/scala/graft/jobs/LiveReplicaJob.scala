@@ -47,7 +47,7 @@ object LiveReplicaJob {
     * ("the master has purged binary logs containing GTIDs that the
     * slave requires" / the 8.0 source/replica wording) both carry
     * "purged". */
-  private[jobs] def fatal1236(msg: String): Boolean = {
+  private[graft] def fatal1236(msg: String): Boolean = {
     val m = if (msg == null) "" else msg
     m.contains("Malformed GTID set") || m.toLowerCase.contains("purged")
   }
@@ -363,28 +363,35 @@ object LiveReplicaJob {
     }
   }
 
-  /** One trigger's registry evolution: fold the staged decoded batch's
-    * DDL statements (TSO order) into `reg` — the runner's cross-trigger
-    * half of the decoder's in-segment schema tracking. */
+  /** One batch's registry evolution: fold the decoded batch's DDL
+    * statements into `reg` — the cross-trigger half of the decoder's
+    * in-segment schema tracking, shared by the standing runner and
+    * streaming (graft-cdc foreachBatch) consumers. Ordered by
+    * (tso, ddl) — the SAME tie-break as applyRoutedWithDdl's
+    * target-side fold, so equal-tso statements cannot fold differently
+    * into registry vs target schema across a restart. */
+  def evolveRegistryFromBatch(decoded: org.apache.spark.sql.DataFrame,
+      reg: Map[(String, String), Seq[String]])
+      : Map[(String, String), Seq[String]] = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    val ddls = decoded
+      .filter(col("op") === "DDL" && col("ddl").isNotNull)
+      .select(col("tso").cast("long"), col("schemaName"), col("ddl"))
+      .orderBy(col("tso"), col("ddl"))
+      .as[(Long, String, String)].collect()
+    ddls.foldLeft(reg) { case (r, (_, sch, stmt)) =>
+      graft.sinks.BinlogWire.evolveRegistry(r, sch, stmt)
+    }
+  }
+
+  /** [[evolveRegistryFromBatch]] over a staged decoded trigger. */
   private def evolveFromStage(spark: SparkSession, decodedStage: String,
       reg: Map[(String, String), Seq[String]])
       : Map[(String, String), Seq[String]] = {
-    import spark.implicits._
     val root = new org.apache.hadoop.fs.Path(decodedStage)
     if (!graft.util.HadoopIo.fsOf(root).exists(root)) reg
-    else {
-      val ddls = spark.read.parquet(decodedStage)
-        .filter(col("op") === "DDL" && col("ddl").isNotNull)
-        .select(col("tso").cast("long"), col("schemaName"), col("ddl"))
-        // SAME tie-break as applyRoutedWithDdl's target-side fold:
-        // equal-tso statements must fold into the registry in the
-        // order the schema fold used, or the two diverge on restart
-        .orderBy(col("tso"), col("ddl"))
-        .as[(Long, String, String)].collect()
-      ddls.foldLeft(reg) { case (r, (_, sch, stmt)) =>
-        graft.sinks.BinlogWire.evolveRegistry(r, sch, stmt)
-      }
-    }
+    else evolveRegistryFromBatch(spark.read.parquet(decodedStage), reg)
   }
 
   // ---- the standing-loop runner ----

@@ -74,34 +74,43 @@ object ChangeEventSource {
       .select(col(dnCol).cast("string"), col(payloadCol).cast("binary"))
       .as[(String, Array[Byte])]
       .flatMap { case (dn, bytes) =>
-        graft.sinks.BinlogWire.decodeFile(bytes, colNames).iterator
-          .zipWithIndex.map { case (r, i) =>
-            graft.model.ChangeEvent(
-              tso = r.tso.getOrElse {
-                if (tsoFromXid) r.xid.getOrElse(0L)
-                else throw new IllegalArgumentException(
-                  s"ChangeEventSource.fromWireSegments: segment from DN " +
-                  s"'$dn' decoded a row with no tso carrier (no CTS " +
-                  "mark, SEQUENCE, or GCN). xids are not globally " +
-                  "ordered across DNs, so there is no safe implicit " +
-                  "fallback; pass tsoAuthority = \"xid\" only for a " +
-                  "single-source feed whose xid order IS commit order.")
-              },
-              txnId = r.xid.getOrElse(0L),
-              partitionId = dn,
-              traceId = f"$dn%s:$i%09d",
-              op = if (r.ddl.isDefined) "DDL" else r.op,
-              schemaName = r.schemaName,
-              tableName = r.tableName,
-              tsoTime = new java.sql.Timestamp(r.hdrTs * 1000L),
-              before = r.before,
-              after = r.after,
-              ddl = r.ddl,
-              serverId = r.serverId)
-          }
+        toChangeEvents(dn, bytes, colNames, tsoFromXid)
       }
     envelope(decoded.toDF())
   }
+
+  /** One wire SEGMENT → ChangeEvent rows: the per-record decode
+    * [[fromWireSegments]] runs inside its flatMap, factored so the
+    * `graft-cdc` streaming source's partition readers
+    * ([[graft.streaming.CdcSource]]) produce the IDENTICAL envelope. */
+  def toChangeEvents(dn: String, bytes: Array[Byte],
+      colNames: Map[(String, String), Seq[String]],
+      tsoFromXid: Boolean): Iterator[ChangeEvent] =
+    graft.sinks.BinlogWire.decodeFile(bytes, colNames).iterator
+      .zipWithIndex.map { case (r, i) =>
+        graft.model.ChangeEvent(
+          tso = r.tso.getOrElse {
+            if (tsoFromXid) r.xid.getOrElse(0L)
+            else throw new IllegalArgumentException(
+              s"ChangeEventSource.fromWireSegments: segment from DN " +
+              s"'$dn' decoded a row with no tso carrier (no CTS " +
+              "mark, SEQUENCE, or GCN). xids are not globally " +
+              "ordered across DNs, so there is no safe implicit " +
+              "fallback; pass tsoAuthority = \"xid\" only for a " +
+              "single-source feed whose xid order IS commit order.")
+          },
+          txnId = r.xid.getOrElse(0L),
+          partitionId = dn,
+          traceId = f"$dn%s:$i%09d",
+          op = if (r.ddl.isDefined) "DDL" else r.op,
+          schemaName = r.schemaName,
+          tableName = r.tableName,
+          tsoTime = new java.sql.Timestamp(r.hdrTs * 1000L),
+          before = r.before,
+          after = r.after,
+          ddl = r.ddl,
+          serverId = r.serverId)
+      }
 
   /** Relational feed (columns already split, e.g. a Kafka topic with a
     * schema registry, or a test MemoryStream of tuples) → the exact
