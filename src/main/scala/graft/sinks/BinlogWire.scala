@@ -736,16 +736,47 @@ object BinlogWire {
     * stamp every txn or none). */
   def gtidServeStart(fs: org.apache.hadoop.fs.FileSystem,
       files: Seq[org.apache.hadoop.fs.Path],
-      executed: graft.model.GtidSet): Int = {
-    var i = files.size - 1
-    while (i >= 1) {
-      readPreviousGtids(fs, files(i)) match {
-        case Some(prev) if !prev.isEmpty && prev.isSubsetOf(executed) =>
-          return i
-        case _ => i -= 1
-      }
+      executed: graft.model.GtidSet): Int =
+    gtidServeStart(files, executed, readPreviousGtids(fs, _))
+
+  /** [[gtidServeStart]] with an injectable head peek (each peek is one
+    * driver-side file open — tests count them).
+    *
+    * Cost: O(log N) peeks for ANY cursor, not just a caught-up one.
+    * The cumulative-writer contract makes previous-sets MONOTONE along
+    * the file sequence (each file's set covers its predecessor's), so
+    * `prev(i) ⊆ executed` is true on a prefix and false on a suffix —
+    * the prune boundary binary-searches. A caught-up consumer still
+    * pays exactly ONE peek (the newest file probes first — the
+    * steady-state poll stays O(new data)). The returned index is
+    * VERIFIED against the prune rule before returning, so on a log
+    * that violates the contract (mixed legacy files, non-monotone
+    * sets) the search can only under-prune — never skip unserved
+    * data. */
+  def gtidServeStart(files: Seq[org.apache.hadoop.fs.Path],
+      executed: graft.model.GtidSet,
+      peek: org.apache.hadoop.fs.Path => Option[graft.model.GtidSet])
+      : Int = {
+    val n = files.size
+    if (n <= 1) return 0
+    val cache = scala.collection.mutable.Map
+      .empty[Int, Option[graft.model.GtidSet]]
+    def prev(i: Int) = cache.getOrElseUpdate(i, peek(files(i)))
+    // the full prune rule: a non-empty previous-set inside the
+    // consumer's executed set proves every predecessor fully served
+    def ok(i: Int) = prev(i).exists(p => !p.isEmpty && p.isSubsetOf(executed))
+    // the monotone search predicate: empty sets count as ⊆ (they sit
+    // at the physical prefix under the contract), absent sets do not
+    def below(i: Int) = prev(i).exists(_.isSubsetOf(executed))
+    if (ok(n - 1)) return n - 1 // caught-up fast path: ONE peek
+    var best = 0
+    var l = 1
+    var h = n - 2
+    while (l <= h) {
+      val m = (l + h) >>> 1
+      if (below(m)) { best = m; l = m + 1 } else h = m - 1
     }
-    0
+    if (best >= 1 && ok(best)) best else 0
   }
 
   def formatDescription(timestamp: Long, serverId: Long,

@@ -415,4 +415,57 @@ class BinlogDumpClientSpec extends SparkSpec {
       assert(missing.getMessage.contains("Could not find first log file"))
     } finally srv.close()
   }
+
+  test("prune boundary binary-searches: cold cursor costs O(log N) head peeks, caught-up stays ONE") {
+    import graft.model.GtidSet
+    val sid = java.util.UUID.fromString(
+      "0a1b2c3d-1111-2222-3333-4444555588aa")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-prune-log").toString
+    // one writer call, 32 files with REAL cumulative PREVIOUS_GTIDS:
+    // 64 single-row txns, 2 per file
+    val df = (1L to 64L).map(i => (i, s"v$i", "INSERT", i, i))
+      .toDF("id", "v", "op", "tso", "seq")
+      .withColumn("ts", lit(1700000000L))
+    BinlogWire.writeTxnFramedBinlogFiles(
+      graft.operators.MergeSort.sortedRunsGrouped(df, 32,
+        Seq("tso"), Seq("seq")),
+      specs, "app", "t", "op", "ts", "tso", dir, checksummed = true,
+      tsoCarrier = "sequence", gtidSid = Some(sid))
+    val fs = graft.util.HadoopIo.fsOf(new org.apache.hadoop.fs.Path(dir))
+    val paths = new java.io.File(dir).listFiles.map(_.getName)
+      .filter(_.startsWith("binlog.")).sorted.toSeq
+      .map(n => new org.apache.hadoop.fs.Path(dir, n))
+    assert(paths.size == 32)
+    val logBound = // ⌈log₂ 32⌉ + 2
+      math.ceil(math.log(paths.size) / math.log(2)).toInt + 2
+    var peeks = 0
+    def counting(p: org.apache.hadoop.fs.Path) = {
+      peeks += 1
+      BinlogWire.readPreviousGtids(fs, p)
+    }
+    def runAt(executed: GtidSet): (Int, Int) = {
+      peeks = 0
+      (BinlogWire.gtidServeStart(paths, executed, counting _), peeks)
+    }
+    def firstK(k: Int): GtidSet = // txns of files 0..k-1 (2 per file)
+      if (k == 0) GtidSet.Empty
+      else (1L to 2L * k).foldLeft(GtidSet.Empty)(_.add(sid, _))
+
+    // caught-up consumer: ONE peek, whatever the log length
+    val (iAll, pAll) = runAt(firstK(32))
+    assert(iAll == 31 && pAll == 1)
+    // fully cold: nothing prunes, and the search still costs O(log N)
+    val (i0, p0) = runAt(GtidSet.Empty)
+    assert(i0 == 0 && p0 <= logBound)
+    // every partial depth: the answer matches the linear rule (largest
+    // i whose previous-set the cursor covers) at O(log N) peeks
+    (1 to 31).foreach { k =>
+      val (i, p) = runAt(firstK(k))
+      assert(i == k, s"depth $k")
+      assert(p <= logBound, s"depth $k cost $p > $logBound")
+    }
+    // the 3-arg entry point (production callers) agrees
+    assert(BinlogWire.gtidServeStart(fs, paths, firstK(7)) == 7)
+  }
 }
