@@ -485,6 +485,16 @@ object BinlogWire {
   val SnapshotSequence = 1
   val CommitSequence = 2
   val HeartbeatSequence = 3
+  // MariaDB flavor (reference event registry: canal/binlog/event/
+  // mariadb/AnnotateRowsEvent.java, MariaGtidLogEvent.java,
+  // MariaGtidListLogEvent.java; public MariaDB protocol codes).
+  // ANNOTATE_ROWS carries provenance text (harmless); the GTID
+  // carriers position a MariaDB replica — see decodeStream for why
+  // they refuse rather than skip.
+  val MariaAnnotateRowsEvent = 160
+  val MariaBinlogCheckpointEvent = 161
+  val MariaGtidEvent = 162
+  val MariaGtidListEvent = 163
 
   private def header(timestamp: Long, typeCode: Int, serverId: Long,
       eventLen: Int, nextPos: Long, flags: Int = 0): Array[Byte] =
@@ -1658,6 +1668,32 @@ object BinlogWire {
             pending += DecodedRow(sn, tn, op, before, after, tso, None,
               gtid = gtid, hdrTs = frame.timestamp, serverId = frame.serverId)
           }
+        case MariaGtidEvent | MariaGtidListEvent =>
+          // REFUSE, loudly and by name: these are a MariaDB replica's
+          // POSITION carriers (domain-server-seqno GTIDs — a different
+          // cursor algebra from MySQL's sid:gno sets this engine
+          // tracks). Skipping them like unknown frames would let a
+          // Maria-flavored relay replicate with a silently
+          // non-advancing GTID cursor — every restart re-draining the
+          // full log and any failover losing position.
+          throw new IllegalArgumentException(
+            s"BinlogWire.decodeStream: MariaDB-flavor GTID carrier " +
+            s"(event type $typeCode, ${if (typeCode == MariaGtidEvent)
+              "MARIA_GTID" else "MARIA_GTID_LIST"}) — this decoder " +
+            "tracks MySQL GTIDs (event 33) and will not silently skip " +
+            "a position carrier; replicate a MariaDB source with " +
+            "(file, pos) cursors, or serve a MySQL-flavored relay")
+        case MariaAnnotateRowsEvent =>
+          // MariaDB's rows-query analog: the annotating statement text
+          // (reference AnnotateRowsEvent.getRowsQuery) — provenance
+          // only, no cursor or row semantics; consumed BY NAME so a
+          // Maria relay's annotations are a recognized no-op, never an
+          // anonymous skip
+          ()
+        case MariaBinlogCheckpointEvent =>
+          // names the newest fully-synced file for the producer's own
+          // crash recovery — file-management metadata, not data
+          ()
         case _ => // FDE / QUERY(BEGIN) / ROTATE / PREVIOUS_GTIDS: no rows
       }
     }

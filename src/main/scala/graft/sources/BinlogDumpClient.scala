@@ -187,6 +187,13 @@ object BinlogDumpClient {
       : (Array[Byte], graft.model.GtidSet) = {
     val seg = dumpSegmentGtid(host, port, user, password, executed,
       serverId, soTimeoutMs, maxBytes)
+    (seg, advanceExecuted(seg, executed))
+  }
+
+  /** The drained segment's GTIDs unioned into `executed` — the
+    * advanced auto-position cursor. */
+  private[graft] def advanceExecuted(seg: Array[Byte],
+      executed: graft.model.GtidSet): graft.model.GtidSet = {
     var set = executed
     var off = 4
     while (off + 19 <= seg.length) {
@@ -196,9 +203,20 @@ object BinlogDumpClient {
       if (tc == graft.sinks.BinlogWire.GtidEvent)
         graft.sinks.BinlogWire.parseGtidBody(seg.slice(off + 19, off + len))
           .foreach { case (sid, gno) => set = set.add(sid, gno) }
+      // a MariaDB-flavor GTID carrier would advance NOTHING here: the
+      // standing poll's cursor would never move and every trigger
+      // would re-drain the log — refuse by name instead (the same
+      // stance decodeStream takes)
+      if (tc == graft.sinks.BinlogWire.MariaGtidEvent ||
+          tc == graft.sinks.BinlogWire.MariaGtidListEvent)
+        throw new IllegalArgumentException(
+          s"BinlogDumpClient: MariaDB-flavor GTID carrier (event type " +
+          s"$tc) in an auto-position dump — this cursor tracks MySQL " +
+          "sid:gno sets and cannot advance on MariaDB domain GTIDs; " +
+          "replicate a MariaDB source with (file, pos) cursors")
       off += len
     }
-    (seg, set)
+    set
   }
 
   /** Dial + authenticate + register, issue one dump command, drain it
