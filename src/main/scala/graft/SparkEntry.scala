@@ -1896,6 +1896,25 @@ object SparkEntry {
             .as("sum_okey"),
           sum(element_at(col("after"), "l_linenumber").cast("long"))
             .as("sum_line"))
+    }),
+
+    // MAXIMAL duplicated spans (oracle-checked, exact boundaries): a
+    // 30-token passage of every long-enough document is planted into a
+    // mirror doc behind unique sentinels; the ExactSubstr merge must
+    // report each duplicated passage as ONE span with exact token
+    // bounds (gaps-and-islands over duplicated k=8 windows), not
+    // window-quantized fragments.
+    "q110_maximal_dup_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") <= 100)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val base = docs.filter(size(split(col("text"), " ")) >= 40)
+      val planted = base.select(
+        (col("doc_id") + 10000L).as("doc_id"),
+        concat(lit("zq"), col("doc_id").cast("string"), lit(" "),
+          array_join(slice(split(col("text"), " "), 11, 30), " "),
+          lit(" yq"), col("doc_id").cast("string")).as("text"))
+      graft.text.SpanDedup.maximalDupSpans(
+        base.unionByName(planted), "doc_id", "text", k = 8)
     })
   )
 
@@ -2931,6 +2950,40 @@ object SparkEntry {
         "CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_txns, " +
         "CAST(sum(l_orderkey) AS BIGINT) AS sum_okey, " +
         "CAST(sum(l_linenumber) AS BIGINT) AS sum_line " +
-        "FROM lineitem WHERE l_orderkey <= 120")
+        "FROM lineitem WHERE l_orderkey <= 120"),
+
+    // q110: the identical planted-mirror fixture and ExactSubstr merge
+    // in SQL — window text equality stands in for the 128-bit hashes
+    "q110_maximal_dup_spans" ->
+      ("WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id <= 100), " +
+        "base AS (SELECT doc_id, text FROM d0 " +
+        "WHERE len(string_split(text, ' ')) >= 40), " +
+        "planted AS (SELECT doc_id + 10000 AS doc_id, " +
+        "'zq' || CAST(doc_id AS VARCHAR) || ' ' || " +
+        "array_to_string((string_split(text, ' '))[11:40], ' ') || " +
+        "' yq' || CAST(doc_id AS VARCHAR) AS text FROM base), " +
+        "pool AS (SELECT * FROM base UNION ALL SELECT * FROM planted), " +
+        "arrs AS (SELECT doc_id, string_split(text, ' ') AS arr FROM pool), " +
+        "toks AS (SELECT doc_id, unnest(arr) AS tok, " +
+        "CAST(generate_subscripts(arr, 1) AS INT) - 1 AS pos FROM arrs), " +
+        "nt AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1), " +
+        "wins AS (SELECT t.doc_id, t.pos, " +
+        "string_agg(t2.tok, ' ' ORDER BY t2.pos) AS win " +
+        "FROM toks t JOIN toks t2 ON t2.doc_id = t.doc_id " +
+        "AND t2.pos >= t.pos AND t2.pos < t.pos + 8 " +
+        "JOIN nt ON nt.doc_id = t.doc_id WHERE t.pos + 8 <= nt.n " +
+        "GROUP BY t.doc_id, t.pos), " +
+        "cnt AS (SELECT win, count(*) AS c FROM wins GROUP BY 1), " +
+        "dup AS (SELECT w.doc_id, w.pos FROM wins w " +
+        "JOIN cnt ON cnt.win = w.win WHERE cnt.c > 1), " +
+        "isl AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) " +
+        "OVER (PARTITION BY doc_id ORDER BY pos) <= 1 THEN 0 ELSE 1 END AS nw " +
+        "FROM dup), " +
+        "isl2 AS (SELECT doc_id, pos, sum(nw) " +
+        "OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl) " +
+        "SELECT doc_id, CAST(min(pos) AS INT) AS span_start, " +
+        "CAST(max(pos) - min(pos) + 8 AS INT) AS span_len, " +
+        "CAST(count(*) AS BIGINT) AS n_windows " +
+        "FROM isl2 GROUP BY doc_id, island")
   )
 }

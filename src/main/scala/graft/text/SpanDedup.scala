@@ -91,6 +91,47 @@ object SpanDedup {
         sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
   }
 
+  /** MAXIMAL duplicated spans per document — the ExactSubstr removal
+    * unit ("Deduplicating Training Data Makes Language Models Better"
+    * §4.1: remove maximal duplicated substrings, not fixed windows).
+    * Overlapping/adjacent duplicated k-token windows merge into one
+    * span (gaps-and-islands over window positions), so a duplicated
+    * passage much longer than k reports as ONE span with its exact
+    * token boundaries instead of L-k+1 window-quantized fragments.
+    * Returns one row per maximal span: (idCol, span_start, span_len,
+    * n_windows) — span_start is the 0-based token index, span_len the
+    * token count, n_windows the duplicated windows the span merged.
+    *
+    * `mergeGap` is the largest position step that still merges
+    * (default 1 = strictly adjacent windows, the verbatim-duplicated
+    * region; k merges any token-overlapping removal ranges).
+    *
+    * Scale shape: duplicate DETECTION stays the map-side-combinable
+    * hash aggregate (never a window over the hash — a 10⁸-occurrence
+    * boilerplate span partial-aggregates); the islands pass windows
+    * over (idCol, pos) ONLY — per-document data, bounded by document
+    * length, the q30 sessionize shape. */
+  def maximalDupSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, mergeGap: Int = 1): DataFrame = {
+    val w = windowHashes(df, idCol, textCol, k)
+    val counts = w.groupBy(col("hash")).agg(count(lit(1)).as("__n"))
+    val dup = w.join(counts.filter(col("__n") > 1), Seq("hash"))
+      .select(col(idCol), col("pos"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    dup
+      .withColumn("__new", when(
+        col("pos") - lag(col("pos"), 1).over(byDoc) <= mergeGap, 0)
+        .otherwise(1))
+      .withColumn("__island", sum(col("__new")).over(byDoc))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + k).as("span_len"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_len"),
+        col("n_windows"))
+  }
+
   /** Remove all-but-first occurrences of duplicated k-token spans: for
     * every hash seen more than once, the (idCol, pos)-least occurrence
     * survives and every other occurrence's k token positions are

@@ -106,4 +106,47 @@ class SpanDedupSpec extends SparkSpec {
     assert(got == Map(10L -> ((3L, 1L)), 11L -> ((2L, 0L)),
       12L -> ((1L, 1L))))
   }
+
+  test("maximalDupSpans merges adjacent duplicate windows into exact span boundaries") {
+    // a 6-token passage "u v w x y z" planted verbatim in two docs,
+    // at token 2 of doc 20 and token 1 of doc 21; doc 22 shares
+    // nothing. k=3 → windows quantize the passage into 4 fragments;
+    // the maximal span must report it as ONE span with exact bounds.
+    val pool = Seq(
+      (20L, "a b u v w x y z c"),
+      (21L, "p u v w x y z"),
+      (22L, "m n o q r s t")).toDF("doc_id", "text")
+    val spans = SpanDedup.maximalDupSpans(pool, "doc_id", "text", k = 3)
+      .as[(Long, Int, Int, Long)].collect().toSet
+    assert(spans == Set((20L, 2, 6, 4L), (21L, 1, 6, 4L)))
+
+    // two DISJOINT duplicated passages in one doc stay two spans
+    // (the non-duplicated middle breaks the island)
+    val pool2 = Seq(
+      (30L, "u v w 1 2 3 x y z"),
+      (31L, "u v w 9 8 7 x y z")).toDF("doc_id", "text")
+    val spans2 = SpanDedup.maximalDupSpans(pool2, "doc_id", "text", k = 3)
+      .as[(Long, Int, Int, Long)].collect().toSet
+    assert(spans2 == Set((30L, 0, 3, 1L), (30L, 6, 3, 1L),
+      (31L, 0, 3, 1L), (31L, 6, 3, 1L)))
+
+    // mergeGap = k unions token-OVERLAPPING removal ranges: duplicated
+    // windows at pos 0 and pos 2 (sharing token 2) merge into one
+    // removal span covering tokens 0..4
+    val pool3 = Seq(
+      (40L, "u v w g x y z h h"),
+      (41L, "u v w q x y z")).toDF("doc_id", "text")
+    val gapped = SpanDedup.maximalDupSpans(pool3, "doc_id", "text",
+        k = 3, mergeGap = 3)
+      .filter($"doc_id" === 40L)
+      .as[(Long, Int, Int, Long)].collect().toSet
+    // windows "u v w" (pos 0) and "x y z" (pos 4) are 4 apart: with
+    // mergeGap=3 they stay separate; with mergeGap=4 they union
+    assert(gapped == Set((40L, 0, 3, 1L), (40L, 4, 3, 1L)))
+    val unioned = SpanDedup.maximalDupSpans(pool3, "doc_id", "text",
+        k = 3, mergeGap = 4)
+      .filter($"doc_id" === 40L)
+      .as[(Long, Int, Int, Long)].collect().toSet
+    assert(unioned == Set((40L, 0, 7, 2L)))
+  }
 }
