@@ -39,6 +39,15 @@ object LiveReplicaJob {
     * standing runner starts logging the condition loudly. */
   val Skip1236AlarmThreshold = 3
 
+  /** One DN's poll outcome, reported per trigger to the `onPoll`
+    * observer: `payloadBytes` > 4 (the wire magic) means the dialogue
+    * carried FRAMES — data, prologue, or an idle HEARTBEAT — so the
+    * runner can tell a live-but-idle source from a dead dialogue;
+    * `skip1236` carries a tolerated 1236's message for the
+    * consecutive-skip accounting. */
+  final case class PollNote(dn: String, payloadBytes: Long,
+      skip1236: Option[String])
+
   /** A 1236 whose message signals an UNRECOVERABLE condition, never a
     * transient rotate/promotion window: a malformed GTID set is a
     * config/encode bug, and a source that PURGED binlogs still holding
@@ -92,7 +101,7 @@ object LiveReplicaJob {
       soTimeoutMs: Int = 30000,
       maxBytesPerPoll: Long = Long.MaxValue,
       ddlInStream: Boolean = false,
-      onSkip1236: (String, String) => Unit = (_, _) => ()): Seq[Endpoint] = {
+      onPoll: PollNote => Unit = _ => ()): Seq[Endpoint] = {
     import spark.implicits._
     WireReplicaJob.validateTargets(targets)
     val polled = spark.createDataset(endpoints)
@@ -138,13 +147,14 @@ object LiveReplicaJob {
     else WireReplicaJob.applyRouted(decoded, targets, txnsPerCommit,
       fromTso)
     val polledRows = staged
-      .select($"dn", $"nextFile", $"nextPos", $"skip1236")
-      .as[(String, String, Long, Option[String])].collect()
-    polledRows.foreach { case (dn, _, _, skip) =>
-      skip.foreach(onSkip1236(dn, _))
+      .select($"dn", $"nextFile", $"nextPos", $"skip1236",
+        length($"payload").cast("long"))
+      .as[(String, String, Long, Option[String], Long)].collect()
+    polledRows.foreach { case (dn, _, _, skip, bytes) =>
+      onPoll(PollNote(dn, bytes, skip))
     }
     val cursors = polledRows
-      .map { case (dn, f, p, _) => dn -> ((f, p)) }.toMap
+      .map { case (dn, f, p, _, _) => dn -> ((f, p)) }.toMap
     endpoints.map { e =>
       cursors.get(e.dn).map { case (f, p) =>
         e.copy(binlogFile = f, pos = p)
@@ -177,8 +187,7 @@ object LiveReplicaJob {
       soTimeoutMs: Int = 30000,
       maxBytesPerPoll: Long = Long.MaxValue,
       ddlInStream: Boolean = false,
-      onSkip1236: (String, String) => Unit = (_, _) => ())
-      : Seq[GtidEndpoint] = {
+      onPoll: PollNote => Unit = _ => ()): Seq[GtidEndpoint] = {
     import spark.implicits._
     WireReplicaJob.validateTargets(targets)
     val eps = endpoints.map(e =>
@@ -221,12 +230,14 @@ object LiveReplicaJob {
         fromTso)
     else WireReplicaJob.applyRouted(decoded, targets, txnsPerCommit,
       fromTso)
-    val polledRows = staged.select($"dn", $"nextExecuted", $"skip1236")
-      .as[(String, String, Option[String])].collect()
-    polledRows.foreach { case (dn, _, skip) =>
-      skip.foreach(onSkip1236(dn, _))
+    val polledRows = staged
+      .select($"dn", $"nextExecuted", $"skip1236",
+        length($"payload").cast("long"))
+      .as[(String, String, Option[String], Long)].collect()
+    polledRows.foreach { case (dn, _, skip, bytes) =>
+      onPoll(PollNote(dn, bytes, skip))
     }
-    val cursors = polledRows.map { case (dn, t, _) => dn -> t }.toMap
+    val cursors = polledRows.map { case (dn, t, _, _) => dn -> t }.toMap
     endpoints.map { e =>
       cursors.get(e.dn)
         .map(t => e.copy(executed = graft.model.GtidSet.parse(t)))
@@ -450,11 +461,13 @@ object LiveReplicaJob {
     var n = 0L
     val c1236 = scala.collection.mutable.Map.empty[String, Int]
     while (!shouldStop() && n < maxTriggers) {
-      val skipped = scala.collection.mutable.Map.empty[String, String]
+      val notes = scala.collection.mutable.ArrayBuffer.empty[PollNote]
       val next = pollApplyOnceRouted(spark, eps, reg, targets,
         stagingDir, txnsPerCommit, fromTso, serverId, soTimeoutMs,
-        maxBytesPerPoll, ddlInStream, (dn, msg) => skipped(dn) = msg)
-      note1236(c1236, skipped, eps.map(_.dn), loopId)
+        maxBytesPerPoll, ddlInStream, notes += _)
+      note1236(c1236,
+        notes.flatMap(x => x.skip1236.map(x.dn -> _)).toMap,
+        eps.map(_.dn), loopId)
       if (ddlInStream) {
         val evolved = evolveFromStage(spark, stagingDir + "_decoded", reg)
         if (evolved != reg) { reg = evolved; saveRegistry(cursorDir, reg) }
@@ -467,7 +480,14 @@ object LiveReplicaJob {
       // vacuumEvery=1 reclaims at the SAME trigger a rebuild lands in.
       if (vacuumEvery > 0 && (n + 1) % vacuumEvery == 0)
         targets.foreach(t => graft.operators.TxnApplier.vacuum(t.targetDir))
-      monitor.foreach(_.noteBatch(loopId, n, if (next != eps) 1L else 0L))
+      // liveness for the silence clock: an advancing cursor OR any
+      // served frames (a caught-up idle poll against a heartbeating
+      // server carries a HEARTBEAT frame — the dialogue is alive, the
+      // source is idle; reference TsoHeartbeat.java:53-67, progress
+      // guaranteed even when idle). A dead dialogue serves nothing
+      // and the no-data alarm still fires.
+      monitor.foreach(_.noteBatch(loopId, n,
+        if (next != eps || notes.exists(_.payloadBytes > 4)) 1L else 0L))
       eps = next
       n += 1
       if (!shouldStop() && n < maxTriggers && intervalMs > 0)
@@ -498,11 +518,13 @@ object LiveReplicaJob {
     var n = 0L
     val c1236 = scala.collection.mutable.Map.empty[String, Int]
     while (!shouldStop() && n < maxTriggers) {
-      val skipped = scala.collection.mutable.Map.empty[String, String]
+      val notes = scala.collection.mutable.ArrayBuffer.empty[PollNote]
       val next = pollApplyOnceGtid(spark, eps, reg, targets,
         stagingDir, txnsPerCommit, fromTso, serverId, soTimeoutMs,
-        maxBytesPerPoll, ddlInStream, (dn, msg) => skipped(dn) = msg)
-      note1236(c1236, skipped, eps.map(_.dn), loopId)
+        maxBytesPerPoll, ddlInStream, notes += _)
+      note1236(c1236,
+        notes.flatMap(x => x.skip1236.map(x.dn -> _)).toMap,
+        eps.map(_.dn), loopId)
       if (ddlInStream) {
         val evolved = evolveFromStage(spark, stagingDir + "_decoded", reg)
         if (evolved != reg) { reg = evolved; saveRegistry(cursorDir, reg) }
@@ -511,7 +533,14 @@ object LiveReplicaJob {
       // see run(): scheduled reclaim of rebuild-superseded versions
       if (vacuumEvery > 0 && (n + 1) % vacuumEvery == 0)
         targets.foreach(t => graft.operators.TxnApplier.vacuum(t.targetDir))
-      monitor.foreach(_.noteBatch(loopId, n, if (next != eps) 1L else 0L))
+      // liveness for the silence clock: an advancing cursor OR any
+      // served frames (a caught-up idle poll against a heartbeating
+      // server carries a HEARTBEAT frame — the dialogue is alive, the
+      // source is idle; reference TsoHeartbeat.java:53-67, progress
+      // guaranteed even when idle). A dead dialogue serves nothing
+      // and the no-data alarm still fires.
+      monitor.foreach(_.noteBatch(loopId, n,
+        if (next != eps || notes.exists(_.payloadBytes > 4)) 1L else 0L))
       eps = next
       n += 1
       if (!shouldStop() && n < maxTriggers && intervalMs > 0)

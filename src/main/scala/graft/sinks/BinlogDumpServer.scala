@@ -33,7 +33,8 @@ import graft.sources.BinlogDumpClient
   * the server is transport.
   */
 final class BinlogDumpServer(wireDir: String, user: String,
-    password: String, filePrefix: String = "binlog.") {
+    password: String, filePrefix: String = "binlog.",
+    idleHeartbeats: Boolean = false) {
 
   private val server = new java.net.ServerSocket(0)
   def port: Int = server.getLocalPort
@@ -92,10 +93,13 @@ final class BinlogDumpServer(wireDir: String, user: String,
     * `serveFrom` gates by within-file offset; the head prologue
     * (FDE=15, TABLE_MAP=19, PREVIOUS_GTIDS=35, ROTATE=4) always
     * serves. */
+  /** Returns the count of NON-prologue frames served — the "did this
+    * dump carry anything new" signal the idle heartbeat keys on. */
   private def streamFile(fs: org.apache.hadoop.fs.FileSystem,
       path: org.apache.hadoop.fs.Path, serveFrom: Long,
-      emit: Array[Byte] => Unit): Unit = {
+      emit: Array[Byte] => Unit): Int = {
     val preamble = Set(15, 19, 35, 4)
+    var newFrames = 0
     val in = new java.io.DataInputStream(
       new java.io.BufferedInputStream(fs.open(path)))
     try {
@@ -117,11 +121,15 @@ final class BinlogDumpServer(wireDir: String, user: String,
           val body = new Array[Byte](len - 19)
           in.readFully(body)
           inPrologue &&= preamble.contains(header(4) & 0xFF)
-          if (inPrologue || off >= serveFrom) emit(header ++ body)
+          if (inPrologue || off >= serveFrom) {
+            emit(header ++ body)
+            if (!inPrologue) newFrames += 1
+          }
           off += len
         }
       }
     } finally in.close()
+    newFrames
   }
 
   /** Stream one file for a GTID auto-position dump: infrastructure
@@ -134,9 +142,12 @@ final class BinlogDumpServer(wireDir: String, user: String,
     * dump site), matching real MySQL's file-then-event pruning order.
     * A GTID-less txn (log written without a sid) never matches the
     * executed set and always serves. */
+  /** Returns the count of served TRANSACTION frames (infrastructure
+    * events excluded) — the idle-heartbeat signal. */
   private def streamFileGtid(fs: org.apache.hadoop.fs.FileSystem,
       path: org.apache.hadoop.fs.Path, executed: graft.model.GtidSet,
-      emit: Array[Byte] => Unit): Unit = {
+      emit: Array[Byte] => Unit): Int = {
+    var newFrames = 0
     val in = new java.io.DataInputStream(
       new java.io.BufferedInputStream(fs.open(path)))
     try {
@@ -161,19 +172,40 @@ final class BinlogDumpServer(wireDir: String, user: String,
                 if BinlogWire.parseGtidBody(body).isDefined =>
               val (sid, gno) = BinlogWire.parseGtidBody(body).get
               skipping = executed.contains(sid, gno)
-              if (!skipping) emit(header ++ body)
+              if (!skipping) { emit(header ++ body); newFrames += 1 }
             case BinlogWire.FormatDescriptionEvent |
                  BinlogWire.PreviousGtidsEvent |
                  BinlogWire.TableMapEvent | BinlogWire.RotateEvent =>
               emit(header ++ body)
             case BinlogWire.XidEvent =>
-              if (!skipping) emit(header ++ body)
+              if (!skipping) { emit(header ++ body); newFrames += 1 }
               skipping = false
-            case _ => if (!skipping) emit(header ++ body)
+            case _ =>
+              if (!skipping) { emit(header ++ body); newFrames += 1 }
           }
         }
       }
     } finally in.close()
+    newFrames
+  }
+
+  /** One HEARTBEAT_LOG_EVENT frame: body = the newest file's name,
+    * next_pos = its end offset — the MySQL idle-liveness signal
+    * (reference semantics: TsoHeartbeat.java:53-67, progress
+    * guaranteed even when the source is idle). Sent on a caught-up
+    * dump when `idleHeartbeats` is on, so a standing client can tell
+    * an idle source from a dead dialogue without a wall clock. */
+  private def heartbeatFrame(fileName: String, endPos: Long): Array[Byte] = {
+    val body = fileName.getBytes(UTF_8)
+    // always carry a CRC32 trailer: a checksummed stream's parsers
+    // verify it; an unchecksummed stream's treat it as 4 opaque body
+    // bytes nothing reads (the body is provenance text only)
+    val ev = le(0L, 4) ++ Array(BinlogWire.HeartbeatEvent.toByte) ++
+      le(0L, 4) ++ le((19 + body.length + 4).toLong, 4) ++
+      le(endPos, 4) ++ le(0L, 2) ++ body
+    val crc = new java.util.zip.CRC32()
+    crc.update(ev)
+    ev ++ le(crc.getValue, 4)
   }
 
   private def serve(sock: java.net.Socket): Unit = {
@@ -234,9 +266,15 @@ final class BinlogDumpServer(wireDir: String, user: String,
               io.write(err(1236, "HY000",
                 s"Could not find first log file name in binary log index file: $file"))
             else {
+              var served = 0
               files.zipWithIndex.foreach { case (p, fi) =>
-                streamFile(fs, p, if (fi == 0) pos else 4L,
+                served += streamFile(fs, p, if (fi == 0) pos else 4L,
                   bytes => io.write(Array(0x00.toByte) ++ bytes))
+              }
+              if (idleHeartbeats && served == 0) {
+                val last = files.last
+                io.write(Array(0x00.toByte) ++ heartbeatFrame(
+                  last.getName, fs.getFileStatus(last).getLen))
               }
               io.write(Array(0xFE.toByte) ++ le(0L, 2) ++ le(2L, 2))
             }
@@ -281,9 +319,15 @@ final class BinlogDumpServer(wireDir: String, user: String,
               // file is self-describing, so the dump starts clean at
               // the first file that can carry un-executed txns.
               val from = BinlogWire.gtidServeStart(fs, files, executed)
+              var served = 0
               files.drop(from).foreach { p =>
-                streamFileGtid(fs, p, executed,
+                served += streamFileGtid(fs, p, executed,
                   bytes => io.write(Array(0x00.toByte) ++ bytes))
+              }
+              if (idleHeartbeats && served == 0 && files.nonEmpty) {
+                val last = files.last
+                io.write(Array(0x00.toByte) ++ heartbeatFrame(
+                  last.getName, fs.getFileStatus(last).getLen))
               }
               io.write(Array(0xFE.toByte) ++ le(0L, 2) ++ le(2L, 2))
             }

@@ -466,6 +466,12 @@ object BinlogWire {
   val FormatDescriptionEvent = 15
   val XidEvent = 16
   val TableMapEvent = 19
+  // the dump-dialogue liveness signal a server sends when the
+  // consumer is caught up (MySQL HEARTBEAT_LOG_EVENT; reference
+  // analog: the TsoHeartbeat that guarantees progress even when idle,
+  // TsoHeartbeat.java:53-67); body = the current file name, next_pos
+  // = its end — never written to files, wire-only
+  val HeartbeatEvent = 27
   val RowsQueryEvent = 29
   val WriteRowsEventV2 = 30
   val UpdateRowsEventV2 = 31
@@ -1668,6 +1674,11 @@ object BinlogWire {
             pending += DecodedRow(sn, tn, op, before, after, tso, None,
               gtid = gtid, hdrTs = frame.timestamp, serverId = frame.serverId)
           }
+        case HeartbeatEvent =>
+          // caught-up liveness from the dump dialogue: no rows, no
+          // cursor change — consumed by name (the client's cursor walk
+          // reads its next_pos; see BinlogDumpServer idleHeartbeats)
+          ()
         case MariaGtidEvent | MariaGtidListEvent =>
           // REFUSE, loudly and by name: these are a MariaDB replica's
           // POSITION carriers (domain-server-seqno GTIDs — a different
