@@ -538,6 +538,18 @@ object DdlParser {
           } else if (Set("index", "key", "unique", "constraint", "foreign",
               "fulltext", "spatial", "check", "partition").contains(word(base))) {
             Seq(IgnoredAction)
+          } else if ((word(base) == "vector" &&
+              Set("index", "key").contains(word(base + 1))) ||
+              (word(base) == "system" && word(base + 1) == "versioning") ||
+              (word(base) == "period" && word(base + 1) == "for")) {
+            // guarded lookahead: ADD VECTOR INDEX (MySQL 9 / MariaDB
+            // 11.7), ADD SYSTEM VERSIONING, ADD PERIOD FOR SYSTEM_TIME
+            // (MariaDB temporal) are index/metadata actions — without
+            // the lookahead each would mis-parse as a phantom column
+            // named `vector`/`system`/`period` (a genuine column of
+            // those names parses a TYPE next, never INDEX/VERSIONING/
+            // FOR, so the guard cannot eat it)
+            Seq(IgnoredAction)
           } else if (tok(base) == "(") {
             // MySQL paren-group form: ADD [COLUMN] (a INT, b DECIMAL(10,2))
             // — split on commas at group depth only (type-arg parens nest)
@@ -577,15 +589,25 @@ object DdlParser {
             Seq(DropColumn(tok(past(2)).toLowerCase))
           else if (Set("index", "key", "constraint", "foreign", "partition",
               "check").contains(word(1))) Seq(IgnoredAction)
+          else if (word(1) == "system" && word(2) == "versioning")
+            Seq(IgnoredAction) // MariaDB DROP SYSTEM VERSIONING
+          else if (word(1) == "period" && word(2) == "for")
+            Seq(IgnoredAction) // MariaDB DROP PERIOD FOR SYSTEM_TIME
           else Seq(DropColumn(tok(past(1)).toLowerCase))
         case "modify" =>
-          val base = if (word(1) == "column") 2 else 1
+          // MariaDB-flavor IF EXISTS on MODIFY/CHANGE: skip it or the
+          // keyword reads as the column name
+          val base0 = if (word(1) == "column") 2 else 1
+          val base = if (word(base0) == "if" && word(base0 + 1) == "exists")
+            base0 + 2 else base0
           val name = tok(base).toLowerCase
           val (tpe, rest) = parseTypeAt(toks, kw, idxs.drop(base + 1))
           val (first, after) = positionOf(rest)
           Seq(ModifyColumn(ColumnDef(name, tpe), first, after))
         case "change" =>
-          val base = if (word(1) == "column") 2 else 1
+          val base0 = if (word(1) == "column") 2 else 1
+          val base = if (word(base0) == "if" && word(base0 + 1) == "exists")
+            base0 + 2 else base0
           val oldName = tok(base).toLowerCase
           val newName = tok(base + 1).toLowerCase
           val (tpe, rest) = parseTypeAt(toks, kw, idxs.drop(base + 2))

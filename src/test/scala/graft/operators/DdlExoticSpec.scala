@@ -173,6 +173,39 @@ class DdlExoticSpec extends SparkSpec {
       AlterTable("s", "t", Seq(DropColumn("x"))))
   }
 
+  test("vector indexes, system versioning, temporal periods, MariaDB IF EXISTS on MODIFY/CHANGE") {
+    // index/metadata actions that would otherwise mis-parse as phantom
+    // columns named `vector`/`system`/`period`
+    assert(parse("ALTER TABLE t ADD VECTOR INDEX idx (v)", "s") ==
+      AlterTable("s", "t", Seq(IgnoredAction)))
+    assert(parse("ALTER TABLE t ADD SYSTEM VERSIONING", "s") ==
+      AlterTable("s", "t", Seq(IgnoredAction)))
+    assert(parse("ALTER TABLE t DROP SYSTEM VERSIONING", "s") ==
+      AlterTable("s", "t", Seq(IgnoredAction)))
+    assert(parse(
+      "ALTER TABLE t ADD PERIOD FOR SYSTEM_TIME(row_start, row_end)",
+      "s") == AlterTable("s", "t", Seq(IgnoredAction)))
+    assert(parse("ALTER TABLE t DROP PERIOD FOR SYSTEM_TIME", "s") ==
+      AlterTable("s", "t", Seq(IgnoredAction)))
+    // the guards are LOOKAHEAD-scoped: genuine columns of those names
+    // still parse as columns
+    assert(parse("ALTER TABLE t ADD vector INT", "s") ==
+      AlterTable("s", "t", Seq(
+        AddColumn(ColumnDef("vector", "int"), first = false, after = None))))
+    assert(parse("ALTER TABLE t DROP system", "s") ==
+      AlterTable("s", "t", Seq(DropColumn("system"))))
+    assert(parse("ALTER TABLE t DROP period", "s") ==
+      AlterTable("s", "t", Seq(DropColumn("period"))))
+    // MariaDB IF EXISTS on MODIFY/CHANGE: the keyword must not read
+    // as the column name
+    assert(parse("ALTER TABLE t MODIFY COLUMN IF EXISTS a BIGINT", "s") ==
+      AlterTable("s", "t", Seq(ModifyColumn(ColumnDef("a", "bigint"),
+        first = false, after = None))))
+    assert(parse("ALTER TABLE t CHANGE IF EXISTS a b BIGINT", "s") ==
+      AlterTable("s", "t", Seq(ChangeColumn("a",
+        ColumnDef("b", "bigint"), first = false, after = None))))
+  }
+
   test("truncate, multi-drop, multi-rename") {
     assert(parse("TRUNCATE TABLE t", "s") == Noop)
     assert(parse("DROP TABLE IF EXISTS a, b", "s") ==
