@@ -232,14 +232,20 @@ private[streaming] class GraftCdcMicroBatchStream(conf: CdcConf,
               (Array.emptyByteArray, startSet)
           }
         val hasData = seg.length > 4
-        if (hasData) {
-          val c = graft.util.HadoopIo.confFrom(confMap)
-          val p = new Path(s"$inflight/$dn.bin")
-          val fs = p.getFileSystem(c)
-          val out = fs.create(p, true)
-          try out.write(seg) finally out.close()
-        }
-        (dn, adv.text, hasData)
+        val staged =
+          if (!hasData) ""
+          else {
+            val c = graft.util.HadoopIo.confFrom(confMap)
+            // attempt-unique name: a retried/speculative task never
+            // writes the path another attempt is writing
+            val att = org.apache.spark.TaskContext.get().taskAttemptId()
+            val p = new Path(s"$inflight/$dn-$att.bin")
+            val fs = p.getFileSystem(c)
+            val out = fs.create(p, true)
+            try out.write(seg) finally out.close()
+            p.toString
+          }
+        (dn, adv.text, staged)
       }.collect()
     val end = GtidSetOffset(startSets ++ polled.map(t => t._1 -> t._2))
     // publish the stage under its content key (the drain learned the
@@ -247,8 +253,8 @@ private[streaming] class GraftCdcMicroBatchStream(conf: CdcConf,
     val fs = graft.util.HadoopIo.fsOf(stageRoot)
     val dst = stageDirFor(end)
     fs.mkdirs(dst)
-    polled.filter(_._3).foreach { case (dn, _, _) =>
-      val s = new Path(s"$inflight/$dn.bin")
+    polled.filter(_._3.nonEmpty).foreach { case (dn, _, staged) =>
+      val s = new Path(staged)
       val d = new Path(dst, s"$dn.bin")
       if (fs.exists(d)) fs.delete(d, true)
       if (!fs.rename(s, d))
