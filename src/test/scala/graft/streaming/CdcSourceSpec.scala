@@ -184,6 +184,43 @@ class CdcSourceSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/target/data/v00000001").exists())
   }
 
+  test("one STANDING query advances across triggers without restart") {
+    // every other test restarts per phase; this one keeps ONE query
+    // running while the producer rotates — the source must advance its
+    // offset across triggers of the same run (repeated latestOffset
+    // calls on one stream instance) and deliver each txn exactly once
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcsrc4")
+    val served = s"$root/served"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(served))
+    val reg = Map(("db", "t") -> Seq("k", "seq", "v"))
+    writeCall((1L to 3L).map(t => ins(t, "v", s"a$t")), reg, "", served, 0)
+    val srv = new graft.sinks.BinlogDumpServer(served, "repl", "pw")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      val q = spark.readStream.format("graft-cdc")
+        .option("endpoints", s"dn1@localhost:${srv.port}")
+        .option("user", "repl").option("password", "pw")
+        .option("tables", "db.t:k,seq,v")
+        .load()
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized { seen ++= batch.select($"tso").as[Long].collect() }
+          ()
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        assert(seen.synchronized(seen.sorted.toSeq) == Seq(1L, 2L, 3L))
+        // the producer rotates mid-run; the SAME query picks it up
+        writeCall(Seq(ins(4L, "v", "a4"), ins(5L, "v", "a5")), reg,
+          s"$sid:1-3", served, 1)
+        q.processAllAvailable()
+        assert(seen.synchronized(seen.sorted.toSeq) == (1L to 5L))
+      } finally q.stop()
+    } finally srv.close()
+  }
+
   test("replay filter keeps only transactions inside the offset range") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-cdcsrc3").toString

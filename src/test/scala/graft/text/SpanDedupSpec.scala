@@ -149,4 +149,20 @@ class SpanDedupSpec extends SparkSpec {
       .as[(Long, Int, Int, Long)].collect().toSet
     assert(unioned == Set((40L, 0, 7, 2L)))
   }
+
+  test("maximalDupSpans plan: duplicate detection aggregates; the only window partitions by document") {
+    // a ubiquitous boilerplate span can occur 10^8 times — its hash
+    // must flow through a map-side-combinable aggregate; the islands
+    // window must partition by the DOCUMENT id (bounded by document
+    // length), never by the hash
+    val plan = SpanDedup.maximalDupSpans(docs, "doc_id", "text", k)
+      .queryExecution.optimizedPlan.toString
+    val winLines = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty)
+    assert(winLines.forall(l =>
+      l.contains("doc_id") && !l.contains("hash#")),
+      s"window partitions by something other than the document:\n" +
+        winLines.mkString("\n"))
+  }
 }
