@@ -363,15 +363,23 @@ object LiveReplicaJob {
       : Map[(String, String), Seq[String]] = {
     val dst = new org.apache.hadoop.fs.Path(cursorDir, "_graft_registry")
     if (!graft.util.HadoopIo.fsOf(dst).exists(dst)) initial
-    else {
-      val saved = graft.util.HadoopIo.readString(dst).split("\n").toSeq
-        .filter(_.nonEmpty).map { line =>
-          val Array(s, t, cols) = line.split("\t", 3)
-          (s, t) -> cols.split(",").toSeq.filter(_.nonEmpty)
-        }.toMap
-      initial.map { case (k, v) => k -> saved.getOrElse(k, v) } ++
-        (saved -- initial.keySet)
-    }
+    else mergeRegistry(graft.util.HadoopIo.readString(dst), initial)
+  }
+
+  /** The sidecar-body half of [[resumeRegistry]], for callers that
+    * read the file themselves (executor-side readers carrying an
+    * explicit Hadoop conf — the driver's session conf is not active
+    * there). */
+  private[graft] def mergeRegistry(sidecarText: String,
+      initial: Map[(String, String), Seq[String]])
+      : Map[(String, String), Seq[String]] = {
+    val saved = sidecarText.split("\n").toSeq
+      .filter(_.nonEmpty).map { line =>
+        val Array(s, t, cols) = line.split("\t", 3)
+        (s, t) -> cols.split(",").toSeq.filter(_.nonEmpty)
+      }.toMap
+    initial.map { case (k, v) => k -> saved.getOrElse(k, v) } ++
+      (saved -- initial.keySet)
   }
 
   /** One batch's registry evolution: fold the decoded batch's DDL

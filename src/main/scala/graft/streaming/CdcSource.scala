@@ -274,7 +274,11 @@ private[streaming] class GraftCdcMicroBatchStream(conf: CdcConf,
         GraftCdcPartition(dn, host, port, conf.user, conf.password,
           s.getOrElse(dn, ""), e.getOrElse(dn, ""),
           s"$stage/$dn.bin", conf.tables, conf.registryDir,
-          conf.serverId, conf.soTimeoutMs, conf.tsoFromXid)
+          conf.serverId, conf.soTimeoutMs, conf.tsoFromXid,
+          // serialized session conf: executors have no active session,
+          // and a default Configuration would lose object-store
+          // credentials for the stage/registry reads below
+          graft.util.HadoopIo.confMap)
     }.toArray
   }
 
@@ -299,7 +303,8 @@ private[streaming] final case class GraftCdcPartition(dn: String,
     startText: String, endText: String, stagePath: String,
     tables: Map[(String, String), Seq[String]],
     registryDir: Option[String], serverId: Long, soTimeoutMs: Int,
-    tsoFromXid: Boolean) extends InputPartition
+    tsoFromXid: Boolean,
+    hadoopConf: Map[String, String]) extends InputPartition
 
 private[streaming] class GraftCdcReaderFactory
     extends PartitionReaderFactory {
@@ -321,8 +326,9 @@ private[streaming] class GraftCdcPartitionReader(p: GraftCdcPartition)
     extends PartitionReader[InternalRow] {
 
   private lazy val rows: Iterator[InternalRow] = {
+    val hconf = graft.util.HadoopIo.confFrom(p.hadoopConf)
     val path = new Path(p.stagePath)
-    val fs = graft.util.HadoopIo.fsOf(path)
+    val fs = path.getFileSystem(hconf)
     val bytes =
       if (fs.exists(path)) {
         val in = fs.open(path)
@@ -338,9 +344,18 @@ private[streaming] class GraftCdcPartitionReader(p: GraftCdcPartition)
           p.soTimeoutMs)
         CdcSegmentFilter.keepWithin(seg, GtidSet.parse(p.endText))
       }
-    val reg = p.registryDir
-      .map(d => graft.jobs.LiveReplicaJob.resumeRegistry(d, p.tables))
-      .getOrElse(p.tables)
+    val reg = p.registryDir.map { d =>
+      val dst = new Path(d, "_graft_registry")
+      val rfs = dst.getFileSystem(hconf)
+      if (!rfs.exists(dst)) p.tables
+      else {
+        val in = rfs.open(dst)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        graft.jobs.LiveReplicaJob.mergeRegistry(text, p.tables)
+      }
+    }.getOrElse(p.tables)
     val ser = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[ChangeEvent]()
       .createSerializer()
     ChangeEventSource.toChangeEvents(p.dn, bytes, reg, p.tsoFromXid)
