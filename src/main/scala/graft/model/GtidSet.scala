@@ -75,6 +75,12 @@ final case class GtidSet private (sets: Map[UUID, Vector[(Long, Long)]]) {
       }
     }
 
+  /** Number of transactions the set names — sum of interval widths.
+    * O(intervals); the lag metric `|server tip| - |consumed|` between
+    * two monotone sets of the same history. */
+  def gnoCount: Long =
+    sets.valuesIterator.flatten.map { case (s, e) => e - s }.sum
+
   /** MySQL text form: SIDs sorted, intervals as `start-last` (INCLUSIVE
     * last, singletons bare) — what SHOW MASTER STATUS prints. */
   def text: String =

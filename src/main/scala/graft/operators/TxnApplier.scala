@@ -139,6 +139,27 @@ object TxnApplier {
     graft.util.HadoopIo.writeSwap(new Path(root, "._current.tmp"),
       currentFile(root), s"${c.version},${c.lastTso},$schemaV")
 
+  /** Pointer swap for the read-modify-write callers (evolveSchema /
+    * rebuildTarget): verifies the pointer still reads as it did when
+    * the caller started before swinging it, failing LOUDLY if a
+    * concurrent writer committed in between — a silent swap there
+    * would regress version AND lastTso, making committed transactions
+    * disappear and re-apply. This narrows the race window to the
+    * re-read→rename gap rather than eliminating it: the DEPLOYMENT
+    * CONTRACT is single-writer per target (one replica applier owns a
+    * target dir, the reference's single TransactionApplier per
+    * stream), and this check turns most contract violations into an
+    * error instead of data loss. */
+  private def commitPointerFrom(root: Path, expected: (Commit, Long),
+      c: Commit, schemaV: Long): Unit = {
+    val now = readPointer(root)
+    if (!now.contains(expected))
+      sys.error(s"txn target $root: pointer moved ${expected} -> ${now} " +
+        "during a schema evolution/rebuild — a concurrent writer is " +
+        "violating the single-writer contract; refusing the swap")
+    commitPointer(root, c, schemaV)
+  }
+
   /** Stage schema version `sv` (invisible until a pointer names it). */
   private def writeSchemaVersion(root: Path, sv: Long,
       schema: StructType): Unit = {
@@ -250,7 +271,7 @@ object TxnApplier {
     val (cur, sv) = readPointer(root).getOrElse(
       sys.error(s"txn target $dir: bootstrap before evolving"))
     writeSchemaVersion(root, sv + 1, newSchema)
-    commitPointer(root, cur, sv + 1)
+    commitPointerFrom(root, (cur, sv), cur, sv + 1)
   }
 
   /** Read one committed version (time travel over observable states). */
@@ -356,7 +377,7 @@ object TxnApplier {
     writeSchemaVersion(root, sv + 1, rebuilt.schema)
     writeManifest(root, v, entries)
     val c = Commit(v, cur.lastTso)
-    commitPointer(root, c, sv + 1)
+    commitPointerFrom(root, (cur, sv), c, sv + 1)
     c
   }
 

@@ -39,9 +39,15 @@ final class BinlogDumpServer(wireDir: String, user: String,
   private val server = new java.net.ServerSocket(0)
   def port: Int = server.getLocalPort
 
+  /** Accepted-connection count — lets a consumer-side test PROVE its
+    * dial economy (e.g. the streaming source's staged path: one drain
+    * dial per trigger, readers never re-dial in steady state). */
+  val sessionsServed = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private val accepter = new Thread(() => {
     try while (!server.isClosed) {
       val sock = server.accept()
+      sessionsServed.incrementAndGet()
       val t = new Thread(() => serve(sock), s"binlog-dump-${sock.getPort}")
       t.setDaemon(true)
       t.start()

@@ -190,6 +190,33 @@ object BinlogDumpClient {
     (seg, advanceExecuted(seg, executed))
   }
 
+  /** REPLAY drain: re-dump from `start` and stop as soon as the served
+    * transactions COVER `target` — the bounded re-serve a replayed
+    * micro-batch needs. A replayed offset range `[start, target]` was
+    * drained once before, so the server must be able to re-serve it;
+    * data that arrived AFTER the range (potentially hours of log on a
+    * busy DN) must not be buffered just to be filtered away. The drain
+    * tracks the served GTIDs and terminates at the first GTID event
+    * past coverage (transactions are served in log order, so the first
+    * out-of-range transaction marks the end of the range region) —
+    * memory is bounded by the RANGE size plus one event, never the
+    * post-range backlog. A caught-up EOF before coverage fails loudly:
+    * a range the source can no longer re-serve must fail the query
+    * rather than silently emit a subset.
+    * Reference analog: the bounded fetch loop a replica recovery runs
+    * (canal/core/dump/MysqlConnection.java dump dialogue). */
+  def dumpSegmentGtidCovering(host: String, port: Int, user: String,
+      password: String, start: graft.model.GtidSet,
+      target: graft.model.GtidSet, serverId: Long = 12345L,
+      soTimeoutMs: Int = 30000): Array[Byte] = {
+    val data = start.encode
+    withDump(host, port, user, password, serverId, soTimeoutMs,
+      Array(ComBinlogDumpGtid.toByte) ++ le(0x01L | 0x04L, 2) ++
+        le(serverId, 4) ++ le(0L, 4) ++ le(4L, 8) ++
+        le(data.length.toLong, 4) ++ data,
+      maxBytes = Long.MaxValue, coverage = Some((start, target)))
+  }
+
   /** The drained segment's GTIDs unioned into `executed` — the
     * advanced auto-position cursor. */
   private[graft] def advanceExecuted(seg: Array[Byte],
@@ -220,10 +247,13 @@ object BinlogDumpClient {
   }
 
   /** Dial + authenticate + register, issue one dump command, drain it
-    * (optionally `maxBytes`-capped at txn boundaries), COM_QUIT. */
+    * (optionally `maxBytes`-capped at txn boundaries; optionally
+    * coverage-terminated — see [[dumpSegmentGtidCovering]]), COM_QUIT. */
   private def withDump(host: String, port: Int, user: String,
       password: String, serverId: Long, soTimeoutMs: Int,
-      dumpCommand: Array[Byte], maxBytes: Long): Array[Byte] = {
+      dumpCommand: Array[Byte], maxBytes: Long,
+      coverage: Option[(graft.model.GtidSet, graft.model.GtidSet)] = None)
+      : Array[Byte] = {
     val sock = new java.net.Socket()
     sock.connect(new java.net.InetSocketAddress(host, port), soTimeoutMs)
     sock.setSoTimeout(soTimeoutMs)
@@ -270,22 +300,49 @@ object BinlogDumpClient {
       val events = Vector.newBuilder[Array[Byte]]
       var done = false
       var drained = 0L
+      var served = coverage.map(_._1).getOrElse(graft.model.GtidSet.Empty)
+      var sawEof = false
       while (!done) {
         val p = failOnErr(io.read(), "binlog dump")
-        if (p.nonEmpty && (p(0) & 0xFF) == 0xFE && p.length < 9) done = true
-        else {
+        if (p.nonEmpty && (p(0) & 0xFF) == 0xFE && p.length < 9) {
+          done = true; sawEof = true
+        } else {
           require(p.nonEmpty && p(0) == 0,
             "BinlogDumpClient: malformed event packet (no OK marker)")
-          events += p.drop(1)
-          drained += p.length - 1
-          if (drained >= maxBytes) {
-            // capped: stop at the first txn boundary from here on —
-            // event type sits after the OK byte + 4 timestamp bytes
-            val tc = p(5) & 0xFF
-            if (tc == graft.sinks.BinlogWire.XidEvent ||
-                tc == graft.sinks.BinlogWire.RotateEvent) done = true
+          // event type sits after the OK byte + 4 timestamp bytes
+          val tc = p(5) & 0xFF
+          // coverage-terminated drain: the first GTID event past
+          // coverage starts a transaction OUTSIDE the replayed range —
+          // exclude it and stop (log order means everything after it
+          // is outside too)
+          val pastRange = coverage.exists { case (_, target) =>
+            tc == graft.sinks.BinlogWire.GtidEvent &&
+              target.isSubsetOf(served)
+          }
+          if (pastRange) done = true
+          else {
+            if (coverage.isDefined &&
+                tc == graft.sinks.BinlogWire.GtidEvent)
+              graft.sinks.BinlogWire.parseGtidBody(p.drop(20))
+                .foreach { case (sid, gno) => served = served.add(sid, gno) }
+            events += p.drop(1)
+            drained += p.length - 1
+            if (drained >= maxBytes) {
+              // capped: stop at the first txn boundary from here on
+              if (tc == graft.sinks.BinlogWire.XidEvent ||
+                  tc == graft.sinks.BinlogWire.RotateEvent) done = true
+            }
           }
         }
+      }
+      coverage.foreach { case (_, target) =>
+        if (sawEof && !target.isSubsetOf(served))
+          throw new java.io.IOException(
+            "BinlogDumpClient: replay drain reached caught-up EOF " +
+            s"before covering the replayed range — served '${served.text}'" +
+            s" does not cover '${target.text}'; the source can no longer " +
+            "re-serve this offset range (purged log?), failing loudly " +
+            "instead of emitting a subset")
       }
       io.seq = 0
       io.write(Array(ComQuit.toByte))

@@ -48,8 +48,8 @@ object CdcReplica {
     // the option strings reuse the sidecar/offset delimiters — refuse
     // names that would corrupt them (same guard family as saveRegistry)
     endpoints.foreach { case (dn, _, _) =>
-      require(!dn.exists("\"\\,;=@".contains(_)),
-        s"DN name '$dn' carries option/offset delimiters")
+      require(!dn.exists(c => "\"\\,;=@/".contains(c) || c.isWhitespace),
+        s"DN name '$dn' carries option/offset/path delimiters")
     }
     tableCols.foreach { case ((s, t), cols) =>
       require(!(s + t).exists(";:,".contains(_)) && !s.contains("."),
@@ -57,7 +57,6 @@ object CdcReplica {
       require(cols.forall(c => !c.exists(";:,".contains(_))),
         s"column names of '$s'.'$t' carry option delimiters")
     }
-    var n = 0L
     val reader = spark.readStream.format("graft-cdc")
       .option("endpoints",
         endpoints.map { case (dn, h, p) => s"$dn@$h:$p" }.mkString(","))
@@ -76,15 +75,19 @@ object CdcReplica {
     withStart.load()
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val staged = Staged.parquetStage(batch, stagingDir)
         WireReplicaJob.applyRoutedWithDdl(staged, targets, txnsPerCommit,
           fromTso = None)
         val reg0 = LiveReplicaJob.resumeRegistry(registryDir, tableCols)
         val evolved = LiveReplicaJob.evolveRegistryFromBatch(staged, reg0)
         if (evolved != reg0) LiveReplicaJob.saveRegistry(registryDir, evolved)
-        n += 1
-        if (vacuumEveryBatches > 0 && n % vacuumEveryBatches == 0)
+        // cadence off Spark's MONOTONIC batchId (not a closure counter,
+        // which would reset on every query restart and drift the
+        // schedule): vacuum fires on batches k-1, 2k-1, … regardless of
+        // how many restarts the run absorbed
+        if (vacuumEveryBatches > 0 &&
+            (batchId + 1) % vacuumEveryBatches == 0)
           targets.foreach(t => TxnApplier.vacuum(t.targetDir))
         ()
       }

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, ReportsSourceMetrics, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -68,7 +68,14 @@ import graft.sources.{BinlogDumpClient, ChangeEventSource}
   *                   in-stream DDL name tracking
   *   - `startExecuted` "dn1=uuid:1-4;dn2=" initial sets (default empty
   *                   = bootstrap from the log head)
-  *   - `maxBytesPerPoll`, `serverId`, `soTimeoutMs`, `tsoAuthority`
+  *   - `maxBytesPerPoll` per-DN per-trigger drain cap, soft by one
+  *                   transaction (default 128 MiB — a deep-backlog
+  *                   bootstrap splits across triggers instead of
+  *                   buffering history in one task's heap); also
+  *                   surfaced to Spark as the source's default
+  *                   `ReadLimit.maxBytes`, and composed (min) with any
+  *                   limit Spark passes back
+  *   - `serverId`, `soTimeoutMs`, `tsoAuthority`
   */
 class GraftCdcSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-cdc"
@@ -90,6 +97,12 @@ private[streaming] final case class CdcConf(
     tsoFromXid: Boolean)
 
 private[streaming] object CdcConf {
+  /** 128 MiB per DN per trigger — big enough that a steady-state poll
+    * never hits it, small enough that a catch-up's per-task buffer is
+    * a fraction of executor heap; the cap is soft by one transaction
+    * (txn-boundary stop). Override with `maxBytesPerPoll`. */
+  val DefaultMaxBytesPerPoll: Long = 128L << 20
+
   def fromOptions(opts: Map[String, String]): CdcConf = {
     val o = opts.map { case (k, v) => k.toLowerCase -> v }
     def req(k: String): String = o.getOrElse(k.toLowerCase,
@@ -99,8 +112,12 @@ private[streaming] object CdcConf {
         val Array(dn, addr) = e.split("@", 2)
         val i = addr.lastIndexOf(':')
         require(i > 0, s"graft-cdc: endpoint '$e' is not dn@host:port")
-        require(!dn.exists("\"\\,;=".contains(_)),
-          s"graft-cdc: DN name '$dn' carries offset/option delimiters")
+        // delimiters would corrupt the offset/option encodings; '/' and
+        // whitespace would splice into the stage FILE PATHS the DN name
+        // keys ("inflight/$dn-$att.bin"), turning a publish rename into
+        // a missing-parent failure
+        require(!dn.exists(c => "\"\\,;=/".contains(c) || c.isWhitespace),
+          s"graft-cdc: DN name '$dn' carries offset/option/path delimiters")
         (dn, addr.substring(0, i), addr.substring(i + 1).toInt)
       }
     val tables = o.get("tables").map(_.split(";").toSeq.filter(_.nonEmpty)
@@ -124,8 +141,16 @@ private[streaming] object CdcConf {
       startExecuted = startExecuted,
       serverId = o.getOrElse("serverid", "12345").toLong,
       soTimeoutMs = o.getOrElse("sotimeoutms", "30000").toInt,
-      maxBytesPerPoll =
-        o.getOrElse("maxbytesperpoll", Long.MaxValue.toString).toLong,
+      // a REAL default cap: a bootstrap against a deep backlog must
+      // split across triggers, not buffer a DN's history in one task's
+      // heap (the drain is per-DN, so the trigger's footprint is
+      // cap × DN-count spread over DN-count tasks)
+      maxBytesPerPoll = {
+        val v = o.getOrElse("maxbytesperpoll",
+          CdcConf.DefaultMaxBytesPerPoll.toString).toLong
+        require(v > 0, s"graft-cdc: maxBytesPerPoll must be positive, got $v")
+        v
+      },
       tsoFromXid = o.getOrElse("tsoauthority", "wire") match {
         case "wire" => false
         case "xid" => true
@@ -177,10 +202,24 @@ private[streaming] object GtidSetOffset {
 
 private[streaming] class GraftCdcMicroBatchStream(conf: CdcConf,
     checkpointLocation: String)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with ReportsSourceMetrics {
 
   private def spark = SparkSession.active
   private val stageRoot = new Path(checkpointLocation, "graft-stage")
+
+  /** Stage dirs published this run, in PUBLISH (= batch) order — what
+    * `commit` is allowed to reclaim. Spark 4.x's MicroBatchExecution
+    * calls `commit(N-1)` AFTER `latestOffset(N)` has already staged
+    * batch N's segments, so commit must only ever delete stages at or
+    * before the committed offset, never the stage root wholesale (that
+    * would send every steady-state reader down the replay re-dump). */
+  private val published = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** Last drain's per-DN staged byte counts + the end it reached —
+    * the `metrics()` surface (per-trigger drained bytes, per-DN lag). */
+  @volatile private var lastDrainBytes: Map[String, Long] = Map.empty
+  @volatile private var lastEnd: Option[GtidSetOffset] = None
 
   /** One batch's stage directory, keyed by its END offset (content-
     * addressed: a replayed plan for the same range finds the same
@@ -198,7 +237,24 @@ private[streaming] class GraftCdcMicroBatchStream(conf: CdcConf,
   override def deserializeOffset(json: String): Offset =
     GtidSetOffset.parse(json)
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  /** The source's own admission default IS its byte cap — Spark passes
+    * it back through `latestOffset(start, limit)`, and Trigger
+    * .AvailableNow's wrapper (which probes with `allAvailable()`) still
+    * lands on `maxBytesPerPoll` because the drain composes BOTH bounds.
+    * A deep backlog therefore splits across triggers under processing-
+    * time triggers; one AvailableNow RUN drains at most the cap (run
+    * again to continue — the offset advances monotonically). */
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxBytes(conf.maxBytesPerPoll)
+
+  /** The tightest byte bound the limit implies (composite = min over
+    * members); `allAvailable` imposes none — the conf cap still does. */
+  private def limitBytes(limit: ReadLimit): Long = limit match {
+    case b: ReadMaxBytes => b.maxBytes()
+    case c: CompositeReadLimit =>
+      c.getReadLimits.map(limitBytes).min
+    case _ => Long.MaxValue
+  }
 
   override def latestOffset(): Offset = throw new UnsupportedOperationException(
     "graft-cdc implements SupportsAdmissionControl: latestOffset(start, limit)")
@@ -214,8 +270,8 @@ private[streaming] class GraftCdcMicroBatchStream(conf: CdcConf,
       (dn, h, p, startSets.getOrElse(dn, ""))
     }
     val (u, pw) = (conf.user, conf.password)
-    val (sidv, toMs, maxB) = (conf.serverId, conf.soTimeoutMs,
-      conf.maxBytesPerPoll)
+    val (sidv, toMs) = (conf.serverId, conf.soTimeoutMs)
+    val maxB = math.min(conf.maxBytesPerPoll, limitBytes(limit))
     val inflight = new Path(stageRoot, "inflight").toString
     val confMap = graft.util.HadoopIo.confMap
     val polled = spark.sparkContext
@@ -245,23 +301,30 @@ private[streaming] class GraftCdcMicroBatchStream(conf: CdcConf,
             try out.write(seg) finally out.close()
             p.toString
           }
-        (dn, adv.text, staged)
+        (dn, adv.text, staged, seg.length.toLong)
       }.collect()
     val end = GtidSetOffset(startSets ++ polled.map(t => t._1 -> t._2))
-    // publish the stage under its content key (the drain learned the
-    // end only after draining); idempotent across replayed triggers
-    val fs = graft.util.HadoopIo.fsOf(stageRoot)
-    val dst = stageDirFor(end)
-    fs.mkdirs(dst)
-    polled.filter(_._3.nonEmpty).foreach { case (dn, _, staged) =>
-      val s = new Path(staged)
-      val d = new Path(dst, s"$dn.bin")
-      if (fs.exists(d)) fs.delete(d, true)
-      if (!fs.rename(s, d))
-        sys.error(s"graft-cdc: stage publish $s -> $d failed")
+    lastDrainBytes = polled.map(t => t._1 -> t._4).toMap
+    lastEnd = Some(end)
+    if (end.sets != startSets) {
+      // publish the stage under its content key (the drain learned the
+      // end only after draining); idempotent across replayed triggers
+      val fs = graft.util.HadoopIo.fsOf(stageRoot)
+      val dst = stageDirFor(end)
+      fs.mkdirs(dst)
+      polled.filter(_._3.nonEmpty).foreach { case (dn, _, staged, _) =>
+        val s = new Path(staged)
+        val d = new Path(dst, s"$dn.bin")
+        if (fs.exists(d)) fs.delete(d, true)
+        if (!fs.rename(s, d))
+          sys.error(s"graft-cdc: stage publish $s -> $d failed")
+      }
+      published.add(dst.getName)
     }
     end
   }
+
+  override def reportLatestOffset(): Offset = lastEnd.orNull
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
@@ -286,13 +349,61 @@ private[streaming] class GraftCdcMicroBatchStream(conf: CdcConf,
     new GraftCdcReaderFactory
 
   /** The batch at `end` is durably committed downstream — its staged
-    * segments (and any earlier ones) are dead weight; a later replay
-    * can only be of UNcommitted batches, whose stages survive under
-    * their own keys or re-dump. */
+    * segments (and any published BEFORE it this run) are dead weight.
+    * Scope matters: Spark 4.x calls `commit(N-1)` after
+    * `latestOffset(N)` already staged batch N, so deletion walks the
+    * publish-order queue up to the committed key and NEVER touches
+    * later stages — the steady-state reader keeps its staged fast
+    * path, and the replay fallback stays what it is: a replay path.
+    * Orphaned inflight files (failed task attempts whose retry renamed
+    * a different name) are reclaimed here too — by commit time the
+    * trigger's drain job has returned, so nothing is writing them. */
   override def commit(end: Offset): Unit = {
     val fs = graft.util.HadoopIo.fsOf(stageRoot)
-    if (fs.exists(stageRoot))
-      fs.listStatus(stageRoot).foreach(s => fs.delete(s.getPath, true))
+    val key = stageDirFor(end.asInstanceOf[GtidSetOffset]).getName
+    var walking = true
+    while (walking) {
+      val h = published.poll()
+      if (h == null) walking = false
+      else {
+        fs.delete(new Path(stageRoot, h), true)
+        if (h == key) walking = false
+      }
+    }
+    // post-restart the queue may not know the committed key (it was
+    // published by a previous run) — reclaim it directly
+    fs.delete(new Path(stageRoot, key), true)
+    val inflight = new Path(stageRoot, "inflight")
+    if (fs.exists(inflight))
+      fs.listStatus(inflight).foreach(s => fs.delete(s.getPath, false))
+  }
+
+  /** Per-trigger observability in `StreamingQueryProgress.sources[i]
+    * .metrics` — the reference's MergeMetrics/EPS/delay surface
+    * (task/.../metrics/MergeMetrics.java), restated as Spark source
+    * metrics: bytes the last drain staged (total and per DN) and each
+    * DN's consumer lag in TRANSACTIONS (drained-but-not-yet-committed
+    * gno count — the delta between the last drained end set and the
+    * latest committed offset). */
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset])
+      : JMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("drainedBytes", lastDrainBytes.values.sum.toString)
+    lastDrainBytes.foreach { case (dn, b) =>
+      m.put(s"drainedBytes.$dn", b.toString)
+    }
+    val consumed: Map[String, String] =
+      if (latestConsumedOffset.isPresent)
+        latestConsumedOffset.get.asInstanceOf[GtidSetOffset].sets
+      else Map.empty
+    lastEnd.foreach { end =>
+      end.sets.foreach { case (dn, endText) =>
+        val lag = GtidSet.parse(endText).gnoCount -
+          GtidSet.parse(consumed.getOrElse(dn, "")).gnoCount
+        m.put(s"pendingTxns.$dn", math.max(0L, lag).toString)
+      }
+    }
+    m
   }
 
   override def stop(): Unit = ()
@@ -339,9 +450,13 @@ private[streaming] class GraftCdcPartitionReader(p: GraftCdcPartition)
           b
         } finally in.close()
       } else {
-        val seg = BinlogDumpClient.dumpSegmentGtid(p.host, p.port,
-          p.user, p.password, GtidSet.parse(p.startText), p.serverId,
-          p.soTimeoutMs)
+        // bounded replay: re-dump from the range's START set and STOP
+        // once the served transactions cover the range's END — memory
+        // is bounded by the range, not the DN's post-range backlog,
+        // and an un-re-servable range fails loudly inside the drain
+        val seg = BinlogDumpClient.dumpSegmentGtidCovering(p.host,
+          p.port, p.user, p.password, GtidSet.parse(p.startText),
+          GtidSet.parse(p.endText), p.serverId, p.soTimeoutMs)
         CdcSegmentFilter.keepWithin(seg, GtidSet.parse(p.endText))
       }
     val reg = p.registryDir.map { d =>
@@ -387,6 +502,14 @@ private[streaming] object CdcSegmentFilter {
       val tc = seg(off + 4) & 0xFF
       val len = (seg(off + 9) & 0xFF) | ((seg(off + 10) & 0xFF) << 8) |
         ((seg(off + 11) & 0xFF) << 16) | ((seg(off + 12) & 0xFF) << 24)
+      // these bytes came straight off the network: a zero/short length
+      // would loop forever, a truncated final frame would land an
+      // opaque ArrayIndexOutOfBounds below — name the offset instead
+      if (len < 19 || off + len > seg.length)
+        throw new IllegalArgumentException(
+          s"CdcSegmentFilter: malformed event frame at offset $off " +
+          s"(type $tc, declared length $len, segment ${seg.length} " +
+          "bytes) — refusing to filter a corrupt segment")
       if (tc == graft.sinks.BinlogWire.GtidEvent)
         keep = graft.sinks.BinlogWire
           .parseGtidBody(seg.slice(off + 19, off + len))

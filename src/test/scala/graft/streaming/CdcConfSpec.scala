@@ -59,5 +59,24 @@ class CdcConfSpec extends AnyFunSuite {
     intercept[RuntimeException] {
       CdcConf.fromOptions(base + ("tsoAuthority" -> "guess"))
     }
+    // '/' or whitespace in a DN name would splice into the stage FILE
+    // PATHS the name keys (inflight/$dn-$att.bin) — refuse at load time
+    intercept[IllegalArgumentException] {
+      CdcConf.fromOptions(base + ("endpoints" -> "a/b@localhost:3306"))
+    }
+    intercept[IllegalArgumentException] {
+      CdcConf.fromOptions(base + ("endpoints" -> "a b@localhost:3306"))
+    }
+    intercept[IllegalArgumentException] {
+      CdcConf.fromOptions(base + ("maxBytesPerPoll" -> "0"))
+    }
+  }
+
+  test("drain cap defaults to a REAL bound, not unbounded") {
+    val c = CdcConf.fromOptions(Map(
+      "endpoints" -> "dn1@localhost:3306", "user" -> "u",
+      "password" -> "p"))
+    assert(c.maxBytesPerPoll == CdcConf.DefaultMaxBytesPerPoll)
+    assert(c.maxBytesPerPoll == (128L << 20))
   }
 }
