@@ -323,8 +323,20 @@ object BinlogDumpClient {
           else {
             if (coverage.isDefined &&
                 tc == graft.sinks.BinlogWire.GtidEvent)
-              graft.sinks.BinlogWire.parseGtidBody(p.drop(20))
-                .foreach { case (sid, gno) => served = served.add(sid, gno) }
+              graft.sinks.BinlogWire.parseGtidBody(p.drop(20)) match {
+                case Some((sid, gno)) => served = served.add(sid, gno)
+                case None =>
+                  // a GTID event whose body won't parse can never
+                  // advance `served`, so coverage would never complete
+                  // — the drain would silently buffer the DN's whole
+                  // post-range backlog to EOF and then blame a purged
+                  // log. Name the real problem at the event instead.
+                  throw new IllegalArgumentException(
+                    "BinlogDumpClient: unparseable GTID event body " +
+                    s"(${p.length - 1} bytes) in a coverage-terminated " +
+                    "replay drain — cannot track served transactions, " +
+                    "refusing to drain to EOF")
+              }
             events += p.drop(1)
             drained += p.length - 1
             if (drained >= maxBytes) {

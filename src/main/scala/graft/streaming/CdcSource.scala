@@ -361,17 +361,25 @@ private[streaming] class GraftCdcMicroBatchStream(conf: CdcConf,
   override def commit(end: Offset): Unit = {
     val fs = graft.util.HadoopIo.fsOf(stageRoot)
     val key = stageDirFor(end.asInstanceOf[GtidSetOffset]).getName
-    var walking = true
-    while (walking) {
-      val h = published.poll()
-      if (h == null) walking = false
-      else {
-        fs.delete(new Path(stageRoot, h), true)
-        if (h == key) walking = false
+    // the walk is legal ONLY when this run published the committed key:
+    // after a restart the committed batch's key came from the PREVIOUS
+    // run's queue, while latestOffset(N) has already staged batch N
+    // into THIS run's queue — an unguarded walk would drain the whole
+    // queue and delete batch N's freshly staged segments, sending the
+    // first post-restart batch down the replay re-dump
+    if (published.contains(key)) {
+      var walking = true
+      while (walking) {
+        val h = published.poll()
+        if (h == null) walking = false
+        else {
+          fs.delete(new Path(stageRoot, h), true)
+          if (h == key) walking = false
+        }
       }
     }
-    // post-restart the queue may not know the committed key (it was
-    // published by a previous run) — reclaim it directly
+    // post-restart the queue does not know the committed key (it was
+    // published by a previous run) — reclaim it directly, queue untouched
     fs.delete(new Path(stageRoot, key), true)
     val inflight = new Path(stageRoot, "inflight")
     if (fs.exists(inflight))
@@ -504,8 +512,11 @@ private[streaming] object CdcSegmentFilter {
         ((seg(off + 11) & 0xFF) << 16) | ((seg(off + 12) & 0xFF) << 24)
       // these bytes came straight off the network: a zero/short length
       // would loop forever, a truncated final frame would land an
-      // opaque ArrayIndexOutOfBounds below — name the offset instead
-      if (len < 19 || off + len > seg.length)
+      // opaque ArrayIndexOutOfBounds below — name the offset instead.
+      // Compare in Long: len is 4 unvalidated network bytes (up to
+      // 0x7FFFFFFF), so an Int `off + len` can wrap negative and slip
+      // past the guard into exactly the AIOOBE it exists to prevent
+      if (len < 19 || off.toLong + len > seg.length)
         throw new IllegalArgumentException(
           s"CdcSegmentFilter: malformed event frame at offset $off " +
           s"(type $tc, declared length $len, segment ${seg.length} " +

@@ -130,6 +130,42 @@ class CdcSourceAdmissionSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("post-RESTART commit (key from the previous run's queue) never deletes this run's later stages") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcadm6")
+    val served = s"$root/served"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(served))
+    writeCall((1L to 3L).map(t => (t, s"a$t")), "", served, 0)
+    val srv = new graft.sinks.BinlogDumpServer(served, "repl", "pw")
+    try {
+      // run 1 drains batch 1 and dies before committing it
+      val run1 = new GraftCdcMicroBatchStream(
+        confFor(srv.port), s"$root/ckpt")
+      val start = offsetOf(run1.initialOffset())
+      val end1 = offsetOf(
+        run1.latestOffset(start, run1.getDefaultReadLimit))
+
+      // run 2 = the restart: a FRESH stream object over the same
+      // checkpoint (its publish queue does not contain end1's key).
+      // Spark 4.x ordering: latestOffset(batch 2) stages first, then
+      // commit(batch 1) — whose key run 2 never published.
+      writeCall(Seq((4L, "a4"), (5L, "a5")), s"$sid:1-3", served, 1)
+      val run2 = new GraftCdcMicroBatchStream(
+        confFor(srv.port), s"$root/ckpt")
+      val end2 = offsetOf(
+        run2.latestOffset(end1, run2.getDefaultReadLimit))
+      run2.commit(end1)
+
+      // batch 2's stage must survive: the reader takes the staged path
+      // with ZERO extra dials, not the replay re-dump
+      val dialsBeforeRead = srv.sessionsServed.get()
+      assert(readRange(run2, end1, end2).sorted == Seq(4L, 5L))
+      assert(srv.sessionsServed.get() == dialsBeforeRead,
+        "commit of a previous-run key drained this run's queue and " +
+          "wiped the freshly staged batch — readers re-dialed")
+      run2.commit(end2)
+    } finally srv.close()
+  }
+
   test("default read limit is the byte cap; a deep backlog splits across bounded triggers that advance monotonically and conserve") {
     val root = java.nio.file.Files.createTempDirectory("graft-cdcadm2")
     val served = s"$root/served"
@@ -235,6 +271,58 @@ class CdcSourceAdmissionSpec extends SparkSpec {
       CdcSegmentFilter.keepWithin(truncated, within)
     }
     assert(e2.getMessage.contains("malformed event frame"))
+  }
+
+  test("replay filter refuses a frame whose declared length would overflow Int arithmetic") {
+    val d = java.nio.file.Files
+      .createTempDirectory("graft-cdcadm7").toString
+    BinlogWire.writeChangeStreamBinlogFiles(
+      ev(Seq((1L, "a1"))).coalesce(1).sortWithinPartitions("tso"), reg, d,
+      checksummed = true, gtidSid = Some(sid))
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(d, "binlog.000000"))
+    // declared length 0x7FFFFFF0: off + len wraps negative in Int, so
+    // an Int-compared guard passes and the copy AIOOBEs — the guard
+    // must compare in Long and refuse by name
+    val huge = bytes.clone()
+    huge(4 + 9) = 0xF0.toByte; huge(4 + 10) = 0xFF.toByte
+    huge(4 + 11) = 0xFF.toByte; huge(4 + 12) = 0x7F.toByte
+    val e = intercept[IllegalArgumentException] {
+      CdcSegmentFilter.keepWithin(huge, GtidSet.parse(s"$sid:1"))
+    }
+    assert(e.getMessage.contains("malformed event frame"))
+  }
+
+  test("covering replay drain fails loudly at an unparseable GTID event instead of draining to EOF") {
+    import graft.sinks.BinlogWire._
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcadm8")
+    val served = s"$root/served"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(served))
+    // a log whose SECOND transaction's GTID event carries a truncated
+    // body (parseGtidBody → None): coverage of :1-2 can never complete,
+    // and without the loud refusal the drain would buffer to EOF and
+    // misreport a purged log
+    val ts = 1700000000L
+    val events = Seq(
+      formatDescription(ts, 1L),
+      previousGtidsEvent(ts, 1L, Nil),
+      gtidEvent(ts, 1L, sid, 1L),
+      beginEvent(ts, 1L),
+      commitEvent(ts, 1L, 1L),
+      Event(ts, GtidEvent, 1L, new Array[Byte](10)),
+      beginEvent(ts, 1L),
+      commitEvent(ts, 1L, 2L))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(served, "binlog.000000"),
+      assembleFile(events))
+    val srv = new graft.sinks.BinlogDumpServer(served, "repl", "pw")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        BinlogDumpClient.dumpSegmentGtidCovering("localhost", srv.port,
+          "repl", "pw", GtidSet.Empty, GtidSet.parse(s"$sid:1-2"))
+      }
+      assert(e.getMessage.contains("unparseable GTID event body"))
+    } finally srv.close()
   }
 
   test("source metrics surface drained bytes and per-DN lag in StreamingQueryProgress") {
