@@ -1915,6 +1915,74 @@ object SparkEntry {
           lit(" yq"), col("doc_id").cast("string")).as("text"))
       graft.text.SpanDedup.maximalDupSpans(
         base.unionByName(planted), "doc_id", "text", k = 8)
+    }),
+
+    // Global-Binlog PRODUCTION off the LIVE source (oracle-checked, the
+    // q52 shape end-to-end through the wire): the events feed splits by
+    // txn parity into TWO DN wire logs (own sids) served by live dump
+    // servers; ONE checkpointed CdcBinlog query drains both, fuses and
+    // barrier-gates (per-DN heartbeat txns establish the frontiers) and
+    // re-emits a totally TSO-ordered wire log; the readback aggregates
+    // per transaction to DuckDB's numbers from the original parquet.
+    "q111_cdc_binlog" -> ((s, d) => {
+      val sidA = java.util.UUID.fromString(
+        "51110000-0000-4000-8000-0000000000aa")
+      val sidB = java.util.UUID.fromString(
+        "51110000-0000-4000-8000-0000000000bb")
+      val reg = Map(("app", "events") -> Seq("value"),
+        ("app", "hb") -> Seq("k"))
+      val changes = graft.sources.ChangeStream.fromEvents(
+        Tables.events(s, d).filter(col("event_id") <= 2000))
+      // the wire carries ONE CTS mark per txn (at txn open), so the
+      // txn's tso on the log is its OPEN tso — sort DN feeds by it
+      val keyed = changes.withColumn("__open",
+        min(col("tso")).over(Window.partitionBy(col("txnId"))))
+      def hbRow(tso: Long) = changes.limit(1).select(
+        lit(tso).as("tso"), lit(tso).as("txnId"),
+        lit("hb").as("partitionId"), lit("hb").as("traceId"),
+        lit("INSERT").as("op"), lit("app").as("schemaName"),
+        lit("hb").as("tableName"),
+        lit(1700000000L).cast("timestamp").as("tsoTime"),
+        map().cast("map<string,string>").as("before"),
+        map(lit("k"), lit("1")).as("after"),
+        lit(null).cast("string").as("ddl"), lit(1L).as("serverId"),
+        lit(tso).as("__open"))
+      val served = Seq(0, 1).map { parity =>
+        val dir = Staged.tempDir(s"q111-dn$parity")
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(dir))
+        val feed = keyed.filter(col("txnId") % 2 === parity)
+          .unionByName(hbRow(99991L + parity))
+          .coalesce(1)
+          .sortWithinPartitions("__open", "txnId", "tso")
+          .drop("__open")
+        graft.sinks.BinlogWire.writeChangeStreamBinlogFiles(feed, reg,
+          dir, checksummed = true,
+          gtidSid = Some(if (parity == 0) sidA else sidB))
+        dir
+      }
+      val out = Staged.tempDir("q111-out")
+      val srvs = served.map(dir =>
+        new graft.sinks.BinlogDumpServer(dir, "repl", "pw"))
+      try {
+        val q = graft.streaming.CdcBinlog.start(s,
+          srvs.zipWithIndex.map { case (srv, i) =>
+            (s"dn$i", "localhost", srv.port)
+          },
+          "repl", "pw", reg, out, Staged.tempDir("q111-ckpt"),
+          Staged.tempDir("q111-work"), numPartitions = 4,
+          heartbeatTables = Set(("app", "hb")),
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        q.awaitTermination()
+      } finally srvs.foreach(_.close())
+      graft.sinks.BinlogWire.readBinlogFiles(s, out,
+          Map(("app", "events") -> Seq("value")))
+        .filter(col("op").isin("INSERT", "UPDATE", "DELETE"))
+        .groupBy(col("xid"))
+        .agg(min(col("tso")).as("txn_tso"),
+          count(lit(1)).as("n_events"))
+        .select(col("txn_tso"), col("n_events"))
+        .orderBy(col("txn_tso")).limit(100)
     })
   )
 
@@ -2984,6 +3052,15 @@ object SparkEntry {
         "SELECT doc_id, CAST(min(pos) AS INT) AS span_start, " +
         "CAST(max(pos) - min(pos) + 8 AS INT) AS span_len, " +
         "CAST(count(*) AS BIGINT) AS n_windows " +
-        "FROM isl2 GROUP BY doc_id, island")
+        "FROM isl2 GROUP BY doc_id, island"),
+
+    // q111: conservation + per-txn cardinality of the live-source
+    // global binlog — each user_id is one transaction whose wire tso is
+    // its OPEN tso (the per-txn CTS mark), so the readback aggregates
+    // to min(event_id)/count(*) per user
+    "q111_cdc_binlog" ->
+      ("SELECT min(event_id) AS txn_tso, count(*) AS n_events " +
+        "FROM events WHERE event_id <= 2000 " +
+        "GROUP BY user_id ORDER BY txn_tso LIMIT 100")
   )
 }

@@ -1,0 +1,206 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.model.ChangeEvent
+import graft.operators.{MergeSort, Staged}
+
+/** Global-Binlog PRODUCTION composed from the live `graft-cdc` source —
+  * the reference's primary product (§3.1: N DN dumps → total TSO order →
+  * binlog wire files; task/.../merge/LogEventMerger.java:54,125-168 →
+  * dumper/.../logfile/LogFileGenerator.java:121) as ONE checkpointed
+  * StreamingQuery. The sibling of [[CdcReplica.start]]: that composition
+  * APPLIES the stream to tables; this one RE-EMITS it as a totally
+  * ordered MySQL wire log.
+  *
+  * Per micro-batch the drain already yields every DN's new transactions
+  * (one drain task per DN); what the batch boundary does NOT give is the
+  * reference merger's ALIGNMENT guarantee — a transaction that acquired
+  * its TSO before the drain but reached one DN's log after it would
+  * sort below already-emitted data in a later batch. So emission is
+  * gated exactly like LogEventMerger's heartbeat barrier
+  * (merge/HeartBeatWindow.java:30): each DN's FRONTIER is the highest
+  * TSO it has ever delivered (real transactions and heartbeat
+  * transactions alike — the reference injects per-DN heartbeats
+  * precisely so idle sources keep the merge advancing), and a
+  * transaction emits only when its commit TSO is at or below the MIN
+  * frontier across all DNs. Everything above the barrier carries over
+  * to the next batch in a versioned holdback stage.
+  *
+  * Emission order and framing: transactions (grouped by `txnId` — XA
+  * branches of one global transaction fuse across DNs, the merger's
+  * TsoMerge semantics) sort by (commit TSO, txnId) into range-partitioned
+  * runs that keep every transaction whole, and each batch's runs become
+  * wire files `binlog.<batch>.<partition>` — name order IS total TSO
+  * order, across batches because the barrier is monotone and within a
+  * batch because the runs are range-partitioned. Heartbeat transactions
+  * advance frontiers but are filtered from the log (the reference
+  * consumes them at the merger; they never reach the dumper's files).
+  *
+  * Exactly-once under replay: a replayed batch N re-reads holdback
+  * stage N-1 (stages are versioned by batchId; N-1 is deleted only
+  * after N+1 ran, i.e. after N committed), recomputes the same barrier
+  * from the same persisted frontiers, deletes its own `binlog.<N>.`
+  * prefix, and rewrites byte-identical files — the replay fully
+  * supersedes the attempt it replaces, so a kill anywhere leaves the
+  * log equal to a run that never crashed.
+  *
+  * Scale shape: the only shuffles are one hash partition by txnId (the
+  * commit-TSO window — per-txn bounded) and one range partition by
+  * (commit TSO, txnId) for the runs; the frontier collect is O(DN
+  * count); holdback size is bounded by the barrier lag (steady state:
+  * under one heartbeat period of data), not history.
+  */
+object CdcBinlog {
+
+  def start(spark: SparkSession,
+      endpoints: Seq[(String, String, Int)],
+      user: String, password: String,
+      tableCols: Map[(String, String), Seq[String]],
+      outDir: String, checkpointDir: String, workDir: String,
+      numPartitions: Int = 4,
+      heartbeatTables: Set[(String, String)] = Set.empty,
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      maxBytesPerPoll: Long = CdcConf.DefaultMaxBytesPerPoll,
+      startExecuted: Map[String, String] = Map.empty,
+      soTimeoutMs: Int = 30000,
+      serverId: Long = 12345L,
+      checksummed: Boolean = false): StreamingQuery = {
+    val dns = endpoints.map(_._1)
+    spark.readStream.format("graft-cdc")
+      .option("endpoints",
+        endpoints.map { case (dn, h, p) => s"$dn@$h:$p" }.mkString(","))
+      .option("user", user).option("password", password)
+      .option("tables", tableCols.map { case ((s, t), cols) =>
+        s"$s.$t:${cols.mkString(",")}"
+      }.mkString(";"))
+      .option("maxBytesPerPoll", maxBytesPerPoll.toString)
+      .option("soTimeoutMs", soTimeoutMs.toString)
+      .option("serverId", serverId.toString)
+      .options(if (startExecuted.isEmpty) Map.empty[String, String]
+        else Map("startExecuted" -> startExecuted
+          .map { case (dn, set) => s"$dn=$set" }.mkString(";")))
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        emitBatch(batch, batchId, dns, tableCols, heartbeatTables,
+          outDir, workDir, numPartitions, checksummed)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
+
+  /** One micro-batch of the production pipeline, deterministic in
+    * (source offset range, holdback stage N-1) so a replayed batch
+    * rewrites identical state and identical files. */
+  private[streaming] def emitBatch(batch: DataFrame, batchId: Long,
+      dns: Seq[String], tableCols: Map[(String, String), Seq[String]],
+      heartbeatTables: Set[(String, String)],
+      outDir: String, workDir: String, numPartitions: Int,
+      checksummed: Boolean): Unit = {
+    val spark = batch.sparkSession
+    val fs = graft.util.HadoopIo.fsOf(new Path(workDir))
+
+    // the decoded batch stages once: the frontier agg, the gate split
+    // and the wire write must not re-run the drain/decode
+    val staged = Staged.parquetStage(batch, s"$workDir/stage")
+
+    // frontiers: highest TSO each DN has EVER delivered (heartbeats
+    // included) — max-merged with the persisted frontiers, so an idle
+    // DN keeps the level its last heartbeat established
+    val prev = readFrontiers(fs, new Path(s"$workDir/hold/${batchId - 1}.frontier"))
+    val batchMax = staged.groupBy(col("partitionId"))
+      .agg(max(col("tso")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val frontiers = dns.map { dn =>
+      dn -> math.max(prev.getOrElse(dn, Long.MinValue),
+        batchMax.getOrElse(dn, Long.MinValue))
+    }.toMap
+    // the merge barrier: complete only up to the slowest DN's frontier;
+    // a DN that has never delivered anything holds everything back
+    // (the merger's all-sources gate)
+    val barrier =
+      if (frontiers.isEmpty) Long.MinValue else frontiers.values.min
+
+    val holdPrev = new Path(s"$workDir/hold/${batchId - 1}")
+    val held =
+      if (fs.exists(holdPrev))
+        spark.read.schema(ChangeEvent.schema).parquet(holdPrev.toString)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        ChangeEvent.schema)
+
+    val isHeartbeat =
+      if (heartbeatTables.isEmpty) col("op") === "HEARTBEAT"
+      else col("op") === "HEARTBEAT" ||
+        heartbeatTables.map { case (s, t) =>
+          col("schemaName") === s && col("tableName") === t
+        }.reduce(_ || _)
+
+    // commit TSO per GLOBAL transaction: XA branches share txnId, and a
+    // DN frontier at or past a branch's TSO proves that branch has
+    // arrived (logs serve in TSO order) — so every branch of a
+    // barrier-passing txn is present before it emits
+    val all = staged.unionByName(held).filter(!isHeartbeat)
+      .withColumn("__commit_tso",
+        max(col("tso")).over(Window.partitionBy(col("txnId"))))
+    val gated = Staged.parquetStage(all, s"$workDir/gated")
+    val emit = gated.filter(col("__commit_tso") <= barrier)
+
+    // the batch's wire files: delete this batch's prefix first so a
+    // replayed attempt fully supersedes the one it replaces (range
+    // partitioner sampling is not stable across attempts)
+    val prefix = f"binlog.$batchId%06d."
+    val outRoot = new Path(outDir)
+    val ofs = graft.util.HadoopIo.fsOf(outRoot)
+    if (ofs.exists(outRoot))
+      ofs.listStatus(outRoot).foreach { st =>
+        if (st.isFile && st.getPath.getName.startsWith(prefix))
+          ofs.delete(st.getPath, false)
+      }
+    val ordered = MergeSort.sortedRunsGrouped(emit, numPartitions,
+      Seq("__commit_tso", "txnId"), Seq("tso", "traceId"))
+      .drop("__commit_tso")
+    graft.sinks.BinlogWire.writeChangeStreamBinlogFiles(ordered,
+      tableCols, outDir, filePrefix = prefix, checksummed = checksummed)
+
+    // holdback stage N + frontier sidecar; N-2 (committed once N ran)
+    // is reclaimed — the work dir holds at most two batches of lag
+    gated.filter(col("__commit_tso") > barrier).drop("__commit_tso")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$workDir/hold/$batchId")
+    writeFrontiers(fs, new Path(s"$workDir/hold/$batchId.frontier"),
+      frontiers)
+    fs.delete(new Path(s"$workDir/hold/${batchId - 2}"), true)
+    fs.delete(new Path(s"$workDir/hold/${batchId - 2}.frontier"), false)
+    ()
+  }
+
+  private def readFrontiers(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Map[String, Long] =
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.split(";").toSeq.filter(_.nonEmpty).map { kv =>
+        val Array(dn, v) = kv.split("=", 2)
+        dn -> v.toLong
+      }.toMap
+    }
+
+  private def writeFrontiers(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path, frontiers: Map[String, Long]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(frontiers.toSeq.sorted
+      .map { case (dn, v) => s"$dn=$v" }.mkString(";").getBytes("UTF-8"))
+    finally out.close()
+  }
+}

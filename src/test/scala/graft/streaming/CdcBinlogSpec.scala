@@ -1,0 +1,167 @@
+package graft.streaming
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.model.{ChangeEvent, GtidSet}
+import graft.sinks.BinlogWire
+
+/** Global-Binlog PRODUCTION from the live `graft-cdc` source: 2 DN dump
+  * servers → ONE checkpointed StreamingQuery (k-way TSO merge +
+  * heartbeat-frontier barrier + wire-file sink). Verifies the three
+  * §3.1 contract points the batch composition (q52) cannot:
+  *
+  *  - the BARRIER: transactions above the slowest DN's frontier hold
+  *    back across batches and emit only after that DN's heartbeat
+  *    advances it — never reordered, never dropped;
+  *  - RESTART: a new run over the same checkpoint resumes mid-stream
+  *    (holdback + frontiers persist), earlier files stay byte-identical,
+  *    and an idle restart changes nothing;
+  *  - REPLAY: re-running a batch (crash between emit and checkpoint
+  *    commit) rewrites byte-identical files and identical holdback.
+  */
+class CdcBinlogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sid1 = java.util.UUID.fromString(
+    "0a1b2c3d-8888-4444-3333-000000000001")
+  private val sid2 = java.util.UUID.fromString(
+    "0a1b2c3d-8888-4444-3333-000000000002")
+
+  private val reg = Map(
+    ("db", "t") -> Seq("k", "seq", "v"),
+    ("db", "hb") -> Seq("k"))
+
+  // (tso, table) — txnId := tso; db.t rows get a value image, db.hb is
+  // the heartbeat table (frontier-only, filtered from the output log)
+  private def ev(rows: Seq[(Long, String)]) =
+    rows.map { case (tso, table) =>
+      val after = if (table == "hb") Map("k" -> tso.toString)
+        else Map("k" -> tso.toString, "seq" -> "1", "v" -> s"a$tso")
+      (tso, tso, "INSERT", "db", table, Map.empty[String, String], after,
+        null: String, 1700000000L)
+    }.toDF("tso", "txnId", "op", "schemaName", "tableName", "before",
+      "after", "ddl", "tsoTime")
+
+  private def writeCall(rows: Seq[(Long, String)],
+      sid: java.util.UUID, prior: GtidSet, intoDir: String,
+      asIndex: Int): Unit = {
+    val d = java.nio.file.Files
+      .createTempDirectory("graft-cdcbinlog-call").toString
+    BinlogWire.writeChangeStreamBinlogFiles(
+      ev(rows).coalesce(1).sortWithinPartitions("tso"), reg, d,
+      checksummed = true, gtidSid = Some(sid), priorExecuted = prior)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(d, "binlog.000000"),
+      java.nio.file.Paths.get(intoDir, f"binlog.$asIndex%06d"))
+    ()
+  }
+
+  private def fileBytes(dir: String): Map[String, Seq[Byte]] =
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.startsWith("binlog."))
+      .map(f => f.getName ->
+        java.nio.file.Files.readAllBytes(f.toPath).toSeq)
+      .toMap
+
+  /** Decoded INSERT tsos of the output log, in FILE+STREAM order —
+    * the total-order probe. */
+  private def decodedOrder(dir: String): Seq[Long] =
+    BinlogWire.readBinlogFiles(spark, dir, reg)
+      .filter(col("op") === "INSERT")
+      .select(col("log_file"), col("tso")).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1).map(_._2)
+
+  test("live 2-DN production: frontier barrier holds back, heartbeat releases, restart resumes, log byte-stable and totally ordered") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlog1")
+    val (d1, d2) = (s"$root/dn1", s"$root/dn2")
+    Seq(d1, d2).foreach(d => java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(d)))
+    val out = s"$root/out"
+    def run(p1: Int, p2: Int): Unit = {
+      val q = CdcBinlog.start(spark,
+        Seq(("dn1", "localhost", p1), ("dn2", "localhost", p2)),
+        "repl", "pw", reg, out, s"$root/ckpt", s"$root/work",
+        numPartitions = 2, heartbeatTables = Set(("db", "hb")),
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    def served(ds: String*)(body: Seq[Int] => Unit): Unit = {
+      val srvs = ds.map(d =>
+        new graft.sinks.BinlogDumpServer(d, "repl", "pw"))
+      try body(srvs.map(_.port)) finally srvs.foreach(_.close())
+    }
+
+    // phase 1: dn1 has txns 1,3,5 plus a heartbeat at 11; dn2 has 2,4
+    // and NO heartbeat — its frontier is 4, so txn 5 must hold back
+    writeCall(Seq((1L, "t"), (3L, "t"), (5L, "t"), (11L, "hb")),
+      sid1, GtidSet.Empty, d1, 0)
+    writeCall(Seq((2L, "t"), (4L, "t")), sid2, GtidSet.Empty, d2, 0)
+    served(d1, d2) { case Seq(p1, p2) => run(p1, p2) }
+    assert(decodedOrder(out) == Seq(1L, 2L, 3L, 4L),
+      "barrier must emit exactly the txns at or below the slowest " +
+        "frontier, in total TSO order (txn 5 held, heartbeats filtered)")
+    val phase1Bytes = fileBytes(out)
+
+    // phase 2: dn2 delivers txn 6 and a heartbeat at 12; dn1 idle. The
+    // restarted query must release held txn 5 BEFORE 6, and phase-1
+    // files must not change by a byte.
+    writeCall(Seq((6L, "t"), (12L, "hb")), sid2,
+      GtidSet.Empty.add(sid2, 2L).add(sid2, 4L), d2, 1)
+    served(d1, d2) { case Seq(p1, p2) => run(p1, p2) }
+    assert(decodedOrder(out) == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    val phase2Bytes = fileBytes(out)
+    phase1Bytes.foreach { case (name, bytes) =>
+      assert(phase2Bytes(name) == bytes,
+        s"restart mutated already-emitted file $name")
+    }
+
+    // phase 3: idle restart — nothing new anywhere → no new files,
+    // every byte unchanged
+    served(d1, d2) { case Seq(p1, p2) => run(p1, p2) }
+    assert(fileBytes(out) == phase2Bytes,
+      "an idle restart must be a byte-level no-op")
+  }
+
+  test("a REPLAYED batch rewrites byte-identical files and identical holdback (crash between emit and checkpoint commit)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlog2")
+    val out = s"$root/out"
+    val work = s"$root/work"
+    val rows = Seq(
+      ChangeEvent(1L, 1L, "dn1", "dn1:1", "INSERT", "db", "t",
+        new java.sql.Timestamp(1700000000000L), Map.empty,
+        Map("k" -> "1", "seq" -> "1", "v" -> "a1"), None, 1L),
+      ChangeEvent(2L, 2L, "dn2", "dn2:1", "INSERT", "db", "t",
+        new java.sql.Timestamp(1700000000000L), Map.empty,
+        Map("k" -> "2", "seq" -> "1", "v" -> "a2"), None, 1L),
+      ChangeEvent(3L, 3L, "dn1", "dn1:2", "INSERT", "db", "t",
+        new java.sql.Timestamp(1700000000000L), Map.empty,
+        Map("k" -> "3", "seq" -> "1", "v" -> "a3"), None, 1L))
+    val batch = spark.createDataFrame(rows)
+      .select(ChangeEvent.schema.fieldNames.map(col): _*)
+    def emitOnce(): Unit = CdcBinlog.emitBatch(batch, 0L,
+      Seq("dn1", "dn2"), reg, Set.empty, out, work,
+      numPartitions = 2, checksummed = false)
+
+    emitOnce()
+    // barrier = min(frontier dn1 = 3, dn2 = 2) = 2 → txns 1,2 emit,
+    // txn 3 holds
+    assert(decodedOrder(out) == Seq(1L, 2L))
+    val bytes1 = fileBytes(out)
+    val hold1 = spark.read.schema(ChangeEvent.schema)
+      .parquet(s"$work/hold/0").select(col("tso")).as[Long]
+      .collect().toSeq.sorted
+    assert(hold1 == Seq(3L))
+
+    emitOnce() // the replay
+    assert(fileBytes(out) == bytes1,
+      "a replayed batch must rewrite byte-identical files")
+    val hold2 = spark.read.schema(ChangeEvent.schema)
+      .parquet(s"$work/hold/0").select(col("tso")).as[Long]
+      .collect().toSeq.sorted
+    assert(hold2 == hold1)
+  }
+}
