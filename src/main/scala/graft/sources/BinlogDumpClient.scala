@@ -152,7 +152,7 @@ object BinlogDumpClient {
       Array(ComBinlogDump.toByte) ++ le(pos, 4) ++
         le(BinlogDumpNonBlock, 2) ++ le(serverId, 4) ++
         binlogFile.getBytes(UTF_8),
-      maxBytes)
+      maxBytes)._1
 
   /** GTID AUTO-POSITION dump: the cursor is the consumer's executed
     * GTID set, not a (file, pos) — COM_BINLOG_DUMP_GTID (reference:
@@ -173,7 +173,7 @@ object BinlogDumpClient {
       Array(ComBinlogDumpGtid.toByte) ++ le(0x01L | 0x04L, 2) ++
         le(serverId, 4) ++ le(0L, 4) ++ le(4L, 8) ++
         le(data.length.toLong, 4) ++ data,
-      maxBytes)
+      maxBytes)._1
   }
 
   /** [[dumpSegmentGtid]] plus the ADVANCED executed set for the next
@@ -185,9 +185,29 @@ object BinlogDumpClient {
       serverId: Long = 12345L, soTimeoutMs: Int = 30000,
       maxBytes: Long = Long.MaxValue)
       : (Array[Byte], graft.model.GtidSet) = {
-    val seg = dumpSegmentGtid(host, port, user, password, executed,
-      serverId, soTimeoutMs, maxBytes)
-    (seg, advanceExecuted(seg, executed))
+    val (seg, adv, _) = dumpSegmentGtidWithCursorStatus(host, port, user,
+      password, executed, serverId, soTimeoutMs, maxBytes)
+    (seg, adv)
+  }
+
+  /** [[dumpSegmentGtidWithCursor]] plus whether the drain ended at the
+    * server's CAUGHT-UP EOF (vs the byte cap): `true` means the DN had
+    * nothing more at drain time — the signal a Trigger.AvailableNow
+    * run uses to mark a DN complete and terminate instead of tailing a
+    * live producer forever. */
+  def dumpSegmentGtidWithCursorStatus(host: String, port: Int,
+      user: String, password: String, executed: graft.model.GtidSet,
+      serverId: Long = 12345L, soTimeoutMs: Int = 30000,
+      maxBytes: Long = Long.MaxValue)
+      : (Array[Byte], graft.model.GtidSet, Boolean) = {
+    val data = executed.encode
+    val (seg, caughtUp) = withDump(host, port, user, password, serverId,
+      soTimeoutMs,
+      Array(ComBinlogDumpGtid.toByte) ++ le(0x01L | 0x04L, 2) ++
+        le(serverId, 4) ++ le(0L, 4) ++ le(4L, 8) ++
+        le(data.length.toLong, 4) ++ data,
+      maxBytes)
+    (seg, advanceExecuted(seg, executed), caughtUp)
   }
 
   /** REPLAY drain: re-dump from `start` and stop as soon as the served
@@ -214,7 +234,7 @@ object BinlogDumpClient {
       Array(ComBinlogDumpGtid.toByte) ++ le(0x01L | 0x04L, 2) ++
         le(serverId, 4) ++ le(0L, 4) ++ le(4L, 8) ++
         le(data.length.toLong, 4) ++ data,
-      maxBytes = Long.MaxValue, coverage = Some((start, target)))
+      maxBytes = Long.MaxValue, coverage = Some((start, target)))._1
   }
 
   /** The drained segment's GTIDs unioned into `executed` — the
@@ -253,7 +273,7 @@ object BinlogDumpClient {
       password: String, serverId: Long, soTimeoutMs: Int,
       dumpCommand: Array[Byte], maxBytes: Long,
       coverage: Option[(graft.model.GtidSet, graft.model.GtidSet)] = None)
-      : Array[Byte] = {
+      : (Array[Byte], Boolean) = {
     val sock = new java.net.Socket()
     sock.connect(new java.net.InetSocketAddress(host, port), soTimeoutMs)
     sock.setSoTimeout(soTimeoutMs)
@@ -358,7 +378,7 @@ object BinlogDumpClient {
       }
       io.seq = 0
       io.write(Array(ComQuit.toByte))
-      graft.sinks.BinlogWire.Magic ++ events.result().flatten
+      (graft.sinks.BinlogWire.Magic ++ events.result().flatten, sawEof)
     } finally sock.close()
   }
 

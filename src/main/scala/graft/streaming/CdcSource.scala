@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, ReportsSourceMetrics, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, ReportsSourceMetrics, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -203,7 +203,7 @@ private[streaming] object GtidSetOffset {
 private[streaming] class GraftCdcMicroBatchStream(conf: CdcConf,
     checkpointLocation: String)
     extends MicroBatchStream with SupportsAdmissionControl
-    with ReportsSourceMetrics {
+    with SupportsTriggerAvailableNow with ReportsSourceMetrics {
 
   private def spark = SparkSession.active
   private val stageRoot = new Path(checkpointLocation, "graft-stage")
@@ -220,6 +220,26 @@ private[streaming] class GraftCdcMicroBatchStream(conf: CdcConf,
     * the `metrics()` surface (per-trigger drained bytes, per-DN lag). */
   @volatile private var lastDrainBytes: Map[String, Long] = Map.empty
   @volatile private var lastEnd: Option[GtidSetOffset] = None
+
+  /** Per-DN header timestamp (epoch seconds) of the newest drained
+    * event — the merge-DELAY surface (now − last event time), kept
+    * across triggers so an idle DN reports its real staleness. */
+  @volatile private var lastEventTs: Map[String, Long] = Map.empty
+
+  /** Trigger.AvailableNow bookkeeping: after `prepare`, a DN whose
+    * drain ended at the server's caught-up EOF (not the byte cap) is
+    * COMPLETE for this run — it is not dialed again, so the run
+    * terminates once every DN has reported EOF even against a live
+    * producer, while a deep backlog still splits across multiple
+    * bounded triggers (the trait's whole point: without it Spark falls
+    * back to ONE capped Trigger.Once batch). */
+  @volatile private var availableNowRun = false
+  @volatile private var caughtUpDns: Set[String] = Set.empty
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowRun = true
+    caughtUpDns = Set.empty
+  }
 
   /** One batch's stage directory, keyed by its END offset (content-
     * addressed: a replayed plan for the same range finds the same
@@ -266,8 +286,20 @@ private[streaming] class GraftCdcMicroBatchStream(conf: CdcConf,
     * ([[graft.jobs.LiveReplicaJob.fatal1236]]) fail the trigger. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startSets = start.asInstanceOf[GtidSetOffset].sets
-    val eps = conf.endpoints.map { case (dn, h, p) =>
+    val allEps = conf.endpoints.map { case (dn, h, p) =>
       (dn, h, p, startSets.getOrElse(dn, ""))
+    }
+    // AvailableNow: DNs that already reported caught-up EOF this run
+    // are complete — skipping them makes the run terminate even when
+    // the producer keeps writing
+    val skipDone = availableNowRun
+    val done = caughtUpDns
+    val eps = if (skipDone) allEps.filterNot(e => done.contains(e._1))
+      else allEps
+    if (eps.isEmpty) {
+      lastDrainBytes = Map.empty
+      lastEnd = Some(start.asInstanceOf[GtidSetOffset])
+      return start
     }
     val (u, pw) = (conf.user, conf.password)
     val (sidv, toMs) = (conf.serverId, conf.soTimeoutMs)
@@ -278,15 +310,27 @@ private[streaming] class GraftCdcMicroBatchStream(conf: CdcConf,
       .parallelize(eps, math.max(1, eps.size))
       .map { case (dn, host, port, startText) =>
         val startSet = GtidSet.parse(startText)
-        val (seg, adv) =
-          try BinlogDumpClient.dumpSegmentGtidWithCursor(
+        val (seg, adv, eof) =
+          try BinlogDumpClient.dumpSegmentGtidWithCursorStatus(
             host, port, u, pw, startSet, sidv, toMs, maxB)
           catch {
             case e: BinlogDumpClient.ServerError
                 if e.code == BinlogDumpClient.ErrUnknownLog &&
                   !graft.jobs.LiveReplicaJob.fatal1236(e.getMessage) =>
-              (Array.emptyByteArray, startSet)
+              (Array.emptyByteArray, startSet, false)
           }
+        // newest NON-ZERO header timestamp in the drain — FDE/rotate/
+        // heartbeat frames carry ts=0 and must not fake freshness
+        var evTs = 0L
+        var off = 4
+        while (off + 19 <= seg.length) {
+          val t = (seg(off) & 0xFFL) | ((seg(off + 1) & 0xFFL) << 8) |
+            ((seg(off + 2) & 0xFFL) << 16) | ((seg(off + 3) & 0xFFL) << 24)
+          if (t > 0L) evTs = t
+          val len = (seg(off + 9) & 0xFF) | ((seg(off + 10) & 0xFF) << 8) |
+            ((seg(off + 11) & 0xFF) << 16) | ((seg(off + 12) & 0xFF) << 24)
+          off += math.max(len, 19)
+        }
         val hasData = seg.length > 4
         val staged =
           if (!hasData) ""
@@ -301,10 +345,16 @@ private[streaming] class GraftCdcMicroBatchStream(conf: CdcConf,
             try out.write(seg) finally out.close()
             p.toString
           }
-        (dn, adv.text, staged, seg.length.toLong)
+        (dn, adv.text, staged, seg.length.toLong, evTs, eof)
       }.collect()
     val end = GtidSetOffset(startSets ++ polled.map(t => t._1 -> t._2))
     lastDrainBytes = polled.map(t => t._1 -> t._4).toMap
+    lastEventTs = lastEventTs ++
+      polled.collect { case (dn, _, _, _, ts, _) if ts > 0L => dn -> ts }
+    if (skipDone)
+      caughtUpDns = done ++ polled.collect {
+        case (dn, _, _, _, _, true) => dn
+      }
     lastEnd = Some(end)
     if (end.sets != startSets) {
       // publish the stage under its content key (the drain learned the
@@ -312,7 +362,7 @@ private[streaming] class GraftCdcMicroBatchStream(conf: CdcConf,
       val fs = graft.util.HadoopIo.fsOf(stageRoot)
       val dst = stageDirFor(end)
       fs.mkdirs(dst)
-      polled.filter(_._3.nonEmpty).foreach { case (dn, _, staged, _) =>
+      polled.filter(_._3.nonEmpty).foreach { case (dn, _, staged, _, _, _) =>
         val s = new Path(staged)
         val d = new Path(dst, s"$dn.bin")
         if (fs.exists(d)) fs.delete(d, true)
@@ -410,6 +460,13 @@ private[streaming] class GraftCdcMicroBatchStream(conf: CdcConf,
           GtidSet.parse(consumed.getOrElse(dn, "")).gnoCount
         m.put(s"pendingTxns.$dn", math.max(0L, lag).toString)
       }
+    }
+    // merge DELAY, the reference's headline operator metric
+    // (task/.../merge/LogEventMerger.java:347-349: now − tsoPhysical):
+    // ms since the newest event each DN has delivered
+    val now = System.currentTimeMillis()
+    lastEventTs.foreach { case (dn, ts) =>
+      m.put(s"delayMs.$dn", math.max(0L, now - ts * 1000L).toString)
     }
     m
   }

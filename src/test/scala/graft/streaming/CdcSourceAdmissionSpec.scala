@@ -219,6 +219,45 @@ class CdcSourceAdmissionSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("Trigger.AvailableNow drains a deep backlog across MULTIPLE capped batches, then stops (SupportsTriggerAvailableNow)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcadm9")
+    val served = s"$root/served"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(served))
+    val all = (1L to 40L).map(t => (t, "x" * 300))
+    writeCall(all, "", served, 0)
+    val srv = new graft.sinks.BinlogDumpServer(served, "repl", "pw")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    try {
+      // without the trait Spark falls back to ONE Trigger.Once batch —
+      // a 2000-byte cap would then deliver only the first slice and
+      // strand the rest of the backlog until the next manual run
+      val q = spark.readStream.format("graft-cdc")
+        .option("endpoints", s"dn1@localhost:${srv.port}")
+        .option("user", "repl").option("password", "pw")
+        .option("tables", "db.t:k,seq,v")
+        .option("maxBytesPerPoll", "2000")
+        .load()
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val tsos = batch.select(batch.col("tso"))
+            .collect().map(_.getLong(0))
+          seen.synchronized { seen ++= tsos.map(t => (id, t)) }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000),
+        "AvailableNow run did not terminate")
+      val tsos = seen.synchronized(seen.map(_._2).sorted.toSeq)
+      assert(tsos == (1L to 40L),
+        s"catch-up lost or duplicated data: got ${tsos.size} rows")
+      val batches = seen.synchronized(seen.map(_._1).distinct.size)
+      assert(batches > 3,
+        s"expected the backlog to split across many capped batches, got $batches")
+    } finally srv.close()
+  }
+
   test("covering replay drain stops at range coverage and fails loudly on an un-servable range") {
     val root = java.nio.file.Files.createTempDirectory("graft-cdcadm3")
     val served = s"$root/served"
@@ -352,6 +391,11 @@ class CdcSourceAdmissionSpec extends SparkSpec {
         assert(metrics.forall(_.containsKey("pendingTxns.dn1")))
         // fully consumed: the latest lag reading is zero
         assert(metrics.last.get("pendingTxns.dn1") == "0")
+        // merge delay: ms since the DN's newest event (fixture header
+        // timestamps are 2023-11 → a large positive number)
+        val delays = metrics.filter(_.containsKey("delayMs.dn1"))
+        assert(delays.nonEmpty, "delayMs.dn1 never surfaced")
+        assert(delays.forall(_.get("delayMs.dn1").toLong > 0L))
       } finally q.stop()
     } finally srv.close()
   }
