@@ -257,6 +257,14 @@ private[streaming] class GraftCdcMicroBatchStream(conf: CdcConf,
   override def deserializeOffset(json: String): Offset =
     GtidSetOffset.parse(json)
 
+  /** An offset from Spark is OURS only on the happy path: a batch
+    * replayed after a crash arrives as the offset LOG's SerializedOffset
+    * (json-only wrapper) — re-parse instead of casting. */
+  private def gtidOffset(o: Offset): GtidSetOffset = o match {
+    case g: GtidSetOffset => g
+    case other => GtidSetOffset.parse(other.json)
+  }
+
   /** The source's own admission default IS its byte cap — Spark passes
     * it back through `latestOffset(start, limit)`, and Trigger
     * .AvailableNow's wrapper (which probes with `allAvailable()`) still
@@ -285,7 +293,7 @@ private[streaming] class GraftCdcMicroBatchStream(conf: CdcConf,
     * DN's cursor for the next trigger; unrecoverable ones
     * ([[graft.jobs.LiveReplicaJob.fatal1236]]) fail the trigger. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val startSets = start.asInstanceOf[GtidSetOffset].sets
+    val startSets = gtidOffset(start).sets
     val allEps = conf.endpoints.map { case (dn, h, p) =>
       (dn, h, p, startSets.getOrElse(dn, ""))
     }
@@ -298,7 +306,7 @@ private[streaming] class GraftCdcMicroBatchStream(conf: CdcConf,
       else allEps
     if (eps.isEmpty) {
       lastDrainBytes = Map.empty
-      lastEnd = Some(start.asInstanceOf[GtidSetOffset])
+      lastEnd = Some(gtidOffset(start))
       return start
     }
     val (u, pw) = (conf.user, conf.password)
@@ -378,9 +386,9 @@ private[streaming] class GraftCdcMicroBatchStream(conf: CdcConf,
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
-    val s = start.asInstanceOf[GtidSetOffset].sets
-    val e = end.asInstanceOf[GtidSetOffset].sets
-    val stage = stageDirFor(end.asInstanceOf[GtidSetOffset]).toString
+    val s = gtidOffset(start).sets
+    val e = gtidOffset(end).sets
+    val stage = stageDirFor(gtidOffset(end)).toString
     conf.endpoints.collect {
       case (dn, host, port)
           if s.getOrElse(dn, "") != e.getOrElse(dn, "") =>
@@ -410,7 +418,7 @@ private[streaming] class GraftCdcMicroBatchStream(conf: CdcConf,
     * trigger's drain job has returned, so nothing is writing them. */
   override def commit(end: Offset): Unit = {
     val fs = graft.util.HadoopIo.fsOf(stageRoot)
-    val key = stageDirFor(end.asInstanceOf[GtidSetOffset]).getName
+    val key = stageDirFor(gtidOffset(end)).getName
     // the walk is legal ONLY when this run published the committed key:
     // after a restart the committed batch's key came from the PREVIOUS
     // run's queue, while latestOffset(N) has already staged batch N
@@ -452,7 +460,7 @@ private[streaming] class GraftCdcMicroBatchStream(conf: CdcConf,
     }
     val consumed: Map[String, String] =
       if (latestConsumedOffset.isPresent)
-        latestConsumedOffset.get.asInstanceOf[GtidSetOffset].sets
+        gtidOffset(latestConsumedOffset.get).sets
       else Map.empty
     lastEnd.foreach { end =>
       end.sets.foreach { case (dn, endText) =>
