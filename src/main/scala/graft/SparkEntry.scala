@@ -1881,13 +1881,17 @@ object SparkEntry {
           .start()
         q.awaitTermination()
       }
+      // ONE server across both phases (it lists the log per dial, so
+      // the rotation is visible to phase 2's fresh sessions); the
+      // restart-from-checkpoint proof lives in the two QUERY runs
       writeCall(0, 59, graft.model.GtidSet.Empty, 0)
-      val srv1 = new graft.sinks.BinlogDumpServer(served, "repl", "pw")
-      try drain(srv1.port) finally srv1.close()
-      writeCall(60, 120,
-        graft.sinks.BinlogCatalog.executedGtidSet(s, served), 1)
-      val srv2 = new graft.sinks.BinlogDumpServer(served, "repl", "pw")
-      try drain(srv2.port) finally srv2.close()
+      val srv = new graft.sinks.BinlogDumpServer(served, "repl", "pw")
+      try {
+        drain(srv.port)
+        writeCall(60, 120,
+          graft.sinks.BinlogCatalog.executedGtidSet(s, served), 1)
+        drain(srv.port)
+      } finally srv.close()
       s.read.schema(graft.model.ChangeEvent.schema).parquet(out)
         .filter(col("op") === "INSERT")
         .agg(count(lit(1)).as("n_rows"),

@@ -53,17 +53,12 @@ object ValidationJob {
       keys, valueCols)
   }
 
-  /** The three-kind diff over ALREADY-NARROWED sides. */
+  /** The three-kind diff over ALREADY-NARROWED sides: one full-outer
+    * join classifies all three kinds (Validation.diffKinds) instead of
+    * three separate joins re-scanning both sides. */
   private def diffOverSuspects(srcBad: DataFrame, dstBad: DataFrame,
-      keys: Seq[String], valueCols: Seq[String]): DataFrame = {
-    val outCols = (keys ++ valueCols).map(col)
-    Validation.missingInDst(srcBad, dstBad, keys)
-      .select(outCols: _*).withColumn("diff_kind", lit("missing"))
-      .unionByName(Validation.orphansInDst(srcBad, dstBad, keys)
-        .select(outCols: _*).withColumn("diff_kind", lit("orphan")))
-      .unionByName(Validation.mismatched(srcBad, dstBad, keys, valueCols)
-        .select(outCols: _*).withColumn("diff_kind", lit("mismatched")))
-  }
+      keys: Seq[String], valueCols: Seq[String]): DataFrame =
+    Validation.diffKinds(srcBad, dstBad, keys, valueCols)
 
   /** Full run with a driver-side report. The per-chunk checksum compare
     * — the only pass that reads both tables — executes ONCE: the chunk

@@ -38,6 +38,36 @@ object Validation {
     s.join(d, keys, "inner").filter(neq)
   }
 
+  /** Row-level three-kind diff in ONE pass: a single full-outer join
+    * classifies every differing key as missing | orphan | mismatched —
+    * the same rows the three fine-grained joins above produce, without
+    * scanning either side three times (3 shuffle joins → 1; at 100 TB
+    * the suspect sides are small after checksum narrowing, but the
+    * stage count still triples the fixed cost). Values come from the
+    * side that HAS the row: src for missing/mismatched (the
+    * reconciliation image), dst for orphans. */
+  def diffKinds(src: DataFrame, dst: DataFrame, keys: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    val s = src.select((keys ++ valueCols).map(col): _*)
+      .withColumn("__src", lit(1))
+    val d = valueCols.foldLeft(
+        dst.select((keys ++ valueCols).map(col): _*))((acc, c) =>
+        acc.withColumnRenamed(c, s"__dst_$c"))
+      .withColumn("__dst", lit(1))
+    val joined = s.join(d, keys, "full_outer")
+    val neq =
+      if (valueCols.isEmpty) lit(false)
+      else valueCols.map(c => !(col(c) <=> col(s"__dst_$c"))).reduce(_ || _)
+    val kind = when(col("__dst").isNull, "missing")
+      .when(col("__src").isNull, "orphan")
+      .when(neq, "mismatched")
+    val out = keys.map(col) ++ valueCols.map(c =>
+      when(col("__src").isNull, col(s"__dst_$c")).otherwise(col(c)).as(c))
+    joined.withColumn("diff_kind", kind)
+      .filter(col("diff_kind").isNotNull)
+      .select(out :+ col("diff_kind"): _*)
+  }
+
   /** Full diff summary: (missing, orphan, mismatched) counts in one pass
     * via a full outer join. */
   def diffSummary(src: DataFrame, dst: DataFrame, keys: Seq[String],
