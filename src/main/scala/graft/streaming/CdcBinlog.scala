@@ -69,7 +69,8 @@ object CdcBinlog {
       startExecuted: Map[String, String] = Map.empty,
       soTimeoutMs: Int = 30000,
       serverId: Long = 12345L,
-      checksummed: Boolean = false): StreamingQuery = {
+      checksummed: Boolean = false,
+      registryDir: Option[String] = None): StreamingQuery = {
     val dns = endpoints.map(_._1)
     spark.readStream.format("graft-cdc")
       .option("endpoints",
@@ -81,6 +82,8 @@ object CdcBinlog {
       .option("maxBytesPerPoll", maxBytesPerPoll.toString)
       .option("soTimeoutMs", soTimeoutMs.toString)
       .option("serverId", serverId.toString)
+      .options(registryDir.map(d => Map("registryDir" -> d))
+        .getOrElse(Map.empty))
       .options(if (startExecuted.isEmpty) Map.empty[String, String]
         else Map("startExecuted" -> startExecuted
           .map { case (dn, set) => s"$dn=$set" }.mkString(";")))
@@ -89,7 +92,7 @@ object CdcBinlog {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         emitBatch(batch, batchId, dns, tableCols, heartbeatTables,
-          outDir, workDir, numPartitions, checksummed)
+          outDir, workDir, numPartitions, checksummed, registryDir)
         ()
       }
       .trigger(trigger)
@@ -103,13 +106,34 @@ object CdcBinlog {
       dns: Seq[String], tableCols: Map[(String, String), Seq[String]],
       heartbeatTables: Set[(String, String)],
       outDir: String, workDir: String, numPartitions: Int,
-      checksummed: Boolean): Unit = {
+      checksummed: Boolean,
+      registryDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val fs = graft.util.HadoopIo.fsOf(new Path(workDir))
+
+    // in-stream DDL: decode names and the wire RE-ENCODE registry must
+    // agree (the writer maps image keys by name; the wire itself
+    // carries none) — both come from the registryDir sidecar, evolved
+    // AFTER the batch so DDL takes effect for subsequent batches, like
+    // a real binlog's schema boundary. Replay-safe: an already-evolved
+    // sidecar names the same positions, and cells are written
+    // positionally, so the replayed bytes are identical.
+    val reg0 = registryDir
+      .map(d => graft.jobs.LiveReplicaJob.resumeRegistry(d, tableCols))
+      .getOrElse(tableCols)
 
     // the decoded batch stages once: the frontier agg, the gate split
     // and the wire write must not re-run the drain/decode
     val staged = Staged.parquetStage(batch, s"$workDir/stage")
+
+    // in-stream DDL inside THIS batch: decode evolves names inline
+    // (BinlogWire.decodeStream), so post-DDL rows arrive keyed by the
+    // NEW name while held/pre-DDL rows carry the old one. The write
+    // registry is the EVOLVED one, and renamed keys in older rows are
+    // re-keyed to it — otherwise the re-encode would null their cells.
+    val evolved = registryDir.map { _ =>
+      graft.jobs.LiveReplicaJob.evolveRegistryFromBatch(staged, reg0)
+    }.getOrElse(reg0)
 
     // frontiers: highest TSO each DN has EVER delivered (heartbeats
     // included) — max-merged with the persisted frontiers, so an idle
@@ -147,7 +171,8 @@ object CdcBinlog {
     // DN frontier at or past a branch's TSO proves that branch has
     // arrived (logs serve in TSO order) — so every branch of a
     // barrier-passing txn is present before it emits
-    val all = staged.unionByName(held).filter(!isHeartbeat)
+    val all = normalizeRenames(
+      staged.unionByName(held).filter(!isHeartbeat), reg0, evolved)
       .withColumn("__commit_tso",
         max(col("tso")).over(Window.partitionBy(col("txnId"))))
     val gated = Staged.parquetStage(all, s"$workDir/gated")
@@ -168,7 +193,7 @@ object CdcBinlog {
       Seq("__commit_tso", "txnId"), Seq("tso", "traceId"))
       .drop("__commit_tso")
     graft.sinks.BinlogWire.writeChangeStreamBinlogFiles(ordered,
-      tableCols, outDir, filePrefix = prefix, checksummed = checksummed)
+      evolved, outDir, filePrefix = prefix, checksummed = checksummed)
 
     // holdback stage N + frontier sidecar; N-2 (committed once N ran)
     // is reclaimed — the work dir holds at most two batches of lag
@@ -179,7 +204,46 @@ object CdcBinlog {
       frontiers)
     fs.delete(new Path(s"$workDir/hold/${batchId - 2}"), true)
     fs.delete(new Path(s"$workDir/hold/${batchId - 2}.frontier"), false)
+    // persist the evolved registry for the NEXT batch's decode seed
+    // (idempotent under replay — re-evolving an evolved sidecar is a
+    // no-op, and cells are positional on the wire either way)
+    registryDir.foreach { d =>
+      if (evolved != reg0)
+        graft.jobs.LiveReplicaJob.saveRegistry(d, evolved)
+    }
     ()
+  }
+
+  /** Re-key renamed map entries to the evolved column names: for every
+    * table whose registry renamed positions (same arity, different
+    * names), a row still keyed by the OLD name gets its entry moved to
+    * the new one. Holdback rows are stored normalized, so one
+    * base→evolved step per batch covers every epoch in flight. */
+  private def normalizeRenames(df: DataFrame,
+      base: Map[(String, String), Seq[String]],
+      evolved: Map[(String, String), Seq[String]]): DataFrame = {
+    val renames = evolved.flatMap { case (key, newCols) =>
+      base.get(key).filter(_.size == newCols.size).map { oldCols =>
+        key -> oldCols.zip(newCols).filter { case (o, n) => o != n }
+      }
+    }.filter(_._2.nonEmpty)
+    if (renames.isEmpty) df
+    else renames.foldLeft(df) { case (acc, ((sch, tbl), pairs)) =>
+      val cond = col("schemaName") === sch && col("tableName") === tbl
+      def fix(mcol: String) = {
+        val moved = pairs.foldLeft(col(mcol)) { case (m, (o, n)) =>
+          when(cond && element_at(m, o).isNotNull &&
+              element_at(m, n).isNull,
+            map_concat(
+              map_filter(m, (k, _) => k =!= o),
+              map(lit(n), element_at(m, o))))
+            .otherwise(m)
+        }
+        moved
+      }
+      acc.withColumn("before", fix("before"))
+        .withColumn("after", fix("after"))
+    }
   }
 
   private def readFrontiers(fs: org.apache.hadoop.fs.FileSystem,

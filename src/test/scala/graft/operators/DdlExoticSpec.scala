@@ -113,6 +113,82 @@ class DdlExoticSpec extends SparkSpec {
         ifNotExists = false))
   }
 
+  test("partition MAINTENANCE family (Druid residual tail): every form folds schema-neutral, neighbors survive") {
+    // single-partition maintenance ops — all schema-neutral
+    Seq("ADD PARTITION (PARTITION p2 VALUES LESS THAN (100))",
+      "DROP PARTITION p0", "TRUNCATE PARTITION p1",
+      "COALESCE PARTITION 2", "ANALYZE PARTITION ALL",
+      "OPTIMIZE PARTITION p0", "CHECK PARTITION p0",
+      "REPAIR PARTITION p0",
+      "SPLIT PARTITION p0 INTO (PARTITION a VALUES LESS THAN (5), " +
+        "PARTITION b VALUES LESS THAN MAXVALUE)").foreach { action =>
+      assert(parse(s"ALTER TABLE t $action", "s") ==
+        AlterTable("s", "t", Seq(IgnoredAction)), action)
+    }
+    // comma-carrying forms: the partition-name list must not be split
+    // into phantom actions that eat a neighbor
+    assert(parse("ALTER TABLE t DROP PARTITION p0, p1", "s") ==
+      AlterTable("s", "t", Seq(IgnoredAction, IgnoredAction)))
+    assert(parse("ALTER TABLE t MERGE PARTITIONS p0, p1 TO p01", "s") ==
+      AlterTable("s", "t", Seq(IgnoredAction, IgnoredAction)))
+    // REORGANIZE's parenthesized spec carries commas AND VALUES lists;
+    // a real column action must survive on either side of it
+    assert(parse("ALTER TABLE t REORGANIZE PARTITION p0 INTO " +
+      "(PARTITION p0a VALUES LESS THAN (5)), ADD COLUMN c INT", "s") ==
+      AlterTable("s", "t", Seq(IgnoredAction,
+        AddColumn(ColumnDef("c", "int"), first = false, after = None))))
+    assert(parse("ALTER TABLE t ADD COLUMN c INT, REORGANIZE PARTITION " +
+      "p0 INTO (PARTITION x VALUES LESS THAN (1))", "s") ==
+      AlterTable("s", "t", Seq(
+        AddColumn(ColumnDef("c", "int"), first = false, after = None),
+        IgnoredAction)))
+    // CONVERT × MODIFY interaction: the table-level charset rework must
+    // not eat the MODIFY, and the column's own charset attribute folds
+    // into its type normally
+    assert(parse("ALTER TABLE t CONVERT TO CHARACTER SET utf8mb4 " +
+      "COLLATE utf8mb4_bin, MODIFY COLUMN v VARCHAR(64) " +
+      "CHARACTER SET latin1", "s") ==
+      AlterTable("s", "t", Seq(IgnoredAction,
+        ModifyColumn(ColumnDef("v", "string"), first = false,
+          after = None))))
+    assert(parse("ALTER TABLE t CONVERT TO CHARACTER SET default", "s") ==
+      AlterTable("s", "t", Seq(IgnoredAction)))
+    assert(parse("ALTER TABLE t DEFAULT CHARACTER SET = utf8mb4", "s") ==
+      AlterTable("s", "t", Seq(IgnoredAction)))
+    assert(parse("ALTER TABLE t CHARACTER SET utf8mb4 " +
+      "COLLATE utf8mb4_bin", "s") ==
+      AlterTable("s", "t", Seq(IgnoredAction)))
+  }
+
+  test("PolarDB-X create-table partition tails (DBPARTITION/SINGLE/BROADCAST/LOCALITY/subpartitions) fold away") {
+    assert(parse("CREATE TABLE t (a INT, b VARCHAR(10)) DBPARTITION BY " +
+      "HASH(a) TBPARTITION BY HASH(b) TBPARTITIONS 4", "s") ==
+      CreateTable("s", "t", Vector(ColumnDef("a", "int"),
+        ColumnDef("b", "string")), Vector(), ifNotExists = false))
+    assert(parse("CREATE TABLE t (a INT) SINGLE", "s") ==
+      CreateTable("s", "t", Vector(ColumnDef("a", "int")), Vector(),
+        ifNotExists = false))
+    assert(parse("CREATE TABLE t (a INT) BROADCAST", "s") ==
+      CreateTable("s", "t", Vector(ColumnDef("a", "int")), Vector(),
+        ifNotExists = false))
+    assert(parse("CREATE TABLE t (a INT) PARTITION BY KEY(a) " +
+      "PARTITIONS 16 LOCALITY='dn=dn1'", "s") ==
+      CreateTable("s", "t", Vector(ColumnDef("a", "int")), Vector(),
+        ifNotExists = false))
+    // LIST COLUMNS with tuple VALUES + pk: the value tuples' commas and
+    // parens must not disturb column/pk extraction
+    assert(parse("CREATE TABLE t (a INT, b INT, PRIMARY KEY(a)) " +
+      "PARTITION BY LIST COLUMNS(a,b) (PARTITION p0 VALUES IN " +
+      "((1,1),(2,2)), PARTITION p1 VALUES IN ((3,3)))", "s") ==
+      CreateTable("s", "t", Vector(ColumnDef("a", "int"),
+        ColumnDef("b", "int")), Vector("a"), ifNotExists = false))
+    assert(parse("CREATE TABLE t (a INT, b INT) PARTITION BY RANGE (a) " +
+      "SUBPARTITION BY HASH(b) SUBPARTITIONS 2 (PARTITION p0 VALUES " +
+      "LESS THAN (10), PARTITION p1 VALUES LESS THAN MAXVALUE)", "s") ==
+      CreateTable("s", "t", Vector(ColumnDef("a", "int"),
+        ColumnDef("b", "int")), Vector(), ifNotExists = false))
+  }
+
   test("alter-column default/visibility reworks, generated columns, enum literals with commas, key toggles, partition add/drop, maintenance statements") {
     // ALTER COLUMN default/visibility changes are schema-neutral
     assert(parse("ALTER TABLE t ALTER COLUMN c SET DEFAULT 5", "s") ==

@@ -68,7 +68,7 @@ class DdlFuzzSpec extends SparkSpec {
       // partition maintenance, default changes (incl. expression form),
       // index add/drop/rename with index options, charset conversions —
       // the operational-DDL background noise of a real log
-      def noopStatement(t: String): String = rnd.nextInt(10) match {
+      def noopStatement(t: String): String = rnd.nextInt(14) match {
         case 0 => s"ALTER TABLE $t ADD PARTITION (PARTITION px VALUES LESS THAN (100))"
         case 1 => s"ALTER TABLE $t DROP PARTITION p0"
         case 2 => s"ALTER TABLE $t TRUNCATE PARTITION p0"
@@ -78,6 +78,12 @@ class DdlFuzzSpec extends SparkSpec {
         case 6 => s"ALTER TABLE $t ADD INDEX ix$tso (c1) USING BTREE KEY_BLOCK_SIZE=8 COMMENT 'cover'"
         case 7 => s"ALTER TABLE $t ADD UNIQUE KEY ux$tso (c1(10) DESC) KEY_BLOCK_SIZE=4"
         case 8 => s"ALTER TABLE $t ALTER COLUMN c1 SET DEFAULT (now())"
+        case 9 => s"ALTER TABLE $t REORGANIZE PARTITION p0 INTO " +
+          "(PARTITION p0a VALUES LESS THAN (5), PARTITION p0b VALUES LESS THAN MAXVALUE)"
+        case 10 => s"ALTER TABLE $t SPLIT PARTITION p0 INTO " +
+          "(PARTITION pa VALUES LESS THAN (5), PARTITION pb VALUES LESS THAN MAXVALUE)"
+        case 11 => s"ALTER TABLE $t MERGE PARTITIONS p0, p1 TO p01"
+        case 12 => s"ALTER TABLE $t DEFAULT CHARACTER SET = utf8mb4"
         case _ => "FLUSH LOGS"
       }
 

@@ -126,6 +126,94 @@ class CdcBinlogSpec extends SparkSpec {
       "an idle restart must be a byte-level no-op")
   }
 
+  test("in-stream rebuild DDL: held pre-DDL rows and same-batch post-DDL rows both reach the log under the evolved registry") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlog3")
+    val (d1, d2) = (s"$root/dn1", s"$root/dn2")
+    Seq(d1, d2).foreach(d => java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(d)))
+    val out = s"$root/out"
+    val regDir = s"$root/registry"
+    val regV2 = Map(
+      ("db", "t") -> Seq("k", "seq", "v2"),
+      ("db", "hb") -> Seq("k"))
+    val ddlStmt = "ALTER TABLE t RENAME COLUMN v TO v2"
+
+    def writeDf(df: org.apache.spark.sql.DataFrame,
+        wreg: Map[(String, String), Seq[String]],
+        sid: java.util.UUID, prior: GtidSet, intoDir: String,
+        asIndex: Int): Unit = {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-cdcbinlog-ddl").toString
+      BinlogWire.writeChangeStreamBinlogFiles(
+        df.coalesce(1).sortWithinPartitions("tso"), wreg, d,
+        checksummed = true, gtidSid = Some(sid), priorExecuted = prior)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(d, "binlog.000000"),
+        java.nio.file.Paths.get(intoDir, f"binlog.$asIndex%06d"))
+      ()
+    }
+    def run(p1: Int, p2: Int): Unit = {
+      val q = CdcBinlog.start(spark,
+        Seq(("dn1", "localhost", p1), ("dn2", "localhost", p2)),
+        "repl", "pw", reg, out, s"$root/ckpt", s"$root/work",
+        numPartitions = 2, heartbeatTables = Set(("db", "hb")),
+        trigger = Trigger.AvailableNow(), registryDir = Some(regDir))
+      q.awaitTermination()
+    }
+    def served(body: Seq[Int] => Unit): Unit = {
+      val srvs = Seq(d1, d2).map(d =>
+        new graft.sinks.BinlogDumpServer(d, "repl", "pw"))
+      try body(srvs.map(_.port)) finally srvs.foreach(_.close())
+    }
+    val sid1 = java.util.UUID.fromString(
+      "0a1b2c3d-9999-4444-3333-000000000001")
+    val sid2 = java.util.UUID.fromString(
+      "0a1b2c3d-9999-4444-3333-000000000002")
+
+    // phase 1 (pre-DDL epoch, column v): dn1 has txns 1 and 3 + hb 10,
+    // dn2 has txn 2 and NO heartbeat — barrier 2 emits 1,2 and HOLDS 3
+    // (a pre-DDL row that will outlive the rename in the holdback)
+    writeDf(ev(Seq((1L, "t"), (3L, "t"), (10L, "hb"))), reg, sid1,
+      GtidSet.Empty, d1, 0)
+    writeDf(ev(Seq((2L, "t"))), reg, sid2, GtidSet.Empty, d2, 0)
+    served { case Seq(p1, p2) => run(p1, p2) }
+    assert(decodedOrder(out) == Seq(1L, 2L))
+
+    // phase 2: dn1 rotates in the RENAME DDL (txn 4) and a post-DDL
+    // row keyed v2 (txn 5) in ONE segment + hb 12; dn2 heartbeats at
+    // 13 — barrier 12 releases held 3 (old key), the DDL and 5
+    import spark.implicits._
+    val phase2 = Seq(
+      (4L, 4L, "DDL", "db", "t", Map.empty[String, String],
+        Map.empty[String, String], ddlStmt, 1700000000L),
+      (5L, 5L, "INSERT", "db", "t", Map.empty[String, String],
+        Map("k" -> "5", "seq" -> "1", "v2" -> "b5"), null: String,
+        1700000000L),
+      (12L, 12L, "INSERT", "db", "hb", Map.empty[String, String],
+        Map("k" -> "12"), null: String, 1700000000L))
+      .toDF("tso", "txnId", "op", "schemaName", "tableName", "before",
+        "after", "ddl", "tsoTime")
+    writeDf(phase2, regV2, sid1,
+      GtidSet.Empty.add(sid1, 1L).add(sid1, 3L).add(sid1, 10L), d1, 1)
+    writeDf(ev(Seq((13L, "hb"))), reg, sid2,
+      GtidSet.Empty.add(sid2, 2L), d2, 1)
+    served { case Seq(p1, p2) => run(p1, p2) }
+
+    // the full log, decoded under the EVOLVED registry: every epoch's
+    // values present (held pre-DDL 3 included), total order kept, the
+    // DDL statement on the wire at its TSO slot
+    val rows = BinlogWire.readBinlogFiles(spark, out, regV2)
+      .select(col("log_file"), col("tso"), col("op"),
+        element_at(col("after"), "v2").as("v2"), col("ddl"))
+      .collect().toSeq.sortBy(r => (r.getString(0), r.getLong(1)))
+    val inserts = rows.filter(_.getString(2) == "INSERT")
+    assert(inserts.map(_.getLong(1)) == Seq(1L, 2L, 3L, 5L))
+    assert(inserts.map(_.getString(3)) == Seq("a1", "a2", "a3", "b5"),
+      "a renamed epoch's values were dropped by the re-encode")
+    assert(rows.exists(r => r.getString(2) == "DDL" &&
+      r.getString(4) == ddlStmt), "the DDL never reached the log")
+  }
+
   test("a REPLAYED batch rewrites byte-identical files and identical holdback (crash between emit and checkpoint commit)") {
     val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlog2")
     val out = s"$root/out"
