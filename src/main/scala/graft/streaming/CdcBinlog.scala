@@ -70,7 +70,8 @@ object CdcBinlog {
       soTimeoutMs: Int = 30000,
       serverId: Long = 12345L,
       checksummed: Boolean = false,
-      registryDir: Option[String] = None): StreamingQuery = {
+      registryDir: Option[String] = None,
+      forceCompleteAfterBatches: Int = 0): StreamingQuery = {
     val dns = endpoints.map(_._1)
     spark.readStream.format("graft-cdc")
       .option("endpoints",
@@ -92,7 +93,8 @@ object CdcBinlog {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         emitBatch(batch, batchId, dns, tableCols, heartbeatTables,
-          outDir, workDir, numPartitions, checksummed, registryDir)
+          outDir, workDir, numPartitions, checksummed, registryDir,
+          forceCompleteAfterBatches)
         ()
       }
       .trigger(trigger)
@@ -107,7 +109,8 @@ object CdcBinlog {
       heartbeatTables: Set[(String, String)],
       outDir: String, workDir: String, numPartitions: Int,
       checksummed: Boolean,
-      registryDir: Option[String] = None): Unit = {
+      registryDir: Option[String] = None,
+      forceCompleteAfterBatches: Int = 0): Unit = {
     val spark = batch.sparkSession
     val fs = graft.util.HadoopIo.fsOf(new Path(workDir))
 
@@ -138,19 +141,37 @@ object CdcBinlog {
     // frontiers: highest TSO each DN has EVER delivered (heartbeats
     // included) — max-merged with the persisted frontiers, so an idle
     // DN keeps the level its last heartbeat established
-    val prev = readFrontiers(fs, new Path(s"$workDir/hold/${batchId - 1}.frontier"))
+    val st = readFrontiers(fs,
+      new Path(s"$workDir/hold/${batchId - 1}.frontier"))
     val batchMax = staged.groupBy(col("partitionId"))
       .agg(max(col("tso")).as("m"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val frontiers = dns.map { dn =>
-      dn -> math.max(prev.getOrElse(dn, Long.MinValue),
+      val p = st.frontiers.get(dn)
+      val front = math.max(p.map(_._1).getOrElse(Long.MinValue),
         batchMax.getOrElse(dn, Long.MinValue))
+      // stall age: consecutive batches without this DN advancing — the
+      // force-complete clock (LogEventMerger.tryForceComplete :238-273)
+      val advanced = batchMax.get(dn)
+        .exists(_ > p.map(_._1).getOrElse(Long.MinValue))
+      val stall = if (advanced) 0 else p.map(_._2).getOrElse(0) + 1
+      dn -> (front, stall)
     }.toMap
-    // the merge barrier: complete only up to the slowest DN's frontier;
-    // a DN that has never delivered anything holds everything back
-    // (the merger's all-sources gate)
-    val barrier =
-      if (frontiers.isEmpty) Long.MinValue else frontiers.values.min
+    // the merge barrier: complete only up to the slowest DN's frontier
+    // (a DN that has never delivered anything holds everything back —
+    // the merger's all-sources gate). With force-complete enabled, a DN
+    // stalled past the threshold is EXCLUDED so a dead DN cannot stall
+    // production forever — the reference's availability trade; the
+    // barrier is clamped monotone so an exclusion-set change can never
+    // regress the seal.
+    val live =
+      if (forceCompleteAfterBatches <= 0) frontiers
+      else frontiers.filter(_._2._2 < forceCompleteAfterBatches)
+    val rawBarrier =
+      if (live.nonEmpty) live.values.map(_._1).min
+      else if (frontiers.nonEmpty) frontiers.values.map(_._1).min
+      else Long.MinValue
+    val barrier = math.max(st.barrier, rawBarrier)
 
     val holdPrev = new Path(s"$workDir/hold/${batchId - 1}")
     val held =
@@ -176,6 +197,23 @@ object CdcBinlog {
       .withColumn("__commit_tso",
         max(col("tso")).over(Window.partitionBy(col("txnId"))))
     val gated = Staged.parquetStage(all, s"$workDir/gated")
+    // a force-completed log has SEALED everything at or below the old
+    // barrier: a revived DN delivering transactions back there would
+    // have to emit out of name order — refuse loudly, the operator
+    // decides (reseed, or accept the gap and restart past it)
+    if (forceCompleteAfterBatches > 0 && st.barrier > Long.MinValue) {
+      val late = gated
+        .filter(col("__commit_tso") <= st.barrier)
+        .filter(!col("partitionId").isin(
+          st.frontiers.filter(_._2._1 >= st.barrier).keys.toSeq: _*))
+        .select(col("partitionId"), col("tso")).limit(1).collect()
+      if (late.nonEmpty)
+        throw new IllegalStateException(
+          s"CdcBinlog: DN '${late(0).getString(0)}' delivered txn tso " +
+          s"${late(0).getLong(1)} at or below the force-completed " +
+          s"barrier ${st.barrier} — the log is sealed past it; " +
+          "emitting now would break total order")
+    }
     val emit = gated.filter(col("__commit_tso") <= barrier)
 
     // the batch's wire files: delete this batch's prefix first so a
@@ -201,7 +239,7 @@ object CdcBinlog {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$workDir/hold/$batchId")
     writeFrontiers(fs, new Path(s"$workDir/hold/$batchId.frontier"),
-      frontiers)
+      FrontierState(barrier, frontiers))
     fs.delete(new Path(s"$workDir/hold/${batchId - 2}"), true)
     fs.delete(new Path(s"$workDir/hold/${batchId - 2}.frontier"), false)
     // persist the evolved registry for the NEXT batch's decode seed
@@ -246,25 +284,41 @@ object CdcBinlog {
     }
   }
 
+  /** Persisted merge state: the sealed barrier plus per-DN
+    * (frontier, consecutive-stall-batches). */
+  private[streaming] final case class FrontierState(barrier: Long,
+      frontiers: Map[String, (Long, Int)])
+
   private def readFrontiers(fs: org.apache.hadoop.fs.FileSystem,
-      p: Path): Map[String, Long] =
-    if (!fs.exists(p)) Map.empty
+      p: Path): FrontierState =
+    if (!fs.exists(p)) FrontierState(Long.MinValue, Map.empty)
     else {
       val in = fs.open(p)
       val text =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      text.split(";").toSeq.filter(_.nonEmpty).map { kv =>
+      val parts = text.split(";").toSeq.filter(_.nonEmpty)
+      val barrier = parts.collectFirst {
+        case kv if kv.startsWith("barrier=") =>
+          kv.stripPrefix("barrier=").toLong
+      }.getOrElse(Long.MinValue)
+      val fronts = parts.filterNot(_.startsWith("barrier=")).map { kv =>
         val Array(dn, v) = kv.split("=", 2)
-        dn -> v.toLong
+        v.split(",") match {
+          case Array(f, stall) => dn -> (f.toLong, stall.toInt)
+          case Array(f) => dn -> (f.toLong, 0)
+        }
       }.toMap
+      FrontierState(barrier, fronts)
     }
 
   private def writeFrontiers(fs: org.apache.hadoop.fs.FileSystem,
-      p: Path, frontiers: Map[String, Long]): Unit = {
+      p: Path, state: FrontierState): Unit = {
     val out = fs.create(p, true)
-    try out.write(frontiers.toSeq.sorted
-      .map { case (dn, v) => s"$dn=$v" }.mkString(";").getBytes("UTF-8"))
-    finally out.close()
+    val text = (s"barrier=${state.barrier}" +:
+      state.frontiers.toSeq.sortBy(_._1).map { case (dn, (f, stall)) =>
+        s"$dn=$f,$stall"
+      }).mkString(";")
+    try out.write(text.getBytes("UTF-8")) finally out.close()
   }
 }

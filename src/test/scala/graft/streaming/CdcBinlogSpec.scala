@@ -214,6 +214,65 @@ class CdcBinlogSpec extends SparkSpec {
       r.getString(4) == ddlStmt), "the DDL never reached the log")
   }
 
+  test("force-complete: a dead DN is excluded after the stall threshold; its revival below the sealed barrier fails loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlog4")
+    val (d1, d2) = (s"$root/dn1", s"$root/dn2")
+    Seq(d1, d2).foreach(d => java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(d)))
+    val out = s"$root/out"
+    def run(p1: Int, p2: Int): Unit = {
+      val q = CdcBinlog.start(spark,
+        Seq(("dn1", "localhost", p1), ("dn2", "localhost", p2)),
+        "repl", "pw", reg, out, s"$root/ckpt", s"$root/work",
+        numPartitions = 2, heartbeatTables = Set(("db", "hb")),
+        trigger = Trigger.AvailableNow(),
+        forceCompleteAfterBatches = 2)
+      q.awaitTermination()
+    }
+    def served(body: Seq[Int] => Unit): Unit = {
+      val srvs = Seq(d1, d2).map(d =>
+        new graft.sinks.BinlogDumpServer(d, "repl", "pw"))
+      try body(srvs.map(_.port)) finally srvs.foreach(_.close())
+    }
+
+    // phase 0: dn2 delivers txn 1 then goes SILENT; dn1 has 2,3 + hb 6
+    // — barrier 1, txns 2,3 held behind the dead DN
+    writeCall(Seq((2L, "t"), (3L, "t"), (6L, "hb")), sid1,
+      GtidSet.Empty, d1, 0)
+    writeCall(Seq((1L, "t")), sid2, GtidSet.Empty, d2, 0)
+    served { case Seq(p1, p2) => run(p1, p2) }
+    assert(decodedOrder(out) == Seq(1L))
+
+    // dn1 keeps heartbeating; dn2 stays dead. Stall 1 — still gated.
+    writeCall(Seq((7L, "hb")), sid1,
+      GtidSet.Empty.add(sid1, 2L).add(sid1, 3L).add(sid1, 6L), d1, 1)
+    served { case Seq(p1, p2) => run(p1, p2) }
+    assert(decodedOrder(out) == Seq(1L))
+
+    // stall 2 = threshold: dn2 excluded, the held txns 2,3 emit
+    writeCall(Seq((8L, "hb")), sid1,
+      GtidSet.Empty.add(sid1, 2L).add(sid1, 3L).add(sid1, 6L)
+        .add(sid1, 7L), d1, 2)
+    served { case Seq(p1, p2) => run(p1, p2) }
+    assert(decodedOrder(out) == Seq(1L, 2L, 3L),
+      "force-complete must release the held txns past the dead DN")
+
+    // revival BELOW the sealed barrier: dn2 wakes with txn 4 (< 8) —
+    // emitting it now would break total order; the query must refuse
+    writeCall(Seq((4L, "t")), sid2, GtidSet.Empty.add(sid2, 1L), d2, 1)
+    writeCall(Seq((9L, "hb")), sid1,
+      GtidSet.Empty.add(sid1, 2L).add(sid1, 3L).add(sid1, 6L)
+        .add(sid1, 7L).add(sid1, 8L), d1, 3)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      served { case Seq(p1, p2) => run(p1, p2) }
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("sealed"))),
+      s"expected the sealed-barrier refusal, got: ${ex.getMessage}")
+  }
+
   test("a REPLAYED batch rewrites byte-identical files and identical holdback (crash between emit and checkpoint commit)") {
     val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlog2")
     val out = s"$root/out"
