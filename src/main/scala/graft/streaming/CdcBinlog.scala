@@ -71,7 +71,8 @@ object CdcBinlog {
       serverId: Long = 12345L,
       checksummed: Boolean = false,
       registryDir: Option[String] = None,
-      forceCompleteAfterBatches: Int = 0): StreamingQuery = {
+      forceCompleteAfterBatches: Int = 0,
+      gtidSid: Option[java.util.UUID] = None): StreamingQuery = {
     val dns = endpoints.map(_._1)
     spark.readStream.format("graft-cdc")
       .option("endpoints",
@@ -94,7 +95,7 @@ object CdcBinlog {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         emitBatch(batch, batchId, dns, tableCols, heartbeatTables,
           outDir, workDir, numPartitions, checksummed, registryDir,
-          forceCompleteAfterBatches)
+          forceCompleteAfterBatches, gtidSid)
         ()
       }
       .trigger(trigger)
@@ -110,7 +111,8 @@ object CdcBinlog {
       outDir: String, workDir: String, numPartitions: Int,
       checksummed: Boolean,
       registryDir: Option[String] = None,
-      forceCompleteAfterBatches: Int = 0): Unit = {
+      forceCompleteAfterBatches: Int = 0,
+      gtidSid: Option[java.util.UUID] = None): Unit = {
     val spark = batch.sparkSession
     val fs = graft.util.HadoopIo.fsOf(new Path(workDir))
 
@@ -230,8 +232,19 @@ object CdcBinlog {
     val ordered = MergeSort.sortedRunsGrouped(emit, numPartitions,
       Seq("__commit_tso", "txnId"), Seq("tso", "traceId"))
       .drop("__commit_tso")
+    // with a sid, the produced log carries its OWN GTID stream
+    // (gno := commit TSO — decoded rows all carry the txn's CTS, and
+    // TSOs are globally unique) with cumulative PREVIOUS_GTIDS, read
+    // back from the log itself (own-prefix files are already deleted,
+    // so a replay computes the same prior): the output is a
+    // FIRST-CLASS auto-position-servable binlog a downstream replica
+    // can dump with the graft-cdc source
+    val prior = gtidSid.map(_ =>
+      graft.sinks.BinlogCatalog.executedGtidSet(spark, outDir))
+      .getOrElse(graft.model.GtidSet.Empty)
     graft.sinks.BinlogWire.writeChangeStreamBinlogFiles(ordered,
-      evolved, outDir, filePrefix = prefix, checksummed = checksummed)
+      evolved, outDir, filePrefix = prefix, checksummed = checksummed,
+      gtidSid = gtidSid, priorExecuted = prior)
 
     // holdback stage N + frontier sidecar; N-2 (committed once N ran)
     // is reclaimed — the work dir holds at most two batches of lag

@@ -273,6 +273,78 @@ class CdcBinlogSpec extends SparkSpec {
       s"expected the sealed-barrier refusal, got: ${ex.getMessage}")
   }
 
+  test("FULL CHAIN: DN dumps -> global binlog production -> dump-served -> downstream streaming replica, auto-position resume across batches") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlog5")
+    val (d1, d2) = (s"$root/dn1", s"$root/dn2")
+    Seq(d1, d2).foreach(d => java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(d)))
+    val out = s"$root/out"
+    val gsid = java.util.UUID.fromString(
+      "0a1b2c3d-aaaa-4444-3333-00000000000f")
+
+    def produce(p1: Int, p2: Int): Unit = {
+      val q = CdcBinlog.start(spark,
+        Seq(("dn1", "localhost", p1), ("dn2", "localhost", p2)),
+        "repl", "pw", reg, out, s"$root/ckpt", s"$root/work",
+        numPartitions = 2, heartbeatTables = Set(("db", "hb")),
+        trigger = Trigger.AvailableNow(), gtidSid = Some(gsid))
+      q.awaitTermination()
+    }
+    // the downstream replica consumes the PRODUCED log through the
+    // same graft-cdc source — the global log is a first-class binlog
+    val targets = Seq(graft.jobs.WireReplicaJob.TableTarget("db", "t",
+      Seq("k" -> "long", "seq" -> "long", "v" -> "string"),
+      Seq("k"), "seq", s"$root/target", 2))
+    def consume(port: Int): Unit = {
+      val q = CdcReplica.start(spark,
+        Seq(("g1", "localhost", port)), "repl", "pw",
+        Map(("db", "t") -> Seq("k", "seq", "v")), targets,
+        s"$root/replica-ckpt", s"$root/replica-stage",
+        s"$root/replica-registry",
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+    def state(): Map[Long, String] = {
+      import spark.implicits._
+      graft.operators.TxnApplier.readCurrent(spark, s"$root/target")
+        .select($"k", $"v").as[(Long, String)].collect().toMap
+    }
+
+    // batch 1 of the chain: both DNs live, heartbeats at 11/12
+    writeCall(Seq((1L, "t"), (3L, "t"), (11L, "hb")), sid1,
+      GtidSet.Empty, d1, 0)
+    writeCall(Seq((2L, "t"), (4L, "t"), (12L, "hb")), sid2,
+      GtidSet.Empty, d2, 0)
+    var srvs = Seq(d1, d2).map(d =>
+      new graft.sinks.BinlogDumpServer(d, "repl", "pw"))
+    try produce(srvs(0).port, srvs(1).port)
+    finally srvs.foreach(_.close())
+    val g1 = new graft.sinks.BinlogDumpServer(out, "repl", "pw")
+    try consume(g1.port) finally g1.close()
+    assert(state() == (1L to 4L).map(t => t -> s"a$t").toMap)
+
+    // batch 2: more data on both DNs; the producer appends to the
+    // global log (cumulative PREVIOUS_GTIDS), and the replica's second
+    // run AUTO-POSITIONS off its checkpoint — the global server must
+    // re-serve NOTHING below gsid:1-4
+    writeCall(Seq((5L, "t"), (13L, "hb")), sid1,
+      GtidSet.Empty.add(sid1, 1L).add(sid1, 3L).add(sid1, 11L), d1, 1)
+    writeCall(Seq((6L, "t"), (14L, "hb")), sid2,
+      GtidSet.Empty.add(sid2, 2L).add(sid2, 4L).add(sid2, 12L), d2, 1)
+    srvs = Seq(d1, d2).map(d =>
+      new graft.sinks.BinlogDumpServer(d, "repl", "pw"))
+    try produce(srvs(0).port, srvs(1).port)
+    finally srvs.foreach(_.close())
+    // the produced log's own executed set covers every emitted txn
+    assert(graft.sinks.BinlogCatalog.executedGtidSet(spark, out).text ==
+      s"$gsid:1-6")
+    val g2 = new graft.sinks.BinlogDumpServer(out, "repl", "pw")
+    try consume(g2.port) finally g2.close()
+    assert(state() == (1L to 6L).map(t => t -> s"a$t").toMap,
+      "the downstream replica must resume incrementally off the " +
+        "produced log's GTID stream")
+  }
+
   test("a REPLAYED batch rewrites byte-identical files and identical holdback (crash between emit and checkpoint commit)") {
     val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlog2")
     val out = s"$root/out"
