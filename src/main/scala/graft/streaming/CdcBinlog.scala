@@ -72,7 +72,8 @@ object CdcBinlog {
       checksummed: Boolean = false,
       registryDir: Option[String] = None,
       forceCompleteAfterBatches: Int = 0,
-      gtidSid: Option[java.util.UUID] = None): StreamingQuery = {
+      gtidSid: Option[java.util.UUID] = None,
+      fanOut: Option[CdcBinlogX.FanOut] = None): StreamingQuery = {
     val dns = endpoints.map(_._1)
     spark.readStream.format("graft-cdc")
       .option("endpoints",
@@ -95,7 +96,7 @@ object CdcBinlog {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         emitBatch(batch, batchId, dns, tableCols, heartbeatTables,
           outDir, workDir, numPartitions, checksummed, registryDir,
-          forceCompleteAfterBatches, gtidSid)
+          forceCompleteAfterBatches, gtidSid, fanOut)
         ()
       }
       .trigger(trigger)
@@ -112,7 +113,8 @@ object CdcBinlog {
       checksummed: Boolean,
       registryDir: Option[String] = None,
       forceCompleteAfterBatches: Int = 0,
-      gtidSid: Option[java.util.UUID] = None): Unit = {
+      gtidSid: Option[java.util.UUID] = None,
+      fanOut: Option[CdcBinlogX.FanOut] = None): Unit = {
     val spark = batch.sparkSession
     val fs = graft.util.HadoopIo.fsOf(new Path(workDir))
 
@@ -222,29 +224,57 @@ object CdcBinlog {
     // replayed attempt fully supersedes the one it replaces (range
     // partitioner sampling is not stable across attempts)
     val prefix = f"binlog.$batchId%06d."
-    val outRoot = new Path(outDir)
-    val ofs = graft.util.HadoopIo.fsOf(outRoot)
-    if (ofs.exists(outRoot))
-      ofs.listStatus(outRoot).foreach { st =>
-        if (st.isFile && st.getPath.getName.startsWith(prefix))
-          ofs.delete(st.getPath, false)
-      }
-    val ordered = MergeSort.sortedRunsGrouped(emit, numPartitions,
-      Seq("__commit_tso", "txnId"), Seq("tso", "traceId"))
-      .drop("__commit_tso")
-    // with a sid, the produced log carries its OWN GTID stream
+    def deleteByPrefix(dir: String): Unit = {
+      val root = new Path(dir)
+      val ofs = graft.util.HadoopIo.fsOf(root)
+      if (ofs.exists(root))
+        ofs.listStatus(root).foreach { st =>
+          if (st.isFile && st.getPath.getName.startsWith(prefix))
+            ofs.delete(st.getPath, false)
+        }
+    }
+    // with a sid, the produced log(s) carry their OWN GTID stream
     // (gno := commit TSO — decoded rows all carry the txn's CTS, and
     // TSOs are globally unique) with cumulative PREVIOUS_GTIDS, read
     // back from the log itself (own-prefix files are already deleted,
     // so a replay computes the same prior): the output is a
     // FIRST-CLASS auto-position-servable binlog a downstream replica
     // can dump with the graft-cdc source
-    val prior = gtidSid.map(_ =>
-      graft.sinks.BinlogCatalog.executedGtidSet(spark, outDir))
-      .getOrElse(graft.model.GtidSet.Empty)
-    graft.sinks.BinlogWire.writeChangeStreamBinlogFiles(ordered,
-      evolved, outDir, filePrefix = prefix, checksummed = checksummed,
-      gtidSid = gtidSid, priorExecuted = prior)
+    def writeLog(rows: DataFrame, dir: String): Unit = {
+      deleteByPrefix(dir)
+      val ordered = MergeSort.sortedRunsGrouped(rows, numPartitions,
+        Seq("__commit_tso", "txnId"), Seq("tso", "traceId"))
+        .drop("__commit_tso")
+      val prior = gtidSid.map(_ =>
+        graft.sinks.BinlogCatalog.executedGtidSet(spark, dir))
+        .getOrElse(graft.model.GtidSet.Empty)
+      graft.sinks.BinlogWire.writeChangeStreamBinlogFiles(ordered,
+        evolved, dir, filePrefix = prefix, checksummed = checksummed,
+        gtidSid = gtidSid, priorExecuted = prior)
+      ()
+    }
+    fanOut match {
+      case None => writeLog(emit, outDir)
+      case Some(f) =>
+        // Binlog-X (§3.2): DML hashes to its stream (HashConfig
+        // .getStreamSeq semantics); DDL broadcasts to ALL streams (the
+        // TxnTag path) so every per-stream log is self-describing
+        import graft.operators.StreamHash
+        val pkExprs = f.pkCols.map(c => element_at(col("after"), c))
+        val dml = emit.filter(col("op") =!= "DDL")
+          .withColumn("__stream", StreamHash.streamSeq(f.level,
+            f.streams, col("schemaName"), col("tableName"), pkExprs))
+        val streamed = Staged.parquetStage(
+          dml.unionByName(
+            StreamHash.broadcastToAllStreams(
+                emit.filter(col("op") === "DDL"), f.streams)
+              .withColumnRenamed("stream", "__stream")),
+          s"$workDir/streamed")
+        (0 until f.streams).foreach { i =>
+          writeLog(streamed.filter(col("__stream") === i)
+            .drop("__stream"), s"$outDir/stream-$i")
+        }
+    }
 
     // holdback stage N + frontier sidecar; N-2 (committed once N ran)
     // is reclaimed — the work dir holds at most two batches of lag
@@ -333,5 +363,55 @@ object CdcBinlog {
         s"$dn=$f,$stall"
       }).mkString(";")
     try out.write(text.getBytes("UTF-8")) finally out.close()
+  }
+}
+
+/** Binlog-X: the MULTI-STREAM Global-Binlog production (SURVEY §3.2) —
+  * the same live composition as [[CdcBinlog.start]] (drain → TSO merge
+  * → frontier barrier → wire files), fanned out into M per-stream logs
+  * under `outDir/stream-<i>`.
+  *
+  * Reference semantics: `HashConfig.getStreamSeq` assigns each event a
+  * stream by DATABASE / TABLE / RECORD hash
+  * (task/.../transmit/relay/HashConfig.java:208-265); DDL (and the
+  * heartbeat alignment the barrier already consumed) broadcast to all
+  * streams (the TxnTag path), so each per-stream log is
+  * self-describing. Each stream's log is independently TSO-ordered and
+  * (with `gtidSid`) independently auto-position-servable; a RECORD-
+  * level hash may split one transaction's rows across streams — the
+  * reference's documented trade for per-key parallel consumption.
+  */
+object CdcBinlogX {
+
+  /** Fan-out spec: stream count, hash level, and (for ByRecord) the
+    * after-image keys that form the record hash. */
+  final case class FanOut(streams: Int,
+      level: graft.operators.StreamHash.HashLevel =
+        graft.operators.StreamHash.ByTable,
+      pkCols: Seq[String] = Seq.empty)
+
+  def start(spark: SparkSession,
+      endpoints: Seq[(String, String, Int)],
+      user: String, password: String,
+      tableCols: Map[(String, String), Seq[String]],
+      outDir: String, checkpointDir: String, workDir: String,
+      fanOut: FanOut,
+      numPartitions: Int = 4,
+      heartbeatTables: Set[(String, String)] = Set.empty,
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      maxBytesPerPoll: Long = CdcConf.DefaultMaxBytesPerPoll,
+      startExecuted: Map[String, String] = Map.empty,
+      soTimeoutMs: Int = 30000,
+      serverId: Long = 12345L,
+      checksummed: Boolean = false,
+      registryDir: Option[String] = None,
+      forceCompleteAfterBatches: Int = 0,
+      gtidSid: Option[java.util.UUID] = None): StreamingQuery = {
+    require(fanOut.streams > 0, "fanOut.streams must be positive")
+    CdcBinlog.start(spark, endpoints, user, password, tableCols,
+      outDir, checkpointDir, workDir, numPartitions, heartbeatTables,
+      trigger, maxBytesPerPoll, startExecuted, soTimeoutMs, serverId,
+      checksummed, registryDir, forceCompleteAfterBatches, gtidSid,
+      fanOut = Some(fanOut))
   }
 }

@@ -345,6 +345,94 @@ class CdcBinlogSpec extends SparkSpec {
         "produced log's GTID stream")
   }
 
+  test("Binlog-X: live multi-stream production — per-table streams each TSO-ordered, DDL broadcast to all, conservation across streams") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlog6")
+    val (d1, d2) = (s"$root/dn1", s"$root/dn2")
+    Seq(d1, d2).foreach(d => java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(d)))
+    val out = s"$root/out"
+    val regX = Map(
+      ("db", "alpha") -> Seq("k", "seq", "v"),
+      ("db", "beta") -> Seq("k", "seq", "v"),
+      ("db", "hb") -> Seq("k"))
+    val ddlStmt = "ALTER TABLE alpha ADD COLUMN extra INT"
+
+    // interleaved alpha/beta txns on both DNs + a DDL + heartbeats
+    def rowsDf(rows: Seq[(Long, String, String)]) = { // (tso, table, op)
+      import spark.implicits._
+      rows.map { case (tso, table, op) =>
+        val after = if (table == "hb") Map("k" -> tso.toString)
+          else Map("k" -> tso.toString, "seq" -> "1", "v" -> s"a$tso")
+        (tso, tso, op, "db", table,
+          Map.empty[String, String],
+          if (op == "DDL") Map.empty[String, String] else after,
+          if (op == "DDL") ddlStmt else null: String, 1700000000L)
+      }.toDF("tso", "txnId", "op", "schemaName", "tableName", "before",
+        "after", "ddl", "tsoTime")
+    }
+    def writeX(rows: Seq[(Long, String, String)], sid: java.util.UUID,
+        prior: GtidSet, intoDir: String, asIndex: Int): Unit = {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-cdcbinlogx").toString
+      BinlogWire.writeChangeStreamBinlogFiles(
+        rowsDf(rows).coalesce(1).sortWithinPartitions("tso"), regX, d,
+        checksummed = true, gtidSid = Some(sid), priorExecuted = prior)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(d, "binlog.000000"),
+        java.nio.file.Paths.get(intoDir, f"binlog.$asIndex%06d"))
+      ()
+    }
+
+    writeX(Seq((1L, "alpha", "INSERT"), (3L, "beta", "INSERT"),
+      (5L, "alpha", "DDL"), (7L, "alpha", "INSERT"),
+      (11L, "hb", "INSERT")), sid1, GtidSet.Empty, d1, 0)
+    writeX(Seq((2L, "beta", "INSERT"), (4L, "alpha", "INSERT"),
+      (6L, "beta", "INSERT"), (12L, "hb", "INSERT")),
+      sid2, GtidSet.Empty, d2, 0)
+
+    val srvs = Seq(d1, d2).map(d =>
+      new graft.sinks.BinlogDumpServer(d, "repl", "pw"))
+    try {
+      val q = CdcBinlogX.start(spark,
+        Seq(("dn1", "localhost", srvs(0).port),
+          ("dn2", "localhost", srvs(1).port)),
+        "repl", "pw", regX, out, s"$root/ckpt", s"$root/work",
+        CdcBinlogX.FanOut(streams = 2,
+          graft.operators.StreamHash.ByTable),
+        numPartitions = 2, heartbeatTables = Set(("db", "hb")),
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+    } finally srvs.foreach(_.close())
+
+    // per-stream decode: (stream, table, op, tso) in file order
+    val streams = (0 until 2).map { i =>
+      BinlogWire.readBinlogFiles(spark, s"$out/stream-$i", regX)
+        .select(col("log_file"), col("tableName"), col("op"), col("tso"),
+          col("ddl"))
+        .collect().toSeq.sortBy(r => (r.getString(0), r.getLong(3)))
+        .map(r => (r.getString(1), r.getString(2), r.getLong(3),
+          r.getString(4)))
+    }
+    val inserts = streams.map(_.filter(_._2 == "INSERT"))
+    // ByTable: each stream serves a disjoint table set; together they
+    // conserve every txn exactly once
+    val tablesPerStream = inserts.map(_.map(_._1).toSet)
+    assert(tablesPerStream.forall(_.nonEmpty) &&
+      tablesPerStream(0).intersect(tablesPerStream(1)).isEmpty,
+      s"table sets must partition across streams: $tablesPerStream")
+    assert(inserts.flatMap(_.map(_._3)).sorted ==
+      Seq(1L, 2L, 3L, 4L, 6L, 7L), "conservation across streams")
+    // each stream's log is independently TSO-ordered
+    inserts.foreach { s =>
+      assert(s.map(_._3) == s.map(_._3).sorted, s"stream disorder: $s")
+    }
+    // the DDL (tso 5, on alpha) reached BOTH streams — TxnTag broadcast
+    streams.foreach { s =>
+      assert(s.exists(r => r._2 == "DDL" && r._4 == ddlStmt),
+        "DDL must broadcast to every stream")
+    }
+  }
+
   test("a REPLAYED batch rewrites byte-identical files and identical holdback (crash between emit and checkpoint commit)") {
     val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlog2")
     val out = s"$root/out"
