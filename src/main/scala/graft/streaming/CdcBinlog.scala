@@ -260,7 +260,12 @@ object CdcBinlog {
         // .getStreamSeq semantics); DDL broadcasts to ALL streams (the
         // TxnTag path) so every per-stream log is self-describing
         import graft.operators.StreamHash
-        val pkExprs = f.pkCols.map(c => element_at(col("after"), c))
+        // record-level keys come from whichever image carries them:
+        // DELETE rows have theirs in `before` — without the fallback a
+        // key's delete would hash to a different stream than its
+        // inserts and break per-key order
+        val pkExprs = f.pkCols.map(c => coalesce(
+          element_at(col("after"), c), element_at(col("before"), c)))
         val dml = emit.filter(col("op") =!= "DDL")
           .withColumn("__stream", StreamHash.streamSeq(f.level,
             f.streams, col("schemaName"), col("tableName"), pkExprs))

@@ -433,6 +433,48 @@ class CdcBinlogSpec extends SparkSpec {
     }
   }
 
+  test("Binlog-X ByRecord: a key's DELETE hashes to the same stream as its INSERT (before-image fallback)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlog7")
+    val out = s"$root/out"
+    def ce(tso: Long, op: String, k: Long) = {
+      val img = Map("k" -> k.toString, "seq" -> "1", "v" -> s"a$tso")
+      ChangeEvent(tso, tso, "dn1", s"dn1:$tso", op, "db", "t",
+        new java.sql.Timestamp(1700000000000L),
+        if (op == "DELETE") img else Map.empty,
+        if (op == "DELETE") Map.empty else img, None, 1L)
+    }
+    // ten keys, each INSERTed then DELETEd — per-key stream stability
+    // is the whole point of RECORD-level hashing
+    val rows = (1L to 10L).flatMap(k =>
+      Seq(ce(k, "INSERT", k), ce(100L + k, "DELETE", k)))
+    val batch = spark.createDataFrame(rows)
+      .select(ChangeEvent.schema.fieldNames.map(col): _*)
+    CdcBinlog.emitBatch(batch, 0L, Seq("dn1"), reg, Set.empty,
+      out, s"$root/work", numPartitions = 2, checksummed = false,
+      fanOut = Some(CdcBinlogX.FanOut(streams = 3,
+        graft.operators.StreamHash.ByRecord, pkCols = Seq("k"))))
+    val byStream = (0 until 3).flatMap { i =>
+      val dir = new java.io.File(s"$out/stream-$i")
+      if (!dir.isDirectory) Nil
+      else BinlogWire.readBinlogFiles(spark, dir.toString, reg)
+        .filter(col("op").isin("INSERT", "DELETE"))
+        .select(col("op"), col("before"), col("after"))
+        .collect().toSeq.map { r =>
+          val img = if (r.getString(0) == "DELETE")
+            r.getMap[String, String](1) else r.getMap[String, String](2)
+          (i, img("k").toLong, r.getString(0))
+        }
+    }
+    assert(byStream.map(_._2).distinct.size == 10 &&
+      byStream.size == 20, "conservation")
+    (1L to 10L).foreach { k =>
+      val streams = byStream.filter(_._2 == k).map(_._1).distinct
+      assert(streams.size == 1,
+        s"key $k split across streams $streams — DELETE hashed away " +
+          "from its INSERT")
+    }
+  }
+
   test("a REPLAYED batch rewrites byte-identical files and identical holdback (crash between emit and checkpoint commit)") {
     val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlog2")
     val out = s"$root/out"
