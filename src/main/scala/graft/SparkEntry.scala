@@ -1987,6 +1987,52 @@ object SparkEntry {
           count(lit(1)).as("n_events"))
         .select(col("txn_tso"), col("n_events"))
         .orderBy(col("txn_tso")).limit(100)
+    }),
+
+    // Binlog retention (oracle-checked): PURGE BINARY LOGS semantics —
+    // a 4-file wire log with KNOWN per-file key ranges is purged at a
+    // TSO watermark; exactly the two wholly-covered prefix files go,
+    // and the surviving log aggregates to DuckDB's numbers over the
+    // surviving key range. tso := l_orderkey + 1 (keys start at 0).
+    "q112_purge_retention" -> ((s, d) => {
+      val reg112 = Map(("app", "lineitem") ->
+        Seq("l_orderkey", "l_linenumber"))
+      val dir = Staged.tempDir("q112-log")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      def slice(lo: Long, hi: Long, idx: Int): Unit = {
+        val rows = Tables.lineitem(s, d)
+          .filter(col("l_orderkey") >= lo && col("l_orderkey") <= hi)
+          .select((col("l_orderkey") + 1).cast("long").as("tso"),
+            (col("l_orderkey") + 1).cast("long").as("txnId"),
+            lit("INSERT").as("op"), lit("app").as("schemaName"),
+            lit("lineitem").as("tableName"),
+            map().cast("map<string,string>").as("before"),
+            map(lit("l_orderkey"), col("l_orderkey").cast("string"),
+              lit("l_linenumber"), col("l_linenumber").cast("string"))
+              .as("after"),
+            lit(null).cast("string").as("ddl"),
+            lit(1700000000L).as("tsoTime"))
+        val dtmp = Staged.tempDir(s"q112-slice$idx")
+        graft.sinks.BinlogWire.writeChangeStreamBinlogFiles(
+          rows.coalesce(1).sortWithinPartitions("tso"), reg112, dtmp)
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(dtmp, "binlog.000000"),
+          java.nio.file.Paths.get(dir, f"binlog.$idx%06d"))
+        ()
+      }
+      slice(0, 49, 0); slice(50, 99, 1)
+      slice(100, 149, 2); slice(150, 200, 3)
+      // watermark tso 100 = okey 99: files 0,1 are wholly at/below it
+      val purged = graft.sinks.BinlogCatalog.purgeBefore(s, dir, 100L)
+      graft.sinks.BinlogWire.readBinlogFiles(s, dir, reg112)
+        .filter(col("op") === "INSERT")
+        .select(element_at(col("after"), "l_orderkey").cast("long")
+          .as("okey"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("okey")).as("sum_okey"),
+          min(col("okey")).as("min_okey"),
+          max(col("okey")).as("max_okey"))
+        .withColumn("n_purged", lit(purged.size))
     })
   )
 
@@ -3065,6 +3111,16 @@ object SparkEntry {
     "q111_cdc_binlog" ->
       ("SELECT min(event_id) AS txn_tso, count(*) AS n_events " +
         "FROM events WHERE event_id <= 2000 " +
-        "GROUP BY user_id ORDER BY txn_tso LIMIT 100")
+        "GROUP BY user_id ORDER BY txn_tso LIMIT 100"),
+
+    // q112: the two prefix files (okeys 0-99) purge away; the log keeps
+    // okeys 100-200 exactly
+    "q112_purge_retention" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(l_orderkey) AS BIGINT) AS sum_okey, " +
+        "CAST(min(l_orderkey) AS BIGINT) AS min_okey, " +
+        "CAST(max(l_orderkey) AS BIGINT) AS max_okey, " +
+        "2 AS n_purged FROM lineitem " +
+        "WHERE l_orderkey BETWEEN 100 AND 200")
   )
 }

@@ -405,6 +405,41 @@ object BinlogCatalog {
     * directory fails LOUDLY (a typo'd or lost log dir must not read as
     * an empty log); only showMasterStatus tolerates it, mirroring the
     * reference's empty-manager answer. */
+  /** PURGE BINARY LOGS analog — the dumper's retention pass
+    * (polardbx-cdc-backup/.../clean/BinlogCleaner.java:75 purgeLocal,
+    * with ICleanerBarrier guards): delete the PREFIX of the
+    * name-ordered log whose files' transactions all lie at or below
+    * `tso`. Prefix-only
+    * (a mid-log gap would corrupt file-order continuity, exactly like
+    * MySQL's PURGE TO), the newest file never purges (it is the active
+    * head), and `barrier` can veto a file (backup-not-done,
+    * consumer-not-past-it — the cleaner-barrier hook); a vetoed file
+    * stops the purge so the surviving log stays a contiguous suffix.
+    *
+    * Auto-position consumers are unaffected: surviving files'
+    * cumulative PREVIOUS_GTIDS cover the purged prefix (the
+    * executedGtidSet contract above), so a GTID cursor past the purge
+    * point serves normally while one inside it gets the server's loud
+    * purged-log 1236 — MySQL's own semantics. Returns the purged file
+    * names. */
+  def purgeBefore(spark: SparkSession, dir: String, tso: Long,
+      filePrefix: String = "binlog.",
+      barrier: String => Boolean = _ => true): Seq[String] = {
+    val files = listFiles(dir, filePrefix, allowMissing = true).map(_._1)
+    if (files.size <= 1) return Seq.empty
+    // the file holding the first txn ABOVE `tso` must survive;
+    // everything name-ordered before it is wholly at/below the mark
+    val (keepFile, _) = seekTso(spark, dir, tso, filePrefix)
+    val victims = files.takeWhile(_ != keepFile)
+      .filterNot(_ == files.last)
+      .takeWhile(barrier)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = graft.util.HadoopIo.fsOf(root)
+    victims.foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, n), false))
+    victims
+  }
+
   private def listFiles(dir: String, filePrefix: String,
       allowMissing: Boolean = false): Seq[(String, Long)] = {
     val root = new org.apache.hadoop.fs.Path(dir)

@@ -25,6 +25,57 @@ class BinlogCatalogSpec extends SparkSpec {
     dir
   }
 
+  /** Three files with KNOWN tso ranges: binlog.000000 = tsos 1-5,
+    * .000001 = 6-10, .000002 = 11-15. */
+  private def rangedFixture(): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-catalog-purge").toString
+    val specs = Seq(ColSpec("id", LongLong), ColSpec("v", VarChar(32)))
+    (0 until 3).foreach { idx =>
+      val lo = idx * 5 + 1
+      val df = (lo.toLong to lo + 4L).map(t =>
+          (t, s"v$t", "INSERT", t, t))
+        .toDF("id", "v", "op", "tso", "seq")
+        .withColumn("ts", lit(1700000000L))
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-catalog-purge-w").toString
+      writeTxnFramedBinlogFiles(df.coalesce(1).sortWithinPartitions("tso"),
+        specs, "app", "t", "op", "ts", "tso", d)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(d, "binlog.000000"),
+        java.nio.file.Paths.get(dir, f"binlog.$idx%06d"))
+    }
+    dir
+  }
+
+  test("purgeBefore: prefix-only, head-protected, barrier-vetoed retention") {
+    // watermark 10: files 0,1 (tsos 1-10) are wholly at/below → purged
+    val dir = rangedFixture()
+    assert(BinlogCatalog.purgeBefore(spark, dir, 10L) ==
+      Seq("binlog.000000", "binlog.000001"))
+    def names(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.startsWith("binlog.")).map(_.getName).sorted.toSeq
+    assert(names(dir) == Seq("binlog.000002"))
+    // idempotent, and the head file NEVER purges however high the mark
+    assert(BinlogCatalog.purgeBefore(spark, dir, 10L).isEmpty)
+    assert(BinlogCatalog.purgeBefore(spark, dir, 999L).isEmpty)
+    assert(names(dir) == Seq("binlog.000002"))
+    // the survivor still serves seeks
+    val (f, _) = BinlogCatalog.seekTso(spark, dir, 11L)
+    assert(f == "binlog.000002")
+
+    // a cleaner barrier vetoing the FIRST file stops the purge cold
+    // (prefix-wise — the surviving log must stay a contiguous suffix)
+    val dir2 = rangedFixture()
+    assert(BinlogCatalog.purgeBefore(spark, dir2, 10L,
+      barrier = _ != "binlog.000000").isEmpty)
+    assert(names(dir2).size == 3)
+    // vetoing only the SECOND file purges just the first
+    assert(BinlogCatalog.purgeBefore(spark, dir2, 10L,
+      barrier = _ != "binlog.000001") == Seq("binlog.000000"))
+    assert(names(dir2) == Seq("binlog.000001", "binlog.000002"))
+  }
+
   test("showBinaryLogs lists every wire file with its FS size, name-ordered") {
     val dir = writeFixture()
     val listed = BinlogCatalog.showBinaryLogs(spark, dir)
