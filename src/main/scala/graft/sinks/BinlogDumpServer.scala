@@ -324,6 +324,21 @@ final class BinlogDumpServer(wireDir: String, user: String,
               // files serve NOTHING (not even prologue): every wire
               // file is self-describing, so the dump starts clean at
               // the first file that can carry un-executed txns.
+              // MySQL's purged-log guard: the HEAD file's
+              // PREVIOUS_GTIDS names every transaction rotated or
+              // purged out of this directory; a consumer whose
+              // executed set does not cover it needs data that no
+              // longer exists here — answer the loud 1236 a real
+              // master gives, never a silently gapped stream
+              val purged = files.headOption
+                .flatMap(BinlogWire.readPreviousGtids(fs, _))
+                .getOrElse(graft.model.GtidSet.Empty)
+              if (!purged.isSubsetOf(executed))
+                io.write(err(1236, "HY000",
+                  "Cannot replicate because the master purged " +
+                  s"required binary logs: executed '${executed.text}'" +
+                  s" does not cover purged '${purged.text}'"))
+              else {
               val from = BinlogWire.gtidServeStart(fs, files, executed)
               var served = 0
               files.drop(from).foreach { p =>
@@ -336,6 +351,7 @@ final class BinlogDumpServer(wireDir: String, user: String,
                   last.getName, fs.getFileStatus(last).getLen))
               }
               io.write(Array(0xFE.toByte) ++ le(0L, 2) ++ le(2L, 2))
+              }
             }
           case Some(0x01) | None => open = false // COM_QUIT / closed
           case Some(other) =>

@@ -76,6 +76,57 @@ class BinlogCatalogSpec extends SparkSpec {
     assert(names(dir2) == Seq("binlog.000001", "binlog.000002"))
   }
 
+  test("a purged log still serves cursors past the purge point; a cursor inside it fails loudly (1236 semantics)") {
+    val dir = rangedFixture()
+    // make the log GTID-carrying so auto-position cursors exist
+    val gdir = java.nio.file.Files
+      .createTempDirectory("graft-catalog-purge-g").toString
+    val sid = java.util.UUID.fromString(
+      "0a1b2c3d-bbbb-4444-3333-000000000001")
+    val reg = Map(("db", "t") -> Seq("k", "seq", "v"))
+    var prior = graft.model.GtidSet.Empty
+    (0 until 3).foreach { idx =>
+      val lo = idx * 5 + 1
+      val rows = (lo.toLong to lo + 4L).map { t =>
+        (t, t, "INSERT", "db", "t", Map.empty[String, String],
+          Map("k" -> t.toString, "seq" -> "1", "v" -> s"v$t"),
+          null: String, 1700000000L)
+      }.toDF("tso", "txnId", "op", "schemaName", "tableName", "before",
+        "after", "ddl", "tsoTime")
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-catalog-purge-gw").toString
+      BinlogWire.writeChangeStreamBinlogFiles(
+        rows.coalesce(1).sortWithinPartitions("tso"), reg, d,
+        checksummed = true, gtidSid = Some(sid), priorExecuted = prior)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(d, "binlog.000000"),
+        java.nio.file.Paths.get(gdir, f"binlog.$idx%06d"))
+      prior = (lo.toLong to lo + 4L).foldLeft(prior)(_.add(sid, _))
+    }
+    assert(BinlogCatalog.purgeBefore(spark, gdir, 10L).size == 2)
+
+    val srv = new BinlogDumpServer(gdir, "repl", "pw")
+    try {
+      // cursor past the purge point: serves exactly the surviving txns
+      val seg = graft.sources.BinlogDumpClient.dumpSegmentGtid(
+        "localhost", srv.port, "repl", "pw",
+        graft.model.GtidSet.parse(s"$sid:1-10"))
+      val served = graft.sources.BinlogDumpClient
+        .advanceExecuted(seg, graft.model.GtidSet.parse(s"$sid:1-10"))
+      assert(served.text == s"$sid:1-15")
+      // cursor INSIDE the purged range: the server must answer the
+      // loud purged-log error, never a silent subset
+      val ex = intercept[graft.sources.BinlogDumpClient.ServerError] {
+        graft.sources.BinlogDumpClient.dumpSegmentGtid(
+          "localhost", srv.port, "repl", "pw",
+          graft.model.GtidSet.parse(s"$sid:1-3"))
+      }
+      assert(ex.code == graft.sources.BinlogDumpClient.ErrUnknownLog ||
+        ex.getMessage.toLowerCase.contains("purged"),
+        s"expected the purged-log refusal, got: ${ex.getMessage}")
+    } finally srv.close()
+  }
+
   test("showBinaryLogs lists every wire file with its FS size, name-ordered") {
     val dir = writeFixture()
     val listed = BinlogCatalog.showBinaryLogs(spark, dir)
