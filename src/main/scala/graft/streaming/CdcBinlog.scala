@@ -288,6 +288,22 @@ object CdcBinlog {
       .parquet(s"$workDir/hold/$batchId")
     writeFrontiers(fs, new Path(s"$workDir/hold/$batchId.frontier"),
       FrontierState(barrier, frontiers))
+    // per-batch merge metrics (the reference's MergeMetrics surface,
+    // task/.../metrics/MergeMetrics.java): one aggregate over the
+    // already-staged gate — emitted vs held transactions and the
+    // barrier — written beside the frontier sidecar for operators
+    val counts = gated.agg(
+      countDistinct(when(col("__commit_tso") <= barrier,
+        col("txnId"))).as("e"),
+      countDistinct(when(col("__commit_tso") > barrier,
+        col("txnId"))).as("h")).collect()(0)
+    val mOut = fs.create(
+      new Path(s"$workDir/hold/$batchId.metrics"), true)
+    try mOut.write(
+      (s"barrier=$barrier;emittedTxns=${counts.getLong(0)};" +
+        s"heldTxns=${counts.getLong(1)}").getBytes("UTF-8"))
+    finally mOut.close()
+    fs.delete(new Path(s"$workDir/hold/${batchId - 2}.metrics"), false)
     fs.delete(new Path(s"$workDir/hold/${batchId - 2}"), true)
     fs.delete(new Path(s"$workDir/hold/${batchId - 2}.frontier"), false)
     // persist the evolved registry for the NEXT batch's decode seed

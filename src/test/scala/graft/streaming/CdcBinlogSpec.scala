@@ -124,6 +124,15 @@ class CdcBinlogSpec extends SparkSpec {
     served(d1, d2) { case Seq(p1, p2) => run(p1, p2) }
     assert(fileBytes(out) == phase2Bytes,
       "an idle restart must be a byte-level no-op")
+
+    // the merge-metrics sidecar recorded each batch's barrier and
+    // emitted/held transaction counts (batch 0: barrier 4, 4 emitted,
+    // 1 held; batch 1: barrier 11, held 5 released + new 6)
+    def metricsOf(batch: Int): String = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        s"$root/work/hold/$batch.metrics")), "UTF-8")
+    assert(metricsOf(0) == "barrier=4;emittedTxns=4;heldTxns=1")
+    assert(metricsOf(1) == "barrier=11;emittedTxns=2;heldTxns=0")
   }
 
   test("in-stream rebuild DDL: held pre-DDL rows and same-batch post-DDL rows both reach the log under the evolved registry") {
