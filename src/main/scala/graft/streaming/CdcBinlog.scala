@@ -53,7 +53,11 @@ import graft.operators.{MergeSort, Staged}
   * commit-TSO window — per-txn bounded) and one range partition by
   * (commit TSO, txnId) for the runs; the frontier collect is O(DN
   * count); holdback size is bounded by the barrier lag (steady state:
-  * under one heartbeat period of data), not history.
+  * under one heartbeat period of data), not history. With
+  * `targetRowsPerFile` set, the per-batch run count scales with the
+  * emitted volume (the reference's binlogFileSize rotation,
+  * dumper/.../logfile/LogFileGenerator.java) so a burst lands in more
+  * bounded files instead of bigger ones.
   */
 object CdcBinlog {
 
@@ -73,6 +77,7 @@ object CdcBinlog {
       registryDir: Option[String] = None,
       forceCompleteAfterBatches: Int = 0,
       gtidSid: Option[java.util.UUID] = None,
+      targetRowsPerFile: Int = 0,
       fanOut: Option[CdcBinlogX.FanOut] = None): StreamingQuery = {
     val dns = endpoints.map(_._1)
     spark.readStream.format("graft-cdc")
@@ -96,7 +101,7 @@ object CdcBinlog {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         emitBatch(batch, batchId, dns, tableCols, heartbeatTables,
           outDir, workDir, numPartitions, checksummed, registryDir,
-          forceCompleteAfterBatches, gtidSid, fanOut)
+          forceCompleteAfterBatches, gtidSid, targetRowsPerFile, fanOut)
         ()
       }
       .trigger(trigger)
@@ -114,6 +119,7 @@ object CdcBinlog {
       registryDir: Option[String] = None,
       forceCompleteAfterBatches: Int = 0,
       gtidSid: Option[java.util.UUID] = None,
+      targetRowsPerFile: Int = 0,
       fanOut: Option[CdcBinlogX.FanOut] = None): Unit = {
     val spark = batch.sparkSession
     val fs = graft.util.HadoopIo.fsOf(new Path(workDir))
@@ -220,6 +226,28 @@ object CdcBinlog {
     }
     val emit = gated.filter(col("__commit_tso") <= barrier)
 
+    // one aggregate serves two masters: the merge-metrics sidecar (the
+    // reference's MergeMetrics surface, task/.../metrics/
+    // MergeMetrics.java) and size-based rotation — emitted/held txn
+    // counts plus emitted ROW count, off the already-staged gate
+    val counts = gated.agg(
+      countDistinct(when(col("__commit_tso") <= barrier,
+        col("txnId"))).as("e"),
+      countDistinct(when(col("__commit_tso") > barrier,
+        col("txnId"))).as("h"),
+      count(when(col("__commit_tso") <= barrier, lit(1))).as("er"))
+      .collect()(0)
+    // rotation by volume (LogFileGenerator's binlogFileSize semantics,
+    // dumper/.../logfile/LogFileGenerator.java — the reference rotates
+    // a busy log more often, not into one giant file): the run count
+    // scales with THIS batch's emitted rows, so a 1000× burst still
+    // lands in bounded files. Deterministic under replay — the count
+    // is a pure function of (offset range, holdback N-1).
+    val runParts =
+      if (targetRowsPerFile <= 0) numPartitions
+      else math.max(1L, (counts.getLong(2) + targetRowsPerFile - 1) /
+        targetRowsPerFile).min(10000L).toInt
+
     // the batch's wire files: delete this batch's prefix first so a
     // replayed attempt fully supersedes the one it replaces (range
     // partitioner sampling is not stable across attempts)
@@ -242,7 +270,7 @@ object CdcBinlog {
     // can dump with the graft-cdc source
     def writeLog(rows: DataFrame, dir: String): Unit = {
       deleteByPrefix(dir)
-      val ordered = MergeSort.sortedRunsGrouped(rows, numPartitions,
+      val ordered = MergeSort.sortedRunsGrouped(rows, runParts,
         Seq("__commit_tso", "txnId"), Seq("tso", "traceId"))
         .drop("__commit_tso")
       val prior = gtidSid.map(_ =>
@@ -288,15 +316,7 @@ object CdcBinlog {
       .parquet(s"$workDir/hold/$batchId")
     writeFrontiers(fs, new Path(s"$workDir/hold/$batchId.frontier"),
       FrontierState(barrier, frontiers))
-    // per-batch merge metrics (the reference's MergeMetrics surface,
-    // task/.../metrics/MergeMetrics.java): one aggregate over the
-    // already-staged gate — emitted vs held transactions and the
-    // barrier — written beside the frontier sidecar for operators
-    val counts = gated.agg(
-      countDistinct(when(col("__commit_tso") <= barrier,
-        col("txnId"))).as("e"),
-      countDistinct(when(col("__commit_tso") > barrier,
-        col("txnId"))).as("h")).collect()(0)
+    // merge-metrics sidecar, written beside the frontier for operators
     val mOut = fs.create(
       new Path(s"$workDir/hold/$batchId.metrics"), true)
     try mOut.write(
@@ -427,12 +447,13 @@ object CdcBinlogX {
       checksummed: Boolean = false,
       registryDir: Option[String] = None,
       forceCompleteAfterBatches: Int = 0,
-      gtidSid: Option[java.util.UUID] = None): StreamingQuery = {
+      gtidSid: Option[java.util.UUID] = None,
+      targetRowsPerFile: Int = 0): StreamingQuery = {
     require(fanOut.streams > 0, "fanOut.streams must be positive")
     CdcBinlog.start(spark, endpoints, user, password, tableCols,
       outDir, checkpointDir, workDir, numPartitions, heartbeatTables,
       trigger, maxBytesPerPoll, startExecuted, soTimeoutMs, serverId,
       checksummed, registryDir, forceCompleteAfterBatches, gtidSid,
-      fanOut = Some(fanOut))
+      targetRowsPerFile, fanOut = Some(fanOut))
   }
 }

@@ -41,7 +41,7 @@ object CdcReplica {
       txnsPerCommit: Int = 8,
       vacuumEveryBatches: Long = 0L,
       trigger: Trigger = Trigger.ProcessingTime(0L),
-      maxBytesPerPoll: Long = Long.MaxValue,
+      maxBytesPerPoll: Long = CdcConf.DefaultMaxBytesPerPoll,
       startExecuted: Map[String, String] = Map.empty,
       soTimeoutMs: Int = 30000,
       serverId: Long = 12345L): StreamingQuery = {

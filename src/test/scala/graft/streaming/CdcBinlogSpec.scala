@@ -442,6 +442,103 @@ class CdcBinlogSpec extends SparkSpec {
     }
   }
 
+  test("Binlog-X FULL CHAIN: per-stream logs consumed by per-stream replicas — union of targets is the whole state, broadcast DDL lands everywhere") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlog9")
+    val (d1, d2) = (s"$root/dn1", s"$root/dn2")
+    Seq(d1, d2).foreach(d => java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(d)))
+    val out = s"$root/out"
+    val gsid = java.util.UUID.fromString(
+      "0a1b2c3d-bbbb-4444-3333-00000000000f")
+    val regX = Map(
+      ("db", "alpha") -> Seq("k", "seq", "v"),
+      ("db", "beta") -> Seq("k", "seq", "v"),
+      ("db", "hb") -> Seq("k"))
+    def rowsDf(rows: Seq[(Long, String)]) = {
+      import spark.implicits._
+      rows.map { case (tso, table) =>
+        val after = if (table == "hb") Map("k" -> tso.toString)
+          else Map("k" -> tso.toString, "seq" -> "1", "v" -> s"a$tso")
+        (tso, tso, "INSERT", "db", table, Map.empty[String, String],
+          after, null: String, 1700000000L)
+      }.toDF("tso", "txnId", "op", "schemaName", "tableName", "before",
+        "after", "ddl", "tsoTime")
+    }
+    def writeX(rows: Seq[(Long, String)], sid: java.util.UUID,
+        intoDir: String): Unit = {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-cdcbinlogxc").toString
+      BinlogWire.writeChangeStreamBinlogFiles(
+        rowsDf(rows).coalesce(1).sortWithinPartitions("tso"), regX, d,
+        checksummed = true, gtidSid = Some(sid),
+        priorExecuted = GtidSet.Empty)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(d, "binlog.000000"),
+        java.nio.file.Paths.get(intoDir, "binlog.000000"))
+      ()
+    }
+    writeX(Seq((1L, "alpha"), (3L, "beta"), (5L, "alpha"),
+      (11L, "hb")), sid1, d1)
+    writeX(Seq((2L, "beta"), (4L, "alpha"), (6L, "beta"),
+      (12L, "hb")), sid2, d2)
+
+    // produce the two per-table stream logs from the live DNs
+    val srvs = Seq(d1, d2).map(d =>
+      new graft.sinks.BinlogDumpServer(d, "repl", "pw"))
+    try {
+      val q = CdcBinlogX.start(spark,
+        Seq(("dn1", "localhost", srvs(0).port),
+          ("dn2", "localhost", srvs(1).port)),
+        "repl", "pw", regX, out, s"$root/ckpt", s"$root/work",
+        CdcBinlogX.FanOut(streams = 2,
+          graft.operators.StreamHash.ByTable),
+        numPartitions = 2, heartbeatTables = Set(("db", "hb")),
+        trigger = Trigger.AvailableNow(), gtidSid = Some(gsid))
+      q.awaitTermination()
+    } finally srvs.foreach(_.close())
+
+    // one replica per stream (the reference's Binlog-X consumer
+    // topology): each configures BOTH tables — its stream only ever
+    // delivers its own, the other target stays an empty bootstrap
+    def consume(i: Int): Unit = {
+      val dir = s"$out/stream-$i"
+      val targets = Seq("alpha", "beta").map(t =>
+        graft.jobs.WireReplicaJob.TableTarget("db", t,
+          Seq("k" -> "long", "seq" -> "long", "v" -> "string"),
+          Seq("k"), "seq", s"$root/target-$i/$t", 2))
+      val g = new graft.sinks.BinlogDumpServer(dir, "repl", "pw")
+      try {
+        val q = CdcReplica.start(spark,
+          Seq((s"g$i", "localhost", g.port)), "repl", "pw",
+          Map(("db", "alpha") -> Seq("k", "seq", "v"),
+            ("db", "beta") -> Seq("k", "seq", "v")), targets,
+          s"$root/replica-ckpt-$i", s"$root/replica-stage-$i",
+          s"$root/replica-registry-$i",
+          trigger = Trigger.AvailableNow())
+        q.awaitTermination()
+      } finally g.close()
+    }
+    consume(0); consume(1)
+
+    def tableState(i: Int, t: String): Map[Long, String] = {
+      import spark.implicits._
+      graft.operators.TxnApplier
+        .readCurrent(spark, s"$root/target-$i/$t")
+        .select($"k", $"v").as[(Long, String)].collect().toMap
+    }
+    val alpha = tableState(0, "alpha") ++ tableState(1, "alpha")
+    val beta = tableState(0, "beta") ++ tableState(1, "beta")
+    assert(alpha == Map(1L -> "a1", 4L -> "a4", 5L -> "a5"),
+      s"alpha rows lost or duplicated across streams: $alpha")
+    assert(beta == Map(2L -> "a2", 3L -> "a3", 6L -> "a6"),
+      s"beta rows lost or duplicated across streams: $beta")
+    // ByTable split: each table's rows live in exactly ONE stream's
+    // replica — the other side's target is an empty bootstrap
+    assert(Seq("alpha", "beta").forall(t =>
+      tableState(0, t).isEmpty || tableState(1, t).isEmpty),
+      "a table's rows leaked into both streams")
+  }
+
   test("Binlog-X ByRecord: a key's DELETE hashes to the same stream as its INSERT (before-image fallback)") {
     val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlog7")
     val out = s"$root/out"
@@ -482,6 +579,43 @@ class CdcBinlogSpec extends SparkSpec {
         s"key $k split across streams $streams — DELETE hashed away " +
           "from its INSERT")
     }
+  }
+
+  test("targetRowsPerFile: the run count scales with the batch's emitted volume, total order and replay byte-stability kept") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlog8")
+    val out = s"$root/out"
+    def ce(tso: Long) = ChangeEvent(tso, tso, "dn1", s"dn1:$tso",
+      "INSERT", "db", "t", new java.sql.Timestamp(1700000000000L),
+      Map.empty, Map("k" -> tso.toString, "seq" -> "1", "v" -> s"a$tso"),
+      None, 1L)
+    val batch = spark.createDataFrame((1L to 8L).map(ce))
+      .select(ChangeEvent.schema.fieldNames.map(col): _*)
+    def emitOnce(): Unit = CdcBinlog.emitBatch(batch, 0L, Seq("dn1"),
+      reg, Set.empty, out, s"$root/work", numPartitions = 2,
+      checksummed = false, targetRowsPerFile = 2)
+
+    // 8 emitted rows / target 2 → 4 rotated files, not numPartitions=2:
+    // a burst lands in MORE bounded files (binlogFileSize semantics)
+    emitOnce()
+    assert(fileBytes(out).size == 4,
+      s"expected 4 volume-scaled files, got ${fileBytes(out).keys}")
+    assert(decodedOrder(out) == (1L to 8L),
+      "rotation must preserve total TSO order across file names")
+    val bytes1 = fileBytes(out)
+
+    // replay recomputes the same run count from the same inputs
+    emitOnce()
+    assert(fileBytes(out) == bytes1,
+      "dynamic rotation must stay byte-stable under replay")
+
+    // a small batch under the same target collapses to one file
+    val out2 = s"$root/out2"
+    val small = spark.createDataFrame(Seq(ce(1L), ce(2L)))
+      .select(ChangeEvent.schema.fieldNames.map(col): _*)
+    CdcBinlog.emitBatch(small, 0L, Seq("dn1"), reg, Set.empty,
+      out2, s"$root/work2", numPartitions = 2, checksummed = false,
+      targetRowsPerFile = 100)
+    assert(fileBytes(out2).size == 1)
   }
 
   test("a REPLAYED batch rewrites byte-identical files and identical holdback (crash between emit and checkpoint commit)") {
