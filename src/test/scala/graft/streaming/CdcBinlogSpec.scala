@@ -354,6 +354,95 @@ class CdcBinlogSpec extends SparkSpec {
         "produced log's GTID stream")
   }
 
+  test("LIFECYCLE: produce -> purge retention -> checkpointed replica resumes past the purge, a fresh bootstrap refuses loudly (1236)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlogA")
+    val (d1, d2) = (s"$root/dn1", s"$root/dn2")
+    Seq(d1, d2).foreach(d => java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(d)))
+    val out = s"$root/out"
+    val gsid = java.util.UUID.fromString(
+      "0a1b2c3d-cccc-4444-3333-00000000000f")
+
+    def produce(p1: Int, p2: Int): Unit = {
+      val q = CdcBinlog.start(spark,
+        Seq(("dn1", "localhost", p1), ("dn2", "localhost", p2)),
+        "repl", "pw", reg, out, s"$root/ckpt", s"$root/work",
+        numPartitions = 2, heartbeatTables = Set(("db", "hb")),
+        trigger = Trigger.AvailableNow(), gtidSid = Some(gsid))
+      q.awaitTermination()
+    }
+    val targets = Seq(graft.jobs.WireReplicaJob.TableTarget("db", "t",
+      Seq("k" -> "long", "seq" -> "long", "v" -> "string"),
+      Seq("k"), "seq", s"$root/target", 2))
+    def consume(port: Int, who: String): Unit = {
+      val q = CdcReplica.start(spark,
+        Seq(("g1", "localhost", port)), "repl", "pw",
+        Map(("db", "t") -> Seq("k", "seq", "v")),
+        if (who == "A") targets else Seq(graft.jobs.WireReplicaJob
+          .TableTarget("db", "t",
+            Seq("k" -> "long", "seq" -> "long", "v" -> "string"),
+            Seq("k"), "seq", s"$root/target-$who", 2)),
+        s"$root/replica-ckpt-$who", s"$root/replica-stage-$who",
+        s"$root/replica-registry-$who",
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+    }
+
+    // epoch 1: txns 1-4 produce and replica A consumes them
+    writeCall(Seq((1L, "t"), (3L, "t"), (11L, "hb")), sid1,
+      GtidSet.Empty, d1, 0)
+    writeCall(Seq((2L, "t"), (4L, "t"), (12L, "hb")), sid2,
+      GtidSet.Empty, d2, 0)
+    var srvs = Seq(d1, d2).map(d =>
+      new graft.sinks.BinlogDumpServer(d, "repl", "pw"))
+    try produce(srvs(0).port, srvs(1).port)
+    finally srvs.foreach(_.close())
+    val g1 = new graft.sinks.BinlogDumpServer(out, "repl", "pw")
+    try consume(g1.port, "A") finally g1.close()
+
+    // epoch 2: txns 5,6 append to the log
+    writeCall(Seq((5L, "t"), (13L, "hb")), sid1,
+      GtidSet.Empty.add(sid1, 1L).add(sid1, 3L).add(sid1, 11L), d1, 1)
+    writeCall(Seq((6L, "t"), (14L, "hb")), sid2,
+      GtidSet.Empty.add(sid2, 2L).add(sid2, 4L).add(sid2, 12L), d2, 1)
+    srvs = Seq(d1, d2).map(d =>
+      new graft.sinks.BinlogDumpServer(d, "repl", "pw"))
+    try produce(srvs(0).port, srvs(1).port)
+    finally srvs.foreach(_.close())
+
+    // retention pass: epoch-1 files (txns wholly <= 4) purge; the
+    // survivors' cumulative PREVIOUS_GTIDS still cover gsid:1-4
+    val purged = graft.sinks.BinlogCatalog.purgeBefore(spark, out, 4L)
+    assert(purged.nonEmpty, "retention should reclaim the old prefix")
+    assert(graft.sinks.BinlogCatalog.executedGtidSet(spark, out).text ==
+      s"$gsid:1-6", "survivors must summarize the purged history")
+
+    // replica A's checkpoint cursor (gsid:1-4) sits exactly at the
+    // purge boundary — auto-position resumes off the surviving suffix
+    val g2 = new graft.sinks.BinlogDumpServer(out, "repl", "pw")
+    try consume(g2.port, "A") finally g2.close()
+    def state(dir: String): Map[Long, String] = {
+      import spark.implicits._
+      graft.operators.TxnApplier.readCurrent(spark, dir)
+        .select($"k", $"v").as[(Long, String)].collect().toMap
+    }
+    assert(state(s"$root/target") ==
+      (1L to 6L).map(t => t -> s"a$t").toMap,
+      "the checkpointed replica must resume past the purge")
+
+    // a FRESH replica bootstrapping from empty needs the purged range
+    // — the dump server must answer the loud 1236, not a gapped stream
+    val g3 = new graft.sinks.BinlogDumpServer(out, "repl", "pw")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try consume(g3.port, "B") finally g3.close()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain(ex).exists(c => Option(c.getMessage).exists(m =>
+      m.contains("purged") || m.contains("1236"))),
+      s"expected the purged-log refusal, got: ${ex.getMessage}")
+  }
+
   test("Binlog-X: live multi-stream production — per-table streams each TSO-ordered, DDL broadcast to all, conservation across streams") {
     val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlog6")
     val (d1, d2) = (s"$root/dn1", s"$root/dn2")
