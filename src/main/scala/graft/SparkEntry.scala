@@ -1868,9 +1868,12 @@ object SparkEntry {
               .sortWithinPartitions("tso", "txnId"),
             reg, dtmp, checksummed = true, gtidSid = Some(sid),
             priorExecuted = prior)
+          // REPLACE_EXISTING: a build attempt that failed after this
+          // copy but before _BUILT must be retryable in-process
           java.nio.file.Files.copy(
             java.nio.file.Paths.get(dtmp, "binlog.000000"),
-            java.nio.file.Paths.get(calls, s"call$idx.bin"))
+            java.nio.file.Paths.get(calls, s"call$idx.bin"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           ()
         }
         encodeCall(0, 59, graft.model.GtidSet.Empty, 0)

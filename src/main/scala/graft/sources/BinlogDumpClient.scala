@@ -165,15 +165,20 @@ object BinlogDumpClient {
   def dumpSegmentGtid(host: String, port: Int, user: String,
       password: String, executed: graft.model.GtidSet,
       serverId: Long = 12345L, soTimeoutMs: Int = 30000,
-      maxBytes: Long = Long.MaxValue): Array[Byte] = {
-    val data = executed.encode
-    // flags(2): NON_BLOCK | BINLOG_THROUGH_GTID; empty name + pos 4 —
-    // auto-position means the SET positions the dump
+      maxBytes: Long = Long.MaxValue): Array[Byte] =
     withDump(host, port, user, password, serverId, soTimeoutMs,
-      Array(ComBinlogDumpGtid.toByte) ++ le(0x01L | 0x04L, 2) ++
-        le(serverId, 4) ++ le(0L, 4) ++ le(4L, 8) ++
-        le(data.length.toLong, 4) ++ data,
-      maxBytes)._1
+      gtidDumpCommand(executed, serverId), maxBytes)._1
+
+  /** The COM_BINLOG_DUMP_GTID command bytes — flags(2) =
+    * NON_BLOCK | BINLOG_THROUGH_GTID; empty name + pos 4
+    * (auto-position means the SET positions the dump). One builder for
+    * every GTID dump entry point so a flag change cannot diverge them. */
+  private def gtidDumpCommand(executed: graft.model.GtidSet,
+      serverId: Long): Array[Byte] = {
+    val data = executed.encode
+    Array(ComBinlogDumpGtid.toByte) ++ le(0x01L | 0x04L, 2) ++
+      le(serverId, 4) ++ le(0L, 4) ++ le(4L, 8) ++
+      le(data.length.toLong, 4) ++ data
   }
 
   /** [[dumpSegmentGtid]] plus the ADVANCED executed set for the next
@@ -200,13 +205,8 @@ object BinlogDumpClient {
       serverId: Long = 12345L, soTimeoutMs: Int = 30000,
       maxBytes: Long = Long.MaxValue)
       : (Array[Byte], graft.model.GtidSet, Boolean) = {
-    val data = executed.encode
     val (seg, caughtUp) = withDump(host, port, user, password, serverId,
-      soTimeoutMs,
-      Array(ComBinlogDumpGtid.toByte) ++ le(0x01L | 0x04L, 2) ++
-        le(serverId, 4) ++ le(0L, 4) ++ le(4L, 8) ++
-        le(data.length.toLong, 4) ++ data,
-      maxBytes)
+      soTimeoutMs, gtidDumpCommand(executed, serverId), maxBytes)
     (seg, advanceExecuted(seg, executed), caughtUp)
   }
 
@@ -228,14 +228,10 @@ object BinlogDumpClient {
   def dumpSegmentGtidCovering(host: String, port: Int, user: String,
       password: String, start: graft.model.GtidSet,
       target: graft.model.GtidSet, serverId: Long = 12345L,
-      soTimeoutMs: Int = 30000): Array[Byte] = {
-    val data = start.encode
+      soTimeoutMs: Int = 30000): Array[Byte] =
     withDump(host, port, user, password, serverId, soTimeoutMs,
-      Array(ComBinlogDumpGtid.toByte) ++ le(0x01L | 0x04L, 2) ++
-        le(serverId, 4) ++ le(0L, 4) ++ le(4L, 8) ++
-        le(data.length.toLong, 4) ++ data,
+      gtidDumpCommand(start, serverId),
       maxBytes = Long.MaxValue, coverage = Some((start, target)))._1
-  }
 
   /** The drained segment's GTIDs unioned into `executed` — the
     * advanced auto-position cursor. */

@@ -79,6 +79,14 @@ object CdcBinlog {
       gtidSid: Option[java.util.UUID] = None,
       targetRowsPerFile: Int = 0,
       fanOut: Option[CdcBinlogX.FanOut] = None): StreamingQuery = {
+    // the frontier sidecar is ';'/'='/','-delimited and the source's
+    // options reuse '@'/';' — refuse DN names that would corrupt
+    // either (the CdcReplica.start / saveRegistry guard family)
+    endpoints.foreach { case (dn, _, _) =>
+      require(dn.nonEmpty &&
+        !dn.exists(c => "\"\\,;=@/".contains(c) || c.isWhitespace),
+        s"DN name '$dn' carries option/sidecar/path delimiters")
+    }
     val dns = endpoints.map(_._1)
     spark.readStream.format("graft-cdc")
       .option("endpoints",
@@ -126,14 +134,28 @@ object CdcBinlog {
 
     // in-stream DDL: decode names and the wire RE-ENCODE registry must
     // agree (the writer maps image keys by name; the wire itself
-    // carries none) — both come from the registryDir sidecar, evolved
-    // AFTER the batch so DDL takes effect for subsequent batches, like
-    // a real binlog's schema boundary. Replay-safe: an already-evolved
-    // sidecar names the same positions, and cells are written
-    // positionally, so the replayed bytes are identical.
-    val reg0 = registryDir
-      .map(d => graft.jobs.LiveReplicaJob.resumeRegistry(d, tableCols))
-      .getOrElse(tableCols)
+    // carries none). The RE-ENCODE base is versioned per batch beside
+    // the frontier sidecar — the mutable registryDir sidecar (the
+    // SOURCE's decode seed) is saved before the checkpoint commits, so
+    // a replay that re-read it would see the already-evolved names,
+    // compute an EMPTY rename step, and re-encode old-keyed held rows
+    // as NULL cells. Reading the hold/<N-1>.registry snapshot instead
+    // makes the replay recompute the SAME base → same rename step →
+    // byte-identical files.
+    val regSeed = new Path(s"$workDir/hold/${batchId - 1}.registry")
+    val reg0 = registryDir.map { d =>
+      if (fs.exists(regSeed))
+        graft.jobs.LiveReplicaJob.mergeRegistry(
+          graft.util.HadoopIo.readString(regSeed), tableCols)
+      else {
+        // first batch of a (possibly resumed) query: materialize the
+        // seed so a replay of THIS batch re-reads the pre-evolution
+        // registry even after the end-of-batch registryDir save
+        val r = graft.jobs.LiveReplicaJob.resumeRegistry(d, tableCols)
+        writeRegistrySnapshot(fs, regSeed, r)
+        r
+      }
+    }.getOrElse(tableCols)
 
     // the decoded batch stages once: the frontier agg, the gate split
     // and the wire write must not re-run the drain/decode
@@ -198,10 +220,16 @@ object CdcBinlog {
           col("schemaName") === s && col("tableName") === t
         }.reduce(_ || _)
 
-    // commit TSO per GLOBAL transaction: XA branches share txnId, and a
-    // DN frontier at or past a branch's TSO proves that branch has
-    // arrived (logs serve in TSO order) — so every branch of a
-    // barrier-passing txn is present before it emits
+    // commit TSO per GLOBAL transaction: XA branches share txnId AND
+    // the commit TSO — the TSO oracle stamps one CTS per global commit
+    // and every participant's binlog carries it (the reference's
+    // MergeBarrier fuses on exactly this, merge/MergeBarrier.java:51).
+    // Under that contract the gate is airtight: a barrier-passing txn
+    // has CTS <= every DN's frontier, and a DN serving in TSO order
+    // past the CTS has by definition delivered its branch — so every
+    // branch of a barrier-passing txn is present before it emits.
+    // (A source violating the shared-CTS contract could emit a txn
+    // partially; that is a data-contract breach, not a merge race.)
     val all = normalizeRenames(
       staged.unionByName(held).filter(!isHeartbeat), reg0, evolved)
       .withColumn("__commit_tso",
@@ -243,9 +271,13 @@ object CdcBinlog {
     // scales with THIS batch's emitted rows, so a 1000× burst still
     // lands in bounded files. Deterministic under replay — the count
     // is a pure function of (offset range, holdback N-1).
+    // in fan-out mode the emitted rows SPLIT across M stream logs —
+    // size each stream's run count by its share, not the batch total
+    val rowsPerLog = counts.getLong(2) / fanOut.map(_.streams.toLong)
+      .getOrElse(1L)
     val runParts =
       if (targetRowsPerFile <= 0) numPartitions
-      else math.max(1L, (counts.getLong(2) + targetRowsPerFile - 1) /
+      else math.max(1L, (rowsPerLog + targetRowsPerFile - 1) /
         targetRowsPerFile).min(10000L).toInt
 
     // the batch's wire files: delete this batch's prefix first so a
@@ -326,10 +358,14 @@ object CdcBinlog {
     fs.delete(new Path(s"$workDir/hold/${batchId - 2}.metrics"), false)
     fs.delete(new Path(s"$workDir/hold/${batchId - 2}"), true)
     fs.delete(new Path(s"$workDir/hold/${batchId - 2}.frontier"), false)
-    // persist the evolved registry for the NEXT batch's decode seed
-    // (idempotent under replay — re-evolving an evolved sidecar is a
-    // no-op, and cells are positional on the wire either way)
+    // persist the evolved registry: the versioned snapshot is the NEXT
+    // batch's re-encode base (and this batch's replay anchor, above);
+    // the registryDir sidecar seeds the SOURCE's decode, where the
+    // wire's positional cells make an early save rename-safe
     registryDir.foreach { d =>
+      writeRegistrySnapshot(fs,
+        new Path(s"$workDir/hold/$batchId.registry"), evolved)
+      fs.delete(new Path(s"$workDir/hold/${batchId - 2}.registry"), false)
       if (evolved != reg0)
         graft.jobs.LiveReplicaJob.saveRegistry(d, evolved)
     }
@@ -366,6 +402,17 @@ object CdcBinlog {
       acc.withColumn("before", fix("before"))
         .withColumn("after", fix("after"))
     }
+  }
+
+  /** Batch-versioned registry snapshot (saveRegistry's line format, so
+    * [[graft.jobs.LiveReplicaJob.mergeRegistry]] reads it back). */
+  private def writeRegistrySnapshot(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path, reg: Map[(String, String), Seq[String]]): Unit = {
+    val text = reg.toSeq.sortBy(t => (t._1._1, t._1._2))
+      .map { case ((s, t), cols) => s"$s\t$t\t${cols.mkString(",")}" }
+      .mkString("\n")
+    val out = fs.create(p, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
   }
 
   /** Persisted merge state: the sealed barrier plus per-DN

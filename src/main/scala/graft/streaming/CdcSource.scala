@@ -331,13 +331,20 @@ private[streaming] class GraftCdcMicroBatchStream(conf: CdcConf,
         // heartbeat frames carry ts=0 and must not fake freshness
         var evTs = 0L
         var off = 4
-        while (off + 19 <= seg.length) {
-          val t = (seg(off) & 0xFFL) | ((seg(off + 1) & 0xFFL) << 8) |
-            ((seg(off + 2) & 0xFFL) << 16) | ((seg(off + 3) & 0xFFL) << 24)
-          if (t > 0L) evTs = t
-          val len = (seg(off + 9) & 0xFF) | ((seg(off + 10) & 0xFF) << 8) |
-            ((seg(off + 11) & 0xFF) << 16) | ((seg(off + 12) & 0xFF) << 24)
-          off += math.max(len, 19)
+        var walking = true
+        while (walking && off + 19 <= seg.length) {
+          // length in Long: 4 network bytes can wrap Int arithmetic
+          // (the CdcSegmentFilter guard class) — a malformed frame just
+          // stops this metrics walk; the decode path refuses it loudly
+          val len = (seg(off + 9) & 0xFFL) | ((seg(off + 10) & 0xFFL) << 8) |
+            ((seg(off + 11) & 0xFFL) << 16) | ((seg(off + 12) & 0xFFL) << 24)
+          if (len < 19L || off.toLong + len > seg.length) walking = false
+          else {
+            val t = (seg(off) & 0xFFL) | ((seg(off + 1) & 0xFFL) << 8) |
+              ((seg(off + 2) & 0xFFL) << 16) | ((seg(off + 3) & 0xFFL) << 24)
+            if (t > 0L) evTs = t
+            off += len.toInt
+          }
         }
         val hasData = seg.length > 4
         val staged =

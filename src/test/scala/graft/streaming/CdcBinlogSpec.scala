@@ -707,6 +707,112 @@ class CdcBinlogSpec extends SparkSpec {
     assert(fileBytes(out2).size == 1)
   }
 
+  test("a batch with a RENAME DDL replays byte-identical even after the registryDir sidecar was already saved (crash between save and checkpoint commit)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlogB")
+    val out = s"$root/out"
+    val work = s"$root/work"
+    val regDir = s"$root/registry"
+    val regV2 = Map(
+      ("db", "t") -> Seq("k", "seq", "v2"),
+      ("db", "hb") -> Seq("k"))
+    def ce(tso: Long, txn: Long, dn: String, op: String,
+        after: Map[String, String], ddl: Option[String] = None) =
+      ChangeEvent(tso, txn, dn, s"$dn:$tso", op, "db",
+        if (op == "HEARTBEAT") "hb" else "t",
+        new java.sql.Timestamp(1700000000000L), Map.empty, after, ddl, 1L)
+    def df(rows: Seq[ChangeEvent]) = spark.createDataFrame(rows)
+      .select(ChangeEvent.schema.fieldNames.map(col): _*)
+
+    // batch 0 (old registry, column v): txn 3 holds back OLD-KEYED
+    val b0 = df(Seq(
+      ce(1L, 1L, "dn1", "INSERT",
+        Map("k" -> "1", "seq" -> "1", "v" -> "a1")),
+      ce(3L, 3L, "dn1", "INSERT",
+        Map("k" -> "3", "seq" -> "1", "v" -> "a3")),
+      ce(2L, 2L, "dn2", "INSERT",
+        Map("k" -> "2", "seq" -> "1", "v" -> "a2"))))
+    CdcBinlog.emitBatch(b0, 0L, Seq("dn1", "dn2"), reg, Set.empty,
+      out, work, numPartitions = 2, checksummed = false,
+      registryDir = Some(regDir))
+
+    // batch 1: the RENAME lands, held txn 3 (old key) must re-key
+    val b1 = df(Seq(
+      ce(4L, 4L, "dn1", "DDL", Map.empty,
+        Some("ALTER TABLE t RENAME COLUMN v TO v2")),
+      ce(5L, 5L, "dn1", "INSERT",
+        Map("k" -> "5", "seq" -> "1", "v2" -> "b5")),
+      ce(11L, 11L, "dn1", "HEARTBEAT", Map("k" -> "11")),
+      ce(12L, 12L, "dn2", "HEARTBEAT", Map("k" -> "12"))))
+    def emit1(): Unit = CdcBinlog.emitBatch(b1, 1L, Seq("dn1", "dn2"),
+      reg, Set.empty, out, work, numPartitions = 2,
+      checksummed = false, registryDir = Some(regDir))
+    def values(): Seq[(Long, String)] =
+      BinlogWire.readBinlogFiles(spark, out, regV2)
+        .filter(col("op") === "INSERT")
+        .select(col("tso"), element_at(col("after"), "v2"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1)
+
+    emit1()
+    assert(values() == Seq(1L -> "a1", 2L -> "a2", 3L -> "a3",
+      5L -> "b5"), "held pre-DDL values must survive the rename")
+    val bytes1 = fileBytes(out)
+
+    // the registryDir sidecar is now EVOLVED (saved before Spark's
+    // checkpoint would commit) — the replay must still recompute the
+    // old base from the versioned snapshot, not re-read the evolved
+    // sidecar and null out the held rows' cells
+    assert(graft.jobs.LiveReplicaJob
+      .resumeRegistry(regDir, reg)(("db", "t")) == Seq("k", "seq", "v2"))
+    emit1()
+    assert(values() == Seq(1L -> "a1", 2L -> "a2", 3L -> "a3",
+      5L -> "b5"), "the replay re-encoded held rows as NULL cells")
+    assert(fileBytes(out) == bytes1,
+      "replay after the registry save must stay byte-identical")
+  }
+
+  test("cross-DN XA: a global txn's branches share the commit TSO — held until EVERY branch's DN passes it, then emitted fused") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlogC")
+    val out = s"$root/out"
+    val work = s"$root/work"
+    def ce(tso: Long, txn: Long, dn: String, op: String, k: String,
+        table: String = "t") =
+      ChangeEvent(tso, txn, dn, s"$dn:$tso", op, "db", table,
+        new java.sql.Timestamp(1700000000000L), Map.empty,
+        if (op == "HEARTBEAT") Map("k" -> k)
+        else Map("k" -> k, "seq" -> "1", "v" -> s"a$k"), None, 1L)
+    def df(rows: Seq[ChangeEvent]) = spark.createDataFrame(rows)
+      .select(ChangeEvent.schema.fieldNames.map(col): _*)
+
+    // batch 0: dn1 delivers ITS branch of global txn 7 (CTS 7 on the
+    // branch's commit record) + heartbeat 9; dn2 is slow — only txn 2.
+    // dn2's frontier (2) < CTS proves its branch may still be in
+    // flight: txn 7 must NOT emit partially.
+    CdcBinlog.emitBatch(df(Seq(
+      ce(7L, 7L, "dn1", "INSERT", "71"),
+      ce(9L, 9L, "dn1", "HEARTBEAT", "9", "hb"),
+      ce(2L, 2L, "dn2", "INSERT", "2"))),
+      0L, Seq("dn1", "dn2"), reg, Set.empty, out, work,
+      numPartitions = 2, checksummed = false)
+    assert(decodedOrder(out) == Seq(2L),
+      "a cross-DN txn emitted before its slow branch arrived")
+
+    // batch 1: dn2's branch arrives carrying the SAME CTS + heartbeat
+    // 10 — barrier now covers the CTS on every DN, txn 7 emits with
+    // BOTH branches fused under one txnId
+    CdcBinlog.emitBatch(df(Seq(
+      ce(7L, 7L, "dn2", "INSERT", "72"),
+      ce(10L, 10L, "dn2", "HEARTBEAT", "10", "hb"))),
+      1L, Seq("dn1", "dn2"), reg, Set.empty, out, work,
+      numPartitions = 2, checksummed = false)
+    val rows = BinlogWire.readBinlogFiles(spark, out, reg)
+      .filter(col("op") === "INSERT")
+      .select(col("tso"), element_at(col("after"), "k").as("k"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSet == Set((2L, "2"), (7L, "71"), (7L, "72")),
+      s"both branches must emit exactly once, fused: $rows")
+  }
+
   test("a REPLAYED batch rewrites byte-identical files and identical holdback (crash between emit and checkpoint commit)") {
     val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlog2")
     val out = s"$root/out"
