@@ -78,12 +78,17 @@ class CdcBinlogFuzzSpec extends SparkSpec {
 
       val capOpt =
         if (round == 2) 1500L else CdcConf.DefaultMaxBytesPerPoll
+      // rotation under fuzz: round 1 fixed runs, round 2 volume-scaled
+      // (tiny target -> many one/two-row files; total order must hold
+      // across ALL of them and crash replays must stay byte-stable)
+      val rotTarget = if (round == 2) 1 + rnd.nextInt(3) else 0
       def drain(ports: Map[String, Int]): Unit = {
         val q = CdcBinlog.start(spark,
           dns.map(dn => (dn, "localhost", ports(dn))),
           "repl", "pw", reg, out, s"$root/ckpt", s"$root/work",
           numPartitions = 2, heartbeatTables = Set(("db", "hb")),
-          trigger = Trigger.AvailableNow(), maxBytesPerPoll = capOpt)
+          trigger = Trigger.AvailableNow(), maxBytesPerPoll = capOpt,
+          targetRowsPerFile = rotTarget)
         q.awaitTermination()
       }
       def withServers(body: Map[String, Int] => Unit): Unit = {
