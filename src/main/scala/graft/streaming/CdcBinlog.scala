@@ -404,6 +404,28 @@ object CdcBinlog {
     }
   }
 
+  /** One batch's merge metrics (the reference's MergeMetrics surface):
+    * the sealed barrier plus emitted/held transaction counts. */
+  final case class MergeMetrics(barrier: Long, emittedTxns: Long,
+      heldTxns: Long)
+
+  /** Read the merge-metrics sidecar batch `batchId` wrote under
+    * `workDir` — None if it has aged out (the work dir keeps the last
+    * two batches) or the batch never ran. */
+  def readMergeMetrics(workDir: String, batchId: Long)
+      : Option[MergeMetrics] = {
+    val p = new Path(s"$workDir/hold/$batchId.metrics")
+    val fs = graft.util.HadoopIo.fsOf(p)
+    if (!fs.exists(p)) None
+    else {
+      val kv = graft.util.HadoopIo.readString(p).split(";")
+        .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }
+        .toMap
+      Some(MergeMetrics(kv("barrier").toLong,
+        kv("emittedTxns").toLong, kv("heldTxns").toLong))
+    }
+  }
+
   /** Batch-versioned registry snapshot (saveRegistry's line format, so
     * [[graft.jobs.LiveReplicaJob.mergeRegistry]] reads it back). */
   private def writeRegistrySnapshot(fs: org.apache.hadoop.fs.FileSystem,

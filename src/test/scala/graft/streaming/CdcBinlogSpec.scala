@@ -128,11 +128,11 @@ class CdcBinlogSpec extends SparkSpec {
     // the merge-metrics sidecar recorded each batch's barrier and
     // emitted/held transaction counts (batch 0: barrier 4, 4 emitted,
     // 1 held; batch 1: barrier 11, held 5 released + new 6)
-    def metricsOf(batch: Int): String = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
-        s"$root/work/hold/$batch.metrics")), "UTF-8")
-    assert(metricsOf(0) == "barrier=4;emittedTxns=4;heldTxns=1")
-    assert(metricsOf(1) == "barrier=11;emittedTxns=2;heldTxns=0")
+    assert(CdcBinlog.readMergeMetrics(s"$root/work", 0L) ==
+      Some(CdcBinlog.MergeMetrics(4L, 4L, 1L)))
+    assert(CdcBinlog.readMergeMetrics(s"$root/work", 1L) ==
+      Some(CdcBinlog.MergeMetrics(11L, 2L, 0L)))
+    assert(CdcBinlog.readMergeMetrics(s"$root/work", 99L).isEmpty)
   }
 
   test("in-stream rebuild DDL: held pre-DDL rows and same-batch post-DDL rows both reach the log under the evolved registry") {
