@@ -335,24 +335,31 @@ object LiveReplicaJob {
     * the values; the gates drop the replayed rows). */
   def saveRegistry(cursorDir: String,
       reg: Map[(String, String), Seq[String]]): Unit = {
-    // delimiter guard (the saveCursors pattern): a schema/table/column
-    // name carrying the sidecar's own separators would corrupt the
-    // file — failing MatchError or silently misbinding columns on
-    // resume. Refuse at save time instead.
+    val dst = new org.apache.hadoop.fs.Path(cursorDir, "_graft_registry")
+    graft.util.HadoopIo.fsOf(dst).mkdirs(dst.getParent)
+    graft.util.HadoopIo.writeSwap(
+      new org.apache.hadoop.fs.Path(cursorDir, "._graft_registry.tmp"),
+      dst, serializeRegistry(reg))
+  }
+
+  /** One registry's sidecar text — the [[mergeRegistry]] round-trip
+    * format, shared by [[saveRegistry]] and the batch-versioned
+    * snapshots ([[graft.streaming.CdcBinlog]]). The delimiter guard
+    * (the saveCursors pattern) refuses at serialize time any
+    * schema/table/column name carrying the sidecar's own separators —
+    * those would corrupt the file, failing MatchError or silently
+    * misbinding columns on resume. */
+  private[graft] def serializeRegistry(
+      reg: Map[(String, String), Seq[String]]): String = {
     reg.foreach { case ((s, t), cols) =>
       require(!(s + t).exists("\t\n".contains(_)),
         s"registry names must not contain tab/newline: '$s'.'$t'")
       require(cols.forall(c => !c.exists(",\t\n".contains(_))),
         s"column names must not contain comma/tab/newline: '$s'.'$t'")
     }
-    val dst = new org.apache.hadoop.fs.Path(cursorDir, "_graft_registry")
-    graft.util.HadoopIo.fsOf(dst).mkdirs(dst.getParent)
-    graft.util.HadoopIo.writeSwap(
-      new org.apache.hadoop.fs.Path(cursorDir, "._graft_registry.tmp"),
-      dst,
-      reg.toSeq.sortBy(t => (t._1._1, t._1._2)).map { case ((s, t), cols) =>
-        s"$s\t$t\t${cols.mkString(",")}"
-      }.mkString("\n"))
+    reg.toSeq.sortBy(t => (t._1._1, t._1._2)).map { case ((s, t), cols) =>
+      s"$s\t$t\t${cols.mkString(",")}"
+    }.mkString("\n")
   }
 
   /** The caller's registry with any persisted evolution applied —

@@ -271,13 +271,11 @@ object CdcBinlog {
     // scales with THIS batch's emitted rows, so a 1000× burst still
     // lands in bounded files. Deterministic under replay — the count
     // is a pure function of (offset range, holdback N-1).
-    // in fan-out mode the emitted rows SPLIT across M stream logs —
-    // size each stream's run count by its share, not the batch total
-    val rowsPerLog = counts.getLong(2) / fanOut.map(_.streams.toLong)
-      .getOrElse(1L)
-    val runParts =
+    // run count for a log holding `rows` rows (fan-out passes each
+    // stream's OWN count — hash skew makes uniform shares lie)
+    def partsFor(rows: Long): Int =
       if (targetRowsPerFile <= 0) numPartitions
-      else math.max(1L, (rowsPerLog + targetRowsPerFile - 1) /
+      else math.max(1L, (rows + targetRowsPerFile - 1) /
         targetRowsPerFile).min(10000L).toInt
 
     // the batch's wire files: delete this batch's prefix first so a
@@ -300,9 +298,9 @@ object CdcBinlog {
     // so a replay computes the same prior): the output is a
     // FIRST-CLASS auto-position-servable binlog a downstream replica
     // can dump with the graft-cdc source
-    def writeLog(rows: DataFrame, dir: String): Unit = {
+    def writeLog(rows: DataFrame, dir: String, parts: Int): Unit = {
       deleteByPrefix(dir)
-      val ordered = MergeSort.sortedRunsGrouped(rows, runParts,
+      val ordered = MergeSort.sortedRunsGrouped(rows, parts,
         Seq("__commit_tso", "txnId"), Seq("tso", "traceId"))
         .drop("__commit_tso")
       val prior = gtidSid.map(_ =>
@@ -314,7 +312,7 @@ object CdcBinlog {
       ()
     }
     fanOut match {
-      case None => writeLog(emit, outDir)
+      case None => writeLog(emit, outDir, partsFor(counts.getLong(2)))
       case Some(f) =>
         // Binlog-X (§3.2): DML hashes to its stream (HashConfig
         // .getStreamSeq semantics); DDL broadcasts to ALL streams (the
@@ -335,9 +333,17 @@ object CdcBinlog {
                 emit.filter(col("op") === "DDL"), f.streams)
               .withColumnRenamed("stream", "__stream")),
           s"$workDir/streamed")
+        // per-stream rotation sizing off the staged frame: under hash
+        // skew a hot stream must still honor targetRowsPerFile (one
+        // O(M) aggregate; deterministic, so replays re-split the same)
+        val perStream: Map[Int, Long] =
+          if (targetRowsPerFile <= 0) Map.empty
+          else streamed.groupBy(col("__stream")).count().collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap
         (0 until f.streams).foreach { i =>
           writeLog(streamed.filter(col("__stream") === i)
-            .drop("__stream"), s"$outDir/stream-$i")
+            .drop("__stream"), s"$outDir/stream-$i",
+            partsFor(perStream.getOrElse(i, 0L)))
         }
     }
 
@@ -349,12 +355,12 @@ object CdcBinlog {
     writeFrontiers(fs, new Path(s"$workDir/hold/$batchId.frontier"),
       FrontierState(barrier, frontiers))
     // merge-metrics sidecar, written beside the frontier for operators
-    val mOut = fs.create(
-      new Path(s"$workDir/hold/$batchId.metrics"), true)
-    try mOut.write(
-      (s"barrier=$barrier;emittedTxns=${counts.getLong(0)};" +
-        s"heldTxns=${counts.getLong(1)}").getBytes("UTF-8"))
-    finally mOut.close()
+    // (writeSwap: readMergeMetrics must never see a half-written file)
+    graft.util.HadoopIo.writeSwap(
+      new Path(s"$workDir/hold/.$batchId.metrics.tmp"),
+      new Path(s"$workDir/hold/$batchId.metrics"),
+      s"barrier=$barrier;emittedTxns=${counts.getLong(0)};" +
+        s"heldTxns=${counts.getLong(1)}")
     fs.delete(new Path(s"$workDir/hold/${batchId - 2}.metrics"), false)
     fs.delete(new Path(s"$workDir/hold/${batchId - 2}"), true)
     fs.delete(new Path(s"$workDir/hold/${batchId - 2}.frontier"), false)
@@ -421,21 +427,27 @@ object CdcBinlog {
       val kv = graft.util.HadoopIo.readString(p).split(";")
         .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }
         .toMap
-      Some(MergeMetrics(kv("barrier").toLong,
-        kv("emittedTxns").toLong, kv("heldTxns").toLong))
+      // honor the Option contract even on an unparseable file (the
+      // writer swaps atomically, but an operator-mangled file must
+      // read as absent, not throw)
+      try for {
+        b <- kv.get("barrier"); e <- kv.get("emittedTxns")
+        h <- kv.get("heldTxns")
+      } yield MergeMetrics(b.toLong, e.toLong, h.toLong)
+      catch { case _: NumberFormatException => None }
     }
   }
 
-  /** Batch-versioned registry snapshot (saveRegistry's line format, so
-    * [[graft.jobs.LiveReplicaJob.mergeRegistry]] reads it back). */
+  /** Batch-versioned registry snapshot — the shared saveRegistry
+    * serialization (guards included) written ATOMICALLY: this file is
+    * the replay's schema anchor; a truncated half-write trusted by a
+    * replay would be the exact wrong-base corruption it exists to
+    * prevent. */
   private def writeRegistrySnapshot(fs: org.apache.hadoop.fs.FileSystem,
-      p: Path, reg: Map[(String, String), Seq[String]]): Unit = {
-    val text = reg.toSeq.sortBy(t => (t._1._1, t._1._2))
-      .map { case ((s, t), cols) => s"$s\t$t\t${cols.mkString(",")}" }
-      .mkString("\n")
-    val out = fs.create(p, true)
-    try out.write(text.getBytes("UTF-8")) finally out.close()
-  }
+      p: Path, reg: Map[(String, String), Seq[String]]): Unit =
+    graft.util.HadoopIo.writeSwap(
+      new Path(p.getParent, s".${p.getName}.tmp"), p,
+      graft.jobs.LiveReplicaJob.serializeRegistry(reg))
 
   /** Persisted merge state: the sealed barrier plus per-DN
     * (frontier, consecutive-stall-batches). */
@@ -467,12 +479,14 @@ object CdcBinlog {
 
   private def writeFrontiers(fs: org.apache.hadoop.fs.FileSystem,
       p: Path, state: FrontierState): Unit = {
-    val out = fs.create(p, true)
     val text = (s"barrier=${state.barrier}" +:
       state.frontiers.toSeq.sortBy(_._1).map { case (dn, (f, stall)) =>
         s"$dn=$f,$stall"
       }).mkString(";")
-    try out.write(text.getBytes("UTF-8")) finally out.close()
+    // atomic: the frontier is replay-critical state — a truncated
+    // half-write read back as a lower barrier/frontier would re-emit
+    graft.util.HadoopIo.writeSwap(
+      new Path(p.getParent, s".${p.getName}.tmp"), p, text)
   }
 }
 

@@ -705,6 +705,20 @@ class CdcBinlogSpec extends SparkSpec {
       out2, s"$root/work2", numPartitions = 2, checksummed = false,
       targetRowsPerFile = 100)
     assert(fileBytes(out2).size == 1)
+
+    // fan-out skew: ALL rows hash to one stream (ByTable, single
+    // table) — that stream must rotate by ITS row count (4 files),
+    // not the uniform share (which would pack 2 oversized ones)
+    val out3 = s"$root/out3"
+    CdcBinlog.emitBatch(batch, 0L, Seq("dn1"), reg, Set.empty,
+      out3, s"$root/work3", numPartitions = 2, checksummed = false,
+      targetRowsPerFile = 2,
+      fanOut = Some(CdcBinlogX.FanOut(streams = 2,
+        graft.operators.StreamHash.ByTable)))
+    val streamFiles = (0 until 2).map(i =>
+      fileBytes(s"$out3/stream-$i").size)
+    assert(streamFiles.toSet == Set(0, 4),
+      s"the hot stream must honor the target by its own rows: $streamFiles")
   }
 
   test("a batch with a RENAME DDL replays byte-identical even after the registryDir sidecar was already saved (crash between save and checkpoint commit)") {
