@@ -427,14 +427,46 @@ object BinlogCatalog {
       barrier: String => Boolean = _ => true): Seq[String] = {
     val files = listFiles(dir, filePrefix, allowMissing = true).map(_._1)
     if (files.size <= 1) return Seq.empty
-    // the file holding the first txn ABOVE `tso` must survive;
-    // everything name-ordered before it is wholly at/below the mark
-    val (keepFile, _) = seekTso(spark, dir, tso, filePrefix)
-    val victims = files.takeWhile(_ != keepFile)
-      .filterNot(_ == files.last)
-      .takeWhile(barrier)
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = graft.util.HadoopIo.fsOf(root)
+    // The file holding the first txn ABOVE `tso` must survive;
+    // everything name-ordered before it is wholly at/below the mark.
+    // Resolved WITHOUT scanning the log end-to-end (each retention
+    // pass would otherwise read O(entire log) bytes): name order is
+    // TSO order by the writer contract, so file i is wholly covered
+    // whenever file i+1's FIRST carrier is at/below the watermark — a
+    // head peek, not a scan. Only the single BOUNDARY file (next head
+    // above the watermark, or no next head) needs a real walk, and
+    // that walk early-exits at its first txn above the mark. Files
+    // past the boundary are never opened.
+    def headTso(name: String): Option[Long] = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(dir, name))
+      try {
+        val it = BinlogWire.parseStream(in)
+        var res = Option.empty[Long]
+        while (res.isEmpty && it.hasNext) res = carrierTso(it.next())
+        res
+      } finally in.close()
+    }
+    def whollyCovered(name: String): Boolean = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(dir, name))
+      try firstTxnAfter(BinlogWire.parseStream(in), tso).isEmpty
+      finally in.close()
+    }
+    val keepIdx = {
+      var i = 0
+      var found = -1
+      while (found < 0 && i < files.size - 1) {
+        // peek file i+1's head: at/below the mark proves file i covered
+        if (headTso(files(i + 1)).exists(_ <= tso)) i += 1
+        else if (whollyCovered(files(i))) { found = i + 1 }
+        else found = i
+      }
+      if (found < 0) files.size - 1 else found
+    }
+    val victims = files.take(keepIdx)
+      .filterNot(_ == files.last)
+      .takeWhile(barrier)
     victims.foreach(n =>
       fs.delete(new org.apache.hadoop.fs.Path(dir, n), false))
     victims

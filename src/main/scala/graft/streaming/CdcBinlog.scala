@@ -58,8 +58,29 @@ import graft.operators.{MergeSort, Staged}
   * emitted volume (the reference's binlogFileSize rotation,
   * dumper/.../logfile/LogFileGenerator.java) so a burst lands in more
   * bounded files instead of bigger ones.
+  *
+  * Idle sources: the barrier needs every DN's frontier to advance. The
+  * deployment contract is the reference's (TsoHeartbeat,
+  * polardbx-cdc-common/.../heartbeat/TsoHeartbeat.java:53-67): each DN
+  * carries a periodic heartbeat transaction — [[CdcHeartbeat]] is the
+  * producer for wire-served DN logs. Alternatively
+  * `advanceIdleFrontiers=true` advances an idle DN's frontier from the
+  * drain's caught-up-EOF signal (safety argument at the decision
+  * block below). Force-complete recovery: a refusal names the sealed
+  * barrier; the operator restarts the SAME checkpoint with
+  * `sealedGapSkip=true`, which drops the sealed-out transactions,
+  * records them in `<outDir>/_GAPS/<batchId>`, and resumes.
   */
 object CdcBinlog {
+
+  /** Overlap probes for the fan-out sink writes (test-visible): the
+    * count of per-stream writes in flight right now, and the highest
+    * concurrency ever observed in this JVM — the assertion hook for
+    * "the M per-stream writes actually run side by side". */
+  private val activeStreamWrites =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  private[streaming] val maxConcurrentStreamWrites =
+    new java.util.concurrent.atomic.AtomicInteger(0)
 
   def start(spark: SparkSession,
       endpoints: Seq[(String, String, Int)],
@@ -78,7 +99,9 @@ object CdcBinlog {
       forceCompleteAfterBatches: Int = 0,
       gtidSid: Option[java.util.UUID] = None,
       targetRowsPerFile: Int = 0,
-      fanOut: Option[CdcBinlogX.FanOut] = None): StreamingQuery = {
+      fanOut: Option[CdcBinlogX.FanOut] = None,
+      advanceIdleFrontiers: Boolean = false,
+      sealedGapSkip: Boolean = false): StreamingQuery = {
     // the frontier sidecar is ';'/'='/','-delimited and the source's
     // options reuse '@'/';' — refuse DN names that would corrupt
     // either (the CdcReplica.start / saveRegistry guard family)
@@ -109,7 +132,10 @@ object CdcBinlog {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         emitBatch(batch, batchId, dns, tableCols, heartbeatTables,
           outDir, workDir, numPartitions, checksummed, registryDir,
-          forceCompleteAfterBatches, gtidSid, targetRowsPerFile, fanOut)
+          forceCompleteAfterBatches, gtidSid, targetRowsPerFile, fanOut,
+          queryCheckpointDir = Some(checkpointDir),
+          advanceIdleFrontiers = advanceIdleFrontiers,
+          sealedGapSkip = sealedGapSkip)
         ()
       }
       .trigger(trigger)
@@ -128,7 +154,10 @@ object CdcBinlog {
       forceCompleteAfterBatches: Int = 0,
       gtidSid: Option[java.util.UUID] = None,
       targetRowsPerFile: Int = 0,
-      fanOut: Option[CdcBinlogX.FanOut] = None): Unit = {
+      fanOut: Option[CdcBinlogX.FanOut] = None,
+      queryCheckpointDir: Option[String] = None,
+      advanceIdleFrontiers: Boolean = false,
+      sealedGapSkip: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val fs = graft.util.HadoopIo.fsOf(new Path(workDir))
 
@@ -178,32 +207,84 @@ object CdcBinlog {
     val batchMax = staged.groupBy(col("partitionId"))
       .agg(max(col("tso")).as("m"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val frontiers = dns.map { dn =>
-      val p = st.frontiers.get(dn)
-      val front = math.max(p.map(_._1).getOrElse(Long.MinValue),
-        batchMax.getOrElse(dn, Long.MinValue))
-      // stall age: consecutive batches without this DN advancing — the
-      // force-complete clock (LogEventMerger.tryForceComplete :238-273)
-      val advanced = batchMax.get(dn)
-        .exists(_ > p.map(_._1).getOrElse(Long.MinValue))
-      val stall = if (advanced) 0 else p.map(_._2).getOrElse(0) + 1
-      dn -> (front, stall)
-    }.toMap
-    // the merge barrier: complete only up to the slowest DN's frontier
-    // (a DN that has never delivered anything holds everything back —
-    // the merger's all-sources gate). With force-complete enabled, a DN
-    // stalled past the threshold is EXCLUDED so a dead DN cannot stall
-    // production forever — the reference's availability trade; the
-    // barrier is clamped monotone so an exclusion-set change can never
-    // regress the seal.
-    val live =
-      if (forceCompleteAfterBatches <= 0) frontiers
-      else frontiers.filter(_._2._2 < forceCompleteAfterBatches)
-    val rawBarrier =
-      if (live.nonEmpty) live.values.map(_._1).min
-      else if (frontiers.nonEmpty) frontiers.values.map(_._1).min
-      else Long.MinValue
-    val barrier = math.max(st.barrier, rawBarrier)
+    // THE DECISION SNAPSHOT: the (barrier, frontiers, stall-clocks)
+    // triple is sealed into hold/<N>.frontier BEFORE the first
+    // externally visible write, and a replayed batch REUSES the sealed
+    // decision instead of recomputing it. That makes replay
+    // byte-identity independent of the decision function's inputs —
+    // the stall clocks below consult the live poll registry (which a
+    // fresh process replaying a WAL batch no longer has), and a
+    // crash-window replay must still rewrite the exact same files a
+    // concurrent dump consumer may already have read. A crash BEFORE
+    // the snapshot wrote is free to re-decide: nothing external saw
+    // the first attempt.
+    val decisionPath = new Path(s"$workDir/hold/$batchId.frontier")
+    val decided: FrontierState =
+      if (fs.exists(decisionPath)) readFrontiers(fs, decisionPath)
+      else {
+        // which DNs this batch's trigger actually dialed, and which
+        // are known caught-up at the server's EOF — advisory, in-JVM
+        // (CdcPollRegistry); absent for direct callers and replays in
+        // a fresh process, where every DN counts as dialed (the
+        // pre-registry behavior, conservative by at most one tick)
+        val poll = queryCheckpointDir.flatMap(CdcPollRegistry.lookup)
+        // highest frontier any DN reaches this batch — the level an
+        // idle-at-EOF DN may advance to when the option is on
+        val maxFront = (st.frontiers.values.map(_._1) ++ batchMax.values)
+          .foldLeft(Long.MinValue)(math.max)
+        val frontiers = dns.map { dn =>
+          val p = st.frontiers.get(dn)
+          val prevFront = p.map(_._1).getOrElse(Long.MinValue)
+          val dataFront = math.max(prevFront,
+            batchMax.getOrElse(dn, Long.MinValue))
+          // advanceIdleFrontiers: a DN the drain saw at caught-up EOF
+          // with no new data has, by the dump contract, served every
+          // transaction in its log — and TSO issuance is monotone, so
+          // any FUTURE commit on it acquires a TSO above every TSO
+          // already issued, including the other DNs' frontiers. Its
+          // frontier may therefore advance to the batch's max without
+          // risking a later below-barrier delivery. (This trusts the
+          // DN's binlog append to be ordered with TSO issuance — true
+          // of the wire model here; the reference instead proves the
+          // level with an end-to-end heartbeat transaction per DN
+          // (TsoHeartbeat) — see [[CdcHeartbeat]] for that producer.)
+          val idleAtEof = advanceIdleFrontiers &&
+            poll.exists(_.atEof.contains(dn)) && !batchMax.contains(dn)
+          val front =
+            if (idleAtEof) math.max(dataFront, maxFront) else dataFront
+          // stall age: consecutive DIALED batches without this DN
+          // advancing — the force-complete clock (LogEventMerger
+          // .tryForceComplete :238-273). A trigger that never polled
+          // the DN (AvailableNow skips caught-up DNs while a deep
+          // backlog elsewhere splits into many micro-batches) must not
+          // tick its clock: the merger only counts sources it actually
+          // waited on.
+          val advanced = front > prevFront
+          val dialed = poll.forall(_.dialed.contains(dn))
+          val stall =
+            if (advanced) 0
+            else if (!dialed) p.map(_._2).getOrElse(0)
+            else p.map(_._2).getOrElse(0) + 1
+          dn -> (front, stall)
+        }.toMap
+        // the merge barrier: complete only up to the slowest DN's
+        // frontier (a DN that has never delivered anything holds
+        // everything back — the merger's all-sources gate). With
+        // force-complete enabled, a DN stalled past the threshold is
+        // EXCLUDED so a dead DN cannot stall production forever — the
+        // reference's availability trade; the barrier is clamped
+        // monotone so an exclusion-set change can never regress the
+        // seal.
+        val live =
+          if (forceCompleteAfterBatches <= 0) frontiers
+          else frontiers.filter(_._2._2 < forceCompleteAfterBatches)
+        val rawBarrier =
+          if (live.nonEmpty) live.values.map(_._1).min
+          else if (frontiers.nonEmpty) frontiers.values.map(_._1).min
+          else Long.MinValue
+        FrontierState(math.max(st.barrier, rawBarrier), frontiers)
+      }
+    val barrier = decided.barrier
 
     val holdPrev = new Path(s"$workDir/hold/${batchId - 1}")
     val held =
@@ -230,40 +311,75 @@ object CdcBinlog {
     // branch of a barrier-passing txn is present before it emits.
     // (A source violating the shared-CTS contract could emit a txn
     // partially; that is a data-contract breach, not a merge race.)
+    val renameSteps = registryDir.map(_ =>
+      renameStepsFromBatch(staged, reg0)).getOrElse(Seq.empty)
     val all = normalizeRenames(
-      staged.unionByName(held).filter(!isHeartbeat), reg0, evolved)
+      staged.unionByName(held).filter(!isHeartbeat), renameSteps)
       .withColumn("__commit_tso",
         max(col("tso")).over(Window.partitionBy(col("txnId"))))
     val gated = Staged.parquetStage(all, s"$workDir/gated")
     // a force-completed log has SEALED everything at or below the old
     // barrier: a revived DN delivering transactions back there would
-    // have to emit out of name order — refuse loudly, the operator
-    // decides (reseed, or accept the gap and restart past it)
-    if (forceCompleteAfterBatches > 0 && st.barrier > Long.MinValue) {
-      val late = gated
-        .filter(col("__commit_tso") <= st.barrier)
-        .filter(!col("partitionId").isin(
-          st.frontiers.filter(_._2._1 >= st.barrier).keys.toSeq: _*))
+    // have to emit out of name order — refuse loudly by default, the
+    // operator decides. With `sealedGapSkip` (the documented recovery
+    // restart — the reference's alarm-then-operator flow) the sealed-
+    // out transactions are instead DROPPED from the log and durably
+    // recorded in `<outDir>/_GAPS/<batchId>`, so production resumes
+    // with the gap named rather than wedging on a deterministic replay
+    // of the refusal.
+    val lateCond =
+      if (forceCompleteAfterBatches > 0 && st.barrier > Long.MinValue)
+        col("__commit_tso") <= st.barrier &&
+          !col("partitionId").isin(
+            st.frontiers.filter(_._2._1 >= st.barrier).keys.toSeq: _*)
+      else lit(false)
+    if (!sealedGapSkip) {
+      val late = gated.filter(lateCond)
         .select(col("partitionId"), col("tso")).limit(1).collect()
       if (late.nonEmpty)
         throw new IllegalStateException(
           s"CdcBinlog: DN '${late(0).getString(0)}' delivered txn tso " +
           s"${late(0).getLong(1)} at or below the force-completed " +
           s"barrier ${st.barrier} — the log is sealed past it; " +
-          "emitting now would break total order")
+          "emitting now would break total order. Restart with " +
+          "sealedGapSkip=true to drop and record the sealed-out " +
+          "transactions and resume production")
+    } else {
+      // bounded collect: only a revived DN's below-seal transactions
+      // qualify — the exact rows the refusal would have named
+      val gap = gated.filter(lateCond)
+        .select(col("partitionId"), col("txnId"), col("tso"))
+        .distinct().collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(g => (g._1, g._3, g._2))
+      if (gap.nonEmpty) {
+        val gapDir = new Path(s"$outDir/_GAPS")
+        val ofs = graft.util.HadoopIo.fsOf(gapDir)
+        ofs.mkdirs(gapDir)
+        graft.util.HadoopIo.writeSwap(
+          new Path(gapDir, s".$batchId.tmp"),
+          new Path(gapDir, batchId.toString),
+          (s"sealedBarrier=${st.barrier}" +:
+            gap.map { case (dn, txn, tso) => s"$dn,$txn,$tso" }.toSeq)
+            .mkString("\n"))
+      }
     }
-    val emit = gated.filter(col("__commit_tso") <= barrier)
+    // seal the decision before the first externally visible write (see
+    // the snapshot comment above) — idempotent on replay (same content)
+    writeFrontiers(fs, decisionPath, decided)
+    val emit = gated.filter(col("__commit_tso") <= barrier && !lateCond)
 
     // one aggregate serves two masters: the merge-metrics sidecar (the
     // reference's MergeMetrics surface, task/.../metrics/
     // MergeMetrics.java) and size-based rotation — emitted/held txn
     // counts plus emitted ROW count, off the already-staged gate
     val counts = gated.agg(
-      countDistinct(when(col("__commit_tso") <= barrier,
+      countDistinct(when(col("__commit_tso") <= barrier && !lateCond,
         col("txnId"))).as("e"),
       countDistinct(when(col("__commit_tso") > barrier,
         col("txnId"))).as("h"),
-      count(when(col("__commit_tso") <= barrier, lit(1))).as("er"))
+      count(when(col("__commit_tso") <= barrier && !lateCond, lit(1)))
+        .as("er"))
       .collect()(0)
     // rotation by volume (LogFileGenerator's binlogFileSize semantics,
     // dumper/.../logfile/LogFileGenerator.java — the reference rotates
@@ -280,8 +396,18 @@ object CdcBinlog {
 
     // the batch's wire files: delete this batch's prefix first so a
     // replayed attempt fully supersedes the one it replaces (range
-    // partitioner sampling is not stable across attempts)
-    val prefix = f"binlog.$batchId%06d."
+    // partitioner sampling is not stable across attempts). The batch
+    // component is zero-padded WIDE (12 digits ≈ 31k years of 1s
+    // triggers) because file-NAME order is the log's total order —
+    // a pad the batchId outgrew would sort binlog.1000000.* before
+    // binlog.999999.* and silently break every name-ordered contract
+    // (serve start, executed-set fold, purge prefixes); refuse loudly
+    // at the edge rather than wrap.
+    require(batchId >= 0 && batchId < 1000000000000L,
+      s"CdcBinlog: batchId $batchId outside the zero-padded file-name " +
+        "range [0, 1e12) — the name-order-is-TSO-order contract would " +
+        "break")
+    val prefix = f"binlog.$batchId%012d."
     def deleteByPrefix(dir: String): Unit = {
       val root = new Path(dir)
       val ofs = graft.util.HadoopIo.fsOf(root)
@@ -340,20 +466,42 @@ object CdcBinlog {
           if (targetRowsPerFile <= 0) Map.empty
           else streamed.groupBy(col("__stream")).count().collect()
             .map(r => r.getInt(0) -> r.getLong(1)).toMap
-        (0 until f.streams).foreach { i =>
-          writeLog(streamed.filter(col("__stream") === i)
-            .drop("__stream"), s"$outDir/stream-$i",
-            partsFor(perStream.getOrElse(i, 0L)))
-        }
+        // the M per-stream logs are INDEPENDENT (own dir, own prior
+        // executed set, own rotation) — submit their writes
+        // CONCURRENTLY so a batch pays ~1 job-submission latency, not
+        // M serial ones (the reference's per-stream Final tasks run
+        // side by side; Spark's scheduler interleaves the jobs). Each
+        // write is a driver-side action off the shared staged frame;
+        // the pool is bounded so a wide fan-out queues rather than
+        // spawning M threads.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(f.streams, 8))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try {
+          val writes = (0 until f.streams).map { i =>
+            scala.concurrent.Future {
+              val c = activeStreamWrites.incrementAndGet()
+              maxConcurrentStreamWrites.getAndUpdate(m => math.max(m, c))
+              try writeLog(streamed.filter(col("__stream") === i)
+                .drop("__stream"), s"$outDir/stream-$i",
+                partsFor(perStream.getOrElse(i, 0L)))
+              finally { activeStreamWrites.decrementAndGet(); () }
+            }
+          }
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(writes),
+            scala.concurrent.duration.Duration.Inf)
+          ()
+        } finally { pool.shutdown(); () }
     }
 
-    // holdback stage N + frontier sidecar; N-2 (committed once N ran)
-    // is reclaimed — the work dir holds at most two batches of lag
+    // holdback stage N (the frontier decision snapshot wrote before
+    // the wire files, above); N-2 (committed once N ran) is reclaimed
+    // — the work dir holds at most two batches of lag
     gated.filter(col("__commit_tso") > barrier).drop("__commit_tso")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$workDir/hold/$batchId")
-    writeFrontiers(fs, new Path(s"$workDir/hold/$batchId.frontier"),
-      FrontierState(barrier, frontiers))
     // merge-metrics sidecar, written beside the frontier for operators
     // (writeSwap: readMergeMetrics must never see a half-written file)
     graft.util.HadoopIo.writeSwap(
@@ -378,37 +526,80 @@ object CdcBinlog {
     ()
   }
 
-  /** Re-key renamed map entries to the evolved column names: for every
-    * table whose registry renamed positions (same arity, different
-    * names), a row still keyed by the OLD name gets its entry moved to
-    * the new one. Holdback rows are stored normalized, so one
-    * base→evolved step per batch covers every epoch in flight. */
+  /** The column-rename STEPS this batch's DDL statements introduce, in
+    * statement order: one ((schema, table), (old, new)) per applied
+    * RENAME/CHANGE COLUMN. Derived from the SAME parse that evolves
+    * the registry (BinlogWire.evolveRegistry) with the SAME legality
+    * guards and the SAME (tso, ddl) statement order, so re-keying and
+    * evolution can never disagree — unlike a base-vs-evolved
+    * positional diff, which goes silently blind the moment one ALTER
+    * both renames and adds/drops a column (arity change) and would
+    * re-encode the renamed column of held pre-DDL rows as NULL
+    * cells. Steps apply ONE AT A TIME downstream, so a row decoded
+    * between two same-batch renames (keyed by the intermediate name)
+    * re-keys correctly through the remaining steps. */
+  private[streaming] def renameStepsFromBatch(staged: DataFrame,
+      base: Map[(String, String), Seq[String]])
+      : Seq[((String, String), (String, String))] = {
+    import graft.operators.DdlParser
+    val spark = staged.sparkSession
+    import spark.implicits._
+    val ddls = staged
+      .filter(col("op") === "DDL" && col("ddl").isNotNull)
+      .select(col("tso").cast("long"), col("schemaName"), col("ddl"))
+      .orderBy(col("tso"), col("ddl"))
+      .as[(Long, String, String)].collect()
+    if (ddls.isEmpty) return Seq.empty
+    val steps = Seq.newBuilder[((String, String), (String, String))]
+    var reg = base
+    ddls.foreach { case (_, sch, stmt) =>
+      DdlParser.parse(stmt, sch) match {
+        case DdlParser.AlterTable(s2, t2, actions)
+            if reg.contains((s2, t2)) =>
+          // track the table's columns through the ACTION list too — a
+          // single ALTER may chain, and each action's legality guard
+          // must see its predecessors' effect (evolveRegistry's fold)
+          var cur = reg((s2, t2))
+          actions.foreach {
+            case DdlParser.RenameColumn(o, n)
+                if o != n && cur.contains(o) && !cur.contains(n) =>
+              steps += (((s2, t2), (o, n)))
+              cur = cur.map(c => if (c == o) n else c)
+            case DdlParser.ChangeColumn(o, cd, _, _)
+                if o != cd.name && cur.contains(o) &&
+                  !cur.contains(cd.name) =>
+              steps += (((s2, t2), (o, cd.name)))
+              cur = cur.map(c => if (c == o) cd.name else c)
+            case _ => ()
+          }
+        case _ => ()
+      }
+      reg = graft.sinks.BinlogWire.evolveRegistry(reg, sch, stmt)
+    }
+    steps.result()
+  }
+
+  /** Re-key renamed map entries to the evolved column names, one
+    * rename step at a time in statement order: a row still keyed by a
+    * step's OLD name (held pre-DDL rows, or same-batch rows decoded
+    * under an intermediate epoch) gets its entry moved to the new one.
+    * Holdback rows are stored normalized, so each batch only ever
+    * applies its OWN steps. */
   private def normalizeRenames(df: DataFrame,
-      base: Map[(String, String), Seq[String]],
-      evolved: Map[(String, String), Seq[String]]): DataFrame = {
-    val renames = evolved.flatMap { case (key, newCols) =>
-      base.get(key).filter(_.size == newCols.size).map { oldCols =>
-        key -> oldCols.zip(newCols).filter { case (o, n) => o != n }
-      }
-    }.filter(_._2.nonEmpty)
-    if (renames.isEmpty) df
-    else renames.foldLeft(df) { case (acc, ((sch, tbl), pairs)) =>
+      steps: Seq[((String, String), (String, String))]): DataFrame =
+    if (steps.isEmpty) df
+    else steps.foldLeft(df) { case (acc, ((sch, tbl), (o, n))) =>
       val cond = col("schemaName") === sch && col("tableName") === tbl
-      def fix(mcol: String) = {
-        val moved = pairs.foldLeft(col(mcol)) { case (m, (o, n)) =>
-          when(cond && element_at(m, o).isNotNull &&
-              element_at(m, n).isNull,
-            map_concat(
-              map_filter(m, (k, _) => k =!= o),
-              map(lit(n), element_at(m, o))))
-            .otherwise(m)
-        }
-        moved
-      }
+      def fix(mcol: String) =
+        when(cond && element_at(col(mcol), o).isNotNull &&
+            element_at(col(mcol), n).isNull,
+          map_concat(
+            map_filter(col(mcol), (k, _) => k =!= o),
+            map(lit(n), element_at(col(mcol), o))))
+          .otherwise(col(mcol))
       acc.withColumn("before", fix("before"))
         .withColumn("after", fix("after"))
     }
-  }
 
   /** One batch's merge metrics (the reference's MergeMetrics surface):
     * the sealed barrier plus emitted/held transaction counts. */
@@ -531,12 +722,16 @@ object CdcBinlogX {
       registryDir: Option[String] = None,
       forceCompleteAfterBatches: Int = 0,
       gtidSid: Option[java.util.UUID] = None,
-      targetRowsPerFile: Int = 0): StreamingQuery = {
+      targetRowsPerFile: Int = 0,
+      advanceIdleFrontiers: Boolean = false,
+      sealedGapSkip: Boolean = false): StreamingQuery = {
     require(fanOut.streams > 0, "fanOut.streams must be positive")
     CdcBinlog.start(spark, endpoints, user, password, tableCols,
       outDir, checkpointDir, workDir, numPartitions, heartbeatTables,
       trigger, maxBytesPerPoll, startExecuted, soTimeoutMs, serverId,
       checksummed, registryDir, forceCompleteAfterBatches, gtidSid,
-      targetRowsPerFile, fanOut = Some(fanOut))
+      targetRowsPerFile, fanOut = Some(fanOut),
+      advanceIdleFrontiers = advanceIdleFrontiers,
+      sealedGapSkip = sealedGapSkip)
   }
 }

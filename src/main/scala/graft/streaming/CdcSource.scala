@@ -200,6 +200,59 @@ private[streaming] object GtidSetOffset {
   }
 }
 
+/** In-JVM bridge from the source's poll loop to a downstream
+  * `foreachBatch` on the SAME driver: which DNs the last trigger
+  * actually DIALED, and which answered the server's caught-up EOF.
+  *
+  * Why it exists: a consumer that keeps per-DN liveness clocks (the
+  * merger's force-complete stall counter, CdcBinlog) must not count a
+  * trigger against a DN the trigger never polled — under
+  * Trigger.AvailableNow a caught-up DN is skipped while another DN's
+  * deep backlog splits into many capped micro-batches, and counting
+  * those skipped triggers as "stalled" would race a healthy DN to the
+  * force-complete threshold within one run (LogEventMerger's
+  * tryForceComplete clock only ticks for sources it actually waited
+  * on). The info is ADVISORY and in-memory only: after a process
+  * restart a replayed batch finds no entry and callers fall back to
+  * their conservative default, while replay byte-identity is sealed
+  * separately (the consumer snapshots its DECISION per batch —
+  * CdcBinlog's `hold/<N>.frontier` — before any external write).
+  *
+  * Keys are the source's Spark-assigned checkpoint location
+  * (`<resolved query checkpoint>/sources/<i>`), scheme-normalized, so
+  * a foreachBatch holding only the QUERY's checkpoint dir can find
+  * its own source without guessing which of several live queries over
+  * the same DNs it belongs to. */
+object CdcPollRegistry {
+  /** `dialed`: DNs the trigger's drain job polled. `atEof`: DNs known
+    * caught-up at the server's EOF as of this trigger (dialed-and-
+    * answered-EOF, plus DNs already marked complete for an
+    * AvailableNow run). */
+  final case class PollInfo(dialed: Set[String], atEof: Set[String])
+
+  private val byCkpt =
+    new java.util.concurrent.ConcurrentHashMap[String, PollInfo]()
+
+  /** Scheme-insensitive path identity: Spark hands the source a
+    * QUALIFIED location (`file:/...`) while callers hold the raw
+    * string they passed to `checkpointLocation`. */
+  private def norm(p: String): String = new Path(p).toUri.getPath
+
+  private[streaming] def record(sourceCheckpointLocation: String,
+      info: PollInfo): Unit = {
+    byCkpt.put(norm(sourceCheckpointLocation), info)
+    ()
+  }
+
+  /** The last poll of the graft-cdc source of the query checkpointed
+    * at `queryCheckpointDir` (source index 0 — the composed pipelines
+    * read exactly one). None when no trigger has polled in this JVM
+    * (fresh process replaying a WAL batch) — callers must treat that
+    * as "unknown", not "nothing dialed". */
+  def lookup(queryCheckpointDir: String): Option[PollInfo] =
+    Option(byCkpt.get(norm(queryCheckpointDir) + "/sources/0"))
+}
+
 private[streaming] class GraftCdcMicroBatchStream(conf: CdcConf,
     checkpointLocation: String)
     extends MicroBatchStream with SupportsAdmissionControl
@@ -307,6 +360,8 @@ private[streaming] class GraftCdcMicroBatchStream(conf: CdcConf,
     if (eps.isEmpty) {
       lastDrainBytes = Map.empty
       lastEnd = Some(gtidOffset(start))
+      CdcPollRegistry.record(checkpointLocation,
+        CdcPollRegistry.PollInfo(Set.empty, done))
       return start
     }
     val (u, pw) = (conf.user, conf.password)
@@ -371,6 +426,14 @@ private[streaming] class GraftCdcMicroBatchStream(conf: CdcConf,
         case (dn, _, _, _, _, true) => dn
       }
     lastEnd = Some(end)
+    // advisory liveness for same-driver consumers: who was dialed, who
+    // is known caught-up at EOF (per-trigger under processing-time
+    // triggers; cumulative over an AvailableNow run)
+    CdcPollRegistry.record(checkpointLocation,
+      CdcPollRegistry.PollInfo(
+        dialed = eps.map(_._1).toSet,
+        atEof = (if (skipDone) done else Set.empty[String]) ++
+          polled.collect { case (dn, _, _, _, _, true) => dn }))
     if (end.sets != startSets) {
       // publish the stage under its content key (the drain learned the
       // end only after draining); idempotent across replayed triggers

@@ -785,6 +785,115 @@ class CdcBinlogSpec extends SparkSpec {
       "replay after the registry save must stay byte-identical")
   }
 
+  test("a rename inside an ARITY-CHANGING alter still re-keys held rows (DDL-derived rename steps, not positional diff)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlogH")
+    val out = s"$root/out"
+    val work = s"$root/work"
+    val regDir = s"$root/registry"
+    // ONE statement renames v→v2 AND adds a column: base and evolved
+    // arities differ, the exact blind spot of a positional diff
+    val ddlStmt =
+      "ALTER TABLE t ADD COLUMN extra INT, RENAME COLUMN v TO v2"
+    val regV2 = Map(
+      ("db", "t") -> Seq("k", "seq", "v2", "extra"),
+      ("db", "hb") -> Seq("k"))
+    def ce(tso: Long, txn: Long, dn: String, op: String,
+        after: Map[String, String], ddl: Option[String] = None) =
+      ChangeEvent(tso, txn, dn, s"$dn:$tso", op, "db",
+        if (op == "HEARTBEAT") "hb" else "t",
+        new java.sql.Timestamp(1700000000000L), Map.empty, after, ddl, 1L)
+    def df(rows: Seq[ChangeEvent]) = spark.createDataFrame(rows)
+      .select(ChangeEvent.schema.fieldNames.map(col): _*)
+
+    // batch 0: txn 3 holds back OLD-KEYED (column v)
+    CdcBinlog.emitBatch(df(Seq(
+      ce(1L, 1L, "dn1", "INSERT",
+        Map("k" -> "1", "seq" -> "1", "v" -> "a1")),
+      ce(3L, 3L, "dn1", "INSERT",
+        Map("k" -> "3", "seq" -> "1", "v" -> "a3")),
+      ce(2L, 2L, "dn2", "INSERT",
+        Map("k" -> "2", "seq" -> "1", "v" -> "a2")))),
+      0L, Seq("dn1", "dn2"), reg, Set.empty, out, work,
+      numPartitions = 2, checksummed = false,
+      registryDir = Some(regDir))
+    // batch 1: the arity-changing ALTER lands + a post-DDL row
+    CdcBinlog.emitBatch(df(Seq(
+      ce(4L, 4L, "dn1", "DDL", Map.empty, Some(ddlStmt)),
+      ce(5L, 5L, "dn1", "INSERT",
+        Map("k" -> "5", "seq" -> "1", "v2" -> "b5", "extra" -> "9")),
+      ce(11L, 11L, "dn1", "HEARTBEAT", Map("k" -> "11")),
+      ce(12L, 12L, "dn2", "HEARTBEAT", Map("k" -> "12")))),
+      1L, Seq("dn1", "dn2"), reg, Set.empty, out, work,
+      numPartitions = 2, checksummed = false,
+      registryDir = Some(regDir))
+
+    val vals = BinlogWire.readBinlogFiles(spark, out, regV2)
+      .filter(col("op") === "INSERT")
+      .select(col("tso"), element_at(col("after"), "v2"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    assert(vals == Seq(1L -> "a1", 2L -> "a2", 3L -> "a3", 5L -> "b5"),
+      "an arity-changing rename must still re-key held pre-DDL rows " +
+        s"(got $vals)")
+    assert(graft.jobs.LiveReplicaJob.resumeRegistry(regDir, reg)(
+      ("db", "t")) == Seq("k", "seq", "v2", "extra"))
+  }
+
+  test("two renames in ONE batch: held rows and intermediate-epoch rows both re-key through the step chain") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlogI")
+    val out = s"$root/out"
+    val work = s"$root/work"
+    val regDir = s"$root/registry"
+    val regV3 = Map(
+      ("db", "t") -> Seq("k", "seq", "v3"),
+      ("db", "hb") -> Seq("k"))
+    def ce(tso: Long, txn: Long, dn: String, op: String,
+        after: Map[String, String], ddl: Option[String] = None) =
+      ChangeEvent(tso, txn, dn, s"$dn:$tso", op, "db",
+        if (op == "HEARTBEAT") "hb" else "t",
+        new java.sql.Timestamp(1700000000000L), Map.empty, after, ddl, 1L)
+    def df(rows: Seq[ChangeEvent]) = spark.createDataFrame(rows)
+      .select(ChangeEvent.schema.fieldNames.map(col): _*)
+
+    // batch 0: txn 3 holds back keyed v
+    CdcBinlog.emitBatch(df(Seq(
+      ce(1L, 1L, "dn1", "INSERT",
+        Map("k" -> "1", "seq" -> "1", "v" -> "a1")),
+      ce(3L, 3L, "dn1", "INSERT",
+        Map("k" -> "3", "seq" -> "1", "v" -> "a3")),
+      ce(2L, 2L, "dn2", "INSERT",
+        Map("k" -> "2", "seq" -> "1", "v" -> "a2")))),
+      0L, Seq("dn1", "dn2"), reg, Set.empty, out, work,
+      numPartitions = 2, checksummed = false,
+      registryDir = Some(regDir))
+    // batch 1: rename v→v2 (tso 4), a row in the INTERMEDIATE epoch
+    // keyed v2 (tso 5), rename v2→v3 (tso 6), a row keyed v3 (tso 7)
+    CdcBinlog.emitBatch(df(Seq(
+      ce(4L, 4L, "dn1", "DDL", Map.empty,
+        Some("ALTER TABLE t RENAME COLUMN v TO v2")),
+      ce(5L, 5L, "dn1", "INSERT",
+        Map("k" -> "5", "seq" -> "1", "v2" -> "b5")),
+      ce(6L, 6L, "dn1", "DDL", Map.empty,
+        Some("ALTER TABLE t RENAME COLUMN v2 TO v3")),
+      ce(7L, 7L, "dn1", "INSERT",
+        Map("k" -> "7", "seq" -> "1", "v3" -> "c7")),
+      ce(11L, 11L, "dn1", "HEARTBEAT", Map("k" -> "11")),
+      ce(12L, 12L, "dn2", "HEARTBEAT", Map("k" -> "12")))),
+      1L, Seq("dn1", "dn2"), reg, Set.empty, out, work,
+      numPartitions = 2, checksummed = false,
+      registryDir = Some(regDir))
+
+    val vals = BinlogWire.readBinlogFiles(spark, out, regV3)
+      .filter(col("op") === "INSERT")
+      .select(col("tso"), element_at(col("after"), "v3"))
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    assert(vals == Seq(1L -> "a1", 2L -> "a2", 3L -> "a3", 5L -> "b5",
+      7L -> "c7"),
+      "held (v-keyed) and intermediate (v2-keyed) rows must both " +
+        s"re-key through the chained steps (got $vals)")
+  }
+
   test("cross-DN XA: a global txn's branches share the commit TSO — held until EVERY branch's DN passes it, then emitted fused") {
     val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlogC")
     val out = s"$root/out"
@@ -825,6 +934,233 @@ class CdcBinlogSpec extends SparkSpec {
       .collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
     assert(rows.toSet == Set((2L, "2"), (7L, "71"), (7L, "72")),
       s"both branches must emit exactly once, fused: $rows")
+  }
+
+  test("force-complete stall clock ticks once per DIALED trigger: a caught-up DN skipped by AvailableNow micro-batches is not wrongly sealed out") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlogD")
+    val (d1, d2) = (s"$root/dn1", s"$root/dn2")
+    Seq(d1, d2).foreach(d => java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(d)))
+    val out = s"$root/out"
+    // a byte cap small enough that dn1's backlog file splits into
+    // several bounded micro-batches within ONE AvailableNow run — the
+    // exact shape where the pre-fix clock raced a healthy DN to the
+    // threshold (dn2, caught up, is dialed only in the run's FIRST
+    // trigger and skipped thereafter)
+    def run(p1: Int, p2: Int): Unit = {
+      val q = CdcBinlog.start(spark,
+        Seq(("dn1", "localhost", p1), ("dn2", "localhost", p2)),
+        "repl", "pw", reg, out, s"$root/ckpt", s"$root/work",
+        numPartitions = 2, heartbeatTables = Set(("db", "hb")),
+        trigger = Trigger.AvailableNow(),
+        maxBytesPerPoll = 1200L,
+        forceCompleteAfterBatches = 2)
+      q.awaitTermination()
+    }
+    def served(body: Seq[Int] => Unit): Unit = {
+      val srvs = Seq(d1, d2).map(d =>
+        new graft.sinks.BinlogDumpServer(d, "repl", "pw"))
+      try body(srvs.map(_.port)) finally srvs.foreach(_.close())
+    }
+    def frontierBatches(): Seq[Long] = {
+      val hold = new java.io.File(s"$root/work/hold")
+      Option(hold.listFiles()).toSeq.flatten
+        .map(_.getName).filter(_.endsWith(".frontier"))
+        .flatMap(_.stripSuffix(".frontier").toLongOption).sorted
+    }
+    def stallOf(batch: Long, dn: String): Int = {
+      val text = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$root/work/hold/$batch.frontier"))
+      text.split(";").collectFirst {
+        case kv if kv.startsWith(s"$dn=") =>
+          kv.stripPrefix(s"$dn=").split(",")(1).toInt
+      }.get
+    }
+
+    // phase 1: both DNs deliver, heartbeats at 50/51
+    writeCall(Seq((1L, "t"), (2L, "t"), (50L, "hb")), sid1,
+      GtidSet.Empty, d1, 0)
+    writeCall(Seq((3L, "t"), (51L, "hb")), sid2, GtidSet.Empty, d2, 0)
+    served { case Seq(p1, p2) => run(p1, p2) }
+    assert(decodedOrder(out) == Seq(1L, 2L, 3L))
+    val afterPhase1 = frontierBatches().max
+
+    // phase 2: a DEEP backlog on dn1 only (12 txns, all above dn2's
+    // frontier), dn2 idle — the run splits into several capped
+    // micro-batches, dn2 dialed only in the first
+    writeCall((101L to 112L).map(t => (t, "t")) :+ ((150L, "hb")), sid1,
+      GtidSet.Empty.add(sid1, 1L).add(sid1, 2L).add(sid1, 50L), d1, 1)
+    served { case Seq(p1, p2) => run(p1, p2) }
+    val lastBatch = frontierBatches().max
+    assert(lastBatch >= afterPhase1 + 2,
+      s"the 1200-byte cap should split the backlog into several " +
+        s"micro-batches (got batches $afterPhase1 -> $lastBatch) — " +
+        "the scenario under test never materialized")
+    assert(stallOf(lastBatch, "dn2") == 1,
+      "a caught-up DN skipped by AvailableNow must tick its stall " +
+        "clock once per run (the dialed trigger), not once per " +
+        "micro-batch")
+    assert(decodedOrder(out) == Seq(1L, 2L, 3L),
+      "nothing above the idle DN's frontier may emit — a leak here " +
+        "means dn2 was wrongly force-complete-excluded mid-run")
+
+    // phase 3: dn2 wakes BELOW dn1's frontier (txn 120 < 150) — under
+    // the pre-fix racing clock dn2 is sealed out and this delivery
+    // throws the sealed-barrier refusal; fixed, it emits in order
+    writeCall(Seq((120L, "t"), (151L, "hb")), sid2,
+      GtidSet.Empty.add(sid2, 3L).add(sid2, 51L), d2, 1)
+    served { case Seq(p1, p2) => run(p1, p2) }
+    assert(decodedOrder(out) ==
+      (Seq(1L, 2L, 3L) ++ (101L to 112L) :+ 120L),
+      "the held backlog and the late-waking DN must emit in total order")
+  }
+
+  test("advanceIdleFrontiers: a DN idle at caught-up EOF stops stalling the barrier — no heartbeats, no force-complete") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlogE")
+    val (d1, d2) = (s"$root/dn1", s"$root/dn2")
+    Seq(d1, d2).foreach(d => java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(d)))
+    val out = s"$root/out"
+    def run(p1: Int, p2: Int): Unit = {
+      val q = CdcBinlog.start(spark,
+        Seq(("dn1", "localhost", p1), ("dn2", "localhost", p2)),
+        "repl", "pw", reg, out, s"$root/ckpt", s"$root/work",
+        numPartitions = 2, heartbeatTables = Set(("db", "hb")),
+        trigger = Trigger.AvailableNow(),
+        advanceIdleFrontiers = true)
+      q.awaitTermination()
+    }
+    def served(body: Seq[Int] => Unit): Unit = {
+      val srvs = Seq(d1, d2).map(d =>
+        new graft.sinks.BinlogDumpServer(d, "repl", "pw"))
+      try body(srvs.map(_.port)) finally srvs.foreach(_.close())
+    }
+
+    // run 1: dn2 delivers its one-and-only txn IN this batch — it is
+    // NOT idle here, so the normal gate applies: barrier 1, dn1's
+    // txns 2,3 held behind it
+    writeCall(Seq((1L, "t")), sid2, GtidSet.Empty, d2, 0)
+    writeCall(Seq((2L, "t"), (3L, "t")), sid1, GtidSet.Empty, d1, 0)
+    served { case Seq(p1, p2) => run(p1, p2) }
+    assert(decodedOrder(out) == Seq(1L),
+      "a DN that DELIVERED this batch is not idle — held txns must " +
+        "still gate on its real frontier")
+
+    // run 2: dn1 appends txn 4; dn2 has NOTHING ever again (no
+    // heartbeat table on it at all). Its drain answers caught-up EOF
+    // → frontier advances to the batch max → everything emits.
+    writeCall(Seq((4L, "t")), sid1,
+      GtidSet.Empty.add(sid1, 2L).add(sid1, 3L), d1, 1)
+    served { case Seq(p1, p2) => run(p1, p2) }
+    assert(decodedOrder(out) == Seq(1L, 2L, 3L, 4L),
+      "an idle-at-EOF DN must not hold the barrier when " +
+        "advanceIdleFrontiers is on")
+  }
+
+  test("sealedGapSkip: after the sealed-barrier refusal, a restart with the skip flag records the gap and production resumes") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlogF")
+    val (d1, d2) = (s"$root/dn1", s"$root/dn2")
+    Seq(d1, d2).foreach(d => java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(d)))
+    val out = s"$root/out"
+    def run(skip: Boolean)(p1: Int, p2: Int): Unit = {
+      val q = CdcBinlog.start(spark,
+        Seq(("dn1", "localhost", p1), ("dn2", "localhost", p2)),
+        "repl", "pw", reg, out, s"$root/ckpt", s"$root/work",
+        numPartitions = 2, heartbeatTables = Set(("db", "hb")),
+        trigger = Trigger.AvailableNow(),
+        forceCompleteAfterBatches = 2, sealedGapSkip = skip)
+      q.awaitTermination()
+    }
+    def served(body: Seq[Int] => Unit): Unit = {
+      val srvs = Seq(d1, d2).map(d =>
+        new graft.sinks.BinlogDumpServer(d, "repl", "pw"))
+      try body(srvs.map(_.port)) finally srvs.foreach(_.close())
+    }
+
+    // phases 0-2 replicate the force-complete flow: dn2 delivers txn 1
+    // then dies; dn1 heartbeats past the threshold → seal at 8
+    writeCall(Seq((2L, "t"), (3L, "t"), (6L, "hb")), sid1,
+      GtidSet.Empty, d1, 0)
+    writeCall(Seq((1L, "t")), sid2, GtidSet.Empty, d2, 0)
+    served { case Seq(p1, p2) => run(skip = false)(p1, p2) }
+    writeCall(Seq((7L, "hb")), sid1,
+      GtidSet.Empty.add(sid1, 2L).add(sid1, 3L).add(sid1, 6L), d1, 1)
+    served { case Seq(p1, p2) => run(skip = false)(p1, p2) }
+    writeCall(Seq((8L, "hb")), sid1,
+      GtidSet.Empty.add(sid1, 2L).add(sid1, 3L).add(sid1, 6L)
+        .add(sid1, 7L), d1, 2)
+    served { case Seq(p1, p2) => run(skip = false)(p1, p2) }
+    assert(decodedOrder(out) == Seq(1L, 2L, 3L))
+
+    // phase 3: dn2 revives BELOW the seal (txn 4 < 8) → the loud
+    // refusal (the alarm of the alarm-then-operator flow)
+    writeCall(Seq((4L, "t")), sid2, GtidSet.Empty.add(sid2, 1L), d2, 1)
+    writeCall(Seq((9L, "hb")), sid1,
+      GtidSet.Empty.add(sid1, 2L).add(sid1, 3L).add(sid1, 6L)
+        .add(sid1, 7L).add(sid1, 8L), d1, 3)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      served { case Seq(p1, p2) => run(skip = false)(p1, p2) }
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("sealedGapSkip"))),
+      s"the refusal must name the recovery flag: ${ex.getMessage}")
+
+    // the OPERATOR decision: restart the same checkpoint with the
+    // skip flag — the replayed batch drops the sealed-out txn, records
+    // it durably, and the query completes
+    served { case Seq(p1, p2) => run(skip = true)(p1, p2) }
+    assert(decodedOrder(out) == Seq(1L, 2L, 3L),
+      "the sealed-out txn must be dropped, not emitted out of order")
+    val gaps = Option(new java.io.File(s"$out/_GAPS").listFiles())
+      .toSeq.flatten.filterNot(_.getName.startsWith("."))
+    assert(gaps.nonEmpty, "the dropped txns must be durably recorded")
+    val gapText = java.nio.file.Files.readString(gaps.head.toPath)
+    assert(gapText.contains("sealedBarrier=8") &&
+      gapText.contains("dn2,4,4"),
+      s"the gap record must name the seal and the dropped txn: $gapText")
+
+    // production RESUMES: dn2 delivers above the seal, normal ops
+    writeCall(Seq((20L, "t")), sid2,
+      GtidSet.Empty.add(sid2, 1L).add(sid2, 4L), d2, 2)
+    writeCall(Seq((21L, "hb")), sid1,
+      GtidSet.Empty.add(sid1, 2L).add(sid1, 3L).add(sid1, 6L)
+        .add(sid1, 7L).add(sid1, 8L).add(sid1, 9L), d1, 4)
+    served { case Seq(p1, p2) => run(skip = false)(p1, p2) }
+    assert(decodedOrder(out) == Seq(1L, 2L, 3L, 20L),
+      "production must resume past the recorded gap")
+  }
+
+  test("Binlog-X fan-out writes the M per-stream logs concurrently (M=8): overlap observed, conservation kept") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlogG")
+    val out = s"$root/out"
+    val regM = (0 until 8).map(i =>
+      ("db", s"t$i") -> Seq("k", "seq", "v")).toMap
+    def ce(tso: Long, table: String) =
+      ChangeEvent(tso, tso, "dn1", s"dn1:$tso", "INSERT", "db", table,
+        new java.sql.Timestamp(1700000000000L), Map.empty,
+        Map("k" -> tso.toString, "seq" -> "1", "v" -> s"a$tso"), None, 1L)
+    val rows = (1L to 32L).map(t => ce(t, s"t${(t % 8).toInt}"))
+    val batch = spark.createDataFrame(rows)
+      .select(ChangeEvent.schema.fieldNames.map(col): _*)
+    CdcBinlog.maxConcurrentStreamWrites.set(0)
+    CdcBinlog.emitBatch(batch, 0L, Seq("dn1"), regM, Set.empty,
+      out, s"$root/work", numPartitions = 2, checksummed = false,
+      fanOut = Some(CdcBinlogX.FanOut(streams = 8,
+        graft.operators.StreamHash.ByTable)))
+    val got = (0 until 8).flatMap { i =>
+      val dir = new java.io.File(s"$out/stream-$i")
+      if (!dir.isDirectory) Nil
+      else BinlogWire.readBinlogFiles(spark, dir.toString, regM)
+        .filter(col("op") === "INSERT")
+        .select(col("tso")).collect().toSeq.map(_.getLong(0))
+    }
+    assert(got.sorted == (1L to 32L), "conservation across 8 streams")
+    assert(CdcBinlog.maxConcurrentStreamWrites.get() >= 2,
+      "the per-stream sink writes must overlap, not run as M " +
+        "sequential driver jobs")
   }
 
   test("a REPLAYED batch rewrites byte-identical files and identical holdback (crash between emit and checkpoint commit)") {
