@@ -33,6 +33,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the streaming harnesses (q109/q111) are lifecycle-bound, not
+      // dataflow-bound: shrink the micro-batch planner's idle poll so
+      // a contended driver window inflates them less
+      .config("spark.sql.streaming.pollingDelay", "1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val failed = scala.collection.mutable.LinkedHashSet[String]()
@@ -104,7 +108,14 @@ object Bench {
       val med = if (withMedians) {
         val ms = medians.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
           .mkString("{", ",", "}")
-        s""","repeat":$repeat,"queries_median":$ms"""
+        // in-harness lifecycle phase timings (BenchPhases): lets a
+        // reviewer attribute a slow streaming-query number to a
+        // contended window vs a real regression without a re-run.
+        // FILE artifact only — the stdout line must stay small.
+        val ph = BenchPhases.snapshot.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+          .mkString("{", ",", "}")
+        s""","repeat":$repeat,"queries_median":$ms,"phases":$ph"""
       } else ""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$med,"failed":$failedJson,"sf":"$sfDir","scratch":"$scratchPath","scratch_medium":"$medium"}"""
     }

@@ -1912,9 +1912,9 @@ object SparkEntry {
       reveal(0)
       val srv = new graft.sinks.BinlogDumpServer(served, "repl", "pw")
       try {
-        drain(srv.port)
+        BenchPhases.timed("q109.phase1_lifecycle")(drain(srv.port))
         reveal(1)
-        drain(srv.port)
+        BenchPhases.timed("q109.phase2_lifecycle")(drain(srv.port))
       } finally srv.close()
       s.read.schema(graft.model.ChangeEvent.schema).parquet(out)
         .filter(col("op") === "INSERT")
@@ -2000,7 +2000,7 @@ object SparkEntry {
       val out = Staged.tempDir("q111-out")
       val srvs = served.map(dir =>
         new graft.sinks.BinlogDumpServer(dir, "repl", "pw"))
-      try {
+      try BenchPhases.timed("q111.produce_lifecycle") {
         val q = graft.streaming.CdcBinlog.start(s,
           srvs.zipWithIndex.map { case (srv, i) =>
             (s"dn$i", "localhost", srv.port)

@@ -66,17 +66,22 @@ object BinlogCatalog {
     // gtid_executed likewise covers gtid_purged. Legacy logs (no
     // populated set anywhere) scan every file, as before.
     val rfs = graft.util.HadoopIo.fsOf(new org.apache.hadoop.fs.Path(dir))
-    var fromIdx = 0
     var seed = graft.model.GtidSet.Empty
+    var found = -1
     var i = all.size - 1
-    while (i >= 1 && fromIdx == 0) {
+    // the walk INCLUDES index 0: after a retention pass the oldest
+    // surviving file's PREVIOUS_GTIDS is the only summary of the
+    // purged prefix — skipping it would shrink the executed set the
+    // moment a purge leaves a single file, and a consumer seeded from
+    // it would re-request purged history (then hit the 1236)
+    while (i >= 0 && found < 0) {
       BinlogWire.readPreviousGtids(rfs,
           new org.apache.hadoop.fs.Path(dir, all(i))) match {
-        case Some(prev) if !prev.isEmpty => fromIdx = i; seed = prev
+        case Some(prev) if !prev.isEmpty => found = i; seed = prev
         case _ => i -= 1
       }
     }
-    val files = all.drop(fromIdx)
+    val files = all.drop(math.max(found, 0))
     val confMap = graft.util.HadoopIo.confMap
     val base = dir
     spark.createDataset(files).map { name =>

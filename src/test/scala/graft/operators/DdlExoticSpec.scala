@@ -249,6 +249,62 @@ class DdlExoticSpec extends SparkSpec {
       AlterTable("s", "t", Seq(DropColumn("x"))))
   }
 
+  test("generated columns in CREATE TABLE, column-level charsets, expression defaults, backticked AFTER targets (Druid residual tail)") {
+    // generated columns inside CREATE TABLE: the stored type survives,
+    // the expression folds away — including commas/strings inside it
+    assert(parse("CREATE TABLE t (a INT, " +
+      "g INT GENERATED ALWAYS AS (a + 1) VIRTUAL, " +
+      "b VARCHAR(10))", "s") ==
+      CreateTable("s", "t", Vector(ColumnDef("a", "int"),
+        ColumnDef("g", "int"), ColumnDef("b", "string")),
+        Vector(), ifNotExists = false))
+    assert(parse("CREATE TABLE t (a INT, " +
+      "v VARCHAR(20) AS (CONCAT(a, 'x,y')) STORED NOT NULL, " +
+      "b INT)", "s") ==
+      CreateTable("s", "t", Vector(ColumnDef("a", "int"),
+        ColumnDef("v", "string"), ColumnDef("b", "int")),
+        Vector(), ifNotExists = false))
+    // CHANGE to a generated column keeps the rename + placement
+    assert(parse("ALTER TABLE t CHANGE c1 c2 INT " +
+      "GENERATED ALWAYS AS (a) STORED FIRST", "s") ==
+      AlterTable("s", "t", Seq(
+        ChangeColumn("c1", ColumnDef("c2", "int"), first = true,
+          after = None))))
+    // column-level charset/collation on MODIFY/CHANGE folds into the
+    // string type, never into a phantom column
+    assert(parse("ALTER TABLE t MODIFY b VARCHAR(64) " +
+      "CHARACTER SET utf8mb4 COLLATE utf8mb4_bin NOT NULL", "s") ==
+      AlterTable("s", "t", Seq(
+        ModifyColumn(ColumnDef("b", "string"), first = false,
+          after = None))))
+    assert(parse("ALTER TABLE t CHANGE b b2 TEXT CHARSET latin1 " +
+      "AFTER a", "s") ==
+      AlterTable("s", "t", Seq(
+        ChangeColumn("b", ColumnDef("b2", "string"), first = false,
+          after = Some("a")))))
+    // CONVERT with an explicit COLLATE beside a real action
+    assert(parse("ALTER TABLE t CONVERT TO CHARACTER SET utf8mb4 " +
+      "COLLATE utf8mb4_general_ci, ADD COLUMN x INT", "s") ==
+      AlterTable("s", "t", Seq(IgnoredAction,
+        AddColumn(ColumnDef("x", "int"), first = false, after = None))))
+    // expression DEFAULTs with nested parens and commas inside them
+    assert(parse("ALTER TABLE t ADD COLUMN u VARCHAR(36) " +
+      "DEFAULT (uuid())", "s") ==
+      AlterTable("s", "t", Seq(
+        AddColumn(ColumnDef("u", "string"), first = false,
+          after = None))))
+    assert(parse("ALTER TABLE t ADD COLUMN j JSON " +
+      "DEFAULT (JSON_ARRAY(1, 2))", "s") ==
+      AlterTable("s", "t", Seq(
+        AddColumn(ColumnDef("j", "string"), first = false,
+          after = None))))
+    // backticked reserved-word AFTER target reads as an identifier
+    assert(parse("ALTER TABLE t ADD COLUMN c INT AFTER `order`", "s") ==
+      AlterTable("s", "t", Seq(
+        AddColumn(ColumnDef("c", "int"), first = false,
+          after = Some("order")))))
+  }
+
   test("vector indexes, system versioning, temporal periods, MariaDB IF EXISTS on MODIFY/CHANGE") {
     // index/metadata actions that would otherwise mis-parse as phantom
     // columns named `vector`/`system`/`period`

@@ -628,6 +628,153 @@ class CdcBinlogSpec extends SparkSpec {
       "a table's rows leaked into both streams")
   }
 
+  test("Binlog-X RETENTION: per-stream purge with independent cleaner barriers — checkpointed consumers resume past their stream's purge, fresh bootstraps refuse (1236)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlogK")
+    val (d1, d2) = (s"$root/dn1", s"$root/dn2")
+    Seq(d1, d2).foreach(d => java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(d)))
+    val out = s"$root/out"
+    val gsid = java.util.UUID.fromString(
+      "0a1b2c3d-eeee-4444-3333-00000000000f")
+    val regX = Map(
+      ("db", "alpha") -> Seq("k", "seq", "v"),
+      ("db", "beta") -> Seq("k", "seq", "v"),
+      ("db", "hb") -> Seq("k"))
+    def rowsDf(rows: Seq[(Long, String)]) = {
+      import spark.implicits._
+      rows.map { case (tso, table) =>
+        val after = if (table == "hb") Map("k" -> tso.toString)
+          else Map("k" -> tso.toString, "seq" -> "1", "v" -> s"a$tso")
+        (tso, tso, "INSERT", "db", table, Map.empty[String, String],
+          after, null: String, 1700000000L)
+      }.toDF("tso", "txnId", "op", "schemaName", "tableName", "before",
+        "after", "ddl", "tsoTime")
+    }
+    def writeX(rows: Seq[(Long, String)], sid: java.util.UUID,
+        prior: GtidSet, intoDir: String, asIndex: Int): Unit = {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-cdcbinlogxr").toString
+      BinlogWire.writeChangeStreamBinlogFiles(
+        rowsDf(rows).coalesce(1).sortWithinPartitions("tso"), regX, d,
+        checksummed = true, gtidSid = Some(sid), priorExecuted = prior)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(d, "binlog.000000"),
+        java.nio.file.Paths.get(intoDir, f"binlog.$asIndex%06d"))
+      ()
+    }
+    def produce(p1: Int, p2: Int): Unit = {
+      val q = CdcBinlogX.start(spark,
+        Seq(("dn1", "localhost", p1), ("dn2", "localhost", p2)),
+        "repl", "pw", regX, out, s"$root/ckpt", s"$root/work",
+        CdcBinlogX.FanOut(streams = 2,
+          graft.operators.StreamHash.ByTable),
+        numPartitions = 2, heartbeatTables = Set(("db", "hb")),
+        trigger = Trigger.AvailableNow(), gtidSid = Some(gsid),
+        targetRowsPerFile = 1)
+      q.awaitTermination()
+    }
+    def served(body: Seq[Int] => Unit): Unit = {
+      val srvs = Seq(d1, d2).map(d =>
+        new graft.sinks.BinlogDumpServer(d, "repl", "pw"))
+      try body(srvs.map(_.port)) finally srvs.foreach(_.close())
+    }
+    def consume(i: Int, who: String): Unit = {
+      val dir = s"$out/stream-$i"
+      val targets = Seq("alpha", "beta").map(t =>
+        graft.jobs.WireReplicaJob.TableTarget("db", t,
+          Seq("k" -> "long", "seq" -> "long", "v" -> "string"),
+          Seq("k"), "seq", s"$root/target-$who-$i/$t", 2))
+      val g = new graft.sinks.BinlogDumpServer(dir, "repl", "pw")
+      try {
+        val q = CdcReplica.start(spark,
+          Seq((s"g$i", "localhost", g.port)), "repl", "pw",
+          Map(("db", "alpha") -> Seq("k", "seq", "v"),
+            ("db", "beta") -> Seq("k", "seq", "v")), targets,
+          s"$root/replica-ckpt-$who-$i", s"$root/replica-stage-$who-$i",
+          s"$root/replica-registry-$who-$i",
+          trigger = Trigger.AvailableNow())
+        q.awaitTermination()
+      } finally g.close()
+    }
+    def state(who: String, i: Int, t: String): Map[Long, String] = {
+      import spark.implicits._
+      val dir = s"$root/target-$who-$i/$t"
+      if (!new java.io.File(dir).isDirectory) Map.empty
+      else graft.operators.TxnApplier.readCurrent(spark, dir)
+        .select($"k", $"v").as[(Long, String)].collect().toMap
+    }
+
+    // epoch 1: alpha txns 1,4 / beta 2,3 across the two DNs
+    writeX(Seq((1L, "alpha"), (3L, "beta"), (11L, "hb")), sid1,
+      GtidSet.Empty, d1, 0)
+    writeX(Seq((2L, "beta"), (4L, "alpha"), (12L, "hb")), sid2,
+      GtidSet.Empty, d2, 0)
+    served { case Seq(p1, p2) => produce(p1, p2) }
+    consume(0, "A"); consume(1, "A")
+
+    // epoch 2: alpha 5 / beta 6 append to the per-stream logs
+    writeX(Seq((5L, "alpha"), (13L, "hb")), sid1,
+      GtidSet.Empty.add(sid1, 1L).add(sid1, 3L).add(sid1, 11L), d1, 1)
+    writeX(Seq((6L, "beta"), (14L, "hb")), sid2,
+      GtidSet.Empty.add(sid2, 2L).add(sid2, 4L).add(sid2, 12L), d2, 1)
+    served { case Seq(p1, p2) => produce(p1, p2) }
+
+    // which stream carries alpha? (ByTable hash — resolve by content)
+    val alphaStream = (0 until 2).find { i =>
+      BinlogWire.readBinlogFiles(spark, s"$out/stream-$i", regX)
+        .filter(col("tableName") === "alpha").limit(1).count() > 0
+    }.get
+    val betaStream = 1 - alphaStream
+    val alphaDir = s"$out/stream-$alphaStream"
+    val betaDir = s"$out/stream-$betaStream"
+
+    // per-stream retention is INDEPENDENT: the alpha stream purges its
+    // epoch-1 prefix at watermark 4; the beta stream's cleaner barrier
+    // (a consumer hold — BinlogCleaner's veto) blocks its pass entirely
+    val purgedA = graft.sinks.BinlogCatalog.purgeBefore(
+      spark, alphaDir, 4L)
+    assert(purgedA.size == 2,
+      s"alpha stream should reclaim its two epoch-1 files: $purgedA")
+    val purgedB = graft.sinks.BinlogCatalog.purgeBefore(
+      spark, betaDir, 4L, barrier = _ => false)
+    assert(purgedB.isEmpty, "a vetoing cleaner barrier must hold " +
+      "the beta stream's purge")
+    // survivors still summarize the purged history (PREVIOUS_GTIDS)
+    val execA = graft.sinks.BinlogCatalog.executedGtidSet(spark, alphaDir)
+    assert(Seq(1L, 4L, 5L).forall(execA.contains(gsid, _)),
+      s"purged-stream survivors must cover the whole history: " +
+        s"${execA.text}")
+
+    // checkpointed consumers RESUME: alpha's cursor (gsid through 4)
+    // sits at the purge boundary — auto-position serves the suffix
+    consume(alphaStream, "A"); consume(betaStream, "A")
+    val alpha = state("A", alphaStream, "alpha") ++
+      state("A", betaStream, "alpha")
+    val beta = state("A", alphaStream, "beta") ++
+      state("A", betaStream, "beta")
+    assert(alpha == Map(1L -> "a1", 4L -> "a4", 5L -> "a5"),
+      s"alpha consumer must resume past its stream's purge: $alpha")
+    assert(beta == Map(2L -> "a2", 3L -> "a3", 6L -> "a6"),
+      s"beta consumer (unpurged stream) must resume normally: $beta")
+
+    // a FRESH bootstrap on the purged stream needs the purged range —
+    // the per-stream dump server answers the loud 1236
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      consume(alphaStream, "B")
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain(ex).exists(c => Option(c.getMessage).exists(m =>
+      m.contains("purged") || m.contains("1236"))),
+      s"expected the purged-log refusal on the purged stream: " +
+        s"${ex.getMessage}")
+    // the unpurged stream still bootstraps from scratch
+    consume(betaStream, "B")
+    assert(state("B", betaStream, "beta") ==
+      Map(2L -> "a2", 3L -> "a3", 6L -> "a6"),
+      "the vetoed (unpurged) stream must bootstrap fresh consumers")
+  }
+
   test("Binlog-X ByRecord: a key's DELETE hashes to the same stream as its INSERT (before-image fallback)") {
     val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlog7")
     val out = s"$root/out"
@@ -1161,6 +1308,117 @@ class CdcBinlogSpec extends SparkSpec {
     assert(CdcBinlog.maxConcurrentStreamWrites.get() >= 2,
       "the per-stream sink writes must overlap, not run as M " +
         "sequential driver jobs")
+  }
+
+  test("SERVE-WHILE-PRODUCE: a GTID auto-position consumer polls the produced log CONCURRENTLY with production, rotation, and a killed-and-replayed batch — exactly once, total order") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlogJ")
+    val (d1, d2) = (s"$root/dn1", s"$root/dn2")
+    val out = s"$root/out"
+    Seq(d1, d2, out).foreach(d => java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(d)))
+    val gsid = java.util.UUID.fromString(
+      "0a1b2c3d-dddd-4444-3333-00000000000f")
+    def run(p1: Int, p2: Int): Unit = {
+      val q = CdcBinlog.start(spark,
+        Seq(("dn1", "localhost", p1), ("dn2", "localhost", p2)),
+        "repl", "pw", reg, out, s"$root/ckpt", s"$root/work",
+        numPartitions = 2, heartbeatTables = Set(("db", "hb")),
+        trigger = Trigger.AvailableNow(), gtidSid = Some(gsid),
+        targetRowsPerFile = 2)
+      q.awaitTermination()
+    }
+    def served(body: Seq[Int] => Unit): Unit = {
+      val srvs = Seq(d1, d2).map(d =>
+        new graft.sinks.BinlogDumpServer(d, "repl", "pw"))
+      try body(srvs.map(_.port)) finally srvs.foreach(_.close())
+    }
+    def crash(): Unit = {
+      val commits = new java.io.File(s"$root/ckpt/commits")
+      val entries = Option(commits.listFiles()).toSeq.flatten
+        .filter(_.getName.forall(_.isDigit))
+      val victim = entries.maxBy(_.getName.toInt)
+      new java.io.File(commits, s".${victim.getName}.crc").delete()
+      assert(victim.delete())
+    }
+
+    // the standing consumer: ONE dump server over the produced log for
+    // the whole test; a tight-loop GTID auto-position poller that only
+    // advances its executed set on a SUCCESSFUL drain (a poll killed
+    // by the replay window's delete/rewrite is retried from the same
+    // cursor — the server-side auto-position seek makes the retry
+    // exactly-once)
+    val outSrv = new graft.sinks.BinlogDumpServer(out, "repl", "pw")
+    val applied = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val retries = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var stop = false
+    val consumer = new Thread(() => {
+      var executed = GtidSet.Empty
+      while (!stop) {
+        try {
+          val (seg, adv, _) = graft.sources.BinlogDumpClient
+            .dumpSegmentGtidWithCursorStatus("localhost", outSrv.port,
+              "repl", "pw", executed, 777L, 5000, 1L << 16)
+          if (seg.length > 4)
+            graft.sources.ChangeEventSource
+              .toChangeEvents("g", seg, reg, tsoFromXid = false)
+              .filter(_.op == "INSERT")
+              .foreach(e => { applied.add(e.tso); () })
+          executed = adv
+        } catch {
+          case _: InterruptedException => stop = true
+          case scala.util.control.NonFatal(_) =>
+            retries.incrementAndGet(); ()
+        }
+        try Thread.sleep(10)
+        catch { case _: InterruptedException => stop = true }
+      }
+    }, "graft-serve-while-produce-consumer")
+    consumer.start()
+    try {
+      // phase 1: both DNs deliver; barrier 11 emits txns 1-4 (two
+      // rotated files under targetRowsPerFile=2)
+      writeCall(Seq((1L, "t"), (3L, "t"), (11L, "hb")), sid1,
+        GtidSet.Empty, d1, 0)
+      writeCall(Seq((2L, "t"), (4L, "t"), (12L, "hb")), sid2,
+        GtidSet.Empty, d2, 0)
+      served { case Seq(p1, p2) => run(p1, p2) }
+
+      // phase 2: txns 5,6 append (batch 1)
+      writeCall(Seq((5L, "t"), (13L, "hb")), sid1,
+        GtidSet.Empty.add(sid1, 1L).add(sid1, 3L).add(sid1, 11L), d1, 1)
+      writeCall(Seq((6L, "t"), (14L, "hb")), sid2,
+        GtidSet.Empty.add(sid2, 2L).add(sid2, 4L).add(sid2, 12L), d2, 1)
+      served { case Seq(p1, p2) => run(p1, p2) }
+
+      // kill the last checkpoint commit: phase 3's restart REPLAYS the
+      // last batch — deleting and byte-identically rewriting its
+      // binlog.<N>.* prefix while the consumer keeps polling — then
+      // processes the new data (txns 7,8) as the next batch
+      crash()
+      writeCall(Seq((7L, "t"), (15L, "hb")), sid1,
+        GtidSet.Empty.add(sid1, 1L).add(sid1, 3L).add(sid1, 5L)
+          .add(sid1, 11L).add(sid1, 13L), d1, 2)
+      writeCall(Seq((8L, "t"), (16L, "hb")), sid2,
+        GtidSet.Empty.add(sid2, 2L).add(sid2, 4L).add(sid2, 6L)
+          .add(sid2, 12L).add(sid2, 14L), d2, 2)
+      served { case Seq(p1, p2) => run(p1, p2) }
+
+      // the consumer must converge on EXACTLY the eight txns, in total
+      // TSO order, through appends + rotation + the replay window
+      val deadline = System.nanoTime() + 60_000_000_000L
+      while (applied.size < 8 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      import scala.jdk.CollectionConverters._
+      val got = applied.iterator().asScala.toSeq
+      assert(got == (1L to 8L),
+        s"serve-while-produce must deliver exactly once in total order " +
+          s"(got $got after ${retries.get()} consumer retries)")
+    } finally {
+      stop = true
+      consumer.interrupt()
+      consumer.join(10000)
+      outSrv.close()
+    }
   }
 
   test("a REPLAYED batch rewrites byte-identical files and identical holdback (crash between emit and checkpoint commit)") {
