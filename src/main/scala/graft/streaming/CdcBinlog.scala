@@ -143,8 +143,12 @@ object CdcBinlog {
   }
 
   /** One micro-batch of the production pipeline, deterministic in
-    * (source offset range, holdback stage N-1) so a replayed batch
-    * rewrites identical state and identical files. */
+    * (source offset range, holdback stage N-1, sealed decision
+    * snapshot hold/N.frontier) so a replayed batch rewrites identical
+    * state and identical files — even though the live decision
+    * function consults in-memory poll state a fresh process no longer
+    * has (the snapshot is written before the first external write and
+    * reused verbatim by replays). */
   private[streaming] def emitBatch(batch: DataFrame, batchId: Long,
       dns: Seq[String], tableCols: Map[(String, String), Seq[String]],
       heartbeatTables: Set[(String, String)],

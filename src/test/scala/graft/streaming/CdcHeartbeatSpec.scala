@@ -121,6 +121,62 @@ class CdcHeartbeatSpec extends SparkSpec {
     assert(rows.map(_.getString(2)) == Seq("10", "20"))
   }
 
+  test("LIVE integration: a ProcessingTime production query flows continuously while the scheduled producer keeps an idle DN's frontier moving") {
+    val root = java.nio.file.Files.createTempDirectory("graft-hb4")
+    val (d1, d2) = (s"$root/dn1", s"$root/dn2")
+    Seq(d1, d2).foreach(d => java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(d)))
+    val out = s"$root/out"
+    // dn1 carries txns 1-3, dn2 only txn 4 — then BOTH go quiet; only
+    // the producer's wall-clock beats (tsos ~2^43, far above any txn)
+    // advance the frontiers, so emission of every txn is exactly the
+    // liveness the producer exists to provide
+    writeTxns(Seq(1L, 2L, 3L), sid1, GtidSet.Empty, d1, 0)
+    writeTxns(Seq(4L), sid2, GtidSet.Empty, d2, 0)
+    def decoded(): Seq[Long] =
+      BinlogWire.readBinlogFiles(spark, out, reg)
+        .filter(col("op") === "INSERT")
+        .select(col("log_file"), col("tso")).collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1).map(_._2)
+
+    val srvs = Seq(d1, d2).map(d =>
+      new graft.sinks.BinlogDumpServer(d, "repl", "pw"))
+    val hb = CdcHeartbeat.start(spark,
+      Seq((d1, sid1), (d2, sid2)), periodMs = 150L)
+    val q = CdcBinlog.start(spark,
+      Seq(("dn1", "localhost", srvs(0).port),
+        ("dn2", "localhost", srvs(1).port)),
+      "repl", "pw", reg, out, s"$root/ckpt", s"$root/work",
+      numPartitions = 2, heartbeatTables = Set(hbKey),
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(100L))
+    try {
+      val deadline = System.nanoTime() + 120_000_000_000L
+      var got = Seq.empty[Long]
+      while (got != Seq(1L, 2L, 3L, 4L) &&
+          System.nanoTime() < deadline) {
+        Thread.sleep(500)
+        // the out log is being written concurrently — a mid-write read
+        // may see a truncated tail; poll, don't assert, until stop
+        got = try decoded() catch { case scala.util.control.NonFatal(_) =>
+          Seq.empty }
+      }
+    } finally {
+      q.stop()
+      hb.close()
+      srvs.foreach(_.close())
+    }
+    assert(decoded() == Seq(1L, 2L, 3L, 4L),
+      "a standing ProcessingTime production must emit every txn in " +
+        "total order with frontiers advanced ONLY by the scheduled " +
+        "heartbeat producer")
+    val tables = BinlogWire.readBinlogFiles(spark, out, reg)
+      .select(col("tableName")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(!tables.contains(CdcHeartbeat.DefaultTable))
+  }
+
   test("the scheduled producer beats on a timer with monotone wall-clock TSOs") {
     val root = java.nio.file.Files.createTempDirectory("graft-hb3")
     val d1 = s"$root/dn1"
