@@ -86,11 +86,24 @@ object CdcHeartbeat {
       priorExecuted = prior)
     val src = new org.apache.hadoop.fs.Path(tmp, "binlog.000000")
     val dst = new org.apache.hadoop.fs.Path(root, f"binlog.$nextIdx%06d")
-    // local temp → possibly-remote DN dir: copy through the FS API
-    org.apache.hadoop.fs.FileUtil.copy(
-      graft.util.HadoopIo.fsOf(src), src, fs, dst, true,
-      graft.util.HadoopIo.confFrom(graft.util.HadoopIo.confMap))
-    ()
+    // ATOMIC publish: copy to a dot-named staging file (invisible to the
+    // dump server's "binlog." prefix listing) and rename into place —
+    // an interrupted beat (scheduler shutdown mid-copy) must never
+    // leave a TORN wire file where a dump would read it
+    val staging = new org.apache.hadoop.fs.Path(root, s".${dst.getName}.tmp")
+    try {
+      org.apache.hadoop.fs.FileUtil.copy(
+        graft.util.HadoopIo.fsOf(src), src, fs, staging, false,
+        graft.util.HadoopIo.confFrom(graft.util.HadoopIo.confMap))
+      if (!fs.rename(staging, dst))
+        sys.error(s"heartbeat publish $staging -> $dst failed")
+    } finally {
+      if (fs.exists(staging)) fs.delete(staging, false)
+      // reclaim the per-beat temp dir — a scheduled producer beats for
+      // the process lifetime and must not leak one dir per beat
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      ()
+    }
   }
 
   /** The SCHEDULED producer: beat every DN in `dns` (log dir + its
