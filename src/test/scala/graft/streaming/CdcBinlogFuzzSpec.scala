@@ -130,10 +130,18 @@ class CdcBinlogFuzzSpec extends SparkSpec {
         dns.foreach { dn =>
           val mine = txns.filter(t => t._2 == dn && t._1 > lo &&
             t._1 <= hi).map(t => (t._1, "t"))
-          val hb = if (hbDns.contains(dn)) {
-            hbTso += 1; Seq((hbTso, "hb"))
-          } else Nil
-          publish(dn, mine ++ hb)
+          publish(dn, mine)
+          // heartbeats arrive through the REAL producer (CdcHeartbeat,
+          // the TsoHeartbeat analog): a separate appended wire file
+          // with its own GTID continuation — the deployment shape,
+          // now fuzzed under crash/replay/caps like everything else
+          if (hbDns.contains(dn)) {
+            hbTso += 1
+            CdcHeartbeat.beatOnce(spark, s"$root/$dn", sids(dn), hbTso,
+              schema = "db", table = "hb", keyCol = "k")
+            prior(dn) = prior(dn).add(sids(dn), hbTso)
+            fileIdx(dn) += 1
+          }
         }
         lo = hi
         withServers(drain)
