@@ -2065,6 +2065,51 @@ object SparkEntry {
           min(col("okey")).as("min_okey"),
           max(col("okey")).as("max_okey"))
         .withColumn("n_purged", lit(purged.size))
+    }),
+
+    // Dump-from-TIME positioning (oracle-checked): a wire log whose
+    // TSOs carry REAL wall-clock physical components ((T0 + okey) <<
+    // 22, the public TSO layout) is seekTime'd at T0+100ms; a file/pos
+    // dump from the returned cursor serves exactly the transactions
+    // committed at or after that instant — okeys 100..200, aggregated
+    // to DuckDB's numbers. The reference's timestamp-based position
+    // search (SearchPositionParam) end-to-end through the dump server.
+    "q113_seek_time" -> ((s, d) => {
+      import s.implicits._
+      import graft.sinks.{BinlogDumpServer, BinlogWire}
+      import graft.sinks.BinlogWire._
+      import graft.sources.{BinlogDumpClient, ChangeEventSource}
+      val t0 = 1700000000000L
+      val specs = Seq(ColSpec("l_orderkey", LongLong),
+        ColSpec("l_linenumber", Long4))
+      val rows = Tables.lineitem(s, d).filter(col("l_orderkey") <= 200)
+        .select(col("l_orderkey"), col("l_linenumber").cast("int"),
+          lit("INSERT").as("op"),
+          shiftleft(col("l_orderkey") + t0, 22).as("tso"),
+          lit(1700000000L).as("ts"))
+      val ordered = MergeSort.sortedRunsGrouped(rows, 4, Seq("tso"),
+        Seq("l_linenumber"))
+      val dir = Staged.tempDir("q113-log")
+      BinlogWire.writeTxnFramedBinlogFiles(ordered, specs, "app",
+        "lineitem", "op", "ts", "tso", dir, tsoCarrier = "sequence")
+      val (file, pos) = graft.sinks.BinlogCatalog.seekTime(s, dir,
+        t0 + 100L)
+      val srv = new BinlogDumpServer(dir, "repl", "pw")
+      try {
+        val seg = BinlogDumpClient.dumpSegment("localhost", srv.port,
+          "repl", "pw", file, pos)
+        ChangeEventSource.fromWireSegments(
+            Seq(("dn1", seg)).toDF("dn", "payload"), "dn", "payload",
+            Map(("app", "lineitem") -> specs.map(_.name)))
+          .filter(col("op") === "INSERT")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(element_at(col("after"), "l_orderkey"))
+              .as("n_txns"),
+            sum(element_at(col("after"), "l_orderkey").cast("long"))
+              .as("sum_okey"),
+            sum(element_at(col("after"), "l_linenumber").cast("long"))
+              .as("sum_line"))
+      } finally srv.close()
     })
   )
 
@@ -3153,6 +3198,14 @@ object SparkEntry {
         "CAST(min(l_orderkey) AS BIGINT) AS min_okey, " +
         "CAST(max(l_orderkey) AS BIGINT) AS max_okey, " +
         "2 AS n_purged FROM lineitem " +
-        "WHERE l_orderkey BETWEEN 100 AND 200")
+        "WHERE l_orderkey BETWEEN 100 AND 200"),
+    // q113: seekTime(T0+100ms) over tsos (T0+okey)<<22 serves exactly
+    // the txns with okey >= 100 (and the fixture caps okey at 200)
+    "q113_seek_time" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_txns, " +
+        "CAST(sum(l_orderkey) AS BIGINT) AS sum_okey, " +
+        "CAST(sum(l_linenumber) AS BIGINT) AS sum_line " +
+        "FROM lineitem WHERE l_orderkey BETWEEN 100 AND 200")
   )
 }

@@ -193,6 +193,23 @@ object BinlogCatalog {
     }.getOrElse { val (n, sz) = files.last; (n, sz) }
   }
 
+  /** Dump-from-TIME seek: the (file, offset) where a dump serving
+    * "everything committed at or after wall-clock `epochMs`" starts —
+    * the reference's timestamp-based position search
+    * (canal/core/model/SearchPositionParam resolving a start TSO for
+    * MysqlWithTsoEventParser) restated over the public TSO layout
+    * (physical milliseconds << 22, logical low bits): the first txn
+    * whose physical component is at or after `epochMs` is exactly the
+    * first txn with tso > (epochMs << 22) - 1, so this delegates to
+    * [[seekTso]] and inherits its cursor/whole-transaction contract. */
+  def seekTime(spark: SparkSession, dir: String, epochMs: Long,
+      filePrefix: String = "binlog."): (String, Long) = {
+    require(epochMs >= 0 && epochMs < (1L << 41),
+      s"epochMs $epochMs outside the 41-bit physical range of the " +
+        "TSO layout")
+    seekTso(spark, dir, (epochMs << 22) - 1, filePrefix)
+  }
+
   /** GTID auto-position seek: the (file, offset) of the first
     * transaction whose GTID is NOT in `executed` — the content-
     * addressed analog of [[seekTso]] and the start cursor a

@@ -275,6 +275,38 @@ class BinlogCatalogSpec extends SparkSpec {
     assert(BinlogCatalog.seekTso(spark, empty, 0L) == (("", 4L)))
   }
 
+  test("seekTime: wall-clock positioning over time-shaped TSOs (physical ms << 22)") {
+    // a log whose tsos carry real wall-clock physical components —
+    // three txns committed at t0, t0+1000ms, t0+5000ms
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-seektime").toString
+    val specs = Seq(ColSpec("id", LongLong), ColSpec("v", VarChar(32)))
+    val t0 = 1700000000000L
+    val tsos = Seq(t0, t0 + 1000L, t0 + 5000L).map(_ << 22)
+    val df = tsos.zipWithIndex.map { case (tso, i) =>
+        (i.toLong, s"v$i", "INSERT", tso, i.toLong)
+      }.toDF("id", "v", "op", "tso", "seq")
+      .withColumn("ts", lit(1700000000L))
+    writeTxnFramedBinlogFiles(
+      graft.operators.MergeSort.sortedRunsGrouped(df, 1,
+        Seq("tso"), Seq("seq")),
+      specs, "app", "t", "op", "ts", "tso", dir, tsoCarrier = "sequence")
+    // a time strictly before every commit → the log head; between
+    // commits → the next commit's unit; after the last → end-of-log
+    assert(BinlogCatalog.seekTime(spark, dir, t0 - 1L) ==
+      BinlogCatalog.seekTso(spark, dir, 0L))
+    assert(BinlogCatalog.seekTime(spark, dir, t0 + 1L) ==
+      BinlogCatalog.seekTso(spark, dir, tsos(1) - 1L),
+      "a time between commits must land on the NEXT txn")
+    assert(BinlogCatalog.seekTime(spark, dir, t0 + 1000L) ==
+      BinlogCatalog.seekTso(spark, dir, tsos(1) - 1L),
+      "a time exactly at a commit must serve that txn")
+    val last = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("binlog.")).maxBy(_.getName)
+    assert(BinlogCatalog.seekTime(spark, dir, t0 + 6000L) ==
+      ((last.getName, last.length())))
+  }
+
   test("seekTso over a rotate-chained GTID log starts at the txn's GTID frame") {
     // CRC32 + rotate chain + per-txn GTIDs, CTS-mark carrier: the txn
     // unit opens at the Gtid frame, and the seek must point THERE — a
