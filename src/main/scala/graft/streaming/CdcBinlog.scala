@@ -315,10 +315,19 @@ object CdcBinlog {
     // branch of a barrier-passing txn is present before it emits.
     // (A source violating the shared-CTS contract could emit a txn
     // partially; that is a data-contract breach, not a merge race.)
-    val renameSteps = registryDir.map(_ =>
-      renameStepsFromBatch(staged, reg0)).getOrElse(Seq.empty)
+    val renames = registryDir.map(_ =>
+      renameStepsFromBatch(staged, reg0))
+      .getOrElse(RenameWork(Seq.empty, Map.empty))
+    // the WRITE registry: the evolved one, plus an alias entry per
+    // table RENAMED this batch — held rows keep their ORIGINAL table
+    // name on the wire (their commits precede the rename in TSO
+    // order), and the alias maps their cells to the same column list
+    // as the new name
+    val writeReg = evolved ++ renames.tableAliases.flatMap {
+      case (o, cur) => evolved.get(cur).map(o -> _)
+    }
     val all = normalizeRenames(
-      staged.unionByName(held).filter(!isHeartbeat), renameSteps)
+      staged.unionByName(held).filter(!isHeartbeat), renames.colSteps)
       .withColumn("__commit_tso",
         max(col("tso")).over(Window.partitionBy(col("txnId"))))
     val gated = Staged.parquetStage(all, s"$workDir/gated")
@@ -437,7 +446,7 @@ object CdcBinlog {
         graft.sinks.BinlogCatalog.executedGtidSet(spark, dir))
         .getOrElse(graft.model.GtidSet.Empty)
       graft.sinks.BinlogWire.writeChangeStreamBinlogFiles(ordered,
-        evolved, dir, filePrefix = prefix, checksummed = checksummed,
+        writeReg, dir, filePrefix = prefix, checksummed = checksummed,
         gtidSid = gtidSid, priorExecuted = prior)
       ()
     }
@@ -516,35 +525,53 @@ object CdcBinlog {
     fs.delete(new Path(s"$workDir/hold/${batchId - 2}.metrics"), false)
     fs.delete(new Path(s"$workDir/hold/${batchId - 2}"), true)
     fs.delete(new Path(s"$workDir/hold/${batchId - 2}.frontier"), false)
-    // persist the evolved registry: the versioned snapshot is the NEXT
-    // batch's re-encode base (and this batch's replay anchor, above);
-    // the registryDir sidecar seeds the SOURCE's decode, where the
-    // wire's positional cells make an early save rename-safe
+    // persist the registry: the versioned snapshot is the NEXT batch's
+    // re-encode base (and this batch's replay anchor, above); the
+    // registryDir sidecar seeds the SOURCE's decode, where the wire's
+    // positional cells make an early save rename-safe. BOTH persist
+    // writeReg (evolved + table-rename aliases): a renamed table's OLD
+    // name must stay resolvable as long as pre-rename data can still
+    // surface — held rows emitting in a later batch, and lagging DNs
+    // whose segments still carry the old name (the reference's meta
+    // manager keeps historical schema for the same reason).
     registryDir.foreach { d =>
       writeRegistrySnapshot(fs,
-        new Path(s"$workDir/hold/$batchId.registry"), evolved)
+        new Path(s"$workDir/hold/$batchId.registry"), writeReg)
       fs.delete(new Path(s"$workDir/hold/${batchId - 2}.registry"), false)
-      if (evolved != reg0)
-        graft.jobs.LiveReplicaJob.saveRegistry(d, evolved)
+      if (writeReg != reg0)
+        graft.jobs.LiveReplicaJob.saveRegistry(d, writeReg)
     }
     ()
   }
 
-  /** The column-rename STEPS this batch's DDL statements introduce, in
-    * statement order: one ((schema, table), (old, new)) per applied
-    * RENAME/CHANGE COLUMN. Derived from the SAME parse that evolves
-    * the registry (BinlogWire.evolveRegistry) with the SAME legality
-    * guards and the SAME (tso, ddl) statement order, so re-keying and
-    * evolution can never disagree — unlike a base-vs-evolved
-    * positional diff, which goes silently blind the moment one ALTER
-    * both renames and adds/drops a column (arity change) and would
-    * re-encode the renamed column of held pre-DDL rows as NULL
-    * cells. Steps apply ONE AT A TIME downstream, so a row decoded
-    * between two same-batch renames (keyed by the intermediate name)
-    * re-keys correctly through the remaining steps. */
+  /** The rename work this batch's DDL statements introduce, derived
+    * from the SAME parse that evolves the registry
+    * (BinlogWire.evolveRegistry) with the SAME legality guards and the
+    * SAME (tso, ddl) statement order, so re-keying and evolution can
+    * never disagree — unlike a base-vs-evolved positional diff, which
+    * goes silently blind the moment one ALTER both renames and
+    * adds/drops a column (arity change).
+    *
+    *  - `colSteps`: ((schema, table), (old, new)) per applied
+    *    RENAME/CHANGE COLUMN, in statement order — applied ONE AT A
+    *    TIME downstream, so a row decoded between two same-batch
+    *    renames (keyed by the intermediate name) re-keys correctly
+    *    through the remaining steps. A step on a table that was
+    *    RENAMED earlier in the batch is emitted for the ORIGINAL name
+    *    too: held rows still carry it.
+    *  - `tableAliases`: original (base-registry) table key → its final
+    *    post-batch name, for tables RENAMEd this batch. Held rows KEEP
+    *    their original table name on the wire (their commit precedes
+    *    the rename in TSO order — a consumer replaying the log applies
+    *    them to the old table, THEN the rename DDL, MySQL's own
+    *    semantics); the WRITE registry instead gains an alias entry so
+    *    the re-encode can map their cells. */
+  private[streaming] final case class RenameWork(
+      colSteps: Seq[((String, String), (String, String))],
+      tableAliases: Map[(String, String), (String, String)])
+
   private[streaming] def renameStepsFromBatch(staged: DataFrame,
-      base: Map[(String, String), Seq[String]])
-      : Seq[((String, String), (String, String))] = {
+      base: Map[(String, String), Seq[String]]): RenameWork = {
     import graft.operators.DdlParser
     val spark = staged.sparkSession
     import spark.implicits._
@@ -553,8 +580,21 @@ object CdcBinlog {
       .select(col("tso").cast("long"), col("schemaName"), col("ddl"))
       .orderBy(col("tso"), col("ddl"))
       .as[(Long, String, String)].collect()
-    if (ddls.isEmpty) return Seq.empty
+    if (ddls.isEmpty) return RenameWork(Seq.empty, Map.empty)
     val steps = Seq.newBuilder[((String, String), (String, String))]
+    // original (base) key -> the name it carries NOW in the fold
+    var aliases = Map.empty[(String, String), (String, String)]
+    def originalsOf(k: (String, String)): Seq[(String, String)] =
+      aliases.collect { case (o, cur) if cur == k => o }.toSeq
+    def renameTable(from: (String, String), to: (String, String)): Unit = {
+      aliases = aliases.map { case (o, cur) =>
+        o -> (if (cur == from) to else cur)
+      }
+      // `from` itself is an original name unless an earlier rename
+      // already moved it (then the chain update above covered it)
+      if (base.contains(from) && !aliases.contains(from))
+        aliases += (from -> to)
+    }
     var reg = base
     ddls.foreach { case (_, sch, stmt) =>
       DdlParser.parse(stmt, sch) match {
@@ -564,23 +604,32 @@ object CdcBinlog {
           // single ALTER may chain, and each action's legality guard
           // must see its predecessors' effect (evolveRegistry's fold)
           var cur = reg((s2, t2))
+          val keys = (s2, t2) +: originalsOf((s2, t2))
           actions.foreach {
             case DdlParser.RenameColumn(o, n)
                 if o != n && cur.contains(o) && !cur.contains(n) =>
-              steps += (((s2, t2), (o, n)))
+              keys.foreach(k => steps += ((k, (o, n))))
               cur = cur.map(c => if (c == o) n else c)
             case DdlParser.ChangeColumn(o, cd, _, _)
                 if o != cd.name && cur.contains(o) &&
                   !cur.contains(cd.name) =>
-              steps += (((s2, t2), (o, cd.name)))
+              keys.foreach(k => steps += ((k, (o, cd.name))))
               cur = cur.map(c => if (c == o) cd.name else c)
             case _ => ()
+          }
+          actions.collectFirst { case DdlParser.RenameTo(s3, t3) =>
+            (s3.getOrElse(s2), t3)
+          }.foreach(dst => renameTable((s2, t2), dst))
+        case DdlParser.RenameTable(pairs) =>
+          pairs.foreach { case (from, to) =>
+            if (reg.contains(from)) renameTable(from, to)
           }
         case _ => ()
       }
       reg = graft.sinks.BinlogWire.evolveRegistry(reg, sch, stmt)
     }
-    steps.result()
+    RenameWork(steps.result(),
+      aliases.filter { case (o, cur) => o != cur })
   }
 
   /** Re-key renamed map entries to the evolved column names, one

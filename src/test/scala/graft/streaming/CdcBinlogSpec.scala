@@ -1041,6 +1041,72 @@ class CdcBinlogSpec extends SparkSpec {
         s"re-key through the chained steps (got $vals)")
   }
 
+  test("RENAME TABLE over held rows: held commits keep their ORIGINAL name on the wire (before the DDL), the write registry aliases them — including across batch boundaries") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlogL")
+    val out = s"$root/out"
+    val work = s"$root/work"
+    val regDir = s"$root/registry"
+    def ce(tso: Long, txn: Long, dn: String, op: String, table: String,
+        after: Map[String, String], ddl: Option[String] = None) =
+      ChangeEvent(tso, txn, dn, s"$dn:$tso", op, "db", table,
+        new java.sql.Timestamp(1700000000000L), Map.empty, after, ddl, 1L)
+    def df(rows: Seq[ChangeEvent]) = spark.createDataFrame(rows)
+      .select(ChangeEvent.schema.fieldNames.map(col): _*)
+    def emit(batchId: Long, rows: Seq[ChangeEvent]): Unit =
+      CdcBinlog.emitBatch(df(rows), batchId, Seq("dn1", "dn2"), reg,
+        Set.empty, out, work, numPartitions = 2, checksummed = false,
+        registryDir = Some(regDir))
+
+    // batch 0: dn1's txn 3 HOLDS (dn2's frontier is 1)
+    emit(0L, Seq(
+      ce(3L, 3L, "dn1", "INSERT", "t",
+        Map("k" -> "3", "seq" -> "1", "v" -> "a3")),
+      ce(1L, 1L, "dn2", "INSERT", "t",
+        Map("k" -> "1", "seq" -> "1", "v" -> "a1"))))
+
+    // batch 1: the RENAME TABLE and a post-rename row arrive on dn1 —
+    // dn2 stays silent, so DDL and rows ALL hold across this batch
+    // (the alias must survive the registry snapshot round-trip)
+    emit(1L, Seq(
+      ce(4L, 4L, "dn1", "DDL", "t", Map.empty,
+        Some("RENAME TABLE t TO t2")),
+      ce(5L, 5L, "dn1", "INSERT", "t2",
+        Map("k" -> "5", "seq" -> "1", "v" -> "b5"))))
+    assert(decodedOrder(out) == Seq(1L),
+      "nothing above dn2's frontier may emit yet")
+
+    // batch 2: heartbeats on both DNs release everything — the held
+    // pre-rename commit (tso 3) must emit under its ORIGINAL table
+    // name BEFORE the DDL, the post-rename row under the new name
+    emit(2L, Seq(
+      ce(11L, 11L, "dn1", "HEARTBEAT", "hb", Map("k" -> "11")),
+      ce(12L, 12L, "dn2", "HEARTBEAT", "hb", Map("k" -> "12"))))
+
+    // a consumer decodes with the registryDir sidecar (per-file decode
+    // cannot see another file's DDL) — which must now carry BOTH names:
+    // the renamed table AND its pre-rename alias for the held commits
+    val resumed = graft.jobs.LiveReplicaJob.resumeRegistry(regDir, reg)
+    assert(resumed.get(("db", "t")) == Some(Seq("k", "seq", "v")) &&
+      resumed.get(("db", "t2")) == Some(Seq("k", "seq", "v")),
+      s"the sidecar must alias the old name: $resumed")
+    val rows = BinlogWire.readBinlogFiles(spark, out, resumed)
+      .select(col("log_file"), col("tso"), col("op"), col("tableName"),
+        element_at(col("after"), "v").as("v"), col("ddl"))
+      .collect().toSeq.sortBy(r => (r.getString(0), r.getLong(1)))
+    val inserts = rows.filter(_.getString(2) == "INSERT")
+      .map(r => (r.getLong(1), r.getString(3), r.getString(4)))
+    assert(inserts == Seq((1L, "t", "a1"), (3L, "t", "a3"),
+      (5L, "t2", "b5")),
+      s"held pre-rename commits must keep their original table name " +
+        s"and values: $inserts")
+    assert(rows.exists(r => r.getString(2) == "DDL" &&
+      r.getString(5) == "RENAME TABLE t TO t2"))
+    // and the wire order puts the held commit BEFORE the rename DDL
+    val order = rows.filter(r => r.getLong(1) == 3L || r.getLong(1) == 4L)
+      .map(_.getLong(1))
+    assert(order == Seq(3L, 4L), s"commit/DDL wire order: $order")
+  }
+
   test("cross-DN XA: a global txn's branches share the commit TSO — held until EVERY branch's DN passes it, then emitted fused") {
     val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlogC")
     val out = s"$root/out"
