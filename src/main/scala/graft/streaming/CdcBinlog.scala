@@ -317,15 +317,16 @@ object CdcBinlog {
     // partially; that is a data-contract breach, not a merge race.)
     val renames = registryDir.map(_ =>
       renameStepsFromBatch(staged, reg0))
-      .getOrElse(RenameWork(Seq.empty, Map.empty))
+      .getOrElse(RenameWork(Seq.empty, Map.empty, Map.empty))
     // the WRITE registry: the evolved one, plus an alias entry per
     // table RENAMED this batch — held rows keep their ORIGINAL table
     // name on the wire (their commits precede the rename in TSO
     // order), and the alias maps their cells to the same column list
-    // as the new name
+    // as the new name — plus the as-of-drop column lists of tables
+    // DROPPED this batch (held pre-drop commits still emit)
     val writeReg = evolved ++ renames.tableAliases.flatMap {
       case (o, cur) => evolved.get(cur).map(o -> _)
-    }
+    } ++ (renames.retained -- evolved.keySet)
     val all = normalizeRenames(
       staged.unionByName(held).filter(!isHeartbeat), renames.colSteps)
       .withColumn("__commit_tso",
@@ -565,10 +566,16 @@ object CdcBinlog {
     *    the rename in TSO order — a consumer replaying the log applies
     *    them to the old table, THEN the rename DDL, MySQL's own
     *    semantics); the WRITE registry instead gains an alias entry so
-    *    the re-encode can map their cells. */
+    *    the re-encode can map their cells.
+    *  - `retained`: column lists of tables DROPPED this batch, as of
+    *    the drop — a held transaction committed BEFORE the drop still
+    *    emits (before the DROP DDL in wire order) and must re-encode;
+    *    without retention the evolved registry's missing key would
+    *    wedge the batch. */
   private[streaming] final case class RenameWork(
       colSteps: Seq[((String, String), (String, String))],
-      tableAliases: Map[(String, String), (String, String)])
+      tableAliases: Map[(String, String), (String, String)],
+      retained: Map[(String, String), Seq[String]])
 
   private[streaming] def renameStepsFromBatch(staged: DataFrame,
       base: Map[(String, String), Seq[String]]): RenameWork = {
@@ -580,8 +587,9 @@ object CdcBinlog {
       .select(col("tso").cast("long"), col("schemaName"), col("ddl"))
       .orderBy(col("tso"), col("ddl"))
       .as[(Long, String, String)].collect()
-    if (ddls.isEmpty) return RenameWork(Seq.empty, Map.empty)
+    if (ddls.isEmpty) return RenameWork(Seq.empty, Map.empty, Map.empty)
     val steps = Seq.newBuilder[((String, String), (String, String))]
+    var retained = Map.empty[(String, String), Seq[String]]
     // original (base) key -> the name it carries NOW in the fold
     var aliases = Map.empty[(String, String), (String, String)]
     def originalsOf(k: (String, String)): Seq[(String, String)] =
@@ -624,12 +632,15 @@ object CdcBinlog {
           pairs.foreach { case (from, to) =>
             if (reg.contains(from)) renameTable(from, to)
           }
+        case DdlParser.DropTable(ts) =>
+          ts.foreach(t => reg.get(t).foreach(cols =>
+            retained += (t -> cols)))
         case _ => ()
       }
       reg = graft.sinks.BinlogWire.evolveRegistry(reg, sch, stmt)
     }
     RenameWork(steps.result(),
-      aliases.filter { case (o, cur) => o != cur })
+      aliases.filter { case (o, cur) => o != cur }, retained)
   }
 
   /** Re-key renamed map entries to the evolved column names, one

@@ -1107,6 +1107,56 @@ class CdcBinlogSpec extends SparkSpec {
     assert(order == Seq(3L, 4L), s"commit/DDL wire order: $order")
   }
 
+  test("DROP TABLE over held rows: pre-drop commits still emit (before the DROP DDL) via the retained write-registry entry") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlogM")
+    val out = s"$root/out"
+    val work = s"$root/work"
+    val regDir = s"$root/registry"
+    def ce(tso: Long, txn: Long, dn: String, op: String, table: String,
+        after: Map[String, String], ddl: Option[String] = None) =
+      ChangeEvent(tso, txn, dn, s"$dn:$tso", op, "db", table,
+        new java.sql.Timestamp(1700000000000L), Map.empty, after, ddl, 1L)
+    def df(rows: Seq[ChangeEvent]) = spark.createDataFrame(rows)
+      .select(ChangeEvent.schema.fieldNames.map(col): _*)
+    def emit(batchId: Long, rows: Seq[ChangeEvent]): Unit =
+      CdcBinlog.emitBatch(df(rows), batchId, Seq("dn1", "dn2"), reg,
+        Set.empty, out, work, numPartitions = 2, checksummed = false,
+        registryDir = Some(regDir))
+
+    // batch 0: txn 3 holds behind dn2's frontier
+    emit(0L, Seq(
+      ce(3L, 3L, "dn1", "INSERT", "t",
+        Map("k" -> "3", "seq" -> "1", "v" -> "a3")),
+      ce(1L, 1L, "dn2", "INSERT", "t",
+        Map("k" -> "1", "seq" -> "1", "v" -> "a1"))))
+    // batch 1: the DROP arrives on dn1, dn2 silent — DDL holds too
+    // (the retained entry must survive the snapshot round-trip)
+    emit(1L, Seq(
+      ce(4L, 4L, "dn1", "DDL", "t", Map.empty,
+        Some("DROP TABLE t"))))
+    assert(decodedOrder(out) == Seq(1L))
+    // batch 2: heartbeats release the held commit AND the DROP
+    emit(2L, Seq(
+      ce(11L, 11L, "dn1", "HEARTBEAT", "hb", Map("k" -> "11")),
+      ce(12L, 12L, "dn2", "HEARTBEAT", "hb", Map("k" -> "12"))))
+
+    val rows = BinlogWire.readBinlogFiles(spark, out,
+        graft.jobs.LiveReplicaJob.resumeRegistry(regDir, reg))
+      .select(col("log_file"), col("tso"), col("op"),
+        element_at(col("after"), "v").as("v"), col("ddl"))
+      .collect().toSeq.sortBy(r => (r.getString(0), r.getLong(1)))
+    val inserts = rows.filter(_.getString(2) == "INSERT")
+      .map(r => (r.getLong(1), r.getString(3)))
+    assert(inserts == Seq((1L, "a1"), (3L, "a3")),
+      s"a commit preceding the DROP must still reach the log: $inserts")
+    assert(rows.exists(r => r.getString(2) == "DDL" &&
+      r.getString(4) == "DROP TABLE t"))
+    val order = rows.filter(r => r.getLong(1) == 3L || r.getLong(1) == 4L)
+      .map(_.getLong(1))
+    assert(order == Seq(3L, 4L),
+      s"the held commit must precede the DROP on the wire: $order")
+  }
+
   test("cross-DN XA: a global txn's branches share the commit TSO — held until EVERY branch's DN passes it, then emitted fused") {
     val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlogC")
     val out = s"$root/out"
