@@ -69,7 +69,12 @@ import graft.operators.{MergeSort, Staged}
   * block below). Force-complete recovery: a refusal names the sealed
   * barrier; the operator restarts the SAME checkpoint with
   * `sealedGapSkip=true`, which drops the sealed-out transactions,
-  * records them in `<outDir>/_GAPS/<batchId>`, and resumes.
+  * records them in `<outDir>/_GAPS/<batchId>`, and resumes. Sizing
+  * `forceCompleteAfterBatches`: the stall clock counts DIALED triggers
+  * with no frontier advance, so under a short ProcessingTime interval
+  * it runs fast in wall-clock terms — size it to several heartbeat
+  * periods' worth of triggers (a healthy DN advances at least once per
+  * period), or leave it 0 and alarm on the `heldTxns` merge metric.
   */
 object CdcBinlog {
 
