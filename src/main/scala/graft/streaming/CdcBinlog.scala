@@ -698,6 +698,33 @@ object CdcBinlog {
     }
   }
 
+  /** One DN's merge state as of a batch: its frontier (highest TSO it
+    * has ever delivered) and its force-complete stall age in dialed
+    * batches — the reference daemon's per-storage delay/stall
+    * dashboard surface (MergeMetrics + tryForceComplete state). */
+  final case class DnMergeState(frontier: Long, stallBatches: Int)
+
+  /** The sealed merge decision batch `batchId` wrote under `workDir`:
+    * the barrier plus per-DN [[DnMergeState]] — None once aged out
+    * (the work dir keeps the last two batches) or never written.
+    * Operators watch this beside [[readMergeMetrics]]: a DN whose
+    * stall age climbs toward `forceCompleteAfterBatches` is about to
+    * be sealed out; a barrier far below the max frontier names the
+    * lagging DN. */
+  def readMergeState(workDir: String, batchId: Long)
+      : Option[(Long, Map[String, DnMergeState])] = {
+    val p = new Path(s"$workDir/hold/$batchId.frontier")
+    val fs = graft.util.HadoopIo.fsOf(p)
+    if (!fs.exists(p)) None
+    else
+      try {
+        val st = readFrontiers(fs, p)
+        Some((st.barrier, st.frontiers.map { case (dn, (f, s)) =>
+          dn -> DnMergeState(f, s)
+        }))
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Batch-versioned registry snapshot — the shared saveRegistry
     * serialization (guards included) written ATOMICALLY: this file is
     * the replay's schema anchor; a truncated half-write trusted by a

@@ -133,6 +133,13 @@ class CdcBinlogSpec extends SparkSpec {
     assert(CdcBinlog.readMergeMetrics(s"$root/work", 1L) ==
       Some(CdcBinlog.MergeMetrics(11L, 2L, 0L)))
     assert(CdcBinlog.readMergeMetrics(s"$root/work", 99L).isEmpty)
+    // the per-DN merge-state surface names the lagging DN: batch 0's
+    // barrier (4) is dn2's frontier, dn1 is ahead at its heartbeat
+    assert(CdcBinlog.readMergeState(s"$root/work", 0L) ==
+      Some((4L, Map(
+        "dn1" -> CdcBinlog.DnMergeState(11L, 0),
+        "dn2" -> CdcBinlog.DnMergeState(4L, 0)))))
+    assert(CdcBinlog.readMergeState(s"$root/work", 99L).isEmpty)
   }
 
   test("in-stream rebuild DDL: held pre-DDL rows and same-batch post-DDL rows both reach the log under the evolved registry") {
