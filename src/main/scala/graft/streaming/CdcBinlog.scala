@@ -115,6 +115,16 @@ object CdcBinlog {
         !dn.exists(c => "\"\\,;=@/".contains(c) || c.isWhitespace),
         s"DN name '$dn' carries option/sidecar/path delimiters")
     }
+    // 6→12-digit pad upgrade: a pre-upgrade outDir still holds
+    // `binlog.NNNNNN.*` names, and MIXED widths break lexicographic-
+    // order-is-TSO-order (binlog.000000000002.* sorts before
+    // binlog.000001.*) — corrupting the executed-set fold, serve start
+    // and purge. Migrate before the query starts (no dump server may
+    // serve the dir during startup — same single-writer contract the
+    // production itself requires).
+    migrateLegacyBatchPads(outDir)
+    fanOut.foreach(f => (0 until f.streams).foreach(i =>
+      migrateLegacyBatchPads(s"$outDir/stream-$i")))
     val dns = endpoints.map(_._1)
     spark.readStream.format("graft-cdc")
       .option("endpoints",
@@ -294,6 +304,14 @@ object CdcBinlog {
         FrontierState(math.max(st.barrier, rawBarrier), frontiers)
       }
     val barrier = decided.barrier
+    // seal the decision BEFORE the first externally visible write —
+    // including the `_GAPS` record below: its content is replay-stable
+    // today (it depends on the PRIOR batch's sealed state, not on
+    // `decided`), but sealing first makes that invariant structural
+    // rather than incidental. Idempotent on replay (same content); a
+    // crash before this line is free to re-decide — nothing external
+    // saw the attempt.
+    writeFrontiers(fs, decisionPath, decided)
 
     val holdPrev = new Path(s"$workDir/hold/${batchId - 1}")
     val held =
@@ -328,9 +346,13 @@ object CdcBinlog {
     // name on the wire (their commits precede the rename in TSO
     // order), and the alias maps their cells to the same column list
     // as the new name — plus the as-of-drop column lists of tables
-    // DROPPED this batch (held pre-drop commits still emit)
+    // DROPPED this batch (held pre-drop commits still emit). An alias
+    // whose target was ALSO dropped this batch (RENAME t1→t2; DROP t2)
+    // resolves through the retained entry: the held pre-rename rows
+    // still carry t1 and must re-encode under t2's as-of-drop columns.
     val writeReg = evolved ++ renames.tableAliases.flatMap {
-      case (o, cur) => evolved.get(cur).map(o -> _)
+      case (o, cur) =>
+        evolved.get(cur).orElse(renames.retained.get(cur)).map(o -> _)
     } ++ (renames.retained -- evolved.keySet)
     val all = normalizeRenames(
       staged.unionByName(held).filter(!isHeartbeat), renames.colSteps)
@@ -383,9 +405,6 @@ object CdcBinlog {
             .mkString("\n"))
       }
     }
-    // seal the decision before the first externally visible write (see
-    // the snapshot comment above) — idempotent on replay (same content)
-    writeFrontiers(fs, decisionPath, decided)
     val emit = gated.filter(col("__commit_tso") <= barrier && !lateCond)
 
     // one aggregate serves two masters: the merge-metrics sidecar (the
