@@ -87,6 +87,91 @@ object CdcBinlog {
   private[streaming] val maxConcurrentStreamWrites =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** 6→12-digit pad upgrade for one log dir: every `binlog.<batch>.*`
+    * whose batch component is narrower than 12 digits (the pre-upgrade
+    * `%06d` pad, INCLUDING its silent overflow forms — a legacy
+    * batchId ≥ 1e6 formatted as 7..11 digits) renames atomically to
+    * the `%012d` name. Idempotent: a replayed startup finds nothing
+    * left to match. Absent dir is a no-op (fresh deployment).
+    *
+    * Conflict (target name already exists — only reachable from a
+    * crash window where both pad widths were written for one batch):
+    * if the two files are byte-identical the legacy one is a stale
+    * duplicate and is dropped; otherwise refuse to start loudly —
+    * guessing which copy is authoritative could serve duplicate or
+    * lost transactions.
+    */
+  /** Root-dir migration plus every stream subdir: the union of the
+    * CONFIGURED fan-out range and every `stream-*` subdir that EXISTS —
+    * a fan-out narrowed across the upgrade (say 8 → 4 streams) leaves
+    * stream-4..7 on disk, still served by consumers that bootstrapped
+    * against them; mixed widths there break the same name-order
+    * contract. Absent dirs no-op; double-visiting is harmless
+    * (migration is idempotent). */
+  private[streaming] def migrateAllLegacyBatchPads(outDir: String,
+      configuredStreamDirs: Seq[String]): Unit = {
+    migrateLegacyBatchPads(outDir)
+    val root = new Path(outDir)
+    val fs = graft.util.HadoopIo.fsOf(root)
+    val existing: Seq[String] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.matches("stream-\\d+"))
+        .map(st => s"$outDir/${st.getPath.getName}")
+    (existing ++ configuredStreamDirs).distinct
+      .foreach(migrateLegacyBatchPads)
+  }
+
+  private[streaming] def migrateLegacyBatchPads(dir: String): Unit = {
+    val root = new Path(dir)
+    val fs = graft.util.HadoopIo.fsOf(root)
+    if (!fs.exists(root)) return
+    val Legacy = """binlog\.(\d{1,11})\.(.+)""".r
+    fs.listStatus(root).foreach { st =>
+      if (st.isFile) st.getPath.getName match {
+        case Legacy(batch, rest) =>
+          val target = new Path(root, f"binlog.${batch.toLong}%012d.$rest")
+          if (!fs.exists(target))
+            graft.util.HadoopIo.renameOrFail(st.getPath, target)
+          else if (sameBytes(fs, st.getPath, target))
+            fs.delete(st.getPath, false)
+          else sys.error(s"CdcBinlog pad migration: ${st.getPath} and " +
+            s"$target both exist with different content — refusing to " +
+            "start; resolve which copy is authoritative and delete the " +
+            "other")
+        case _ => ()
+      }
+    }
+  }
+
+  private def sameBytes(fs: org.apache.hadoop.fs.FileSystem,
+      a: Path, b: Path): Boolean = {
+    if (fs.getFileStatus(a).getLen != fs.getFileStatus(b).getLen)
+      return false
+    val (ia, ib) = (fs.open(a), fs.open(b))
+    try {
+      val (ba, bb) = (new Array[Byte](65536), new Array[Byte](65536))
+      var same = true
+      var done = false
+      while (same && !done) {
+        val na = ia.read(ba)
+        if (na < 0) done = true
+        else {
+          var off = 0
+          while (same && off < na) {
+            val nb = ib.read(bb, 0, na - off)
+            if (nb <= 0 ||
+                !java.util.Arrays.equals(ba, off, off + nb, bb, 0, nb))
+              same = false
+            else off += nb
+          }
+        }
+      }
+      same
+    } finally { ia.close(); ib.close() }
+  }
+
   def start(spark: SparkSession,
       endpoints: Seq[(String, String, Int)],
       user: String, password: String,
@@ -122,9 +207,9 @@ object CdcBinlog {
     // and purge. Migrate before the query starts (no dump server may
     // serve the dir during startup — same single-writer contract the
     // production itself requires).
-    migrateLegacyBatchPads(outDir)
-    fanOut.foreach(f => (0 until f.streams).foreach(i =>
-      migrateLegacyBatchPads(s"$outDir/stream-$i")))
+    migrateAllLegacyBatchPads(outDir,
+      fanOut.toSeq.flatMap(f =>
+        (0 until f.streams).map(i => s"$outDir/stream-$i")))
     val dns = endpoints.map(_._1)
     spark.readStream.format("graft-cdc")
       .option("endpoints",
@@ -446,12 +531,21 @@ object CdcBinlog {
         "range [0, 1e12) — the name-order-is-TSO-order contract would " +
         "break")
     val prefix = f"binlog.$batchId%012d."
+    // a replay across the 6→12-digit pad upgrade must supersede files
+    // the PRE-upgrade attempt wrote for this same batch (the startup
+    // migration normally renames them first, but a crash between
+    // migration and the replayed write leaves the legacy names live) —
+    // delete both widths. The trailing '.' keeps the narrow prefix
+    // from matching a different batch's wide name (binlog.000001. does
+    // NOT prefix binlog.000001000000.*).
+    val legacyPrefix = f"binlog.$batchId%06d."
     def deleteByPrefix(dir: String): Unit = {
       val root = new Path(dir)
       val ofs = graft.util.HadoopIo.fsOf(root)
       if (ofs.exists(root))
         ofs.listStatus(root).foreach { st =>
-          if (st.isFile && st.getPath.getName.startsWith(prefix))
+          if (st.isFile && (st.getPath.getName.startsWith(prefix) ||
+              st.getPath.getName.startsWith(legacyPrefix)))
             ofs.delete(st.getPath, false)
         }
     }

@@ -1403,6 +1403,187 @@ class CdcBinlogSpec extends SparkSpec {
       "production must resume past the recorded gap")
   }
 
+  test("RENAME then DROP in ONE batch: held pre-rename rows re-encode under the target's as-of-drop columns (alias resolves through `retained`)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlogRD")
+    val (d1, d2) = (s"$root/dn1", s"$root/dn2")
+    Seq(d1, d2).foreach(d => java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(d)))
+    val out = s"$root/out"
+    val regDir = s"$root/registry"
+    def writeDf(df: org.apache.spark.sql.DataFrame,
+        wreg: Map[(String, String), Seq[String]],
+        sid: java.util.UUID, prior: GtidSet, intoDir: String,
+        asIndex: Int): Unit = {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-cdcbinlog-rd").toString
+      BinlogWire.writeChangeStreamBinlogFiles(
+        df.coalesce(1).sortWithinPartitions("tso"), wreg, d,
+        checksummed = true, gtidSid = Some(sid), priorExecuted = prior)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(d, "binlog.000000"),
+        java.nio.file.Paths.get(intoDir, f"binlog.$asIndex%06d"))
+      ()
+    }
+    def run(p1: Int, p2: Int): Unit = {
+      val q = CdcBinlog.start(spark,
+        Seq(("dn1", "localhost", p1), ("dn2", "localhost", p2)),
+        "repl", "pw", reg, out, s"$root/ckpt", s"$root/work",
+        numPartitions = 2, heartbeatTables = Set(("db", "hb")),
+        trigger = Trigger.AvailableNow(), registryDir = Some(regDir))
+      q.awaitTermination()
+    }
+    def served(body: Seq[Int] => Unit): Unit = {
+      val srvs = Seq(d1, d2).map(d =>
+        new graft.sinks.BinlogDumpServer(d, "repl", "pw"))
+      try body(srvs.map(_.port)) finally srvs.foreach(_.close())
+    }
+    val rsid1 = java.util.UUID.fromString(
+      "0a1b2c3d-bbbb-4444-3333-000000000001")
+    val rsid2 = java.util.UUID.fromString(
+      "0a1b2c3d-bbbb-4444-3333-000000000002")
+
+    // phase 1: dn1 txns 1,3 on t + hb 10; dn2 txn 2, NO heartbeat —
+    // barrier 2 emits 1,2 and HOLDS 3 (a pre-rename row on t)
+    writeDf(ev(Seq((1L, "t"), (3L, "t"), (10L, "hb"))), reg, rsid1,
+      GtidSet.Empty, d1, 0)
+    writeDf(ev(Seq((2L, "t"))), reg, rsid2, GtidSet.Empty, d2, 0)
+    served { case Seq(p1, p2) => run(p1, p2) }
+    assert(decodedOrder(out) == Seq(1L, 2L))
+
+    // phase 2, ONE batch: RENAME t→t2 (txn 4) then DROP t2 (txn 5) +
+    // hb 12 on dn1; dn2 heartbeats at 13 — barrier 12 releases held 3.
+    // The evolved registry has NEITHER t (renamed away) NOR t2
+    // (dropped); without the alias→retained fallback the re-encode of
+    // held row 3 (still keyed t) fails with "no column spec".
+    val phase2 = Seq(
+      (4L, 4L, "DDL", "db", "t", Map.empty[String, String],
+        Map.empty[String, String], "RENAME TABLE t TO t2",
+        1700000000L),
+      (5L, 5L, "DDL", "db", "t2", Map.empty[String, String],
+        Map.empty[String, String], "DROP TABLE t2", 1700000000L),
+      (12L, 12L, "INSERT", "db", "hb", Map.empty[String, String],
+        Map("k" -> "12"), null: String, 1700000000L))
+      .toDF("tso", "txnId", "op", "schemaName", "tableName", "before",
+        "after", "ddl", "tsoTime")
+    writeDf(phase2, reg, rsid1,
+      GtidSet.Empty.add(rsid1, 1L).add(rsid1, 3L).add(rsid1, 10L), d1, 1)
+    writeDf(ev(Seq((13L, "hb"))), reg, rsid2,
+      GtidSet.Empty.add(rsid2, 2L), d2, 1)
+    served { case Seq(p1, p2) => run(p1, p2) }
+
+    // held pre-rename row 3 is ON THE WIRE (original table name, its
+    // values intact), BEFORE both DDLs in TSO order
+    val rows = BinlogWire.readBinlogFiles(spark, out, reg)
+      .select(col("log_file"), col("tso"), col("op"),
+        col("tableName"), element_at(col("after"), "v").as("v"),
+        col("ddl"))
+      .collect().toSeq.sortBy(r => (r.getString(0), r.getLong(1)))
+    val inserts = rows.filter(_.getString(2) == "INSERT")
+    assert(inserts.map(_.getLong(1)) == Seq(1L, 2L, 3L))
+    assert(inserts.map(_.getString(4)) == Seq("a1", "a2", "a3"),
+      "the held pre-rename row's values were lost by the re-encode")
+    assert(inserts.map(_.getString(3)).forall(_ == "t"),
+      "held rows keep their ORIGINAL table name on the wire")
+    val ddls = rows.filter(_.getString(2) == "DDL").map(r =>
+      (r.getLong(1), r.getString(5)))
+    assert(ddls == Seq((4L, "RENAME TABLE t TO t2"),
+      (5L, "DROP TABLE t2")),
+      "both DDLs must reach the log at their TSO slots, in order")
+  }
+
+  test("sealed decision snapshot is byte-identical under replay of a _GAPS-writing batch (seal precedes every external write)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlogSI")
+    val (d1, d2) = (s"$root/dn1", s"$root/dn2")
+    Seq(d1, d2).foreach(d => java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(d)))
+    val out = s"$root/out"
+    def run(skip: Boolean)(p1: Int, p2: Int): Unit = {
+      val q = CdcBinlog.start(spark,
+        Seq(("dn1", "localhost", p1), ("dn2", "localhost", p2)),
+        "repl", "pw", reg, out, s"$root/ckpt", s"$root/work",
+        numPartitions = 2, heartbeatTables = Set(("db", "hb")),
+        trigger = Trigger.AvailableNow(),
+        forceCompleteAfterBatches = 2, sealedGapSkip = skip)
+      q.awaitTermination()
+    }
+    def served(body: Seq[Int] => Unit): Unit = {
+      val srvs = Seq(d1, d2).map(d =>
+        new graft.sinks.BinlogDumpServer(d, "repl", "pw"))
+      try body(srvs.map(_.port)) finally srvs.foreach(_.close())
+    }
+    val ssid1 = java.util.UUID.fromString(
+      "0a1b2c3d-eeee-4444-3333-000000000001")
+    val ssid2 = java.util.UUID.fromString(
+      "0a1b2c3d-eeee-4444-3333-000000000002")
+    def wc(rows: Seq[(Long, String)], sid: java.util.UUID,
+        prior: GtidSet, intoDir: String, asIndex: Int): Unit = {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-cdcbinlog-si").toString
+      BinlogWire.writeChangeStreamBinlogFiles(
+        ev(rows).coalesce(1).sortWithinPartitions("tso"), reg, d,
+        checksummed = true, gtidSid = Some(sid), priorExecuted = prior)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(d, "binlog.000000"),
+        java.nio.file.Paths.get(intoDir, f"binlog.$asIndex%06d"))
+      ()
+    }
+
+    // drive to the seal: dn2 delivers txn 1 then dies; dn1 heartbeats
+    // past the threshold — seal at 8, txns 2,3 force-released
+    wc(Seq((2L, "t"), (3L, "t"), (6L, "hb")), ssid1, GtidSet.Empty, d1, 0)
+    wc(Seq((1L, "t")), ssid2, GtidSet.Empty, d2, 0)
+    served { case Seq(p1, p2) => run(skip = false)(p1, p2) }
+    wc(Seq((7L, "hb")), ssid1,
+      GtidSet.Empty.add(ssid1, 2L).add(ssid1, 3L).add(ssid1, 6L), d1, 1)
+    served { case Seq(p1, p2) => run(skip = false)(p1, p2) }
+    wc(Seq((8L, "hb")), ssid1,
+      GtidSet.Empty.add(ssid1, 2L).add(ssid1, 3L).add(ssid1, 6L)
+        .add(ssid1, 7L), d1, 2)
+    served { case Seq(p1, p2) => run(skip = false)(p1, p2) }
+
+    // dn2 revives BELOW the seal → refusal; restart with the skip flag
+    // writes the _GAPS record for the replayed batch
+    wc(Seq((4L, "t")), ssid2, GtidSet.Empty.add(ssid2, 1L), d2, 1)
+    wc(Seq((9L, "hb")), ssid1,
+      GtidSet.Empty.add(ssid1, 2L).add(ssid1, 3L).add(ssid1, 6L)
+        .add(ssid1, 7L).add(ssid1, 8L), d1, 3)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      served { case Seq(p1, p2) => run(skip = false)(p1, p2) }
+    }
+    served { case Seq(p1, p2) => run(skip = true)(p1, p2) }
+
+    val gapFiles = Option(new java.io.File(s"$out/_GAPS").listFiles())
+      .toSeq.flatten.filterNot(_.getName.startsWith("."))
+    assert(gapFiles.nonEmpty)
+    val gapBatch = gapFiles.map(_.getName.toLong).max
+    def snap(): (Seq[Byte], Seq[Byte], Map[String, Seq[Byte]]) = (
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        s"$root/work/hold/$gapBatch.frontier")).toSeq,
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        s"$out/_GAPS/$gapBatch")).toSeq,
+      Option(new java.io.File(out).listFiles()).toSeq.flatten
+        .filter(f => f.isFile && f.getName.startsWith("binlog."))
+        .map(f => f.getName ->
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap)
+    val before = snap()
+
+    // crash-sim: drop the gap batch's checkpoint commit so the next
+    // skip-run REPLAYS it in a fresh decision context (no live poll
+    // registry state) — the sealed snapshot, the gap record and every
+    // wire byte must come back identical
+    new java.io.File(s"$root/ckpt/commits/.$gapBatch.crc").delete()
+    assert(new java.io.File(s"$root/ckpt/commits/$gapBatch").delete())
+    served { case Seq(p1, p2) => run(skip = true)(p1, p2) }
+    val after = snap()
+    assert(after._1 == before._1,
+      "the sealed decision snapshot must be byte-identical under replay")
+    assert(after._2 == before._2,
+      "the _GAPS record must be byte-identical under replay")
+    assert(after._3 == before._3,
+      "replayed wire files must be byte-identical")
+    assert(decodedOrder(out) == Seq(1L, 2L, 3L))
+  }
+
   test("Binlog-X fan-out writes the M per-stream logs concurrently (M=8): overlap observed, conservation kept") {
     val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlogG")
     val out = s"$root/out"
