@@ -87,20 +87,6 @@ object CdcBinlog {
   private[streaming] val maxConcurrentStreamWrites =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** 6→12-digit pad upgrade for one log dir: every `binlog.<batch>.*`
-    * whose batch component is narrower than 12 digits (the pre-upgrade
-    * `%06d` pad, INCLUDING its silent overflow forms — a legacy
-    * batchId ≥ 1e6 formatted as 7..11 digits) renames atomically to
-    * the `%012d` name. Idempotent: a replayed startup finds nothing
-    * left to match. Absent dir is a no-op (fresh deployment).
-    *
-    * Conflict (target name already exists — only reachable from a
-    * crash window where both pad widths were written for one batch):
-    * if the two files are byte-identical the legacy one is a stale
-    * duplicate and is dropped; otherwise refuse to start loudly —
-    * guessing which copy is authoritative could serve duplicate or
-    * lost transactions.
-    */
   /** Root-dir migration plus every stream subdir: the union of the
     * CONFIGURED fan-out range and every `stream-*` subdir that EXISTS —
     * a fan-out narrowed across the upgrade (say 8 → 4 streams) leaves
@@ -123,6 +109,20 @@ object CdcBinlog {
       .foreach(migrateLegacyBatchPads)
   }
 
+  /** 6→12-digit pad upgrade for one log dir: every `binlog.<batch>.*`
+    * whose batch component is narrower than 12 digits (the pre-upgrade
+    * `%06d` pad, INCLUDING its silent overflow forms — a legacy
+    * batchId ≥ 1e6 formatted as 7..11 digits) renames atomically to
+    * the `%012d` name. Idempotent: a replayed startup finds nothing
+    * left to match. Absent dir is a no-op (fresh deployment).
+    *
+    * Conflict (target name already exists — only reachable from a
+    * crash window where both pad widths were written for one batch):
+    * if the two files are byte-identical the legacy one is a stale
+    * duplicate and is dropped; otherwise refuse to start loudly —
+    * guessing which copy is authoritative could serve duplicate or
+    * lost transactions.
+    */
   private[streaming] def migrateLegacyBatchPads(dir: String): Unit = {
     val root = new Path(dir)
     val fs = graft.util.HadoopIo.fsOf(root)
