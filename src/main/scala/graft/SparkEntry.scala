@@ -2110,6 +2110,131 @@ object SparkEntry {
             sum(element_at(col("after"), "l_linenumber").cast("long"))
               .as("sum_line"))
       } finally srv.close()
+    }),
+
+    // Sealed-gap repair (oracle-checked): the validation-driven
+    // reconciliation loop (rpl/validation/ValidationCoordinator →
+    // reconciliation/). A replica target is missing keys 50-59 (a
+    // sealed-out gap) and stale on keys 90-99; the `_GAPS` record
+    // names the dropped txns, the source DN's own log supplies truth,
+    // and GapRepairJob converges the target scoped to EXACTLY the
+    // affected keys. Result: the repaired target equals DuckDB's
+    // per-key source state, and the per-kind repair counts match the
+    // planted divergence.
+    "q114_gap_repair" -> ((s, d) => {
+      import graft.jobs.{GapRepairJob, WireReplicaJob}
+      import graft.operators.TxnApplier
+      val reg114 = Map(("app", "t") -> Seq("k", "seq", "v"))
+      val src = Tables.lineitem(s, d).filter(col("l_orderkey") <= 99)
+        .groupBy(col("l_orderkey").cast("long").as("k"))
+        .agg(min(col("l_linenumber")).cast("long").as("vnum"))
+      // the source DN's wire log: one INSERT txn per key at tso k+1
+      val dnDir = Staged.tempDir("q114-dn")
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(dnDir))
+      val rows = src.select((col("k") + 1).as("tso"),
+        (col("k") + 1).as("txnId"), lit("INSERT").as("op"),
+        lit("app").as("schemaName"), lit("t").as("tableName"),
+        map().cast("map<string,string>").as("before"),
+        map(lit("k"), col("k").cast("string"), lit("seq"), lit("1"),
+          lit("v"), col("vnum").cast("string")).as("after"),
+        lit(null).cast("string").as("ddl"),
+        lit(1700000000L).as("tsoTime"))
+      val dtmp = Staged.tempDir("q114-wire")
+      graft.sinks.BinlogWire.writeChangeStreamBinlogFiles(
+        rows.coalesce(1).sortWithinPartitions("tso"), reg114, dtmp)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(dtmp, "binlog.000000"),
+        java.nio.file.Paths.get(dnDir, "binlog.000000"))
+      // the DIVERGED replica target: keys 50-59 never arrived, keys
+      // 90-99 hold a stale value; its position is past the seal
+      val targetDir = Staged.tempDir("q114-target")
+      val typed = src.select(col("k"), lit(1L).as("seq"),
+        col("vnum").cast("string").as("v"))
+      TxnApplier.bootstrap(
+        typed.filter(!col("k").between(50, 59))
+          .withColumn("v", when(col("k").between(90, 99), lit("-1"))
+            .otherwise(col("v"))),
+        Seq("k"), targetDir, 4, initialTso = 1000L)
+      // the _GAPS record the sealedGapSkip restart would have written
+      val outDir = Staged.tempDir("q114-out")
+      val gapDir = java.nio.file.Paths.get(outDir, "_GAPS")
+      java.nio.file.Files.createDirectories(gapDir)
+      val gapTsos = ((50L to 59L) ++ (90L to 99L)).map(_ + 1)
+      java.nio.file.Files.write(gapDir.resolve("0"),
+        (s"sealedBarrier=1000" +:
+          gapTsos.map(t => s"dn1,$t,$t")).mkString("\n")
+          .getBytes("UTF-8"))
+      val target = WireReplicaJob.TableTarget("app", "t",
+        Seq("k" -> "bigint", "seq" -> "bigint", "v" -> "string"),
+        Seq("k"), "seq", targetDir, 4)
+      val reports = GapRepairJob.repair(s, outDir,
+        Map("dn1" -> dnDir), reg114, Seq(target),
+        t => GapRepairJob.srcStateFromLogs(s, Seq(dnDir), reg114, t))
+      val r = reports.head
+      TxnApplier.readCurrent(s, targetDir)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("k")).cast("long").as("sum_k"),
+          sum(col("v").cast("long")).cast("long").as("sum_v"))
+        .withColumn("n_missing", lit(r.missing))
+        .withColumn("n_mismatched", lit(r.mismatched))
+    }),
+
+    // Backup-coupled retention (oracle-checked): purgeLocal only ever
+    // deletes what purgeRemote covers (backup/.../clean/BinlogCleaner
+    // .java:75,122). The same 4-slice log as q112: a purge attempt
+    // with NO archive is fully vetoed; a retention pass (archive →
+    // purge) then removes the two wholly-covered prefix files, and a
+    // bootstrap consumer still reads the FULL history across the
+    // purge boundary via the stitched archive+live view.
+    "q115_archived_retention" -> ((s, d) => {
+      import graft.sinks.BinlogRetention
+      val reg115 = Map(("app", "lineitem") ->
+        Seq("l_orderkey", "l_linenumber"))
+      val dir = Staged.tempDir("q115-log") + "/wirelog"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val archRoot = Staged.tempDir("q115-archive")
+      def slice(lo: Long, hi: Long, idx: Int): Unit = {
+        val rows = Tables.lineitem(s, d)
+          .filter(col("l_orderkey") >= lo && col("l_orderkey") <= hi)
+          .select((col("l_orderkey") + 1).cast("long").as("tso"),
+            (col("l_orderkey") + 1).cast("long").as("txnId"),
+            lit("INSERT").as("op"), lit("app").as("schemaName"),
+            lit("lineitem").as("tableName"),
+            map().cast("map<string,string>").as("before"),
+            map(lit("l_orderkey"), col("l_orderkey").cast("string"),
+              lit("l_linenumber"), col("l_linenumber").cast("string"))
+              .as("after"),
+            lit(null).cast("string").as("ddl"),
+            lit(1700000000L).as("tsoTime"))
+        val dtmp = Staged.tempDir(s"q115-slice$idx")
+        graft.sinks.BinlogWire.writeChangeStreamBinlogFiles(
+          rows.coalesce(1).sortWithinPartitions("tso"), reg115, dtmp)
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(dtmp, "binlog.000000"),
+          java.nio.file.Paths.get(dir, f"binlog.$idx%06d"))
+        ()
+      }
+      slice(0, 49, 0); slice(50, 99, 1)
+      slice(100, 149, 2); slice(150, 200, 3)
+      // no archive yet → the barrier vetoes every candidate
+      val vetoed = BinlogRetention.purgeArchivedBefore(s, dir, archRoot,
+        100L)
+      // archive, then purge: files 0,1 (okeys 0-99) go
+      val (_, purged) = BinlogRetention.pass(s, dir, archRoot, 100L)
+      val live = graft.sinks.BinlogWire.readBinlogFiles(s, dir, reg115)
+        .filter(col("op") === "INSERT")
+        .agg(count(lit(1)).cast("long").as("n_live"),
+          sum(element_at(col("after"), "l_orderkey").cast("long"))
+            .as("sum_live"))
+      BinlogRetention.readStitched(s, dir, archRoot, reg115)
+        .filter(col("op") === "INSERT")
+        .agg(count(lit(1)).cast("long").as("n_all"),
+          sum(element_at(col("after"), "l_orderkey").cast("long"))
+            .as("sum_all"))
+        .crossJoin(live)
+        .withColumn("n_purged", lit(purged.size))
+        .withColumn("n_vetoed", lit(vetoed.size))
     })
   )
 
@@ -3206,6 +3331,34 @@ object SparkEntry {
         "CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_txns, " +
         "CAST(sum(l_orderkey) AS BIGINT) AS sum_okey, " +
         "CAST(sum(l_linenumber) AS BIGINT) AS sum_line " +
-        "FROM lineitem WHERE l_orderkey BETWEEN 100 AND 200")
+        "FROM lineitem WHERE l_orderkey BETWEEN 100 AND 200"),
+
+    // q114: the repaired replica equals per-key source state (one row
+    // per okey <= 99, v = min line number); missing = the planted gap
+    // keys 50-59 that exist in the source, mismatched = the stale keys
+    // 90-99 that exist in the source
+    "q114_gap_repair" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(k) AS BIGINT) AS sum_k, " +
+        "CAST(sum(v) AS BIGINT) AS sum_v, " +
+        "CAST(count(CASE WHEN k BETWEEN 50 AND 59 THEN 1 END) AS BIGINT) " +
+        "AS n_missing, " +
+        "CAST(count(CASE WHEN k BETWEEN 90 AND 99 THEN 1 END) AS BIGINT) " +
+        "AS n_mismatched FROM (SELECT l_orderkey AS k, " +
+        "min(l_linenumber) AS v FROM lineitem WHERE l_orderkey <= 99 " +
+        "GROUP BY 1)"),
+
+    // q115: a no-archive purge vetoes everything (n_vetoed = 0 files
+    // purged); after the coupled pass the live log keeps okeys 100-200
+    // while the stitched archive+live view still reads ALL okeys 0-200
+    "q115_archived_retention" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS n_all, " +
+        "CAST(sum(l_orderkey) AS BIGINT) AS sum_all, " +
+        "CAST(count(CASE WHEN l_orderkey >= 100 THEN 1 END) AS BIGINT) " +
+        "AS n_live, " +
+        "CAST(sum(CASE WHEN l_orderkey >= 100 THEN l_orderkey END) " +
+        "AS BIGINT) AS sum_live, " +
+        "2 AS n_purged, 0 AS n_vetoed " +
+        "FROM lineitem WHERE l_orderkey <= 200")
   )
 }

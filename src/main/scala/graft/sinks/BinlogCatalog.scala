@@ -99,6 +99,35 @@ object BinlogCatalog {
         (acc, t) => acc.union(graft.model.GtidSet.parse(t)))
   }
 
+  /** [[executedGtidSet]] computed entirely ON THE DRIVER — same
+    * backward PREVIOUS_GTIDS walk, same suffix fold, no Spark job. For
+    * metadata-sized suffixes polled at high frequency (the heartbeat
+    * producer's per-beat executed-set check: N DNs × one beat period
+    * must not cost 2N Spark jobs); use the Spark variant when a legacy
+    * log without populated summaries forces an O(history) scan. */
+  def executedGtidSetLocal(dir: String,
+      filePrefix: String = "binlog."): graft.model.GtidSet = {
+    val all = listFiles(dir, filePrefix, allowMissing = true).map(_._1)
+    if (all.isEmpty) return graft.model.GtidSet.Empty
+    val rfs = graft.util.HadoopIo.fsOf(new org.apache.hadoop.fs.Path(dir))
+    var seed = graft.model.GtidSet.Empty
+    var found = -1
+    var i = all.size - 1
+    while (i >= 0 && found < 0) {
+      BinlogWire.readPreviousGtids(rfs,
+          new org.apache.hadoop.fs.Path(dir, all(i))) match {
+        case Some(prev) if !prev.isEmpty => found = i; seed = prev
+        case _ => i -= 1
+      }
+    }
+    all.drop(math.max(found, 0)).foldLeft(seed) { (acc, name) =>
+      val in = rfs.open(new org.apache.hadoop.fs.Path(dir, name))
+      try BinlogWire.parseStream(in).flatMap(frameGtid)
+        .foldLeft(acc) { case (a, (sid, gno)) => a.add(sid, gno) }
+      finally in.close()
+    }
+  }
+
   /** SHOW BINLOG EVENTS [IN logName] [FROM pos] [LIMIT limit] — the
     * per-event listing (CdcServer.java:119-134; MySQL's column set:
     * Log_name, Pos, Event_type, Server_id, End_log_pos, Info). With no

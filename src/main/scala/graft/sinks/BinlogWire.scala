@@ -654,6 +654,38 @@ object BinlogWire {
     * (text) → pid → the CUMULATIVE executed set strictly before that
     * partition's file (prior ∪ earlier partitions). Bounded metadata:
     * partition-count entries of interval-compact texts. */
+  /** ONE transaction (a single INSERT row) as a complete wire segment,
+    * encoded ON THE DRIVER — byte-identical to
+    * [[writeChangeStreamBinlogFiles]] over the same one-row,
+    * one-partition frame (FDE → PREVIOUS_GTIDS(prior) → GTID(gno=tso)
+    * → CTS mark → BEGIN → TABLE_MAP → WRITE_ROWS → COMMIT; the
+    * partition-end commit stamps timestamp 0, as the Spark writer
+    * does). The heartbeat producer's fast path: a beat is metadata-
+    * sized, so launching a Spark job per DN per period to frame 8
+    * events is pure scheduler overhead — N DNs beat with ZERO jobs. */
+  def singleTxnSegmentBytes(schemaName: String, tableName: String,
+      cols: Seq[String], after: Map[String, String], tso: Long,
+      gtidSid: java.util.UUID, prior: graft.model.GtidSet,
+      checksummed: Boolean = false, tsEpochSec: Long = 1700000000L,
+      serverId: Long = 1L): Array[Byte] = {
+    val specs = cols.map(c => ColSpec(c, VarChar(65535)))
+    val baos = new java.io.ByteArrayOutputStream()
+    val w = new FileWriter(baos, checksummed = checksummed)
+    w.write(formatDescription(tsEpochSec, serverId,
+      checksummed = checksummed))
+    w.write(previousGtidsEvent(tsEpochSec, serverId,
+      prevEventSets(prior.text)))
+    w.write(gtidEvent(tsEpochSec, serverId, gtidSid, gno = tso))
+    w.write(markEvent(tsEpochSec, serverId, s"CTS::$tso"))
+    w.write(beginEvent(tsEpochSec, serverId))
+    w.write(tableMap(tsEpochSec, serverId, 1L, schemaName, tableName,
+      specs))
+    w.write(rowsEvent(tsEpochSec, serverId, WriteRowsEventV2, 1L, specs,
+      Seq(rowImage(specs, cols.map(after.get)))))
+    w.write(commitEvent(0L, serverId, tso))
+    baos.toByteArray
+  }
+
   private def prefixGnoSets(perPart: Seq[(Int, String)],
       prior: graft.model.GtidSet): Map[Int, String] = {
     var acc = prior
@@ -1729,13 +1761,19 @@ object BinlogWire {
     * rows — the engine-side source over its own wire output (and any
     * checksum-off file limited to the supported event/type set). */
   def readBinlogFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
-      colNames: Map[(String, String), Seq[String]] = Map.empty)
+      colNames: Map[(String, String), Seq[String]] = Map.empty,
+      minFileName: Option[String] = None)
       : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val confMap = graft.util.HadoopIo.confMap
     val root = new org.apache.hadoop.fs.Path(dir)
+    // minFileName prunes by NAME (name order is TSO order for every
+    // writer in this library): files wholly below a seek position are
+    // never opened — the batch-reader analog of tailBinlogFiles'
+    // pruning, for seekTso/seekGtid-scoped reads over a long log
     val files = graft.util.HadoopIo.fsOf(root).listStatus(root).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("binlog."))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("binlog.") &&
+        minFileName.forall(s.getPath.getName >= _))
       .map(_.getPath.toString).sorted
     spark.createDataset(files).flatMap { path =>
       val conf = graft.util.HadoopIo.confFrom(confMap)

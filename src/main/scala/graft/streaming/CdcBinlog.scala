@@ -583,8 +583,9 @@ object CdcBinlog {
         val pkExprs = f.pkCols.map(c => coalesce(
           element_at(col("after"), c), element_at(col("before"), c)))
         val dml = emit.filter(col("op") =!= "DDL")
-          .withColumn("__stream", StreamHash.streamSeq(f.level,
-            f.streams, col("schemaName"), col("tableName"), pkExprs))
+          .withColumn("__stream", StreamHash.streamSeqWithOverrides(
+            f.level, f.streams, col("schemaName"), col("tableName"),
+            pkExprs, f.overrides))
         val streamed = Staged.parquetStage(
           dml.unionByName(
             StreamHash.broadcastToAllStreams(
@@ -907,12 +908,21 @@ object CdcBinlog {
   */
 object CdcBinlogX {
 
-  /** Fan-out spec: stream count, hash level, and (for ByRecord) the
-    * after-image keys that form the record hash. */
+  /** Fan-out spec: stream count, hash level, (for ByRecord) the
+    * after-image keys that form the record hash, and per-table stream
+    * OVERRIDES ("db.table" → fixed stream) — the reference's
+    * table-level pinning (transmit/relay/HashConfig.java:208-265), so
+    * a hot table gets its own stream while everything else hashes.
+    * A ByRecord level still pins the whole overridden table (its
+    * per-key spread yields to the pin — HashConfig's precedence). */
   final case class FanOut(streams: Int,
       level: graft.operators.StreamHash.HashLevel =
         graft.operators.StreamHash.ByTable,
-      pkCols: Seq[String] = Seq.empty)
+      pkCols: Seq[String] = Seq.empty,
+      overrides: Map[String, Int] = Map.empty) {
+    require(overrides.values.forall(s => s >= 0 && s < streams),
+      s"stream overrides must target [0, $streams): $overrides")
+  }
 
   def start(spark: SparkSession,
       endpoints: Seq[(String, String, Int)],

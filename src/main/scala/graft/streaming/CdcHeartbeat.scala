@@ -27,12 +27,14 @@ import graft.sinks.{BinlogCatalog, BinlogWire}
   * stream continuation and cumulative PREVIOUS_GTIDS, so the dump
   * protocol serves it like any user transaction.
   *
-  * Scale note: each beat is one tiny driver-side Spark action per DN.
-  * At a 1000-DN deployment the reference's shape is better — the DNs
-  * write their own heartbeats (one REPLACE each, no central writer);
-  * use this producer where the CDC side owns the DN wire logs (tests,
-  * relay topologies) and [[CdcBinlog]]'s `advanceIdleFrontiers` where
-  * touching DN logs is impossible.
+  * Scale note: a beat is pure driver-side metadata work — executed-set
+  * fold over the log's (steady-state O(1)) summary suffix, 8 framed
+  * events, one FS publish; a cycle over N DNs launches ZERO Spark
+  * jobs. At a 1000-DN deployment the reference's shape is still
+  * better — the DNs write their own heartbeats (one REPLACE each, no
+  * central writer); use this producer where the CDC side owns the DN
+  * wire logs (tests, relay topologies) and [[CdcBinlog]]'s
+  * `advanceIdleFrontiers` where touching DN logs is impossible.
   */
 object CdcHeartbeat {
 
@@ -59,7 +61,12 @@ object CdcHeartbeat {
       schema: String = DefaultSchema, table: String = DefaultTable,
       keyCol: String = "id", checksummed: Boolean = true): Unit = {
     require(tso > 0, s"heartbeat tso must be positive, got $tso")
-    val prior = BinlogCatalog.executedGtidSet(spark, dnDir)
+    // everything here is DRIVER-SIDE metadata work — the executed-set
+    // fold over the (steady-state O(1)) file suffix, 8 framed events,
+    // one FS publish. A beat cycle over N DNs launches ZERO Spark jobs;
+    // the previous shape (executed-set job + 1-row write job per DN)
+    // cost 2N scheduler round-trips per period for ~200 bytes of output.
+    val prior = BinlogCatalog.executedGtidSetLocal(dnDir)
     require(!prior.contains(sid, tso),
       s"heartbeat tso $tso already executed on $dnDir — beats must " +
         "carry fresh (monotone) TSOs")
@@ -72,36 +79,22 @@ object CdcHeartbeat {
         .flatMap(st =>
           st.getPath.getName.stripPrefix("binlog.").toLongOption)
         .maxOption.map(_ + 1L).getOrElse(0L)
-    import spark.implicits._
-    val row = Seq((tso, tso, "INSERT", schema, table,
-      Map.empty[String, String], Map(keyCol -> tso.toString),
-      null: String, 1700000000L))
-      .toDF("tso", "txnId", "op", "schemaName", "tableName", "before",
-        "after", "ddl", "tsoTime")
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft-heartbeat").toString
-    BinlogWire.writeChangeStreamBinlogFiles(
-      row.coalesce(1), Map((schema, table) -> Seq(keyCol)), tmp,
-      checksummed = checksummed, gtidSid = Some(sid),
-      priorExecuted = prior)
-    val src = new org.apache.hadoop.fs.Path(tmp, "binlog.000000")
+    val bytes = BinlogWire.singleTxnSegmentBytes(schema, table,
+      Seq(keyCol), Map(keyCol -> tso.toString), tso, sid, prior,
+      checksummed = checksummed)
     val dst = new org.apache.hadoop.fs.Path(root, f"binlog.$nextIdx%06d")
-    // ATOMIC publish: copy to a dot-named staging file (invisible to the
-    // dump server's "binlog." prefix listing) and rename into place —
-    // an interrupted beat (scheduler shutdown mid-copy) must never
+    // ATOMIC publish: write to a dot-named staging file (invisible to
+    // the dump server's "binlog." prefix listing) and rename into place
+    // — an interrupted beat (scheduler shutdown mid-write) must never
     // leave a TORN wire file where a dump would read it
     val staging = new org.apache.hadoop.fs.Path(root, s".${dst.getName}.tmp")
     try {
-      org.apache.hadoop.fs.FileUtil.copy(
-        graft.util.HadoopIo.fsOf(src), src, fs, staging, false,
-        graft.util.HadoopIo.confFrom(graft.util.HadoopIo.confMap))
+      val out = fs.create(staging, true)
+      try out.write(bytes) finally out.close()
       if (!fs.rename(staging, dst))
         sys.error(s"heartbeat publish $staging -> $dst failed")
     } finally {
       if (fs.exists(staging)) fs.delete(staging, false)
-      // reclaim the per-beat temp dir — a scheduled producer beats for
-      // the process lifetime and must not leak one dir per beat
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       ()
     }
   }

@@ -235,8 +235,18 @@ object CdcPollRegistry {
 
   /** Scheme-insensitive path identity: Spark hands the source a
     * QUALIFIED location (`file:/...`) while callers hold the raw
-    * string they passed to `checkpointLocation`. */
-  private def norm(p: String): String = new Path(p).toUri.getPath
+    * string they passed to `checkpointLocation` — which may also be
+    * RELATIVE. Qualify first (resolves against the path's FileSystem
+    * working dir, same as Spark's own resolution), then strip the
+    * scheme: without this a relative checkpointLocation would key the
+    * record under `ckpt/...` and the lookup under `/abs/ckpt/...`,
+    * silently degrading dialed-gating and advanceIdleFrontiers to
+    * their conservative fallbacks. */
+  private def norm(p: String): String = {
+    val path = new Path(p)
+    path.getFileSystem(graft.util.HadoopIo.conf)
+      .makeQualified(path).toUri.getPath
+  }
 
   private[streaming] def record(sourceCheckpointLocation: String,
       info: PollInfo): Unit = {
@@ -249,8 +259,23 @@ object CdcPollRegistry {
     * read exactly one). None when no trigger has polled in this JVM
     * (fresh process replaying a WAL batch) — callers must treat that
     * as "unknown", not "nothing dialed". */
-  def lookup(queryCheckpointDir: String): Option[PollInfo] =
-    Option(byCkpt.get(norm(queryCheckpointDir) + "/sources/0"))
+  def lookup(queryCheckpointDir: String): Option[PollInfo] = {
+    val got = Option(byCkpt.get(norm(queryCheckpointDir) + "/sources/0"))
+    // a miss with records PRESENT usually means a key-identity bug
+    // (the conservative fallback then hides it) — say so once per key
+    if (got.isEmpty && !byCkpt.isEmpty &&
+        missesNoted.add(queryCheckpointDir))
+      System.err.println(
+        s"[graft-cdc] CdcPollRegistry: no poll record for " +
+          s"'$queryCheckpointDir' (normalized '${norm(queryCheckpointDir)}" +
+          s"/sources/0'); known keys: " +
+          java.util.Collections.list(byCkpt.keys()).toArray.mkString(",") +
+          " — falling back to conservative (all-dialed) gating")
+    got
+  }
+
+  private val missesNoted =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }
 
 private[streaming] class GraftCdcMicroBatchStream(conf: CdcConf,

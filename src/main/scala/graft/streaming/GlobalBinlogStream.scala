@@ -70,6 +70,10 @@ object GlobalBinlogStream {
       transform: DataFrame => DataFrame = identity,
       continuous: Option[String] = None,
       gtidSid: Option[java.util.UUID] = None): StreamingQuery = {
+    // same pad upgrade as CdcBinlog: a pre-upgrade outDir holds 6-digit
+    // batch pads whose mixed coexistence with the wide pad breaks
+    // name-order-is-TSO-order — migrate before the query starts
+    CdcBinlog.migrateLegacyBatchPads(outDir)
     val src = spark.readStream
       .schema(sourceSchema)
       .option("maxFilesPerTrigger", 16)
@@ -86,14 +90,23 @@ object GlobalBinlogStream {
         // batch can range-partition differently (RangePartitioner sampling
         // is not stable across attempts), so files from the prior attempt
         // that the retry doesn't overwrite would survive as duplicate log
-        // segments — delete every `binlog.<batchId>.` file first so the
-        // replay fully supersedes the attempt it replaces
-        val prefix = f"binlog.$batchId%06d."
+        // segments — delete every `binlog.<batchId>.` file first (BOTH
+        // pad widths: a replay across the pad upgrade must supersede the
+        // pre-upgrade attempt's names too) so the replay fully supersedes
+        // the attempt it replaces. Wide pad + loud edge, like CdcBinlog:
+        // name order is the log's total order, so an outgrown pad would
+        // silently interleave batches.
+        require(batchId >= 0 && batchId < 1000000000000L,
+          s"GlobalBinlogStream: batchId $batchId outside the zero-padded " +
+            "file-name range [0, 1e12)")
+        val prefix = f"binlog.$batchId%012d."
+        val legacyPrefix = f"binlog.$batchId%06d."
         val root = new org.apache.hadoop.fs.Path(outDir)
         val fs = graft.util.HadoopIo.fsOf(root)
         if (fs.exists(root))
           fs.listStatus(root).foreach { st =>
-            if (st.isFile && st.getPath.getName.startsWith(prefix))
+            if (st.isFile && (st.getPath.getName.startsWith(prefix) ||
+                st.getPath.getName.startsWith(legacyPrefix)))
               fs.delete(st.getPath, false)
           }
         // wire order is COMMIT order: key each txn by its commit TSO
@@ -108,7 +121,7 @@ object GlobalBinlogStream {
           .drop("__commit_tso")
         graft.sinks.BinlogWire.writeChangeStreamBinlogFiles(
           ordered, tableCols, outDir,
-          filePrefix = f"binlog.$batchId%06d.", gtidSid = gtidSid)
+          filePrefix = prefix, gtidSid = gtidSid)
         ()
       }
       .start()

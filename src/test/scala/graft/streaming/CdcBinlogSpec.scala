@@ -1614,6 +1614,57 @@ class CdcBinlogSpec extends SparkSpec {
         "sequential driver jobs")
   }
 
+  test("Binlog-X per-table stream override: a hot table pins to its own stream (even under ByRecord), conservation and per-stream total order kept") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlogH")
+    val out = s"$root/out"
+    val regM = (0 until 3).map(i =>
+      ("db", s"t$i") -> Seq("k", "seq", "v")).toMap
+    def ce(tso: Long, table: String) =
+      ChangeEvent(tso, tso, "dn1", s"dn1:$tso", "INSERT", "db", table,
+        new java.sql.Timestamp(1700000000000L), Map.empty,
+        Map("k" -> tso.toString, "seq" -> "1", "v" -> s"a$tso"), None, 1L)
+    // t0 is the HOT table (half the rows, many distinct keys — ByRecord
+    // would spray it across all streams); t1, t2 hash normally
+    val rows = (1L to 32L).map { t =>
+      val table = if (t % 2 == 0) "t0" else if (t % 4 == 1) "t1" else "t2"
+      ce(t, table)
+    }
+    val batch = spark.createDataFrame(rows)
+      .select(ChangeEvent.schema.fieldNames.map(col): _*)
+    CdcBinlog.emitBatch(batch, 0L, Seq("dn1"), regM, Set.empty,
+      out, s"$root/work", numPartitions = 2, checksummed = false,
+      fanOut = Some(CdcBinlogX.FanOut(streams = 4,
+        graft.operators.StreamHash.ByRecord, pkCols = Seq("k"),
+        overrides = Map("db.t0" -> 3))))
+    val perStream: Map[Int, Seq[(Long, String)]] = (0 until 4).map { i =>
+      val dir = new java.io.File(s"$out/stream-$i")
+      i -> (if (!dir.isDirectory) Seq.empty
+      else BinlogWire.readBinlogFiles(spark, dir.toString, regM)
+        .filter(col("op") === "INSERT")
+        .select(col("log_file"), col("tso"), col("tableName"))
+        .collect().toSeq
+        .sortBy(r => (r.getString(0), r.getLong(1)))
+        .map(r => (r.getLong(1), r.getString(2))))
+    }.toMap
+    // every t0 row landed on the pinned stream, and ONLY there
+    val hot = perStream.view.mapValues(_.filter(_._2 == "t0")).toMap
+    assert(hot.filter(_._2.nonEmpty).keySet == Set(3),
+      s"hot table must pin to stream 3: ${hot.view.mapValues(_.size).toMap}")
+    assert(hot(3).map(_._1) == (1L to 32L).filter(_ % 2 == 0),
+      "the pinned stream must carry every hot-table row in TSO order")
+    // conservation: every row exactly once across the 4 streams
+    assert(perStream.values.flatten.map(_._1).toSeq.sorted == (1L to 32L))
+    // per-stream total order: file+decode order is ascending TSO
+    perStream.foreach { case (i, evs) =>
+      assert(evs.map(_._1) == evs.map(_._1).sorted,
+        s"stream $i broke its total order")
+    }
+    // pin invalidation is loud: an override outside [0, streams)
+    intercept[IllegalArgumentException] {
+      CdcBinlogX.FanOut(streams = 4, overrides = Map("db.t0" -> 4))
+    }
+  }
+
   test("SERVE-WHILE-PRODUCE: a GTID auto-position consumer polls the produced log CONCURRENTLY with production, rotation, and a killed-and-replayed batch — exactly once, total order") {
     val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlogJ")
     val (d1, d2) = (s"$root/dn1", s"$root/dn2")

@@ -49,6 +49,69 @@ class CdcHeartbeatSpec extends SparkSpec {
     ()
   }
 
+  test("driver-side beat framing is byte-identical to the Spark wire writer; a 16-DN beat cycle launches ZERO Spark jobs") {
+    // byte identity: the fast path must produce EXACTLY what
+    // writeChangeStreamBinlogFiles produces for the same one-row txn —
+    // dump servers, decoders and the executed-set fold see no
+    // difference between a beat and any other segment
+    val prior = GtidSet.Empty.add(sid1, 7L).add(sid2, 3L)
+    val d = java.nio.file.Files
+      .createTempDirectory("graft-hb-bytes").toString
+    val row = Seq((42L, 42L, "INSERT", "db", "hb",
+      Map.empty[String, String], Map("k" -> "42"), null: String,
+      1700000000L))
+      .toDF("tso", "txnId", "op", "schemaName", "tableName", "before",
+        "after", "ddl", "tsoTime")
+    BinlogWire.writeChangeStreamBinlogFiles(
+      row.coalesce(1), Map(("db", "hb") -> Seq("k")), d,
+      checksummed = true, gtidSid = Some(sid1), priorExecuted = prior)
+    val viaSpark = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(d, "binlog.000000"))
+    val direct = BinlogWire.singleTxnSegmentBytes("db", "hb", Seq("k"),
+      Map("k" -> "42"), 42L, sid1, prior, checksummed = true)
+    assert(direct.toSeq == viaSpark.toSeq,
+      "driver-side framing diverged from the Spark wire writer")
+
+    // O(1) (here: zero) Spark jobs for a whole 16-DN beat cycle — the
+    // producer must not cost 2N scheduler round-trips per period
+    val root = java.nio.file.Files.createTempDirectory("graft-hb16")
+    val dns = (0 until 16).map { i =>
+      val dir = s"$root/dn$i"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      (dir, java.util.UUID.fromString(
+        f"0a1b2c3d-7777-4444-3333-$i%012d"))
+    }
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // two full cycles: the second exercises the non-empty-dir path
+      // (executed-set fold over the previous beat)
+      dns.foreach { case (dir, sid) =>
+        CdcHeartbeat.beatOnce(spark, dir, sid, 100L,
+          schema = "db", table = "hb", keyCol = "k")
+      }
+      dns.foreach { case (dir, sid) =>
+        CdcHeartbeat.beatOnce(spark, dir, sid, 200L,
+          schema = "db", table = "hb", keyCol = "k")
+      }
+      Thread.sleep(1500) // listener bus is async — let events drain
+      assert(jobs.get() == 0,
+        s"a beat cycle must be driver-side metadata work, saw " +
+          s"${jobs.get()} Spark jobs for 32 beats")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the beats are REAL segments: each DN's executed set advanced
+    dns.take(2).foreach { case (dir, sid) =>
+      assert(graft.sinks.BinlogCatalog.executedGtidSetLocal(dir) ==
+        GtidSet.Empty.add(sid, 100L).add(sid, 200L))
+    }
+  }
+
   test("an idle DN kept alive by the heartbeat producer never stalls production — no force-complete involved") {
     val root = java.nio.file.Files.createTempDirectory("graft-hb1")
     val (d1, d2) = (s"$root/dn1", s"$root/dn2")
