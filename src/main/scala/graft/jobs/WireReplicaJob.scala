@@ -228,7 +228,8 @@ object WireReplicaJob {
         t.table -> TxnApplier.renameLineage(t.targetDir)): _*)
       .withDefaultValue(Map.empty)
     ddls.foreach { case (tso, defaultSchema, stmt) =>
-      DdlParser.parse(stmt, defaultSchema) match {
+      DdlParser.parseAll(stmt, defaultSchema).foreach { parsed =>
+      parsed match {
         // renaming a ROUTED TABLE refuses loudly: the decode registry
         // would follow the new name while the TableTarget still routes
         // the old one — every later row would silently stop
@@ -377,6 +378,7 @@ object WireReplicaJob {
               renameAliases(t.table))
           TxnApplier.commitDdlPosition(t.targetDir, tso)
         case _ => () // unrouted table or non-evolution statement
+      }
       }
     }
     inParallel(targets, maxParallelTables) { t =>

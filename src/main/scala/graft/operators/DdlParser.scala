@@ -134,10 +134,22 @@ object DdlParser {
         while (i + 1 < n && !(s(i) == '*' && s(i + 1) == '/')) i += 1
         i = math.min(i + 2, n)
       } else if (c == '`') {
-        val j = s.indexOf('`', i + 1)
-        val end = if (j < 0) n else j
-        out += s.substring(i + 1, end)
-        i = end + 1
+        // MySQL escapes a backtick INSIDE a quoted identifier by
+        // doubling it: `a``b` names the single identifier a`b. Ending
+        // at the first backtick would truncate the name (and strand
+        // the rest of the statement as garbage tokens) — the
+        // reference's corpus has real tables named this way
+        // (MemoryTableMetaTest's `gxw_test``backtick`)
+        val sb = new StringBuilder
+        i += 1
+        var closed = false
+        while (i < n && !closed) {
+          if (s(i) == '`') {
+            if (i + 1 < n && s(i + 1) == '`') { sb += '`'; i += 2 }
+            else { closed = true; i += 1 }
+          } else { sb += s(i); i += 1 }
+        }
+        out += sb.result()
       } else if (c == '\'' || c == '"') {
         val sb = new StringBuilder
         sb += c
@@ -194,6 +206,58 @@ object DdlParser {
   }
 
   // ---- parser ----
+
+  /** Parse a possibly MULTI-statement DDL string: top-level `;`
+    * (outside quotes, backticks and comments) separates statements,
+    * each parsed independently — the reference's MemoryTableMeta
+    * applies every statement of such a query event (its test corpus
+    * has "create table t1(...);create table t2(...)"). Single
+    * statements cost one contains() check extra. */
+  def parseAll(ddl: String, defaultSchema: String): Seq[Stmt] =
+    if (!ddl.contains(";")) Seq(parse(ddl, defaultSchema))
+    else splitStatements(ddl).map(parse(_, defaultSchema))
+
+  /** Top-level `;` split honoring the tokenizer's quote/comment rules
+    * (a `;` inside a COMMENT '…' or a quoted identifier is content). */
+  private def splitStatements(sql: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql(i)
+      if (c == ';') { out += sb.result(); sb.clear(); i += 1 }
+      else if (c == '`') {
+        sb += c; i += 1
+        var closed = false
+        while (i < n && !closed) {
+          if (sql(i) == '`') {
+            if (i + 1 < n && sql(i + 1) == '`') { sb ++= "``"; i += 2 }
+            else { sb += '`'; i += 1; closed = true }
+          } else { sb += sql(i); i += 1 }
+        }
+      } else if (c == '\'' || c == '"') {
+        sb += c; i += 1
+        while (i < n && sql(i) != c) {
+          if (sql(i) == '\\' && i + 1 < n) { sb += sql(i); i += 1 }
+          sb += sql(i); i += 1
+        }
+        if (i < n) { sb += c; i += 1 }
+      } else if (c == '-' && i + 1 < n && sql(i + 1) == '-') {
+        while (i < n && sql(i) != '\n') { sb += sql(i); i += 1 }
+      } else if (c == '#') {
+        while (i < n && sql(i) != '\n') { sb += sql(i); i += 1 }
+      } else if (c == '/' && i + 1 < n && sql(i + 1) == '*') {
+        sb ++= "/*"; i += 2
+        while (i + 1 < n && !(sql(i) == '*' && sql(i + 1) == '/')) {
+          sb += sql(i); i += 1
+        }
+        if (i + 1 < n) { sb ++= "*/"; i += 2 } else i = n
+      } else { sb += c; i += 1 }
+    }
+    out += sb.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
 
   /** Parse one DDL statement. Unparseable/irrelevant statements return Noop
     * (the reference's ignoreApplyError path: log-and-continue,
@@ -442,6 +506,14 @@ object DdlParser {
       } else if (Set("key", "index", "unique", "constraint", "foreign",
           "fulltext", "spatial", "check").contains(head)) {
         // non-column clause — no schema effect
+      } else if (isIndexClause(kw, idxs)) {
+        // PolarDB-X / MySQL index-placement modifiers before KEY/INDEX:
+        // LOCAL KEY, GLOBAL INDEX, CLUSTERED INDEX, [UNIQUE] GLOBAL …
+        // (sharding DDL; the reference's auto-partition tables carry
+        // `LOCAL KEY`). Without the lookahead, `LOCAL KEY idx (c)`
+        // reads as a phantom column named `local` of type `key`. A
+        // real column named `local` parses a TYPE next, never
+        // KEY/INDEX, so the guard cannot eat it.
       } else {
         val name = toks(idxs.head).toLowerCase
         val (tpe, rest) = parseTypeAt(toks, kw, idxs.drop(1))
@@ -454,6 +526,19 @@ object DdlParser {
       }
     }
     Some((cols.result(), pk))
+  }
+
+  /** A leading run of index-placement modifiers followed by KEY/INDEX
+    * — the PolarDB-X sharding-dialect index forms (LOCAL / GLOBAL /
+    * CLUSTERED / CLUSTERING, optionally combined with UNIQUE or
+    * VECTOR). At least one modifier must precede (bare KEY/INDEX is
+    * handled by the plain keyword sets). */
+  private def isIndexClause(kw: Vector[String], idxs: Vector[Int]): Boolean = {
+    val mods = Set("local", "global", "clustered", "clustering",
+      "unique", "vector")
+    var j = 0
+    while (j < idxs.length && mods.contains(kw(idxs(j)))) j += 1
+    j > 0 && j < idxs.length && Set("key", "index").contains(kw(idxs(j)))
   }
 
   /** Type word + optional (args) [+ unsigned/zerofill] → normalized type.
@@ -538,8 +623,7 @@ object DdlParser {
           } else if (Set("index", "key", "unique", "constraint", "foreign",
               "fulltext", "spatial", "check", "partition").contains(word(base))) {
             Seq(IgnoredAction)
-          } else if ((word(base) == "vector" &&
-              Set("index", "key").contains(word(base + 1))) ||
+          } else if (isIndexClause(kw, idxs.drop(base)) ||
               (word(base) == "system" && word(base + 1) == "versioning") ||
               (word(base) == "period" && word(base + 1) == "for")) {
             // guarded lookahead: ADD VECTOR INDEX (MySQL 9 / MariaDB

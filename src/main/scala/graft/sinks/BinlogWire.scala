@@ -1539,7 +1539,10 @@ object BinlogWire {
           cols.flatMap(c => if (c == a) Seq(c, name) else Seq(c))
         case _ => cols :+ name
       }
-    DdlParser.parse(stmt, defaultSchema) match {
+    // multi-statement query events fold EVERY statement (the
+    // reference's MemoryTableMeta applies each in order)
+    DdlParser.parseAll(stmt, defaultSchema).foldLeft(reg) {
+      (reg, parsed) => parsed match {
       case DdlParser.CreateTable(s2, t2, cols, _, _) =>
         reg.updated((s2, t2), cols.map(_.name))
       case DdlParser.AlterTable(s2, t2, actions) =>
@@ -1582,6 +1585,7 @@ object BinlogWire {
         }
       case DdlParser.DropTable(ts) => ts.foldLeft(reg)(_ - _)
       case _ => reg
+    }
     }
   }
 

@@ -724,7 +724,8 @@ object CdcBinlog {
     }
     var reg = base
     ddls.foreach { case (_, sch, stmt) =>
-      DdlParser.parse(stmt, sch) match {
+      DdlParser.parseAll(stmt, sch).foreach { parsed =>
+      parsed match {
         case DdlParser.AlterTable(s2, t2, actions)
             if reg.contains((s2, t2)) =>
           // track the table's columns through the ACTION list too — a
@@ -755,6 +756,7 @@ object CdcBinlog {
           ts.foreach(t => reg.get(t).foreach(cols =>
             retained += (t -> cols)))
         case _ => ()
+      }
       }
       reg = graft.sinks.BinlogWire.evolveRegistry(reg, sch, stmt)
     }

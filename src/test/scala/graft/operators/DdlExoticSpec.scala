@@ -345,4 +345,82 @@ class DdlExoticSpec extends SparkSpec {
     assert(parse("RENAME TABLE a TO b, c TO d", "s") ==
       RenameTable(Seq((("s", "a"), ("s", "b")), (("s", "c"), ("s", "d")))))
   }
+
+  test("multi-statement query events: every top-level ;-separated statement applies (MemoryTableMeta corpus)") {
+    assert(DdlParser.parseAll(
+      "create table t1(id int,name varchar(10),primary key(id));" +
+        "create table t2(id int,name varchar(10),primary key(id))", "s") ==
+      Seq(
+        CreateTable("s", "t1",
+          Vector(ColumnDef("id", "int"), ColumnDef("name", "string")),
+          Vector("id"), ifNotExists = false),
+        CreateTable("s", "t2",
+          Vector(ColumnDef("id", "int"), ColumnDef("name", "string")),
+          Vector("id"), ifNotExists = false)))
+    // a ';' inside COMMENT text or a quoted identifier is CONTENT
+    assert(DdlParser.parseAll(
+      "CREATE TABLE t (a INT) COMMENT='x; (DROP TABLE oops)'", "s")
+      .size == 1)
+    assert(DdlParser.parseAll("CREATE TABLE `a;b` (x INT)", "s") ==
+      Seq(CreateTable("s", "a;b", Vector(ColumnDef("x", "int")),
+        Vector(), ifNotExists = false)))
+    // the registry fold applies BOTH statements of one query event
+    val reg = graft.sinks.BinlogWire.evolveRegistry(Map.empty, "s",
+      "create table t1(id int,name varchar(10));create table t2(k int)")
+    assert(reg == Map(("s", "t1") -> Seq("id", "name"),
+      ("s", "t2") -> Seq("k")))
+  }
+
+  test("escaped backticks inside quoted identifiers (reference corpus: gxw_test``backtick)") {
+    // `a``b` names the single identifier a`b — truncating at the first
+    // backtick loses the name AND strands the tail as garbage tokens
+    // (the reference's MemoryTableMetaTest exercises exactly this)
+    assert(parse("/*drds /1.2.3.4/13e123c82c802001/null// */" +
+      "create table if not exists `gxw_test``backtick_bpzj` ( " +
+      "\t`col-minus` int, \tc2 int, " +
+      "\t_drds_implicit_id_ bigint auto_increment, " +
+      "\tprimary key (_drds_implicit_id_) )", "s") ==
+      CreateTable("s", "gxw_test`backtick_bpzj",
+        Vector(ColumnDef("col-minus", "int"), ColumnDef("c2", "int"),
+          ColumnDef("_drds_implicit_id_", "bigint")),
+        Vector("_drds_implicit_id_"), ifNotExists = true))
+    assert(parse("alter table `gxw_test``backtick_bpzj` add column c3 int",
+      "s") == AlterTable("s", "gxw_test`backtick_bpzj",
+      Seq(AddColumn(ColumnDef("c3", "int"), first = false, after = None))))
+  }
+
+  test("PolarDB-X index placement modifiers: LOCAL KEY / GLOBAL INDEX / CLUSTERED INDEX never read as columns") {
+    // auto-partition tables carry `LOCAL KEY` in their CREATE body —
+    // without the lookahead it parsed as a phantom column local:key
+    assert(parse("CREATE TABLE `t_order` ( `id` bigint(20) NOT NULL " +
+      "AUTO_INCREMENT, `order_id` varchar(20) DEFAULT NULL, " +
+      "PRIMARY KEY (`id`), LOCAL KEY `_local_i_order` (`order_id`) ) " +
+      "ENGINE = InnoDB AUTO_INCREMENT = 100002 DEFAULT CHARSET = utf8mb4",
+      "s") == CreateTable("s", "t_order",
+      Vector(ColumnDef("id", "bigint"), ColumnDef("order_id", "string")),
+      Vector("id"), ifNotExists = false))
+    assert(parse("CREATE TABLE t (a INT, GLOBAL INDEX g (a) " +
+      "DBPARTITION BY HASH(a), UNIQUE GLOBAL KEY ug (a), " +
+      "CLUSTERED INDEX ci (a))", "s") ==
+      CreateTable("s", "t", Vector(ColumnDef("a", "int")), Vector(),
+        ifNotExists = false))
+    assert(parse("ALTER TABLE t ADD GLOBAL INDEX gi (a) " +
+      "DBPARTITION BY HASH(a)", "s") ==
+      AlterTable("s", "t", Seq(IgnoredAction)))
+    assert(parse("ALTER TABLE t ADD LOCAL KEY lk (a)", "s") ==
+      AlterTable("s", "t", Seq(IgnoredAction)))
+    assert(parse("ALTER TABLE t ADD CLUSTERED INDEX ci (a), " +
+      "ADD COLUMN c INT", "s") ==
+      AlterTable("s", "t", Seq(IgnoredAction,
+        AddColumn(ColumnDef("c", "int"), first = false, after = None))))
+    // the lookahead never eats a genuine column of a modifier name: a
+    // real column parses a TYPE next, never KEY/INDEX
+    assert(parse("ALTER TABLE t ADD local INT", "s") ==
+      AlterTable("s", "t", Seq(
+        AddColumn(ColumnDef("local", "int"), first = false, after = None))))
+    assert(parse("ALTER TABLE t ADD global BIGINT", "s") ==
+      AlterTable("s", "t", Seq(
+        AddColumn(ColumnDef("global", "bigint"), first = false,
+          after = None))))
+  }
 }
