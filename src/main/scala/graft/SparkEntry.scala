@@ -2235,6 +2235,40 @@ object SparkEntry {
         .crossJoin(live)
         .withColumn("n_purged", lit(purged.size))
         .withColumn("n_vetoed", lit(vetoed.size))
+    }),
+
+    // Physical→LOGICAL DDL conversion on the produced wire
+    // (oracle-checked): sharded CREATE TABLE statements (implicit-id
+    // column + PK, DBPARTITION BY, TBPARTITIONS) write through the
+    // binlog sink with `ddlLogical` — the reference's
+    // DDLConverter.convertNormalDDL at the extractor layer — and the
+    // decoded log carries exactly the vanilla-MySQL statement DuckDB
+    // reconstructs by string concat. Zero UDFs: the conversion runs
+    // inside the wire writer's executor-side DDL branch.
+    "q116_ddl_logical" -> ((s, d) => {
+      val dir = Staged.tempDir("q116-log")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val rows = Tables.lineitem(s, d)
+        .select(col("l_orderkey").cast("long").as("k")).distinct()
+        .filter(col("k") <= 49)
+        .select((col("k") + 1).as("tso"), (col("k") + 1).as("txnId"),
+          lit("DDL").as("op"), lit("app").as("schemaName"),
+          concat(lit("t"), col("k")).as("tableName"),
+          map().cast("map<string,string>").as("before"),
+          map().cast("map<string,string>").as("after"),
+          concat(lit("CREATE TABLE `t"), col("k"),
+            lit("` (a INT, _drds_implicit_id_ bigint AUTO_INCREMENT, " +
+              "PRIMARY KEY (_drds_implicit_id_)) DBPARTITION BY " +
+              "HASH(a) TBPARTITIONS "),
+            (col("k") % 7 + 1)).as("ddl"),
+          lit(1700000000L).as("tsoTime"))
+      graft.sinks.BinlogWire.writeChangeStreamBinlogFiles(
+        rows.coalesce(1).sortWithinPartitions("tso"), Map.empty, dir,
+        ddlLogical = true)
+      graft.sinks.BinlogWire.readBinlogFiles(s, dir)
+        .filter(col("op") === "DDL")
+        .select((col("tso") - 1).as("k"), col("ddl").as("ddl_logical"))
+        .orderBy(col("k"))
     })
   )
 
@@ -3359,6 +3393,15 @@ object SparkEntry {
         "CAST(sum(CASE WHEN l_orderkey >= 100 THEN l_orderkey END) " +
         "AS BIGINT) AS sum_live, " +
         "2 AS n_purged, 0 AS n_vetoed " +
-        "FROM lineitem WHERE l_orderkey <= 200")
+        "FROM lineitem WHERE l_orderkey <= 200"),
+
+    // q116: the logical statement is the physical one minus the
+    // implicit id + its PK and every sharding clause — reconstructable
+    // as a plain string
+    "q116_ddl_logical" ->
+      ("SELECT CAST(k AS BIGINT) AS k, " +
+        "'CREATE TABLE `t' || CAST(k AS VARCHAR) || '` (a INT)' " +
+        "AS ddl_logical FROM (SELECT DISTINCT l_orderkey AS k " +
+        "FROM lineitem WHERE l_orderkey <= 49) ORDER BY k")
   )
 }

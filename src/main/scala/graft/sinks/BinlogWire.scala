@@ -1177,7 +1177,8 @@ object BinlogWire {
       gtidSid: Option[java.util.UUID] = None,
       rotateChain: Boolean = false,
       serverIdCol: Option[String] = None,
-      priorExecuted: graft.model.GtidSet = graft.model.GtidSet.Empty): Int = {
+      priorExecuted: graft.model.GtidSet = graft.model.GtidSet.Empty,
+      ddlLogical: Boolean = false): Int = {
     val tableIds: Map[(String, String), Long] =
       tableCols.keys.toSeq.sorted.zipWithIndex
         .map { case (k, i) => k -> (i + 1L) }.toMap
@@ -1283,9 +1284,15 @@ object BinlogWire {
             }
             val op = r.getAs[String](opCol)
             if (op == "DDL") {
-              // DDL travels as statement text, not a row image
-              val stmt = if (!hasDdlCol) ""
+              // DDL travels as statement text, not a row image. With
+              // `ddlLogical` the PHYSICAL (sharding-dialect) statement
+              // converts to vanilla MySQL on its way to the wire
+              // (DDLConverter.convertNormalDDL at the extractor layer)
+              // — plain executor-side Scala, no UDF in any plan
+              val stmt0 = if (!hasDdlCol) ""
                 else Option(r.getAs[String]("ddl")).getOrElse("")
+              val stmt = if (ddlLogical && stmt0.nonEmpty)
+                graft.operators.DdlConvert.toLogicalDdl(stmt0) else stmt0
               w.write(ddlEvent(ts, sid, r.getAs[String](schemaCol), stmt))
             } else {
             val key = (r.getAs[String](schemaCol), r.getAs[String](tableCol))

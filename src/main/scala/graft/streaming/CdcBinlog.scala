@@ -191,7 +191,8 @@ object CdcBinlog {
       targetRowsPerFile: Int = 0,
       fanOut: Option[CdcBinlogX.FanOut] = None,
       advanceIdleFrontiers: Boolean = false,
-      sealedGapSkip: Boolean = false): StreamingQuery = {
+      sealedGapSkip: Boolean = false,
+      convertDdl: Boolean = false): StreamingQuery = {
     // the frontier sidecar is ';'/'='/','-delimited and the source's
     // options reuse '@'/';' — refuse DN names that would corrupt
     // either (the CdcReplica.start / saveRegistry guard family)
@@ -235,7 +236,7 @@ object CdcBinlog {
           forceCompleteAfterBatches, gtidSid, targetRowsPerFile, fanOut,
           queryCheckpointDir = Some(checkpointDir),
           advanceIdleFrontiers = advanceIdleFrontiers,
-          sealedGapSkip = sealedGapSkip)
+          sealedGapSkip = sealedGapSkip, convertDdl = convertDdl)
         ()
       }
       .trigger(trigger)
@@ -261,7 +262,8 @@ object CdcBinlog {
       fanOut: Option[CdcBinlogX.FanOut] = None,
       queryCheckpointDir: Option[String] = None,
       advanceIdleFrontiers: Boolean = false,
-      sealedGapSkip: Boolean = false): Unit = {
+      sealedGapSkip: Boolean = false,
+      convertDdl: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val fs = graft.util.HadoopIo.fsOf(new Path(workDir))
 
@@ -566,7 +568,8 @@ object CdcBinlog {
         .getOrElse(graft.model.GtidSet.Empty)
       graft.sinks.BinlogWire.writeChangeStreamBinlogFiles(ordered,
         writeReg, dir, filePrefix = prefix, checksummed = checksummed,
-        gtidSid = gtidSid, priorExecuted = prior)
+        gtidSid = gtidSid, priorExecuted = prior,
+        ddlLogical = convertDdl)
       ()
     }
     fanOut match {
@@ -945,7 +948,8 @@ object CdcBinlogX {
       gtidSid: Option[java.util.UUID] = None,
       targetRowsPerFile: Int = 0,
       advanceIdleFrontiers: Boolean = false,
-      sealedGapSkip: Boolean = false): StreamingQuery = {
+      sealedGapSkip: Boolean = false,
+      convertDdl: Boolean = false): StreamingQuery = {
     require(fanOut.streams > 0, "fanOut.streams must be positive")
     CdcBinlog.start(spark, endpoints, user, password, tableCols,
       outDir, checkpointDir, workDir, numPartitions, heartbeatTables,
@@ -953,6 +957,6 @@ object CdcBinlogX {
       checksummed, registryDir, forceCompleteAfterBatches, gtidSid,
       targetRowsPerFile, fanOut = Some(fanOut),
       advanceIdleFrontiers = advanceIdleFrontiers,
-      sealedGapSkip = sealedGapSkip)
+      sealedGapSkip = sealedGapSkip, convertDdl = convertDdl)
   }
 }

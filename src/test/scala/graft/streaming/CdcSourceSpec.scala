@@ -17,6 +17,22 @@ import graft.sinks.BinlogWire
   * alone — every restart passes no cursor at all, and the failover
   * repoint is just fresh endpoint options under the same checkpoint. */
 class CdcSourceSpec extends SparkSpec {
+
+  test("CdcPollRegistry key identity survives RELATIVE checkpoint paths (qualified both sides)") {
+    spark // force session init so HadoopIo.conf resolves consistently
+    val cwd = new java.io.File(".").getCanonicalPath
+    val info = CdcPollRegistry.PollInfo(Set("dnA"), Set("dnA"))
+    // Spark hands the SOURCE a qualified location; the caller may hold
+    // the raw relative string it passed as checkpointLocation
+    CdcPollRegistry.record(s"file:$cwd/ckpt-rel-pr17/sources/0", info)
+    assert(CdcPollRegistry.lookup("ckpt-rel-pr17").contains(info),
+      "a relative query checkpoint dir must find the qualified record")
+    // and the reverse orientation
+    val info2 = CdcPollRegistry.PollInfo(Set("dnB"), Set.empty)
+    CdcPollRegistry.record("ckpt-rel-pr17b/sources/0", info2)
+    assert(CdcPollRegistry.lookup(s"file:$cwd/ckpt-rel-pr17b")
+      .contains(info2))
+  }
   import spark.implicits._
 
   private val sid = java.util.UUID.fromString(
