@@ -101,8 +101,10 @@ class GapRepairJobSpec extends SparkSpec {
         .add(sid1, 7L), d1, 2)
     served { case Seq(p1, p2) => produce(skip = false)(p1, p2) }
 
-    // dn2 revives BELOW the seal with an INSERT (new key 4) and an
-    // UPDATE (key 1 → z1): refusal, then skip-restart drops+records both
+    // dn2 revives BELOW the seal with an INSERT (new key 4), an
+    // UPDATE (key 1 → z1) and a DELETE (key 2): refusal, then the
+    // skip-restart drops+records all three — one sealed-out txn per
+    // reconciliation kind (missing / mismatched / orphan)
     val revived = Seq(
       (4L, 4L, "INSERT", "db", "t", Map.empty[String, String],
         Map("k" -> "4", "seq" -> "1", "v" -> "a4"), null: String,
@@ -110,7 +112,10 @@ class GapRepairJobSpec extends SparkSpec {
       (5L, 5L, "UPDATE", "db", "t",
         Map("k" -> "1", "seq" -> "1", "v" -> "a1"),
         Map("k" -> "1", "seq" -> "2", "v" -> "z1"), null: String,
-        1700000000L))
+        1700000000L),
+      (6L, 6L, "DELETE", "db", "t",
+        Map("k" -> "2", "seq" -> "1", "v" -> "a2"),
+        Map.empty[String, String], null: String, 1700000000L))
       .toDF("tso", "txnId", "op", "schemaName", "tableName", "before",
         "after", "ddl", "tsoTime")
     writeDf(revived, sid2, GtidSet.Empty.add(sid2, 1L), d2, 1)
@@ -122,7 +127,7 @@ class GapRepairJobSpec extends SparkSpec {
     }
     served { case Seq(p1, p2) => produce(skip = true)(p1, p2) }
 
-    // the replica consumes the (gapped) log: txns 4,5 never reach it
+    // the replica consumes the (gapped) log: txns 4,5,6 never reach it
     consume()
     assert(state() == Map(1L -> "a1", 2L -> "a2", 3L -> "a3"),
       "the sealed-out txns must be absent — that divergence is the bug " +
@@ -130,7 +135,8 @@ class GapRepairJobSpec extends SparkSpec {
 
     val pending = GapRepairJob.readGaps(spark, out)
     assert(pending.nonEmpty && pending.flatMap(_.entries)
-      .map(e => (e._1, e._3)).toSet == Set(("dn2", 4L), ("dn2", 5L)))
+      .map(e => (e._1, e._3)).toSet ==
+      Set(("dn2", 4L), ("dn2", 5L), ("dn2", 6L)))
     val gapBatch = pending.map(_.batchId).max
 
     // REPAIR: scope from the gap record, source truth from the DN logs
@@ -139,12 +145,12 @@ class GapRepairJobSpec extends SparkSpec {
       Seq(target),
       t => GapRepairJob.srcStateFromLogs(spark, Seq(d1, d2), reg, t))
     assert(reports == Seq(GapRepairJob.TableRepair("db", "t",
-      affectedKeys = 2, missing = 1, orphans = 0, mismatched = 1)),
+      affectedKeys = 3, missing = 1, orphans = 1, mismatched = 1)),
       s"got $reports")
 
-    // the replica CONVERGED: key 4 inserted, key 1 updated to z1
-    assert(state() ==
-      Map(1L -> "z1", 2L -> "a2", 3L -> "a3", 4L -> "a4"))
+    // the replica CONVERGED: key 4 inserted, key 1 updated to z1,
+    // key 2 (deleted at the source) erased
+    assert(state() == Map(1L -> "z1", 3L -> "a3", 4L -> "a4"))
     // checksum-level convergence against full source truth
     val src = GapRepairJob.srcStateFromLogs(spark, Seq(d1, d2), reg,
       target)

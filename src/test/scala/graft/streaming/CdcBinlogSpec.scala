@@ -1491,6 +1491,65 @@ class CdcBinlogSpec extends SparkSpec {
       "both DDLs must reach the log at their TSO slots, in order")
   }
 
+  test("convertDdl: the live production re-emits sharded DDL as vanilla MySQL (DDLConverter.convertNormalDDL at the extractor hop)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlogCV")
+    val (d1, d2) = (s"$root/dn1", s"$root/dn2")
+    Seq(d1, d2).foreach(d => java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(d)))
+    val out = s"$root/out"
+    val csid1 = java.util.UUID.fromString(
+      "0a1b2c3d-cafe-4444-3333-000000000001")
+    val csid2 = java.util.UUID.fromString(
+      "0a1b2c3d-cafe-4444-3333-000000000002")
+    val physical = "CREATE TABLE `t2` (a INT, _drds_implicit_id_ " +
+      "bigint AUTO_INCREMENT, PRIMARY KEY (_drds_implicit_id_)) " +
+      "DBPARTITION BY HASH(a)"
+    val phase1 = Seq(
+      (1L, 1L, "INSERT", "db", "t", Map.empty[String, String],
+        Map("k" -> "1", "seq" -> "1", "v" -> "a1"), null: String,
+        1700000000L),
+      (2L, 2L, "DDL", "db", "t2", Map.empty[String, String],
+        Map.empty[String, String], physical, 1700000000L),
+      (10L, 10L, "INSERT", "db", "hb", Map.empty[String, String],
+        Map("k" -> "10"), null: String, 1700000000L))
+      .toDF("tso", "txnId", "op", "schemaName", "tableName", "before",
+        "after", "ddl", "tsoTime")
+    def writeDf(df: org.apache.spark.sql.DataFrame, sid: java.util.UUID,
+        intoDir: String): Unit = {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-cdcbinlog-cv").toString
+      BinlogWire.writeChangeStreamBinlogFiles(
+        df.coalesce(1).sortWithinPartitions("tso"), reg, d,
+        checksummed = true, gtidSid = Some(sid),
+        priorExecuted = GtidSet.Empty)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(d, "binlog.000000"),
+        java.nio.file.Paths.get(intoDir, "binlog.000000"))
+      ()
+    }
+    writeDf(phase1, csid1, d1)
+    writeDf(ev(Seq((11L, "hb"))), csid2, d2)
+    val srvs = Seq(d1, d2).map(d =>
+      new graft.sinks.BinlogDumpServer(d, "repl", "pw"))
+    try {
+      val q = CdcBinlog.start(spark,
+        Seq(("dn1", "localhost", srvs(0).port),
+          ("dn2", "localhost", srvs(1).port)),
+        "repl", "pw", reg, out, s"$root/ckpt", s"$root/work",
+        numPartitions = 2, heartbeatTables = Set(("db", "hb")),
+        trigger = Trigger.AvailableNow(), convertDdl = true)
+      q.awaitTermination()
+    } finally srvs.foreach(_.close())
+    val rows = BinlogWire.readBinlogFiles(spark, out, reg)
+      .select(col("tso"), col("op"), col("ddl")).collect().toSeq
+      .sortBy(_.getLong(0))
+    assert(rows.filter(_.getString(1) == "INSERT").map(_.getLong(0)) ==
+      Seq(1L))
+    val ddls = rows.filter(_.getString(1) == "DDL").map(_.getString(2))
+    assert(ddls == Seq("CREATE TABLE `t2` (a INT)"),
+      s"the produced log must carry the LOGICAL statement, got $ddls")
+  }
+
   test("sealed decision snapshot is byte-identical under replay of a _GAPS-writing batch (seal precedes every external write)") {
     val root = java.nio.file.Files.createTempDirectory("graft-cdcbinlogSI")
     val (d1, d2) = (s"$root/dn1", s"$root/dn2")
