@@ -29,6 +29,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object BinlogRetention {
 
+  /** Retention orders by NAME; a dir caught mid-pad-upgrade (both
+    * `binlog.NNNNNN.*` and `binlog.<12-digit>.*` present) name-sorts
+    * WRONG (the wide names of early batches sort below narrow names of
+    * later ones), so "finished prefix" and "purge prefix" would both
+    * lie. The producing query migrates at startup; retention — a
+    * separate job that does not own the dir — must refuse instead of
+    * guessing. */
+  private def refuseMixedPads(names: Seq[String], dir: String): Unit = {
+    val narrow = names.exists(_.matches("""binlog\.\d{1,11}\..*"""))
+    val wide = names.exists(_.matches("""binlog\.\d{12}\..*"""))
+    require(!(narrow && wide),
+      s"BinlogRetention: $dir holds MIXED batch pad widths (a pad " +
+        "upgrade is in flight) — name order is unreliable; start the " +
+        "producing query once to migrate, then retry retention")
+  }
+
   /** Archive every FINISHED local file (all but the newest name — the
     * active head) that the archive does not already hold at the right
     * length. Returns the newly archived names. The copy fans out as one
@@ -43,6 +59,7 @@ object BinlogRetention {
       .filter(st => st.isFile && st.getPath.getName.startsWith(filePrefix))
       .map(st => (st.getPath.getName, st.getLen))
       .sortBy(_._1)
+    refuseMixedPads(local.map(_._1), dir)
     if (local.size <= 1) return Seq.empty // nothing finished yet
     val finished = local.dropRight(1)
     val dstDir = new Path(archiveRoot, src.getName)
@@ -110,6 +127,11 @@ object BinlogRetention {
       else dstFs.listStatus(dstDir).toSeq.filter(_.isFile)
         .map(st => st.getPath.getName -> st.getLen).toMap
     val srcFs = graft.util.HadoopIo.fsOf(src)
+    if (srcFs.exists(src))
+      refuseMixedPads(srcFs.listStatus(src).toSeq
+        .filter(st => st.isFile &&
+          st.getPath.getName.startsWith(filePrefix))
+        .map(_.getPath.getName), dir)
     BinlogCatalog.purgeBefore(spark, dir, tso, filePrefix,
       barrier = name =>
         try have.get(name)

@@ -143,6 +143,20 @@ class BinlogRetentionSpec extends SparkSpec {
     // boundary: archived prefix + live suffix, nothing lost, total order
     assert(decodedOrder(BinlogRetention.readStitched(spark, out, arch,
       reg)) == (1L to 6L))
+
+    // MIXED pad widths (a pad upgrade in flight) make name order lie —
+    // retention must refuse loudly, never guess a purge prefix
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "binlog.000001.000000"),
+      "legacy".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      BinlogRetention.archiveFinished(spark, out, arch)
+    }
+    intercept[IllegalArgumentException] {
+      BinlogRetention.purgeArchivedBefore(spark, out, arch, 99L)
+    }
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(out, "binlog.000001.000000"))
   }
 
   test("LIVE: retention passes race a standing ProcessingTime production — no unarchived file is ever purged, history stays complete") {

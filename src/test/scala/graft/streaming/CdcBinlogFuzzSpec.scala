@@ -116,8 +116,25 @@ class CdcBinlogFuzzSpec extends SparkSpec {
           }
         }
       }
+      // the 6→12-digit pad UPGRADE mid-history: rename every produced
+      // file back to the legacy narrow pad (as if written pre-upgrade);
+      // the next drain must migrate them and, when the downgrade rides
+      // a crash window, the replay must supersede BOTH widths — the
+      // total-order oracle below catches any duplicate or lost txn
+      def simulatePadDowngrade(): Unit =
+        Option(new java.io.File(out).listFiles()).toSeq.flatten
+          .filter(f => f.isFile &&
+            f.getName.matches("""binlog\.\d{12}\..*"""))
+          .foreach { f =>
+            val narrow = f.getName.replaceFirst(
+              """^binlog\.000000(\d{6})\.""", "binlog.$1.")
+            if (narrow != f.getName)
+              java.nio.file.Files.move(f.toPath,
+                f.toPath.resolveSibling(narrow))
+          }
 
       val crashAfterPhase = rnd.nextInt(cuts.size)
+      val downgradeAfterPhase = rnd.nextInt(cuts.size)
       var lo = 0L
       cuts.zipWithIndex.foreach { case (hi, phase) =>
         val isLast = phase == cuts.size - 1
@@ -146,6 +163,7 @@ class CdcBinlogFuzzSpec extends SparkSpec {
         lo = hi
         withServers(drain)
         if (phase == crashAfterPhase) simulateCrash()
+        if (phase == downgradeAfterPhase) simulatePadDowngrade()
       }
       // final idle run replays any crashed batch, then changes nothing
       withServers(drain)
