@@ -34,7 +34,10 @@ import graft.sources.BinlogDumpClient
   */
 final class BinlogDumpServer(wireDir: String, user: String,
     password: String, filePrefix: String = "binlog.",
-    idleHeartbeats: Boolean = false) {
+    idleHeartbeats: Boolean = false,
+    authPlugin: String = "mysql_native_password") {
+  require(Set("mysql_native_password", "caching_sha2_password")
+    .contains(authPlugin), s"unsupported auth plugin $authPlugin")
 
   private val server = new java.net.ServerSocket(0)
   def port: Int = server.getLocalPort
@@ -233,7 +236,7 @@ final class BinlogDumpServer(wireDir: String, user: String,
         le(0x8201L, 2) ++ Array(33.toByte) ++ le(2L, 2) ++ le(0x8L, 2) ++
         Array(21.toByte) ++ new Array[Byte](10) ++
         scramble.drop(8) ++ Array(0.toByte) ++
-        "mysql_native_password".getBytes(UTF_8) ++ Array(0.toByte))
+        authPlugin.getBytes(UTF_8) ++ Array(0.toByte))
       val resp = io.read()
       var i = 4 + 4 + 1 + 23 // caps, max packet, charset, reserved
       val userEnd = resp.indexOf(0.toByte, i)
@@ -242,11 +245,35 @@ final class BinlogDumpServer(wireDir: String, user: String,
       val authLen = resp(i) & 0xFF
       i += 1
       val gotAuth = resp.slice(i, i + authLen)
-      val wantAuth = BinlogDumpClient.nativePassword(password, scramble)
-      if (gotUser != user || !java.util.Arrays.equals(gotAuth, wantAuth)) {
+      // the plugin the CLIENT answered with (CLIENT_PLUGIN_AUTH puts
+      // its z-terminated name right after the auth response); absent →
+      // pre-plugin client, treated as mysql_native_password
+      val pluginFrom = i + authLen
+      val pluginEnd = resp.indexOf(0.toByte, pluginFrom)
+      val clientPlugin =
+        if (pluginEnd > pluginFrom)
+          new String(resp.slice(pluginFrom, pluginEnd), UTF_8)
+        else "mysql_native_password"
+      // the server holds the plaintext, so BOTH proof families verify
+      // directly — caching_sha2's full-auth path (TLS/RSA cleartext
+      // exchange) is never needed
+      val proofOk = clientPlugin match {
+        case "mysql_native_password" => java.util.Arrays.equals(gotAuth,
+          BinlogDumpClient.nativePassword(password, scramble))
+        case "caching_sha2_password" => java.util.Arrays.equals(gotAuth,
+          BinlogDumpClient.sha2Password(password, scramble))
+        case _ => false
+      }
+      if (gotUser != user || !proofOk) {
         io.write(err(1045, "28000", s"Access denied for user '$gotUser'"))
         return
       }
+      // caching_sha2's fast-auth handshake tail: AuthMoreData 0x03
+      // ("fast auth success") precedes the OK — MySQL 8 wire shape,
+      // which stock connectors expect (empty proofs skip it, like the
+      // real server's empty-password path)
+      if (clientPlugin == "caching_sha2_password" && gotAuth.nonEmpty)
+        io.write(Array(0x01.toByte, 0x03.toByte))
       io.write(ok())
       var open = true
       while (open) {

@@ -9,10 +9,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (canal/.../binlog/DirectLogFetcher.java:55-180 reads the dump
   * stream; connection setup in canal/core/dump/MysqlConnection.java).
   * Everything here is the PUBLIC MySQL client/server wire protocol:
-  * v10 initial handshake, HandshakeResponse41, mysql_native_password
-  * scramble, COM_REGISTER_SLAVE, COM_BINLOG_DUMP, and the event-packet
-  * stream (each packet `00 <raw binlog event>`; `FE` EOF when a
-  * NON_BLOCK dump catches up; `FF` server error).
+  * v10 initial handshake, HandshakeResponse41, both proof families —
+  * mysql_native_password and caching_sha2_password fast-auth (MySQL
+  * 8's default; plugin negotiated from the server's advertisement,
+  * AuthSwitchRequest honored) — COM_REGISTER_SLAVE, COM_BINLOG_DUMP,
+  * and the event-packet stream (each packet `00 <raw binlog event>`;
+  * `FE` EOF when a NON_BLOCK dump catches up; `FF` server error).
   *
   * Spark shape: one endpoint = one executor task (`pollSegments`
   * mapPartitions — the reference's per-DN fetcher thread becomes a
@@ -26,10 +28,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * suffix — per-trigger bytes are bounded by the DN's new data, never
   * the log's history.
   *
-  * Deliberately NOT here: connection pooling, TLS, caching_sha2 auth
-  * re-negotiation — deployment transport concerns a real cluster
-  * solves outside the engine (the reference pins mysql_native_password
-  * for its replica connections too).
+  * Deliberately NOT here: connection pooling, TLS, and caching_sha2's
+  * FULL-auth path (RSA/TLS cleartext exchange — only reachable when a
+  * real MySQL's auth cache is cold AND the link is plaintext; fast
+  * auth covers the steady state, and deployments needing full auth
+  * front the link with TLS anyway).
   */
 object BinlogDumpClient {
 
@@ -99,6 +102,38 @@ object BinlogDumpClient {
       p1.indices.foreach(i => proof(i) = (proof(i) ^ p1(i)).toByte)
       proof
     }
+
+  /** XOR(SHA256(password), SHA256(SHA256(SHA256(password)) ++ nonce))
+    * — the caching_sha2_password FAST-AUTH proof (MySQL 8's default
+    * plugin; empty password → empty response). The full-auth fallback
+    * (TLS / RSA cleartext) is deliberately out of scope: the serving
+    * side holds the plaintext and always verifies the fast path. */
+  private[graft] def sha2Password(password: String,
+      nonce: Array[Byte]): Array[Byte] =
+    if (password.isEmpty) Array.emptyByteArray
+    else {
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+      val p1 = sha.digest(password.getBytes(UTF_8))
+      sha.reset()
+      val p2 = sha.digest(p1)
+      sha.reset()
+      sha.update(p2)
+      sha.update(nonce)
+      val proof = sha.digest()
+      p1.indices.foreach(i => proof(i) = (proof(i) ^ p1(i)).toByte)
+      proof
+    }
+
+  /** The proof for whichever plugin the server names. */
+  private def proofFor(plugin: String, password: String,
+      scramble: Array[Byte]): Array[Byte] = plugin match {
+    case "caching_sha2_password" => sha2Password(password, scramble)
+    case "mysql_native_password" => nativePassword(password, scramble)
+    case other => throw new java.io.IOException(
+      s"BinlogDumpClient: server requests unsupported auth plugin " +
+        s"'$other' (supported: mysql_native_password, " +
+        "caching_sha2_password)")
+  }
 
   private def le(v: Long, n: Int): Array[Byte] =
     (0 until n).map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray
@@ -294,16 +329,48 @@ object BinlogDumpClient {
       val auth2Len = math.max(13, authLen - 8)
       val auth2 = hs.slice(i, i + auth2Len).takeWhile(_ != 0)
       val scramble = auth1 ++ auth2
+      // the plugin the SERVER advertises (z-terminated after the
+      // scramble tail) decides the proof family — MySQL 8 defaults to
+      // caching_sha2_password, 5.7-era servers to mysql_native_password
+      val pluginFrom = i + auth2Len
+      val pluginEnd = hs.indexOf(0.toByte, pluginFrom)
+      val serverPlugin =
+        if (pluginEnd > pluginFrom)
+          new String(hs.slice(pluginFrom, pluginEnd), UTF_8)
+        else "mysql_native_password"
       // ---- HandshakeResponse41 ----
       val caps = ClientLongPassword | ClientProtocol41 |
         ClientSecureConnection | ClientPluginAuth
-      val authResp = nativePassword(password, scramble)
+      val authResp = proofFor(serverPlugin, password, scramble)
       io.write(le(caps, 4) ++ le(1L << 24, 4) ++ Array(33.toByte) ++
         new Array[Byte](23) ++
         user.getBytes(UTF_8) ++ Array(0.toByte) ++
         Array(authResp.length.toByte) ++ authResp ++
-        "mysql_native_password".getBytes(UTF_8) ++ Array(0.toByte))
-      failOnErr(io.read(), "authentication")
+        serverPlugin.getBytes(UTF_8) ++ Array(0.toByte))
+      // auth epilogue: OK | ERR | AuthMoreData (caching_sha2 fast-auth
+      // 0x03 then OK; 0x04 = full auth, unsupported without TLS) |
+      // AuthSwitchRequest (re-proof under the requested plugin)
+      var authReply = failOnErr(io.read(), "authentication")
+      var authDone = false
+      while (!authDone) {
+        authReply.headOption.map(_ & 0xFF) match {
+          case Some(0x01) => // AuthMoreData
+            if (authReply.length >= 2 && (authReply(1) & 0xFF) == 0x03)
+              authReply = failOnErr(io.read(), "authentication (fast-auth ok)")
+            else throw new java.io.IOException(
+              "BinlogDumpClient: server demands caching_sha2 FULL auth " +
+                "(TLS/RSA cleartext), which this transport does not " +
+                "speak — configure mysql_native_password or fast-auth")
+          case Some(0xFE) if authReply.length > 1 => // AuthSwitchRequest
+            val pe = authReply.indexOf(0.toByte, 1)
+            val plug = new String(authReply.slice(1, pe), UTF_8)
+            val newScramble =
+              authReply.slice(pe + 1, authReply.length).takeWhile(_ != 0)
+            io.write(proofFor(plug, password, newScramble))
+            authReply = failOnErr(io.read(), "authentication (switch)")
+          case _ => authDone = true // OK
+        }
+      }
       // ---- COM_REGISTER_SLAVE (what a replica announces) ----
       io.seq = 0
       io.write(Array(ComRegisterSlave.toByte) ++ le(serverId, 4) ++

@@ -46,6 +46,38 @@ class BinlogDumpClientSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("caching_sha2_password fast-auth: MySQL 8's default plugin round-trips; a wrong proof is refused") {
+    val dir = writeLog()
+    val srv = new graft.sinks.BinlogDumpServer(dir, "repl", "s3cret",
+      authPlugin = "caching_sha2_password")
+    try {
+      // the client follows the server's advertised plugin: SHA-256
+      // proof, AuthMoreData(0x03) fast-auth epilogue, then the dump
+      val seg = BinlogDumpClient.dumpSegment("localhost", srv.port,
+        "repl", "s3cret", "binlog.000000", 4L)
+      val live = ChangeEventSource.fromWireSegments(
+          Seq(("dn1", seg)).toDF("dn", "payload"), "dn", "payload",
+          tableCols)
+        .select($"tso").as[Long].collect().toSet
+      assert(live == (1L to 8L).toSet)
+      // wrong password → the scramble proof cannot match → 1045
+      val denied = intercept[BinlogDumpClient.ServerError] {
+        BinlogDumpClient.dumpSegment("localhost", srv.port,
+          "repl", "wrong", "binlog.000000", 4L)
+      }
+      assert(denied.code == 1045)
+    } finally srv.close()
+    // an empty password skips the proof (and the fast-auth epilogue)
+    // entirely under BOTH plugins — MySQL's own empty-password shape
+    val srv2 = new graft.sinks.BinlogDumpServer(dir, "repl", "",
+      authPlugin = "caching_sha2_password")
+    try {
+      val seg = BinlogDumpClient.dumpSegment("localhost", srv2.port,
+        "repl", "", "binlog.000000", 4L)
+      assert(seg.nonEmpty)
+    } finally srv2.close()
+  }
+
   test("dump from a seekTso cursor replays only the suffix (multi-file seek)") {
     val dir = writeLog()
     val srv = new graft.sinks.BinlogDumpServer(dir, "repl", "s3cret")
