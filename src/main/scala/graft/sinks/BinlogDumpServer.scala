@@ -77,16 +77,32 @@ final class BinlogDumpServer(wireDir: String, user: String,
       seq = (hdr(3) & 0xFF) + 1
       val buf = new Array[Byte](len)
       in.readFully(buf)
-      buf
+      // 0xFFFFFF payloads continue in the next packet (and a max-size
+      // final chunk is followed by an EMPTY one) — protocol framing,
+      // same as the client side
+      if (len == 0xFFFFFF) buf ++ read() else buf
     }
     def write(payload: Array[Byte]): Unit = {
-      out.write(payload.length & 0xFF)
-      out.write((payload.length >> 8) & 0xFF)
-      out.write((payload.length >> 16) & 0xFF)
-      out.write(seq & 0xFF)
-      out.write(payload)
+      // MySQL packet framing caps one packet at 0xFFFFFF bytes: a
+      // bigger payload (a >16MB binlog event — huge blob row, giant
+      // RowsQuery) SPLITS into max-size chunks, and a payload that is
+      // an exact multiple of the cap ends with an empty packet so the
+      // reader knows it is complete. Without this, the 3-byte length
+      // silently truncates and the stream desyncs mid-dump.
+      var off = 0
+      var more = true
+      while (more) {
+        val n = math.min(payload.length - off, 0xFFFFFF)
+        out.write(n & 0xFF)
+        out.write((n >> 8) & 0xFF)
+        out.write((n >> 16) & 0xFF)
+        out.write(seq & 0xFF)
+        out.write(payload, off, n)
+        seq += 1
+        off += n
+        more = n == 0xFFFFFF
+      }
       out.flush()
-      seq += 1
     }
   }
 

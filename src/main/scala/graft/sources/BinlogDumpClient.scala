@@ -73,14 +73,24 @@ object BinlogDumpClient {
     }
 
     def write(payload: Array[Byte]): Unit = {
-      // our commands are tiny — single-packet writes only
-      out.write(payload.length & 0xFF)
-      out.write((payload.length >> 8) & 0xFF)
-      out.write((payload.length >> 16) & 0xFF)
-      out.write(seq & 0xFF)
-      out.write(payload)
+      // split at the 0xFFFFFF packet cap (an exact-multiple payload
+      // ends with an empty packet) — commands are usually tiny, but a
+      // COM_BINLOG_DUMP_GTID carrying a very wide executed set must
+      // not silently truncate its length field
+      var off = 0
+      var more = true
+      while (more) {
+        val n = math.min(payload.length - off, 0xFFFFFF)
+        out.write(n & 0xFF)
+        out.write((n >> 8) & 0xFF)
+        out.write((n >> 16) & 0xFF)
+        out.write(seq & 0xFF)
+        out.write(payload, off, n)
+        seq += 1
+        off += n
+        more = n == 0xFFFFFF
+      }
       out.flush()
-      seq += 1
     }
   }
 

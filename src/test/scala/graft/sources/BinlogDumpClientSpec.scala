@@ -46,6 +46,34 @@ class BinlogDumpClientSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("a >16MB event crosses the dump transport intact (packet splitting at the 0xFFFFFF cap)") {
+    // one event above the single-packet limit (the reference's
+    // BigEventTest scenario — a huge blob row or RowsQuery): the server
+    // must split it into max-size packets and the client must reassemble
+    val dir = java.nio.file.Files.createTempDirectory("graft-bigev")
+    val f = dir.resolve("binlog.000000")
+    val out = java.nio.file.Files.newOutputStream(f)
+    try {
+      val w = new BinlogWire.FileWriter(out)
+      w.write(BinlogWire.formatDescription(1700000000L, 1L))
+      w.write(BinlogWire.markEvent(1700000000L, 1L,
+        "CTS::1")) // a normal small event before the monster
+      w.write(BinlogWire.markEvent(1700000000L, 1L,
+        "x" * (17 * 1024 * 1024)))
+      w.write(BinlogWire.markEvent(1700000000L, 1L, "CTS::2"))
+    } finally out.close()
+    val fileBytes = java.nio.file.Files.readAllBytes(f)
+    val srv = new graft.sinks.BinlogDumpServer(dir.toString, "repl", "pw")
+    try {
+      val seg = BinlogDumpClient.dumpSegment("localhost", srv.port,
+        "repl", "pw", "binlog.000000", 4L)
+      assert(seg.length == fileBytes.length,
+        s"segment ${seg.length} bytes vs file ${fileBytes.length}")
+      assert(java.util.Arrays.equals(seg, fileBytes),
+        "the >16MB event must cross the dump byte-identically")
+    } finally srv.close()
+  }
+
   test("caching_sha2_password fast-auth: MySQL 8's default plugin round-trips; a wrong proof is refused") {
     val dir = writeLog()
     val srv = new graft.sinks.BinlogDumpServer(dir, "repl", "s3cret",
