@@ -124,7 +124,7 @@ object GapRepairJob {
         BinlogWire.readBinlogFiles(spark, d, tableCols))
       .reduce(_.unionByName(_))
     val typed = WireReplicaJob.shape(decoded, t.schemaName, t.tableName,
-      colTypes)
+      colTypes, keyCols = t.keyCols)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(t.keyCols.map(col): _*)
       .orderBy(col("tso").desc, col(t.seqCol).desc)
@@ -170,7 +170,7 @@ object GapRepairJob {
       // the repair SCOPE: distinct keys the sealed-out txns touched on
       // this table (DELETE keys ride the before image via shape)
       val affected = WireReplicaJob.shape(dropped, t.schemaName,
-          t.tableName, colTypes)
+          t.tableName, colTypes, keyCols = t.keyCols)
         .select(t.keyCols.map(col): _*).distinct()
       val nAffected = affected.count()
       if (nAffected == 0L)

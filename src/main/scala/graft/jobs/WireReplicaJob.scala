@@ -1,6 +1,6 @@
 package graft.jobs
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -97,7 +97,8 @@ object WireReplicaJob {
       colTypes: Seq[(String, String)], txnsPerCommit: Int,
       fromTso: Option[Long],
       aliases: Map[String, Seq[String]] = Map.empty): Unit = {
-    val typed = shape(decoded, t.schemaName, t.tableName, colTypes, aliases)
+    val typed = shape(decoded, t.schemaName, t.tableName, colTypes,
+      aliases, t.keyCols)
     if (TxnApplier.currentCommit(t.targetDir).isEmpty)
       TxnApplier.bootstrap(typed.limit(0).drop("op", "tso"),
         t.keyCols, t.targetDir, t.nBuckets,
@@ -193,7 +194,8 @@ object WireReplicaJob {
     val byTable = targets.map(t => t.table -> t).toMap
     targets.foreach { t =>
       if (TxnApplier.currentCommit(t.targetDir).isEmpty) {
-        val typed = shape(decoded, t.schemaName, t.tableName, t.colTypes)
+        val typed = shape(decoded, t.schemaName, t.tableName,
+          t.colTypes, keyCols = t.keyCols)
         TxnApplier.bootstrap(typed.limit(0).drop("op", "tso"),
           t.keyCols, t.targetDir, t.nBuckets,
           initialTso = fromTso.getOrElse(0L))
@@ -493,19 +495,44 @@ object WireReplicaJob {
     * key columns populated to erase the row. `aliases` gives a renamed
     * column its OLD names, newest first: rows decoded before an
     * in-batch RENAME carry the old key in their string image, and the
-    * coalesce chain reads them under the new name. */
+    * coalesce chain reads them under the new name.
+    *
+    * With `keyCols` given, an UPDATE whose PRIMARY KEY CHANGED
+    * (before-image key ≠ after-image key) SPLITS into DELETE(before) +
+    * INSERT(after): keyed by the after image alone, the old key's row
+    * would silently survive in the target — the reference detects
+    * exactly this and falls back to a serial delete-then-insert
+    * (rpl/applier/SplitApplier.java:43-146). One pass via explode; the
+    * split rows keep their own seq values and land on DIFFERENT keys,
+    * so the applier's per-(txn, key) merge is unaffected. */
   def shape(decoded: DataFrame, schemaName: String, tableName: String,
       colTypes: Seq[(String, String)],
-      aliases: Map[String, Seq[String]] = Map.empty): DataFrame = {
-    val img = when(col("op") === "DELETE", col("before"))
-      .otherwise(col("after"))
+      aliases: Map[String, Seq[String]] = Map.empty,
+      keyCols: Seq[String] = Seq.empty): DataFrame = {
+    def imgGet(m: Column, n: String): Column = {
+      val names = n +: aliases.getOrElse(n, Seq.empty)
+      coalesce(names.map(a => element_at(m, a)): _*)
+    }
+    val keyChanged =
+      if (keyCols.isEmpty) lit(false)
+      else col("op") === "UPDATE" && size(col("before")) > 0 &&
+        keyCols.map(k =>
+          !(imgGet(col("before"), k) <=> imgGet(col("after"), k)))
+          .reduce(_ || _)
+    val entries = when(keyChanged,
+      array(
+        struct(lit("DELETE").as("o"), col("before").as("m")),
+        struct(lit("INSERT").as("o"), col("after").as("m"))))
+      .otherwise(array(struct(col("op").as("o"),
+        when(col("op") === "DELETE", col("before"))
+          .otherwise(col("after")).as("m"))))
     decoded
       .filter(col("schemaName") === schemaName &&
         col("tableName") === tableName &&
         col("op").isin("INSERT", "UPDATE", "DELETE"))
+      .select(explode(entries).as("__e"), col("tso"))
       .select(colTypes.map { case (n, t) =>
-        val names = n +: aliases.getOrElse(n, Seq.empty)
-        coalesce(names.map(a => element_at(img, a)): _*).cast(t).as(n)
-      } ++ Seq(col("op"), col("tso")): _*)
+        imgGet(col("__e.m"), n).cast(t).as(n)
+      } ++ Seq(col("__e.o").as("op"), col("tso")): _*)
   }
 }
