@@ -93,6 +93,21 @@ object DdlConvert {
   private val PartitionHeads = Set("dbpartition", "tbpartition", "partition")
   private val PartitionCounts = Set("dbpartitions", "tbpartitions", "partitions")
   private val IndexMods = Set("global", "clustered", "clustering", "local")
+  // first keyword of an ALTER TABLE item — terminates the table-name
+  // token run (qualified names lex as multiple identifier tokens)
+  private val AlterActions = Set("add", "drop", "modify", "change",
+    "alter", "rename", "convert", "character", "charset", "collate",
+    "default", "engine", "comment", "algorithm", "lock", "order",
+    "disable", "enable", "discard", "import", "force", "with",
+    "without", "auto_increment", "row_format", "partition",
+    "dbpartition", "tbpartition", "remove", "exchange", "truncate",
+    "coalesce", "reorganize", "analyze", "check", "optimize",
+    "rebuild", "repair", "upgrade", "single", "broadcast",
+    "tablegroup", "joingroup", "locality", "key_block_size", "pack_keys",
+    "stats_persistent", "stats_auto_recalc", "stats_sample_pages",
+    "checksum", "delay_key_write", "max_rows", "min_rows", "tablespace",
+    "compression", "encryption", "union", "insert_method",
+    "auto_partition", "archive")
   // top-level CREATE TABLE options that TERMINATE a partition clause
   private val OptionStops = Set("engine", "default", "character", "charset",
     "collate", "comment", "auto_increment", "row_format", "key_block_size",
@@ -175,9 +190,16 @@ object DdlConvert {
   private def convertAlterTable(sql: String, toks: Vector[Tok]): String = {
     val del = Vector.newBuilder[(Int, Int)]
     val tblIdx = toks.indexWhere(_.word == "table")
-    // items split at depth-0 commas after "alter table <name>"
-    val start = tblIdx + 2 // table word + name (schema.name adds tokens,
-    // but the scan below only looks FORWARD from commas, so that's safe)
+    // items split at depth-0 commas after "alter table <name>". The
+    // name may be schema-qualified (`db`.`t` lexes as TWO tokens — the
+    // dot is not a token), so skip the whole name run: one mandatory
+    // token, then further identifier tokens until the first ALTER
+    // action keyword. Leaving a name token inside item 1 breaks the
+    // ADD-prefix guard below and lets GLOBAL/CLUSTERED leak through.
+    var start = tblIdx + 2
+    while (start < toks.length && !AlterActions.contains(toks(start).word) &&
+        toks(start).word != "(" && toks(start).word != ",")
+      start += 1
     var itemStarts = Vector(start)
     var depth = 0
     var i = start

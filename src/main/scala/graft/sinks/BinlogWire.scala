@@ -650,10 +650,6 @@ object BinlogWire {
     Event(timestamp, PreviousGtidsEvent, serverId, out.result())
   }
 
-  /** Driver-side prefix fold for the writers: per-partition gno sets
-    * (text) → pid → the CUMULATIVE executed set strictly before that
-    * partition's file (prior ∪ earlier partitions). Bounded metadata:
-    * partition-count entries of interval-compact texts. */
   /** ONE transaction (a single INSERT row) as a complete wire segment,
     * encoded ON THE DRIVER — byte-identical to
     * [[writeChangeStreamBinlogFiles]] over the same one-row,
@@ -686,6 +682,10 @@ object BinlogWire {
     baos.toByteArray
   }
 
+  /** Driver-side prefix fold for the writers: per-partition gno sets
+    * (text) → pid → the CUMULATIVE executed set strictly before that
+    * partition's file (prior ∪ earlier partitions). Bounded metadata:
+    * partition-count entries of interval-compact texts. */
   private def prefixGnoSets(perPart: Seq[(Int, String)],
       prior: graft.model.GtidSet): Map[Int, String] = {
     var acc = prior

@@ -79,6 +79,15 @@ object CdcHeartbeat {
         .flatMap(st =>
           st.getPath.getName.stripPrefix("binlog.").toLongOption)
         .maxOption.map(_ + 1L).getOrElse(0L)
+    // %06d overflows SILENTLY (binlog.1000000 name-sorts before
+    // binlog.999999, breaking the name-order contract the catalog's
+    // backward GTID walk and retention listing rely on) — refuse
+    // loudly instead; DN logs stay 6-digit for fixture compatibility,
+    // so widening here is not an option (mixed pads mis-sort too).
+    require(nextIdx < 1000000L,
+      s"heartbeat index $nextIdx would overflow the 6-digit DN pad on " +
+        s"$dnDir (binlog.1000000 name-sorts before binlog.999999); " +
+        "rotate/purge the DN log before continuing")
     val bytes = BinlogWire.singleTxnSegmentBytes(schema, table,
       Seq(keyCol), Map(keyCol -> tso.toString), tso, sid, prior,
       checksummed = checksummed)

@@ -43,6 +43,26 @@ class DdlConvertSpec extends AnyFunSuite {
       "ALTER TABLE t ADD COLUMN v varchar(10) DEFAULT 'x'")
   }
 
+  test("ALTER TABLE with a schema-qualified name: the name run is skipped, dialect words still strip") {
+    // `db`.`t` lexes as TWO tokens (the dot is not a token) — the item
+    // scan must skip the whole name run or the ADD-prefix guard fails
+    // and GLOBAL/CLUSTERED leak into the 'logical' stream
+    assert(c("ALTER TABLE db.t ADD GLOBAL INDEX g (a)") ==
+      "ALTER TABLE db.t ADD INDEX g (a)")
+    assert(c("ALTER TABLE `db`.`t` ADD UNIQUE CLUSTERED INDEX `i` (`a`)") ==
+      "ALTER TABLE `db`.`t` ADD UNIQUE INDEX `i` (`a`)")
+    assert(c("ALTER TABLE `db`.`t` ADD GLOBAL INDEX g (a) DBPARTITION BY HASH(a)") ==
+      "ALTER TABLE `db`.`t` ADD INDEX g (a)")
+    assert(c("alter table db.omc change column c cc bigint ALGORITHM=OMC") ==
+      "alter table db.omc change column c cc bigint")
+    // qualified + multi-item: first item's guard unaffected by the name
+    assert(c("ALTER TABLE db.t ADD LOCAL INDEX li (i), ADD COLUMN x int") ==
+      "ALTER TABLE db.t ADD INDEX li (i), ADD COLUMN x int")
+    // untouched qualified statements stay verbatim
+    assert(c("ALTER TABLE db.t ADD COLUMN v varchar(10)") ==
+      "ALTER TABLE db.t ADD COLUMN v varchar(10)")
+  }
+
   test("CREATE TABLE: implicit id + its PK, GLOBAL index elements, LOCAL words, sequence types and every sharding clause strip") {
     val physical = "CREATE TABLE `tb` (\n" +
       "  `a` int NOT NULL,\n" +
