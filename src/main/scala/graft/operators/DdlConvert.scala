@@ -144,6 +144,15 @@ object DdlConvert {
 
   private def convertCreateTable(sql: String, toks: Vector[Tok]): String = {
     val del = Vector.newBuilder[(Int, Int)] // token-index ranges, inclusive
+    // CREATE [PARTITION|BROADCAST|SINGLE] TABLE — the prefix dialect
+    // words (Druid setPrefixPartition/setPrefixBroadcast,
+    // DDLConverter.java:147-148) drop; TEMPORARY is vanilla and stays
+    var p = 1
+    while (p < toks.length && toks(p).word != "table") {
+      if (Set("partition", "broadcast", "single").contains(toks(p).word))
+        del += ((p, p))
+      p += 1
+    }
     val open = toks.indexWhere(_.word == "(")
     val close = matchParen(toks, open)
     if (open < 0 || close < 0) return squashWs(sql)
@@ -279,14 +288,21 @@ object DdlConvert {
 
   private def convertCreateDatabase(sql: String, toks: Vector[Tok]): String = {
     val del = Vector.newBuilder[(Int, Int)]
-    var i = 0
+    // PARTITION_MODE= / LOCALITY= / MODE 'auto' all map to Druid's
+    // partition-mode surface (setPartitionMode(null)/setLocality(null),
+    // DDLConverter.java:135-137); the db NAME position (right after
+    // DATABASE/SCHEMA [IF NOT EXISTS]) is skipped so a database
+    // literally named `mode` survives
+    val objIdx = toks.indexWhere(t =>
+      t.word == "database" || t.word == "schema")
+    var nameIdx = objIdx + 1
+    if (kw(toks, nameIdx) == "if") nameIdx += 3 // IF NOT EXISTS
+    var i = nameIdx + 1
     while (i < toks.length) {
       if (Set("partition_mode", "locality", "mode").contains(toks(i).word) &&
-          (kw(toks, i + 1) == "=" || i + 1 < toks.length)) {
+          i + 1 < toks.length) {
         val end = if (kw(toks, i + 1) == "=") i + 2 else i + 1
-        if (Set("partition_mode", "locality").contains(toks(i).word)) {
-          del += ((i, math.min(end, toks.length - 1))); i = end + 1
-        } else i += 1
+        del += ((i, math.min(end, toks.length - 1))); i = end + 1
       } else i += 1
     }
     render(sql, toks, del.result())

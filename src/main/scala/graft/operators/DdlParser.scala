@@ -219,7 +219,7 @@ object DdlParser {
 
   /** Top-level `;` split honoring the tokenizer's quote/comment rules
     * (a `;` inside a COMMENT '…' or a quoted identifier is content). */
-  private def splitStatements(sql: String): Seq[String] = {
+  private[operators] def splitStatements(sql: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val sb = new StringBuilder
     var i = 0
@@ -274,10 +274,25 @@ object DdlParser {
       else (defaultSchema, toks(at).toLowerCase, at + 1)
     }
 
+    // CREATE [PARTITION|BROADCAST|SINGLE|SHADOW|TEMPORARY] TABLE —
+    // PolarDB-X prefixes its auto-partition/broadcast/single dialect
+    // BEFORE the object word (Druid's setPrefixPartition/
+    // setPrefixBroadcast, DDLConverter.java:147-148; corpus:
+    // DDLConverterTest.java:67 "CREATE PARTITION TABLE `wp_users…`").
+    // TEMPORARY is vanilla MySQL in the same position.
+    val createTableAt: Int =
+      if (kw.head != "create") -1
+      else {
+        val mods = Set("partition", "broadcast", "single", "shadow",
+          "temporary")
+        val i = kw.indexWhere(w => !mods.contains(w), 1)
+        if (i > 0 && kw.lift(i).contains("table")) i else -1
+      }
+
     try {
       kw.head match {
-        case "create" if kw.lift(1).contains("table") =>
-          var i = 2
+        case "create" if createTableAt > 0 =>
+          var i = createTableAt + 1
           var ifNotExists = false
           if (kw.lift(i).contains("if")) { ifNotExists = true; i += 3 } // IF NOT EXISTS
           val (sch, tbl, afterName) = qualified(i)
@@ -786,7 +801,22 @@ object DdlParser {
     * as-of resolution yields no schema past the drop. */
   def foldHistory(history: Seq[(Long, String, String)],
       base: Map[(String, String), TableState] = Map.empty)
-      : Seq[(Long, String, String, String, String)] = {
+      : Seq[(Long, String, String, String, String)] =
+    foldCore(history, base)._1
+
+  /** The END state of a fold — the catalog after replaying `history`
+    * over `base` (version rows discarded). Used by consistency checks
+    * that compare two histories' final catalogs (e.g. physical DDL vs
+    * its logical conversion). */
+  def foldState(history: Seq[(Long, String, String)],
+      base: Map[(String, String), TableState] = Map.empty)
+      : Map[(String, String), TableState] =
+    foldCore(history, base)._2
+
+  private def foldCore(history: Seq[(Long, String, String)],
+      base: Map[(String, String), TableState])
+      : (Seq[(Long, String, String, String, String)],
+         Map[(String, String), TableState]) = {
     val tables = mutable.LinkedHashMap[(String, String), TableState]()
     tables ++= base
     val out = Seq.newBuilder[(Long, String, String, String, String)]
@@ -870,7 +900,7 @@ object DdlParser {
         case Noop => // no schema effect
       }
     }
-    out.result()
+    (out.result(), tables.toMap)
   }
 
   /** Schemas a parsed statement can affect — its fold routing key(s). */

@@ -91,6 +91,27 @@ class DdlConvertSpec extends AnyFunSuite {
       "ENGINE = InnoDB") == "CREATE TABLE t (a INT) ENGINE = InnoDB")
   }
 
+  test("CREATE PARTITION TABLE prefix drops; CREATE DATABASE MODE/partition_mode strips (reference-corpus cases)") {
+    // DDLConverterTest.testShard: the auto-partition PREFIX form
+    // (Druid setPrefixPartition(false), DDLConverter.java:147-148)
+    assert(c("CREATE PARTITION TABLE `t` (`id` bigint NOT NULL, PRIMARY KEY (`id`)) dbpartition by hash(`id`)") ==
+      "CREATE TABLE `t` (`id` bigint NOT NULL, PRIMARY KEY (`id`))")
+    assert(c("CREATE BROADCAST TABLE t (a INT)") == "CREATE TABLE t (a INT)")
+    // DDLConverterTest.testDatabase + DdlHelperTest's MODE 'auto'
+    // (setPartitionMode(null), DDLConverter.java:135)
+    assert(c("create database d0 partition_mode='partitioning'") ==
+      "create database d0")
+    assert(c("CREATE DATABASE BalancerTestBase MODE 'auto'") ==
+      "CREATE DATABASE BalancerTestBase")
+    assert(c("create database if not exists d1 LOCALITY='dn=dn1'") ==
+      "create database if not exists d1")
+    // the parser folds the prefix form too
+    val st = DdlParser.parse(
+      "create PARTITION table d1.t1 (id int) dbpartition by hash(id)", "d")
+    assert(st == DdlParser.CreateTable("d1", "t1",
+      Vector(DdlParser.ColumnDef("id", "int")), Vector.empty, false))
+  }
+
   test("pass-through: plain MySQL statements come back verbatim; tso adds the private-DDL comments") {
     val plain = "DROP TABLE IF EXISTS a, b"
     assert(DdlConvert.toLogicalDdl(plain) == plain)

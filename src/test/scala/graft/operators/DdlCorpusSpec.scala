@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.io.Source
+
+/** The MEASURED DDL-grammar tail: every DDL statement in the
+  * reference's own test sources (extracted verbatim by
+  * `scripts/extract_ddl_corpus.py` into `ddl_corpus.jsonl`, provenance
+  * per line) is run through the full log-side DDL surface —
+  * `DdlParser.parseAll` (MemoryTableMeta.apply analog,
+  * canal/core/ddl/tsdb/MemoryTableMeta.java:122-147) and
+  * `DdlConvert.toLogicalDdl` (DDLConverter.convertNormalDDL analog,
+  * task/.../filter/rebuild/DDLConverter.java:120-260) — and must
+  * either
+  *   1. parse (DDL-shaped statements yield a non-Noop fold action),
+  *   2. convert idempotently (toLogicalDdl is a fixpoint on its own
+  *      output — the logical stream re-converts to itself), and
+  *   3. fold-consistently (replaying the LOGICAL statement over the
+  *      same seeded catalog ends in the same table state as the
+  *      physical one, modulo the stripped `_drds_implicit_id_`),
+  * or appear in the checked-in refusal list
+  * (`ddl_corpus_refusals.tsv`) with a reason — the tail is a MEASURED
+  * artifact that can only change by editing the list, never silently.
+  */
+class DdlCorpusSpec extends AnyFunSuite {
+  import DdlParser._
+
+  private val ImplicitId = "_drds_implicit_id_"
+
+  private def resource(name: String): Seq[String] = {
+    val in = getClass.getResourceAsStream("/" + name)
+    require(in != null, s"missing test resource $name")
+    try Source.fromInputStream(in, "UTF-8").getLines().toVector
+    finally in.close()
+  }
+
+  /** (provenance, sql) rows of the extracted corpus. The jsonl values
+    * are plain enough for a tiny field grab — no JSON library in the
+    * test classpath is assumed. */
+  private lazy val corpus: Seq[(String, String)] =
+    resource("ddl_corpus.jsonl").filter(_.nonEmpty).map { line =>
+      def field(key: String): String = {
+        val at = line.indexOf("\"" + key + "\"")
+        val start = line.indexOf('"', at + key.length + 3) + 1
+        val sb = new StringBuilder
+        var i = start
+        while (i < line.length && line(i) != '"') {
+          if (line(i) == '\\' && i + 1 < line.length) {
+            line(i + 1) match {
+              case 'n' => sb += '\n'
+              case 't' => sb += '\t'
+              case 'r' => sb += '\r'
+              case 'u' =>
+                sb += Integer.parseInt(line.substring(i + 2, i + 6), 16).toChar
+                i += 4
+              case other => sb += other
+            }
+            i += 2
+          } else { sb += line(i); i += 1 }
+        }
+        sb.result()
+      }
+      (field("src"), field("sql"))
+    }
+
+  /** hash → reason for the accepted tail. */
+  private lazy val refusals: Map[String, String] =
+    resource("ddl_corpus_refusals.tsv")
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l => val p = l.split("\t"); (p(0), p(1)) }
+      .toMap
+
+  private def keyOf(sql: String): String = {
+    val norm = sql.toLowerCase.replaceAll("\\s+", " ").trim
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    md.digest(norm.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+  }
+
+  /** Is this statement one the FOLD must shape (vs pass-through
+    * DDL like CREATE INDEX / TRUNCATE that has no column effect)? */
+  private def expectsFold(sql: String): Boolean = {
+    val words = tokenize(sql).map(_.toLowerCase)
+    val mods = Set("or", "replace", "unique", "fulltext", "spatial",
+      "clustered", "clustering", "local", "global", "partition",
+      "broadcast", "single", "shadow", "temporary", "if", "not", "exists")
+    words.headOption match {
+      case Some("create") =>
+        // CREATE DATABASE has no table/column effect — the fold tracks
+        // tables (schemas come into being with their first table), so a
+        // Noop there is the design, not a refusal
+        words.drop(1).dropWhile(mods.contains).headOption.contains("table")
+      case Some("drop") =>
+        val obj = words.drop(1).dropWhile(mods.contains).headOption
+        obj.contains("table") || obj.contains("database") ||
+          obj.contains("schema")
+      case Some("alter") => words.lift(1).contains("table")
+      case Some("rename") => words.lift(1).contains("table")
+      case _ => false
+    }
+  }
+
+  /** Seed catalog: the entities a statement's actions reference must
+    * pre-exist for the fold to have an effect (standalone corpus
+    * statements arrive without their CREATEs). Built from the PHYSICAL
+    * parse; the same seed serves both folds. */
+  private def seedFor(stmts: Seq[Stmt]): Map[(String, String), TableState] = {
+    val seed = scala.collection.mutable.LinkedHashMap[(String, String),
+      Vector[String]]()
+    def touch(k: (String, String), cols: Seq[String]): Unit =
+      seed(k) = (seed.getOrElse(k, Vector.empty) ++ cols).distinct
+    stmts.foreach {
+      case AlterTable(s, t, actions) =>
+        val refs = actions.flatMap {
+          case DropColumn(n) => Seq(n)
+          case ModifyColumn(c, _, after) => c.name +: after.toSeq
+          case ChangeColumn(o, _, _, after) => o +: after.toSeq
+          case RenameColumn(o, _) => Seq(o)
+          case AddColumn(_, _, after) => after.toSeq
+          case AddPrimaryKey(cols) => cols
+          case _ => Nil
+        }
+        touch((s, t), refs)
+      case RenameTable(pairs) => pairs.foreach { case (from, _) => touch(from, Nil) }
+      case DropTable(tabs) => tabs.foreach(touch(_, Nil))
+      case DropSchema(s) => touch((s, "seed_t"), Nil)
+      case CreateTableLike(_, _, ss, st, _) => touch((ss, st), Nil)
+      case CreateTableAsSelect(_, _, ss, st, cols, _) =>
+        touch((ss, st), cols.toSeq.flatten.flatMap(_._2))
+      case _ => ()
+    }
+    seed.map { case (k, cols) =>
+      k -> TableState(
+        (cols :+ "seed_pad").map(ColumnDef(_, "int")), Vector.empty)
+    }.toMap
+  }
+
+  private def scrub(st: TableState): TableState =
+    TableState(st.columns.filterNot(_.name == ImplicitId),
+      st.pk.filterNot(_ == ImplicitId))
+
+  private def foldOf(sql: String, seed: Map[(String, String), TableState])
+      : Map[(String, String), TableState] = {
+    val parts = DdlParser.splitStatements(sql)
+    DdlParser.foldState(
+      parts.zipWithIndex.map { case (p, i) => (i.toLong + 1L, "d", p) }, seed)
+  }
+
+  /** None = fully green; Some(reason) = a measured-tail entry. */
+  private def check(sql: String): Option[String] = {
+    val stmts =
+      try DdlParser.parseAll(sql, "d")
+      catch { case e: Throwable => return Some(s"parse threw ${e.getClass.getSimpleName}") }
+    if (expectsFold(sql) && stmts.forall(_ == Noop))
+      return Some("DDL-shaped statement parses to Noop")
+    val logical =
+      try DdlConvert.toLogicalDdl(sql)
+      catch { case e: Throwable => return Some(s"convert threw ${e.getClass.getSimpleName}") }
+    val logical2 =
+      try DdlConvert.toLogicalDdl(logical)
+      catch { case e: Throwable => return Some(s"re-convert threw ${e.getClass.getSimpleName}") }
+    if (logical2 != logical)
+      return Some("toLogicalDdl is not a fixpoint on its own output")
+    val seed = seedFor(stmts)
+    val (physEnd, logEnd) =
+      try (foldOf(sql, seed), foldOf(logical, seed))
+      catch { case e: Throwable => return Some(s"fold threw ${e.getClass.getSimpleName}") }
+    val physScrubbed = physEnd.view.mapValues(scrub).toMap
+    val logScrubbed = logEnd.view.mapValues(scrub).toMap
+    if (physScrubbed != logScrubbed)
+      return Some("physical vs logical fold diverge: " +
+        describeDiff(physScrubbed, logScrubbed))
+    None
+  }
+
+  private def describeDiff(a: Map[(String, String), TableState],
+      b: Map[(String, String), TableState]): String = {
+    val keys = (a.keySet ++ b.keySet).filter(k => a.get(k) != b.get(k))
+    keys.take(2).map { k =>
+      s"$k phys=${a.get(k).map(_.colNames)} log=${b.get(k).map(_.colNames)}"
+    }.mkString("; ")
+  }
+
+  test("reference DDL corpus: every statement parses+converts+folds, or is a LISTED refusal") {
+    assert(corpus.nonEmpty, "corpus resource is empty")
+    val failures = corpus.flatMap { case (src, sql) =>
+      check(sql).map(reason => (keyOf(sql), src, sql, reason))
+    }
+    val failKeys = failures.map(_._1).toSet
+    val unexpected = failures.filterNot(f => refusals.contains(f._1))
+    val stale = refusals.keySet -- failKeys
+    val greens = corpus.size - failures.size
+    info(s"corpus: ${corpus.size} statements from the reference's test " +
+      s"sources; $greens parse+convert+fold green; ${failures.size} in " +
+      s"the measured refusal tail")
+    assert(unexpected.isEmpty,
+      "NEW corpus failures (not in ddl_corpus_refusals.tsv):\n" +
+        unexpected.map { case (k, src, sql, reason) =>
+          s"$k\t$reason\t$src\t${sql.replaceAll("\\s+", " ").take(120)}"
+        }.mkString("\n"))
+    assert(stale.isEmpty,
+      s"stale refusal entries (now green — remove them): ${stale.mkString(", ")}")
+  }
+
+  test("corpus statements that parse also round-trip the registry fold (evolveRegistry does not throw)") {
+    corpus.foreach { case (_, sql) =>
+      // the wire writers' registry fold must never hard-fail on any
+      // statement the reference's own tests contain
+      graft.sinks.BinlogWire.evolveRegistry(Map.empty, "d", sql)
+      ()
+    }
+  }
+}
