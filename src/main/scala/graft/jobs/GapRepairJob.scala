@@ -91,7 +91,10 @@ object GapRepairJob {
       .groupBy(_._1).view.mapValues(_.map(_._3).distinct).toMap
     val parts = byDn.toSeq.sortBy(_._1).flatMap { case (dn, tsos) =>
       dnDirs.get(dn).map { dir =>
-        val startFile = BinlogCatalog.seekTso(spark, dir, tsos.min)._1
+        // seekTso finds the first txn STRICTLY ABOVE its argument, so
+        // seek min-1 — seeking min itself would skip the gap txn's own
+        // file whenever that txn is the last one in a non-final file
+        val startFile = BinlogCatalog.seekTso(spark, dir, tsos.min - 1L)._1
         val tsoDf = tsos.toDF("__gaptso")
         BinlogWire.readBinlogFiles(spark, dir, tableCols,
             minFileName = Some(startFile).filter(_.nonEmpty))
@@ -110,18 +113,36 @@ object GapRepairJob {
   }
 
   /** Source truth for a repair target reconstructed from the DN logs
-    * themselves: full decode → last image per key (DELETEs erase). The
-    * test/fallback source-of-truth — it reads each DN's whole log, so
-    * production deployments with scannable source tables should pass a
-    * direct table scan to [[repair]] instead. */
+    * themselves: decode → last image per key (DELETEs erase). The
+    * test/fallback source-of-truth — production deployments with
+    * scannable source tables should pass a direct table scan to
+    * [[repair]] instead.
+    *
+    * `minTso` floors the decode the same way [[droppedEvents]] does
+    * (`seekTso` → `readBinlogFiles(minFileName)`): files wholly below
+    * the gap's min TSO are pruned BY NAME and never decoded. Sound for
+    * the repair scope because row images are full-row — any key a gap
+    * transaction touched has its latest image at or after that
+    * transaction's TSO, so the floored last-image fold agrees with the
+    * unfloored one on every affected key (keys visible only below the
+    * floor are not affected and are semi-joined away by [[repair]]).
+    * Without `minTso` the whole log is read — correct, but O(log). */
   def srcStateFromLogs(spark: SparkSession, dnDirs: Seq[String],
       tableCols: Map[(String, String), Seq[String]],
-      t: WireReplicaJob.TableTarget): DataFrame = {
+      t: WireReplicaJob.TableTarget,
+      minTso: Option[Long] = None): DataFrame = {
     val colTypes = TxnApplier.targetSchema(t.targetDir)
       .map(_.fields.toSeq.map(f => f.name -> f.dataType.sql))
       .getOrElse(t.colTypes)
-    val decoded = dnDirs.map(d =>
-        BinlogWire.readBinlogFiles(spark, d, tableCols))
+    val decoded = dnDirs.map { d =>
+        // seek minTso-1: seekTso is strictly-above, and the floor must
+        // keep the file holding the first event AT minTso
+        val floor = minTso
+          .map(ts => BinlogCatalog.seekTso(spark, d, ts - 1L)._1)
+          .filter(_.nonEmpty)
+        BinlogWire.readBinlogFiles(spark, d, tableCols,
+          minFileName = floor)
+      }
       .reduce(_.unionByName(_))
     val typed = WireReplicaJob.shape(decoded, t.schemaName, t.tableName,
       colTypes, keyCols = t.keyCols)

@@ -192,7 +192,8 @@ object CdcBinlog {
       fanOut: Option[CdcBinlogX.FanOut] = None,
       advanceIdleFrontiers: Boolean = false,
       sealedGapSkip: Boolean = false,
-      convertDdl: Boolean = false): StreamingQuery = {
+      convertDdl: Boolean = false,
+      maxGapRecords: Int = 1000000): StreamingQuery = {
     // the frontier sidecar is ';'/'='/','-delimited and the source's
     // options reuse '@'/';' — refuse DN names that would corrupt
     // either (the CdcReplica.start / saveRegistry guard family)
@@ -236,7 +237,8 @@ object CdcBinlog {
           forceCompleteAfterBatches, gtidSid, targetRowsPerFile, fanOut,
           queryCheckpointDir = Some(checkpointDir),
           advanceIdleFrontiers = advanceIdleFrontiers,
-          sealedGapSkip = sealedGapSkip, convertDdl = convertDdl)
+          sealedGapSkip = sealedGapSkip, convertDdl = convertDdl,
+          maxGapRecords = maxGapRecords)
         ()
       }
       .trigger(trigger)
@@ -263,7 +265,8 @@ object CdcBinlog {
       queryCheckpointDir: Option[String] = None,
       advanceIdleFrontiers: Boolean = false,
       sealedGapSkip: Boolean = false,
-      convertDdl: Boolean = false): Unit = {
+      convertDdl: Boolean = false,
+      maxGapRecords: Int = 1000000): Unit = {
     val spark = batch.sparkSession
     val fs = graft.util.HadoopIo.fsOf(new Path(workDir))
 
@@ -474,12 +477,27 @@ object CdcBinlog {
           "transactions and resume production")
     } else {
       // bounded collect: only a revived DN's below-seal transactions
-      // qualify — the exact rows the refusal would have named
+      // qualify — the exact rows the refusal would have named. Bounded
+      // BY CONSTRUCTION to one stall window's traffic, but a
+      // pathological multi-hour stall with a firehose DN could turn
+      // this into a driver-memory event exactly when the system is
+      // already degraded — so the bound is ENFORCED: over the cap, the
+      // loud-refusal path wins (the operator raises maxGapRecords
+      // deliberately or repairs the DN first). limit(cap+1) keeps the
+      // probe itself bounded; at <= cap it returns the full set, so
+      // the written record is complete and replay-deterministic.
       val gap = gated.filter(lateCond)
         .select(col("partitionId"), col("txnId"), col("tso"))
-        .distinct().collect()
+        .distinct().limit(maxGapRecords + 1).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
         .sortBy(g => (g._1, g._3, g._2))
+      if (gap.length > maxGapRecords)
+        throw new IllegalStateException(
+          s"CdcBinlog: sealed-out gap exceeds maxGapRecords=" +
+          s"$maxGapRecords distinct transactions — refusing to " +
+          "materialize an unbounded _GAPS record on the driver. " +
+          "Repair/retire the revived DN, or restart with a higher " +
+          "maxGapRecords if the gap really is this large")
       if (gap.nonEmpty) {
         val gapDir = new Path(s"$outDir/_GAPS")
         val ofs = graft.util.HadoopIo.fsOf(gapDir)
@@ -949,7 +967,8 @@ object CdcBinlogX {
       targetRowsPerFile: Int = 0,
       advanceIdleFrontiers: Boolean = false,
       sealedGapSkip: Boolean = false,
-      convertDdl: Boolean = false): StreamingQuery = {
+      convertDdl: Boolean = false,
+      maxGapRecords: Int = 1000000): StreamingQuery = {
     require(fanOut.streams > 0, "fanOut.streams must be positive")
     CdcBinlog.start(spark, endpoints, user, password, tableCols,
       outDir, checkpointDir, workDir, numPartitions, heartbeatTables,
@@ -957,6 +976,7 @@ object CdcBinlogX {
       checksummed, registryDir, forceCompleteAfterBatches, gtidSid,
       targetRowsPerFile, fanOut = Some(fanOut),
       advanceIdleFrontiers = advanceIdleFrontiers,
-      sealedGapSkip = sealedGapSkip, convertDdl = convertDdl)
+      sealedGapSkip = sealedGapSkip, convertDdl = convertDdl,
+      maxGapRecords = maxGapRecords)
   }
 }

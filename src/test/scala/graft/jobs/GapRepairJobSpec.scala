@@ -61,13 +61,15 @@ class GapRepairJobSpec extends SparkSpec {
     def wc(rows: Seq[(Long, String)], sid: java.util.UUID,
         prior: GtidSet, intoDir: String, asIndex: Int): Unit =
       writeDf(ev(rows), sid, prior, intoDir, asIndex)
-    def produce(skip: Boolean)(p1: Int, p2: Int): Unit = {
+    def produce(skip: Boolean, gapCap: Int = 1000000)(
+        p1: Int, p2: Int): Unit = {
       val q = CdcBinlog.start(spark,
         Seq(("dn1", "localhost", p1), ("dn2", "localhost", p2)),
         "repl", "pw", reg, out, s"$root/ckpt", s"$root/work",
         numPartitions = 2, heartbeatTables = Set(("db", "hb")),
         trigger = Trigger.AvailableNow(),
-        forceCompleteAfterBatches = 2, sealedGapSkip = skip)
+        forceCompleteAfterBatches = 2, sealedGapSkip = skip,
+        maxGapRecords = gapCap)
       q.awaitTermination()
     }
     def served(body: Seq[Int] => Unit): Unit = {
@@ -125,6 +127,22 @@ class GapRepairJobSpec extends SparkSpec {
     intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       served { case Seq(p1, p2) => produce(skip = false)(p1, p2) }
     }
+    // the gap has 3 sealed-out txns: a skip-restart whose gap cap is
+    // SMALLER refuses loudly (named limit) instead of collecting an
+    // unbounded record onto the driver — and writes NO partial record
+    val capEx = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+      served { case Seq(p1, p2) =>
+        produce(skip = true, gapCap = 2)(p1, p2) }
+    }
+    assert(Iterator.iterate(capEx: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8).exists(c =>
+        Option(c.getMessage).exists(_.contains("maxGapRecords=2"))),
+      s"expected the named gap-cap refusal, got $capEx")
+    assert(!new java.io.File(s"$out/_GAPS").exists() ||
+      Option(new java.io.File(s"$out/_GAPS").listFiles()).toSeq.flatten
+        .forall(!_.getName.forall(_.isDigit)),
+      "an over-cap refusal must not leave a partial _GAPS record")
     served { case Seq(p1, p2) => produce(skip = true)(p1, p2) }
 
     // the replica consumes the (gapped) log: txns 4,5,6 never reach it
@@ -165,5 +183,72 @@ class GapRepairJobSpec extends SparkSpec {
     assert(GapRepairJob.repair(spark, out, dnDirs, reg, Seq(target),
       t => GapRepairJob.srcStateFromLogs(spark, Seq(d1, d2), reg, t))
       .isEmpty)
+  }
+
+  test("file-prune boundaries: a gap txn LAST in a non-final file is still decoded; srcStateFromLogs' minTso floor prunes by name yet agrees on affected keys") {
+    val root = java.nio.file.Files.createTempDirectory("graft-gapprune")
+    val dn = s"$root/dn2"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dn))
+    val sid = java.util.UUID.fromString(
+      "0a1b2c3d-5555-4444-3333-000000000009")
+    def write(rows: Seq[(Long, Long)], prior: GtidSet, asIndex: Int): Unit = {
+      val df = rows.map { case (tso, k) =>
+        (tso, tso, "INSERT", "db", "t", Map.empty[String, String],
+          Map("k" -> k.toString, "seq" -> "1", "v" -> s"a$tso"),
+          null: String, 1700000000L)
+      }.toDF("tso", "txnId", "op", "schemaName", "tableName", "before",
+        "after", "ddl", "tsoTime")
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-gapprune-w").toString
+      BinlogWire.writeChangeStreamBinlogFiles(
+        df.coalesce(1).sortWithinPartitions("tso"), reg, d,
+        checksummed = true, gtidSid = Some(sid), priorExecuted = prior)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(d, "binlog.000000"),
+        java.nio.file.Paths.get(dn, f"binlog.$asIndex%06d"))
+      ()
+    }
+    // file 0: txns 2 and 4 — the gap txn (tso 4) is the LAST txn of a
+    // NON-final file; file 1: txn 10
+    write(Seq((2L, 2L), (4L, 4L)), GtidSet.Empty, 0)
+    write(Seq((10L, 10L)), GtidSet.Empty.add(sid, 2L).add(sid, 4L), 1)
+
+    // handcrafted gap record naming exactly txn 4 (the shape the
+    // sealedGapSkip restart writes)
+    val gapsDir = new java.io.File(s"$root/out/_GAPS")
+    gapsDir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(gapsDir.toString, "7"),
+      "sealedBarrier=8\ndn2,4,4".getBytes("UTF-8"))
+
+    // seekTso is strictly-above: a seek AT the min gap tso would start
+    // at file 1 and silently skip the gap txn — droppedEvents must
+    // still decode it
+    val gaps = GapRepairJob.readGaps(spark, s"$root/out")
+    val dropped = GapRepairJob.droppedEvents(spark, Map("dn2" -> dn),
+      reg, gaps)
+    assert(dropped.select($"tso").as[Long].collect().toSeq == Seq(4L),
+      "the gap txn at the END of a non-final file must be decoded")
+
+    val target = WireReplicaJob.TableTarget("db", "t",
+      Seq("k" -> "bigint", "seq" -> "bigint", "v" -> "string"),
+      Seq("k"), "seq", s"$root/target", 2)
+    // floor at minTso=10: file 0 (keys 2,4) is pruned BY NAME — its
+    // keys vanish from the floored fold — while the affected key (10)
+    // agrees with the unfloored fold exactly
+    val floored = GapRepairJob.srcStateFromLogs(spark, Seq(dn), reg,
+      target, minTso = Some(10L))
+    val full = GapRepairJob.srcStateFromLogs(spark, Seq(dn), reg, target)
+    assert(floored.select($"k").as[Long].collect().toSet == Set(10L),
+      "files wholly below the floor must not contribute rows")
+    assert(full.select($"k").as[Long].collect().toSet == Set(2L, 4L, 10L))
+    assert(floored.filter($"k" === 10L).collect().toSeq ==
+      full.filter($"k" === 10L).collect().toSeq,
+      "the floored fold must agree with the full fold on affected keys")
+    // a floor at the gap's own min tso keeps the gap txn's file
+    val flooredAtGap = GapRepairJob.srcStateFromLogs(spark, Seq(dn), reg,
+      target, minTso = Some(4L))
+    assert(flooredAtGap.select($"k").as[Long].collect().toSet ==
+      Set(2L, 4L, 10L), "the file holding the first event AT minTso stays")
   }
 }
