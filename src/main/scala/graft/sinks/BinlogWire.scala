@@ -295,7 +295,9 @@ object BinlogWire {
       le(bytes.length.toLong, 4) ++ bytes
     case Json =>
       val doc = value match {
-        case s: String => JsonB.encode(s)
+        // repair-or-quarantine: a sloppy upstream JSON cell must never
+        // wedge the wire writer (JsonRepairUtil.java:37 posture)
+        case s: String => JsonB.encodeTolerant(s)._1
         case b: Array[Byte] => b // pre-encoded jsonb
       }
       le(doc.length.toLong, 4) ++ doc
@@ -1489,7 +1491,7 @@ object BinlogWire {
     case EnumW(_, packLen) => r.le(packLen).toString // 1-based ordinal
     case SetW(_, packLen) => r.le(packLen).toString  // member bitmask
     case Geometry => bytesToHex(r.bytes(r.le(4).toInt))
-    case Json => JsonB.decodeToString(r.bytes(r.le(4).toInt))
+    case Json => JsonB.decodeToStringTolerant(r.bytes(r.le(4).toInt))
     case DatetimeLegacy =>
       val v = r.le(8)
       val (d, t) = (v / 1000000L, v % 1000000L)

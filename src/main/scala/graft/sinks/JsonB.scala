@@ -97,6 +97,21 @@ object JsonB {
     t.toByte +: payload
   }
 
+  /** Encode with the repair-or-quarantine stance (the reference never
+    * hard-fails the stream on a broken JSON payload —
+    * task/.../filter/JsonRepairUtil.java:37 rebuilds instead of
+    * throwing): malformed text is repaired by
+    * [[graft.operators.JsonRepair]] first; unrepairable text encodes
+    * as the JSON null literal. Returns (jsonb bytes, quarantined). */
+  def encodeTolerant(json: String): (Array[Byte], Boolean) =
+    try (encode(json), false)
+    catch {
+      case _: Exception =>
+        val (fixed, quarantined) =
+          graft.operators.JsonRepair.repairOrQuarantine(json)
+        (encode(fixed), quarantined)
+    }
+
   /** (type tag, payload bytes) for one value. */
   private def ser(n: JsonNode): (Int, Array[Byte]) =
     if (n.isNull) (TLiteral, Array(0x00.toByte))
@@ -179,6 +194,13 @@ object JsonB {
 
   /** Canonical compact JSON text (the string image decodeCell serves). */
   def decodeToString(bytes: Array[Byte]): String = decode(bytes).toString
+
+  /** Decode with the quarantine stance: a truncated/corrupt jsonb blob
+    * (binary — there is no text to repair) yields the JSON null
+    * literal instead of wedging the decode of the whole stream. */
+  def decodeToStringTolerant(bytes: Array[Byte]): String =
+    try decodeToString(bytes)
+    catch { case _: Exception => "null" }
 
   private def parseValue(t: Int, b: Array[Byte], pos: Int): JsonNode = {
     val f = JsonNodeFactory.instance
