@@ -2269,6 +2269,75 @@ object SparkEntry {
         .filter(col("op") === "DDL")
         .select((col("tso") - 1).as("k"), col("ddl").as("ddl_logical"))
         .orderBy(col("k"))
+    }),
+
+    // Binlog-X RE-SHARD M=2 → M=4 (oracle-checked): the daemon's
+    // topology re-plan (daemon/cluster/topology/BinlogXTopologyBuilder
+    // .java) as generations — seal the barrier over the old streams'
+    // GTID sets, write the new generation beside them, serve each new
+    // stream's FULL history stitched (old generation re-hashed under
+    // the new fan-out ≤ barrier, new generation above it). Per-table
+    // overrides pin the assignment so the oracle reconstructs it as
+    // plain modulo SQL. Conservation: the four stitched streams
+    // together hold every key exactly once.
+    "q117_reshard" -> ((s, d) => {
+      import graft.streaming.{CdcBinlogX, CdcReshard}
+      import graft.operators.StreamHash
+      val reg117: Map[(String, String), Seq[String]] =
+        (0 until 4).map(i => ("app", s"t$i") -> Seq("k")).toMap
+      val keys = Tables.lineitem(s, d)
+        .select(col("l_orderkey").cast("long").as("k")).distinct()
+        .filter(col("k") <= 199)
+      def events(df: DataFrame) = df.select(
+        (col("k") + 1).as("tso"), (col("k") + 1).as("txnId"),
+        lit("INSERT").as("op"), lit("app").as("schemaName"),
+        concat(lit("t"), col("k") % 4).as("tableName"),
+        map().cast("map<string,string>").as("before"),
+        map(lit("k"), col("k").cast("string")).as("after"),
+        lit(null).cast("string").as("ddl"),
+        lit(1700000000L).as("tsoTime"))
+      val sid = java.util.UUID.fromString(
+        "0a1b2c3d-dddd-4444-3333-000000000117")
+      val out1 = Staged.tempDir("q117-gen1")
+      val out2 = Staged.tempDir("q117-gen2")
+      // generation 1 (M=2): tables pinned 2-per-stream
+      (0 until 2).foreach { i =>
+        val dir = s"$out1/stream-$i"
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(dir))
+        graft.sinks.BinlogWire.writeChangeStreamBinlogFiles(
+          events(keys.filter(col("k") <= 99 && col("k") % 4 - i * 2 <= 1
+            && col("k") % 4 - i * 2 >= 0))
+            .coalesce(1).sortWithinPartitions("tso"),
+          reg117, dir, gtidSid = Some(sid))
+      }
+      val fanTo = CdcBinlogX.FanOut(4, StreamHash.ByTable,
+        overrides = (0 until 4).map(i => s"app.t$i" -> i).toMap)
+      CdcReshard.reshard(s, out1, out2,
+        CdcBinlogX.FanOut(2, StreamHash.ByTable,
+          overrides = (0 until 4).map(i => s"app.t$i" -> (i / 2)).toMap),
+        fanTo)
+      // generation 2 (M=4): the post-barrier keys, one table per stream
+      (0 until 4).foreach { i =>
+        val dir = s"$out2/stream-$i"
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(dir))
+        graft.sinks.BinlogWire.writeChangeStreamBinlogFiles(
+          events(keys.filter(col("k") >= 100 && col("k") % 4 === i))
+            .coalesce(1).sortWithinPartitions("tso"),
+          reg117, dir, gtidSid = Some(sid))
+      }
+      (0 until 4).map { j =>
+        CdcReshard.readStitchedStream(s, out2, j, reg117)
+          .filter(col("op") === "INSERT")
+          .agg(count(lit(1)).cast("bigint").as("n_rows"),
+            sum(element_at(col("after"), "k").cast("long"))
+              .cast("bigint").as("sum_k"))
+          .withColumn("stream", lit(j))
+      }.reduce(_.unionByName(_))
+        .select(col("stream").cast("int").as("stream"),
+          col("n_rows"), col("sum_k"))
+        .orderBy(col("stream"))
     })
   )
 
@@ -3402,6 +3471,16 @@ object SparkEntry {
       ("SELECT CAST(k AS BIGINT) AS k, " +
         "'CREATE TABLE `t' || CAST(k AS VARCHAR) || '` (a INT)' " +
         "AS ddl_logical FROM (SELECT DISTINCT l_orderkey AS k " +
-        "FROM lineitem WHERE l_orderkey <= 49) ORDER BY k")
+        "FROM lineitem WHERE l_orderkey <= 49) ORDER BY k"),
+
+    // q117: stitched-stream conservation across the re-shard boundary —
+    // with full per-table overrides the stream of key k is k % 4, so
+    // each stitched stream is exactly one residue class of the keys
+    "q117_reshard" ->
+      ("SELECT CAST(k % 4 AS INT) AS stream, " +
+        "CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(k) AS BIGINT) AS sum_k " +
+        "FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem " +
+        "WHERE l_orderkey <= 199) GROUP BY 1 ORDER BY 1")
   )
 }

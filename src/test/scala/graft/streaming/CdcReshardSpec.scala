@@ -1,0 +1,212 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.model.GtidSet
+import graft.operators.StreamHash
+import graft.sinks.{BinlogCatalog, BinlogWire}
+
+/** Binlog-X re-shard lifecycle (the reference daemon's topology
+  * re-plan, daemon/cluster/topology/BinlogXTopologyBuilder.java):
+  * produce at M=2 → drain → [[CdcReshard.reshard]] seals the barrier →
+  * resume the SAME production (checkpoint + workDir) at M=4 into the
+  * new generation → per-stream consumers see conservation and order
+  * across the boundary, DDL broadcast lands once per stitched stream,
+  * and a generation-1 consumer RESUMES BY GTID on its table's new
+  * stream without replaying or losing a transaction. */
+class CdcReshardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val tables = Seq("alpha", "beta", "gamma", "delta")
+  private val reg: Map[(String, String), Seq[String]] =
+    (tables.map(t => ("db", t) -> Seq("k", "seq", "v")) :+
+      (("db", "hb") -> Seq("k"))).toMap
+  private val ddlStmt = "CREATE TABLE db.zeta (z int)"
+
+  private def rowsDf(rows: Seq[(Long, String)]) =
+    rows.map { case (tso, table) =>
+      if (table == "DDL")
+        (tso, tso, "DDL", "db", "zeta", Map.empty[String, String],
+          Map.empty[String, String], ddlStmt, 1700000000L)
+      else {
+        val after = if (table == "hb") Map("k" -> tso.toString)
+          else Map("k" -> tso.toString, "seq" -> "1", "v" -> s"a$tso")
+        (tso, tso, "INSERT", "db", table, Map.empty[String, String],
+          after, null: String, 1700000000L)
+      }
+    }.toDF("tso", "txnId", "op", "schemaName", "tableName", "before",
+      "after", "ddl", "tsoTime")
+
+  test("M=2 → barrier → M=4: conservation + per-stream order across generations, DDL once per stitched stream, GTID resume") {
+    val root = java.nio.file.Files.createTempDirectory("graft-reshard")
+    val (d1, d2) = (s"$root/dn1", s"$root/dn2")
+    Seq(d1, d2).foreach(d => java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(d)))
+    val (out1, out2) = (s"$root/gen1", s"$root/gen2")
+    val sid1 = java.util.UUID.fromString(
+      "0a1b2c3d-cccc-4444-3333-000000000001")
+    val sid2 = java.util.UUID.fromString(
+      "0a1b2c3d-cccc-4444-3333-000000000002")
+    val gsid = java.util.UUID.fromString(
+      "0a1b2c3d-cccc-4444-3333-00000000000f")
+
+    def writeDn(rows: Seq[(Long, String)], sid: java.util.UUID,
+        prior: GtidSet, intoDir: String, asIndex: Int): Unit = {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-reshard-w").toString
+      BinlogWire.writeChangeStreamBinlogFiles(
+        rowsDf(rows).coalesce(1).sortWithinPartitions("tso"), reg, d,
+        checksummed = true, gtidSid = Some(sid), priorExecuted = prior)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(d, "binlog.000000"),
+        java.nio.file.Paths.get(intoDir, f"binlog.$asIndex%06d"))
+      ()
+    }
+    def produce(outDir: String, streams: Int): Unit = {
+      val srvs = Seq(d1, d2).map(d =>
+        new graft.sinks.BinlogDumpServer(d, "repl", "pw"))
+      try {
+        val q = CdcBinlogX.start(spark,
+          Seq(("dn1", "localhost", srvs(0).port),
+            ("dn2", "localhost", srvs(1).port)),
+          "repl", "pw", reg, outDir, s"$root/ckpt", s"$root/work",
+          CdcBinlogX.FanOut(streams, StreamHash.ByTable),
+          numPartitions = 2, heartbeatTables = Set(("db", "hb")),
+          trigger = Trigger.AvailableNow(), gtidSid = Some(gsid))
+        q.awaitTermination()
+      } finally srvs.foreach(_.close())
+    }
+
+    // generation 1 (M=2): batch A — tsos 1..8 across 4 tables + a DDL,
+    // heartbeats advance both frontiers past the data
+    val a1 = Seq((1L, "alpha"), (3L, "gamma"), (5L, "DDL"),
+      (7L, "beta"), (21L, "hb"))
+    val a2 = Seq((2L, "beta"), (4L, "delta"), (6L, "alpha"),
+      (8L, "gamma"), (22L, "hb"))
+    writeDn(a1, sid1, GtidSet.Empty, d1, 0)
+    writeDn(a2, sid2, GtidSet.Empty, d2, 0)
+    produce(out1, streams = 2)
+
+    // a generation-1 consumer of ONE old stream, run to completion
+    // (its state + executed set are the GTID-resume inputs below)
+    val targetsRoot = s"$root/targets"
+    def targetsOf(): Seq[graft.jobs.WireReplicaJob.TableTarget] =
+      tables.map(t => graft.jobs.WireReplicaJob.TableTarget("db", t,
+        Seq("k" -> "bigint", "seq" -> "bigint", "v" -> "string"),
+        Seq("k"), "seq", s"$targetsRoot/$t", 2))
+    def consumeStream(dir: String, ckpt: String,
+        startExecuted: Map[String, String]): Unit = {
+      val g = new graft.sinks.BinlogDumpServer(dir, "repl", "pw")
+      try {
+        val q = CdcReplica.start(spark,
+          Seq(("gen", "localhost", g.port)), "repl", "pw",
+          reg - (("db", "hb")), targetsOf(), ckpt,
+          s"$root/replica-stage", s"$root/replica-registry",
+          trigger = Trigger.AvailableNow(),
+          startExecuted = startExecuted)
+        q.awaitTermination()
+      } finally g.close()
+    }
+    def tableState(t: String): Map[Long, String] =
+      graft.operators.TxnApplier.readCurrent(spark, s"$targetsRoot/$t")
+        .select($"k", $"v").as[(Long, String)].collect().toMap
+
+    // which old stream carries alpha? (ByTable hash, read from disk)
+    val oldStreamOf: Map[String, Int] = (0 until 2).flatMap { i =>
+      BinlogWire.readBinlogFiles(spark, s"$out1/stream-$i", reg)
+        .filter($"op" === "INSERT")
+        .select($"tableName").distinct().as[String].collect()
+        .map(_ -> i)
+    }.toMap
+    val watched = "alpha"
+    val oldStream = oldStreamOf(watched)
+    consumeStream(s"$out1/stream-$oldStream", s"$root/replica-ckpt-1",
+      Map.empty)
+    val preState = tableState(watched)
+    assert(preState.keySet == Set(1L, 6L),
+      s"gen-1 consumer must hold alpha's batch-A rows, got $preState")
+
+    // SEAL the generation boundary
+    val fan4 = CdcBinlogX.FanOut(4, StreamHash.ByTable)
+    val m = CdcReshard.reshard(spark, out1, out2,
+      CdcBinlogX.FanOut(2, StreamHash.ByTable), fan4)
+    // heartbeat txns never land in the stream logs (they only advance
+    // frontiers), so the max EMITTED tso is the last data txn
+    assert(m.barrierTso == 8L,
+      s"barrier = max emitted tso across gen-1 streams, got $m")
+    assert(CdcReshard.manifest(spark, out2) == m, "manifest roundtrip")
+    // a second re-shard into the same dir refuses
+    intercept[IllegalArgumentException] {
+      CdcReshard.reshard(spark, out1, out2,
+        CdcBinlogX.FanOut(2, StreamHash.ByTable), fan4)
+    }
+
+    // generation 2 (M=4): batch B appends on both DNs, same checkpoint
+    val b1 = Seq((31L, "alpha"), (33L, "delta"), (41L, "hb"))
+    val b2 = Seq((32L, "gamma"), (34L, "beta"), (36L, "alpha"),
+      (42L, "hb"))
+    writeDn(b1, sid1,
+      GtidSet.Empty.add(sid1, 1L).add(sid1, 3L).add(sid1, 5L)
+        .add(sid1, 7L).add(sid1, 21L), d1, 1)
+    writeDn(b2, sid2,
+      GtidSet.Empty.add(sid2, 2L).add(sid2, 4L).add(sid2, 6L)
+        .add(sid2, 8L).add(sid2, 22L), d2, 1)
+    produce(out2, streams = 4)
+
+    // stitched per-stream reads: conservation + order + DDL-once
+    val stitched = (0 until 4).map(j =>
+      CdcReshard.readStitchedStream(spark, out2, j, reg)
+        .select($"tableName", $"op", $"tso", $"ddl")
+        .as[(String, String, Long, String)].collect().toSeq)
+    val allInserts = stitched.flatten.filter(_._2 == "INSERT")
+    assert(allInserts.map(_._3).sorted ==
+      Seq(1L, 2L, 3L, 4L, 6L, 7L, 8L, 31L, 32L, 33L, 34L, 36L),
+      "conservation: every DML of both generations exactly once " +
+        "across the stitched streams")
+    // ByTable: each table wholly inside one stitched stream
+    tables.foreach { t =>
+      val in = stitched.zipWithIndex.filter(_._1.exists(r =>
+        r._1 == t && r._2 == "INSERT")).map(_._2)
+      assert(in.size == 1, s"table $t must live in exactly one new " +
+        s"stream, found in $in")
+    }
+    // per-stream order, and the generation boundary is clean
+    stitched.foreach { s =>
+      val tsos = s.map(_._3)
+      assert(tsos == tsos.sorted, s"stitched stream disorder: $s")
+    }
+    assert(stitched.forall(_.count(r => r._2 == "DDL" &&
+      r._4 == ddlStmt) == 1),
+      "the broadcast DDL must appear exactly once per stitched stream")
+
+    // GTID RESUME: the gen-1 consumer of old stream `oldStream` moves
+    // to alpha's NEW stream, seeding its executed set from what it
+    // consumed — it receives ONLY post-barrier transactions and alpha
+    // converges to batch A + batch B with no replay
+    val newStreamOf: Map[String, Int] = (0 until 4).flatMap { j =>
+      if (!new java.io.File(s"$out2/stream-$j").isDirectory) Nil
+      else BinlogWire.readBinlogFiles(spark, s"$out2/stream-$j", reg)
+        .filter($"op" === "INSERT")
+        .select($"tableName").distinct().as[String].collect()
+        .map(_ -> j).toSeq
+    }.toMap
+    val newStream = newStreamOf(watched)
+    val consumed = BinlogCatalog.executedGtidSet(spark,
+      s"$out1/stream-$oldStream")
+    val untouched = tables.filter(t => oldStreamOf(t) != oldStream &&
+      newStreamOf(t) != newStream)
+    val untouchedBefore = untouched.map(t => t -> tableState(t)).toMap
+    consumeStream(s"$out2/stream-$newStream", s"$root/replica-ckpt-2",
+      Map("gen" -> consumed.text))
+    val post = tableState(watched)
+    assert(post.keySet == Set(1L, 6L, 31L, 36L),
+      s"alpha must converge to A∪B via GTID resume, got $post")
+    // tables on neither of the consumer's streams stayed untouched
+    untouched.foreach { t =>
+      assert(tableState(t) == untouchedBefore(t),
+        s"$t must not be touched by the resumed consumer")
+    }
+  }
+}
