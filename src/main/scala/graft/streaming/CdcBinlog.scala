@@ -145,6 +145,46 @@ object CdcBinlog {
     }
   }
 
+  /** The batch-file name prefix for wire files: the batch component is
+    * zero-padded WIDE (12 digits ≈ 31k years of 1s triggers) because
+    * file-NAME order is the log's total order — a pad the batchId
+    * outgrew would sort binlog.1000000.* before binlog.999999.* and
+    * silently break every name-ordered contract (serve start,
+    * executed-set fold, purge prefixes); refuse loudly at the edge
+    * rather than wrap. ONE owner for pad policy: CdcBinlog.emitBatch
+    * and GlobalBinlogStream.startWire both name through here. */
+  private[streaming] def batchFilePrefix(batchId: Long,
+      who: String): String = {
+    require(batchId >= 0 && batchId < 1000000000000L,
+      s"$who: batchId $batchId outside the zero-padded file-name " +
+        "range [0, 1e12) — the name-order-is-TSO-order contract would " +
+        "break")
+    f"binlog.$batchId%012d."
+  }
+
+  /** Dual-width replay delete: a replayed batch must fully supersede
+    * the attempt it replaces (range-partitioner sampling is not stable
+    * across attempts, so the retry's file set can differ), INCLUDING
+    * files a PRE-upgrade attempt wrote under the 6-digit pad (the
+    * startup migration normally renames them first, but a crash
+    * between migration and the replayed write leaves the legacy names
+    * live). The trailing '.' keeps the narrow prefix from matching a
+    * different batch's wide name (binlog.000001. does NOT prefix
+    * binlog.000001000000.*). Shared by both wire-file pipelines. */
+  private[streaming] def deleteBatchFiles(dir: String,
+      batchId: Long): Unit = {
+    val prefix = f"binlog.$batchId%012d."
+    val legacyPrefix = f"binlog.$batchId%06d."
+    val root = new Path(dir)
+    val ofs = graft.util.HadoopIo.fsOf(root)
+    if (ofs.exists(root))
+      ofs.listStatus(root).foreach { st =>
+        if (st.isFile && (st.getPath.getName.startsWith(prefix) ||
+            st.getPath.getName.startsWith(legacyPrefix)))
+          ofs.delete(st.getPath, false)
+      }
+  }
+
   private def sameBytes(fs: org.apache.hadoop.fs.FileSystem,
       a: Path, b: Path): Boolean = {
     if (fs.getFileStatus(a).getLen != fs.getFileStatus(b).getLen)
@@ -539,36 +579,12 @@ object CdcBinlog {
 
     // the batch's wire files: delete this batch's prefix first so a
     // replayed attempt fully supersedes the one it replaces (range
-    // partitioner sampling is not stable across attempts). The batch
-    // component is zero-padded WIDE (12 digits ≈ 31k years of 1s
-    // triggers) because file-NAME order is the log's total order —
-    // a pad the batchId outgrew would sort binlog.1000000.* before
-    // binlog.999999.* and silently break every name-ordered contract
-    // (serve start, executed-set fold, purge prefixes); refuse loudly
-    // at the edge rather than wrap.
-    require(batchId >= 0 && batchId < 1000000000000L,
-      s"CdcBinlog: batchId $batchId outside the zero-padded file-name " +
-        "range [0, 1e12) — the name-order-is-TSO-order contract would " +
-        "break")
-    val prefix = f"binlog.$batchId%012d."
-    // a replay across the 6→12-digit pad upgrade must supersede files
-    // the PRE-upgrade attempt wrote for this same batch (the startup
-    // migration normally renames them first, but a crash between
-    // migration and the replayed write leaves the legacy names live) —
-    // delete both widths. The trailing '.' keeps the narrow prefix
-    // from matching a different batch's wide name (binlog.000001. does
-    // NOT prefix binlog.000001000000.*).
-    val legacyPrefix = f"binlog.$batchId%06d."
-    def deleteByPrefix(dir: String): Unit = {
-      val root = new Path(dir)
-      val ofs = graft.util.HadoopIo.fsOf(root)
-      if (ofs.exists(root))
-        ofs.listStatus(root).foreach { st =>
-          if (st.isFile && (st.getPath.getName.startsWith(prefix) ||
-              st.getPath.getName.startsWith(legacyPrefix)))
-            ofs.delete(st.getPath, false)
-        }
-    }
+    // partitioner sampling is not stable across attempts) — the pad
+    // policy and dual-width replay delete are the shared helpers below
+    // (ONE owner for both wire-file pipelines).
+    val prefix = batchFilePrefix(batchId, "CdcBinlog")
+    def deleteByPrefix(dir: String): Unit =
+      deleteBatchFiles(dir, batchId)
     // with a sid, the produced log(s) carry their OWN GTID stream
     // (gno := commit TSO — decoded rows all carry the txn's CTS, and
     // TSOs are globally unique) with cumulative PREVIOUS_GTIDS, read

@@ -86,29 +86,13 @@ object GlobalBinlogStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // replay idempotence is PREFIX-scoped, not file-scoped: a retried
-        // batch can range-partition differently (RangePartitioner sampling
-        // is not stable across attempts), so files from the prior attempt
-        // that the retry doesn't overwrite would survive as duplicate log
-        // segments — delete every `binlog.<batchId>.` file first (BOTH
-        // pad widths: a replay across the pad upgrade must supersede the
-        // pre-upgrade attempt's names too) so the replay fully supersedes
-        // the attempt it replaces. Wide pad + loud edge, like CdcBinlog:
-        // name order is the log's total order, so an outgrown pad would
-        // silently interleave batches.
-        require(batchId >= 0 && batchId < 1000000000000L,
-          s"GlobalBinlogStream: batchId $batchId outside the zero-padded " +
-            "file-name range [0, 1e12)")
-        val prefix = f"binlog.$batchId%012d."
-        val legacyPrefix = f"binlog.$batchId%06d."
-        val root = new org.apache.hadoop.fs.Path(outDir)
-        val fs = graft.util.HadoopIo.fsOf(root)
-        if (fs.exists(root))
-          fs.listStatus(root).foreach { st =>
-            if (st.isFile && (st.getPath.getName.startsWith(prefix) ||
-                st.getPath.getName.startsWith(legacyPrefix)))
-              fs.delete(st.getPath, false)
-          }
+        // replay idempotence is PREFIX-scoped, not file-scoped: the pad
+        // policy and the dual-width supersede-delete are CdcBinlog's
+        // shared helpers — one owner, so an edit to either lands in
+        // both wire-file pipelines (the r16/r17 divergence tax)
+        val prefix = CdcBinlog.batchFilePrefix(batchId,
+          "GlobalBinlogStream")
+        CdcBinlog.deleteBatchFiles(outDir, batchId)
         // wire order is COMMIT order: key each txn by its commit TSO
         // (max tso over the txn), keep txns whole (range boundaries only
         // between (commitTso, txnId) groups), order rows by tso within
