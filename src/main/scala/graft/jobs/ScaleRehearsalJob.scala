@@ -1,0 +1,274 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.model.GtidSet
+import graft.sinks.{BinlogRetention, BinlogWire}
+import graft.streaming.{CdcBinlogX, CdcHeartbeat, CdcReplica}
+
+/** SCALE REHEARSAL of the live chain — the composed production the
+  * reference runs as its whole deployment (§3.1 + §3.2 + retention +
+  * consumers), exercised as ONE measured run so super-linear stages
+  * show up as numbers instead of beliefs:
+  *
+  *   N DN wire logs (multi-wave backlog, per-DN GTID streams)
+  *     → CdcHeartbeat.beatOnce per DN (idle-frontier advancement)
+  *     → CdcBinlogX AvailableNow drain (M streams, ONE PINNED HOT
+  *       TABLE via overrides — the skew story, admission-controlled
+  *       deep-backlog split)
+  *     → BinlogRetention.pass per stream (archive-coupled purge)
+  *     → CdcReplica consumers on sampled streams (dump-served, GTID
+  *       auto-position, txn-applied)
+  *
+  * Each stage reports wall-clock, and the sink stages report
+  * bytes/files/rows. `main` prints one JSON line per run so numbers
+  * land in SCALING.md; `ScaleRehearsalSpec` runs a small shape and
+  * asserts the invariants (conservation, hot-table pinning, purge +
+  * stitched history).
+  */
+object ScaleRehearsalJob {
+
+  final case class Stage(name: String, wallMs: Long, rows: Long = -1L,
+      bytes: Long = -1L, files: Long = -1L)
+
+  final case class Report(dns: Int, rowsPerDn: Long, streams: Int,
+      consumed: Int, stages: Seq[Stage], producedRows: Long,
+      consumedRows: Long, hotStreamRows: Long) {
+    def json: String = {
+      val st = stages.map(s => s""""${s.name}":{"wallMs":${s.wallMs},""" +
+        s""""rows":${s.rows},"bytes":${s.bytes},"files":${s.files}}""")
+        .mkString(",")
+      s"""{"metric":"scale_rehearsal","dns":$dns,""" +
+        s""""rowsPerDn":$rowsPerDn,"streams":$streams,""" +
+        s""""consumed":$consumed,"producedRows":$producedRows,""" +
+        s""""consumedRows":$consumedRows,""" +
+        s""""hotStreamRows":$hotStreamRows,"stages":{$st}}"""
+    }
+  }
+
+  private def timed[A](body: => A): (A, Long) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1000000L)
+  }
+
+  private def dirStats(dir: String): (Long, Long) = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = graft.util.HadoopIo.fsOf(root)
+    if (!fs.exists(root)) (0L, 0L)
+    else {
+      val files = fs.listStatus(root).filter(st => st.isFile &&
+        st.getPath.getName.startsWith("binlog."))
+      (files.map(_.getLen).sum, files.length.toLong)
+    }
+  }
+
+  val HotTable = "hot"
+  private val ColdTables = 6
+
+  /** Registry: the hot table, `ColdTables` cold ones, the heartbeat
+    * table. All string-image 3-col rows. */
+  def registry: Map[(String, String), Seq[String]] =
+    (Seq(("db", HotTable)) ++ (0 until ColdTables).map(i => ("db", s"t$i")))
+      .map(_ -> Seq("k", "seq", "v")).toMap +
+      ((CdcHeartbeat.DefaultSchema, CdcHeartbeat.DefaultTable) ->
+        Seq("id"))
+
+  /** One DN's wave of change rows: contiguous per-DN TSO block (the
+    * gno:=tso convention needs per-SID interval compaction — strided
+    * TSOs would explode the executed set), ~40% of rows on the hot
+    * table, the rest spread over the cold tables. */
+  private def waveDf(spark: SparkSession, tsoBase: Long,
+      rows: Long): DataFrame = {
+    spark.range(rows).select(
+      (lit(tsoBase) + col("id")).as("tso"),
+      (lit(tsoBase) + col("id")).as("txnId"),
+      lit("INSERT").as("op"),
+      lit("db").as("schemaName"),
+      when(col("id") % 5 < 2, lit(HotTable))
+        .otherwise(concat(lit("t"), col("id") % ColdTables))
+        .as("tableName"),
+      map().cast("map<string,string>").as("before"),
+      map(lit("k"), (lit(tsoBase) + col("id")).cast("string"),
+        lit("seq"), lit("1"),
+        lit("v"), concat(lit("v"), col("id") % 97)).as("after"),
+      lit(null).cast("string").as("ddl"),
+      lit(1700000000L).as("tsoTime"))
+  }
+
+  // per-DN-wave TSO block layout: wave w, dn d gets
+  // [1 + (w*dns + d)*rowsPerWave, …+rowsPerWave)
+  private def tsoBase(w: Int, d: Int, dns: Int, rowsPerWave: Long): Long =
+    1L + (w.toLong * dns + d) * rowsPerWave
+
+  def run(spark: SparkSession, root: String, dns: Int, rowsPerDn: Long,
+      streams: Int, waves: Int = 2, consumers: Int = 2,
+      numPartitions: Int = 8, txnsPerCommit: Int = 10000,
+      maxBytesPerPoll: Long = 64L * 1024 * 1024): Report = {
+    import spark.implicits._
+    require(rowsPerDn % waves == 0, "rowsPerDn must split into waves")
+    val reg = registry
+    val rowsPerWave = rowsPerDn / waves
+    val sids = (0 until dns).map(d => java.util.UUID.fromString(
+      f"0a1b2c3d-5ca1-4444-3333-${d}%012d"))
+    val dnDirs = (0 until dns).map(d => s"$root/dn$d")
+    dnDirs.foreach(d => java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(d)))
+
+    // ---- stage: fixture (not production cost — the DNs' own logs) ----
+    val (_, fixtureMs) = timed {
+      (0 until waves).foreach { w =>
+        (0 until dns).foreach { d =>
+          val base = tsoBase(w, d, dns, rowsPerWave)
+          val prior = if (w == 0) GtidSet.Empty
+            else GtidSet(Map(sids(d) -> (0 until w).map { pw =>
+              val b = tsoBase(pw, d, dns, rowsPerWave)
+              (b, b + rowsPerWave)
+            }.toVector))
+          val scratch = java.nio.file.Files
+            .createTempDirectory("graft-rehearsal-w").toString
+          BinlogWire.writeChangeStreamBinlogFiles(
+            waveDf(spark, base, rowsPerWave)
+              .coalesce(1).sortWithinPartitions("tso"),
+            reg, scratch, checksummed = true, gtidSid = Some(sids(d)),
+            priorExecuted = prior)
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(scratch, "binlog.000000"),
+            java.nio.file.Paths.get(dnDirs(d), f"binlog.$w%06d"))
+          ()
+        }
+      }
+    }
+    val fixtureStats = dnDirs.map(dirStats)
+    val totalTso = 1L + waves.toLong * dns * rowsPerWave
+
+    // ---- stage: heartbeat (driver-side beats advance every frontier
+    //      past the whole backlog — the idle-DN liveness path) ----
+    val (_, hbMs) = timed {
+      (0 until dns).foreach { d =>
+        CdcHeartbeat.beatOnce(spark, dnDirs(d), sids(d),
+          tso = totalTso + d)
+      }
+    }
+
+    // ---- stage: produce (the live chain: dump-dial → merge →
+    //      barrier → M pinned streams, AvailableNow backlog drain) ----
+    val out = s"$root/out"
+    val gsid = java.util.UUID.fromString(
+      "0a1b2c3d-5ca1-4444-3333-0000000f0f0f")
+    val fan = CdcBinlogX.FanOut(streams,
+      graft.operators.StreamHash.ByTable,
+      overrides = Map(s"db.$HotTable" -> 0))
+    val srvs = dnDirs.map(d =>
+      new graft.sinks.BinlogDumpServer(d, "repl", "pw"))
+    val (_, produceMs) = timed {
+      try {
+        val q = CdcBinlogX.start(spark,
+          (0 until dns).map(d => (s"dn$d", "localhost", srvs(d).port)),
+          "repl", "pw", reg, out, s"$root/ckpt", s"$root/work", fan,
+          numPartitions = numPartitions,
+          heartbeatTables = Set((CdcHeartbeat.DefaultSchema,
+            CdcHeartbeat.DefaultTable)),
+          trigger = Trigger.AvailableNow(),
+          maxBytesPerPoll = maxBytesPerPoll,
+          gtidSid = Some(gsid))
+        q.awaitTermination()
+      } finally srvs.foreach(_.close())
+    }
+    val streamDirs = (0 until streams).map(i => s"$out/stream-$i")
+    val produceStats = streamDirs.map(dirStats)
+    val producedRows = streamDirs.map { d =>
+      if (!new java.io.File(d).isDirectory) 0L
+      else BinlogWire.readBinlogFiles(spark, d, reg)
+        .filter($"op" === "INSERT").count()
+    }.sum
+    val hotStreamRows =
+      if (!new java.io.File(streamDirs(0)).isDirectory) 0L
+      else BinlogWire.readBinlogFiles(spark, streamDirs(0), reg)
+        .filter($"op" === "INSERT" && $"tableName" === HotTable).count()
+
+    // ---- stage: consume (CdcReplica per sampled stream: dump-served,
+    //      GTID auto-position, transactional apply; runs BEFORE the
+    //      retention purge — bootstrap-through-the-purge-boundary is
+    //      q115/BinlogRetentionSpec's covered path) ----
+    val sampled = (0 until math.min(consumers, streams)).filter(i =>
+      new java.io.File(streamDirs(i)).isDirectory)
+    val (consumedRows, consumeMs) = timed {
+      sampled.map { i =>
+        val tables = reg.keys.filter(_._1 == "db").toSeq
+        val targets = tables.map { case (sch, t) =>
+          WireReplicaJob.TableTarget(sch, t,
+            Seq("k" -> "bigint", "seq" -> "bigint", "v" -> "string"),
+            Seq("k"), "seq", s"$root/target-$i/$t", 8)
+        }
+        val g = new graft.sinks.BinlogDumpServer(streamDirs(i),
+          "repl", "pw")
+        try {
+          val q = CdcReplica.start(spark,
+            Seq((s"s$i", "localhost", g.port)), "repl", "pw",
+            reg.filter(_._1._1 == "db"), targets,
+            s"$root/consumer-ckpt-$i", s"$root/consumer-stage-$i",
+            s"$root/consumer-registry-$i", txnsPerCommit = txnsPerCommit,
+            trigger = Trigger.AvailableNow(),
+            maxBytesPerPoll = maxBytesPerPoll)
+          q.awaitTermination()
+        } finally g.close()
+        targets.map(t => graft.operators.TxnApplier
+          .readCurrent(spark, t.targetDir).count()).sum
+      }.sum
+    }
+
+    // ---- stage: retention (archive-coupled purge per stream; keep
+    //      the top half of the TSO space live) ----
+    val archRoot = s"$root/archive"
+    val purgeBoundary = totalTso / 2
+    val ((purgedFiles, archivedFiles), retentionMs) = timed {
+      val per = streamDirs.filter(d => new java.io.File(d).isDirectory)
+        .map { d =>
+          val (archived, purged) = BinlogRetention.pass(spark, d,
+            archRoot, purgeBoundary)
+          (purged.size.toLong, archived.size.toLong)
+        }
+      (per.map(_._1).sum, per.map(_._2).sum)
+    }
+
+    Report(dns, rowsPerDn, streams, sampled.size,
+      Seq(
+        Stage("fixture", fixtureMs, rows = dns * rowsPerDn,
+          bytes = fixtureStats.map(_._1).sum,
+          files = fixtureStats.map(_._2).sum),
+        Stage("heartbeat", hbMs, rows = dns.toLong),
+        Stage("produce", produceMs, rows = producedRows,
+          bytes = produceStats.map(_._1).sum,
+          files = produceStats.map(_._2).sum),
+        Stage("consume", consumeMs, rows = consumedRows),
+        Stage("retention", retentionMs, files = purgedFiles,
+          rows = archivedFiles)),
+      producedRows, consumedRows, hotStreamRows)
+  }
+
+  /** `runMain graft.jobs.ScaleRehearsalJob <root> <dns> <rowsPerDn>
+    * <streams> [waves] [consumers]` — prints the report JSON line. */
+  def main(args: Array[String]): Unit = {
+    val root = args(0)
+    val dns = args(1).toInt
+    val rowsPerDn = args(2).toLong
+    val streams = args(3).toInt
+    val waves = if (args.length > 4) args(4).toInt else 2
+    val consumers = if (args.length > 5) args(5).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder()
+      .appName("graft-scale-rehearsal")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val r = run(spark, root, dns, rowsPerDn, streams, waves,
+        consumers, numPartitions = math.min(cpus, 16))
+      println(r.json)
+    } finally spark.stop()
+  }
+}

@@ -41,9 +41,25 @@ final case class GtidSet private (sets: Map[UUID, Vector[(Long, Long)]]) {
 
   def isEmpty: Boolean = sets.isEmpty
 
-  def contains(sid: UUID, gno: Long): Boolean =
-    sets.getOrElse(sid, Vector.empty)
-      .exists { case (s, e) => gno >= s && gno < e }
+  def contains(sid: UUID, gno: Long): Boolean = {
+    // binary search over the sorted disjoint intervals — callers probe
+    // per TRANSACTION (drain cursors, coverage checks, server skip
+    // filters), and a sparse tso space legitimately holds 10^5+
+    // intervals (a fan-out stream carries only its share of the global
+    // sequence), so a linear probe here turns O(n) drains into O(n^2)
+    val ivs = sets.getOrElse(sid, Vector.empty)
+    var lo = 0
+    var hi = ivs.length - 1
+    var res = false
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val (s, e) = ivs(mid)
+      if (gno < s) hi = mid - 1
+      else if (gno >= e) lo = mid + 1
+      else { res = true; lo = hi + 1 }
+    }
+    res
+  }
 
   def contains(gtid: String): Boolean = {
     val i = gtid.lastIndexOf(':')
@@ -68,10 +84,20 @@ final case class GtidSet private (sets: Map[UUID, Vector[(Long, Long)]]) {
     sets.forall { case (sid, ivs) =>
       // normalized intervals are disjoint and non-touching, so a
       // contained interval must sit inside ONE interval of the other —
-      // interval algebra, never a per-GNO loop
+      // interval algebra (binary-searched), never a per-GNO loop
       val oivs = other.sets.getOrElse(sid, Vector.empty)
       ivs.forall { case (s, e) =>
-        oivs.exists { case (os, oe) => os <= s && e <= oe }
+        var lo = 0
+        var hi = oivs.length - 1
+        var ok = false
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          val (os, oe) = oivs(mid)
+          if (s < os) hi = mid - 1
+          else if (s >= oe) lo = mid + 1
+          else { ok = e <= oe; lo = hi + 1 }
+        }
+        ok
       }
     }
 
@@ -128,6 +154,86 @@ object GtidSet {
   }
 
   val Empty: GtidSet = GtidSet(Map.empty)
+
+  /** Mutable BULK accumulator: O(log intervals) per [[add]] via a
+    * per-SID TreeMap, vs the immutable [[GtidSet.add]]'s full
+    * re-normalization per call. The difference is structural at scale:
+    * a fan-out stream's gno space is SPARSE (it carries only its share
+    * of the global tso sequence), so a per-transaction immutable add
+    * over a long drain is O(n²) in intervals — the scale-rehearsal
+    * consume stage measured 14 min of one pinned core at 3·10^5 txns
+    * before this existed. Every per-event accumulation loop (drain
+    * cursors, wire-writer gno gathers, catalog executed-set folds)
+    * must build here and [[Builder.result]] once. */
+  final class Builder private[GtidSet] (seed: GtidSet) {
+    private val sets = scala.collection.mutable.Map[UUID,
+      java.util.TreeMap[java.lang.Long, java.lang.Long]]()
+    seed.sets.foreach { case (sid, ivs) =>
+      val m = new java.util.TreeMap[java.lang.Long, java.lang.Long]()
+      ivs.foreach { case (s, e) => m.put(s, e) }
+      sets(sid) = m
+    }
+
+    def add(sid: UUID, gno: Long): this.type = {
+      val m = sets.getOrElseUpdate(sid,
+        new java.util.TreeMap[java.lang.Long, java.lang.Long]())
+      val fl = m.floorEntry(gno)
+      if (fl != null && fl.getValue.longValue > gno) this // contained
+      else if (fl != null && fl.getValue.longValue == gno) {
+        // extends the floor interval; coalesce with a successor that
+        // starts exactly at gno+1
+        val nxt = m.get(gno + 1)
+        if (nxt != null) { m.remove(gno + 1); m.put(fl.getKey, nxt) }
+        else m.put(fl.getKey, java.lang.Long.valueOf(gno + 1))
+        this
+      } else {
+        val nxt = m.get(gno + 1)
+        if (nxt != null) { m.remove(gno + 1); m.put(gno, nxt) }
+        else m.put(gno, java.lang.Long.valueOf(gno + 1))
+        this
+      }
+    }
+
+    /** Insert the interval [lo, hiExcl), coalescing overlapping and
+      * touching neighbors — O(log n + removed). */
+    def addRange(sid: UUID, lo: Long, hiExcl: Long): this.type = {
+      require(hiExcl > lo, s"empty range [$lo, $hiExcl)")
+      val m = sets.getOrElseUpdate(sid,
+        new java.util.TreeMap[java.lang.Long, java.lang.Long]())
+      var s = lo
+      var e = hiExcl
+      val fl = m.floorEntry(s)
+      if (fl != null && fl.getValue.longValue >= s) {
+        s = math.min(s, fl.getKey.longValue)
+        e = math.max(e, fl.getValue.longValue)
+        m.remove(fl.getKey)
+      }
+      var nx = m.ceilingEntry(s)
+      while (nx != null && nx.getKey.longValue <= e) {
+        e = math.max(e, nx.getValue.longValue)
+        m.remove(nx.getKey)
+        nx = m.ceilingEntry(s)
+      }
+      m.put(s, e)
+      this
+    }
+
+    def contains(sid: UUID, gno: Long): Boolean =
+      sets.get(sid).exists { m =>
+        val fl = m.floorEntry(gno)
+        fl != null && fl.getValue.longValue > gno
+      }
+
+    def result(): GtidSet = {
+      import scala.jdk.CollectionConverters._
+      GtidSet(sets.map { case (sid, m) =>
+        sid -> m.entrySet().iterator().asScala
+          .map(e => (e.getKey.longValue, e.getValue.longValue)).toVector
+      }.toMap)
+    }
+  }
+
+  def builder(seed: GtidSet = Empty): Builder = new Builder(seed)
 
   def of(gtids: String*): GtidSet =
     gtids.foldLeft(Empty) { (acc, g) =>

@@ -88,12 +88,12 @@ object BinlogCatalog {
       val p = new org.apache.hadoop.fs.Path(base, name)
       val fs = p.getFileSystem(graft.util.HadoopIo.confFrom(confMap))
       val in = fs.open(p)
-      try BinlogWire.parseStream(in)
-        .flatMap(frameGtid)
-        .foldLeft(graft.model.GtidSet.Empty) {
-          case (acc, (sid, gno)) => acc.add(sid, gno)
-        }.text
-      finally in.close()
+      try {
+        val b = graft.model.GtidSet.builder()
+        BinlogWire.parseStream(in).flatMap(frameGtid)
+          .foreach { case (sid, gno) => b.add(sid, gno) }
+        b.result().text
+      } finally in.close()
     }.collect()
       .foldLeft(seed)(
         (acc, t) => acc.union(graft.model.GtidSet.parse(t)))
@@ -120,12 +120,14 @@ object BinlogCatalog {
         case _ => i -= 1
       }
     }
-    all.drop(math.max(found, 0)).foldLeft(seed) { (acc, name) =>
+    val b = graft.model.GtidSet.builder(seed)
+    all.drop(math.max(found, 0)).foreach { name =>
       val in = rfs.open(new org.apache.hadoop.fs.Path(dir, name))
       try BinlogWire.parseStream(in).flatMap(frameGtid)
-        .foldLeft(acc) { case (a, (sid, gno)) => a.add(sid, gno) }
+        .foreach { case (sid, gno) => b.add(sid, gno) }
       finally in.close()
     }
+    b.result()
   }
 
   /** SHOW BINLOG EVENTS [IN logName] [FROM pos] [LIMIT limit] — the

@@ -687,13 +687,39 @@ object BinlogWire {
   /** Driver-side prefix fold for the writers: per-partition gno sets
     * (text) → pid → the CUMULATIVE executed set strictly before that
     * partition's file (prior ∪ earlier partitions). Bounded metadata:
-    * partition-count entries of interval-compact texts. */
+    * partition-count entries of interval-compact texts.
+    *
+    * When the whole batch is per-SID MONOTONE across partitions (each
+    * partition's min gno above everything before it — the writers'
+    * range partitioning on commit tso with gno := tso guarantees it;
+    * verified, not assumed), each prefix COMPACTS to one [min, max]
+    * claim per SID. Sound at the LOG level: file-name order is tso
+    * order and appends are monotone, so a gno inside a prefix range
+    * that is absent from the log can never be written later — and the
+    * file header stays O(SIDs) instead of O(transactions-so-far),
+    * which in a sparse gno space (fan-out streams) otherwise grows
+    * into multi-MB PREVIOUS_GTIDS events. A non-monotone batch falls
+    * back to the exact union. */
   private def prefixGnoSets(perPart: Seq[(Int, String)],
       prior: graft.model.GtidSet): Map[Int, String] = {
+    val parts = perPart.sortBy(_._1)
+      .map { case (pid, txt) => (pid, graft.model.GtidSet.parse(txt)) }
+    val monotone = parts.map(_._2).foldLeft((prior, true)) {
+      case ((acc, ok), next) =>
+        val stillOk = ok && next.sets.forall { case (sid, ivs) =>
+          acc.sets.get(sid).forall(aivs => ivs.head._1 >= aivs.last._2)
+        }
+        (acc.union(next), stillOk)
+    }._2
+    def compact(s: graft.model.GtidSet): graft.model.GtidSet =
+      if (!monotone) s
+      else graft.model.GtidSet(s.sets.map { case (sid, ivs) =>
+        sid -> Vector((ivs.head._1, ivs.last._2))
+      })
     var acc = prior
-    perPart.sortBy(_._1).map { case (pid, txt) =>
-      val mine = acc.text
-      acc = acc.union(graft.model.GtidSet.parse(txt))
+    parts.map { case (pid, next) =>
+      val mine = compact(acc).text
+      acc = acc.union(next)
       pid -> mine
     }.toMap
   }
@@ -1007,6 +1033,20 @@ object BinlogWire {
     // files append to (pass BinlogCatalog.executedGtidSet or thread
     // the writer's own advancing set) — an unrelated set would prune
     // wrongly downstream.
+    //
+    // PIN the partitioning across the gather and the write: both
+    // re-execute df's plan, and a range-partitioned input RESAMPLES its
+    // boundaries per execution once the data is large enough to
+    // subsample (RangePartitioner seeds off the rdd id, which differs
+    // between executions) — small inputs sample every row and happen to
+    // agree, which is why only at-scale runs trip the cross-check.
+    // persist() makes both passes read the same computed partitions;
+    // checkGatheredGnos stays the loud backstop for a lost-and-
+    // recomputed block.
+    val pinned = gtidSid.isDefined &&
+      df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (pinned)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (prevTexts, gatheredGnos): (Map[Int, String], Seq[(Int, String)]) =
       gtidSid match {
         case Some(sid) =>
@@ -1014,9 +1054,9 @@ object BinlogWire {
             .as[Long](org.apache.spark.sql.Encoders.scalaLong)
             .mapPartitions { it =>
               val pid = org.apache.spark.TaskContext.getPartitionId()
-              var s = graft.model.GtidSet.Empty
-              it.foreach(t => s = s.add(sid, t))
-              Iterator.single((pid, s.text))
+              val b = graft.model.GtidSet.builder()
+              it.foreach(t => b.add(sid, t))
+              Iterator.single((pid, b.result().text))
             }(org.apache.spark.sql.Encoders.tuple(
               org.apache.spark.sql.Encoders.scalaInt,
               org.apache.spark.sql.Encoders.STRING))
@@ -1059,7 +1099,7 @@ object BinlogWire {
         val path = new org.apache.hadoop.fs.Path(outDir, f"binlog.$pid%06d")
         val fs = path.getFileSystem(conf)
         val out = fs.create(path, true)
-        var wroteGnos = graft.model.GtidSet.Empty
+        val wroteGnos = graft.model.GtidSet.builder()
         try {
           val w = new FileWriter(out, checksummed = checksummed)
           var openTso = Option.empty[Long]
@@ -1101,7 +1141,7 @@ object BinlogWire {
               openTso.foreach(x => w.write(commitEvent(ts, serverId, x)))
               gtidSid.foreach { sid =>
                 w.write(gtidEvent(ts, serverId, sid, gno = tso))
-                wroteGnos = wroteGnos.add(sid, tso)
+                wroteGnos.add(sid, tso)
               }
               tsoCarrier match {
                 case "sequence" =>
@@ -1130,11 +1170,12 @@ object BinlogWire {
           }
         } finally out.close()
         fs.setTimes(path, mtimeBase + pid, -1)
-        gtidSid.foreach(_ => actualGnos.add((pid, wroteGnos.text)))
+        gtidSid.foreach(_ => actualGnos.add((pid, wroteGnos.result().text)))
         counter.add(1)
       }
     }
     gtidSid.foreach(_ => checkGatheredGnos(gatheredGnos, actualGnos.value))
+    if (pinned) { df.unpersist(); () }
     // driver-side half of the contract: per-file mark ranges disjoint and
     // monotonic in file (= pid) order. Dedupe by pid — a retried task
     // re-adds an identical entry.
@@ -1192,7 +1233,14 @@ object BinlogWire {
     val hasDdlCol = df.columns.contains("ddl")
     // cumulative PREVIOUS_GTIDS per file (see writeTxnFramedBinlogFiles
     // for the full contract): gno := the tso at each txn-OPEN row, so
-    // the gather pass replicates the txn-open detection below
+    // the gather pass replicates the txn-open detection below. PIN the
+    // partitioning across the gather and the write (see the twin
+    // comment in writeTxnFramedBinlogFiles: range-partitioned inputs
+    // resample boundaries per execution at scale).
+    val pinned = gtidSid.isDefined &&
+      df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (pinned)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (prevTexts, gatheredGnos): (Map[Int, String], Seq[(Int, String)]) =
       gtidSid match {
         case Some(sid) =>
@@ -1203,12 +1251,12 @@ object BinlogWire {
               org.apache.spark.sql.Encoders.scalaLong))
             .mapPartitions { it =>
               val pid = org.apache.spark.TaskContext.getPartitionId()
-              var s = graft.model.GtidSet.Empty
+              val b = graft.model.GtidSet.builder()
               var open = Option.empty[Long]
               it.foreach { case (txn, tso) =>
-                if (!open.contains(txn)) { s = s.add(sid, tso); open = Some(txn) }
+                if (!open.contains(txn)) { b.add(sid, tso); open = Some(txn) }
               }
-              Iterator.single((pid, s.text))
+              Iterator.single((pid, b.result().text))
             }(org.apache.spark.sql.Encoders.tuple(
               org.apache.spark.sql.Encoders.scalaInt,
               org.apache.spark.sql.Encoders.STRING))
@@ -1244,7 +1292,7 @@ object BinlogWire {
         val path = new org.apache.hadoop.fs.Path(outDir, f"$filePrefix$pid%06d")
         val fs = path.getFileSystem(conf)
         val out = fs.create(path, true)
-        var wroteGnos = graft.model.GtidSet.Empty
+        val wroteGnos = graft.model.GtidSet.builder()
         try {
           val w = new FileWriter(out, checksummed = checksummed)
           var openTxn = Option.empty[Long]
@@ -1276,7 +1324,7 @@ object BinlogWire {
               gtidSid.foreach { gsid =>
                 val gno = r.getAs[Number](tsoCol).longValue()
                 w.write(gtidEvent(ts, sid, gsid, gno = gno))
-                wroteGnos = wroteGnos.add(gsid, gno)
+                wroteGnos.add(gsid, gno)
               }
               w.write(markEvent(ts, sid,
                 s"CTS::${r.getAs[Number](tsoCol).longValue()}"))
@@ -1335,11 +1383,12 @@ object BinlogWire {
           }
         } finally out.close()
         fs.setTimes(path, mtimeBase + pid, -1)
-        gtidSid.foreach(_ => actualGnos.add((pid, wroteGnos.text)))
+        gtidSid.foreach(_ => actualGnos.add((pid, wroteGnos.result().text)))
         counter.add(1)
       }
     }
     gtidSid.foreach(_ => checkGatheredGnos(gatheredGnos, actualGnos.value))
+    if (pinned) { df.unpersist(); () }
     // driver-side boundary check: a txnId closing file p and opening
     // file p+1 is one source txn split into two wire txns
     val edges = {

@@ -248,11 +248,12 @@ object BinlogDumpClient {
   def dumpSegmentGtidWithCursorStatus(host: String, port: Int,
       user: String, password: String, executed: graft.model.GtidSet,
       serverId: Long = 12345L, soTimeoutMs: Int = 30000,
-      maxBytes: Long = Long.MaxValue)
+      maxBytes: Long = Long.MaxValue,
+      rangeClaim: Boolean = false)
       : (Array[Byte], graft.model.GtidSet, Boolean) = {
     val (seg, caughtUp) = withDump(host, port, user, password, serverId,
       soTimeoutMs, gtidDumpCommand(executed, serverId), maxBytes)
-    (seg, advanceExecuted(seg, executed), caughtUp)
+    (seg, advanceExecuted(seg, executed, rangeClaim), caughtUp)
   }
 
   /** REPLAY drain: re-dump from `start` and stop as soon as the served
@@ -280,9 +281,26 @@ object BinlogDumpClient {
 
   /** The drained segment's GTIDs unioned into `executed` — the
     * advanced auto-position cursor. */
+  /** With `rangeClaim`, the cursor advances by PER-SID RANGE CLAIM
+    * instead of per-GNO inserts: each SID's drained [first, last] gno
+    * range is claimed whole, gaps included. Sound ONLY against a log
+    * whose per-SID gno order equals its serve order FOREVER — true for
+    * this library's PRODUCED logs (the wire writers enforce monotone
+    * commit-tso framing and appends are barrier-ordered), NOT for raw
+    * DN ingress, where heartbeat files at wall-clock tsos legitimately
+    * precede later data at older tsos. The payoff is structural: a
+    * fan-out stream's gno space is sparse (it carries only its share
+    * of the global tso sequence), so a per-GNO cursor grows
+    * O(transactions) intervals — the sf1-class scale rehearsal
+    * measured a 20 MB streaming OFFSET per batch before this existed;
+    * the claim keeps the cursor O(SIDs). The claim is LOG-SCOPED:
+    * only ever present this cursor to the log that produced it. */
   private[graft] def advanceExecuted(seg: Array[Byte],
-      executed: graft.model.GtidSet): graft.model.GtidSet = {
-    var set = executed
+      executed: graft.model.GtidSet,
+      rangeClaim: Boolean = false): graft.model.GtidSet = {
+    val set = graft.model.GtidSet.builder(executed)
+    val firstSeen = scala.collection.mutable.Map[java.util.UUID, Long]()
+    val lastSeen = scala.collection.mutable.Map[java.util.UUID, Long]()
     var off = 4
     while (off + 19 <= seg.length) {
       val tc = seg(off + 4) & 0xFF
@@ -290,7 +308,20 @@ object BinlogDumpClient {
         ((seg(off + 11) & 0xFF) << 16) | ((seg(off + 12) & 0xFF) << 24)
       if (tc == graft.sinks.BinlogWire.GtidEvent)
         graft.sinks.BinlogWire.parseGtidBody(seg.slice(off + 19, off + len))
-          .foreach { case (sid, gno) => set = set.add(sid, gno) }
+          .foreach { case (sid, gno) =>
+            if (rangeClaim) {
+              // the claim's soundness rests on per-SID monotonicity —
+              // a log violating it must refuse, never silently claim
+              lastSeen.get(sid).filter(_ >= gno).foreach(prev =>
+                throw new IllegalStateException(
+                  s"BinlogDumpClient: GTID $sid:$gno after $sid:$prev " +
+                  "— the served log is not TSO-ordered per SID; the " +
+                  "range-claim cursor cannot advance on a disordered " +
+                  "log (disable rangeClaimOffsets for this source)"))
+              if (!firstSeen.contains(sid)) firstSeen(sid) = gno
+              lastSeen(sid) = gno
+            } else set.add(sid, gno)
+          }
       // a MariaDB-flavor GTID carrier would advance NOTHING here: the
       // standing poll's cursor would never move and every trigger
       // would re-drain the log — refuse by name instead (the same
@@ -304,7 +335,10 @@ object BinlogDumpClient {
           "replicate a MariaDB source with (file, pos) cursors")
       off += len
     }
-    set
+    firstSeen.foreach { case (sid, first) =>
+      set.addRange(sid, first, lastSeen(sid) + 1L)
+    }
+    set.result()
   }
 
   /** Dial + authenticate + register, issue one dump command, drain it
@@ -393,7 +427,25 @@ object BinlogDumpClient {
       val events = Vector.newBuilder[Array[Byte]]
       var done = false
       var drained = 0L
-      var served = coverage.map(_._1).getOrElse(graft.model.GtidSet.Empty)
+      // coverage tracking rides the library-wide log contract (tso
+      // order, per-SID monotone gnos): the replayed range is covered
+      // exactly when every target SID's cursor reached that SID's MAX
+      // target gno. Per-SID maxima, O(1) per event — never a per-event
+      // isSubsetOf, which is quadratic over interval-rich sets, and
+      // never a per-GNO count, which a range-claimed (gap-inclusive)
+      // start/target pair would mis-count.
+      val targetMax: Map[java.util.UUID, Long] =
+        coverage.fold(Map.empty[java.util.UUID, Long]) { case (_, t) =>
+          t.sets.map { case (sid, ivs) => sid -> (ivs.last._2 - 1L) }
+        }
+      val pending = scala.collection.mutable.Set[java.util.UUID]()
+      coverage.foreach { case (start, _) =>
+        targetMax.foreach { case (sid, mx) =>
+          val startMax = start.sets.get(sid).map(_.last._2 - 1L)
+            .getOrElse(Long.MinValue)
+          if (startMax < mx) pending += sid
+        }
+      }
       var sawEof = false
       while (!done) {
         val p = failOnErr(io.read(), "binlog dump")
@@ -408,16 +460,15 @@ object BinlogDumpClient {
           // coverage starts a transaction OUTSIDE the replayed range —
           // exclude it and stop (log order means everything after it
           // is outside too)
-          val pastRange = coverage.exists { case (_, target) =>
-            tc == graft.sinks.BinlogWire.GtidEvent &&
-              target.isSubsetOf(served)
-          }
+          val pastRange = coverage.isDefined && pending.isEmpty &&
+            tc == graft.sinks.BinlogWire.GtidEvent
           if (pastRange) done = true
           else {
             if (coverage.isDefined &&
                 tc == graft.sinks.BinlogWire.GtidEvent)
               graft.sinks.BinlogWire.parseGtidBody(p.drop(20)) match {
-                case Some((sid, gno)) => served = served.add(sid, gno)
+                case Some((sid, gno)) =>
+                  if (targetMax.get(sid).exists(gno >= _)) pending -= sid
                 case None =>
                   // a GTID event whose body won't parse can never
                   // advance `served`, so coverage would never complete
@@ -441,11 +492,12 @@ object BinlogDumpClient {
         }
       }
       coverage.foreach { case (_, target) =>
-        if (sawEof && !target.isSubsetOf(served))
+        if (sawEof && pending.nonEmpty)
           throw new java.io.IOException(
             "BinlogDumpClient: replay drain reached caught-up EOF " +
-            s"before covering the replayed range — served '${served.text}'" +
-            s" does not cover '${target.text}'; the source can no longer " +
+            s"before covering the replayed range — SIDs " +
+            s"${pending.mkString(", ")} never reached their target " +
+            s"maxima in '${target.text}'; the source can no longer " +
             "re-serve this offset range (purged log?), failing loudly " +
             "instead of emitting a subset")
       }

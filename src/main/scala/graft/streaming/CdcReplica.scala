@@ -60,6 +60,12 @@ object CdcReplica {
     val reader = spark.readStream.format("graft-cdc")
       .option("endpoints",
         endpoints.map { case (dn, h, p) => s"$dn@$h:$p" }.mkString(","))
+      // a replica's upstream is a PRODUCED wire log (writer-enforced
+      // per-SID tso order), so the compact range-claim cursor is sound
+      // — without it, a fan-out stream's sparse gno space grows the
+      // streaming offset O(consumed transactions) (20 MB per batch at
+      // the sf1 rehearsal scale)
+      .option("rangeClaimOffsets", "true")
       .option("user", user).option("password", password)
       .option("tables", tableCols.map { case ((s, t), cols) =>
         s"$s.$t:${cols.mkString(",")}"

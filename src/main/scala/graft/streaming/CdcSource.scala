@@ -94,7 +94,7 @@ private[streaming] final case class CdcConf(
     registryDir: Option[String],
     startExecuted: Map[String, String],
     serverId: Long, soTimeoutMs: Int, maxBytesPerPoll: Long,
-    tsoFromXid: Boolean)
+    tsoFromXid: Boolean, rangeClaimOffsets: Boolean)
 
 private[streaming] object CdcConf {
   /** 128 MiB per DN per trigger — big enough that a steady-state poll
@@ -156,7 +156,15 @@ private[streaming] object CdcConf {
         case "xid" => true
         case other => sys.error(
           s"graft-cdc: tsoAuthority must be wire|xid, got '$other'")
-      })
+      },
+      // compact per-SID range-claim cursors (offset size O(SIDs)
+      // instead of O(transactions)) — sound ONLY when the dialed log's
+      // per-SID gno order equals serve order forever, which this
+      // library's PRODUCED wire logs enforce but raw DN ingress (with
+      // wall-clock heartbeat files interleaving older data) does not;
+      // consumers of produced logs (CdcReplica) turn it on
+      rangeClaimOffsets =
+        o.getOrElse("rangeclaimoffsets", "false").toBoolean)
   }
 }
 
@@ -391,6 +399,7 @@ private[streaming] class GraftCdcMicroBatchStream(conf: CdcConf,
     }
     val (u, pw) = (conf.user, conf.password)
     val (sidv, toMs) = (conf.serverId, conf.soTimeoutMs)
+    val claimOff = conf.rangeClaimOffsets
     val maxB = math.min(conf.maxBytesPerPoll, limitBytes(limit))
     val inflight = new Path(stageRoot, "inflight").toString
     val confMap = graft.util.HadoopIo.confMap
@@ -400,7 +409,8 @@ private[streaming] class GraftCdcMicroBatchStream(conf: CdcConf,
         val startSet = GtidSet.parse(startText)
         val (seg, adv, eof) =
           try BinlogDumpClient.dumpSegmentGtidWithCursorStatus(
-            host, port, u, pw, startSet, sidv, toMs, maxB)
+            host, port, u, pw, startSet, sidv, toMs, maxB,
+            rangeClaim = claimOff)
           catch {
             case e: BinlogDumpClient.ServerError
                 if e.code == BinlogDumpClient.ErrUnknownLog &&

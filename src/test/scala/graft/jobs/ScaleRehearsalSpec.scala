@@ -1,0 +1,54 @@
+package graft.jobs
+
+import graft.SparkSpec
+
+/** The composed live chain (§3.1 + §3.2 + retention + consumers) as
+  * ONE run — the small-shape gate for `ScaleRehearsalJob`, whose
+  * `main` produces the SCALING.md measurements at 600k/2.4M-row
+  * scale. Asserts the invariants the measurement runs rely on:
+  * conservation through the fan-out, hot-table pinning, consumer
+  * convergence, and an archive-coupled purge that leaves the full
+  * history servable. */
+class ScaleRehearsalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("composed chain: fixture → heartbeat → produce(M=4, pinned hot) → consume → retention, invariants hold") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-rehearsal-spec").toString
+    val dns = 4
+    val rowsPerDn = 2000L
+    val r = ScaleRehearsalJob.run(spark, root, dns, rowsPerDn,
+      streams = 4, waves = 2, consumers = 2, numPartitions = 4,
+      txnsPerCommit = 1000)
+
+    // conservation: every fixture row reaches exactly one stream
+    assert(r.producedRows == dns * rowsPerDn,
+      s"produced ${r.producedRows} of ${dns * rowsPerDn}")
+    // the hot table (40% of rows) is PINNED to stream 0 in full
+    assert(r.hotStreamRows == dns * rowsPerDn * 2 / 5,
+      s"hot rows on stream 0: ${r.hotStreamRows}")
+    // the retention pass ran AFTER consumption, so post-run
+    // expectations read the STITCHED archive+live history
+    val reg = ScaleRehearsalJob.registry
+    def stitched(i: Int): Long =
+      graft.sinks.BinlogRetention.readStitched(spark,
+          s"$root/out/stream-$i", s"$root/archive", reg)
+        .filter($"op" === "INSERT").count()
+    // consumers: distinct keys applied on the sampled streams equal
+    // the INSERTed keys those streams carried (each key inserted once)
+    val expected = (0 until 2).map(stitched).sum
+    assert(r.consumedRows == expected,
+      s"consumed ${r.consumedRows}, streams carried $expected")
+    // retention purged something, and the stitched history is whole:
+    // conservation still holds over archive+live across all streams
+    val purged = r.stages.find(_.name == "retention").get.files
+    assert(purged > 0, "the purge boundary must remove finished files")
+    val liveOnly = graft.sinks.BinlogWire.readBinlogFiles(spark,
+        s"$root/out/stream-0", reg)
+      .filter($"op" === "INSERT").count()
+    assert(liveOnly < stitched(0),
+      "purge must have removed local prefix files from stream 0")
+    assert((0 until 4).map(stitched).sum == r.producedRows,
+      "archive+live must conserve every produced transaction")
+  }
+}

@@ -99,4 +99,21 @@ object GtidSetProps extends Properties("gtid-set") {
           }
       }
     }
+
+  // the BULK builder (the O(log n)-per-add path every drain/gather
+  // loop uses) must agree with the immutable fold exactly — same
+  // members, same normal form, and contains() answers mid-build
+  property("Builder == immutable add fold (seeded and unseeded)") =
+    forAll(setGen, Gen.listOf(Gen.zip(sidGen, gnoGen))) { (seed, adds) =>
+      val b = GtidSet.builder(seed)
+      adds.foreach { case (sid, gno) => b.add(sid, gno) }
+      val viaBuilder = b.result()
+      val viaFold = adds.foldLeft(seed) {
+        case (acc, (sid, gno)) => acc.add(sid, gno)
+      }
+      viaBuilder == viaFold &&
+        adds.forall { case (sid, gno) => b.contains(sid, gno) } &&
+        members(viaBuilder) == members(seed) ++
+          adds.map { case (s, g) => (s, g) }.toSet
+    }
 }
