@@ -12,7 +12,10 @@ import graft.sources.BinlogDumpClient
   * the server half of what [[graft.sources.BinlogDumpClient]] dials:
   * v10 initial handshake with a per-connection scramble,
   * mysql_native_password verification (a wrong proof answers ERR 1045
-  * and closes), COM_REGISTER_SLAVE, and COM_BINLOG_DUMP streaming raw
+  * and closes), caching_sha2_password fast auth AND full auth
+  * (`sha2FullAuth=true` plays the cold-cache MySQL 8 server: RSA
+  * public-key exchange over a non-TLS transport),
+  * COM_REGISTER_SLAVE, and COM_BINLOG_DUMP streaming raw
   * events from the requested (file, pos) — FDE and the file's
   * self-describing prologue first — through every later file in name
   * order, then the NON_BLOCK caught-up EOF. `BinlogCatalog.seekTso`
@@ -35,9 +38,12 @@ import graft.sources.BinlogDumpClient
 final class BinlogDumpServer(wireDir: String, user: String,
     password: String, filePrefix: String = "binlog.",
     idleHeartbeats: Boolean = false,
-    authPlugin: String = "mysql_native_password") {
+    authPlugin: String = "mysql_native_password",
+    sha2FullAuth: Boolean = false) {
   require(Set("mysql_native_password", "caching_sha2_password")
     .contains(authPlugin), s"unsupported auth plugin $authPlugin")
+  require(!sha2FullAuth || authPlugin == "caching_sha2_password",
+    "sha2FullAuth is a caching_sha2_password mode")
 
   private val server = new java.net.ServerSocket(0)
   def port: Int = server.getLocalPort
@@ -270,27 +276,70 @@ final class BinlogDumpServer(wireDir: String, user: String,
         if (pluginEnd > pluginFrom)
           new String(resp.slice(pluginFrom, pluginEnd), UTF_8)
         else "mysql_native_password"
-      // the server holds the plaintext, so BOTH proof families verify
-      // directly — caching_sha2's full-auth path (TLS/RSA cleartext
-      // exchange) is never needed
-      val proofOk = clientPlugin match {
-        case "mysql_native_password" => java.util.Arrays.equals(gotAuth,
-          BinlogDumpClient.nativePassword(password, scramble))
-        case "caching_sha2_password" => java.util.Arrays.equals(gotAuth,
-          BinlogDumpClient.sha2Password(password, scramble))
-        case _ => false
+      if (sha2FullAuth && clientPlugin == "caching_sha2_password" &&
+          gotAuth.nonEmpty) {
+        // FULL auth — the cold-cache server shape: a real MySQL whose
+        // per-user sha2 cache is empty CANNOT verify the fast proof
+        // (the cache holds the only derivable verifier), so it demands
+        // the key exchange instead. AuthMoreData 0x04, then the 0x02
+        // public-key request → PEM reply → RSA-OAEP decrypt → compare
+        // XOR(password ++ NUL, nonce). (A success primes the real
+        // server's cache; this server holds the plaintext, so the flag
+        // exists to BE that cold server for clients under test.)
+        io.write(Array(0x01.toByte, 0x04.toByte))
+        val req = io.read()
+        if (req.length != 1 || (req(0) & 0xFF) != 0x02) {
+          // only the non-TLS public-key path is served here
+          io.write(err(1045, "28000",
+            s"Access denied for user '$gotUser' (expected public key " +
+              "request)"))
+          return
+        }
+        val pub = BinlogDumpServer.rsaKeys.getPublic.getEncoded
+        val pem = "-----BEGIN PUBLIC KEY-----\n" +
+          java.util.Base64.getMimeEncoder(64, "\n".getBytes(UTF_8))
+            .encodeToString(pub) +
+          "\n-----END PUBLIC KEY-----\n"
+        io.write(Array(0x01.toByte) ++ pem.getBytes(UTF_8))
+        val sealed_ = io.read()
+        val fullOk = gotUser == user && (try {
+          val c = javax.crypto.Cipher.getInstance(
+            "RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+          c.init(javax.crypto.Cipher.DECRYPT_MODE,
+            BinlogDumpServer.rsaKeys.getPrivate)
+          java.util.Arrays.equals(c.doFinal(sealed_),
+            BinlogDumpClient.xorWithNonce(password, scramble))
+        } catch {
+          case _: java.security.GeneralSecurityException => false
+        })
+        if (!fullOk) {
+          io.write(err(1045, "28000",
+            s"Access denied for user '$gotUser'"))
+          return
+        }
+        io.write(ok())
+      } else {
+        // the server holds the plaintext, so BOTH proof families verify
+        // directly on the fast path
+        val proofOk = clientPlugin match {
+          case "mysql_native_password" => java.util.Arrays.equals(gotAuth,
+            BinlogDumpClient.nativePassword(password, scramble))
+          case "caching_sha2_password" => java.util.Arrays.equals(gotAuth,
+            BinlogDumpClient.sha2Password(password, scramble))
+          case _ => false
+        }
+        if (gotUser != user || !proofOk) {
+          io.write(err(1045, "28000", s"Access denied for user '$gotUser'"))
+          return
+        }
+        // caching_sha2's fast-auth handshake tail: AuthMoreData 0x03
+        // ("fast auth success") precedes the OK — MySQL 8 wire shape,
+        // which stock connectors expect (empty proofs skip it, like the
+        // real server's empty-password path)
+        if (clientPlugin == "caching_sha2_password" && gotAuth.nonEmpty)
+          io.write(Array(0x01.toByte, 0x03.toByte))
+        io.write(ok())
       }
-      if (gotUser != user || !proofOk) {
-        io.write(err(1045, "28000", s"Access denied for user '$gotUser'"))
-        return
-      }
-      // caching_sha2's fast-auth handshake tail: AuthMoreData 0x03
-      // ("fast auth success") precedes the OK — MySQL 8 wire shape,
-      // which stock connectors expect (empty proofs skip it, like the
-      // real server's empty-password path)
-      if (clientPlugin == "caching_sha2_password" && gotAuth.nonEmpty)
-        io.write(Array(0x01.toByte, 0x03.toByte))
-      io.write(ok())
       var open = true
       while (open) {
         io.seq = 0
@@ -404,5 +453,18 @@ final class BinlogDumpServer(wireDir: String, user: String,
     } catch {
       case _: Exception => () // consumer dropped — its session only
     } finally sock.close()
+  }
+}
+
+object BinlogDumpServer {
+  /** RSA keypair for the caching_sha2 full-auth exchange — the real
+    * server's auto-generated key files (caching_sha2_password_private/
+    * public_key_path). One pair per JVM: generation costs ~100ms and
+    * key identity across server instances is exactly how a deployment
+    * with provisioned key files behaves. */
+  private[sinks] lazy val rsaKeys: java.security.KeyPair = {
+    val g = java.security.KeyPairGenerator.getInstance("RSA")
+    g.initialize(2048)
+    g.generateKeyPair()
   }
 }

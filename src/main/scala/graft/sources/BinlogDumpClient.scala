@@ -28,11 +28,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * suffix — per-trigger bytes are bounded by the DN's new data, never
   * the log's history.
   *
-  * Deliberately NOT here: connection pooling, TLS, and caching_sha2's
-  * FULL-auth path (RSA/TLS cleartext exchange — only reachable when a
-  * real MySQL's auth cache is cold AND the link is plaintext; fast
-  * auth covers the steady state, and deployments needing full auth
-  * front the link with TLS anyway).
+  * Deliberately NOT here: connection pooling and TLS. Both MySQL auth
+  * families ARE here, including caching_sha2's FULL-auth path over a
+  * plaintext link (cold server cache → AuthMoreData 0x04 → public-key
+  * request → RSA-OAEP-sealed XOR(password, nonce)) — a fresh MySQL 8
+  * connection with an empty auth cache and no TLS authenticates.
   */
 object BinlogDumpClient {
 
@@ -115,9 +115,9 @@ object BinlogDumpClient {
 
   /** XOR(SHA256(password), SHA256(SHA256(SHA256(password)) ++ nonce))
     * — the caching_sha2_password FAST-AUTH proof (MySQL 8's default
-    * plugin; empty password → empty response). The full-auth fallback
-    * (TLS / RSA cleartext) is deliberately out of scope: the serving
-    * side holds the plaintext and always verifies the fast path. */
+    * plugin; empty password → empty response). When the server's auth
+    * cache misses it demands FULL auth instead — the RSA key-exchange
+    * path below ([[rsaEncryptPassword]]). */
   private[graft] def sha2Password(password: String,
       nonce: Array[Byte]): Array[Byte] =
     if (password.isEmpty) Array.emptyByteArray
@@ -133,6 +133,37 @@ object BinlogDumpClient {
       p1.indices.foreach(i => proof(i) = (proof(i) ^ p1(i)).toByte)
       proof
     }
+
+  /** caching_sha2_password FULL-AUTH obfuscation: (password ++ NUL)
+    * XOR the handshake nonce, nonce repeated — the cleartext shape the
+    * client RSA-encrypts when the server's auth cache misses and the
+    * transport is not TLS (MySQL 8's sha2_password_common scramble;
+    * the XOR keeps the RSA input non-replayable across connections).
+    * Shared with the serving side's decrypt-and-verify. */
+  private[graft] def xorWithNonce(password: String,
+      nonce: Array[Byte]): Array[Byte] = {
+    val plain = password.getBytes(UTF_8) :+ 0.toByte
+    plain.indices.map(i =>
+      (plain(i) ^ nonce(i % nonce.length)).toByte).toArray
+  }
+
+  /** Encrypt the XOR-obfuscated password under the server's RSA public
+    * key (PEM, as the server sends it in its AuthMoreData reply to the
+    * 0x02 public-key request). caching_sha2_password uses OAEP padding
+    * — sha256_password's PKCS#1 v1.5 is the OLD plugin's shape. */
+  private[graft] def rsaEncryptPassword(password: String,
+      nonce: Array[Byte], publicKeyPem: String): Array[Byte] = {
+    val der = java.util.Base64.getMimeDecoder.decode(
+      publicKeyPem
+        .replace("-----BEGIN PUBLIC KEY-----", "")
+        .replace("-----END PUBLIC KEY-----", ""))
+    val key = java.security.KeyFactory.getInstance("RSA")
+      .generatePublic(new java.security.spec.X509EncodedKeySpec(der))
+    val c = javax.crypto.Cipher.getInstance(
+      "RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE, key)
+    c.doFinal(xorWithNonce(password, nonce))
+  }
 
   /** The proof for whichever plugin the server names. */
   private def proofFor(plugin: String, password: String,
@@ -392,7 +423,7 @@ object BinlogDumpClient {
         Array(authResp.length.toByte) ++ authResp ++
         serverPlugin.getBytes(UTF_8) ++ Array(0.toByte))
       // auth epilogue: OK | ERR | AuthMoreData (caching_sha2 fast-auth
-      // 0x03 then OK; 0x04 = full auth, unsupported without TLS) |
+      // 0x03 then OK; 0x04 = full auth → RSA key exchange below) |
       // AuthSwitchRequest (re-proof under the requested plugin)
       var authReply = failOnErr(io.read(), "authentication")
       var authDone = false
@@ -401,10 +432,24 @@ object BinlogDumpClient {
           case Some(0x01) => // AuthMoreData
             if (authReply.length >= 2 && (authReply(1) & 0xFF) == 0x03)
               authReply = failOnErr(io.read(), "authentication (fast-auth ok)")
-            else throw new java.io.IOException(
-              "BinlogDumpClient: server demands caching_sha2 FULL auth " +
-                "(TLS/RSA cleartext), which this transport does not " +
-                "speak — configure mysql_native_password or fast-auth")
+            else if (authReply.length >= 2 && (authReply(1) & 0xFF) == 0x04) {
+              // FULL auth: the server's sha2 cache missed. Non-TLS
+              // transport → request the server's RSA public key (one
+              // 0x02 byte), then send XOR(password ++ NUL, nonce)
+              // encrypted under it (OAEP) — the public MySQL 8 shape
+              // (caching_sha2_password request_public_key path)
+              io.write(Array(0x02.toByte))
+              val keyReply =
+                failOnErr(io.read(), "authentication (public key)")
+              if (keyReply.isEmpty || (keyReply(0) & 0xFF) != 0x01)
+                throw new java.io.IOException("BinlogDumpClient: " +
+                  "expected AuthMoreData carrying the RSA public key")
+              val pem = new String(keyReply.drop(1), UTF_8)
+              io.write(rsaEncryptPassword(password, scramble, pem))
+              authReply = failOnErr(io.read(), "authentication (full auth)")
+            } else throw new java.io.IOException(
+              "BinlogDumpClient: unrecognized AuthMoreData tag " +
+                s"${if (authReply.length >= 2) authReply(1) & 0xFF else -1}")
           case Some(0xFE) if authReply.length > 1 => // AuthSwitchRequest
             val pe = authReply.indexOf(0.toByte, 1)
             val plug = new String(authReply.slice(1, pe), UTF_8)

@@ -106,6 +106,41 @@ class BinlogDumpClientSpec extends SparkSpec {
     } finally srv2.close()
   }
 
+  test("caching_sha2_password FULL auth: a cold-cache server demands the RSA exchange and the client completes it without TLS") {
+    val dir = writeLog()
+    // sha2FullAuth plays the MySQL 8 server whose per-user auth cache
+    // is empty: it cannot verify the fast proof, so it answers
+    // AuthMoreData(0x04) and runs the public-key exchange instead
+    val srv = new graft.sinks.BinlogDumpServer(dir, "repl", "s3cret",
+      authPlugin = "caching_sha2_password", sha2FullAuth = true)
+    try {
+      val seg = BinlogDumpClient.dumpSegment("localhost", srv.port,
+        "repl", "s3cret", "binlog.000000", 4L)
+      val live = ChangeEventSource.fromWireSegments(
+          Seq(("dn1", seg)).toDF("dn", "payload"), "dn", "payload",
+          tableCols)
+        .select($"tso").as[Long].collect().toSet
+      assert(live == (1L to 8L).toSet)
+      // a wrong password decrypts to the wrong XOR image → 1045 (the
+      // refusal happens AFTER the key exchange — proof the server
+      // verified the sealed password, not the fast proof)
+      val denied = intercept[BinlogDumpClient.ServerError] {
+        BinlogDumpClient.dumpSegment("localhost", srv.port,
+          "repl", "wrong", "binlog.000000", 4L)
+      }
+      assert(denied.code == 1045)
+    } finally srv.close()
+    // the obfuscation round-trips: XOR with the nonce twice = identity,
+    // and the trailing NUL terminator is part of the sealed image
+    val nonce = Array.tabulate[Byte](20)(i => (i + 1).toByte)
+    val x = BinlogDumpClient.xorWithNonce("s3cret", nonce)
+    assert(x.length == "s3cret".length + 1)
+    val unx = x.indices.map(i =>
+      (x(i) ^ nonce(i % nonce.length)).toByte).toArray
+    assert(new String(unx.dropRight(1), "UTF-8") == "s3cret" &&
+      unx.last == 0)
+  }
+
   test("dump from a seekTso cursor replays only the suffix (multi-file seek)") {
     val dir = writeLog()
     val srv = new graft.sinks.BinlogDumpServer(dir, "repl", "s3cret")
