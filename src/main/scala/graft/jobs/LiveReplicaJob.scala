@@ -465,6 +465,7 @@ object LiveReplicaJob {
       shouldStop: () => Boolean = () => false,
       maxTriggers: Long = Long.MaxValue,
       monitor: Option[graft.streaming.StallMonitor] = None,
+      alarms: Option[graft.streaming.AlarmManager] = None,
       loopId: String = "live-replica",
       txnsPerCommit: Int = 8, fromTso: Option[Long] = None,
       serverId: Long = 12345L, soTimeoutMs: Int = 30000,
@@ -501,8 +502,18 @@ object LiveReplicaJob {
       // source is idle; reference TsoHeartbeat.java:53-67, progress
       // guaranteed even when idle). A dead dialogue serves nothing
       // and the no-data alarm still fires.
-      monitor.foreach(_.noteBatch(loopId, n,
-        if (next != eps || notes.exists(_.payloadBytes > 4)) 1L else 0L))
+      val advanced = next != eps || notes.exists(_.payloadBytes > 4)
+      val raised = monitor.map(_.noteBatch(loopId, n,
+        if (advanced) 1L else 0L)).getOrElse(Seq.empty)
+      // alarm policy layer: route watchdog alarms into their typed
+      // policies, arm the fatal escalation with this loop's own
+      // consumption (this replica IS the downstream consumer), and
+      // evaluate — one check per trigger, pure driver metadata
+      alarms.foreach { a =>
+        if (advanced) a.noteConsumed()
+        graft.streaming.Alarms.route(a, raised)
+        a.check()
+      }
       eps = next
       n += 1
       if (!shouldStop() && n < maxTriggers && intervalMs > 0)
@@ -522,6 +533,7 @@ object LiveReplicaJob {
       shouldStop: () => Boolean = () => false,
       maxTriggers: Long = Long.MaxValue,
       monitor: Option[graft.streaming.StallMonitor] = None,
+      alarms: Option[graft.streaming.AlarmManager] = None,
       loopId: String = "live-replica-gtid",
       txnsPerCommit: Int = 8, fromTso: Option[Long] = None,
       serverId: Long = 12345L, soTimeoutMs: Int = 30000,
@@ -554,8 +566,15 @@ object LiveReplicaJob {
       // source is idle; reference TsoHeartbeat.java:53-67, progress
       // guaranteed even when idle). A dead dialogue serves nothing
       // and the no-data alarm still fires.
-      monitor.foreach(_.noteBatch(loopId, n,
-        if (next != eps || notes.exists(_.payloadBytes > 4)) 1L else 0L))
+      val advanced = next != eps || notes.exists(_.payloadBytes > 4)
+      val raised = monitor.map(_.noteBatch(loopId, n,
+        if (advanced) 1L else 0L)).getOrElse(Seq.empty)
+      // see run(): typed alarm policies over the watchdog's signals
+      alarms.foreach { a =>
+        if (advanced) a.noteConsumed()
+        graft.streaming.Alarms.route(a, raised)
+        a.check()
+      }
       eps = next
       n += 1
       if (!shouldStop() && n < maxTriggers && intervalMs > 0)

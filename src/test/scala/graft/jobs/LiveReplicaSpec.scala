@@ -290,15 +290,33 @@ class LiveReplicaSpec extends SparkSpec {
       val targets = Seq(WireReplicaJob.TableTarget("bank", "accounts",
         colTypes, Seq("acct"), "seq", s"$root/replica", 4))
       val mon = new graft.streaming.StallMonitor(noDataThresholdSeconds = 0)
+      // alarm policy layer on top of the watchdog: zero thresholds so
+      // the idle trigger pages immediately, fatal-armed — the FIRST
+      // trigger consumed, so the escalation fires alongside
+      val paged = new graft.streaming.AlarmChannel.Buffer
+      val mgr = new graft.streaming.AlarmManager(
+        Seq(graft.streaming.AlarmPolicy(graft.streaming.Alarms.DumperNoData,
+          threshold = 1, intervalSeconds = 0,
+          fatalIfActiveConsumer = true),
+          graft.streaming.AlarmPolicy(graft.streaming.Alarms.DumperDelay)),
+        Seq(paged))
       // the runner IS the deployment loop: 2 triggers — one drains,
       // one idles (and the idle one trips the zero-threshold watchdog)
       val e1 = LiveReplicaJob.run(spark, ep0, tableCols, targets,
         s"$root/stage", s"$root/cursors", intervalMs = 0,
-        maxTriggers = 2, monitor = Some(mon), txnsPerCommit = 2)
+        maxTriggers = 2, monitor = Some(mon), alarms = Some(mgr),
+        txnsPerCommit = 2)
       assert(e1.head.binlogFile == "binlog.000002")
       assert(state() == lastImages(served))
       assert(mon.alarms.exists(a =>
         a.kind == "no_data" && a.queryId == "live-replica"))
+      // the typed page went out the channel, escalated: the loop itself
+      // consumed one trigger earlier, so a silent producer with an
+      // active consumer is the fatal shape
+      assert(paged.events.exists(e =>
+        e.key == graft.streaming.Alarms.DumperNoData && !e.fatal))
+      assert(paged.events.exists(e =>
+        e.key == graft.streaming.Alarms.Fatal && e.fatal))
       // the sidecar committed the ADVANCED cursor: a dead driver's
       // replacement resumes there, not at the caller's bootstrap value
       assert(LiveReplicaJob.resume(s"$root/cursors", ep0)
