@@ -4,7 +4,10 @@
 Scans Java TEST sources under /root/reference for string literals that
 are MySQL/PolarDB-X DDL statements (the corpus DruidDdlParser.java is
 exercised against), resolves compile-time `"a" + "b"` concatenation,
-and writes one JSON object per statement:
+and ALSO scans the reference's shipped `.sql` resource files (its own
+metadata-DB migrations and the heartbeat bootstrap DDL — real MySQL +
+PolarDB-X dialect: `AUTO_INCREMENT BY GROUP`, `dbpartition by`),
+writing one JSON object per statement:
 
     {"src": "module/path.java:line", "sql": "CREATE TABLE ..."}
 
@@ -153,8 +156,77 @@ def resolve(parts):
     return sql or None
 
 
+def split_sql(text: str):
+    """Split an .sql file into (line, statement) on top-level ';',
+    respecting '...'/"..."/`...` quoting and --, #, /* */ comments."""
+    stmts = []
+    buf = []
+    start_line = 1
+    line = 1
+    i = 0
+    n = len(text)
+    while i < n:
+        c = text[i]
+        if c == "\n":
+            line += 1
+            buf.append(c)
+            i += 1
+        elif c in "'\"`":
+            q = c
+            buf.append(c)
+            i += 1
+            while i < n:
+                buf.append(text[i])
+                if text[i] == "\n":
+                    line += 1
+                if text[i] == "\\" and q != "`" and i + 1 < n:
+                    buf.append(text[i + 1])
+                    i += 2
+                    continue
+                if text[i] == q:
+                    i += 1
+                    break
+                i += 1
+        elif text[i:i + 2] == "--" or c == "#":
+            j = text.find("\n", i)
+            i = n if j < 0 else j
+        elif text[i:i + 2] == "/*":
+            j = text.find("*/", i + 2)
+            seg = text[i:n if j < 0 else j + 2]
+            line += seg.count("\n")
+            i = n if j < 0 else j + 2
+        elif c == ";":
+            s = "".join(buf).strip()
+            if s:
+                stmts.append((start_line, s))
+            buf = []
+            start_line = line
+            i += 1
+        else:
+            buf.append(c)
+            i += 1
+    s = "".join(buf).strip()
+    if s:
+        stmts.append((start_line, s))
+    return stmts
+
+
 def main():
     rows = []
+    # the reference's shipped .sql files: every top-level statement
+    # with a DDL verb (migrations are CREATE/ALTER-heavy; the few DML
+    # INSERT/UPDATE rows fall out on DDL_HEAD)
+    for root, _dirs, files in os.walk(REF):
+        for f in files:
+            if not f.endswith(".sql"):
+                continue
+            path = os.path.join(root, f)
+            with open(path, encoding="utf-8", errors="replace") as fh:
+                text = fh.read()
+            rel = os.path.relpath(path, REF)
+            for line, sql in split_sql(text):
+                if DDL_HEAD.match(sql) and len(sql) >= 18:
+                    rows.append({"src": f"{rel}:{line}", "sql": sql})
     for root, _dirs, files in os.walk(REF):
         if "/src/test/" not in root + "/":
             continue

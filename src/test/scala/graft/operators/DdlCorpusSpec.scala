@@ -202,6 +202,21 @@ class DdlCorpusSpec extends AnyFunSuite {
       s"stale refusal entries (now green — remove them): ${stale.mkString(", ")}")
   }
 
+  test("the shipped heartbeat bootstrap DDL converts to vanilla MySQL (sharding dialect stripped, not just parsed)") {
+    // polardb_x_heartbeat_ddl.sql is DDL the reference EXECUTES on
+    // every installation: `dbpartition by hash(...)` and
+    // `AUTO_INCREMENT BY GROUP` are the sharding dialect a vanilla
+    // MySQL consumer of the logical binlog cannot run
+    val hb = corpus.filter(_._1.contains("polardb_x_heartbeat_ddl.sql"))
+    assert(hb.nonEmpty, "heartbeat bootstrap DDL missing from corpus")
+    hb.foreach { case (src, sql) =>
+      val logical = DdlConvert.toLogicalDdl(sql).toLowerCase
+      assert(!logical.contains("dbpartition") &&
+        !logical.contains("by group"),
+        s"$src not fully converted: $logical")
+    }
+  }
+
   test("corpus statements that parse also round-trip the registry fold (evolveRegistry does not throw)") {
     corpus.foreach { case (_, sql) =>
       // the wire writers' registry fold must never hard-fail on any
