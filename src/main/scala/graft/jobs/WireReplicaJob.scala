@@ -78,7 +78,8 @@ object WireReplicaJob {
     * decode. */
   def applyRouted(decoded: DataFrame, targets: Seq[TableTarget],
       txnsPerCommit: Int = 8, fromTso: Option[Long] = None,
-      maxParallelTables: Int = 4): Unit = {
+      maxParallelTables: Int = 4, deltaCommits: Boolean = false,
+      compactAfter: Int = 32): Unit = {
     validateTargets(targets)
     inParallel(targets, maxParallelTables) { t =>
       // the target's CURRENT schema and persisted rename lineage, not
@@ -89,22 +90,34 @@ object WireReplicaJob {
         .map(_.fields.toSeq.map(f => f.name -> f.dataType.sql))
         .getOrElse(t.colTypes)
       applyOne(decoded, t, colTypes, txnsPerCommit, fromTso,
-        TxnApplier.renameLineage(t.targetDir))
+        TxnApplier.renameLineage(t.targetDir), deltaCommits, compactAfter)
     }
   }
 
   private def applyOne(decoded: DataFrame, t: TableTarget,
       colTypes: Seq[(String, String)], txnsPerCommit: Int,
       fromTso: Option[Long],
-      aliases: Map[String, Seq[String]] = Map.empty): Unit = {
+      aliases: Map[String, Seq[String]] = Map.empty,
+      deltaCommits: Boolean = false, compactAfter: Int = 32): Unit = {
     val typed = shape(decoded, t.schemaName, t.tableName, colTypes,
       aliases, t.keyCols)
     if (TxnApplier.currentCommit(t.targetDir).isEmpty)
       TxnApplier.bootstrap(typed.limit(0).drop("op", "tso"),
         t.keyCols, t.targetDir, t.nBuckets,
         initialTso = fromTso.getOrElse(0L))
-    TxnApplier.applyBatch(typed, t.keyCols, t.seqCol, "op", "tso",
-      t.targetDir, t.nBuckets, txnsPerCommit)
+    if (deltaCommits) {
+      // the standing-consumer shape: O(batch) delta commits, chains
+      // folded once they reach compactAfter (amortized O(target /
+      // compactAfter) per trigger — never the COW mode's every-trigger
+      // touched-bucket rewrite, which is O(target) against a uniform
+      // key stream and O(n²) over a long run)
+      if (TxnApplier.maxChainLength(t.targetDir) >= compactAfter)
+        TxnApplier.compact(decoded.sparkSession, t.targetDir)
+      TxnApplier.applyBatchDelta(typed, t.keyCols, t.seqCol, "op", "tso",
+        t.targetDir, t.nBuckets, txnsPerCommit)
+    } else
+      TxnApplier.applyBatch(typed, t.keyCols, t.seqCol, "op", "tso",
+        t.targetDir, t.nBuckets, txnsPerCommit)
     ()
   }
 
@@ -186,7 +199,8 @@ object WireReplicaJob {
     * IS the schema state, callers never track evolution. */
   def applyRoutedWithDdl(decoded: DataFrame, targets: Seq[TableTarget],
       txnsPerCommit: Int = 8, fromTso: Option[Long] = None,
-      maxParallelTables: Int = 4): Unit = {
+      maxParallelTables: Int = 4, deltaCommits: Boolean = false,
+      compactAfter: Int = 32): Unit = {
     import graft.operators.DdlParser
     validateTargets(targets)
     val spark = decoded.sparkSession
@@ -387,7 +401,7 @@ object WireReplicaJob {
       val evolved = TxnApplier.targetSchema(t.targetDir).get.fields
         .toSeq.map(f => f.name -> f.dataType.sql)
       applyOne(decoded, t, evolved, txnsPerCommit, fromTso,
-        renameAliases(t.table))
+        renameAliases(t.table), deltaCommits, compactAfter)
     }
   }
 

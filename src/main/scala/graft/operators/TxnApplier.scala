@@ -112,6 +112,48 @@ object TxnApplier {
       .sorted
   }
 
+  /** A manifest VALUE is a chain of data dirs, oldest→newest,
+    * ';'-joined: a plain COW entry is a 1-element chain (the bucket's
+    * full contents); `.delta` entries after it are merge-on-read
+    * overlays ([[applyBatchDelta]]). */
+  private def chainOf(entry: String): Seq[String] =
+    entry.split(";").toSeq
+  private def isDelta(rel: String): Boolean = rel.contains(".delta/")
+  private def deltaVersionRel(v: Long): String = f"data/v$v%08d.delta"
+
+  private def keysFile(root: Path) = new Path(root, "_keys")
+
+  /** Persist (keyCols, nBuckets) once — merge-on-read and compaction
+    * need them without the caller in scope (readVersion has no apply
+    * parameters). Written by bootstrap; back-filled by the first
+    * delta apply on a pre-existing target. */
+  private def writeKeyCols(root: Path, keyCols: Seq[String],
+      nBuckets: Int): Unit =
+    graft.util.HadoopIo.writeSwap(new Path(root, "._keys.tmp"),
+      keysFile(root), s"${keyCols.mkString(",")}\n$nBuckets")
+
+  private def readKeyCols(root: Path): (Seq[String], Int) = {
+    val fs = fsOf(root)
+    require(fs.exists(keysFile(root)),
+      s"txn target $root: no _keys sidecar — delta chains need the " +
+        "key columns persisted (bootstrap or one delta apply writes it)")
+    val lines = graft.util.HadoopIo.readString(keysFile(root)).split("\n")
+    (lines(0).split(",").toSeq, lines(1).trim.toInt)
+  }
+
+  /** Longest manifest chain of the current version — the compaction
+    * trigger signal (1 = fully compacted / pure COW; grows by one per
+    * delta commit on a touched bucket). */
+  def maxChainLength(dir: String): Int = {
+    val root = new Path(dir)
+    currentCommit(dir) match {
+      case None => 0
+      case Some(c) =>
+        val m = readManifest(root, c.version)
+        if (m.isEmpty) 0 else m.values.map(chainOf(_).size).max
+    }
+  }
+
   private def readManifest(root: Path, v: Long): Map[Int, String] = {
     val fs = fsOf(root)
     graft.util.HadoopIo.readString(manifestFile(root, v)).split("\n").toSeq
@@ -277,8 +319,11 @@ object TxnApplier {
   /** Read one committed version (time travel over observable states). */
   def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
     val root = new Path(dir)
-    val paths = readManifest(root, v).values.toSeq.sorted
-      .map(rel => new Path(root, rel).toString)
+    val rels = readManifest(root, v).values.toSeq.sorted.flatMap(chainOf)
+    val (deltaRels, baseRels) = rels.partition(isDelta)
+    if (deltaRels.nonEmpty)
+      return mergedRead(spark, root, baseRels, deltaRels)
+    val paths = baseRels.map(rel => new Path(root, rel).toString)
     if (paths.isEmpty) readTargetSchema(root) match {
       // an empty version still HAS the target's row shape — a rebuild
       // or projection over it must see real columns, not a 0-field frame
@@ -290,6 +335,38 @@ object TxnApplier {
       case Some(s) => spark.read.schema(s).parquet(paths: _*)
       case None => spark.read.parquet(paths: _*)
     }
+  }
+
+  /** MERGE-ON-READ: base bucket contents overlaid with the delta
+    * chains' final images — per key the newest image (by the change
+    * stream's commit TSO; base rows sit below every delta) wins, DELETE
+    * images erase. The read-side half of [[applyBatchDelta]]'s
+    * write-cheap contract; [[compact]] folds it back to a plain read. */
+  private def mergedRead(spark: SparkSession, root: Path,
+      baseRels: Seq[String], deltaRels: Seq[String]): DataFrame = {
+    val s = readTargetSchema(root).getOrElse(sys.error(
+      s"txn target $root: merge-on-read needs the schema sidecar"))
+    val (keyCols, _) = readKeyCols(root)
+    val base =
+      if (baseRels.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      else spark.read.schema(s).parquet(
+        baseRels.map(rel => new Path(root, rel).toString): _*)
+    val deltaSchema = s
+      .add("effective_op", org.apache.spark.sql.types.StringType)
+      .add("__delta_tso", org.apache.spark.sql.types.LongType)
+    val deltas = spark.read.schema(deltaSchema).parquet(
+      deltaRels.map(rel => new Path(root, rel).toString): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("__delta_tso").desc)
+    base
+      .withColumn("effective_op", lit("KEEP"))
+      .withColumn("__delta_tso", lit(-1L))
+      .unionByName(deltas)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("effective_op") =!= "DELETE")
+      .select(s.fieldNames.toSeq.map(col): _*)
   }
 
   /** Read the current committed state (what any consumer sees). */
@@ -322,6 +399,9 @@ object TxnApplier {
     // persist the row schema once: every later read and apply resolves
     // columns from this sidecar, never a parquet footer job
     writeSchemaVersion(root, 1L, initial.schema)
+    // and the key layout: merge-on-read and compaction resolve keys
+    // from this sidecar (readVersion has no apply parameters in scope)
+    writeKeyCols(root, keyCols, nBuckets)
     writeManifest(root, v, entries)
     commitPointer(root, Commit(v, initialTso), 1L)
   }
@@ -375,6 +455,10 @@ object TxnApplier {
     // under the old schema, and the replay's no-op checks (which read
     // the pointer-selected schema) correctly re-run the rebuild
     writeSchemaVersion(root, sv + 1, rebuilt.schema)
+    // keys may change across a rebuild (rename): keep the sidecar in
+    // step so later delta applies and compactions merge on the right
+    // columns (idempotent under replay, like the transform itself)
+    writeKeyCols(root, keyCols, nBuckets)
     writeManifest(root, v, entries)
     val c = Commit(v, cur.lastTso)
     commitPointerFrom(root, (cur, sv), c, sv + 1)
@@ -393,51 +477,84 @@ object TxnApplier {
     * per-commit-contents job, then metadata-only publication per commit.
     * A crash mid-publication leaves a committed prefix of whole commit
     * groups; the rest replays. */
+  /** Phase timing to stderr when GRAFT_PROF is set (perf triage aid). */
+  private def profTimed[T](label: String)(body: => T): T =
+    if (!sys.env.contains("GRAFT_PROF")) body
+    else {
+      val t0 = System.nanoTime(); val r = body
+      System.err.println(
+        f"[txnapplier] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+  /** Job 1 of both apply modes — ONE scan of the source batch: final
+    * image per (transaction, key), staged so everything downstream
+    * reads the small image table, never the source again. The SAME job
+    * carries the driver's metadata probe as an observed metric: the
+    * distinct (tso, bucket) pairs — the ordered commit groups AND each
+    * group's touched-bucket set, bounded by txns × buckets-per-txn,
+    * never row count — so no second collect job re-reads the staging. */
+  private def stageFinalImages(fresh: DataFrame, keyCols: Seq[String],
+      seqCol: String, opCol: String, tsoCol: String, nBuckets: Int,
+      staging: Path): (DataFrame, Array[(Long, Int)]) = {
+    val spark = fresh.sparkSession
+    val imagesPath = new Path(staging, "images").toString
+    val stagedImages =
+      Appliers.mergeToFinalImages(fresh, tsoCol +: keyCols, seqCol, opCol)
+        .withColumn("__bucket", Appliers.bucketOf(keyCols, nBuckets))
+    val stagedSchema = stagedImages.schema
+    val probe = org.apache.spark.sql.Observation("txnapplier-probe")
+    profTimed("stage-images+probe") {
+      stagedImages.observe(probe,
+          collect_set(struct(col(tsoCol).cast("long").as("__tso"),
+            col("__bucket"))).as("pairs"))
+        .write.mode(SaveMode.Overwrite).parquet(imagesPath)
+    }
+    val images = spark.read.schema(stagedSchema).parquet(imagesPath)
+    val tsoBuckets = probe.get("pairs")
+      .asInstanceOf[Seq[org.apache.spark.sql.Row]]
+      .map(r => (r.getLong(0), r.getInt(1))).toArray
+    (images, tsoBuckets)
+  }
+
+  /** The target's data columns, resolved without a footer job when the
+    * schema sidecar exists. */
+  private def targetColsOf(spark: SparkSession, root: Path,
+      manifest: Map[Int, String], images: DataFrame): Seq[String] =
+    readTargetSchema(root) match {
+      case Some(s) => s.fieldNames.toSeq // bootstrap-persisted sidecar
+      case None => manifest.values.toSeq.sorted.headOption match {
+        case Some(entry) => // footer-only schema probe of a current file
+          spark.read.parquet(
+            new Path(root, chainOf(entry).head).toString).columns.toSeq
+        case None =>
+          images.columns.toSeq.filterNot(Set("effective_op", "__bucket"))
+      }
+    }
+
   def applyBatch(batch: DataFrame, keyCols: Seq[String], seqCol: String,
       opCol: String, tsoCol: String, dir: String, nBuckets: Int = 64,
       txnsPerCommit: Int = 1): Seq[Commit] = {
     val spark = batch.sparkSession
     val root = new Path(dir)
-    val (start, schemaV) = readPointer(root)
+    val (start0, schemaV0) = readPointer(root)
       .getOrElse(sys.error(s"txn target $dir: bootstrap first"))
+    // COW apply over delta chains: job 2's per-bucket target read wants
+    // plain bucket dirs — fold the chains first (rare mixed-mode path)
+    val (start, schemaV) =
+      if (readManifest(root, start0.version).values
+          .exists(e => chainOf(e).exists(isDelta))) {
+        compact(spark, dir)
+        readPointer(root).get
+      } else (start0, schemaV0)
     val fs = fsOf(root)
     val fresh = batch.filter(col(tsoCol) > start.lastTso)
     val staging = new Path(root, "_batchstage")
     if (fs.exists(staging)) fs.delete(staging, true)
-    // phase timing to stderr when GRAFT_PROF is set (perf triage aid)
-    def timed[T](label: String)(body: => T): T =
-      if (!sys.env.contains("GRAFT_PROF")) body
-      else {
-        val t0 = System.nanoTime(); val r = body
-        System.err.println(
-          f"[txnapplier] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-        r
-      }
+    def timed[T](label: String)(body: => T): T = profTimed(label)(body)
     try {
-      // job 1 — ONE scan of the source batch: final image per
-      // (transaction, key), staged so everything below reads the small
-      // image table, never the source again. The SAME job carries the
-      // driver's metadata probe as an observed metric: the distinct
-      // (tso, bucket) pairs — the ordered commit groups AND each group's
-      // touched-bucket set, bounded by txns x buckets-per-txn, never row
-      // count — so no second collect job re-reads the staging
-      val imagesPath = new Path(staging, "images").toString
-      val stagedImages =
-        Appliers.mergeToFinalImages(fresh, tsoCol +: keyCols, seqCol, opCol)
-          .withColumn("__bucket", Appliers.bucketOf(keyCols, nBuckets))
-      val stagedSchema = stagedImages.schema
-      val probe = org.apache.spark.sql.Observation("txnapplier-probe")
-      timed("stage-images+probe") {
-        stagedImages.observe(probe,
-            collect_set(struct(col(tsoCol).cast("long").as("__tso"),
-              col("__bucket"))).as("pairs"))
-          .write.mode(SaveMode.Overwrite).parquet(imagesPath)
-      }
-      val images = spark.read.schema(stagedSchema).parquet(imagesPath)
-
-      val tsoBuckets = probe.get("pairs")
-        .asInstanceOf[Seq[org.apache.spark.sql.Row]]
-        .map(r => (r.getLong(0), r.getInt(1))).toArray
+      val (images, tsoBuckets) = stageFinalImages(fresh, keyCols, seqCol,
+        opCol, tsoCol, nBuckets, staging)
       if (tsoBuckets.isEmpty) return Seq.empty
       val tsos = tsoBuckets.map(_._1).distinct.sorted
       val groups = tsos.grouped(math.max(1, txnsPerCommit)).toVector
@@ -463,15 +580,7 @@ object TxnApplier {
       val targetPaths = allTouched.toSeq.sorted.flatMap(manifest.get)
         .map(rel => new Path(root, rel).toString)
       val targetSchema = readTargetSchema(root)
-      val targetCols: Seq[String] = targetSchema match {
-        case Some(s) => s.fieldNames.toSeq // bootstrap-persisted sidecar
-        case None => manifest.values.toSeq.sorted.headOption match {
-          case Some(rel) => // footer-only schema probe of any current file
-            spark.read.parquet(new Path(root, rel).toString).columns.toSeq
-          case None =>
-            images.columns.toSeq.filterNot(Set("effective_op", "__bucket"))
-        }
-      }
+      val targetCols = targetColsOf(spark, root, manifest, images)
       val imgSide = imagesG.select(
         targetCols.map(col) ++ Seq(col("effective_op"), col("__grp"),
           col(tsoCol).cast("long").as("__tso_ord"), col("__bucket")): _*)
@@ -545,6 +654,130 @@ object TxnApplier {
     }
   }
 
+  /** [[applyBatch]] in DELTA mode — the standing-replica shape.
+    *
+    * The COW apply's job 2 reads and rewrites every TOUCHED bucket's
+    * full contents per call; a standing consumer of uniformly-keyed
+    * transactions touches every bucket every trigger, so its per-trigger
+    * cost grows with the accumulated target — O(n²) over the run (the
+    * sf1 scale rehearsal measured 0.75 s/trigger at a 100 MB target vs
+    * 25–29 s/trigger and climbing at 800 MB, same txns/trigger). The
+    * reference applier never sees this because its target is a B-tree
+    * (MySQL point updates, TransactionApplier.java:40-104); a parquet
+    * target needs the LSM shape instead: commit each group's FINAL
+    * IMAGES as a `.delta` overlay appended to the touched buckets'
+    * manifest chains — O(batch) per trigger, no target read at all —
+    * and let reads merge ([[readVersion]]) until [[compact]] folds the
+    * chains back into plain bucket dirs.
+    *
+    * Same contract as [[applyBatch]] everywhere else: transactions
+    * whole and in TSO order, `txnsPerCommit` per atomic commit, the
+    * `lastTso` gate makes foreachBatch replays exactly-once, every
+    * published version is a transaction-boundary state (the transfer
+    * invariant holds per version THROUGH the merge-on-read), and a
+    * crash mid-publication leaves a committed prefix whose replay
+    * rewrites the same versions byte-compatibly. */
+  def applyBatchDelta(batch: DataFrame, keyCols: Seq[String],
+      seqCol: String, opCol: String, tsoCol: String, dir: String,
+      nBuckets: Int = 64, txnsPerCommit: Int = 1): Seq[Commit] = {
+    val spark = batch.sparkSession
+    val root = new Path(dir)
+    val (start, schemaV) = readPointer(root)
+      .getOrElse(sys.error(s"txn target $dir: bootstrap first"))
+    val fs = fsOf(root)
+    if (!fs.exists(keysFile(root))) writeKeyCols(root, keyCols, nBuckets)
+    val fresh = batch.filter(col(tsoCol) > start.lastTso)
+    val staging = new Path(root, "_batchstage")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    try {
+      val (images, tsoBuckets) = stageFinalImages(fresh, keyCols, seqCol,
+        opCol, tsoCol, nBuckets, staging)
+      if (tsoBuckets.isEmpty) return Seq.empty
+      val tsos = tsoBuckets.map(_._1).distinct.sorted
+      val groups = tsos.grouped(math.max(1, txnsPerCommit)).toVector
+      import spark.implicits._
+      val grpOfTso = groups.zipWithIndex
+        .flatMap { case (g, i) => g.map(t => (t, i)) }.toMap
+      val grpDf = grpOfTso.toSeq.toDF("__gtso", "__wv")
+      val manifest = readManifest(root, start.version)
+      val targetCols = targetColsOf(spark, root, manifest, images)
+      // the ONLY data job: the images themselves, clustered by
+      // (commit group, bucket) — O(batch) rows, the target is never read
+      val outPath = new Path(staging, "out")
+      profTimed("delta-write") {
+        images
+          .join(broadcast(grpDf), col(tsoCol).cast("long") === col("__gtso"))
+          .select(targetCols.map(col) ++ Seq(col("effective_op"),
+            col(tsoCol).cast("long").as("__delta_tso"),
+            col("__wv"), col("__bucket")): _*)
+          .repartition(col("__wv"), col("__bucket"))
+          .write.partitionBy("__wv", "__bucket").mode(SaveMode.Overwrite)
+          .parquet(outPath.toString)
+      }
+      // publication — metadata only, in TSO order: each group's staged
+      // dir becomes a `.delta` version appended to its buckets' chains
+      var entries = manifest
+      val commits = Seq.newBuilder[Commit]
+      profTimed("delta-publish") {
+        groups.zipWithIndex.foreach { case (g, i) =>
+          val v = start.version + 1 + i
+          val dst = new Path(root, deltaVersionRel(v))
+          fs.mkdirs(dst.getParent)
+          if (fs.exists(dst)) fs.delete(dst, true) // crash debris
+          val src = new Path(outPath, s"__wv=$i")
+          if (fs.exists(src)) {
+            if (!fs.rename(src, dst))
+              sys.error(s"txn target: rename $src -> $dst failed")
+          } else fs.mkdirs(dst)
+          val newDirs = listBucketDirs(fs, dst)
+            .map { case (b, _) => b -> s"${deltaVersionRel(v)}/__bucket=$b" }
+          entries = newDirs.foldLeft(entries) { case (m, (b, rel)) =>
+            m.updated(b, m.get(b).map(_ + ";" + rel).getOrElse(rel))
+          }
+          writeManifest(root, v, entries)
+          val c = Commit(v, g.last)
+          commitPointer(root, c, schemaV)
+          commits += c
+        }
+      }
+      commits.result()
+    } finally {
+      if (fs.exists(staging)) fs.delete(staging, true)
+    }
+  }
+
+  /** Fold every delta chain back into plain per-bucket dirs: ONE new
+    * version holding the merged current state, pointer-swapped at the
+    * same `lastTso` (no transaction boundary moves — readers see an
+    * identical state, cheaper to read). The LSM compaction to
+    * [[applyBatchDelta]]'s memtable flushes; cost O(target), amortized
+    * over however many delta commits the caller lets accumulate
+    * (`compactAfter` at the apply sites). No-op when already plain. */
+  def compact(spark: SparkSession, dir: String): Commit = {
+    val root = new Path(dir)
+    val (cur, sv) = readPointer(root)
+      .getOrElse(sys.error(s"txn target $dir: bootstrap first"))
+    val manifest = readManifest(root, cur.version)
+    if (!manifest.values.exists(e => chainOf(e).exists(isDelta)))
+      return cur
+    val fs = fsOf(root)
+    val (keyCols, nBuckets) = readKeyCols(root)
+    val merged = readVersion(spark, dir, cur.version)
+    val v = cur.version + 1
+    val d = new Path(root, versionRel(v))
+    if (fs.exists(d)) fs.delete(d, true) // uncommitted crash debris
+    merged.withColumn("__bucket", Appliers.bucketOf(keyCols, nBuckets))
+      .repartition(col("__bucket"))
+      .write.partitionBy("__bucket").mode(SaveMode.Overwrite)
+      .parquet(d.toString)
+    val entries = listBucketDirs(fs, d)
+      .map { case (b, _) => b -> s"${versionRel(v)}/__bucket=$b" }
+    writeManifest(root, v, entries)
+    val c = Commit(v, cur.lastTso)
+    commitPointer(root, c, sv)
+    c
+  }
+
   /** Reclaim data dirs no manifest ≥ `keepFrom` references (default: only
     * the current version's files are retained). Manifests are kept — they
     * are the observable-state history and cost O(nBuckets) text each. */
@@ -557,6 +790,7 @@ object TxnApplier {
     // manifest-derived ones may be bare
     val referenced = versions(dir).filter(_ >= from)
       .flatMap(v => readManifest(root, v).values)
+      .flatMap(chainOf) // a delta chain references every dir in it
       .map(rel => fs.makeQualified(new Path(root, rel)).toString).toSet
     val dataRoot = new Path(root, "data")
     if (!fs.exists(dataRoot)) return

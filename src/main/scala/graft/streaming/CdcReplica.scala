@@ -44,7 +44,9 @@ object CdcReplica {
       maxBytesPerPoll: Long = CdcConf.DefaultMaxBytesPerPoll,
       startExecuted: Map[String, String] = Map.empty,
       soTimeoutMs: Int = 30000,
-      serverId: Long = 12345L): StreamingQuery = {
+      serverId: Long = 12345L,
+      deltaCommits: Boolean = true,
+      compactAfter: Int = 32): StreamingQuery = {
     // the option strings reuse the sidecar/offset delimiters — refuse
     // names that would corrupt them (same guard family as saveRegistry)
     endpoints.foreach { case (dn, _, _) =>
@@ -83,8 +85,12 @@ object CdcReplica {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val staged = Staged.parquetStage(batch, stagingDir)
+        // deltaCommits defaults ON here — the standing consumer is
+        // exactly the workload whose COW applies go O(n²) (uniform keys
+        // touch every bucket every trigger; see TxnApplier.applyBatchDelta)
         WireReplicaJob.applyRoutedWithDdl(staged, targets, txnsPerCommit,
-          fromTso = None)
+          fromTso = None, deltaCommits = deltaCommits,
+          compactAfter = compactAfter)
         val reg0 = LiveReplicaJob.resumeRegistry(registryDir, tableCols)
         val evolved = LiveReplicaJob.evolveRegistryFromBatch(staged, reg0)
         if (evolved != reg0) LiveReplicaJob.saveRegistry(registryDir, evolved)
@@ -94,7 +100,13 @@ object CdcReplica {
         // how many restarts the run absorbed
         if (vacuumEveryBatches > 0 &&
             (batchId + 1) % vacuumEveryBatches == 0)
-          targets.foreach(t => TxnApplier.vacuum(t.targetDir))
+          targets.foreach { t =>
+            // delta chains reference every dir they overlay — fold them
+            // first so vacuum has superseded dirs to reclaim (compaction
+            // otherwise only fires at the compactAfter bound)
+            if (deltaCommits) TxnApplier.compact(spark, t.targetDir)
+            TxnApplier.vacuum(t.targetDir)
+          }
         ()
       }
       .trigger(trigger)

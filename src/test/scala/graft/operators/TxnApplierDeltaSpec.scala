@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** DELTA apply mode (merge-on-read + compaction) — the standing-replica
+  * shape the sf1 scale rehearsal forced: COW applies of a uniform-key
+  * stream rewrite every bucket every trigger (O(n²) over a run); delta
+  * commits are O(batch) with the target read only at compaction.
+  * Everything here asserts EQUIVALENCE with the COW mode's contract:
+  * same states, same per-version transaction boundaries, same replay
+  * gate, chains fold away without moving any boundary. */
+class TxnApplierDeltaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val nAccounts = 8L
+  private val total = nAccounts * 1000L
+
+  private def accounts = (1L to nAccounts)
+    .map(a => (a, 0L, "INSERT", 1000L)).toDF("acct", "seq", "op", "balance")
+
+  private def transferBatch(from: Long, to: Long) = {
+    val transfers = (from to to)
+      .map(t => (t, (t % nAccounts) + 1, ((t + 3) % nAccounts) + 1, t * 10))
+    val deltas = transfers.flatMap { case (t, f, d, amt) =>
+      Seq((t, 2 * t, f, -amt), (t, 2 * t + 1, d, amt))
+    }.toDF("tso", "seq", "acct", "delta")
+    val w = Window.partitionBy($"acct").orderBy($"seq")
+    // running balance from 1000 at the SLICE start: callers chain
+    // slices by adding the prior slice's net — for the spec, apply the
+    // whole 1..N range in one or more calls so balances stay absolute
+    deltas.select($"acct", $"seq", lit("UPDATE").as("op"),
+      (lit(1000L) + sum($"delta").over(w)).as("balance"), $"tso")
+  }
+
+  private def state(dir: String): Map[Long, Long] =
+    TxnApplier.readCurrent(spark, dir)
+      .select($"acct", $"balance").as[(Long, Long)].collect().toMap
+
+  test("delta apply == COW apply: same states at every commit, invariant holds THROUGH the merge-on-read") {
+    val root = java.nio.file.Files.createTempDirectory("graft-delta-eq")
+    val cow = root.resolve("cow").toString
+    val dlt = root.resolve("delta").toString
+    Seq(cow, dlt).foreach(d =>
+      TxnApplier.bootstrap(accounts, Seq("acct"), d, nBuckets = 4))
+    val batch = transferBatch(1L, 12L)
+    val c1 = TxnApplier.applyBatch(batch, Seq("acct"), "seq", "op",
+      "tso", cow, nBuckets = 4, txnsPerCommit = 3)
+    val c2 = TxnApplier.applyBatchDelta(batch, Seq("acct"), "seq", "op",
+      "tso", dlt, nBuckets = 4, txnsPerCommit = 3)
+    assert(c1 == c2) // same versions, same lastTso boundaries
+    assert(TxnApplier.maxChainLength(dlt) > 1) // chains actually grew
+    assert(TxnApplier.maxChainLength(cow) == 1)
+    // every observable version: identical state on both modes, and the
+    // transfer invariant holds (whole transactions per version)
+    c2.foreach { c =>
+      val a = TxnApplier.readVersion(spark, cow, c.version)
+        .select($"acct", $"balance").as[(Long, Long)].collect().toSet
+      val b = TxnApplier.readVersion(spark, dlt, c.version)
+        .select($"acct", $"balance").as[(Long, Long)].collect().toSet
+      assert(a == b, s"version ${c.version} diverged")
+      assert(b.toSeq.map(_._2).sum == total,
+        s"invariant broken at delta version ${c.version}")
+    }
+  }
+
+  test("DELETEs erase through the chain; replay is gated exactly-once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-delta-del")
+      .resolve("t").toString
+    TxnApplier.bootstrap(accounts, Seq("acct"), dir, nBuckets = 4)
+    // txn 13: close account 5 (its before-balance rides along — the
+    // image only needs the key, like the wire decode's delete shape)
+    val del = Seq((5L, 100L, "DELETE", 0L, 13L))
+      .toDF("acct", "seq", "op", "balance", "tso")
+    TxnApplier.applyBatchDelta(del, Seq("acct"), "seq", "op", "tso",
+      dir, nBuckets = 4)
+    assert(!state(dir).contains(5L) && state(dir).size == 7)
+    // replay the same batch: at-or-below lastTso → no-op, no new commit
+    assert(TxnApplier.applyBatchDelta(del, Seq("acct"), "seq", "op",
+      "tso", dir, nBuckets = 4).isEmpty)
+    // re-insert after the delete in a later txn: newest image wins
+    val reins = Seq((5L, 101L, "INSERT", 777L, 14L))
+      .toDF("acct", "seq", "op", "balance", "tso")
+    TxnApplier.applyBatchDelta(reins, Seq("acct"), "seq", "op", "tso",
+      dir, nBuckets = 4)
+    assert(state(dir)(5L) == 777L && state(dir).size == 8)
+  }
+
+  test("compact folds the chains without moving any transaction boundary; vacuum reclaims the folded deltas") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-delta-cmp")
+      .resolve("t").toString
+    TxnApplier.bootstrap(accounts, Seq("acct"), dir, nBuckets = 4)
+    TxnApplier.applyBatchDelta(transferBatch(1L, 12L), Seq("acct"),
+      "seq", "op", "tso", dir, nBuckets = 4, txnsPerCommit = 2)
+    val before = state(dir)
+    val cur = TxnApplier.currentCommit(dir).get
+    assert(TxnApplier.maxChainLength(dir) > 1)
+    val folded = TxnApplier.compact(spark, dir)
+    assert(folded.version == cur.version + 1 &&
+      folded.lastTso == cur.lastTso) // same boundary, new version
+    assert(TxnApplier.maxChainLength(dir) == 1)
+    assert(state(dir) == before)
+    assert(before.values.sum == total)
+    // compacting a plain target is a no-op (same commit back)
+    assert(TxnApplier.compact(spark, dir) == folded)
+    // the folded chain's delta dirs are no longer referenced by the
+    // current manifest: vacuum reclaims every .delta dir
+    TxnApplier.vacuum(dir)
+    val dataDir = new java.io.File(dir, "data")
+    assert(!dataDir.listFiles().exists(_.getName.endsWith(".delta")),
+      "folded delta dirs must be reclaimed")
+    assert(state(dir) == before) // still readable after the reclaim
+  }
+
+  test("a COW apply over live chains folds them first (mixed mode stays correct)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-delta-mix")
+      .resolve("t").toString
+    TxnApplier.bootstrap(accounts, Seq("acct"), dir, nBuckets = 4)
+    TxnApplier.applyBatchDelta(transferBatch(1L, 6L), Seq("acct"),
+      "seq", "op", "tso", dir, nBuckets = 4, txnsPerCommit = 2)
+    assert(TxnApplier.maxChainLength(dir) > 1)
+    // the second slice carries absolute balances continuing the first:
+    // rebuild running sums over the WHOLE range, keep txns 7..12
+    val rest = transferBatch(1L, 12L).filter($"tso" > 6L)
+    TxnApplier.applyBatch(rest, Seq("acct"), "seq", "op", "tso", dir,
+      nBuckets = 4, txnsPerCommit = 6)
+    assert(TxnApplier.maxChainLength(dir) == 1) // auto-compacted
+    assert(state(dir).values.sum == total)
+    // equivalence against one straight COW run of the full range
+    val ref = java.nio.file.Files.createTempDirectory("graft-delta-ref")
+      .resolve("t").toString
+    TxnApplier.bootstrap(accounts, Seq("acct"), ref, nBuckets = 4)
+    TxnApplier.applyBatch(transferBatch(1L, 12L), Seq("acct"), "seq",
+      "op", "tso", ref, nBuckets = 4, txnsPerCommit = 12)
+    assert(state(dir) == state(ref))
+  }
+
+  test("routed apply with deltaCommits bounds every chain by compactAfter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-delta-route")
+    val target = graft.jobs.WireReplicaJob.TableTarget("bank", "accounts",
+      Seq("acct" -> "bigint", "seq" -> "bigint", "balance" -> "bigint"),
+      Seq("acct"), "seq", dir.resolve("t").toString, 4)
+    // 6 triggers of 2 txns each through the routed path, threshold 3:
+    // chains must fold before they pass it
+    (0 until 6).foreach { i =>
+      val lo = i * 2 + 1L
+      val slice = transferBatch(1L, 12L)
+        .filter($"tso" >= lo && $"tso" <= lo + 1L)
+        .withColumn("op", lit("UPDATE"))
+        .withColumn("schemaName", lit("bank"))
+        .withColumn("tableName", lit("accounts"))
+        .select($"tso", $"seq", $"op", $"schemaName", $"tableName",
+          map().cast("map<string,string>").as("before"),
+          map(lit("acct"), $"acct".cast("string"),
+            lit("seq"), $"seq".cast("string"),
+            lit("balance"), $"balance".cast("string")).as("after"))
+      graft.jobs.WireReplicaJob.applyRouted(slice, Seq(target),
+        txnsPerCommit = 1, deltaCommits = true, compactAfter = 3)
+      assert(TxnApplier.maxChainLength(target.targetDir) <= 3 + 1,
+        s"chain unbounded after trigger $i")
+    }
+    val st = TxnApplier.readCurrent(spark, target.targetDir)
+      .select($"acct", $"balance").as[(Long, Long)].collect().toMap
+    // equivalence with a straight COW apply of the same 12 txns
+    // (bootstrapped empty, INSERT-less stream → state is the last
+    // image per touched account)
+    val ref = java.nio.file.Files.createTempDirectory("graft-delta-rref")
+      .resolve("t").toString
+    TxnApplier.bootstrap(
+      transferBatch(1L, 12L).limit(0).drop("op", "tso"),
+      Seq("acct"), ref, nBuckets = 4)
+    TxnApplier.applyBatch(transferBatch(1L, 12L), Seq("acct"), "seq",
+      "op", "tso", ref, nBuckets = 4, txnsPerCommit = 12)
+    val refState = TxnApplier.readCurrent(spark, ref)
+      .select($"acct", $"balance").as[(Long, Long)].collect().toMap
+    assert(st == refState)
+  }
+}
