@@ -118,7 +118,7 @@ object TxnApplier {
     * overlays ([[applyBatchDelta]]). */
   private def chainOf(entry: String): Seq[String] =
     entry.split(";").toSeq
-  private def isDelta(rel: String): Boolean = rel.contains(".delta/")
+  private def isDelta(rel: String): Boolean = rel.contains(".delta")
   private def deltaVersionRel(v: Long): String = f"data/v$v%08d.delta"
 
   private def keysFile(root: Path) = new Path(root, "_keys")
@@ -356,8 +356,10 @@ object TxnApplier {
     val deltaSchema = s
       .add("effective_op", org.apache.spark.sql.types.StringType)
       .add("__delta_tso", org.apache.spark.sql.types.LongType)
+    // a group-level delta dir appears in EVERY touched bucket's chain —
+    // read it once (the explicit schema drops the __bucket data column)
     val deltas = spark.read.schema(deltaSchema).parquet(
-      deltaRels.map(rel => new Path(root, rel).toString): _*)
+      deltaRels.distinct.map(rel => new Path(root, rel).toString): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*).orderBy(col("__delta_tso").desc)
     base
@@ -699,10 +701,18 @@ object TxnApplier {
       val grpOfTso = groups.zipWithIndex
         .flatMap { case (g, i) => g.map(t => (t, i)) }.toMap
       val grpDf = grpOfTso.toSeq.toDF("__gtso", "__wv")
+      val touchedByGrp = tsoBuckets
+        .groupBy { case (t, _) => grpOfTso(t) }
+        .map { case (g, pairs) => g -> pairs.map(_._2).toSet }
       val manifest = readManifest(root, start.version)
       val targetCols = targetColsOf(spark, root, manifest, images)
-      // the ONLY data job: the images themselves, clustered by
-      // (commit group, bucket) — O(batch) rows, the target is never read
+      // the ONLY data job: the images themselves, clustered by commit
+      // group — O(batch) rows, the target is never read. ONE dir per
+      // group, not per (group, bucket): dynamic-partition write costs
+      // ~1s per output partition (writer open/commit), measured 8×
+      // the whole job at bucket granularity; __bucket rides along as a
+      // DATA column (no read path prunes delta buckets — compaction
+      // restores the bucket-pruned layout)
       val outPath = new Path(staging, "out")
       profTimed("delta-write") {
         images
@@ -710,12 +720,13 @@ object TxnApplier {
           .select(targetCols.map(col) ++ Seq(col("effective_op"),
             col(tsoCol).cast("long").as("__delta_tso"),
             col("__wv"), col("__bucket")): _*)
-          .repartition(col("__wv"), col("__bucket"))
-          .write.partitionBy("__wv", "__bucket").mode(SaveMode.Overwrite)
+          .repartition(col("__wv"))
+          .write.partitionBy("__wv").mode(SaveMode.Overwrite)
           .parquet(outPath.toString)
       }
       // publication — metadata only, in TSO order: each group's staged
-      // dir becomes a `.delta` version appended to its buckets' chains
+      // dir becomes a `.delta` version appended to the chain of EVERY
+      // bucket it touches (readers dedupe the shared rel)
       var entries = manifest
       val commits = Seq.newBuilder[Commit]
       profTimed("delta-publish") {
@@ -729,11 +740,11 @@ object TxnApplier {
             if (!fs.rename(src, dst))
               sys.error(s"txn target: rename $src -> $dst failed")
           } else fs.mkdirs(dst)
-          val newDirs = listBucketDirs(fs, dst)
-            .map { case (b, _) => b -> s"${deltaVersionRel(v)}/__bucket=$b" }
-          entries = newDirs.foldLeft(entries) { case (m, (b, rel)) =>
-            m.updated(b, m.get(b).map(_ + ";" + rel).getOrElse(rel))
-          }
+          entries = touchedByGrp.getOrElse(i, Set.empty)
+            .foldLeft(entries) { case (m, b) =>
+              val rel = deltaVersionRel(v)
+              m.updated(b, m.get(b).map(_ + ";" + rel).getOrElse(rel))
+            }
           writeManifest(root, v, entries)
           val c = Commit(v, g.last)
           commitPointer(root, c, schemaV)
@@ -795,13 +806,18 @@ object TxnApplier {
     val dataRoot = new Path(root, "data")
     if (!fs.exists(dataRoot)) return
     fs.listStatus(dataRoot).toSeq.filter(_.isDirectory).foreach { vd =>
-      listBucketDirs(fs, vd.getPath).values
-        .filterNot(p => referenced.contains(fs.makeQualified(p).toString))
-        .foreach(p => fs.delete(p, true))
-      // only bucket dirs are ever referenced: a version dir with none
-      // left holds at most write markers (_SUCCESS) — reclaim it whole
-      if (listBucketDirs(fs, vd.getPath).isEmpty)
-        fs.delete(vd.getPath, true)
+      // a delta version dir is referenced WHOLE (one rel per group,
+      // shared across its touched buckets' chains) — never walk into it
+      if (!referenced.contains(fs.makeQualified(vd.getPath).toString)) {
+        listBucketDirs(fs, vd.getPath).values
+          .filterNot(p => referenced.contains(fs.makeQualified(p).toString))
+          .foreach(p => fs.delete(p, true))
+        // only bucket dirs are ever referenced below the version level:
+        // a version dir with none left holds at most write markers
+        // (_SUCCESS) — reclaim it whole
+        if (listBucketDirs(fs, vd.getPath).isEmpty)
+          fs.delete(vd.getPath, true)
+      }
     }
   }
 }
