@@ -81,7 +81,7 @@ object WireReplicaJob {
       maxParallelTables: Int = 4, deltaCommits: Boolean = false,
       compactAfter: Int = 32): Unit = {
     validateTargets(targets)
-    inParallel(targets, maxParallelTables) { t =>
+    inParallel(presentTargets(decoded, targets), maxParallelTables) { t =>
       // the target's CURRENT schema and persisted rename lineage, not
       // the caller's snapshot: after an evolution/rebuild in an earlier
       // batch, a stale TableTarget (or a stale decode registry naming a
@@ -92,6 +92,24 @@ object WireReplicaJob {
       applyOne(decoded, t, colTypes, txnsPerCommit, fromTso,
         TxnApplier.renameLineage(t.targetDir), deltaCommits, compactAfter)
     }
+  }
+
+  /** The targets THIS batch actually carries rows for — one tiny
+    * distinct job (bounded by table count) instead of a full staged
+    * image pass per absent table. A Binlog-X fan-out stream carries
+    * only the tables hashed (or pinned) to it, so a consumer routing
+    * the full registry would otherwise pay most of its trigger in
+    * staging provably-empty frames (measured ~6 s × absent-table per
+    * trigger at the sf1 rehearsal). Skipping an absent table is safe:
+    * its committed lastTso gate only moves when rows apply. */
+  private def presentTargets(decoded: DataFrame,
+      targets: Seq[TableTarget]): Seq[TableTarget] = {
+    if (targets.size <= 1) return targets
+    val present = decoded
+      .select(col("schemaName"), col("tableName")).distinct()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    targets.filter(t => present.contains((t.schemaName, t.tableName)))
   }
 
   private def applyOne(decoded: DataFrame, t: TableTarget,
@@ -397,7 +415,7 @@ object WireReplicaJob {
       }
       }
     }
-    inParallel(targets, maxParallelTables) { t =>
+    inParallel(presentTargets(decoded, targets), maxParallelTables) { t =>
       val evolved = TxnApplier.targetSchema(t.targetDir).get.fields
         .toSeq.map(f => f.name -> f.dataType.sql)
       applyOne(decoded, t, evolved, txnsPerCommit, fromTso,
