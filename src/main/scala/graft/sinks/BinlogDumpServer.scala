@@ -206,8 +206,17 @@ final class BinlogDumpServer(wireDir: String, user: String,
               if (!skipping) { emit(header ++ body); newFrames += 1 }
             case BinlogWire.FormatDescriptionEvent |
                  BinlogWire.PreviousGtidsEvent |
-                 BinlogWire.TableMapEvent | BinlogWire.RotateEvent =>
+                 BinlogWire.RotateEvent =>
               emit(header ++ body)
+            case BinlogWire.TableMapEvent =>
+              // a map OUTSIDE any skipped txn is a declaration (the
+              // file-head prologue, or a between-txns re-declare) and
+              // always serves; a map INSIDE a skipped txn rides with
+              // the txn — these files re-declare maps per transaction,
+              // so re-serving them over a long executed prefix fills
+              // the poll's byte budget with data the consumer already
+              // has (measured: 64 MB polls carrying 2 new txns)
+              if (!skipping) emit(header ++ body)
             case BinlogWire.XidEvent =>
               if (!skipping) { emit(header ++ body); newFrames += 1 }
               skipping = false

@@ -367,7 +367,18 @@ object BinlogDumpClient {
       off += len
     }
     firstSeen.foreach { case (sid, first) =>
-      set.addRange(sid, first, lastSeen(sid) + 1L)
+      // STITCH to the prior claim: gnos between the prior claimed end
+      // and this poll's first served gno are not on this log (the
+      // TSO-ordered serve would have sent them first) — claim them
+      // too. Without the stitch the cursor accretes one interval per
+      // poll, and the holes break the server's PREVIOUS_GTIDS subset
+      // test: file pruning stops covering, every later poll re-walks
+      // the log from the top, and the drain budget fills with
+      // re-served declarations — the sf1 rehearsal measured polls
+      // collapsing from 538k new txns to 2 exactly this way.
+      val from = executed.sets.get(sid).flatMap(_.lastOption)
+        .map(_._2).filter(_ < first).getOrElse(first)
+      set.addRange(sid, from, lastSeen(sid) + 1L)
     }
     set.result()
   }

@@ -309,6 +309,71 @@ class BinlogDumpClientSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("sparse-gno stream: range claims stitch to ONE interval across capped polls; skipped txns' TABLE_MAPs are not re-served") {
+    import graft.model.GtidSet
+    val sid = java.util.UUID.fromString(
+      "0a1b2c3d-aaaa-bbbb-3333-444455556666")
+    // a fan-out stream's shape: this log carries only the ODD tsos of
+    // the global sequence (gnos 1,3,5,...,31 — gaps are other streams')
+    val dir = java.nio.file.Files.createTempDirectory("graft-sparse").toString
+    val df = (0L until 16L).map(i => (2 * i + 1, s"v$i", "INSERT",
+        2 * i + 1, i)).toDF("id", "v", "op", "tso", "seq")
+      .withColumn("ts", lit(1700000000L))
+    BinlogWire.writeTxnFramedBinlogFiles(
+      graft.operators.MergeSort.sortedRunsGrouped(df, 4, Seq("tso"),
+        Seq("seq")),
+      specs, "app", "t", "op", "ts", "tso", dir, checksummed = true,
+      gtidSid = Some(sid), rotateChain = true, tsoCarrier = "sequence")
+    def countMaps(seg: Array[Byte]): Int = {
+      var off = 4; var n = 0
+      while (off + 19 <= seg.length) {
+        if ((seg(off + 4) & 0xFF) == BinlogWire.TableMapEvent) n += 1
+        off += ((seg(off + 9) & 0xFF) | ((seg(off + 10) & 0xFF) << 8) |
+          ((seg(off + 11) & 0xFF) << 16) | ((seg(off + 12) & 0xFF) << 24))
+      }
+      n
+    }
+    val srv = new graft.sinks.BinlogDumpServer(dir, "repl", "pw")
+    try {
+      // capped polls: each drains a slice; the range claim must stitch
+      // to the PRIOR claim so the cursor never accretes hole intervals
+      // (holes break the server's PREVIOUS_GTIDS file pruning — the
+      // sf1 rehearsal measured polls collapsing to 2 new txns each)
+      var set = GtidSet.Empty
+      var polls = 0
+      var done = false
+      while (!done && polls < 32) {
+        val (seg, adv, eof) =
+          BinlogDumpClient.dumpSegmentGtidWithCursorStatus(
+            "localhost", srv.port, "repl", "pw", set, 99L, 30000,
+            maxBytes = 2048, rangeClaim = true)
+        if (adv != set)
+          assert(adv.sets(sid).size == 1,
+            s"claim accreted intervals after poll $polls: ${adv.text}")
+        done = eof && adv == set
+        set = adv
+        polls += 1
+      }
+      assert(set.sets(sid).last._2 - 1 == 31L, s"did not reach the tail: ${set.text}")
+      assert(polls > 2, "the cap must force multiple polls for this test")
+      // TABLE_MAP economy: a dump over a mostly-executed log must not
+      // re-send the skipped txns' per-txn map declarations
+      val full = BinlogDumpClient.dumpSegmentGtid(
+        "localhost", srv.port, "repl", "pw", GtidSet.Empty)
+      val tail = BinlogDumpClient.dumpSegmentGtid(
+        "localhost", srv.port, "repl", "pw", GtidSet.parse(s"$sid:1-27"))
+      assert(countMaps(tail) < countMaps(full) / 2,
+        s"skipped txns' maps re-served: tail=${countMaps(tail)} " +
+          s"full=${countMaps(full)}")
+      // and the served complement still decodes whole
+      val tsos = ChangeEventSource.fromWireSegments(
+          Seq(("dn1", tail)).toDF("dn", "payload"), "dn", "payload",
+          tableCols)
+        .select($"tso").as[Long].collect().toSet
+      assert(tsos == Set(29L, 31L))
+    } finally srv.close()
+  }
+
   test("GTID auto-position: dump from a set, cursor advances, and survives a full log RENAME (where file+pos gets 1236)") {
     import graft.model.GtidSet
     val sid = java.util.UUID.fromString(
