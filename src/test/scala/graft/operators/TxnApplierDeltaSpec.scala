@@ -137,6 +137,40 @@ class TxnApplierDeltaSpec extends SparkSpec {
     assert(state(dir) == state(ref))
   }
 
+  test("delta publication crash window: manifest landed, pointer did not — replay converges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-delta-crash")
+      .resolve("t").toString
+    TxnApplier.bootstrap(accounts, Seq("acct"), dir, nBuckets = 4)
+    val batch = transferBatch(1L, 12L)
+    TxnApplier.applyBatchDelta(batch, Seq("acct"), "seq", "op", "tso",
+      dir, nBuckets = 4, txnsPerCommit = 4) // delta versions 2,3,4
+    val cur = TxnApplier.currentCommit(dir).get
+    assert(cur.version == 4 && cur.lastTso == 12L)
+    val expected = state(dir)
+    // simulate the crash: version 4's delta dir + manifest landed but
+    // the pointer never swung past version 3
+    java.nio.file.Files.write(
+      new java.io.File(dir, "_current").toPath, "3,8,1".getBytes)
+    // replay resumes at tso > 8, REUSES version 4's slot (the orphan
+    // delta dir and stale manifest are overwritten — chains appended
+    // from manifest v3, never doubled), same final state
+    val resumed = TxnApplier.applyBatchDelta(batch, Seq("acct"), "seq",
+      "op", "tso", dir, nBuckets = 4, txnsPerCommit = 4)
+    assert(resumed.map(_.lastTso) == Seq(12L))
+    assert(TxnApplier.currentCommit(dir).contains(TxnApplier.Commit(4, 12L)))
+    assert(state(dir) == expected)
+    // every version's chain still reads to a conserved state
+    TxnApplier.versions(dir).foreach { v =>
+      val s = TxnApplier.readVersion(spark, dir, v)
+        .agg(sum($"balance")).head().getLong(0)
+      assert(s == total, s"invariant broken at version $v after replay")
+    }
+    // and the recovered chain compacts + vacuums cleanly
+    TxnApplier.compact(spark, dir)
+    TxnApplier.vacuum(dir)
+    assert(state(dir) == expected)
+  }
+
   test("routed apply with deltaCommits bounds every chain by compactAfter") {
     val dir = java.nio.file.Files.createTempDirectory("graft-delta-route")
     val target = graft.jobs.WireReplicaJob.TableTarget("bank", "accounts",
