@@ -81,6 +81,21 @@ object WireReplicaJob {
       maxParallelTables: Int = 4, deltaCommits: Boolean = false,
       compactAfter: Int = 32): Unit = {
     validateTargets(targets)
+    // configured-but-quiet targets still bootstrap (metadata-only,
+    // limit 0) on the FIRST batch: the schema sidecar must exist before
+    // a table's first rows arrive, because maintenance cadences
+    // (compact/vacuum over every configured target) and the DDL fold
+    // read it — deferring bootstrap to first-rows would turn an early
+    // ALTER into a crash loop. One driver FS check per bootstrapped
+    // target per batch; the one-time empty write is schema-only.
+    targets.filter(t => TxnApplier.currentCommit(t.targetDir).isEmpty)
+      .foreach { t =>
+        val typed = shape(decoded, t.schemaName, t.tableName,
+          t.colTypes, keyCols = t.keyCols)
+        TxnApplier.bootstrap(typed.limit(0).drop("op", "tso"),
+          t.keyCols, t.targetDir, t.nBuckets,
+          initialTso = fromTso.getOrElse(0L))
+      }
     inParallel(presentTargets(decoded, targets), maxParallelTables) { t =>
       // the target's CURRENT schema and persisted rename lineage, not
       // the caller's snapshot: after an evolution/rebuild in an earlier

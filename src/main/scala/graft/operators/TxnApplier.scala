@@ -763,14 +763,17 @@ object TxnApplier {
     * identical state, cheaper to read). The LSM compaction to
     * [[applyBatchDelta]]'s memtable flushes; cost O(target), amortized
     * over however many delta commits the caller lets accumulate
-    * (`compactAfter` at the apply sites). No-op when already plain. */
-  def compact(spark: SparkSession, dir: String): Commit = {
+    * (`compactAfter` at the apply sites). No-op when already plain, and
+    * (like [[vacuum]]) on an un-bootstrapped dir — compaction is a
+    * MAINTENANCE pass callers run on a cadence over every configured
+    * target, and a configured-but-quiet table (no rows yet, so no
+    * bootstrap) must not fail the cadence. */
+  def compact(spark: SparkSession, dir: String): Option[Commit] = {
     val root = new Path(dir)
-    val (cur, sv) = readPointer(root)
-      .getOrElse(sys.error(s"txn target $dir: bootstrap first"))
+    val (cur, sv) = readPointer(root).getOrElse(return None)
     val manifest = readManifest(root, cur.version)
     if (!manifest.values.exists(e => chainOf(e).exists(isDelta)))
-      return cur
+      return Some(cur)
     val fs = fsOf(root)
     val (keyCols, nBuckets) = readKeyCols(root)
     val merged = readVersion(spark, dir, cur.version)
@@ -786,7 +789,7 @@ object TxnApplier {
     writeManifest(root, v, entries)
     val c = Commit(v, cur.lastTso)
     commitPointer(root, c, sv)
-    c
+    Some(c)
   }
 
   /** Reclaim data dirs no manifest ≥ `keepFrom` references (default: only

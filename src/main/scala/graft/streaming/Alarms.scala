@@ -54,7 +54,13 @@ object AlarmChannel {
     extends AlarmChannel {
     def send(e: AlarmEvent): Unit = {
       val m = minuteOfDay()
-      val silenced = m >= startMin && m < endMin
+      // An overnight window (e.g. 22:00-06:00) has startMin > endMin:
+      // the silence wraps midnight, so membership is the OR of the two
+      // half-ranges — the reference's PHONE_SILENCE_TIME is exactly
+      // this overnight shape.
+      val silenced =
+        if (startMin <= endMin) m >= startMin && m < endMin
+        else m >= startMin || m < endMin
       if (!silenced || e.fatal || e.count >= stormCount) inner.send(e)
     }
   }
@@ -88,6 +94,10 @@ final class AlarmManager(policies: Seq[AlarmPolicy],
     var lastSentMs = Long.MinValue
     var message = ""
     var value: Option[Double] = None
+    // set under this.synchronized by check() just before the map slot is
+    // removed — a trigger() holding a stale handle sees it and retries
+    // instead of incrementing a detached instance (lost occurrence).
+    var dead = false
   }
   private val states = TrieMap.empty[String, State]
   @volatile private var lastConsumedMs = Long.MinValue
@@ -98,12 +108,20 @@ final class AlarmManager(policies: Seq[AlarmPolicy],
       value: Option[Double] = None): Unit = {
     require(byKey.contains(key), s"unknown alarm key '$key' " +
       s"(known: ${byKey.keys.toSeq.sorted.mkString(", ")})")
-    val st = states.getOrElseUpdate(key, new State)
-    st.synchronized {
-      st.count += 1
-      st.lastTriggerMs = nowMs()
-      st.message = message
-      st.value = value
+    var done = false
+    while (!done) {
+      val st = states.getOrElseUpdate(key, new State)
+      st.synchronized {
+        if (!st.dead) {
+          st.count += 1
+          st.lastTriggerMs = nowMs()
+          st.message = message
+          st.value = value
+          done = true
+        }
+        // dead: check() expired this instance concurrently — loop and
+        // re-resolve a live State so the occurrence is never lost.
+      }
     }
   }
 
@@ -124,8 +142,10 @@ final class AlarmManager(policies: Seq[AlarmPolicy],
         // sentinel checks precede subtraction: t - Long.MinValue wraps
         val intervalOk = st.lastSentMs == Long.MinValue ||
           t - st.lastSentMs >= p.intervalSeconds * 1000L
-        if (p.expirable && t - st.lastTriggerMs > p.expireSeconds * 1000L)
+        if (p.expirable && t - st.lastTriggerMs > p.expireSeconds * 1000L) {
+          st.dead = true // under st.synchronized — racing triggers retry
           states.remove(key)
+        }
         else if (st.count >= p.threshold && intervalOk) {
           st.lastSentMs = t
           val ev = AlarmEvent(key, st.message, st.value, st.count, t)

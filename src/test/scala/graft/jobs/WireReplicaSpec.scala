@@ -556,4 +556,67 @@ class WireReplicaSpec extends SparkSpec {
         targets)
     }
   }
+
+  test("configured-but-quiet target: bootstraps on the first batch, survives maintenance cadences and early DDL") {
+    val root = java.nio.file.Files.createTempDirectory("graft-quiet")
+    val targets = Seq(
+      WireReplicaJob.TableTarget("bank", "accounts",
+        Seq("acct" -> "long", "seq" -> "long", "balance" -> "long"),
+        Seq("acct"), "seq", s"$root/t_accounts", 2),
+      WireReplicaJob.TableTarget("bank", "audit",
+        Seq("id" -> "long", "seq" -> "long", "note" -> "string"),
+        Seq("id"), "seq", s"$root/t_audit", 2))
+    def rowsFor(table: String,
+        rows: Seq[(Long, Map[String, String])]) =
+      rows.map { case (tso, after) =>
+        (tso, "INSERT", "bank", table, Map.empty[String, String], after,
+          null.asInstanceOf[String])
+      }.toDF("tso", "op", "schemaName", "tableName", "before", "after",
+        "ddl")
+
+    // batch 1 carries rows ONLY for accounts — audit is quiet, but the
+    // non-DDL routed apply must still bootstrap its schema sidecar
+    WireReplicaJob.applyRouted(rowsFor("accounts", Seq(
+      1L -> Map("acct" -> "1", "seq" -> "1", "balance" -> "100"))),
+      targets, txnsPerCommit = 1, deltaCommits = true)
+    assert(TxnApplier.currentCommit(s"$root/t_audit").isDefined,
+      "quiet target must bootstrap on the first batch")
+    assert(TxnApplier.targetSchema(s"$root/t_audit").isDefined)
+
+    // the CdcReplica-shaped vacuum cadence over EVERY configured target
+    // — including the still-row-less audit — must not fail
+    targets.foreach { t =>
+      TxnApplier.compact(spark, t.targetDir)
+      TxnApplier.vacuum(t.targetDir)
+    }
+    // compact on a dir nobody ever bootstrapped: a quiet no-op (None)
+    assert(TxnApplier.compact(spark, s"$root/t_nowhere").isEmpty)
+
+    // an ALTER for the never-carried-rows table evolves its sidecar
+    WireReplicaJob.applyRoutedWithDdl(Seq(
+      (2L, "DDL", "bank", "audit", Map.empty[String, String],
+        Map.empty[String, String],
+        "ALTER TABLE audit ADD COLUMN severity VARCHAR(8)"))
+      .toDF("tso", "op", "schemaName", "tableName", "before", "after",
+        "ddl"),
+      targets, txnsPerCommit = 1, deltaCommits = true)
+    assert(TxnApplier.targetSchema(s"$root/t_audit").get
+      .fieldNames.contains("severity"))
+
+    // audit's FIRST rows arrive after the DDL — they apply with the
+    // evolved shape, and accounts' earlier state is untouched
+    WireReplicaJob.applyRouted(Seq(
+      (3L, "INSERT", "bank", "audit", Map.empty[String, String],
+        Map("id" -> "7", "seq" -> "1", "note" -> "n", "severity" -> "hi"),
+        null.asInstanceOf[String]))
+      .toDF("tso", "op", "schemaName", "tableName", "before", "after",
+        "ddl"),
+      targets, txnsPerCommit = 1, deltaCommits = true)
+    assert(TxnApplier.readCurrent(spark, s"$root/t_audit")
+      .select($"id", $"severity").as[(Long, String)].collect().toSeq
+      == Seq(7L -> "hi"))
+    assert(TxnApplier.readCurrent(spark, s"$root/t_accounts")
+      .select($"acct", $"balance").as[(Long, Long)].collect().toSeq
+      == Seq(1L -> 100L))
+  }
 }

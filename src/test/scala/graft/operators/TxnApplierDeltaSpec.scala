@@ -97,14 +97,14 @@ class TxnApplierDeltaSpec extends SparkSpec {
     val before = state(dir)
     val cur = TxnApplier.currentCommit(dir).get
     assert(TxnApplier.maxChainLength(dir) > 1)
-    val folded = TxnApplier.compact(spark, dir)
+    val folded = TxnApplier.compact(spark, dir).get
     assert(folded.version == cur.version + 1 &&
       folded.lastTso == cur.lastTso) // same boundary, new version
     assert(TxnApplier.maxChainLength(dir) == 1)
     assert(state(dir) == before)
     assert(before.values.sum == total)
     // compacting a plain target is a no-op (same commit back)
-    assert(TxnApplier.compact(spark, dir) == folded)
+    assert(TxnApplier.compact(spark, dir).contains(folded))
     // the folded chain's delta dirs are no longer referenced by the
     // current manifest: vacuum reclaims every .delta dir
     TxnApplier.vacuum(dir)

@@ -94,6 +94,42 @@ class AlarmsSpec extends AnyFunSuite {
     assert(buf.events.size == 3)
   }
 
+  test("silence window wrapping midnight (startMin > endMin) silences both halves") {
+    var minute = 1380 // 23:00 — inside a 22:00-06:00 overnight window
+    val buf = new AlarmChannel.Buffer
+    val ch = new AlarmChannel.Silenced(buf, startMin = 1320, endMin = 360,
+      stormCount = 10, minuteOfDay = () => minute)
+    ch.send(AlarmEvent("k", "m", None, count = 1, atMs = 0))
+    assert(buf.events.isEmpty) // silenced before midnight
+    minute = 120 // 02:00 — after midnight, still inside the window
+    ch.send(AlarmEvent("k", "m", None, count = 1, atMs = 0))
+    assert(buf.events.isEmpty) // silenced after midnight too
+    ch.send(AlarmEvent("k", "m", None, count = 1, atMs = 0, fatal = true))
+    assert(buf.events.size == 1) // fatal still breaks through
+    minute = 480 // 08:00 — outside
+    ch.send(AlarmEvent("k", "m", None, count = 1, atMs = 0))
+    assert(buf.events.size == 2)
+    minute = 1310 // 21:50 — outside (just before the window opens)
+    ch.send(AlarmEvent("k", "m", None, count = 1, atMs = 0))
+    assert(buf.events.size == 3)
+  }
+
+  test("expiry/trigger interleaving: an occurrence raced with expiry is never lost") {
+    // Deterministic re-creation of the race check() resolves with the
+    // dead flag: expiry drops the state, and a trigger landing "at the
+    // same time" must accumulate into a LIVE state (count 1 → pages on
+    // the next check), never a detached one (count lost forever).
+    val (mgr, _, advance) = mk(
+      Seq(AlarmPolicy("k", threshold = 1, expireSeconds = 10,
+        intervalSeconds = 0)))
+    mgr.trigger("k", "early")
+    assert(mgr.check().size == 1)
+    advance(11000)
+    assert(mgr.check().isEmpty) // expired & removed
+    mgr.trigger("k", "late")
+    assert(mgr.check().map(_.count) == Seq(1)) // fresh state, not lost
+  }
+
   test("unknown keys refuse loudly") {
     val (mgr, _, _) = mk(Alarms.defaultPolicies)
     val e = intercept[IllegalArgumentException] {
