@@ -78,8 +78,10 @@ object WireReplicaJob {
     * decode. */
   def applyRouted(decoded: DataFrame, targets: Seq[TableTarget],
       txnsPerCommit: Int = 8, fromTso: Option[Long] = None,
-      maxParallelTables: Int = 4, deltaCommits: Boolean = false,
-      compactAfter: Int = 32): Unit = {
+      maxParallelTables: Int = 4,
+      applyMode: TxnApplier.ApplyMode = TxnApplier.ApplyMode.Cow,
+      compactAfter: Int = 32,
+      compactMaxBuckets: Int = Int.MaxValue): Unit = {
     validateTargets(targets)
     // configured-but-quiet targets still bootstrap (metadata-only,
     // limit 0) on the FIRST batch: the schema sidecar must exist before
@@ -105,7 +107,8 @@ object WireReplicaJob {
         .map(_.fields.toSeq.map(f => f.name -> f.dataType.sql))
         .getOrElse(t.colTypes)
       applyOne(decoded, t, colTypes, txnsPerCommit, fromTso,
-        TxnApplier.renameLineage(t.targetDir), deltaCommits, compactAfter)
+        TxnApplier.renameLineage(t.targetDir), applyMode, compactAfter,
+        compactMaxBuckets)
     }
   }
 
@@ -131,21 +134,27 @@ object WireReplicaJob {
       colTypes: Seq[(String, String)], txnsPerCommit: Int,
       fromTso: Option[Long],
       aliases: Map[String, Seq[String]] = Map.empty,
-      deltaCommits: Boolean = false, compactAfter: Int = 32): Unit = {
+      applyMode: TxnApplier.ApplyMode = TxnApplier.ApplyMode.Cow,
+      compactAfter: Int = 32,
+      compactMaxBuckets: Int = Int.MaxValue): Unit = {
     val typed = shape(decoded, t.schemaName, t.tableName, colTypes,
       aliases, t.keyCols)
     if (TxnApplier.currentCommit(t.targetDir).isEmpty)
       TxnApplier.bootstrap(typed.limit(0).drop("op", "tso"),
         t.keyCols, t.targetDir, t.nBuckets,
         initialTso = fromTso.getOrElse(0L))
-    if (deltaCommits) {
+    if (TxnApplier.useDelta(t.targetDir, applyMode)) {
       // the standing-consumer shape: O(batch) delta commits, chains
       // folded once they reach compactAfter (amortized O(target /
       // compactAfter) per trigger — never the COW mode's every-trigger
       // touched-bucket rewrite, which is O(target) against a uniform
-      // key stream and O(n²) over a long run)
+      // key stream and O(n²) over a long run). compactMaxBuckets < all
+      // bounds the fold PAUSE per trigger (rolling per-bucket
+      // incremental compaction) at the cost of chains riding a little
+      // above compactAfter while the fold sweeps.
       if (TxnApplier.maxChainLength(t.targetDir) >= compactAfter)
-        TxnApplier.compact(decoded.sparkSession, t.targetDir)
+        TxnApplier.compactBuckets(decoded.sparkSession, t.targetDir,
+          compactMaxBuckets)
       TxnApplier.applyBatchDelta(typed, t.keyCols, t.seqCol, "op", "tso",
         t.targetDir, t.nBuckets, txnsPerCommit)
     } else
@@ -232,8 +241,10 @@ object WireReplicaJob {
     * IS the schema state, callers never track evolution. */
   def applyRoutedWithDdl(decoded: DataFrame, targets: Seq[TableTarget],
       txnsPerCommit: Int = 8, fromTso: Option[Long] = None,
-      maxParallelTables: Int = 4, deltaCommits: Boolean = false,
-      compactAfter: Int = 32): Unit = {
+      maxParallelTables: Int = 4,
+      applyMode: TxnApplier.ApplyMode = TxnApplier.ApplyMode.Cow,
+      compactAfter: Int = 32,
+      compactMaxBuckets: Int = Int.MaxValue): Unit = {
     import graft.operators.DdlParser
     validateTargets(targets)
     val spark = decoded.sparkSession
@@ -434,7 +445,8 @@ object WireReplicaJob {
       val evolved = TxnApplier.targetSchema(t.targetDir).get.fields
         .toSeq.map(f => f.name -> f.dataType.sql)
       applyOne(decoded, t, evolved, txnsPerCommit, fromTso,
-        renameAliases(t.table), deltaCommits, compactAfter)
+        renameAliases(t.table), applyMode, compactAfter,
+        compactMaxBuckets)
     }
   }
 

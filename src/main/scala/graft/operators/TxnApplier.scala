@@ -63,6 +63,65 @@ object TxnApplier {
   /** A committed target version and the last TSO it covers. */
   final case class Commit(version: Long, lastTso: Long)
 
+  /** How a routed apply writes the target. The trade (measured, sf1
+    * rehearsal, SCALING.md round 18): COW rewrites every touched
+    * bucket's full contents per trigger — O(touched target), the fast
+    * shape while the target is small (sub-second at 100 MB) and O(n²)
+    * over a standing run once uniform keys touch every bucket of a
+    * grown target (25 s+/trigger at 800 MB); DELTA appends O(batch)
+    * merge-on-read overlays and pays the fold back at compaction, a
+    * per-trigger fixed cost (~seconds of extra pipeline) that loses to
+    * COW below a few-hundred-MB target. [[ApplyMode.Auto]] automates
+    * the documented crossover: the mode is picked PER TABLE per trigger
+    * from the measured committed size ([[targetBytes]] — the manifest
+    * already knows it), so a small table stays COW-fast and a growing
+    * one flips to delta before the knee. */
+  sealed trait ApplyMode
+  object ApplyMode {
+    /** Copy-on-write touched-bucket rewrite every trigger. */
+    case object Cow extends ApplyMode
+    /** Merge-on-read delta commits, folded by compaction. */
+    case object Delta extends ApplyMode
+    /** Delta once the measured target reaches `crossoverBytes`, COW
+      * below it. Sticky while live chains exist (a mid-chain COW apply
+      * would fold the whole target first — the expensive move Auto
+      * exists to avoid). */
+    final case class Auto(crossoverBytes: Long = DefaultCrossoverBytes)
+      extends ApplyMode
+    /** The measured COW/delta crossover (sf1 rehearsal: COW wins to
+      * ~100 MB, loses clearly by ~800 MB; the knee sits in between). */
+    val DefaultCrossoverBytes: Long = 256L << 20
+  }
+
+  /** Resolve the mode for one target right now. O(1) metadata for the
+    * fixed modes; Auto reads the current manifest and, when no chain is
+    * live, sums the referenced files' lengths (one listing pass,
+    * O(files of the current version) driver-side — the same cost class
+    * as the maintenance passes that run next to it). */
+  def useDelta(dir: String, mode: ApplyMode): Boolean = mode match {
+    case ApplyMode.Cow => false
+    case ApplyMode.Delta => true
+    case ApplyMode.Auto(crossover) =>
+      maxChainLength(dir) > 1 || targetBytes(dir) >= crossover
+  }
+
+  /** Measured bytes of everything the CURRENT version references (base
+    * buckets + live delta overlays). 0 for un-bootstrapped dirs. */
+  def targetBytes(dir: String): Long = {
+    val root = new Path(dir)
+    currentCommit(dir) match {
+      case None => 0L
+      case Some(c) =>
+        val fs = fsOf(root)
+        readManifest(root, c.version).values
+          .flatMap(chainOf).toSeq.distinct
+          .map { rel =>
+            val p = new Path(root, rel)
+            if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+          }.sum
+    }
+  }
+
   private def fsOf(p: Path): FileSystem = graft.util.HadoopIo.fsOf(p)
 
   private def manifestDir(root: Path) = new Path(root, "_manifests")
@@ -319,11 +378,12 @@ object TxnApplier {
   /** Read one committed version (time travel over observable states). */
   def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
     val root = new Path(dir)
-    val rels = readManifest(root, v).values.toSeq.sorted.flatMap(chainOf)
+    val entries = readManifest(root, v)
+    val rels = entries.values.toSeq.sorted.flatMap(chainOf)
     val (deltaRels, baseRels) = rels.partition(isDelta)
     if (deltaRels.nonEmpty)
-      return mergedRead(spark, root, baseRels, deltaRels)
-    val paths = baseRels.map(rel => new Path(root, rel).toString)
+      return mergedRead(spark, root, entries)
+    val paths = baseRels.distinct.map(rel => new Path(root, rel).toString)
     if (paths.isEmpty) readTargetSchema(root) match {
       // an empty version still HAS the target's row shape — a rebuild
       // or projection over it must see real columns, not a 0-field frame
@@ -341,12 +401,26 @@ object TxnApplier {
     * chains' final images — per key the newest image (by the change
     * stream's commit TSO; base rows sit below every delta) wins, DELETE
     * images erase. The read-side half of [[applyBatchDelta]]'s
-    * write-cheap contract; [[compact]] folds it back to a plain read. */
+    * write-cheap contract; [[compact]] folds it back to a plain read.
+    *
+    * `entries` is the (sub)manifest to read — bucket → chain. A
+    * group-level `.delta` dir is SHARED by every bucket its commit
+    * touched, and incremental compaction ([[compactBuckets]]) can fold
+    * it out of SOME of those chains while others still hold it — so a
+    * delta row only counts for buckets whose CURRENT chain still holds
+    * its dir (otherwise a partially-folded dir would resurrect the
+    * folded buckets' stale images over their new base). Rels are
+    * grouped by their holder-bucket set: one scan+filter per distinct
+    * set (1 scan in the never-partially-folded case, ≤ chain-length
+    * scans mid-sweep, all column-pruned). */
   private def mergedRead(spark: SparkSession, root: Path,
-      baseRels: Seq[String], deltaRels: Seq[String]): DataFrame = {
+      entries: Map[Int, String]): DataFrame = {
     val s = readTargetSchema(root).getOrElse(sys.error(
       s"txn target $root: merge-on-read needs the schema sidecar"))
     val (keyCols, _) = readKeyCols(root)
+    val chains = entries.map { case (b, e) => b -> chainOf(e) }
+    val baseRels =
+      chains.values.flatten.filterNot(isDelta).toSeq.distinct
     val base =
       if (baseRels.isEmpty)
         spark.createDataFrame(
@@ -356,10 +430,23 @@ object TxnApplier {
     val deltaSchema = s
       .add("effective_op", org.apache.spark.sql.types.StringType)
       .add("__delta_tso", org.apache.spark.sql.types.LongType)
-    // a group-level delta dir appears in EVERY touched bucket's chain —
-    // read it once (the explicit schema drops the __bucket data column)
-    val deltas = spark.read.schema(deltaSchema).parquet(
-      deltaRels.distinct.map(rel => new Path(root, rel).toString): _*)
+      .add("__bucket", org.apache.spark.sql.types.IntegerType)
+    val holders: Map[String, Set[Int]] = chains.toSeq
+      .flatMap { case (b, ch) => ch.filter(isDelta).map(_ -> b) }
+      .groupBy(_._1).map { case (rel, bs) => rel -> bs.map(_._2).toSet }
+    val deltaReads = holders.groupBy(_._2).toSeq.map {
+      case (allowed, rels) =>
+        spark.read.schema(deltaSchema)
+          .parquet(rels.keys.toSeq.sorted
+            .map(rel => new Path(root, rel).toString): _*)
+          .filter(col("__bucket").isin(allowed.toSeq: _*))
+    }
+    val deltas = deltaReads
+      .reduceOption(_ unionByName _)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        deltaSchema))
+      .drop("__bucket")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*).orderBy(col("__delta_tso").desc)
     base
@@ -768,15 +855,40 @@ object TxnApplier {
     * MAINTENANCE pass callers run on a cadence over every configured
     * target, and a configured-but-quiet table (no rows yet, so no
     * bootstrap) must not fail the cadence. */
-  def compact(spark: SparkSession, dir: String): Option[Commit] = {
+  def compact(spark: SparkSession, dir: String): Option[Commit] =
+    compactBuckets(spark, dir, maxBuckets = Int.MaxValue)
+
+  /** INCREMENTAL compaction: fold at most `maxBuckets` delta chains
+    * (longest first) into plain bucket dirs, carrying every other
+    * manifest entry over unchanged — ONE new version at the SAME
+    * `lastTso`, so no transaction boundary moves and readers see an
+    * identical state either side of the fold.
+    *
+    * This is the standing-trigger shape of [[compact]]: a full fold is
+    * O(live-chain target) inside whatever trigger the `compactAfter`
+    * cadence lands on — a periodic latency cliff once targets reach
+    * GB scale. Folding K buckets per trigger bounds the pause at
+    * O(K × bucket) while the rolling cadence still visits every chain
+    * (the next trigger's maxChainLength is still ≥ the threshold until
+    * all chains fold). Buckets whose fold produced zero rows (every
+    * key deleted) drop from the manifest like any emptied bucket. A
+    * shared group-level `.delta` dir stays referenced by chains not
+    * yet folded and is reclaimed by [[vacuum]] only once the LAST
+    * chain holding it folds. */
+  def compactBuckets(spark: SparkSession, dir: String,
+      maxBuckets: Int): Option[Commit] = {
     val root = new Path(dir)
     val (cur, sv) = readPointer(root).getOrElse(return None)
     val manifest = readManifest(root, cur.version)
-    if (!manifest.values.exists(e => chainOf(e).exists(isDelta)))
-      return Some(cur)
+    val candidates = manifest.toSeq
+      .filter { case (_, e) => chainOf(e).exists(isDelta) }
+      .sortBy { case (b, e) => (-chainOf(e).size, b) }
+      .take(math.max(0, maxBuckets))
+    if (candidates.isEmpty) return Some(cur)
+    val selected = candidates.map(_._1).toSet
     val fs = fsOf(root)
     val (keyCols, nBuckets) = readKeyCols(root)
-    val merged = readVersion(spark, dir, cur.version)
+    val merged = mergedRead(spark, root, candidates.toMap)
     val v = cur.version + 1
     val d = new Path(root, versionRel(v))
     if (fs.exists(d)) fs.delete(d, true) // uncommitted crash debris
@@ -784,9 +896,9 @@ object TxnApplier {
       .repartition(col("__bucket"))
       .write.partitionBy("__bucket").mode(SaveMode.Overwrite)
       .parquet(d.toString)
-    val entries = listBucketDirs(fs, d)
+    val folded = listBucketDirs(fs, d)
       .map { case (b, _) => b -> s"${versionRel(v)}/__bucket=$b" }
-    writeManifest(root, v, entries)
+    writeManifest(root, v, (manifest -- selected) ++ folded)
     val c = Commit(v, cur.lastTso)
     commitPointer(root, c, sv)
     Some(c)

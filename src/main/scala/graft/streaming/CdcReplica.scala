@@ -45,8 +45,9 @@ object CdcReplica {
       startExecuted: Map[String, String] = Map.empty,
       soTimeoutMs: Int = 30000,
       serverId: Long = 12345L,
-      deltaCommits: Boolean = true,
-      compactAfter: Int = 32): StreamingQuery = {
+      applyMode: TxnApplier.ApplyMode = TxnApplier.ApplyMode.Auto(),
+      compactAfter: Int = 32,
+      compactMaxBuckets: Int = Int.MaxValue): StreamingQuery = {
     // the option strings reuse the sidecar/offset delimiters — refuse
     // names that would corrupt them (same guard family as saveRegistry)
     endpoints.foreach { case (dn, _, _) =>
@@ -85,12 +86,16 @@ object CdcReplica {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val staged = Staged.parquetStage(batch, stagingDir)
-        // deltaCommits defaults ON here — the standing consumer is
-        // exactly the workload whose COW applies go O(n²) (uniform keys
-        // touch every bucket every trigger; see TxnApplier.applyBatchDelta)
+        // applyMode defaults AUTO here — the standing consumer is
+        // exactly the workload whose COW applies go O(n²) once the
+        // target grows (uniform keys touch every bucket every trigger;
+        // see TxnApplier.applyBatchDelta), but a SMALL table's COW
+        // apply beats delta's fixed per-trigger pipeline cost, so the
+        // mode flips per table at the measured size crossover
         WireReplicaJob.applyRoutedWithDdl(staged, targets, txnsPerCommit,
-          fromTso = None, deltaCommits = deltaCommits,
-          compactAfter = compactAfter)
+          fromTso = None, applyMode = applyMode,
+          compactAfter = compactAfter,
+          compactMaxBuckets = compactMaxBuckets)
         val reg0 = LiveReplicaJob.resumeRegistry(registryDir, tableCols)
         val evolved = LiveReplicaJob.evolveRegistryFromBatch(staged, reg0)
         if (evolved != reg0) LiveReplicaJob.saveRegistry(registryDir, evolved)
@@ -103,8 +108,9 @@ object CdcReplica {
           targets.foreach { t =>
             // delta chains reference every dir they overlay — fold them
             // first so vacuum has superseded dirs to reclaim (compaction
-            // otherwise only fires at the compactAfter bound)
-            if (deltaCommits) TxnApplier.compact(spark, t.targetDir)
+            // otherwise only fires at the compactAfter bound); compact
+            // no-ops on plain/COW and un-bootstrapped targets
+            TxnApplier.compact(spark, t.targetDir)
             TxnApplier.vacuum(t.targetDir)
           }
         ()

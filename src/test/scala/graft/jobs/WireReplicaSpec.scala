@@ -578,7 +578,7 @@ class WireReplicaSpec extends SparkSpec {
     // non-DDL routed apply must still bootstrap its schema sidecar
     WireReplicaJob.applyRouted(rowsFor("accounts", Seq(
       1L -> Map("acct" -> "1", "seq" -> "1", "balance" -> "100"))),
-      targets, txnsPerCommit = 1, deltaCommits = true)
+      targets, txnsPerCommit = 1, applyMode = TxnApplier.ApplyMode.Delta)
     assert(TxnApplier.currentCommit(s"$root/t_audit").isDefined,
       "quiet target must bootstrap on the first batch")
     assert(TxnApplier.targetSchema(s"$root/t_audit").isDefined)
@@ -599,7 +599,7 @@ class WireReplicaSpec extends SparkSpec {
         "ALTER TABLE audit ADD COLUMN severity VARCHAR(8)"))
       .toDF("tso", "op", "schemaName", "tableName", "before", "after",
         "ddl"),
-      targets, txnsPerCommit = 1, deltaCommits = true)
+      targets, txnsPerCommit = 1, applyMode = TxnApplier.ApplyMode.Delta)
     assert(TxnApplier.targetSchema(s"$root/t_audit").get
       .fieldNames.contains("severity"))
 
@@ -611,7 +611,7 @@ class WireReplicaSpec extends SparkSpec {
         null.asInstanceOf[String]))
       .toDF("tso", "op", "schemaName", "tableName", "before", "after",
         "ddl"),
-      targets, txnsPerCommit = 1, deltaCommits = true)
+      targets, txnsPerCommit = 1, applyMode = TxnApplier.ApplyMode.Delta)
     assert(TxnApplier.readCurrent(spark, s"$root/t_audit")
       .select($"id", $"severity").as[(Long, String)].collect().toSeq
       == Seq(7L -> "hi"))

@@ -191,7 +191,7 @@ class TxnApplierDeltaSpec extends SparkSpec {
             lit("seq"), $"seq".cast("string"),
             lit("balance"), $"balance".cast("string")).as("after"))
       graft.jobs.WireReplicaJob.applyRouted(slice, Seq(target),
-        txnsPerCommit = 1, deltaCommits = true, compactAfter = 3)
+        txnsPerCommit = 1, applyMode = TxnApplier.ApplyMode.Delta, compactAfter = 3)
       assert(TxnApplier.maxChainLength(target.targetDir) <= 3 + 1,
         s"chain unbounded after trigger $i")
     }
@@ -210,5 +210,104 @@ class TxnApplierDeltaSpec extends SparkSpec {
     val refState = TxnApplier.readCurrent(spark, ref)
       .select($"acct", $"balance").as[(Long, Long)].collect().toMap
     assert(st == refState)
+  }
+
+  test("incremental compactBuckets: bounded per call, longest chains first, state identical throughout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-delta-inc")
+      .resolve("t").toString
+    TxnApplier.bootstrap(accounts, Seq("acct"), dir, nBuckets = 4)
+    TxnApplier.applyBatchDelta(transferBatch(1L, 12L), Seq("acct"),
+      "seq", "op", "tso", dir, nBuckets = 4, txnsPerCommit = 2)
+    val before = state(dir)
+    val cur = TxnApplier.currentCommit(dir).get
+    assert(TxnApplier.maxChainLength(dir) > 1)
+
+    // fold at most 2 buckets: one new version, same lastTso, state
+    // identical, and the OVERALL longest chain may still be live
+    val c1 = TxnApplier.compactBuckets(spark, dir, maxBuckets = 2).get
+    assert(c1.version == cur.version + 1 && c1.lastTso == cur.lastTso)
+    assert(state(dir) == before)
+    assert(before.values.sum == total)
+
+    // keep folding in bounded steps until every chain is plain — the
+    // rolling cadence a standing trigger runs; each step preserves the
+    // state and the boundary
+    var guard = 0
+    while (TxnApplier.maxChainLength(dir) > 1 && guard < 10) {
+      val prev = TxnApplier.currentCommit(dir).get
+      val c = TxnApplier.compactBuckets(spark, dir, maxBuckets = 2).get
+      assert(c.lastTso == prev.lastTso)
+      assert(state(dir) == before)
+      guard += 1
+    }
+    assert(TxnApplier.maxChainLength(dir) == 1, "chains never drained")
+    assert(guard >= 1 && guard <= 3, s"unexpected fold steps: $guard")
+    // fully folded: a further bounded call is a no-op (same commit)
+    val done = TxnApplier.currentCommit(dir).get
+    assert(TxnApplier.compactBuckets(spark, dir, maxBuckets = 2)
+      .contains(done))
+    // and the folded delta dirs are reclaimable
+    TxnApplier.vacuum(dir)
+    val dataDir = new java.io.File(dir, "data")
+    assert(!dataDir.listFiles().exists(_.getName.endsWith(".delta")))
+    assert(state(dir) == before)
+  }
+
+  test("Auto mode: small targets stay COW, targets past the crossover flip to delta, live chains are sticky") {
+    val root = java.nio.file.Files.createTempDirectory("graft-delta-auto")
+    def routedSlice(lo: Long) = transferBatch(1L, 12L)
+      .filter($"tso" >= lo && $"tso" <= lo + 1L)
+      .withColumn("op", lit("UPDATE"))
+      .withColumn("schemaName", lit("bank"))
+      .withColumn("tableName", lit("accounts"))
+      .select($"tso", $"seq", $"op", $"schemaName", $"tableName",
+        map().cast("map<string,string>").as("before"),
+        map(lit("acct"), $"acct".cast("string"),
+          lit("seq"), $"seq".cast("string"),
+          lit("balance"), $"balance".cast("string")).as("after"))
+    def mkTarget(name: String) = graft.jobs.WireReplicaJob.TableTarget(
+      "bank", "accounts",
+      Seq("acct" -> "bigint", "seq" -> "bigint", "balance" -> "bigint"),
+      Seq("acct"), "seq", root.resolve(name).toString, 4)
+
+    // crossover far above this tiny table: every trigger stays COW
+    val small = mkTarget("small")
+    (0 until 3).foreach { i =>
+      graft.jobs.WireReplicaJob.applyRouted(routedSlice(i * 2 + 1L),
+        Seq(small), txnsPerCommit = 1,
+        applyMode = TxnApplier.ApplyMode.Auto(crossoverBytes = 1L << 40))
+    }
+    assert(TxnApplier.maxChainLength(small.targetDir) == 1,
+      "a small target under Auto must stay pure COW")
+    assert(TxnApplier.targetBytes(small.targetDir) > 0L)
+
+    // crossover of 1 byte: the bootstrapped target is already past it —
+    // every trigger goes delta
+    val big = mkTarget("big")
+    (0 until 3).foreach { i =>
+      graft.jobs.WireReplicaJob.applyRouted(routedSlice(i * 2 + 1L),
+        Seq(big), txnsPerCommit = 1,
+        applyMode = TxnApplier.ApplyMode.Auto(crossoverBytes = 1L))
+    }
+    assert(TxnApplier.maxChainLength(big.targetDir) > 1,
+      "a past-crossover target under Auto must apply delta")
+
+    // sticky: with chains live, Auto reports delta even under a huge
+    // crossover (a mid-chain COW apply would fold the whole target)
+    assert(TxnApplier.useDelta(big.targetDir,
+      TxnApplier.ApplyMode.Auto(crossoverBytes = 1L << 40)))
+
+    // both Auto paths land on the same state as a straight COW apply
+    // of the same six transactions
+    val ref = mkTarget("ref")
+    graft.jobs.WireReplicaJob.applyRouted(
+      routedSlice(1L).unionByName(routedSlice(3L))
+        .unionByName(routedSlice(5L)),
+      Seq(ref), txnsPerCommit = 1,
+      applyMode = TxnApplier.ApplyMode.Cow)
+    def st(t: graft.jobs.WireReplicaJob.TableTarget) =
+      TxnApplier.readCurrent(spark, t.targetDir)
+        .select($"acct", $"balance").as[(Long, Long)].collect().toMap
+    assert(st(small) == st(ref) && st(big) == st(ref))
   }
 }
