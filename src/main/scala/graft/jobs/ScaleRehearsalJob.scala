@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.model.GtidSet
+import graft.operators.TxnApplier
 import graft.sinks.{BinlogRetention, BinlogWire}
 import graft.streaming.{CdcBinlogX, CdcHeartbeat, CdcReplica}
 
@@ -33,18 +34,38 @@ object ScaleRehearsalJob {
   final case class Stage(name: String, wallMs: Long, rows: Long = -1L,
       bytes: Long = -1L, files: Long = -1L)
 
+  /** One STANDING consumer's per-trigger telemetry (run-D mode): how
+    * many triggers it took to drain its stream, the worst and median
+    * trigger wall, the rows it pulled, and its targets' final measured
+    * bytes — the flat-per-trigger claim is checked against these, not
+    * against a stage total. */
+  final case class ConsumerStat(stream: Int, triggers: Int,
+      rowsIn: Long, maxTriggerMs: Long, medianTriggerMs: Long,
+      targetBytes: Long)
+
   final case class Report(dns: Int, rowsPerDn: Long, streams: Int,
       consumed: Int, stages: Seq[Stage], producedRows: Long,
-      consumedRows: Long, hotStreamRows: Long) {
+      consumedRows: Long, hotStreamRows: Long,
+      consumerStats: Seq[ConsumerStat] = Seq.empty,
+      compaction: Seq[TxnApplier.CompactionEvent] = Seq.empty) {
     def json: String = {
       val st = stages.map(s => s""""${s.name}":{"wallMs":${s.wallMs},""" +
         s""""rows":${s.rows},"bytes":${s.bytes},"files":${s.files}}""")
+        .mkString(",")
+      val cs = consumerStats.map(c =>
+        s"""{"stream":${c.stream},"triggers":${c.triggers},""" +
+        s""""rowsIn":${c.rowsIn},"maxTriggerMs":${c.maxTriggerMs},""" +
+        s""""medianTriggerMs":${c.medianTriggerMs},""" +
+        s""""targetBytes":${c.targetBytes}}""").mkString(",")
+      val cp = compaction.map(e =>
+        s"""{"buckets":${e.buckets},"wallMs":${e.wallMs}}""")
         .mkString(",")
       s"""{"metric":"scale_rehearsal","dns":$dns,""" +
         s""""rowsPerDn":$rowsPerDn,"streams":$streams,""" +
         s""""consumed":$consumed,"producedRows":$producedRows,""" +
         s""""consumedRows":$consumedRows,""" +
-        s""""hotStreamRows":$hotStreamRows,"stages":{$st}}"""
+        s""""hotStreamRows":$hotStreamRows,""" +
+        s""""consumers":[$cs],"compaction":[$cp],"stages":{$st}}"""
     }
   }
 
@@ -106,7 +127,12 @@ object ScaleRehearsalJob {
   def run(spark: SparkSession, root: String, dns: Int, rowsPerDn: Long,
       streams: Int, waves: Int = 2, consumers: Int = 2,
       numPartitions: Int = 8, txnsPerCommit: Int = 10000,
-      maxBytesPerPoll: Long = 64L * 1024 * 1024): Report = {
+      maxBytesPerPoll: Long = 64L * 1024 * 1024,
+      standingTriggerMs: Option[Long] = None,
+      applyMode: TxnApplier.ApplyMode = TxnApplier.ApplyMode.Auto(),
+      compactAfter: Int = 32,
+      compactMaxBuckets: Int = Int.MaxValue,
+      standingDeadlineMs: Long = 2L * 3600 * 1000): Report = {
     import spark.implicits._
     require(rowsPerDn % waves == 0, "rowsPerDn must split into waves")
     val reg = registry
@@ -179,46 +205,124 @@ object ScaleRehearsalJob {
     }
     val streamDirs = (0 until streams).map(i => s"$out/stream-$i")
     val produceStats = streamDirs.map(dirStats)
-    val producedRows = streamDirs.map { d =>
-      if (!new java.io.File(d).isDirectory) 0L
-      else BinlogWire.readBinlogFiles(spark, d, reg)
-        .filter($"op" === "INSERT").count()
-    }.sum
-    val hotStreamRows =
-      if (!new java.io.File(streamDirs(0)).isDirectory) 0L
-      else BinlogWire.readBinlogFiles(spark, streamDirs(0), reg)
-        .filter($"op" === "INSERT" && $"tableName" === HotTable).count()
+    // one decode pass per stream: row count, max data tso (the standing
+    // consumers' convergence frontier), hot-table rows
+    val perStream: Seq[(Long, Long, Long)] = streamDirs.map { d =>
+      if (!new java.io.File(d).isDirectory) (0L, 0L, 0L)
+      else {
+        val r = BinlogWire.readBinlogFiles(spark, d, reg)
+          .filter($"op" === "INSERT")
+          .agg(count(lit(1)), coalesce(max($"tso"), lit(0L)),
+            sum(when($"tableName" === HotTable, 1L).otherwise(0L)))
+          .as[(Long, Long, Long)].collect().head
+        r
+      }
+    }
+    val producedRows = perStream.map(_._1).sum
+    val hotStreamRows = perStream.headOption.map(_._3).getOrElse(0L)
 
     // ---- stage: consume (CdcReplica per sampled stream: dump-served,
     //      GTID auto-position, transactional apply; runs BEFORE the
     //      retention purge — bootstrap-through-the-purge-boundary is
-    //      q115/BinlogRetentionSpec's covered path) ----
+    //      q115/BinlogRetentionSpec's covered path).
+    //      Two shapes: AvailableNow drains streams sequentially (runs
+    //      A–C); standingTriggerMs runs ALL sampled consumers as
+    //      CONCURRENT ProcessingTime queries — the deployment's real
+    //      standing-trigger shape (run D) — stopping each once its
+    //      targets' committed frontier reaches the stream's max data
+    //      tso (driver metadata polls, no data jobs). ----
     val sampled = (0 until math.min(consumers, streams)).filter(i =>
       new java.io.File(streamDirs(i)).isDirectory)
+    def targetsOf(i: Int): Seq[WireReplicaJob.TableTarget] =
+      reg.keys.filter(_._1 == "db").toSeq.map { case (sch, t) =>
+        WireReplicaJob.TableTarget(sch, t,
+          Seq("k" -> "bigint", "seq" -> "bigint", "v" -> "string"),
+          Seq("k"), "seq", s"$root/target-$i/$t", 8)
+      }
+    def startConsumer(i: Int, trigger: Trigger,
+        g: graft.sinks.BinlogDumpServer) =
+      CdcReplica.start(spark,
+        Seq((s"s$i", "localhost", g.port)), "repl", "pw",
+        reg.filter(_._1._1 == "db"), targetsOf(i),
+        s"$root/consumer-ckpt-$i", s"$root/consumer-stage-$i",
+        s"$root/consumer-registry-$i", txnsPerCommit = txnsPerCommit,
+        trigger = trigger,
+        maxBytesPerPoll = maxBytesPerPoll,
+        applyMode = applyMode, compactAfter = compactAfter,
+        compactMaxBuckets = compactMaxBuckets)
+    def countTargets(i: Int): Long = targetsOf(i).map { t =>
+      if (TxnApplier.currentCommit(t.targetDir).isEmpty) 0L
+      else TxnApplier.readCurrent(spark, t.targetDir).count()
+    }.sum
+    TxnApplier.drainCompactionLog() // clear pre-consume noise
+    var consumerStats = Seq.empty[ConsumerStat]
     val (consumedRows, consumeMs) = timed {
-      sampled.map { i =>
-        val tables = reg.keys.filter(_._1 == "db").toSeq
-        val targets = tables.map { case (sch, t) =>
-          WireReplicaJob.TableTarget(sch, t,
-            Seq("k" -> "bigint", "seq" -> "bigint", "v" -> "string"),
-            Seq("k"), "seq", s"$root/target-$i/$t", 8)
-        }
-        val g = new graft.sinks.BinlogDumpServer(streamDirs(i),
-          "repl", "pw")
-        try {
-          val q = CdcReplica.start(spark,
-            Seq((s"s$i", "localhost", g.port)), "repl", "pw",
-            reg.filter(_._1._1 == "db"), targets,
-            s"$root/consumer-ckpt-$i", s"$root/consumer-stage-$i",
-            s"$root/consumer-registry-$i", txnsPerCommit = txnsPerCommit,
-            trigger = Trigger.AvailableNow(),
-            maxBytesPerPoll = maxBytesPerPoll)
-          q.awaitTermination()
-        } finally g.close()
-        targets.map(t => graft.operators.TxnApplier
-          .readCurrent(spark, t.targetDir).count()).sum
-      }.sum
+      standingTriggerMs match {
+        case None =>
+          sampled.map { i =>
+            val g = new graft.sinks.BinlogDumpServer(streamDirs(i),
+              "repl", "pw")
+            try {
+              val q = startConsumer(i, Trigger.AvailableNow(), g)
+              q.awaitTermination()
+            } finally g.close()
+            countTargets(i)
+          }.sum
+        case Some(ms) =>
+          val servers = sampled.map(i =>
+            i -> new graft.sinks.BinlogDumpServer(streamDirs(i),
+              "repl", "pw")).toMap
+          try {
+            val queries = sampled.map(i =>
+              i -> startConsumer(i, Trigger.ProcessingTime(ms),
+                servers(i))).toMap
+            // convergence: a consumer is drained once the max committed
+            // lastTso across its targets reaches the stream's max data
+            // tso, observed STABLE twice (the max-tso table can commit
+            // while a sibling's apply is still in the same trigger) —
+            // O(tables) pointer reads per poll, no Spark jobs
+            val frontier = sampled.map(i => i -> perStream(i)._2).toMap
+            def committedMax(i: Int): Long = targetsOf(i)
+              .flatMap(t => TxnApplier.currentCommit(t.targetDir))
+              .map(_.lastTso).maxOption.getOrElse(0L)
+            val deadline = System.nanoTime() + standingDeadlineMs * 1000000L
+            val confirms = scala.collection.mutable.Map(
+              sampled.map(_ -> 0): _*)
+            var live = sampled.toSet
+            while (live.nonEmpty && System.nanoTime() < deadline) {
+              Thread.sleep(1000L)
+              live.toSeq.foreach { i =>
+                if (committedMax(i) >= frontier(i)) {
+                  confirms(i) += 1
+                  if (confirms(i) >= 2) {
+                    queries(i).stop(); live -= i
+                  }
+                } else confirms(i) = 0
+              }
+            }
+            require(live.isEmpty,
+              s"standing consumers never converged: streams $live " +
+                s"(committed ${live.map(committedMax)}, wanted " +
+                s"${live.map(frontier)})")
+            consumerStats = sampled.map { i =>
+              val prog = queries(i).recentProgress.toSeq
+                .groupBy(_.batchId).map(_._2.head).toSeq
+                .filter(_.numInputRows > 0)
+              val durs = prog.map(p =>
+                p.durationMs.getOrDefault("triggerExecution", 0L)
+                  .longValue()).sorted
+              ConsumerStat(i, prog.size,
+                prog.map(_.numInputRows).sum,
+                durs.lastOption.getOrElse(0L),
+                if (durs.isEmpty) 0L else durs(durs.size / 2),
+                targetsOf(i).map(t =>
+                  TxnApplier.targetBytes(t.targetDir)).sum)
+            }
+          } finally servers.values.foreach(_.close())
+          sampled.map(countTargets).sum
+      }
     }
+    val compactionEvents = TxnApplier.drainCompactionLog()
 
     // ---- stage: retention (archive-coupled purge per stream; keep
     //      the top half of the TSO space live) ----
@@ -246,11 +350,17 @@ object ScaleRehearsalJob {
         Stage("consume", consumeMs, rows = consumedRows),
         Stage("retention", retentionMs, files = purgedFiles,
           rows = archivedFiles)),
-      producedRows, consumedRows, hotStreamRows)
+      producedRows, consumedRows, hotStreamRows,
+      consumerStats, compactionEvents)
   }
 
   /** `runMain graft.jobs.ScaleRehearsalJob <root> <dns> <rowsPerDn>
-    * <streams> [waves] [consumers]` — prints the report JSON line. */
+    * <streams> [waves] [consumers] [standingMs] [mode] [compactAfter]
+    * [compactMaxBuckets]` — prints the report JSON line.
+    *
+    * `standingMs` > 0 switches the consume stage to the run-D shape:
+    * ALL `consumers` streams consumed by concurrent ProcessingTime
+    * queries. `mode` is cow|delta|auto (the consumers' apply mode). */
   def main(args: Array[String]): Unit = {
     val root = args(0)
     val dns = args(1).toInt
@@ -258,6 +368,16 @@ object ScaleRehearsalJob {
     val streams = args(3).toInt
     val waves = if (args.length > 4) args(4).toInt else 2
     val consumers = if (args.length > 5) args(5).toInt else 2
+    val standingMs = if (args.length > 6) args(6).toLong else 0L
+    val mode = if (args.length > 7) args(7) match {
+      case "cow" => TxnApplier.ApplyMode.Cow
+      case "delta" => TxnApplier.ApplyMode.Delta
+      case "auto" => TxnApplier.ApplyMode.Auto()
+      case other => sys.error(s"unknown apply mode '$other'")
+    } else TxnApplier.ApplyMode.Auto()
+    val compactAfter = if (args.length > 8) args(8).toInt else 32
+    val compactMaxBuckets =
+      if (args.length > 9) args(9).toInt else Int.MaxValue
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = SparkSession.builder()
       .appName("graft-scale-rehearsal")
@@ -267,7 +387,10 @@ object ScaleRehearsalJob {
       .getOrCreate()
     try {
       val r = run(spark, root, dns, rowsPerDn, streams, waves,
-        consumers, numPartitions = math.min(cpus, 16))
+        consumers, numPartitions = math.min(cpus, 16),
+        standingTriggerMs = if (standingMs > 0) Some(standingMs) else None,
+        applyMode = mode, compactAfter = compactAfter,
+        compactMaxBuckets = compactMaxBuckets)
       println(r.json)
     } finally spark.stop()
   }

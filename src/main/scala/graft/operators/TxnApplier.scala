@@ -885,6 +885,7 @@ object TxnApplier {
       .sortBy { case (b, e) => (-chainOf(e).size, b) }
       .take(math.max(0, maxBuckets))
     if (candidates.isEmpty) return Some(cur)
+    val t0 = System.nanoTime()
     val selected = candidates.map(_._1).toSet
     val fs = fsOf(root)
     val (keyCols, nBuckets) = readKeyCols(root)
@@ -901,7 +902,34 @@ object TxnApplier {
     writeManifest(root, v, (manifest -- selected) ++ folded)
     val c = Commit(v, cur.lastTso)
     commitPointer(root, c, sv)
+    recordCompaction(dir, selected.size,
+      (System.nanoTime() - t0) / 1000000L)
     Some(c)
+  }
+
+  /** One compaction fold's telemetry: where, how many buckets folded,
+    * and the PAUSE it cost — compaction runs inside standing triggers,
+    * so this is the maintenance latency a deployment watches. */
+  final case class CompactionEvent(dir: String, buckets: Int,
+      wallMs: Long)
+
+  // bounded driver-side ring of recent folds: rehearsals/dashboards
+  // drain it; a long-lived replica that nobody drains stays O(1) memory
+  private val compactionLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[CompactionEvent]()
+  private val CompactionLogCap = 4096
+  private def recordCompaction(dir: String, buckets: Int,
+      wallMs: Long): Unit = {
+    compactionLog.add(CompactionEvent(dir, buckets, wallMs))
+    while (compactionLog.size > CompactionLogCap) compactionLog.poll()
+  }
+
+  /** Drain (read + clear) the recent-compaction telemetry ring. */
+  def drainCompactionLog(): Seq[CompactionEvent] = {
+    val out = Seq.newBuilder[CompactionEvent]
+    var e = compactionLog.poll()
+    while (e != null) { out += e; e = compactionLog.poll() }
+    out.result()
   }
 
   /** Reclaim data dirs no manifest ≥ `keepFrom` references (default: only

@@ -51,4 +51,56 @@ class ScaleRehearsalSpec extends SparkSpec {
     assert((0 until 4).map(stitched).sum == r.producedRows,
       "archive+live must conserve every produced transaction")
   }
+
+  test("standing shape (run D): concurrent ProcessingTime consumers on ALL streams converge, delta chains fold inside triggers, telemetry lands") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-rehearsal-standing").toString
+    val dns = 4
+    val rowsPerDn = 2000L
+    // delta + a tiny compactAfter: folds must FIRE inside the standing
+    // triggers at this scale; bounded fold (2 of 8 buckets per visit)
+    // exercises the incremental path
+    val r = ScaleRehearsalJob.run(spark, root, dns, rowsPerDn,
+      streams = 4, waves = 2, consumers = 4, numPartitions = 4,
+      txnsPerCommit = 250,
+      maxBytesPerPoll = 256L * 1024, // several triggers per stream
+      standingTriggerMs = Some(100L),
+      applyMode = graft.operators.TxnApplier.ApplyMode.Delta,
+      compactAfter = 2, compactMaxBuckets = 2,
+      standingDeadlineMs = 10L * 60 * 1000)
+
+    // every stream consumed to convergence, concurrently
+    assert(r.consumed == 4)
+    assert(r.producedRows == dns * rowsPerDn)
+    val reg = ScaleRehearsalJob.registry
+    def stitched(i: Int): Long =
+      graft.sinks.BinlogRetention.readStitched(spark,
+          s"$root/out/stream-$i", s"$root/archive", reg)
+        .filter($"op" === "INSERT").count()
+    assert(r.consumedRows == (0 until 4).map(stitched).sum,
+      s"standing consumers must drain every stream: got " +
+        s"${r.consumedRows} of ${(0 until 4).map(stitched).sum}")
+
+    // telemetry: every consumer reports triggers (standing = several
+    // per stream at this poll cap) and its rows in
+    assert(r.consumerStats.size == 4)
+    assert(r.consumerStats.forall(_.triggers >= 1))
+    assert(r.consumerStats.map(_.rowsIn).sum >= r.producedRows,
+      "per-trigger rows must cover the produced data")
+    assert(r.consumerStats.forall(_.targetBytes > 0L))
+    // compaction fired INSIDE the standing triggers and was bounded
+    assert(r.compaction.nonEmpty,
+      "delta chains at compactAfter=2 must have folded during the run")
+    assert(r.compaction.forall(_.buckets <= 2),
+      s"folds must honor compactMaxBuckets=2: ${r.compaction}")
+    // and the chains are bounded at run end (folds kept up)
+    reg.keys.filter(_._1 == "db").foreach { case (_, t) =>
+      (0 until 4).foreach { i =>
+        val dir = s"$root/target-$i/$t"
+        if (graft.operators.TxnApplier.currentCommit(dir).isDefined)
+          assert(graft.operators.TxnApplier.maxChainLength(dir) <= 16,
+            s"unbounded chain at $dir")
+      }
+    }
+  }
 }
