@@ -1,6 +1,6 @@
 package graft.jobs
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Reshape
@@ -42,4 +42,126 @@ object FlashbackJob {
     Reshape.flashbackInvert(
       Reshape.flashbackInvert(events, opCol, beforeCol, afterCol),
       opCol, beforeCol, afterCol)
+
+  /** SQL literal for one string-image cell: NULL when the image lacks
+    * the column, else a single-quoted string with backslash, quote and
+    * newline escaped — `RecoveryApplier.valueWrapper`
+    * (rpl/applier/RecoveryApplier.java:264-298). MySQL compares quoted
+    * numerics fine; callers with typed targets list `numericCols` to
+    * emit them bare. */
+  private def sqlLit(v: Column, numeric: Boolean): Column =
+    if (numeric) coalesce(v, lit("NULL"))
+    else when(v.isNull, lit("NULL")).otherwise(concat(lit("'"),
+      regexp_replace(regexp_replace(regexp_replace(v,
+        lit("\\\\"), lit("\\\\\\\\")),
+        lit("'"), lit("\\\\'")),
+        lit("\n"), lit("\\\\n")),
+      lit("'")))
+
+  /** EXPORT the flashback as executable SQL files — the user-facing
+    * artifact of the reference's recovery job: `RecoveryApplier`
+    * renders each event through `reverseSQL` and flushes batches into
+    * sequence-numbered result files
+    * (rpl/applier/RecoveryApplier.java:130-262,371-424). Statement
+    * shapes, generated here from the ALREADY-INVERTED stream
+    * ([[build]]'s output), matching reverseSQL's originals:
+    *
+    *  - inverted DELETE (was INSERT):  DELETE FROM `s`.`t` WHERE keys;
+    *  - inverted INSERT (was DELETE):  REPLACE INTO `s`.`t` (...) VALUES (...);
+    *  - inverted UPDATE:               UPDATE `s`.`t` SET after' WHERE keys(before');
+    *
+    * Spark restatement of the file packaging: rendering is pure column
+    * expressions (one scan, codegen, no UDFs); the statements land as
+    * `numFiles` RANGE files — `repartitionByRange` on the replay order
+    * then a local sort, so part-file k holds a contiguous newest-first
+    * slice and lexicographic file order IS replay order (the same
+    * partition-indexed total-order trick as the binlog writers). A
+    * `_meta` sidecar records the tso range and statement count.
+    *
+    * @param inverted [[build]]'s output (op/images already swapped,
+    *   `replay_order` = -tso)
+    * @param tableCols (schema, table) → ordered column names (the wire
+    *   registry); tables absent from it are refused loudly — emitting
+    *   half a restore script silently would not be a recovery tool
+    * @param keyCols (schema, table) → WHERE-clause key columns
+    * @param numericCols optional (schema, table) → columns to emit
+    *   unquoted
+    * @return statements written
+    */
+  def exportSql(inverted: DataFrame,
+      tableCols: Map[(String, String), Seq[String]],
+      keyCols: Map[(String, String), Seq[String]],
+      outDir: String, numFiles: Int = 16,
+      numericCols: Map[(String, String), Set[String]] = Map.empty,
+      seqCol: Option[String] = None): Long = {
+    val spark = inverted.sparkSession
+    import spark.implicits._
+    keyCols.keys.foreach { k =>
+      require(tableCols.contains(k), s"keyCols for unregistered table $k")
+    }
+    val present = inverted
+      .select(col("schemaName"), col("tableName")).distinct()
+      .as[(String, String)].collect().toSeq
+    val unroutable = present.filterNot(tableCols.contains)
+    require(unroutable.isEmpty,
+      s"flashback range touches unregistered tables $unroutable — " +
+        "a partial restore script is refused, register them")
+    val missingKeys = present.filterNot(keyCols.contains)
+    require(missingKeys.isEmpty,
+      // the reference skips keyless tables with a warning
+      // (RecoveryApplier.java:393 hasPrimaryOrUniqueKey) — a RESTORE
+      // artifact must not silently skip, so this refuses instead
+      s"no key columns for $missingKeys — WHERE clauses need keys")
+    val perTable = present.map { case (s, t) =>
+      val cols = tableCols((s, t))
+      val keys = keyCols((s, t))
+      val nums = numericCols.getOrElse((s, t), Set.empty)
+      def img(side: String, c: String) =
+        sqlLit(element_at(col(side), c), nums.contains(c))
+      val qual = s"`$s`.`$t`"
+      def whereKeys(side: String) = concat(
+        keys.map(k => concat(lit(s"`$k` = "), img(side, k)))
+          .reduce((a, b) => concat(a, lit(" AND "), b)))
+      val insertStmt = concat(
+        lit(s"REPLACE INTO $qual (" +
+          cols.map(c => s"`$c`").mkString(", ") + ") VALUES ("),
+        cols.map(c => img("after", c))
+          .reduce((a, b) => concat(a, lit(", "), b)),
+        lit(");"))
+      val deleteStmt = concat(lit(s"DELETE FROM $qual WHERE "),
+        whereKeys("before"), lit(";"))
+      val updateStmt = concat(lit(s"UPDATE $qual SET "),
+        cols.map(c => concat(lit(s"`$c` = "), img("after", c)))
+          .reduce((a, b) => concat(a, lit(", "), b)),
+        lit(" WHERE "), whereKeys("before"), lit(";"))
+      // within one transaction (equal replay_order), rows replay in
+      // REVERSE of their original intra-txn order — a key changed twice
+      // in a txn must undo newest-first, like the statements across txns
+      val tie = seqCol.map(c => -col(c)).getOrElse(lit(0))
+      inverted
+        .filter(col("schemaName") === s && col("tableName") === t)
+        .select(col("replay_order"), tie.as("__tie"),
+          when(col("op") === "INSERT", insertStmt)
+            .when(col("op") === "DELETE", deleteStmt)
+            .when(col("op") === "UPDATE", updateStmt)
+            .as("stmt"))
+    }
+    if (perTable.isEmpty) return 0L
+    val all = perTable.reduce(_ unionByName _)
+      .filter(col("stmt").isNotNull) // non-DML rows render nothing
+    val files = math.max(1, numFiles)
+    all.repartitionByRange(files, col("replay_order"))
+      .sortWithinPartitions(col("replay_order"), col("__tie"))
+      .select(col("stmt"))
+      .write.mode("overwrite").text(outDir)
+    val n = spark.read.text(outDir).count()
+    val range = inverted.agg(min(col("tso")), max(col("tso")))
+      .as[(Option[Long], Option[Long])].collect().head
+    graft.util.HadoopIo.writeSwap(
+      new org.apache.hadoop.fs.Path(s"$outDir/._meta.tmp"),
+      new org.apache.hadoop.fs.Path(s"$outDir/_meta"),
+      s"statements=$n\nfromTso=${range._1.getOrElse(0L)}\n" +
+        s"toTso=${range._2.getOrElse(0L)}")
+    n
+  }
 }
