@@ -228,7 +228,13 @@ def main():
                 if DDL_HEAD.match(sql) and len(sql) >= 18:
                     rows.append({"src": f"{rel}:{line}", "sql": sql})
     for root, _dirs, files in os.walk(REF):
-        if "/src/test/" not in root + "/":
+        # test sources (the corpus DruidDdlParser is exercised against)
+        # AND main sources: the reference embeds its system-table
+        # bootstraps (SystemDB.java, ConsoleTableMetaTSDB.java ...) as
+        # string DDL that no test re-states — real PolarDB-X dialect
+        # the test corpus alone would miss.
+        r = root + "/"
+        if "/src/test/" not in r and "/src/main/" not in r:
             continue
         for f in files:
             if not f.endswith(".java"):
@@ -260,6 +266,17 @@ def main():
                 # punctuation = a statement cut before its object
                 if sql.count("`") % 2 == 1 or sql.rstrip().endswith(
                         (".", "(", ",", "=")):
+                    continue
+                # dangling prefixes: the object NAME lived in a runtime
+                # variable appended outside the chain ("create table if
+                # not exists" + name) — no shape to parse
+                tail_words = re.sub(r"[^a-z_ ]+", " ", sql.lower()).split()
+                if tail_words[-1] in (
+                        "exists", "table", "database", "schema", "index",
+                        "on", "to", "like", "column", "from",
+                        "rename", "view", "sequence") or (
+                        tail_words[-1] == "key" and
+                        tail_words[-2:] != ["primary", "key"]):
                     continue
                 # after the verb and any modifier words, the FIRST word
                 # must be a DDL object ("create db and table" is a log

@@ -139,6 +139,97 @@ object CdcReshard {
           }.toMap))
   }
 
+  /** The re-plan INPUT the reference's daemon computes before a
+    * topology change (daemon/cluster/topology/BinlogXTopologyBuilder
+    * .java builds the stream plan; the daemon decides M from cluster
+    * load): what M → M′ the measured load says, leaving EXECUTION
+    * operator-invoked ([[reshard]] — a stream-count change is a
+    * generation boundary, not something a heuristic should spring on
+    * running consumers). */
+  final case class Recommendation(fromStreams: Int, toStreams: Int,
+      perStreamTxns: Seq[Long], skew: Double, heldTxns: Long,
+      reasons: Seq[String]) {
+    def changeRecommended: Boolean = toStreams != fromStreams
+  }
+
+  /** Recommend a stream count from the load the generation ACTUALLY
+    * carried. Load per stream = transactions in its executed GTID set
+    * — driver metadata (O(intervals) text), no wire decode. Policy,
+    * deterministic and stated:
+    *
+    *  - M′ = ceil(total / targetTxnsPerStream), clamped to
+    *    [1, maxStreams] — the per-stream volume band the operator
+    *    sizes consumers for (the reference daemon's analog input is
+    *    its stream-count config against observed EPS).
+    *  - skew = max/mean per-stream load. Past `skewLimit` the
+    *    recommendation FLAGS the hot streams instead of raising M′ —
+    *    more streams cannot split one hot table (the reference pins
+    *    hot tables the same way: stream overrides); the reason names
+    *    the streams so the operator pins or splits tables.
+    *  - producer pressure: when `workDir` is given and the newest
+    *    merge-metrics sidecar shows held > emitted transactions, the
+    *    reasons say so (backlog is a producer/trigger-sizing signal,
+    *    not a stream-count one — M′ is left alone).
+    */
+  def recommend(spark: SparkSession, fromDir: String,
+      from: CdcBinlogX.FanOut, targetTxnsPerStream: Long,
+      skewLimit: Double = 4.0, maxStreams: Int = 256,
+      workDir: Option[String] = None): Recommendation = {
+    require(targetTxnsPerStream > 0, "targetTxnsPerStream positive")
+    val loads = (0 until from.streams).map { i =>
+      val d = s"$fromDir/stream-$i"
+      if (!graft.util.HadoopIo.fsOf(new Path(d)).exists(new Path(d))) 0L
+      else BinlogCatalog.executedGtidSet(spark, d).sets.values
+        .flatMap(_.map { case (lo, hi) => hi - lo }).sum
+    }
+    val total = loads.sum
+    val mean = if (from.streams == 0) 0.0
+      else total.toDouble / from.streams
+    val skew = if (mean <= 0.0) 1.0 else loads.max / mean
+    val reasons = Seq.newBuilder[String]
+    val mPrime = math.min(maxStreams.toLong, math.max(1L,
+      (total + targetTxnsPerStream - 1) / targetTxnsPerStream)).toInt
+    if (mPrime > from.streams)
+      reasons += s"mean per-stream load ${mean.toLong} txns exceeds " +
+        s"the $targetTxnsPerStream target: grow ${from.streams} -> " +
+        s"$mPrime"
+    else if (mPrime < from.streams)
+      reasons += s"mean per-stream load ${mean.toLong} txns is below " +
+        s"the $targetTxnsPerStream target: shrink ${from.streams} -> " +
+        s"$mPrime"
+    if (skew > skewLimit) {
+      val hot = loads.zipWithIndex
+        .filter { case (l, _) => l > mean * skewLimit }.map(_._2)
+      reasons += s"skew ${f"$skew%.1f"}x over streams $hot — a " +
+        "stream-count change cannot split one hot table; pin or " +
+        "split via FanOut.overrides"
+    }
+    val held = workDir.map(latestHeldTxns).getOrElse(0L)
+    val emitted = workDir.map(latestEmittedTxns).getOrElse(0L)
+    if (held > emitted && held > 0)
+      reasons += s"producer holdback $held txns exceeds emitted " +
+        s"$emitted — backlog pressure; size triggers/maxBytesPerPoll, " +
+        "not streams"
+    Recommendation(from.streams, mPrime, loads, skew, held,
+      reasons.result())
+  }
+
+  private def latestMetrics(workDir: String)
+      : Option[CdcBinlog.MergeMetrics] = {
+    val hold = new Path(s"$workDir/hold")
+    val fs = graft.util.HadoopIo.fsOf(hold)
+    if (!fs.exists(hold)) return None
+    fs.listStatus(hold).iterator.map(_.getPath.getName)
+      .filter(_.endsWith(".metrics"))
+      .flatMap(n => n.stripSuffix(".metrics").toLongOption)
+      .maxOption
+      .flatMap(b => CdcBinlog.readMergeMetrics(workDir, b))
+  }
+  private def latestHeldTxns(workDir: String): Long =
+    latestMetrics(workDir).map(_.heldTxns).getOrElse(0L)
+  private def latestEmittedTxns(workDir: String): Long =
+    latestMetrics(workDir).map(_.emittedTxns).getOrElse(0L)
+
   /** The stream the NEW fan-out assigns each decoded event — the same
     * expression the live fan-out writes with (coalesce(after, before)
     * for record keys, overrides honored). */

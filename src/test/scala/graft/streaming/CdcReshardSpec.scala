@@ -367,4 +367,68 @@ class CdcReshardSpec extends SparkSpec {
     assert(post.keySet == Set(1L, 6L, 31L, 36L),
       s"alpha must converge to A∪B via GTID resume, got $post")
   }
+
+  test("recommend: per-stream load drives M→M', skew flags hot streams instead of raising M', holdback pressure is named") {
+    val root = java.nio.file.Files.createTempDirectory("graft-resh-rec")
+    val gen = s"$root/gen"
+    // three streams with measured loads 60/6/6 txns (contiguous gnos)
+    val loads = Seq(60, 6, 6)
+    loads.zipWithIndex.foreach { case (n, i) =>
+      val sid = java.util.UUID.fromString(
+        f"0a1b2c3d-aaaa-4444-3333-${i}%012d")
+      val rows = (1 to n).map(k =>
+        (i * 1000L + k, "alpha"))
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-resh-rec-w").toString
+      BinlogWire.writeChangeStreamBinlogFiles(
+        rowsDf(rows).coalesce(1).sortWithinPartitions("tso"), reg, d,
+        checksummed = true, gtidSid = Some(sid))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$gen/stream-$i"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(d, "binlog.000000"),
+        java.nio.file.Paths.get(s"$gen/stream-$i", "binlog.000000"))
+      ()
+    }
+    val from = CdcBinlogX.FanOut(3, StreamHash.ByTable)
+
+    // GROW: 72 txns against a 10-per-stream target → M' = 8, and the
+    // 60-txn stream is named as skew the count change cannot fix
+    val r1 = CdcReshard.recommend(spark, gen, from,
+      targetTxnsPerStream = 10L, skewLimit = 2.0)
+    assert(r1.perStreamTxns == Seq(60L, 6L, 6L), s"loads: $r1")
+    assert(r1.toStreams == 8 && r1.changeRecommended)
+    assert(r1.skew > 2.0)
+    assert(r1.reasons.exists(_.contains("grow 3 -> 8")))
+    assert(r1.reasons.exists(_.contains("streams Vector(0)")),
+      s"the hot stream must be NAMED for a pin/split: ${r1.reasons}")
+
+    // SHRINK: a huge target → M' = 1
+    val r2 = CdcReshard.recommend(spark, gen, from,
+      targetTxnsPerStream = 1000L, skewLimit = 100.0)
+    assert(r2.toStreams == 1 &&
+      r2.reasons.exists(_.contains("shrink 3 -> 1")))
+    assert(r2.skew > 1.0 && r2.reasons.size == 1)
+
+    // KEEP: the band that lands exactly on M = 3 recommends no change
+    val r3 = CdcReshard.recommend(spark, gen, from,
+      targetTxnsPerStream = 24L, skewLimit = 100.0)
+    assert(!r3.changeRecommended && r3.toStreams == 3)
+
+    // holdback pressure: a work dir whose newest merge-metrics sidecar
+    // holds more than it emitted is NAMED as a trigger-sizing signal,
+    // M' untouched
+    val work = s"$root/work"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$work/hold"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$work/hold/7.metrics"),
+      "barrier=100;emittedTxns=10;heldTxns=50".getBytes)
+    val r4 = CdcReshard.recommend(spark, gen, from,
+      targetTxnsPerStream = 24L, skewLimit = 100.0,
+      workDir = Some(work))
+    assert(!r4.changeRecommended && r4.heldTxns == 50L)
+    assert(r4.reasons.exists(_.contains("holdback 50")),
+      s"backlog must be named: ${r4.reasons}")
+  }
 }
