@@ -384,6 +384,12 @@ object ScaleRehearsalJob {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.ui.enabled", "false")
+      // local FS without per-path chmod forks (NoChmodLocalFs doc):
+      // the rehearsal's publish loops are METADATA-heavy (a manifest
+      // write + pointer swap per commit group), and a forked chmod per
+      // FS op turns them into the measurement's bottleneck — run D's
+      // first launch read 15-30 s per delta-publish from exactly this
+      .config("spark.hadoop.fs.file.impl", "graft.util.NoChmodLocalFs")
       .getOrCreate()
     try {
       val r = run(spark, root, dns, rowsPerDn, streams, waves,

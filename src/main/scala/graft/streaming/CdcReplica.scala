@@ -108,9 +108,13 @@ object CdcReplica {
           targets.foreach { t =>
             // delta chains reference every dir they overlay — fold them
             // first so vacuum has superseded dirs to reclaim (compaction
-            // otherwise only fires at the compactAfter bound); compact
-            // no-ops on plain/COW and un-bootstrapped targets
-            TxnApplier.compact(spark, t.targetDir)
+            // otherwise only fires at the compactAfter bound); the fold
+            // honors compactMaxBuckets so a bounded-pause deployment
+            // doesn't cliff at vacuum cadence either (unreclaimed
+            // chains just wait for the next cadence); no-ops on
+            // plain/COW and un-bootstrapped targets
+            TxnApplier.compactBuckets(spark, t.targetDir,
+              compactMaxBuckets)
             TxnApplier.vacuum(t.targetDir)
           }
         ()
