@@ -292,7 +292,14 @@ object ScaleRehearsalJob {
             while (live.nonEmpty && System.nanoTime() < deadline) {
               Thread.sleep(1000L)
               live.toSeq.foreach { i =>
-                if (committedMax(i) >= frontier(i)) {
+                // the frontier commits MID-batch (the apply's pointer
+                // lands inside foreachBatch), so also require the
+                // trigger to be idle before confirming — stopping an
+                // in-flight batch is exactly-once for DATA (the gates)
+                // but its progress event would never publish, and the
+                // per-trigger telemetry below must be complete
+                if (committedMax(i) >= frontier(i) &&
+                    !queries(i).status.isTriggerActive) {
                   confirms(i) += 1
                   if (confirms(i) >= 2) {
                     queries(i).stop(); live -= i
