@@ -97,32 +97,60 @@ object ScaleRehearsalJob {
       ((CdcHeartbeat.DefaultSchema, CdcHeartbeat.DefaultTable) ->
         Seq("id"))
 
-  /** One DN's wave of change rows: contiguous per-DN TSO block (the
-    * gno:=tso convention needs per-SID interval compaction — strided
-    * TSOs would explode the executed set), ~40% of rows on the hot
-    * table, the rest spread over the cold tables. */
-  private def waveDf(spark: SparkSession, tsoBase: Long,
-      rows: Long): DataFrame = {
+  /** TSO layout: CHUNK-INTERLEAVED across DNs — within a wave, DN `d`
+    * owns every `dns`-th chunk of `TsoChunk` consecutive tsos. A real
+    * deployment's DNs commit against ONE global TSO clock, so their
+    * tso ranges interleave finely; the original per-DN sequential
+    * blocks made the merge barrier track the lowest-range DN and
+    * parked nearly the whole backlog in holdback until a wave
+    * boundary — run E (24 M rows, 6 produce triggers) measured the
+    * per-batch holdback rewrite going super-linear from exactly that
+    * (produce 658 s vs run D's 120 s at 2×). Chunks (not per-row
+    * stride) keep the gno := tso executed sets compact: one interval
+    * per chunk, rowsPerWave/TsoChunk intervals per DN per wave. */
+  val TsoChunk = 5000L
+
+  /** One DN's wave of change rows (chunk-interleaved tsos; ~40% of
+    * rows on the hot table, the rest spread over the cold tables). */
+  private def waveDf(spark: SparkSession, waveBase: Long, d: Int,
+      dns: Int, rows: Long): DataFrame = {
+    val tso = lit(waveBase) +
+      ((col("id") / TsoChunk).cast("long") * dns + d) * TsoChunk +
+      col("id") % TsoChunk
     spark.range(rows).select(
-      (lit(tsoBase) + col("id")).as("tso"),
-      (lit(tsoBase) + col("id")).as("txnId"),
+      tso.as("tso"),
+      tso.as("txnId"),
       lit("INSERT").as("op"),
       lit("db").as("schemaName"),
       when(col("id") % 5 < 2, lit(HotTable))
         .otherwise(concat(lit("t"), col("id") % ColdTables))
         .as("tableName"),
       map().cast("map<string,string>").as("before"),
-      map(lit("k"), (lit(tsoBase) + col("id")).cast("string"),
+      map(lit("k"), tso.cast("string"),
         lit("seq"), lit("1"),
         lit("v"), concat(lit("v"), col("id") % 97)).as("after"),
       lit(null).cast("string").as("ddl"),
       lit(1700000000L).as("tsoTime"))
   }
 
-  // per-DN-wave TSO block layout: wave w, dn d gets
-  // [1 + (w*dns + d)*rowsPerWave, …+rowsPerWave)
-  private def tsoBase(w: Int, d: Int, dns: Int, rowsPerWave: Long): Long =
-    1L + (w.toLong * dns + d) * rowsPerWave
+  private def chunksPerWave(rowsPerWave: Long): Long =
+    (rowsPerWave + TsoChunk - 1) / TsoChunk
+
+  // each wave reserves dns × chunksPerWave whole chunk SLOTS (a short
+  // final chunk leaves a tso gap — tsos need not be dense); inside a
+  // wave, chunk c of dn d starts at waveBase + (c*dns + d)*TsoChunk
+  private def waveBase(w: Int, dns: Int, rowsPerWave: Long): Long =
+    1L + w.toLong * dns * chunksPerWave(rowsPerWave) * TsoChunk
+
+  /** DN `d`'s executed tso set for wave `w` — one interval per chunk. */
+  private def waveIntervals(w: Int, d: Int, dns: Int,
+      rowsPerWave: Long): Vector[(Long, Long)] = {
+    val base = waveBase(w, dns, rowsPerWave)
+    (0L until rowsPerWave by TsoChunk).map { c0 =>
+      val lo = base + (c0 / TsoChunk * dns + d) * TsoChunk
+      (lo, lo + math.min(TsoChunk, rowsPerWave - c0))
+    }.toVector
+  }
 
   def run(spark: SparkSession, root: String, dns: Int, rowsPerDn: Long,
       streams: Int, waves: Int = 2, consumers: Int = 2,
@@ -135,6 +163,7 @@ object ScaleRehearsalJob {
       standingDeadlineMs: Long = 2L * 3600 * 1000): Report = {
     import spark.implicits._
     require(rowsPerDn % waves == 0, "rowsPerDn must split into waves")
+
     val reg = registry
     val rowsPerWave = rowsPerDn / waves
     val sids = (0 until dns).map(d => java.util.UUID.fromString(
@@ -147,16 +176,15 @@ object ScaleRehearsalJob {
     val (_, fixtureMs) = timed {
       (0 until waves).foreach { w =>
         (0 until dns).foreach { d =>
-          val base = tsoBase(w, d, dns, rowsPerWave)
           val prior = if (w == 0) GtidSet.Empty
-            else GtidSet(Map(sids(d) -> (0 until w).map { pw =>
-              val b = tsoBase(pw, d, dns, rowsPerWave)
-              (b, b + rowsPerWave)
-            }.toVector))
+            else GtidSet(Map(sids(d) -> (0 until w)
+              .flatMap(pw => waveIntervals(pw, d, dns, rowsPerWave))
+              .toVector))
           val scratch = java.nio.file.Files
             .createTempDirectory("graft-rehearsal-w").toString
           BinlogWire.writeChangeStreamBinlogFiles(
-            waveDf(spark, base, rowsPerWave)
+            waveDf(spark, waveBase(w, dns, rowsPerWave), d, dns,
+              rowsPerWave)
               .coalesce(1).sortWithinPartitions("tso"),
             reg, scratch, checksummed = true, gtidSid = Some(sids(d)),
             priorExecuted = prior)
@@ -168,7 +196,10 @@ object ScaleRehearsalJob {
       }
     }
     val fixtureStats = dnDirs.map(dirStats)
-    val totalTso = 1L + waves.toLong * dns * rowsPerWave
+    // one past the last reserved chunk slot (the tso SPACE, ≥ row count
+    // when the final chunks are partial)
+    val totalTso =
+      1L + waves.toLong * dns * chunksPerWave(rowsPerWave) * TsoChunk
 
     // ---- stage: heartbeat (driver-side beats advance every frontier
     //      past the whole backlog — the idle-DN liveness path) ----
@@ -288,9 +319,25 @@ object ScaleRehearsalJob {
             val deadline = System.nanoTime() + standingDeadlineMs * 1000000L
             val confirms = scala.collection.mutable.Map(
               sampled.map(_ -> 0): _*)
+            // progress harvesting rides the poll loop: recentProgress
+            // is a BOUNDED ring (last ~100 entries), and an early-
+            // finishing consumer idling at a fast ProcessingTime
+            // cadence wraps its own data batches out of it long before
+            // the slowest stream drains (run E measured a drained
+            // stream reporting 0 triggers from exactly this)
+            val harvested = scala.collection.mutable.Map(sampled.map(_ ->
+              scala.collection.mutable.Map.empty[Long, (Long, Long)]): _*)
+            def harvest(i: Int): Unit =
+              queries(i).recentProgress.foreach { pr =>
+                if (pr.numInputRows > 0)
+                  harvested(i)(pr.batchId) = (pr.numInputRows,
+                    pr.durationMs.getOrDefault("triggerExecution", 0L)
+                      .longValue())
+              }
             var live = sampled.toSet
             while (live.nonEmpty && System.nanoTime() < deadline) {
               Thread.sleep(1000L)
+              live.toSeq.foreach(harvest)
               live.toSeq.foreach { i =>
                 // the frontier commits MID-batch (the apply's pointer
                 // lands inside foreachBatch), so also require the
@@ -311,15 +358,12 @@ object ScaleRehearsalJob {
               s"standing consumers never converged: streams $live " +
                 s"(committed ${live.map(committedMax)}, wanted " +
                 s"${live.map(frontier)})")
+            sampled.foreach(harvest) // final sweep after the stops
             consumerStats = sampled.map { i =>
-              val prog = queries(i).recentProgress.toSeq
-                .groupBy(_.batchId).map(_._2.head).toSeq
-                .filter(_.numInputRows > 0)
-              val durs = prog.map(p =>
-                p.durationMs.getOrDefault("triggerExecution", 0L)
-                  .longValue()).sorted
+              val prog = harvested(i).values.toSeq
+              val durs = prog.map(_._2).sorted
               ConsumerStat(i, prog.size,
-                prog.map(_.numInputRows).sum,
+                prog.map(_._1).sum,
                 durs.lastOption.getOrElse(0L),
                 if (durs.isEmpty) 0L else durs(durs.size / 2),
                 targetsOf(i).map(t =>
