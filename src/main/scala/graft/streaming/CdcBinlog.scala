@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.model.ChangeEvent
 import graft.operators.{MergeSort, Staged}
@@ -28,8 +29,14 @@ import graft.operators.{MergeSort, Staged}
   * transactions alike — the reference injects per-DN heartbeats
   * precisely so idle sources keep the merge advancing), and a
   * transaction emits only when its commit TSO is at or below the MIN
-  * frontier across all DNs. Everything above the barrier carries over
-  * to the next batch in a versioned holdback stage.
+  * frontier across all DNs. Everything above the barrier parks in
+  * APPEND-ONLY holdback segments: each batch writes only its own newly
+  * parked rows, a manifest names the live segment set, and release
+  * reads only the segments the advancing barrier actually straddles —
+  * so one straggler DN parking everyone else's rows costs each trigger
+  * O(new + released) holdback IO, never a rewrite of the backlog (the
+  * reference merger likewise never re-buffers held tokens per poll;
+  * merge/LogEventMerger.java:203-273).
   *
   * Emission order and framing: transactions (grouped by `txnId` — XA
   * branches of one global transaction fuse across DNs, the merger's
@@ -41,19 +48,22 @@ import graft.operators.{MergeSort, Staged}
   * advance frontiers but are filtered from the log (the reference
   * consumes them at the merger; they never reach the dumper's files).
   *
-  * Exactly-once under replay: a replayed batch N re-reads holdback
-  * stage N-1 (stages are versioned by batchId; N-1 is deleted only
-  * after N+1 ran, i.e. after N committed), recomputes the same barrier
-  * from the same persisted frontiers, deletes its own `binlog.<N>.`
-  * prefix, and rewrites byte-identical files — the replay fully
-  * supersedes the attempt it replaces, so a kill anywhere leaves the
-  * log equal to a run that never crashed.
+  * Exactly-once under replay: a replayed batch N re-reads manifest N-1
+  * (whose segments batch N never mutates — folds write NEW files and
+  * the consumed inputs are reclaimed only once N+1 ran, i.e. after N
+  * committed), reuses the same sealed barrier decision, deletes its
+  * own `binlog.<N>.` prefix, and rewrites byte-identical files — the
+  * replay fully supersedes the attempt it replaces, so a kill anywhere
+  * leaves the log equal to a run that never crashed.
   *
   * Scale shape: the only shuffles are one hash partition by txnId (the
-  * commit-TSO window — per-txn bounded) and one range partition by
-  * (commit TSO, txnId) for the runs; the frontier collect is O(DN
-  * count); holdback size is bounded by the barrier lag (steady state:
-  * under one heartbeat period of data), not history. With
+  * commit-TSO window — per-txn bounded, over THIS batch's rows only)
+  * and one range partition by (commit TSO, txnId) for the runs; the
+  * frontier collect is O(DN count); holdback size is bounded by the
+  * barrier lag (steady state: under one heartbeat period of data) and
+  * a lagging DN grows it without growing per-trigger work — segment
+  * count stays under `holdMaxSegments` via size-tiered folds (two
+  * smallest merge, LSM amortization). With
   * `targetRowsPerFile` set, the per-batch run count scales with the
   * emitted volume (the reference's binlogFileSize rotation,
   * dumper/.../logfile/LogFileGenerator.java) so a burst lands in more
@@ -233,7 +243,8 @@ object CdcBinlog {
       advanceIdleFrontiers: Boolean = false,
       sealedGapSkip: Boolean = false,
       convertDdl: Boolean = false,
-      maxGapRecords: Int = 1000000): StreamingQuery = {
+      maxGapRecords: Int = 1000000,
+      holdMaxSegments: Int = 12): StreamingQuery = {
     // the frontier sidecar is ';'/'='/','-delimited and the source's
     // options reuse '@'/';' — refuse DN names that would corrupt
     // either (the CdcReplica.start / saveRegistry guard family)
@@ -278,7 +289,8 @@ object CdcBinlog {
           queryCheckpointDir = Some(checkpointDir),
           advanceIdleFrontiers = advanceIdleFrontiers,
           sealedGapSkip = sealedGapSkip, convertDdl = convertDdl,
-          maxGapRecords = maxGapRecords)
+          maxGapRecords = maxGapRecords,
+          holdMaxSegments = holdMaxSegments)
         ()
       }
       .trigger(trigger)
@@ -306,7 +318,8 @@ object CdcBinlog {
       advanceIdleFrontiers: Boolean = false,
       sealedGapSkip: Boolean = false,
       convertDdl: Boolean = false,
-      maxGapRecords: Int = 1000000): Unit = {
+      maxGapRecords: Int = 1000000,
+      holdMaxSegments: Int = 12): Unit = {
     val spark = batch.sparkSession
     val fs = graft.util.HadoopIo.fsOf(new Path(workDir))
 
@@ -443,14 +456,6 @@ object CdcBinlog {
     // saw the attempt.
     writeFrontiers(fs, decisionPath, decided)
 
-    val holdPrev = new Path(s"$workDir/hold/${batchId - 1}")
-    val held =
-      if (fs.exists(holdPrev))
-        spark.read.schema(ChangeEvent.schema).parquet(holdPrev.toString)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        ChangeEvent.schema)
-
     val isHeartbeat =
       if (heartbeatTables.isEmpty) col("op") === "HEARTBEAT"
       else col("op") === "HEARTBEAT" ||
@@ -484,11 +489,56 @@ object CdcBinlog {
       case (o, cur) =>
         evolved.get(cur).orElse(renames.retained.get(cur)).map(o -> _)
     } ++ (renames.retained -- evolved.keySet)
-    val all = normalizeRenames(
-      staged.unionByName(held).filter(!isHeartbeat), renames.colSteps)
-      .withColumn("__commit_tso",
-        max(col("tso")).over(Window.partitionBy(col("txnId"))))
-    val gated = Staged.parquetStage(all, s"$workDir/gated")
+    // ---- holdback: append-only segments -------------------------------
+    // The parked backlog lives in SEGMENTS (hold/<K>, hold/<K>.c<i>),
+    // each written once and never rewritten; hold/<N>.segments is the
+    // live-set manifest with per-segment (rows, minCts, maxCts, txns).
+    // Per-trigger holdback IO is O(new held + released), NOT O(held):
+    // a straggler DN that parks the barrier costs nothing per trigger
+    // beyond its own new rows — segments whose minCts sits above the
+    // barrier are never opened (the reference merger never re-buffers
+    // held tokens per poll either; merge/LogEventMerger.java:203-273).
+    // Segments persist `__commit_tso`: stable across batches under the
+    // same shared-CTS contract the emit gate itself relies on (every
+    // branch row carries the txn's CTS — the decode stamps one CTS per
+    // txn scope, BinlogWire.decodeStream; MergeBarrier.java:51), so a
+    // row's gate key never changes after it is parked, and branches of
+    // one txn parked in different segments release in the same batch.
+    val holdRoot = s"$workDir/hold"
+    val manifestPrev = readManifest(fs,
+      new Path(s"$holdRoot/${batchId - 1}.segments"))
+    val carried: Seq[SegMeta] = manifestPrev.getOrElse(Seq.empty)
+    // pre-segment layout upgrade: no manifest but a full holdback dir
+    // from the old per-batch-rewrite layout — fold it once through the
+    // slow path below, after which the manifest chain exists
+    val legacyPrev = new Path(s"$holdRoot/${batchId - 1}")
+    val legacyMode = manifestPrev.isEmpty && fs.exists(legacyPrev)
+    // rename batches take the fold-everything path too: stored rows are
+    // kept normalized through the latest batch (each batch then only
+    // ever applies its OWN rename steps), and folding on the rare
+    // DDL-rename batch is how that invariant survives append-only
+    // segments. Deterministic under replay: the fold decision derives
+    // from (manifest N-1, this batch's DDL), both replay-stable.
+    val slowPath = legacyMode || renames.colSteps.nonEmpty
+    val ctsCol = max(col("tso")).over(Window.partitionBy(col("txnId")))
+    val gated =
+      if (slowPath) {
+        val held =
+          if (legacyMode)
+            spark.read.schema(ChangeEvent.schema)
+              .parquet(legacyPrev.toString)
+          else if (carried.nonEmpty)
+            spark.read.schema(ChangeEvent.schema)
+              .parquet(carried.map(s => s"$holdRoot/${s.name}"): _*)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            ChangeEvent.schema)
+        Staged.parquetStage(normalizeRenames(
+          staged.unionByName(held).filter(!isHeartbeat), renames.colSteps)
+          .withColumn("__commit_tso", ctsCol), s"$workDir/gated")
+      } else
+        Staged.parquetStage(staged.filter(!isHeartbeat)
+          .withColumn("__commit_tso", ctsCol), s"$workDir/gated")
     // a force-completed log has SEALED everything at or below the old
     // barrier: a revived DN delivering transactions back there would
     // have to emit out of name order — refuse loudly by default, the
@@ -550,20 +600,40 @@ object CdcBinlog {
             .mkString("\n"))
       }
     }
+    // rows RELEASED from parked segments this batch: the barrier moved
+    // from st.barrier to `barrier`, so exactly the (st.barrier, barrier]
+    // slice of every segment whose minCts reaches under the new barrier.
+    // A static barrier (the straggler regime) opens NO segment; a
+    // moving one opens only straddlers, with the cts predicate pushed
+    // to the scan (segments are written sorted by cts, so row-group
+    // stats prune the above-barrier bulk).
+    val straddling =
+      if (slowPath) Seq.empty
+      else carried.filter(_.minCts <= barrier)
+    val released =
+      if (straddling.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          segSchema)
+      else spark.read.schema(segSchema)
+        .parquet(straddling.map(s => s"$holdRoot/${s.name}"): _*)
+        .filter(col("__commit_tso") > st.barrier &&
+          col("__commit_tso") <= barrier)
+    // a txn's branches may sit split between this batch and parked
+    // segments — the union fuses them and the range sort below lands
+    // them adjacent (same cts, same txnId); segment rows can never be
+    // late (every parked row's cts is above the barrier of the batch
+    // that parked it, and barriers are monotone)
     val emit = gated.filter(col("__commit_tso") <= barrier && !lateCond)
+      .unionByName(released)
 
-    // one aggregate serves two masters: the merge-metrics sidecar (the
-    // reference's MergeMetrics surface, task/.../metrics/
-    // MergeMetrics.java) and size-based rotation — emitted/held txn
-    // counts plus emitted ROW count, off the already-staged gate
-    val counts = gated.agg(
-      countDistinct(when(col("__commit_tso") <= barrier && !lateCond,
-        col("txnId"))).as("e"),
-      countDistinct(when(col("__commit_tso") > barrier,
-        col("txnId"))).as("h"),
-      count(when(col("__commit_tso") <= barrier && !lateCond, lit(1)))
-        .as("er"))
-      .collect()(0)
+    // merge metrics (the reference's MergeMetrics surface, task/.../
+    // metrics/MergeMetrics.java): emitted counts aggregate over the
+    // emit slice — cost O(emitted); held counts come from manifest
+    // arithmetic below, never a scan of the parked backlog
+    val counts = emit.agg(
+      countDistinct(col("txnId")).as("e"),
+      count(lit(1)).as("er")).collect()(0)
     // rotation by volume (LogFileGenerator's binlogFileSize semantics,
     // dumper/.../logfile/LogFileGenerator.java — the reference rotates
     // a busy log more often, not into one giant file): the run count
@@ -607,7 +677,7 @@ object CdcBinlog {
       ()
     }
     fanOut match {
-      case None => writeLog(emit, outDir, partsFor(counts.getLong(2)))
+      case None => writeLog(emit, outDir, partsFor(counts.getLong(1)))
       case Some(f) =>
         // Binlog-X (§3.2): DML hashes to its stream (HashConfig
         // .getStreamSeq semantics); DDL broadcasts to ALL streams (the
@@ -666,22 +736,119 @@ object CdcBinlog {
         } finally { pool.shutdown(); () }
     }
 
-    // holdback stage N (the frontier decision snapshot wrote before
-    // the wire files, above); N-2 (committed once N ran) is reclaimed
-    // — the work dir holds at most two batches of lag
-    gated.filter(col("__commit_tso") > barrier).drop("__commit_tso")
+    // segment N: only THIS batch's newly parked rows (slow path: the
+    // one-off fold of everything) — the frontier decision snapshot
+    // wrote before the wire files, above. Written sorted by cts so the
+    // release read's pushed predicate prunes at row-group stats, and
+    // always written (even empty) so a replay fully supersedes a
+    // crashed attempt's file set.
+    gated.filter(col("__commit_tso") > barrier)
+      .sortWithinPartitions(col("__commit_tso"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$workDir/hold/$batchId")
+      .parquet(s"$holdRoot/$batchId")
+    // per-DN park telemetry rides the new segment's meta aggregate: the
+    // straggler's victims are OTHER DNs' rows parked above its frontier
+    // (verdict: name the lagging DN and its parked-txn count per
+    // trigger, before force-complete has to)
+    val newSegStats = spark.read.schema(segSchema)
+      .parquet(s"$holdRoot/$batchId")
+      .groupBy(col("partitionId"))
+      .agg(count(lit(1)).as("rows"), min(col("__commit_tso")).as("mn"),
+        max(col("__commit_tso")).as("mx"),
+        countDistinct(col("txnId")).as("txns"))
+      .collect().toSeq
+    val newSeg: Option[SegMeta] =
+      if (newSegStats.isEmpty) None
+      else Some(SegMeta(batchId.toString,
+        newSegStats.map(_.getLong(1)).sum,
+        newSegStats.map(_.getLong(2)).min,
+        newSegStats.map(_.getLong(3)).max,
+        // per-DN distinct sums overcount a cross-DN XA txn once per
+        // branch DN; recount distinct txns only when branches CAN span
+        // groups (documented upper bound otherwise)
+        if (newSegStats.length <= 1) newSegStats.map(_.getLong(4)).sum
+        else spark.read.schema(segSchema).parquet(s"$holdRoot/$batchId")
+          .agg(countDistinct(col("txnId"))).collect()(0).getLong(0)))
+    val parkedByDn: Map[String, Long] =
+      newSegStats.map(r => r.getString(0) -> r.getLong(4)).toMap
+    // survivors among the carried segments: fully-released ones (maxCts
+    // at or under the barrier) drop out; straddlers re-count their
+    // remaining above-barrier slice (the same segments the release read
+    // already opened — untouched segments keep their meta verbatim)
+    val survivors: Seq[SegMeta] =
+      if (slowPath) Seq.empty
+      else carried.flatMap { s =>
+        if (s.maxCts <= barrier) None
+        else if (s.minCts > barrier) Some(s)
+        else segMetaOf(spark, s"$holdRoot/${s.name}", s.name, barrier)
+      }
+    // bounded segment count: size-tiered compaction — fold the two
+    // smallest live segments until the count fits (TxnApplier's
+    // compactBuckets discipline). Amortized LSM cost: steady parking
+    // folds two RECENT small segments (O(new)), a backlog's bulk folds
+    // only as tiers fill — never a per-trigger rewrite of the backlog.
+    // Deterministic under replay: inputs are (manifest N-1, sealed
+    // barrier), the fold order is (rows, name)-sorted, and fold outputs
+    // are named hold/<N>.c<i> so a replay overwrites its own files.
+    var live: Vector[SegMeta] = (survivors ++ newSeg).toVector
+    var foldIdx = 0
+    while (live.length > holdMaxSegments) {
+      val bySize = live.sortBy(s => (s.rows, s.name))
+      val (a, b) = (bySize(0), bySize(1))
+      val name = s"$batchId.c$foldIdx"
+      foldIdx += 1
+      spark.read.schema(segSchema)
+        .parquet(s"$holdRoot/${a.name}", s"$holdRoot/${b.name}")
+        .filter(col("__commit_tso") > barrier)
+        .sortWithinPartitions(col("__commit_tso"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$holdRoot/$name")
+      live = live.filterNot(s => s.name == a.name || s.name == b.name) ++
+        segMetaOf(spark, s"$holdRoot/$name", name, Long.MinValue)
+    }
+    writeManifest(fs, new Path(s"$holdRoot/$batchId.segments"), live)
+    val heldRows = live.map(_.rows).sum
+    // heldTxns: sum of per-segment distinct counts — an upper bound
+    // (a txn whose branches arrived in different polls sits in more
+    // than one segment); the pressure consumers (CdcReshard.recommend,
+    // alarms) want the safe-side bound
+    val heldTxns = live.map(_.txns).sum
+    val maxFrontier = decided.frontiers.values.map(_._1)
+      .foldLeft(Long.MinValue)(math.max)
+    val lagKeys = decided.frontiers.toSeq.sortBy(_._1).map {
+      case (dn, (f, _)) =>
+        s";lag.$dn=${if (f == Long.MinValue) -1L else maxFrontier - f}"
+    }.mkString
+    val parkKeys = parkedByDn.toSeq.sorted.map { case (dn, t) =>
+      s";parked.$dn=$t"
+    }.mkString
     // merge-metrics sidecar, written beside the frontier for operators
     // (writeSwap: readMergeMetrics must never see a half-written file)
     graft.util.HadoopIo.writeSwap(
-      new Path(s"$workDir/hold/.$batchId.metrics.tmp"),
-      new Path(s"$workDir/hold/$batchId.metrics"),
+      new Path(s"$holdRoot/.$batchId.metrics.tmp"),
+      new Path(s"$holdRoot/$batchId.metrics"),
       s"barrier=$barrier;emittedTxns=${counts.getLong(0)};" +
-        s"heldTxns=${counts.getLong(1)}")
-    fs.delete(new Path(s"$workDir/hold/${batchId - 2}.metrics"), false)
-    fs.delete(new Path(s"$workDir/hold/${batchId - 2}"), true)
-    fs.delete(new Path(s"$workDir/hold/${batchId - 2}.frontier"), false)
+        s"heldTxns=$heldTxns;heldRows=$heldRows;" +
+        s"segments=${live.length};maxFrontier=$maxFrontier" +
+        lagKeys + parkKeys)
+    fs.delete(new Path(s"$holdRoot/${batchId - 2}.metrics"), false)
+    fs.delete(new Path(s"$holdRoot/${batchId - 2}.frontier"), false)
+    fs.delete(new Path(s"$holdRoot/${batchId - 2}.segments"), false)
+    // segment GC: a dir neither manifest N-1 nor manifest N references
+    // is released or folded-away; it must outlive the batch that
+    // dropped it by one committed batch (a replay of N re-reads
+    // manifest N-1's set, including segments N's fold consumed), so
+    // only batch-parts at or under N-2 are reclaimed. Orphans from a
+    // crashed GC are re-listed and reaped next batch.
+    val referenced = (carried.map(_.name) ++ live.map(_.name)).toSet
+    val holdPath = new Path(holdRoot)
+    if (fs.exists(holdPath)) fs.listStatus(holdPath).foreach { stt =>
+      val n = stt.getPath.getName
+      if (stt.isDirectory && n.matches("\\d+(\\.c\\d+)?") &&
+          !referenced(n) &&
+          n.takeWhile(_.isDigit).toLong <= batchId - 2)
+        fs.delete(stt.getPath, true)
+    }
     // persist the registry: the versioned snapshot is the NEXT batch's
     // re-encode base (and this batch's replay anchor, above); the
     // registryDir sidecar seeds the SOURCE's decode, where the wire's
@@ -889,6 +1056,83 @@ object CdcBinlog {
       new Path(p.getParent, s".${p.getName}.tmp"), p,
       graft.jobs.LiveReplicaJob.serializeRegistry(reg))
 
+  /** One live holdback segment's manifest entry: file name under
+    * hold/ (`<batch>` or `<batch>.c<i>`), remaining above-barrier row
+    * count, its cts range, and its distinct-txn count (recounted when
+    * the segment is opened for release; an upper bound on live txns
+    * when summed across segments — one txn's branches can park in
+    * more than one segment). */
+  private[streaming] final case class SegMeta(name: String, rows: Long,
+      minCts: Long, maxCts: Long, txns: Long)
+
+  /** Holdback segment schema: the change-event envelope plus the
+    * persisted commit-TSO gate key (stable across batches under the
+    * shared-CTS contract — see the segment block in emitBatch). */
+  private[streaming] val segSchema: StructType =
+    StructType(ChangeEvent.schema.fields :+
+      StructField("__commit_tso", LongType, nullable = true))
+
+  /** None = no manifest (fresh start, or the pre-segment layout). */
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Option[Seq[SegMeta]] =
+    if (!fs.exists(p)) None
+    else Some(graft.util.HadoopIo.readString(p).split("\n").toSeq
+      .filter(_.nonEmpty).map { line =>
+        val Array(n, r, mn, mx, t) = line.split(",")
+        SegMeta(n, r.toLong, mn.toLong, mx.toLong, t.toLong)
+      })
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path, segs: Seq[SegMeta]): Unit =
+    graft.util.HadoopIo.writeSwap(
+      new Path(p.getParent, s".${p.getName}.tmp"), p,
+      segs.map(s => s"${s.name},${s.rows},${s.minCts},${s.maxCts}," +
+        s"${s.txns}").mkString("\n"))
+
+  /** (Re)count a segment's above-`aboveCts` slice — None when nothing
+    * remains (the segment leaves the manifest and GC reclaims it). */
+  private def segMetaOf(spark: SparkSession, dir: String, name: String,
+      aboveCts: Long): Option[SegMeta] = {
+    val r = spark.read.schema(segSchema).parquet(dir)
+      .filter(col("__commit_tso") > aboveCts)
+      .agg(count(lit(1)), min(col("__commit_tso")),
+        max(col("__commit_tso")), countDistinct(col("txnId")))
+      .collect()(0)
+    if (r.getLong(0) == 0L) None
+    else Some(SegMeta(name, r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3)))
+  }
+
+  /** Straggler telemetry batch `batchId` wrote beside its merge
+    * metrics: per-DN frontier lag (distance to the fastest frontier;
+    * -1 = never delivered) and per-DN txns newly parked this trigger —
+    * the observable that names a straggler DN before force-complete
+    * has to seal it out. None once aged out or never written. */
+  final case class HoldTelemetry(barrier: Long, maxFrontier: Long,
+      heldRows: Long, heldTxns: Long, segments: Int,
+      lagByDn: Map[String, Long], parkedTxnsByDn: Map[String, Long])
+
+  def readHoldTelemetry(workDir: String, batchId: Long)
+      : Option[HoldTelemetry] = {
+    val p = new Path(s"$workDir/hold/$batchId.metrics")
+    val fs = graft.util.HadoopIo.fsOf(p)
+    if (!fs.exists(p)) return None
+    val kv = graft.util.HadoopIo.readString(p).split(";")
+      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }
+      .toMap
+    try for {
+      b <- kv.get("barrier"); hr <- kv.get("heldRows")
+      ht <- kv.get("heldTxns"); sg <- kv.get("segments")
+      mf <- kv.get("maxFrontier")
+    } yield HoldTelemetry(b.toLong, mf.toLong, hr.toLong, ht.toLong,
+      sg.toInt,
+      kv.collect { case (k, v) if k.startsWith("lag.") =>
+        k.stripPrefix("lag.") -> v.toLong },
+      kv.collect { case (k, v) if k.startsWith("parked.") =>
+        k.stripPrefix("parked.") -> v.toLong })
+    catch { case _: NumberFormatException => None }
+  }
+
   /** Persisted merge state: the sealed barrier plus per-DN
     * (frontier, consecutive-stall-batches). */
   private[streaming] final case class FrontierState(barrier: Long,
@@ -984,7 +1228,8 @@ object CdcBinlogX {
       advanceIdleFrontiers: Boolean = false,
       sealedGapSkip: Boolean = false,
       convertDdl: Boolean = false,
-      maxGapRecords: Int = 1000000): StreamingQuery = {
+      maxGapRecords: Int = 1000000,
+      holdMaxSegments: Int = 12): StreamingQuery = {
     require(fanOut.streams > 0, "fanOut.streams must be positive")
     CdcBinlog.start(spark, endpoints, user, password, tableCols,
       outDir, checkpointDir, workDir, numPartitions, heartbeatTables,
@@ -993,6 +1238,6 @@ object CdcBinlogX {
       targetRowsPerFile, fanOut = Some(fanOut),
       advanceIdleFrontiers = advanceIdleFrontiers,
       sealedGapSkip = sealedGapSkip, convertDdl = convertDdl,
-      maxGapRecords = maxGapRecords)
+      maxGapRecords = maxGapRecords, holdMaxSegments = holdMaxSegments)
   }
 }
