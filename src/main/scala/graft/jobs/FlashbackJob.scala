@@ -44,18 +44,23 @@ object FlashbackJob {
       opCol, beforeCol, afterCol)
 
   /** SQL literal for one string-image cell: NULL when the image lacks
-    * the column, else a single-quoted string with backslash, quote and
-    * newline escaped — `RecoveryApplier.valueWrapper`
-    * (rpl/applier/RecoveryApplier.java:264-298). MySQL compares quoted
+    * the column, else a single-quoted string with backslash, quote,
+    * newline AND carriage return escaped — `RecoveryApplier
+    * .valueWrapper` (rpl/applier/RecoveryApplier.java:264-298), plus
+    * the \r the reference misses: the artifact is LINE-oriented (one
+    * statement per line; the observed statement count and any
+    * line-based replayer depend on it), so a raw \r inside a value
+    * would split one statement across lines. MySQL compares quoted
     * numerics fine; callers with typed targets list `numericCols` to
     * emit them bare. */
   private def sqlLit(v: Column, numeric: Boolean): Column =
     if (numeric) coalesce(v, lit("NULL"))
     else when(v.isNull, lit("NULL")).otherwise(concat(lit("'"),
-      regexp_replace(regexp_replace(regexp_replace(v,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(v,
         lit("\\\\"), lit("\\\\\\\\")),
         lit("'"), lit("\\\\'")),
         lit("\n"), lit("\\\\n")),
+        lit("\r"), lit("\\\\r")),
       lit("'")))
 
   /** EXPORT the flashback as executable SQL files — the user-facing
@@ -71,15 +76,21 @@ object FlashbackJob {
     *  - inverted UPDATE:               UPDATE `s`.`t` SET after' WHERE keys(before');
     *
     * Spark restatement of the file packaging: rendering is pure column
-    * expressions (one scan, codegen, no UDFs); the statements land as
-    * `numFiles` RANGE files — `repartitionByRange` on the replay order
-    * then a local sort, so part-file k holds a contiguous newest-first
-    * slice and lexicographic file order IS replay order (the same
-    * partition-indexed total-order trick as the binlog writers). A
-    * `_meta` sidecar records the tso range and statement count.
+    * expressions in ONE per-table-dispatched projection — one scan of
+    * the inverted range regardless of how many tables it touches
+    * (codegen, no UDFs, no per-table union branches); the statements
+    * land as `numFiles` RANGE files — `repartitionByRange` on the
+    * replay order then a local sort, so part-file k holds a contiguous
+    * newest-first slice and lexicographic file order IS replay order
+    * (the same partition-indexed total-order trick as the binlog
+    * writers). A `_meta` sidecar records the tso range and statement
+    * count — both ride the write as OBSERVED metrics (the OrderedSink
+    * cursor idiom), so the export is exactly one distinct-tables probe
+    * plus one render-and-write pass, never a re-read of the output.
     *
     * @param inverted [[build]]'s output (op/images already swapped,
-    *   `replay_order` = -tso)
+    *   `replay_order` = -tsoCol); pass the same column names given to
+    *   build when they differ from the ChangeEvent defaults
     * @param tableCols (schema, table) → ordered column names (the wire
     *   registry); tables absent from it are refused loudly — emitting
     *   half a restore script silently would not be a recovery tool
@@ -93,15 +104,18 @@ object FlashbackJob {
       keyCols: Map[(String, String), Seq[String]],
       outDir: String, numFiles: Int = 16,
       numericCols: Map[(String, String), Set[String]] = Map.empty,
-      seqCol: Option[String] = None): Long = {
+      seqCol: Option[String] = None,
+      tsoCol: String = "tso", opCol: String = "op",
+      schemaCol: String = "schemaName", tableCol: String = "tableName",
+      beforeCol: String = "before", afterCol: String = "after"): Long = {
     val spark = inverted.sparkSession
     import spark.implicits._
     keyCols.keys.foreach { k =>
       require(tableCols.contains(k), s"keyCols for unregistered table $k")
     }
     val present = inverted
-      .select(col("schemaName"), col("tableName")).distinct()
-      .as[(String, String)].collect().toSeq
+      .select(col(schemaCol), col(tableCol)).distinct()
+      .as[(String, String)].collect().toSeq.sorted
     val unroutable = present.filterNot(tableCols.contains)
     require(unroutable.isEmpty,
       s"flashback range touches unregistered tables $unroutable — " +
@@ -112,56 +126,78 @@ object FlashbackJob {
       // (RecoveryApplier.java:393 hasPrimaryOrUniqueKey) — a RESTORE
       // artifact must not silently skip, so this refuses instead
       s"no key columns for $missingKeys — WHERE clauses need keys")
-    val perTable = present.map { case (s, t) =>
-      val cols = tableCols((s, t))
-      val keys = keyCols((s, t))
-      val nums = numericCols.getOrElse((s, t), Set.empty)
-      def img(side: String, c: String) =
-        sqlLit(element_at(col(side), c), nums.contains(c))
-      val qual = s"`$s`.`$t`"
-      def whereKeys(side: String) = concat(
-        keys.map(k => concat(lit(s"`$k` = "), img(side, k)))
-          .reduce((a, b) => concat(a, lit(" AND "), b)))
-      val insertStmt = concat(
-        lit(s"REPLACE INTO $qual (" +
-          cols.map(c => s"`$c`").mkString(", ") + ") VALUES ("),
-        cols.map(c => img("after", c))
-          .reduce((a, b) => concat(a, lit(", "), b)),
-        lit(");"))
-      val deleteStmt = concat(lit(s"DELETE FROM $qual WHERE "),
-        whereKeys("before"), lit(";"))
-      val updateStmt = concat(lit(s"UPDATE $qual SET "),
-        cols.map(c => concat(lit(s"`$c` = "), img("after", c)))
-          .reduce((a, b) => concat(a, lit(", "), b)),
-        lit(" WHERE "), whereKeys("before"), lit(";"))
-      // within one transaction (equal replay_order), rows replay in
-      // REVERSE of their original intra-txn order — a key changed twice
-      // in a txn must undo newest-first, like the statements across txns
-      val tie = seqCol.map(c => -col(c)).getOrElse(lit(0))
-      inverted
-        .filter(col("schemaName") === s && col("tableName") === t)
-        .select(col("replay_order"), tie.as("__tie"),
-          when(col("op") === "INSERT", insertStmt)
-            .when(col("op") === "DELETE", deleteStmt)
-            .when(col("op") === "UPDATE", updateStmt)
-            .as("stmt"))
+    if (present.isEmpty) {
+      // deterministic empty artifact: no statements, empty range
+      spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.StringType))))
+        .write.mode("overwrite").text(outDir)
+      graft.util.HadoopIo.writeSwap(
+        new org.apache.hadoop.fs.Path(s"$outDir/._meta.tmp"),
+        new org.apache.hadoop.fs.Path(s"$outDir/_meta"),
+        "statements=0\nfromTso=0\ntoTso=0")
+      return 0L
     }
-    if (perTable.isEmpty) return 0L
-    val all = perTable.reduce(_ unionByName _)
-      .filter(col("stmt").isNotNull) // non-DML rows render nothing
+    // one dispatched rendering expression: per (table, op) a statement
+    // shape, chained `when`s over the scan — T tables cost expression
+    // width, not T passes over the range
+    val stmtFor: ((String, String)) => (Column, Column, Column) = {
+      case (s, t) =>
+        val cols = tableCols((s, t))
+        val keys = keyCols((s, t))
+        val nums = numericCols.getOrElse((s, t), Set.empty)
+        def img(side: String, c: String) =
+          sqlLit(element_at(col(side), c), nums.contains(c))
+        val qual = s"`$s`.`$t`"
+        def whereKeys(side: String) = concat(
+          keys.map(k => concat(lit(s"`$k` = "), img(side, k)))
+            .reduce((a, b) => concat(a, lit(" AND "), b)))
+        (concat(
+          lit(s"REPLACE INTO $qual (" +
+            cols.map(c => s"`$c`").mkString(", ") + ") VALUES ("),
+          cols.map(c => img(afterCol, c))
+            .reduce((a, b) => concat(a, lit(", "), b)),
+          lit(");")),
+          concat(lit(s"DELETE FROM $qual WHERE "),
+            whereKeys(beforeCol), lit(";")),
+          concat(lit(s"UPDATE $qual SET "),
+            cols.map(c => concat(lit(s"`$c` = "), img(afterCol, c)))
+              .reduce((a, b) => concat(a, lit(", "), b)),
+            lit(" WHERE "), whereKeys(beforeCol), lit(";")))
+    }
+    val stmt = present.foldLeft(when(lit(false), lit(null))) {
+      case (w, (s, t)) =>
+        val (ins, del, upd) = stmtFor((s, t))
+        val here = col(schemaCol) === s && col(tableCol) === t
+        w.when(here && col(opCol) === "INSERT", ins)
+          .when(here && col(opCol) === "DELETE", del)
+          .when(here && col(opCol) === "UPDATE", upd)
+    }
+    // within one transaction (equal replay_order), rows replay in
+    // REVERSE of their original intra-txn order — a key changed twice
+    // in a txn must undo newest-first, like the statements across txns
+    val tie = seqCol.map(c => -col(c)).getOrElse(lit(0))
     val files = math.max(1, numFiles)
-    all.repartitionByRange(files, col("replay_order"))
+    val obs = org.apache.spark.sql.Observation()
+    inverted
+      .select(col("replay_order"), tie.as("__tie"),
+        col(tsoCol).as("__tso"), stmt.as("stmt"))
+      .filter(col("stmt").isNotNull) // non-DML rows render nothing
+      .repartitionByRange(files, col("replay_order"))
       .sortWithinPartitions(col("replay_order"), col("__tie"))
+      .observe(obs, count(lit(1)).as("n"),
+        min(col("__tso")).as("lo"), max(col("__tso")).as("hi"))
       .select(col("stmt"))
       .write.mode("overwrite").text(outDir)
-    val n = spark.read.text(outDir).count()
-    val range = inverted.agg(min(col("tso")), max(col("tso")))
-      .as[(Option[Long], Option[Long])].collect().head
+    val n = Option(obs.get("n")).map(_.toString.toLong).getOrElse(0L)
+    val lo = Option(obs.get("lo")).map(_.toString.toLong).getOrElse(0L)
+    val hi = Option(obs.get("hi")).map(_.toString.toLong).getOrElse(0L)
     graft.util.HadoopIo.writeSwap(
       new org.apache.hadoop.fs.Path(s"$outDir/._meta.tmp"),
       new org.apache.hadoop.fs.Path(s"$outDir/_meta"),
-      s"statements=$n\nfromTso=${range._1.getOrElse(0L)}\n" +
-        s"toTso=${range._2.getOrElse(0L)}")
+      s"statements=$n\nfromTso=$lo\ntoTso=$hi")
     n
   }
 }

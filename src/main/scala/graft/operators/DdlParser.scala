@@ -406,9 +406,14 @@ object DdlParser {
           }
         case "create" if kw.lift(1).exists(Set("database", "schema")) => Noop
         case "create" => Noop // CREATE INDEX / VIEW / USER ...
-        case "drop" if kw.lift(1).contains("table") =>
-          // DROP TABLE [IF EXISTS] a[, b.c, ...] [CASCADE|RESTRICT]
-          var i = 2
+        case "drop" if kw.lift(1).contains("table") ||
+            (kw.lift(1).contains("temporary") &&
+              kw.lift(2).contains("table")) =>
+          // DROP [TEMPORARY] TABLE [IF EXISTS] a[, b.c, ...]
+          // [CASCADE|RESTRICT] — TEMPORARY drops the same way (the
+          // registry fold removes the entry either way; a session
+          // temp table the registry never saw just no-ops downstream)
+          var i = if (kw.lift(1).contains("temporary")) 3 else 2
           if (kw.lift(i).contains("if")) i += 2 // IF EXISTS
           val tabs = Seq.newBuilder[(String, String)]
           var more = true

@@ -85,24 +85,56 @@ object TxnApplier {
     /** Delta once the measured target reaches `crossoverBytes`, COW
       * below it. Sticky while live chains exist (a mid-chain COW apply
       * would fold the whole target first — the expensive move Auto
-      * exists to avoid). */
-    final case class Auto(crossoverBytes: Long = DefaultCrossoverBytes)
+      * exists to avoid). `remeasureCommits` bounds how often the size
+      * is actually measured: a below-crossover table re-measures only
+      * after that many committed versions (the measure is a recursive
+      * listing per referenced dir — on object stores, O(buckets)
+      * remote LIST calls; paying it on EVERY trigger for every small
+      * table of a standing consumer is the tax this bound removes).
+      * Staleness only delays the COW→delta flip by at most that many
+      * triggers — both modes are correct, the knee is a cost curve,
+      * not a cliff. */
+    final case class Auto(crossoverBytes: Long = DefaultCrossoverBytes,
+        remeasureCommits: Long = DefaultRemeasureCommits)
       extends ApplyMode
     /** The measured COW/delta crossover (sf1 rehearsal: COW wins to
       * ~100 MB, loses clearly by ~800 MB; the knee sits in between). */
     val DefaultCrossoverBytes: Long = 256L << 20
+    /** Default size-probe cadence in committed versions. */
+    val DefaultRemeasureCommits: Long = 16L
   }
 
+  // dir -> (measured bytes, version measured at); per-JVM, valid under
+  // the single-writer-per-target deployment contract (the only writer
+  // that can change the size is the one consulting the cache)
+  private val targetBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
   /** Resolve the mode for one target right now. O(1) metadata for the
-    * fixed modes; Auto reads the current manifest and, when no chain is
-    * live, sums the referenced files' lengths (one listing pass,
-    * O(files of the current version) driver-side — the same cost class
-    * as the maintenance passes that run next to it). */
+    * fixed modes; Auto reads the current pointer (O(1)) and re-measures
+    * the committed size only every `remeasureCommits` versions — the
+    * measure itself is one listing pass, O(files of the current
+    * version) driver-side, the same cost class as the maintenance
+    * passes that run next to it. */
   def useDelta(dir: String, mode: ApplyMode): Boolean = mode match {
     case ApplyMode.Cow => false
     case ApplyMode.Delta => true
-    case ApplyMode.Auto(crossover) =>
-      maxChainLength(dir) > 1 || targetBytes(dir) >= crossover
+    case ApplyMode.Auto(crossover, remeasure) =>
+      maxChainLength(dir) > 1 ||
+        targetBytesCached(dir, remeasure) >= crossover
+  }
+
+  private def targetBytesCached(dir: String, remeasure: Long): Long = {
+    val v = currentCommit(dir).map(_.version).getOrElse(-1L)
+    Option(targetBytesCache.get(dir)) match {
+      // re-measure on cadence, and on any non-monotone version (a
+      // rebuilt/reset target must never serve a stale size)
+      case Some((b, mv)) if v >= mv && v - mv < remeasure => b
+      case _ =>
+        val b = targetBytes(dir)
+        targetBytesCache.put(dir, (b, v))
+        b
+    }
   }
 
   /** Measured bytes of everything the CURRENT version references (base

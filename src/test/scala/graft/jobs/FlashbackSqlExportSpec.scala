@@ -27,6 +27,7 @@ class FlashbackSqlExportSpec extends SparkSpec {
         if (body(i) == '\\' && i + 1 < body.length) {
           body(i + 1) match {
             case 'n' => sb.append('\n')
+            case 'r' => sb.append('\r')
             case c => sb.append(c)
           }
           i += 2
@@ -105,7 +106,7 @@ class FlashbackSqlExportSpec extends SparkSpec {
         img("4", "1", Some("new4"), "5")),
       (11L, 1L, "UPDATE", img("1", "0", Some("x"), "100"),
         img("1", "1", Some("y'z"), "150")),
-      (12L, 1L, "DELETE", img("2", "0", Some("b\\c\nd"), "200"),
+      (12L, 1L, "DELETE", img("2", "0", Some("b\\c\nd\re"), "200"),
         Map.empty[String, String]),
       (13L, 1L, "UPDATE", img("4", "1", Some("new4"), "5"),
         img("4", "2", Some("new4"), "10")),
@@ -144,10 +145,12 @@ class FlashbackSqlExportSpec extends SparkSpec {
     assert(stmts.head == "DELETE FROM `bank`.`accounts` WHERE `id` = 5;")
     assert(stmts.last == "DELETE FROM `bank`.`accounts` WHERE `id` = 4;")
     // the DELETE of id 2 restores via REPLACE with escaped quote-free
-    // but backslash/newline-bearing note
+    // but backslash/newline/carriage-return-bearing note (the \r would
+    // otherwise split the line-oriented artifact — the reference's
+    // valueWrapper gap)
     assert(stmts.exists(_ ==
       "REPLACE INTO `bank`.`accounts` (`id`, `seq`, `note`, `balance`)" +
-        " VALUES (2, 0, 'b\\\\c\\nd', 200);"))
+        " VALUES (2, 0, 'b\\\\c\\nd\\re', 200);"))
 
     // REPLAY through the MySQL-semantics emulation: end state → pre state
     val endState: Table = Map(
@@ -163,7 +166,7 @@ class FlashbackSqlExportSpec extends SparkSpec {
       "1" -> Map("id" -> Some("1"), "seq" -> Some("0"),
         "note" -> Some("x"), "balance" -> Some("100")),
       "2" -> Map("id" -> Some("2"), "seq" -> Some("0"),
-        "note" -> Some("b\\c\nd"), "balance" -> Some("200")),
+        "note" -> Some("b\\c\nd\re"), "balance" -> Some("200")),
       "3" -> Map("id" -> Some("3"), "seq" -> Some("0"),
         "note" -> Some("c3"), "balance" -> Some("300")))
     // statements may span lines? no — one per line by construction
@@ -176,6 +179,41 @@ class FlashbackSqlExportSpec extends SparkSpec {
     val meta = scala.io.Source.fromFile(s"$out/_meta").getLines().toSeq
     assert(meta.contains("statements=6") && meta.contains("fromTso=10")
       && meta.contains("toTso=14"), s"meta: $meta")
+  }
+
+  test("exportSql multi-table: one dispatched render covers all tables " +
+      "(no per-table passes), interleaved replay order kept") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-fbsql-mt").toString + "/sql"
+    val events = Seq(
+      (10L, "INSERT", "a", Map.empty[String, String],
+        Map("id" -> "1", "v" -> "x")),
+      (11L, "INSERT", "b", Map.empty[String, String],
+        Map("k" -> "7", "w" -> "y")),
+      (12L, "DELETE", "a", Map("id" -> "2", "v" -> "z"),
+        Map.empty[String, String]))
+      .toDF("tso", "op", "tableName", "before", "after")
+      .withColumn("schemaName", org.apache.spark.sql.functions.lit("db"))
+    val inverted = FlashbackJob.build(events, "tso", 10L, 12L,
+      "op", "before", "after", "tableName")
+    val n = FlashbackJob.exportSql(inverted,
+      Map(("db", "a") -> Seq("id", "v"), ("db", "b") -> Seq("k", "w")),
+      Map(("db", "a") -> Seq("id"), ("db", "b") -> Seq("k")),
+      out, numFiles = 1,
+      numericCols = Map(("db", "a") -> Set("id"), ("db", "b") -> Set("k")))
+    assert(n == 3L)
+    val stmts = new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".txt")).sortBy(_.getName)
+      .toSeq.flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
+    // newest-first ACROSS tables: undo tso 12 (a), then 11 (b), then 10 (a)
+    assert(stmts == Seq(
+      "REPLACE INTO `db`.`a` (`id`, `v`) VALUES (2, 'z');",
+      "DELETE FROM `db`.`b` WHERE `k` = 7;",
+      "DELETE FROM `db`.`a` WHERE `id` = 1;"), s"got $stmts")
+    val meta = scala.io.Source.fromFile(s"$out/_meta").getLines().toSeq
+    assert(meta.contains("statements=3") && meta.contains("fromTso=10")
+      && meta.contains("toTso=12"), s"meta: $meta")
   }
 
   test("exportSql refuses unregistered and keyless tables loudly") {

@@ -282,15 +282,40 @@ class TxnApplierDeltaSpec extends SparkSpec {
     assert(TxnApplier.targetBytes(small.targetDir) > 0L)
 
     // crossover of 1 byte: the bootstrapped target is already past it —
-    // every trigger goes delta
+    // every trigger goes delta (remeasureCommits=1 probes the size on
+    // every trigger, the exact-flip setting)
     val big = mkTarget("big")
     (0 until 3).foreach { i =>
       graft.jobs.WireReplicaJob.applyRouted(routedSlice(i * 2 + 1L),
         Seq(big), txnsPerCommit = 1,
-        applyMode = TxnApplier.ApplyMode.Auto(crossoverBytes = 1L))
+        applyMode = TxnApplier.ApplyMode.Auto(crossoverBytes = 1L,
+          remeasureCommits = 1L))
     }
     assert(TxnApplier.maxChainLength(big.targetDir) > 1,
       "a past-crossover target under Auto must apply delta")
+
+    // bounded staleness: under the default probe cadence a just-crossed
+    // target may keep the stale below-crossover measure for up to
+    // remeasureCommits versions — the flip is delayed, never wrong-mode
+    // forever (the size probe on object stores is a recursive listing
+    // per bucket dir; this bound is what keeps a standing consumer with
+    // many small tables from paying it every trigger)
+    val lag = mkTarget("lagged")
+    (0 until 3).foreach { i =>
+      graft.jobs.WireReplicaJob.applyRouted(routedSlice(i * 2 + 1L),
+        Seq(lag), txnsPerCommit = 1,
+        applyMode = TxnApplier.ApplyMode.Auto(crossoverBytes = 1L,
+          remeasureCommits = 1000L))
+    }
+    assert(TxnApplier.maxChainLength(lag.targetDir) == 1,
+      "within the probe cadence the stale 0-byte measure keeps COW")
+    assert(!TxnApplier.useDelta(lag.targetDir,
+      TxnApplier.ApplyMode.Auto(crossoverBytes = 1L,
+        remeasureCommits = 1000L)))
+    assert(TxnApplier.useDelta(lag.targetDir,
+      TxnApplier.ApplyMode.Auto(crossoverBytes = 1L,
+        remeasureCommits = 1L)),
+      "a fresh probe sees the crossed size and flips")
 
     // sticky: with chains live, Auto reports delta even under a huge
     // crossover (a mid-chain COW apply would fold the whole target)
