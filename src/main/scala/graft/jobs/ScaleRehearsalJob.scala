@@ -47,7 +47,8 @@ object ScaleRehearsalJob {
       consumed: Int, stages: Seq[Stage], producedRows: Long,
       consumedRows: Long, hotStreamRows: Long,
       consumerStats: Seq[ConsumerStat] = Seq.empty,
-      compaction: Seq[TxnApplier.CompactionEvent] = Seq.empty) {
+      compaction: Seq[TxnApplier.CompactionEvent] = Seq.empty,
+      modeFlips: Seq[TxnApplier.ModeFlip] = Seq.empty) {
     def json: String = {
       val st = stages.map(s => s""""${s.name}":{"wallMs":${s.wallMs},""" +
         s""""rows":${s.rows},"bytes":${s.bytes},"files":${s.files}}""")
@@ -60,12 +61,16 @@ object ScaleRehearsalJob {
       val cp = compaction.map(e =>
         s"""{"buckets":${e.buckets},"wallMs":${e.wallMs}}""")
         .mkString(",")
+      val mf = modeFlips.map(f =>
+        s"""{"dir":"${f.dir.split('/').takeRight(2).mkString("/")}",""" +
+        s""""version":${f.version},"delta":${f.delta}}""").mkString(",")
       s"""{"metric":"scale_rehearsal","dns":$dns,""" +
         s""""rowsPerDn":$rowsPerDn,"streams":$streams,""" +
         s""""consumed":$consumed,"producedRows":$producedRows,""" +
         s""""consumedRows":$consumedRows,""" +
         s""""hotStreamRows":$hotStreamRows,""" +
-        s""""consumers":[$cs],"compaction":[$cp],"stages":{$st}}"""
+        s""""consumers":[$cs],"compaction":[$cp],""" +
+        s""""modeFlips":[$mf],"stages":{$st}}"""
     }
   }
 
@@ -152,6 +157,34 @@ object ScaleRehearsalJob {
     }.toVector
   }
 
+  /** Write wave `w` of DN `d` as the NEXT file of its wire log (the
+    * per-DN GTID stream chains through `priorExecuted`; the file index
+    * is whatever the dir holds next — heartbeat appends interleave, so
+    * wave index and file index diverge). Shared by the batch fixture
+    * and the straggler/run-F live appends. */
+  private def writeWaveFile(spark: SparkSession,
+      reg: Map[(String, String), Seq[String]], dnDir: String,
+      sid: java.util.UUID, w: Int, d: Int, dns: Int,
+      rowsPerWave: Long): Unit = {
+    val prior = if (w == 0) GtidSet.Empty
+      else GtidSet(Map(sid -> (0 until w)
+        .flatMap(pw => waveIntervals(pw, d, dns, rowsPerWave))
+        .toVector))
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft-rehearsal-w").toString
+    BinlogWire.writeChangeStreamBinlogFiles(
+      waveDf(spark, waveBase(w, dns, rowsPerWave), d, dns, rowsPerWave)
+        .coalesce(1).sortWithinPartitions("tso"),
+      reg, scratch, checksummed = true, gtidSid = Some(sid),
+      priorExecuted = prior)
+    val next = Option(new java.io.File(dnDir).listFiles()).toSeq
+      .flatten.count(_.getName.startsWith("binlog."))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(scratch, "binlog.000000"),
+      java.nio.file.Paths.get(dnDir, f"binlog.$next%06d"))
+    ()
+  }
+
   def run(spark: SparkSession, root: String, dns: Int, rowsPerDn: Long,
       streams: Int, waves: Int = 2, consumers: Int = 2,
       numPartitions: Int = 8, txnsPerCommit: Int = 10000,
@@ -176,22 +209,8 @@ object ScaleRehearsalJob {
     val (_, fixtureMs) = timed {
       (0 until waves).foreach { w =>
         (0 until dns).foreach { d =>
-          val prior = if (w == 0) GtidSet.Empty
-            else GtidSet(Map(sids(d) -> (0 until w)
-              .flatMap(pw => waveIntervals(pw, d, dns, rowsPerWave))
-              .toVector))
-          val scratch = java.nio.file.Files
-            .createTempDirectory("graft-rehearsal-w").toString
-          BinlogWire.writeChangeStreamBinlogFiles(
-            waveDf(spark, waveBase(w, dns, rowsPerWave), d, dns,
-              rowsPerWave)
-              .coalesce(1).sortWithinPartitions("tso"),
-            reg, scratch, checksummed = true, gtidSid = Some(sids(d)),
-            priorExecuted = prior)
-          java.nio.file.Files.move(
-            java.nio.file.Paths.get(scratch, "binlog.000000"),
-            java.nio.file.Paths.get(dnDirs(d), f"binlog.$w%06d"))
-          ()
+          writeWaveFile(spark, reg, dnDirs(d), sids(d), w, d, dns,
+            rowsPerWave)
         }
       }
     }
@@ -286,6 +305,7 @@ object ScaleRehearsalJob {
       else TxnApplier.readCurrent(spark, t.targetDir).count()
     }.sum
     TxnApplier.drainCompactionLog() // clear pre-consume noise
+    TxnApplier.drainModeLog()
     var consumerStats = Seq.empty[ConsumerStat]
     val (consumedRows, consumeMs) = timed {
       standingTriggerMs match {
@@ -374,6 +394,7 @@ object ScaleRehearsalJob {
       }
     }
     val compactionEvents = TxnApplier.drainCompactionLog()
+    val modeFlips = TxnApplier.drainModeLog()
 
     // ---- stage: retention (archive-coupled purge per stream; keep
     //      the top half of the TSO space live) ----
@@ -402,17 +423,533 @@ object ScaleRehearsalJob {
         Stage("retention", retentionMs, files = purgedFiles,
           rows = archivedFiles)),
       producedRows, consumedRows, hotStreamRows,
-      consumerStats, compactionEvents)
+      consumerStats, compactionEvents, modeFlips)
+  }
+
+  /** One produce trigger of the straggler run, joined from the query's
+    * progress ring and the holdback telemetry sidecar: wall, input
+    * rows, parked backlog after the trigger, live segment count, the
+    * straggler's frontier lag, and the txns OTHER DNs newly parked. */
+  final case class StragglerTrigger(batch: Long, ms: Long, rowsIn: Long,
+      heldRows: Long, segments: Int, lagStraggler: Long,
+      parkedOther: Long)
+
+  /** DELIBERATE-STRAGGLER rehearsal (the run-E defect class, measured
+    * against the append-only holdback): dn0 delivers wave 0 and then
+    * goes quiet — no force-complete, its frontier parks the barrier —
+    * while the other DNs keep delivering a wave per step through the
+    * STANDING ProcessingTime production. The parked backlog grows by
+    * (dns-1) × rowsPerWave per step; the claim under test is that
+    * per-trigger produce wall stays FLAT in that backlog (each trigger
+    * pays O(new + released) holdback IO, never a backlog rewrite).
+    * Then dn0 catches up (its waves append, every frontier beats past
+    * the tso space) and the whole backlog must release — exactly once,
+    * conservation checked against the decoded output log.
+    *
+    * Returns the report as one JSON line: per-trigger
+    * [[StragglerTrigger]] telemetry plus conservation counts. Flatness
+    * is judged from the numbers (SCALING.md), not asserted here; the
+    * structural invariants (conservation, straggler named by lag
+    * telemetry, segment bound) are asserted by ScaleRehearsalSpec's
+    * small shape. */
+  def runStraggler(spark: SparkSession, root: String, dns: Int,
+      rowsPerDn: Long, steps: Int, triggerMs: Long = 500L,
+      numPartitions: Int = 8,
+      maxBytesPerPoll: Long = 64L * 1024 * 1024,
+      holdMaxSegments: Int = 12,
+      deadlineMs: Long = 2L * 3600 * 1000): String = {
+    require(dns >= 2, "straggler run needs a straggler AND healthy DNs")
+    require(steps >= 2 && rowsPerDn % steps == 0,
+      "rowsPerDn must split into steps")
+    val reg = registry
+    val rowsPerWave = rowsPerDn / steps
+    val sids = (0 until dns).map(d => java.util.UUID.fromString(
+      f"0a1b2c3d-5ca1-4444-3333-${d}%012d"))
+    val dnDirs = (0 until dns).map(d => s"$root/dn$d")
+    dnDirs.foreach(d => java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(d)))
+    val totalTso =
+      1L + steps.toLong * dns * chunksPerWave(rowsPerWave) * TsoChunk
+
+    // wave 0 lands on EVERY DN (dn0's frontier must exist for the
+    // barrier to be ITS level, not MinValue-nothing-emits)
+    (0 until dns).foreach(d =>
+      writeWaveFile(spark, reg, dnDirs(d), sids(d), 0, d, dns,
+        rowsPerWave))
+
+    val out = s"$root/out"
+    val work = s"$root/work"
+    val gsid = java.util.UUID.fromString(
+      "0a1b2c3d-5ca1-4444-3333-0000000f0f0f")
+    val srvs = dnDirs.map(d =>
+      new graft.sinks.BinlogDumpServer(d, "repl", "pw"))
+    val telemetry =
+      scala.collection.mutable.Map.empty[Long, graft.streaming
+        .CdcBinlog.HoldTelemetry]
+    val progress =
+      scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    val deadline = System.nanoTime() + deadlineMs * 1000000L
+    try {
+      val q = graft.streaming.CdcBinlog.start(spark,
+        (0 until dns).map(d => (s"dn$d", "localhost", srvs(d).port)),
+        "repl", "pw", reg, out, s"$root/ckpt", work,
+        numPartitions = numPartitions,
+        heartbeatTables = Set((CdcHeartbeat.DefaultSchema,
+          CdcHeartbeat.DefaultTable)),
+        trigger = Trigger.ProcessingTime(triggerMs),
+        maxBytesPerPoll = maxBytesPerPoll,
+        gtidSid = Some(gsid),
+        holdMaxSegments = holdMaxSegments)
+      def harvest(): Unit = {
+        q.recentProgress.foreach { pr =>
+          progress(pr.batchId) = (pr.numInputRows,
+            pr.durationMs.getOrDefault("triggerExecution", 0L)
+              .longValue())
+        }
+        // the hold sidecars age out after two batches — harvest live
+        val hold = new java.io.File(s"$work/hold")
+        Option(hold.listFiles()).toSeq.flatten.map(_.getName)
+          .filter(_.endsWith(".metrics"))
+          .flatMap(_.stripSuffix(".metrics").toLongOption)
+          .filterNot(telemetry.contains)
+          .foreach { b =>
+            graft.streaming.CdcBinlog.readHoldTelemetry(work, b)
+              .foreach(t => telemetry(b) = t)
+          }
+      }
+      def waitUntil(what: String)(cond: => Boolean): Unit = {
+        while (!cond) {
+          require(System.nanoTime() < deadline,
+            s"straggler run: deadline waiting for $what " +
+              s"(held=${telemetry.values.map(_.heldRows).maxOption})")
+          Thread.sleep(300L)
+          harvest()
+        }
+      }
+      // steps: healthy DNs deliver a wave each; dn0 stays quiet. Wait
+      // per step until the parked backlog reached the step's floor —
+      // the trigger cadence and the append loop stay decoupled.
+      (1 until steps).foreach { s =>
+        (1 until dns).foreach(d =>
+          writeWaveFile(spark, reg, dnDirs(d), sids(d), s, d, dns,
+            rowsPerWave))
+        val floor = (dns - 1).toLong * rowsPerWave * s
+        waitUntil(s"step $s parked floor $floor")(
+          telemetry.values.map(_.heldRows).maxOption.exists(_ >= floor))
+      }
+      // catch-up: dn0's missing waves append, then every frontier
+      // beats past the whole tso space — the barrier jumps and the
+      // backlog must release
+      (1 until steps).foreach(s =>
+        writeWaveFile(spark, reg, dnDirs(0), sids(0), s, 0, dns,
+          rowsPerWave))
+      (0 until dns).foreach(d =>
+        CdcHeartbeat.beatOnce(spark, dnDirs(d), sids(d),
+          tso = totalTso + d))
+      waitUntil("release (heldRows back to 0 after the parked regime)") {
+        val parkedBatches = telemetry.filter(_._2.heldRows > 0).keySet
+        parkedBatches.nonEmpty && telemetry.exists { case (b, t) =>
+          t.heldRows == 0L && parkedBatches.forall(_ < b)
+        }
+      }
+      // idle convergence: with nothing left to poll no further batch
+      // fires (micro-batches only run on new offsets) — wait for the
+      // trigger to go idle with no data available, so the last data
+      // batch has committed and its progress event published
+      waitUntil("idle trigger after release")(
+        !q.status.isTriggerActive && !q.status.isDataAvailable)
+      harvest()
+      q.stop()
+      harvest()
+    } finally srvs.foreach(_.close())
+
+    val emittedRows = BinlogWire.readBinlogFiles(spark, out, reg)
+      .filter(col("op") === "INSERT").count()
+    val triggers = telemetry.keys.toSeq.sorted.map { b =>
+      val t = telemetry(b)
+      val (rowsIn, ms) = progress.getOrElse(b, (-1L, -1L))
+      StragglerTrigger(b, ms, rowsIn, t.heldRows, t.segments,
+        t.lagByDn.getOrElse("dn0", -1L),
+        t.parkedTxnsByDn.filter(_._1 != "dn0").values.sum)
+    }
+    val tj = triggers.map(t =>
+      s"""{"batch":${t.batch},"ms":${t.ms},"rowsIn":${t.rowsIn},""" +
+      s""""heldRows":${t.heldRows},"segments":${t.segments},""" +
+      s""""lagStraggler":${t.lagStraggler},""" +
+      s""""parkedOther":${t.parkedOther}}""").mkString(",")
+    s"""{"metric":"straggler_rehearsal","dns":$dns,""" +
+      s""""rowsPerDn":$rowsPerDn,"steps":$steps,""" +
+      s""""holdMaxSegments":$holdMaxSegments,""" +
+      s""""producedRows":${dns * rowsPerDn},""" +
+      s""""emittedRows":$emittedRows,""" +
+      s""""maxHeldRows":${telemetry.values.map(_.heldRows)
+        .maxOption.getOrElse(0L)},""" +
+      s""""maxSegments":${telemetry.values.map(_.segments)
+        .maxOption.getOrElse(0)},""" +
+      s""""triggers":[$tj]}"""
+  }
+
+  /** RUN F — the composed failure-and-replan lifecycle, end to end
+    * (the operator story the individual specs pin piecewise):
+    *
+    *   1. Gen-1 production (M streams, ProcessingTime,
+    *      forceCompleteAfterBatches=2) with STANDING consumers on all
+    *      M streams. dn0 delivers wave 0 then parks; the healthy DNs
+    *      deliver waves 1..2 — dn0 stalls past the threshold and is
+    *      FORCE-COMPLETED out (production continues without it).
+    *   2. dn0 REVIVES with its missed waves — all below the sealed
+    *      barrier: the production refuses loudly (the pinned refusal),
+    *      and the documented recovery restart (`sealedGapSkip=true`)
+    *      drops them into `_GAPS` and resumes.
+    *   3. Consumers converge on gen 1; [[GapRepairJob.repair]] heals
+    *      every consumer's routed tables from the DN-log truth.
+    *   4. [[graft.streaming.CdcReshard.reshard]] seals the generation
+    *      boundary M → M'; wave 3 lands on EVERY DN (dn0 is healthy
+    *      again); the SAME production checkpoint resumes into gen 2 at
+    *      M'.
+    *   5. One consumer per NEW stream resumes BY GTID (startExecuted =
+    *      union of gen-1 executed sets), applying each table into its
+    *      gen-1 target dir — the cross-generation continuity path.
+    *
+    * Done = per-table conservation against the DN logs: every table's
+    * final target state equals [[GapRepairJob.srcStateFromLogs]] over
+    * all four waves — sealed-out rows included (via repair) and
+    * post-barrier rows included (via gen 2). Throws on any violation;
+    * returns the phase report as one JSON line. */
+  def runF(spark: SparkSession, root: String, dns: Int,
+      rowsPerDn: Long, streams: Int = 4, streamsAfter: Int = 6,
+      triggerMs: Long = 300L, numPartitions: Int = 8,
+      txnsPerCommit: Int = 10000,
+      maxBytesPerPoll: Long = 64L * 1024 * 1024,
+      deadlineMs: Long = 2L * 3600 * 1000): String = {
+    import spark.implicits._
+    require(dns >= 3, "run F wants a straggler and a quorum")
+    require(rowsPerDn % 4 == 0, "rowsPerDn must split into 4 waves")
+    val reg = registry
+    val consumerReg = reg.filter(_._1._1 == "db")
+    val rowsPerWave = rowsPerDn / 4
+    val sids = (0 until dns).map(d => java.util.UUID.fromString(
+      f"0a1b2c3d-5ca1-4444-3333-${d}%012d"))
+    val dnDirs = (0 until dns).map(d => s"$root/dn$d")
+    dnDirs.foreach(d => java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(d)))
+    val totalTso =
+      1L + 4L * dns * chunksPerWave(rowsPerWave) * TsoChunk
+    val gen1 = s"$root/gen1"
+    val gen2 = s"$root/gen2"
+    val gsid = java.util.UUID.fromString(
+      "0a1b2c3d-5ca1-4444-3333-0000000f0f0f")
+    val fanM = CdcBinlogX.FanOut(streams,
+      graft.operators.StreamHash.ByTable,
+      overrides = Map(s"db.$HotTable" -> 0))
+    val fanMPrime = CdcBinlogX.FanOut(streamsAfter,
+      graft.operators.StreamHash.ByTable,
+      overrides = Map(s"db.$HotTable" -> 0))
+    val deadline = System.nanoTime() + deadlineMs * 1000000L
+    def waitUntil(what: String)(cond: => Boolean): Unit =
+      while (!cond) {
+        require(System.nanoTime() < deadline,
+          s"run F: deadline waiting for $what")
+        Thread.sleep(500L)
+      }
+    // progress probes off the merge state (idle-status checks race the
+    // source's NEXT poll of just-appended files; frontiers don't lie)
+    def latestHoldBatch: Option[Long] = {
+      val hold = new java.io.File(s"$root/work/hold")
+      Option(hold.listFiles()).toSeq.flatten.map(_.getName)
+        .filter(_.endsWith(".metrics"))
+        .flatMap(_.stripSuffix(".metrics").toLongOption).maxOption
+    }
+    def mergeState: Option[(Long, Map[String, Long])] =
+      latestHoldBatch.flatMap(b =>
+        graft.streaming.CdcBinlog.readMergeState(s"$root/work", b))
+        .map { case (bar, m) =>
+          (bar, m.map { case (dn, st) => dn -> st.frontier })
+        }
+    def frontierOf(d: Int): Long = mergeState
+      .flatMap(_._2.get(s"dn$d")).getOrElse(Long.MinValue)
+    def waveMax(w: Int, d: Int): Long =
+      waveIntervals(w, d, dns, rowsPerWave).map(_._2).max - 1L
+    val phases = Seq.newBuilder[Stage]
+    def phase[A](name: String)(body: => A): A = {
+      val (a, ms) = timed(body)
+      phases += Stage(name, ms)
+      a
+    }
+
+    // ---- phase 1: gen-1 production + straggler + standing consumers
+    (0 until dns).foreach(d =>
+      writeWaveFile(spark, reg, dnDirs(d), sids(d), 0, d, dns,
+        rowsPerWave))
+    val srvs = dnDirs.map(d =>
+      new graft.sinks.BinlogDumpServer(d, "repl", "pw"))
+    val endpoints = (0 until dns).map(d =>
+      (s"dn$d", "localhost", srvs(d).port))
+    def produceGen1(skip: Boolean) = CdcBinlogX.start(spark,
+      endpoints, "repl", "pw", reg, gen1, s"$root/ckpt", s"$root/work",
+      fanM, numPartitions = numPartitions,
+      heartbeatTables = Set((CdcHeartbeat.DefaultSchema,
+        CdcHeartbeat.DefaultTable)),
+      trigger = Trigger.ProcessingTime(triggerMs),
+      maxBytesPerPoll = maxBytesPerPoll, gtidSid = Some(gsid),
+      forceCompleteAfterBatches = 2, sealedGapSkip = skip)
+    def targetsOf(i: Int): Seq[WireReplicaJob.TableTarget] =
+      consumerReg.keys.toSeq.sorted.map { case (sch, t) =>
+        WireReplicaJob.TableTarget(sch, t,
+          Seq("k" -> "bigint", "seq" -> "bigint", "v" -> "string"),
+          Seq("k"), "seq", s"$root/target-$i/$t", 8)
+      }
+    val conSrvs = (0 until streams).map { i =>
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$gen1/stream-$i"))
+      i -> new graft.sinks.BinlogDumpServer(s"$gen1/stream-$i",
+        "repl", "pw")
+    }.toMap
+    val sealedOutTxns = phase("gen1-straggler") {
+      var q = produceGen1(skip = false)
+      waitUntil("wave 0 drained on every DN")(
+        (0 until dns).forall(d => frontierOf(d) >= waveMax(0, d)))
+      // healthy DNs deliver waves 1 and 2 — two data batches with no
+      // dn0 advance tick its stall clock to the threshold
+      (1 to 2).foreach { w =>
+        (1 until dns).foreach(d =>
+          writeWaveFile(spark, reg, dnDirs(d), sids(d), w, d, dns,
+            rowsPerWave))
+        waitUntil(s"wave $w drained on the healthy DNs")(
+          (1 until dns).forall(d => frontierOf(d) >= waveMax(w, d)))
+      }
+      // the force-complete seal has excluded dn0 — the barrier moved
+      // past dn0's parked frontier
+      waitUntil("force-complete seal past dn0")(
+        mergeState.exists(_._1 > waveBase(1, dns, rowsPerWave)))
+      // dn0 revives BELOW the seal: the production must refuse loudly
+      (1 to 2).foreach(w =>
+        writeWaveFile(spark, reg, dnDirs(0), sids(0), w, 0, dns,
+          rowsPerWave))
+      val failed =
+        try { q.awaitTermination(deadlineMs); false }
+        catch {
+          case e: org.apache.spark.sql.streaming
+              .StreamingQueryException =>
+            require(e.getMessage.contains("sealed"),
+              s"expected the sealed-barrier refusal, got $e")
+            true
+        }
+      require(failed, "revived straggler must trip the refusal")
+      // the documented recovery restart: same checkpoint, skip flag —
+      // the refused batch replays and records the gap
+      q = produceGen1(skip = true)
+      waitUntil("gap recorded by the skip restart")(
+        GapRepairJob.readGaps(spark, gen1).nonEmpty)
+      // everything healthy emits: every frontier past the waves-0..2
+      // tso space — but NOT past wave 3's (gen 2 delivers that later;
+      // a heartbeat covering it would turn wave-3 rows late-vs-seal)
+      val gen1Ceiling = waveBase(3, dns, rowsPerWave) - 1L
+      (0 until dns).foreach(d =>
+        CdcHeartbeat.beatOnce(spark, dnDirs(d), sids(d),
+          tso = gen1Ceiling))
+      waitUntil("gen1 drained after heartbeats")(
+        (0 until dns).forall(d => frontierOf(d) >= gen1Ceiling) &&
+          !q.status.isTriggerActive)
+      q.stop()
+      val gaps = GapRepairJob.readGaps(spark, gen1)
+      require(gaps.nonEmpty, "sealed-out gap must be recorded")
+      gaps.map(_.entries.size.toLong).sum
+    }
+
+    // ---- phase 2: standing consumers converge on gen 1 ----
+    val gen1Frontier: Map[Int, Long] = (0 until streams).map { i =>
+      i -> BinlogWire.readBinlogFiles(spark, s"$gen1/stream-$i", reg)
+        .filter($"op" === "INSERT")
+        .agg(coalesce(max($"tso"), lit(0L))).as[Long].collect().head
+    }.toMap
+    phase("gen1-consume") {
+      val queries = (0 until streams).map { i =>
+        i -> CdcReplica.start(spark,
+          Seq((s"s$i", "localhost", conSrvs(i).port)), "repl", "pw",
+          consumerReg, targetsOf(i), s"$root/consumer-ckpt-$i",
+          s"$root/consumer-stage-$i", s"$root/consumer-registry-$i",
+          txnsPerCommit = txnsPerCommit,
+          trigger = Trigger.ProcessingTime(triggerMs),
+          maxBytesPerPoll = maxBytesPerPoll)
+      }.toMap
+      def committedMax(i: Int): Long = targetsOf(i)
+        .flatMap(t => TxnApplier.currentCommit(t.targetDir))
+        .map(_.lastTso).maxOption.getOrElse(0L)
+      waitUntil("gen1 consumers converged")((0 until streams).forall(
+        i => committedMax(i) >= gen1Frontier(i) &&
+          !queries(i).status.isTriggerActive))
+      queries.values.foreach(_.stop())
+    }
+
+    // ---- phase 3: gap repair (every consumer's ROUTED tables healed
+    //      from the DN-log truth; one call — archiving is all-or-none)
+    val routedGen1: Map[String, Int] = (0 until streams).flatMap { i =>
+      BinlogWire.readBinlogFiles(spark, s"$gen1/stream-$i", reg)
+        .filter($"op" === "INSERT")
+        .select($"tableName").distinct().as[String].collect()
+        .map(_ -> i)
+    }.toMap
+    val repairs = phase("gap-repair") {
+      val repairTargets = (0 until streams).flatMap(i =>
+        targetsOf(i).filter(t => routedGen1.get(t.tableName)
+          .contains(i)))
+      GapRepairJob.repair(spark, gen1, (0 until dns)
+          .map(d => s"dn$d" -> dnDirs(d)).toMap,
+        reg, repairTargets,
+        t => GapRepairJob.srcStateFromLogs(spark, dnDirs, reg, t),
+        txnsPerCommit = txnsPerCommit)
+    }
+    require(repairs.map(_.repaired).sum > 0L,
+      "the sealed-out rows must have needed repair")
+
+    // ---- phase 4: reshard M -> M', wave 3 everywhere, gen-2 drain
+    phase("reshard-produce") {
+      graft.streaming.CdcReshard.reshard(spark, gen1, gen2, fanM,
+        fanMPrime)
+      (0 until dns).foreach(d =>
+        writeWaveFile(spark, reg, dnDirs(d), sids(d), 3, d, dns,
+          rowsPerWave))
+      (0 until dns).foreach(d =>
+        CdcHeartbeat.beatOnce(spark, dnDirs(d), sids(d),
+          tso = totalTso + dns + d))
+      val q = CdcBinlogX.start(spark, endpoints, "repl", "pw", reg,
+        gen2, s"$root/ckpt", s"$root/work", fanMPrime,
+        numPartitions = numPartitions,
+        heartbeatTables = Set((CdcHeartbeat.DefaultSchema,
+          CdcHeartbeat.DefaultTable)),
+        trigger = Trigger.ProcessingTime(triggerMs),
+        maxBytesPerPoll = maxBytesPerPoll, gtidSid = Some(gsid),
+        forceCompleteAfterBatches = 2)
+      waitUntil("gen2 drained")(
+        (0 until dns).forall(d => frontierOf(d) >= totalTso + dns) &&
+          !q.status.isTriggerActive)
+      q.stop()
+    }
+
+    // ---- phase 5: cross-generation consumer resume (GTID) ----
+    val routedGen2: Map[String, Int] = (0 until streamsAfter)
+      .flatMap { j =>
+        val d = s"$gen2/stream-$j"
+        if (!new java.io.File(d).isDirectory) Nil
+        else BinlogWire.readBinlogFiles(spark, d, reg)
+          .filter($"op" === "INSERT")
+          .select($"tableName").distinct().as[String].collect()
+          .map(_ -> j).toSeq
+      }.toMap
+    phase("gen2-consume") {
+      // a resumed consumer's executed seed: EVERYTHING gen 1 emitted
+      // (all four gen-1 consumers converged, so every gen-1 txn is
+      // applied in some target) — post-barrier txns alone deliver
+      val gen1Executed = (0 until streams)
+        .map(i => graft.sinks.BinlogCatalog.executedGtidSet(spark,
+          s"$gen1/stream-$i"))
+        .foldLeft(GtidSet.Empty)(_ union _)
+      val byNewStream = routedGen2.toSeq.groupBy(_._2)
+      byNewStream.toSeq.sortBy(_._1).foreach { case (j, tabs) =>
+        val g = new graft.sinks.BinlogDumpServer(s"$gen2/stream-$j",
+          "repl", "pw")
+        try {
+          // each table applies into its GEN-1 target dir (the table's
+          // continuity home — single-writer per dir holds: one new
+          // stream owns each table)
+          val targets = tabs.map(_._1).sorted.map { t =>
+            WireReplicaJob.TableTarget("db", t,
+              Seq("k" -> "bigint", "seq" -> "bigint", "v" -> "string"),
+              Seq("k"), "seq",
+              s"$root/target-${routedGen1(t)}/$t", 8)
+          }
+          val q = CdcReplica.start(spark,
+            Seq((s"g2s$j", "localhost", g.port)), "repl", "pw",
+            consumerReg, targets, s"$root/consumer2-ckpt-$j",
+            s"$root/consumer2-stage-$j", s"$root/consumer2-registry-$j",
+            txnsPerCommit = txnsPerCommit,
+            trigger = Trigger.AvailableNow(),
+            maxBytesPerPoll = maxBytesPerPoll,
+            startExecuted = Map(s"g2s$j" -> gen1Executed.text))
+          q.awaitTermination()
+        } finally g.close()
+      }
+    }
+    srvs.foreach(_.close())
+    conSrvs.values.foreach(_.close())
+
+    // ---- conservation: every table's target equals the DN-log truth
+    //      over all four waves (gap rows via repair, wave 3 via gen 2)
+    val diffs = phase("conservation") {
+      routedGen1.toSeq.sorted.map { case (t, i) =>
+        val target = WireReplicaJob.TableTarget("db", t,
+          Seq("k" -> "bigint", "seq" -> "bigint", "v" -> "string"),
+          Seq("k"), "seq", s"$root/target-$i/$t", 8)
+        val src = GapRepairJob.srcStateFromLogs(spark, dnDirs, reg,
+          target).select($"k", $"seq", $"v")
+        val dst = TxnApplier.readCurrent(spark, target.targetDir)
+          .select($"k", $"seq", $"v")
+        val d = src.exceptAll(dst).count() + dst.exceptAll(src).count()
+        require(d == 0L,
+          s"run F conservation violated on db.$t: $d differing rows")
+        t -> d
+      }
+    }
+    val pj = phases.result().map(s =>
+      s""""${s.name}":${s.wallMs}""").mkString(",")
+    s"""{"metric":"run_f","dns":$dns,"rowsPerDn":$rowsPerDn,""" +
+      s""""streams":$streams,"streamsAfter":$streamsAfter,""" +
+      s""""sealedOutTxns":$sealedOutTxns,""" +
+      s""""repaired":${repairs.map(_.repaired).sum},""" +
+      s""""repairedTables":${repairs.count(_.repaired > 0)},""" +
+      s""""tablesChecked":${diffs.size},""" +
+      s""""phasesMs":{$pj}}"""
   }
 
   /** `runMain graft.jobs.ScaleRehearsalJob <root> <dns> <rowsPerDn>
     * <streams> [waves] [consumers] [standingMs] [mode] [compactAfter]
     * [compactMaxBuckets]` — prints the report JSON line.
     *
+    * Straggler shape: `runMain graft.jobs.ScaleRehearsalJob straggler
+    * <root> <dns> <rowsPerDn> <steps> [triggerMs] [holdMaxSegments]`.
+    *
+    * Run F: `runMain graft.jobs.ScaleRehearsalJob runF <root> <dns>
+    * <rowsPerDn> [streams] [streamsAfter]`.
+    *
     * `standingMs` > 0 switches the consume stage to the run-D shape:
     * ALL `consumers` streams consumed by concurrent ProcessingTime
     * queries. `mode` is cow|delta|auto (the consumers' apply mode). */
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("straggler")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+      val spark = SparkSession.builder()
+        .appName("graft-straggler-rehearsal")
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus.toString)
+        .config("spark.ui.enabled", "false")
+        .config("spark.hadoop.fs.file.impl", "graft.util.NoChmodLocalFs")
+        .getOrCreate()
+      try println(runStraggler(spark, args(1), args(2).toInt,
+        args(3).toLong, args(4).toInt,
+        triggerMs = if (args.length > 5) args(5).toLong else 500L,
+        numPartitions = math.min(cpus, 16),
+        holdMaxSegments =
+          if (args.length > 6) args(6).toInt else 12))
+      finally spark.stop()
+      return
+    }
+    if (args.headOption.contains("runF")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+      val spark = SparkSession.builder()
+        .appName("graft-run-f")
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus.toString)
+        .config("spark.ui.enabled", "false")
+        .config("spark.hadoop.fs.file.impl", "graft.util.NoChmodLocalFs")
+        .getOrCreate()
+      try println(runF(spark, args(1), args(2).toInt, args(3).toLong,
+        streams = if (args.length > 4) args(4).toInt else 4,
+        streamsAfter = if (args.length > 5) args(5).toInt else 6,
+        numPartitions = math.min(cpus, 16)))
+      finally spark.stop()
+      return
+    }
     val root = args(0)
     val dns = args(1).toInt
     val rowsPerDn = args(2).toLong
@@ -424,6 +961,13 @@ object ScaleRehearsalJob {
       case "cow" => TxnApplier.ApplyMode.Cow
       case "delta" => TxnApplier.ApplyMode.Delta
       case "auto" => TxnApplier.ApplyMode.Auto()
+      // auto:<crossoverBytes>[:<remeasureCommits>] — the crossover
+      // anchor runs with a small crossover so targets CROSS it mid-run
+      case s if s.startsWith("auto:") =>
+        val p = s.stripPrefix("auto:").split(":")
+        TxnApplier.ApplyMode.Auto(p(0).toLong,
+          if (p.length > 1) p(1).toLong
+          else TxnApplier.ApplyMode.DefaultRemeasureCommits)
       case other => sys.error(s"unknown apply mode '$other'")
     } else TxnApplier.ApplyMode.Auto()
     val compactAfter = if (args.length > 8) args(8).toInt else 32

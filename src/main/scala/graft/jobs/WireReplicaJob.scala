@@ -143,7 +143,9 @@ object WireReplicaJob {
       TxnApplier.bootstrap(typed.limit(0).drop("op", "tso"),
         t.keyCols, t.targetDir, t.nBuckets,
         initialTso = fromTso.getOrElse(0L))
-    if (TxnApplier.useDelta(t.targetDir, applyMode)) {
+    val delta = TxnApplier.useDelta(t.targetDir, applyMode)
+    TxnApplier.recordModeDecision(t.targetDir, delta)
+    if (delta) {
       // the standing-consumer shape: O(batch) delta commits, chains
       // folded once they reach compactAfter (amortized O(target /
       // compactAfter) per trigger — never the COW mode's every-trigger

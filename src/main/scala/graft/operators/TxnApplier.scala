@@ -964,6 +964,39 @@ object TxnApplier {
     out.result()
   }
 
+  /** One routed-apply mode CHANGE for a target: the committed version
+    * at which the apply path flipped and the direction — the live-run
+    * observable for [[ApplyMode.Auto]]'s crossover (a COW→delta flip
+    * should appear exactly once per table that outgrows the crossover;
+    * a delta→COW flip mid-chain would be the fold-the-world hazard the
+    * sticky rule exists to prevent). */
+  final case class ModeFlip(dir: String, version: Long, delta: Boolean)
+
+  private val modeLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[ModeFlip]()
+  private val lastMode =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Record the routed apply's mode decision for `dir`; only CHANGES
+    * land in the telemetry ring (a standing consumer makes one call
+    * per table per trigger — the ring stays sparse). */
+  def recordModeDecision(dir: String, delta: Boolean): Unit = {
+    val prev = lastMode.put(dir, java.lang.Boolean.valueOf(delta))
+    if (prev == null || prev.booleanValue() != delta) {
+      modeLog.add(ModeFlip(dir,
+        currentCommit(dir).map(_.version).getOrElse(-1L), delta))
+      while (modeLog.size > CompactionLogCap) modeLog.poll()
+    }
+  }
+
+  /** Drain (read + clear) the mode-flip telemetry ring. */
+  def drainModeLog(): Seq[ModeFlip] = {
+    val out = Seq.newBuilder[ModeFlip]
+    var e = modeLog.poll()
+    while (e != null) { out += e; e = modeLog.poll() }
+    out.result()
+  }
+
   /** Reclaim data dirs no manifest ≥ `keepFrom` references (default: only
     * the current version's files are retained). Manifests are kept — they
     * are the observable-state history and cost O(nBuckets) text each. */

@@ -103,4 +103,83 @@ class ScaleRehearsalSpec extends SparkSpec {
       }
     }
   }
+
+  test("Auto crossover anchor: a target CROSSES the crossover mid-run " +
+      "under standing triggers — exactly one COW->delta flip, sticky, " +
+      "state correct") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-rehearsal-auto").toString
+    // a crossover small enough that the busiest targets outgrow it
+    // mid-run (bootstrap starts near-empty => first triggers are COW),
+    // probed on every commit so the flip lands at the knee
+    val r = ScaleRehearsalJob.run(spark, root, dns = 2,
+      rowsPerDn = 2000L, streams = 2, waves = 2, consumers = 2,
+      numPartitions = 4, txnsPerCommit = 250,
+      maxBytesPerPoll = 256L * 1024,
+      standingTriggerMs = Some(100L),
+      applyMode = graft.operators.TxnApplier.ApplyMode.Auto(
+        crossoverBytes = 16L * 1024, remeasureCommits = 1L),
+      standingDeadlineMs = 10L * 60 * 1000)
+    assert(r.producedRows == 2 * 2000L && r.consumedRows > 0)
+    // at least one target crossed: its flip history reads COW (the
+    // initial decision records as a flip from nothing) then delta
+    val byDir = r.modeFlips.groupBy(_.dir)
+    val crossed = byDir.filter { case (_, fs) =>
+      fs.map(_.delta) == Seq(false, true)
+    }
+    assert(crossed.nonEmpty,
+      s"no target crossed 16KB mid-run: ${r.modeFlips}")
+    // sticky: no target ever flipped delta->COW (a mid-chain COW apply
+    // would fold the whole target first — the move Auto exists to avoid)
+    byDir.foreach { case (d, fs) =>
+      val deltas = fs.map(_.delta)
+      assert(!deltas.zip(deltas.drop(1)).contains((true, false)),
+        s"$d flipped delta->COW mid-run: $fs")
+    }
+  }
+
+  test("run F composition: straggler -> force-complete -> sealed-gap " +
+      "skip -> gap repair -> reshard 2->3 -> GTID resume, per-table " +
+      "conservation against the DN logs") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-rehearsal-runf").toString
+    val json = ScaleRehearsalJob.runF(spark, root, dns = 3,
+      rowsPerDn = 8000L, streams = 2, streamsAfter = 3,
+      triggerMs = 200L, numPartitions = 4, txnsPerCommit = 1000)
+    def long(k: String): Long =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
+    // dn0's two sealed-out waves were recorded and healed
+    assert(long("sealedOutTxns") == 2L * 2000L, json)
+    assert(long("repaired") > 0L && long("repairedTables") >= 1L, json)
+    // conservation asserted inside runF (throws on violation); the
+    // report confirms every routed table was checked
+    assert(long("tablesChecked") >= 1L, json)
+  }
+
+  test("deliberate straggler: backlog parks append-only (segments " +
+      "bounded), telemetry names dn0, catch-up releases with exact " +
+      "conservation") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-rehearsal-straggler").toString
+    val json = ScaleRehearsalJob.runStraggler(spark, root,
+      dns = 3, rowsPerDn = 30000L, steps = 3, triggerMs = 200L,
+      numPartitions = 4, holdMaxSegments = 3)
+    def long(k: String): Long =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
+    assert(long("emittedRows") == long("producedRows"),
+      s"conservation: $json")
+    assert(long("maxHeldRows") >= 2L * 10000L * 2,
+      s"the backlog must actually have parked: $json")
+    assert(long("maxSegments") <= 3, s"segment bound violated: $json")
+    // the parked-regime triggers name dn0 as the laggard (positive
+    // frontier lag) while OTHER DNs' txns park
+    val parked = """\{"batch":[^}]*"heldRows":([1-9]\d*)[^}]*\}""".r
+      .findAllMatchIn(json).map(_.matched).toSeq
+    assert(parked.nonEmpty, s"no parked triggers in $json")
+    assert(parked.exists(t =>
+      """"lagStraggler":([1-9]\d*)""".r.findFirstIn(t).isDefined &&
+        """"parkedOther":([1-9]\d*)""".r.findFirstIn(t).isDefined),
+      s"straggler telemetry must name dn0's lag and others' parked " +
+        s"txns: $parked")
+  }
 }
