@@ -743,11 +743,16 @@ object ScaleRehearsalJob {
         GapRepairJob.readGaps(spark, gen1).nonEmpty)
       // everything healthy emits: every frontier past the waves-0..2
       // tso space — but NOT past wave 3's (gen 2 delivers that later;
-      // a heartbeat covering it would turn wave-3 rows late-vs-seal)
+      // a heartbeat covering it would turn wave-3 rows late-vs-seal).
+      // The ceiling tso sits inside the LAST DN's final wave-2 chunk:
+      // fresh for every OTHER DN's gtid stream (per-DN gno spaces),
+      // and the owner needs no beat — its data already put its
+      // frontier there.
       val gen1Ceiling = waveBase(3, dns, rowsPerWave) - 1L
       (0 until dns).foreach(d =>
-        CdcHeartbeat.beatOnce(spark, dnDirs(d), sids(d),
-          tso = gen1Ceiling))
+        if (waveMax(2, d) < gen1Ceiling)
+          CdcHeartbeat.beatOnce(spark, dnDirs(d), sids(d),
+            tso = gen1Ceiling))
       waitUntil("gen1 drained after heartbeats")(
         (0 until dns).forall(d => frontierOf(d) >= gen1Ceiling) &&
           !q.status.isTriggerActive)

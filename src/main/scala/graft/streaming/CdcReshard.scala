@@ -206,12 +206,50 @@ object CdcReshard {
     }
     val held = workDir.map(latestHeldTxns).getOrElse(0L)
     val emitted = workDir.map(latestEmittedTxns).getOrElse(0L)
-    if (held > emitted && held > 0)
-      reasons += s"producer holdback $held txns exceeds emitted " +
-        s"$emitted — backlog pressure; size triggers/maxBytesPerPoll, " +
-        "not streams"
+    if (held > emitted && held > 0) {
+      // discriminate the backlog's CAUSE from the straggler telemetry
+      // (CdcBinlog.readHoldTelemetry): a backlog with one DN's
+      // frontier lag dwarfing the rest is a STRAGGLER DN — repair or
+      // force-complete IT; a backlog with even lags is trigger/
+      // admission sizing. Neither is a stream-count signal.
+      val laggard = workDir.flatMap(latestLaggard)
+      laggard match {
+        case Some((dn, lag)) =>
+          reasons += s"producer holdback $held txns exceeds emitted " +
+            s"$emitted — straggler DN '$dn' lags the fastest frontier " +
+            s"by $lag; repair or force-complete it, M' untouched"
+        case None =>
+          reasons += s"producer holdback $held txns exceeds emitted " +
+            s"$emitted — backlog pressure; size " +
+            "triggers/maxBytesPerPoll, not streams"
+      }
+    }
     Recommendation(from.streams, mPrime, loads, skew, held,
       reasons.result())
+  }
+
+  /** The straggler (if any) named by the newest holdback telemetry: a
+    * DN whose frontier lag exceeds 4× every other DN's (and is
+    * nonzero). None when lags are even — then the backlog is a
+    * sizing problem, not a sick DN. */
+  private def latestLaggard(workDir: String): Option[(String, Long)] = {
+    val hold = new Path(s"$workDir/hold")
+    val fs = graft.util.HadoopIo.fsOf(hold)
+    if (!fs.exists(hold)) return None
+    fs.listStatus(hold).iterator.map(_.getPath.getName)
+      .filter(_.endsWith(".metrics"))
+      .flatMap(n => n.stripSuffix(".metrics").toLongOption)
+      .maxOption
+      .flatMap(b => CdcBinlog.readHoldTelemetry(workDir, b))
+      .flatMap { t =>
+        val lags = t.lagByDn.toSeq
+        lags.sortBy(-_._2) match {
+          case (dn, worst) +: rest
+              if worst > 0 && rest.forall(_._2 * 4 <= worst) =>
+            Some((dn, worst))
+          case _ => None
+        }
+      }
   }
 
   private def latestMetrics(workDir: String)

@@ -430,5 +430,30 @@ class CdcReshardSpec extends SparkSpec {
     assert(!r4.changeRecommended && r4.heldTxns == 50L)
     assert(r4.reasons.exists(_.contains("holdback 50")),
       s"backlog must be named: ${r4.reasons}")
+    // with straggler telemetry in the sidecar (one DN's frontier lag
+    // dwarfing the rest), the backlog reason NAMES the sick DN
+    // instead of blaming trigger sizing
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$work/hold/8.metrics"),
+      ("barrier=100;emittedTxns=10;heldTxns=50;heldRows=50;" +
+        "segments=2;maxFrontier=900;lag.dnA=800;lag.dnB=3;lag.dnC=0")
+        .getBytes)
+    val r5 = CdcReshard.recommend(spark, gen, from,
+      targetTxnsPerStream = 24L, skewLimit = 100.0,
+      workDir = Some(work))
+    assert(r5.reasons.exists(r => r.contains("straggler DN 'dnA'") &&
+      r.contains("800")),
+      s"the laggard must be named: ${r5.reasons}")
+    // even lags (no single sick DN) fall back to the sizing signal
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$work/hold/9.metrics"),
+      ("barrier=100;emittedTxns=10;heldTxns=50;heldRows=50;" +
+        "segments=2;maxFrontier=900;lag.dnA=90;lag.dnB=80;lag.dnC=70")
+        .getBytes)
+    val r6 = CdcReshard.recommend(spark, gen, from,
+      targetTxnsPerStream = 24L, skewLimit = 100.0,
+      workDir = Some(work))
+    assert(r6.reasons.exists(_.contains("triggers/maxBytesPerPoll")),
+      s"even lags are a sizing signal: ${r6.reasons}")
   }
 }
