@@ -194,6 +194,25 @@ class CdcHoldbackSpec extends SparkSpec {
     assert(emitted(out) == Seq(10L, 20L, 30L))
   }
 
+  test("release read pushes the commit-tso predicate to the segment " +
+      "scan (row-group pruning carries the straddler cost)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-hold6")
+    val (out, work) = (s"$root/out", s"$root/work")
+    CdcBinlog.emitBatch(frame(Seq(ins(5, "dn2")) ++
+      (1 to 50).map(i => ins(100L + i, "dn1"))), 0L, dns, reg,
+      Set.empty, out, work, numPartitions = 2, checksummed = false)
+    // the exact release-read plan shape emitBatch builds: explicit
+    // segment schema + cts range filter over the parked segment
+    val plan = spark.read.schema(CdcBinlog.segSchema)
+      .parquet(s"$work/hold/0")
+      .filter(col("__commit_tso") > 5L && col("__commit_tso") <= 120L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("GreaterThan(__commit_tso") &&
+      plan.contains("LessThanOrEqual(__commit_tso"),
+      s"cts bounds must reach the parquet scan:\n$plan")
+  }
+
   test("cross-DN XA branches parked in DIFFERENT segments fuse on " +
       "release (shared commit TSO)") {
     val root = java.nio.file.Files.createTempDirectory("graft-hold5")
