@@ -183,6 +183,11 @@ object Alarms {
   /** The escalation type — BINLOG_FATAL_ERROR. */
   val Fatal = "cdc_binlog_fatal_error"
 
+  /** One DN's merge frontier lagging the pack — the per-storage delay
+    * the reference daemon watches (MonitorType delay thresholds); the
+    * early signal BEFORE force-complete has to seal the DN out. */
+  val StragglerDn = "cdc_storage_frontier_delayed"
+
   /** The reference's thresholds/intervals for the mapped rows
     * (MonitorType.java: threshold 1-2, interval 5-10 min). */
   def defaultPolicies: Seq[AlarmPolicy] = Seq(
@@ -191,6 +196,7 @@ object Alarms {
     AlarmPolicy(DumperNoData, threshold = 2, intervalSeconds = 300,
       fatalIfActiveConsumer = true),
     AlarmPolicy(DiskUsage, threshold = 1, intervalSeconds = 600),
+    AlarmPolicy(StragglerDn, threshold = 2, intervalSeconds = 300),
     AlarmPolicy(TaskError, threshold = 1, intervalSeconds = 300,
       expirable = false))
 
@@ -229,5 +235,34 @@ object Alarms {
         s"wire dir $dir holds $total bytes (limit $limitBytes)",
         Some(total.toDouble))
     total
+  }
+
+  /** Straggler watchdog over a production's holdback telemetry:
+    * triggers [[StragglerDn]] when any DN's frontier lags the fastest
+    * by more than `lagThreshold` TSO units, naming the WORST laggard
+    * and the rows its stall is parking. Reads one sidecar (O(1)
+    * driver-side) — call it per trigger or from the ops poll loop
+    * beside [[checkDiskUsage]]. Returns the telemetry it read. */
+  def checkStraggler(mgr: AlarmManager, workDir: String,
+      lagThreshold: Long): Option[CdcBinlog.HoldTelemetry] = {
+    val hold = new org.apache.hadoop.fs.Path(s"$workDir/hold")
+    val fs = graft.util.HadoopIo.fsOf(hold)
+    if (!fs.exists(hold)) return None
+    val t = fs.listStatus(hold).iterator.map(_.getPath.getName)
+      .filter(_.endsWith(".metrics"))
+      .flatMap(n => n.stripSuffix(".metrics").toLongOption)
+      .maxOption
+      .flatMap(b => CdcBinlog.readHoldTelemetry(workDir, b))
+    for {
+      tel <- t
+      (dn, lag) <- tel.lagByDn.maxByOption(_._2)
+      if lag > lagThreshold
+    } mgr.trigger(StragglerDn,
+      s"DN '$dn' frontier lags the fastest by $lag TSO units " +
+        s"(threshold $lagThreshold); ${tel.heldRows} rows parked " +
+        s"across ${tel.segments} holdback segments — repair or " +
+        "force-complete the DN before the backlog grows",
+      Some(lag.toDouble))
+    t
   }
 }

@@ -173,4 +173,37 @@ class AlarmsSpec extends AnyFunSuite {
       Seq((Alarms.DiskUsage, Some(8192.0))))
     assert(buf.events.size == 1)
   }
+
+  test("straggler watchdog: a DN lagging past the threshold pages " +
+      "with its name and parked rows; even lags stay quiet") {
+    val root = java.nio.file.Files.createTempDirectory("graft-alarm-str")
+    val work = s"$root/work"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$work/hold"))
+    def sidecar(batch: Long, body: String): Unit = {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$work/hold/$batch.metrics"),
+        body.getBytes("UTF-8"))
+      ()
+    }
+    // threshold-2 policy: two over-threshold reads page once
+    val (mgr, buf, _) = mk(Alarms.defaultPolicies)
+    sidecar(3L, "barrier=10;emittedTxns=5;heldTxns=40;heldRows=40;" +
+      "segments=3;maxFrontier=900;lag.dn0=890;lag.dn1=2;lag.dn2=0")
+    val t = Alarms.checkStraggler(mgr, work, lagThreshold = 100L)
+    assert(t.exists(_.lagByDn("dn0") == 890L))
+    Alarms.checkStraggler(mgr, work, lagThreshold = 100L)
+    val sent = mgr.check()
+    assert(sent.map(_.key) == Seq(Alarms.StragglerDn))
+    assert(sent.head.message.contains("'dn0'") &&
+      sent.head.message.contains("40 rows parked") &&
+      sent.head.triggerValue.contains(890.0), sent.head.message)
+    // lags under the threshold: no page
+    sidecar(4L, "barrier=10;emittedTxns=5;heldTxns=4;heldRows=4;" +
+      "segments=1;maxFrontier=900;lag.dn0=50;lag.dn1=40;lag.dn2=30")
+    Alarms.checkStraggler(mgr, work, lagThreshold = 100L)
+    Alarms.checkStraggler(mgr, work, lagThreshold = 100L)
+    assert(mgr.check().isEmpty)
+    assert(buf.events.size == 1)
+  }
 }
