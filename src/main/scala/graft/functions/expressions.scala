@@ -308,6 +308,243 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Shared element-access codegen/eval for the fixed-arity vector
+  * kernels below: the ANN hot path evaluates a dot product (or L2
+  * distance) PER CANDIDATE PAIR, and the higher-order-function
+  * formulation (`aggregate(zip_with(...))`) is CodegenFallback —
+  * interpreted lambdas allocating an intermediate array per row. These
+  * kernels run the same fold as one fused whole-stage-codegen loop.
+  *
+  * Null/length semantics replicate the HOF chain exactly so swapping
+  * them in cannot move any oracle-checked value:
+  * `zip_with` pads the shorter array with nulls and `aggregate`'s
+  * `acc + null` poisons the fold — so a length mismatch or any null
+  * element yields NULL, and the accumulation order is the same
+  * left-to-right (0 + p0) + p1 ... double sequence. */
+private[functions] object VecKernels {
+  /** java accessor snippet for one element of `arr` at `i`, widened to
+    * double exactly like `cast(x as double)`. */
+  def access(arr: String, i: String, et: DataType): String = et match {
+    case DoubleType => s"$arr.getDouble($i)"
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case ByteType => s"(double) $arr.getByte($i)"
+    case ShortType => s"(double) $arr.getShort($i)"
+    case IntegerType => s"(double) $arr.getInt($i)"
+    case LongType => s"(double) $arr.getLong($i)"
+    case other => throw new IllegalArgumentException(s"vec element: $other")
+  }
+
+  def get(arr: ArrayData, i: Int, et: DataType): Double = et match {
+    case DoubleType => arr.getDouble(i)
+    case FloatType => arr.getFloat(i).toDouble
+    case ByteType => arr.getByte(i).toDouble
+    case ShortType => arr.getShort(i).toDouble
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType => arr.getLong(i).toDouble
+    case other => throw new IllegalArgumentException(s"vec element: $other")
+  }
+
+  def ok(dt: DataType): Boolean = dt match {
+    case ArrayType(et, _) => et match {
+      case DoubleType | FloatType | ByteType | ShortType | IntegerType |
+           LongType => true
+      case _ => false
+    }
+    case _ => false
+  }
+
+  def elem(dt: DataType): DataType =
+    dt.asInstanceOf[ArrayType].elementType
+}
+
+/** Fused dot product of two numeric-array columns with double
+  * accumulation — codegen replacement for
+  * `aggregate(zip_with(a, b, (x, y) => x.cast(double) * y.cast(double)),
+  *  0.0, _ + _)`. NULL on null input, length mismatch, or null element
+  * (see [[VecKernels]]). */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (VecKernels.ok(left.dataType) && VecKernels.ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"vec_dot needs numeric arrays, got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  @transient private lazy val leftType = VecKernels.elem(left.dataType)
+  @transient private lazy val rightType = VecKernels.elem(right.dataType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += VecKernels.get(a, i, leftType) * VecKernels.get(b, i, rightType)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+        |final int $n = $a.numElements();
+        |if ($n != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double $acc = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+        |    $acc += ${VecKernels.access(a, i, leftType)} * ${VecKernels.access(b, i, rightType)};
+        |  }
+        |  ${ev.value} = $acc;
+        |}
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** Fused squared L2 distance of two numeric-array columns — codegen
+  * replacement for `aggregate(zip_with(a, b, (x, y) => (x.cast(double)
+  * - y) * ...), 0.0, _ + _)`. Same null/length semantics as
+  * [[VecDot]]. */
+case class VecL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (VecKernels.ok(left.dataType) && VecKernels.ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"vec_l2sq needs numeric arrays, got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_l2sq"
+
+  @transient private lazy val leftType = VecKernels.elem(left.dataType)
+  @transient private lazy val rightType = VecKernels.elem(right.dataType)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = VecKernels.get(a, i, leftType) - VecKernels.get(b, i, rightType)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+        |final int $n = $a.numElements();
+        |if ($n != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double $acc = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+        |    final double $d = ${VecKernels.access(a, i, leftType)} - ${VecKernels.access(b, i, rightType)};
+        |    $acc += $d * $d;
+        |  }
+        |  ${ev.value} = $acc;
+        |}
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** Fused L2 normalization of a numeric-array column to array<double> —
+  * codegen replacement for the when/transform/sqrt(dot) chain in
+  * Similarity.normalize, which evaluated the interpreted dot TWICE per
+  * row (once in the zero-norm guard, once in the divisor).
+  *
+  * Exact semantics of the replaced chain:
+  * - null input → null;
+  * - any null element → every output element null (a null poisons the
+  *   norm, and x / null is null for every x);
+  * - norm == 0.0 (all zeros) → elements cast to double unchanged;
+  * - else x_i / sqrt(Σ x_i²), the identical IEEE sequence. */
+case class VecNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (VecKernels.ok(child.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"vec_normalize needs a numeric array, got " +
+        s"${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "vec_normalize"
+
+  @transient private lazy val elemType = VecKernels.elem(child.dataType)
+
+  /** Kernel shared by eval and codegen. */
+  def compute(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    var anyNull = false
+    while (i < n && !anyNull) {
+      if (a.isNullAt(i)) anyNull = true
+      else { val x = VecKernels.get(a, i, elemType); acc += x * x }
+      i += 1
+    }
+    if (anyNull) return new GenericArrayData(new Array[Any](n))
+    val norm = math.sqrt(acc)
+    val out = new Array[Double](n)
+    if (norm == 0.0) {
+      i = 0
+      while (i < n) { out(i) = VecKernels.get(a, i, elemType); i += 1 }
+    } else {
+      i = 0
+      while (i < n) { out(i) = VecKernels.get(a, i, elemType) / norm; i += 1 }
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vecNormalize", this,
+      classOf[VecNormalize].getName)
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s" $ref.compute($input);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level entry points. */
 object sketch {
   /** One-pass distinct hashed word n-grams of a text column. */
@@ -325,4 +562,20 @@ object sketch {
   /** Unicode NFC canonicalization (no-alloc fast path when already NFC). */
   def nfc_normalize(text: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
+
+  /** Fused double dot product of two numeric-array columns (the ANN
+    * per-pair hot path, whole-stage-codegen). */
+  def vec_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(VecDot(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
+
+  /** Fused squared L2 distance of two numeric-array columns. */
+  def vec_l2sq(a: Column, b: Column): Column =
+    ColumnBridge.column(VecL2Sq(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
+
+  /** Fused L2 normalization of a numeric-array column (one pass; the
+    * HOF chain computed the interpreted norm twice per row). */
+  def vec_normalize(v: Column): Column =
+    ColumnBridge.column(VecNormalize(ColumnBridge.expression(v)))
 }

@@ -42,11 +42,7 @@ object IvfIndex {
     if (model.nCells == 1) return lit(0)
     val dists = model.centers.zipWithIndex.map { case (c, i) =>
       val cLit = array(c.map(lit): _*)
-      struct(
-        aggregate(zip_with(vecCol, cLit,
-            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0.0), (acc, x) => acc + x).as("d2"),
-        lit(i).as("cell"))
+      struct(l2(vecCol, cLit).as("d2"), lit(i).as("cell"))
     }
     least(dists: _*).getField("cell")
   }
@@ -55,11 +51,7 @@ object IvfIndex {
   def probeCells(vecCol: Column, model: Model, nProbe: Int): Column = {
     val dists = model.centers.zipWithIndex.map { case (c, i) =>
       val cLit = array(c.map(lit): _*)
-      struct(
-        aggregate(zip_with(vecCol, cLit,
-            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0.0), (acc, x) => acc + x).as("d2"),
-        lit(i).as("cell"))
+      struct(l2(vecCol, cLit).as("d2"), lit(i).as("cell"))
     }
     transform(slice(array_sort(array(dists: _*)), 1, nProbe),
       s => s.getField("cell"))
@@ -78,9 +70,12 @@ object IvfIndex {
       .toDF("__cell", "__centroid")
   }
 
+  /** Fused squared-L2 kernel (codegen): the HOF chain here is
+    * CodegenFallback and evaluates once per row PER CENTROID —
+    * interpreted-lambda cost × nCells on the assignment path. Identical
+    * accumulation order and null/length semantics (VecL2Sq doc). */
   private def l2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.sketch.vec_l2sq(a, b)
 
   /** Nearest-cell assignment as a DataFrame transform. Small codebooks
     * (≤ `literalMax`) stay in the expression tree (cellOf — zero shuffle,

@@ -59,10 +59,16 @@ object Similarity {
     math.min(30, math.max(4, needed))
   }
 
-  /** Dot product of two float-array columns (double accumulation). */
+  /** Dot product of two numeric-array columns (double accumulation).
+    * Native fused kernel: the HOF chain
+    * `aggregate(zip_with(a, b, (x, y) => x.cast(double) * y.cast(double)),
+    *  0.0, _ + _)` is CodegenFallback — interpreted lambdas allocating an
+    * intermediate array PER CANDIDATE PAIR, the measured wall of the
+    * whole ANN family (optimization guide §1.2 step 2 / §4.1). Same
+    * accumulation order and null/length semantics (VecDot doc), so every
+    * oracle-checked sim/rank is bit-identical. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.sketch.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -97,9 +103,7 @@ object Similarity {
     * the query exact, so quantization error enters once, not squared
     * (the standard ADC trade from the PQ literature). */
   def dotQuantized(scale: Column, qvec: Column, queryVec: Column): Column =
-    scale * aggregate(zip_with(qvec, queryVec,
-      (a, b) => a.cast("double") * b.cast("double")),
-      lit(0.0d), (acc, x) => acc + x)
+    scale * graft.functions.sketch.vec_dot(qvec, queryVec)
 
   /** Brute-force cosine top-k over an int8-quantized corpus: same scan
     * shape as bruteForceTopK, but the corpus column that scans, shuffles
@@ -148,12 +152,12 @@ object Similarity {
         dot(col("qv"), col("cv")).as("sim")), k)
   }
 
-  /** L2-normalize a float-array column (returns array<double>). */
-  def normalize(v: Column): Column = {
-    val n = norm(v)
-    when(n === 0.0, transform(v, x => x.cast("double")))
-      .otherwise(transform(v, x => x.cast("double") / n))
-  }
+  /** L2-normalize a numeric-array column (returns array<double>).
+    * Native fused kernel — the when/transform chain evaluated the
+    * interpreted norm TWICE per row (zero guard + divisor); semantics
+    * identical (VecNormalize doc). */
+  def normalize(v: Column): Column =
+    graft.functions.sketch.vec_normalize(v)
 
   /** Deterministic random hyperplanes: `numPlanes` × `dim` Gaussian
     * components from a fixed seed, embedded as a plan literal. */

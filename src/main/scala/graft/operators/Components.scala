@@ -33,11 +33,37 @@ object Components {
     * rounds don't converge rather than returning a partial merge. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25): DataFrame = {
-    var e = edges
+    // materialize-with-signature: ONE Spark action per round — the
+    // convergence signature rides the localCheckpoint's materialization
+    // job as an Observation instead of a second aggregate action over
+    // the checkpointed data. localCheckpoint (not cache) stays load-
+    // bearing: it truncates the LOGICAL plan, and each round's plan
+    // embeds the previous round's twice (the bidir union), so without
+    // truncation plan size — and the canonicalization every action pays
+    // — grows exponentially with rounds. At bench scale the loop's wall
+    // was per-action scheduling/planning, not the (tiny, shrinking)
+    // edge data; this halves the actions per round.
+    def materialize(df: DataFrame)
+        : (DataFrame, (Long, java.math.BigDecimal, java.math.BigDecimal)) = {
+      val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+      val zero = lit(java.math.BigDecimal.ZERO).cast(dec)
+      val obs = org.apache.spark.sql.Observation()
+      val cp = df.observe(obs,
+          count(lit(1)).as("n"),
+          coalesce(sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L))
+            .cast(dec)), zero).as("h1"),
+          coalesce(sum(pmod(xxhash64(lit(7L), col("u"), col("v")),
+            lit(999999937L)).cast(dec)), zero).as("h2"))
+        .localCheckpoint()
+      val m = obs.get
+      (cp, (m("n").asInstanceOf[Long],
+        m("h1").asInstanceOf[java.math.BigDecimal],
+        m("h2").asInstanceOf[java.math.BigDecimal]))
+    }
+    var (e, sig) = materialize(edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
-      .distinct().localCheckpoint()
-    var sig = edgeSignature(e)
+      .distinct())
     var iter = 0
     var converged = sig._1 == 0L
     while (!converged && iter < maxIter) {
@@ -55,11 +81,10 @@ object Components {
         least(col("u"), col("v")).as("v"))
       val mins2 = dir.groupBy("u").agg(min(col("v")).as("m"))
       val joined = dir.join(mins2, "u")
-      val ss = joined.filter(col("v") =!= col("m"))
+      val (ss, next) = materialize(joined.filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(joined.select(col("u"), col("m").as("v")))
-        .distinct().localCheckpoint()
-      val next = edgeSignature(ss)
+        .distinct())
       converged = next == sig
       sig = next
       e = ss
